@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Readers for the harness test tables (TESTDATA.md) and shared helpers for
+  * oracle-exact arithmetic. */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact-sum helper for oracle parity: floating-point sums are
+    * order-dependent, so a distributed Spark sum and a DuckDB sum of the same
+    * doubles can differ in the last ulps — enough to break hash comparison.
+    * The test doubles are all low-scale decimal values, so `cast(x as
+    * decimal(18,s))` is unambiguous in both engines; decimal summation is
+    * exact; the final cast back to double is then bit-identical everywhere.
+    * Oracle SQL must apply the same shape:
+    * `cast(sum(cast(x as decimal(18,s))) as double)`. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact decimal cast used inside product expressions. */
+  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+}

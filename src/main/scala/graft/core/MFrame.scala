@@ -1,0 +1,89 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's tri-partite table model (reference:
+  * src/mdataframe/mdataframe.py:276-305): a numeric data block `data` plus
+  * optional per-row metadata (`metaRows`, e.g. gene annotations) and
+  * per-column/sample metadata (`metaCols`, one row per *sample column* of
+  * `data` — the reference stores it transposed; we store it long with a
+  * `sample` key since Spark has no cheap transpose).
+  *
+  * Spark has no row index, so the reference's semantic index
+  * (default "gene_stable_id", mdataframe.py:166-167) is an explicit key
+  * column carried through every operator. The rows axis is the distributed
+  * 100 TB dimension; the samples axis is assumed small (≤ thousands).
+  *
+  * Alignment rules follow mdataframe.py:688-702: meta frames stay 1:1 with
+  * `data` on the index; operators that change the index DISCARD meta; columns
+  * duplicated between data and meta are dropped from meta.
+  */
+final case class MFrame(
+    data: DataFrame,
+    index: String = MFrame.DefaultIndex,
+    metaRows: Option[DataFrame] = None,
+    metaCols: Option[DataFrame] = None) {
+
+  /** Value (sample) columns = everything but the index. */
+  def valueColumns: Seq[String] = data.columns.toSeq.filterNot(_ == index)
+
+  /** Load-time sub-selection (mdataframe.py:271-305 / S4): trim `data` to
+    * `columns`, moving the complement into metaRows; optionally keep only
+    * the given row labels. */
+  def select(columns: Seq[String], rows: Option[Seq[Any]] = None): MFrame = {
+    val keep = Seq(index) ++ columns
+    val extra = data.columns.toSeq.filterNot(c => keep.contains(c))
+    val trimmed = data.select(keep.map(col): _*)
+    val newMetaRows =
+      if (extra.isEmpty) metaRows
+      else {
+        val extraDf = data.select((index +: extra).map(col): _*)
+        Some(metaRows.fold(extraDf)(m => m.join(extraDf, Seq(index), "left")))
+      }
+    val rowFiltered = rows.fold(trimmed)(r => trimmed.filter(col(index).isin(r: _*)))
+    copy(data = rowFiltered, metaRows = newMetaRows.map(dedupAgainst(rowFiltered, _)))
+  }
+
+  /** Meta-frame join at load (J1, mdataframe.py:283, 289-292): extend
+    * metaRows with extra per-row annotation columns (left join on index). */
+  def withMetaRows(extra: DataFrame): MFrame = {
+    val joined = metaRows.fold(extra)(m => m.join(extra, Seq(index), "left"))
+    copy(metaRows = Some(dedupAgainst(data, joined)))
+  }
+
+  /** Per-sample metadata; `sample` column must key the value columns. */
+  def withMetaCols(extra: DataFrame): MFrame =
+    copy(metaCols = Some(metaCols.fold(extra)(m => m.join(extra, Seq(MFrame.SampleKey), "left"))))
+
+  /** Apply a transformer to the data block, keeping meta aligned. If the
+    * transformer changes the index column set, meta is discarded
+    * (mdataframe.py:688-692). */
+  def transform(t: Transformer): MFrame = {
+    val out = t(data)
+    if (out.columns.contains(index)) copy(data = out).dedupMeta
+    else MFrame(out, index, None, metaCols)
+  }
+
+  /** Full frame = data + metaRows columns (used by sinks with full=true,
+    * mdataframe.py:938-944 / J4). metaCols, living on the samples axis,
+    * cannot be row-joined; sinks emit it separately (S7 sheet model). */
+  def full: DataFrame =
+    metaRows.fold(data)(m => data.join(m, Seq(index), "left"))
+
+  /** Drop meta columns whose names collide with data columns
+    * (mdataframe.py:696-702 / U3). */
+  private def dedupMeta: MFrame =
+    copy(metaRows = metaRows.map(dedupAgainst(data, _)))
+
+  private def dedupAgainst(base: DataFrame, meta: DataFrame): DataFrame = {
+    val dup = meta.columns.toSeq.filter(c => c != index && base.columns.contains(c))
+    if (dup.isEmpty) meta else meta.drop(dup: _*)
+  }
+}
+
+object MFrame {
+  val DefaultIndex = "gene_stable_id"
+  /** Key column of `metaCols` naming the sample/value column it describes. */
+  val SampleKey = "sample"
+}
