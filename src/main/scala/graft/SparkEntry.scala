@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.Filter
+import graft.operators._
+import graft.functions.BhFdr
 import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,9 +12,15 @@ import graft.Tables._
   * Every implemented operator from SURVEY.md §2 is demonstrated by a
   * `queries` entry over the harness test tables; where the semantics are
   * ANSI-SQL-expressible, `oracleSql` holds the equivalent DuckDB SQL.
-  * Aggregate doubles go through exact decimal summation ([[Tables.dsum]]) so
-  * Spark and DuckDB produce bit-identical doubles regardless of summation
-  * order; every computed column is aliased identically on both sides.
+  *
+  * Determinism rules for oracle parity (doubles hash-compare exactly):
+  *  - aggregate sums of decimal-valued doubles go through exact decimal
+  *    summation ([[Tables.dsum]]) — order-independent;
+  *  - count matrices aggregate integer-valued doubles — exact in IEEE;
+  *  - derived columns use only +,-,*,/ ,sqrt, comparisons (IEEE-exact given
+  *    identical expression trees) — no transcendentals, no engine `round`;
+  *  - every computed column is aliased identically on both sides;
+  *  - every query ends in a total-order `orderBy`.
   */
 object SparkEntry {
 
@@ -20,9 +28,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** The wide "genes × samples"-shaped count matrix used to demonstrate the
+    * reference's matrix operators on harness data: rows = l_partkey, value
+    * columns = per-returnflag lineitem counts. */
+  private def countMatrix(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1).otherwise(0)).cast("double").as("rf_a"),
+        sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("double").as("rf_n"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("rf_r"))
+
+  private val CountMatrixSql =
+    """SELECT l_partkey,
+      |  CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_a,
+      |  CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_n,
+      |  CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_r
+      |FROM lineitem GROUP BY l_partkey""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- A1/A2-family vertical aggregation over a scan (S1/P1) ----
+    // ---- A1-family vertical aggregation over a scan (S1/P1) ----
     "q1_agg" -> ((s, dir) => {
       val li = lineitem(s, dir)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -44,7 +69,7 @@ object SparkEntry {
         ("l_returnflag", "in", Seq("A", "R")))
       f(lineitem(s, dir))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax", "l_returnflag")
     }),
 
     // ---- F2 filter algebra: (f1 | f2) & f3 (filter.py:141-162) ----
@@ -53,7 +78,113 @@ object SparkEntry {
         Filter(("l_returnflag", "in", Seq("N")))
       f(lineitem(s, dir))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    // ---- O1 multi-key sort DSL + top-k (mdataframe.py:319-487) ----
+    "q_sort_topk" -> ((s, dir) => {
+      val sorter = SortDsl.transformer(
+        Seq("l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq(false, false, true, true))
+      sorter(lineitem(s, dir))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(100)
+    }),
+
+    // ---- E1 elementwise transform chain (mdataframe.py:489-676) ----
+    "q_elementwise" -> ((s, dir) => {
+      val base = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_discount") - lit(0.05)).as("disc_centered"),
+        col("l_quantity").as("qty_clip"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val chain = Elementwise("abs", protect = keys ++ Seq("qty_clip", "unit_price"))
+        .andThen(Elementwise("clip", Seq(10.0, 40.0), protect = keys ++ Seq("disc_centered", "unit_price")))
+      chain(base).orderBy("l_orderkey", "l_linenumber", "disc_centered", "qty_clip", "unit_price")
+    }),
+
+    // ---- A4 fixed impute (ImputeFixed, mdataframe.py:90-103) ----
+    "q_impute_fixed" -> ((s, dir) => {
+      val base = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_tax") === 0.0, lit(null)).otherwise(col("l_tax")).as("tax_n"))
+      ImputeFixed(replacementValue = -1.0, protect = Seq("l_orderkey", "l_linenumber"))(base)
+        .orderBy("l_orderkey", "l_linenumber", "tax_n")
+    }),
+
+    // ---- A5 mean impute (ImputeStrategy, mdataframe.py:106-124) ----
+    "q_impute_mean" -> ((s, dir) => {
+      val base = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_tax") === 0.0, lit(null)).otherwise(col("l_tax")).as("tax_n"))
+      ImputeStrategy("mean", protect = Seq("l_orderkey", "l_linenumber"))(base)
+        .orderBy("l_orderkey", "l_linenumber", "tax_n")
+    }),
+
+    // ---- A5 median impute ----
+    "q_impute_median" -> ((s, dir) => {
+      val base = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_tax") === 0.0, lit(null)).otherwise(col("l_tax")).as("tax_n"))
+      ImputeStrategy("median", protect = Seq("l_orderkey", "l_linenumber"))(base)
+        .orderBy("l_orderkey", "l_linenumber", "tax_n")
+    }),
+
+    // ---- A2 z-score per column, ddof=1 (ZScaler, mdataframe.py:146-157) ----
+    "q_zscale_matrix" -> ((s, dir) =>
+      ZScale(axis = 0, ddof = 1, protect = Seq("l_partkey"))(countMatrix(s, dir))
+        .orderBy("l_partkey")),
+
+    // ---- J3 FromFile/FromTable broadcast annotation join ----
+    "q_annotate_join" -> ((s, dir) => {
+      val annotated = FromTable(part(s, dir), Seq("p_brand", "p_retailprice"),
+        indexColumnTarget = "l_partkey", indexColumnTable = "p_partkey")(lineitem(s, dir))
+      annotated.select("l_orderkey", "l_linenumber", "l_partkey", "p_brand", "p_retailprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    // ---- J1/J5 star-schema joins + aggregation ----
+    "q_star_join" -> ((s, dir) => {
+      val c = customer(s, dir); val n = nation(s, dir); val r = region(s, dir)
+      val o = orders(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    }),
+
+    // ---- U1 set operations on keyed projections ----
+    "q_setops" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      def keys(flag: String) = li.filter(col("l_returnflag") === flag).select("l_orderkey")
+      keys("R").intersect(keys("A")).except(keys("N")).orderBy("l_orderkey")
+    }),
+
+    // ---- W2 window ranks ----
+    // (l_orderkey, l_linenumber) is NOT unique in the harness data, so the
+    // window orders include enough columns that any remaining ties are
+    // complete-duplicate output rows (multiset-deterministic).
+    "q_window_rank" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val byOrder = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      val byQty = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_quantity").desc, col("l_linenumber"))
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(byOrder))
+        .withColumn("qty_rank", rank().over(byQty))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // ---- W1 Benjamini-Hochberg FDR ----
+    "q_bh_fdr" -> ((s, dir) => {
+      val t = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 9973) / lit(9973.0)).as("p"))
+      BhFdr.adjust(t, "p", "fdr").orderBy("l_orderkey", "l_linenumber", "p")
     }),
   )
 
@@ -78,13 +209,101 @@ object SparkEntry {
         |  AND ((CASE WHEN l_discount >= 0.02 THEN 1 ELSE 0 END
         |      + CASE WHEN l_tax >= 0.02 THEN 1 ELSE 0 END) >= 2)
         |  AND l_returnflag IN ('A','R')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax, l_returnflag""".stripMargin,
 
     "q_filter_algebra" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
         |WHERE ((l_quantity >= 49.0) OR (ABS(l_discount) > 0.09))
         |  AND l_returnflag IN ('N')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_quantity DESC, l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q_elementwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ABS(l_discount - 0.05) AS disc_centered,
+        |  LEAST(GREATEST(l_quantity, 10.0), 40.0) AS qty_clip,
+        |  l_extendedprice / l_quantity AS unit_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, disc_centered, qty_clip, unit_price""".stripMargin,
+
+    "q_impute_fixed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(NULLIF(l_tax, 0.0), -1.0) AS tax_n
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, tax_n""".stripMargin,
+
+    "q_impute_mean" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, NULLIF(l_tax, 0.0) AS tax_n FROM lineitem),
+        |m AS (SELECT CAST(SUM(CAST(tax_n AS DECIMAL(28,10))) AS DOUBLE) / COUNT(tax_n) AS mu FROM t)
+        |SELECT l_orderkey, l_linenumber, COALESCE(t.tax_n, m.mu) AS tax_n
+        |FROM t, m
+        |ORDER BY l_orderkey, l_linenumber, tax_n""".stripMargin,
+
+    "q_impute_median" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, NULLIF(l_tax, 0.0) AS tax_n FROM lineitem),
+        |m AS (SELECT median(tax_n) AS md FROM t)
+        |SELECT l_orderkey, l_linenumber, COALESCE(t.tax_n, m.md) AS tax_n
+        |FROM t, m
+        |ORDER BY l_orderkey, l_linenumber, tax_n""".stripMargin,
+
+    "q_zscale_matrix" ->
+      s"""WITH m AS ($CountMatrixSql),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  SUM(rf_a) AS s_a, SUM(rf_a*rf_a) AS q_a, MAX(rf_a) AS mx_a, MIN(rf_a) AS mn_a,
+        |  SUM(rf_n) AS s_n, SUM(rf_n*rf_n) AS q_n, MAX(rf_n) AS mx_n, MIN(rf_n) AS mn_n,
+        |  SUM(rf_r) AS s_r, SUM(rf_r*rf_r) AS q_r, MAX(rf_r) AS mx_r, MIN(rf_r) AS mn_r
+        |  FROM m)
+        |SELECT l_partkey,
+        |  CASE WHEN mx_a = mn_a THEN 0.0 ELSE (rf_a - s_a/n)/sqrt((q_a - s_a*s_a/n)/(n - 1.0)) END AS rf_a,
+        |  CASE WHEN mx_n = mn_n THEN 0.0 ELSE (rf_n - s_n/n)/sqrt((q_n - s_n*s_n/n)/(n - 1.0)) END AS rf_n,
+        |  CASE WHEN mx_r = mn_r THEN 0.0 ELSE (rf_r - s_r/n)/sqrt((q_r - s_r*s_r/n)/(n - 1.0)) END AS rf_r
+        |FROM m, s
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_annotate_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_brand, p.p_retailprice
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r.r_name,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin,
+
+    "q_setops" ->
+      """(SELECT l_orderkey FROM lineitem WHERE l_returnflag='R'
+        | INTERSECT
+        | SELECT l_orderkey FROM lineitem WHERE l_returnflag='A')
+        |EXCEPT
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag='N'
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn,
+        |  RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS qty_rank
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |    ((l_orderkey*7 + l_linenumber*13) % 9973)/9973.0 AS p FROM lineitem),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p) AS rk, COUNT(*) OVER () AS n FROM t)
+        |SELECT l_orderkey, l_linenumber, p,
+        |  LEAST(MIN(p*n/rk) OVER (ORDER BY p DESC), 1.0) AS fdr
+        |FROM r
+        |ORDER BY l_orderkey, l_linenumber, p""".stripMargin,
   )
 }

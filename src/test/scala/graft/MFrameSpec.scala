@@ -1,0 +1,85 @@
+package graft
+
+import graft.core.MFrame
+import graft.operators.{FromTable, Annotate}
+import graft.sources.Sinks
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+class MFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df: DataFrame = Seq(
+    ("genA", 1.0, 2.0, "coding"),
+    ("genB", 3.0, 4.0, "linc")
+  ).toDF("gene_stable_id", "s1", "s2", "biotype")
+
+  test("select splits extra columns into metaRows (mdataframe.py:271-305 / S4)") {
+    val mf = MFrame(df).select(Seq("s1", "s2"))
+    assert(mf.data.columns.toSeq == Seq("gene_stable_id", "s1", "s2"))
+    assert(mf.metaRows.get.columns.toSeq == Seq("gene_stable_id", "biotype"))
+    assert(mf.valueColumns == Seq("s1", "s2"))
+  }
+
+  test("select with rows filters by index labels (P2)") {
+    val mf = MFrame(df).select(Seq("s1"), rows = Some(Seq("genA")))
+    assert(mf.data.count() == 1)
+  }
+
+  test("withMetaRows joins and dedups colliding names (J1 + U3, mdataframe.py:696-702)") {
+    val meta = Seq(("genA", "x", 9.0), ("genB", "y", 8.0)).toDF("gene_stable_id", "note", "s1")
+    val mf = MFrame(df).withMetaRows(meta)
+    // s1 collides with a data column and must be dropped from meta
+    assert(mf.metaRows.get.columns.toSeq == Seq("gene_stable_id", "note"))
+  }
+
+  test("full joins metaRows back (J4)") {
+    val meta = Seq(("genA", "x"), ("genB", "y")).toDF("gene_stable_id", "note")
+    val mf = MFrame(df).withMetaRows(meta)
+    assert(mf.full.columns.contains("note"))
+    assert(mf.full.count() == 2)
+  }
+
+  test("transform discards meta when the index disappears (mdataframe.py:688-692)") {
+    val meta = Seq(("genA", "x")).toDF("gene_stable_id", "note")
+    val mf = MFrame(df).withMetaRows(meta)
+    val dropped = mf.transform(graft.core.Transformer("drop_index", Nil)(_.drop("gene_stable_id")))
+    assert(dropped.metaRows.isEmpty)
+  }
+
+  test("FromTable annotator validates columns and fills (mbf_compliance.py:69-91 / J3)") {
+    val anno = Seq(("genA", "chr1")).toDF("gid", "chr")
+    val out = FromTable(anno, Seq("chr"), "gene_stable_id", "gid", fill = Some("NA"))(df)
+    val chrs = out.orderBy("gene_stable_id").collect().map(_.getAs[String]("chr")).toSeq
+    assert(chrs == Seq("chr1", "NA"))
+    intercept[IllegalArgumentException] {
+      FromTable(anno, Seq("nope"), "gene_stable_id", "gid")(df)
+    }
+  }
+
+  test("clusterLabels fills unmatched rows with -1 (J2, mdataframe.py:801-807)") {
+    val labels = Seq(("genA", 2)).toDF("gene_stable_id", "cl")
+    val out = Annotate.clusterLabels(labels, "cl")(df)
+    val m = out.collect().map(r => r.getString(0) -> r.getAs[Double]("cl")).toMap
+    assert(m == Map("genA" -> 2.0, "genB" -> -1.0))
+  }
+
+  test("TSV sink writes ONE tab-separated file with header (mdataframe.py:925-949 / S6)") {
+    val tmp = Files.createTempDirectory("graft-sink").toString
+    val path = s"$tmp/out.tsv"
+    Sinks.writeTsv(df.orderBy("gene_stable_id"), path)
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.head == "gene_stable_id\ts1\ts2\tbiotype")
+    assert(lines.size == 3)
+    assert(Files.isRegularFile(Paths.get(path)))
+  }
+
+  test("report sink emits data/meta sheets as files (S7 contract)") {
+    val meta = Seq(("genA", "x")).toDF("gene_stable_id", "note")
+    val mf = MFrame(df).withMetaRows(meta)
+    val tmp = Files.createTempDirectory("graft-report").toString
+    Sinks.writeReport(mf, s"$tmp/rep")
+    assert(Files.exists(Paths.get(s"$tmp/rep/data.tsv")))
+    assert(Files.exists(Paths.get(s"$tmp/rep/meta_rows.tsv")))
+  }
+}
