@@ -179,6 +179,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    // ---- A8 CPM normalization (exact, oracle-checked) ----
+    "q_cpm" -> ((s, dir) => {
+      val m = countMatrix(s, dir)
+      val cols = Seq("rf_a", "rf_n", "rf_r")
+      val lib = graft.functions.Normalization.libSizes(m, cols)
+      graft.functions.Normalization.cpm(m, cols, lib).orderBy("l_partkey")
+    }),
+
+    // ---- A8 full TMM → log2 CPM (edgeR algorithm; rows-only check —
+    //      transcendental math is not bit-reproducible across engines;
+    //      conformance is pinned by NormalizationSpec golden values) ----
+    "q_tmm_logcpm" -> ((s, dir) =>
+      graft.functions.Tmm(protect = Seq("l_partkey"))(countMatrix(s, dir))
+        .orderBy("l_partkey")),
+
     // ---- W1 Benjamini-Hochberg FDR ----
     "q_bh_fdr" -> ((s, dir) => {
       val t = lineitem(s, dir).select(
@@ -296,6 +311,16 @@ object SparkEntry {
         |  RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS qty_rank
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_cpm" ->
+      s"""WITH m AS ($CountMatrixSql),
+        |s AS (SELECT SUM(rf_a) AS l_a, SUM(rf_n) AS l_n, SUM(rf_r) AS l_r FROM m)
+        |SELECT l_partkey,
+        |  rf_a / l_a * 1e6 AS rf_a,
+        |  rf_n / l_n * 1e6 AS rf_n,
+        |  rf_r / l_r * 1e6 AS rf_r
+        |FROM m, s
+        |ORDER BY l_partkey""".stripMargin,
 
     "q_bh_fdr" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber,
