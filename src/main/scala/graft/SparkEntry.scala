@@ -194,6 +194,18 @@ object SparkEntry {
       graft.functions.Tmm(protect = Seq("l_partkey"))(countMatrix(s, dir))
         .orderBy("l_partkey")),
 
+    // ---- D5 NOISeq differential expression (rows-only: TMM factors and
+    //      the noise distribution are not ANSI-SQL-expressible; M/D/Rank
+    //      conformance is pinned by NOISeqSpec golden values) ----
+    "q_noiseq" -> ((s, dir) => {
+      val ns = graft.stats.NOISeq("A", "R",
+        Map("A" -> Seq("rf_a"), "N" -> Seq("rf_n"), "R" -> Seq("rf_r")),
+        comparisonName = Some("A_vs_R"),
+        includeOtherColumnsForVariance = true,
+        index = "l_partkey")
+      ns(countMatrix(s, dir)).orderBy("l_partkey")
+    }),
+
     // ---- W1 Benjamini-Hochberg FDR ----
     "q_bh_fdr" -> ((s, dir) => {
       val t = lineitem(s, dir).select(
