@@ -38,6 +38,16 @@ object SparkEntry {
         sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("double").as("rf_n"),
         sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("rf_r"))
 
+  /** Count matrix with three pseudo-replicates per returnflag condition
+    * (replicate id = l_linenumber mod 3) for the differential operators. */
+  private def replicateMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val aggs = for (rf <- Seq("A", "N", "R"); rep <- 0 to 2) yield
+      sum(when(col("l_returnflag") === rf && pmod(col("l_linenumber"), lit(3)) === rep, 1)
+        .otherwise(0)).cast("double").as(s"${rf.toLowerCase}_$rep")
+    li.groupBy(col("l_partkey")).agg(aggs.head, aggs.tail: _*)
+  }
+
   private val CountMatrixSql =
     """SELECT l_partkey,
       |  CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_a,
@@ -199,11 +209,23 @@ object SparkEntry {
     //      conformance is pinned by NOISeqSpec golden values) ----
     "q_noiseq" -> ((s, dir) => {
       val ns = graft.stats.NOISeq("A", "R",
-        Map("A" -> Seq("rf_a"), "N" -> Seq("rf_n"), "R" -> Seq("rf_r")),
+        Map("A" -> Seq("a_0", "a_1", "a_2"), "N" -> Seq("n_0", "n_1", "n_2"),
+          "R" -> Seq("r_0", "r_1", "r_2")),
         comparisonName = Some("A_vs_R"),
         includeOtherColumnsForVariance = true,
         index = "l_partkey")
-      ns(countMatrix(s, dir)).orderBy("l_partkey")
+      ns(replicateMatrix(s, dir)).orderBy("l_partkey")
+    }),
+
+    // ---- D2 DESeq2-style Wald differential expression (rows-only:
+    //      NB GLM + CR dispersion estimation not SQL-expressible;
+    //      conformance pinned by DESeq2Spec) ----
+    "q_deseq2_wald" -> ((s, dir) => {
+      val d = graft.stats.DESeq2Unpaired("A", "R",
+        Map("A" -> Seq("a_0", "a_1", "a_2"), "R" -> Seq("r_0", "r_1", "r_2")),
+        comparisonName = Some("A_vs_R"),
+        index = "l_partkey")
+      d(replicateMatrix(s, dir)).orderBy("l_partkey")
     }),
 
     // ---- W1 Benjamini-Hochberg FDR ----
