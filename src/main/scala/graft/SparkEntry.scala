@@ -235,6 +235,84 @@ object SparkEntry {
         (((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 9973) / lit(9973.0)).as("p"))
       BhFdr.adjust(t, "p", "fdr").orderBy("l_orderkey", "l_linenumber", "p")
     }),
+
+    // ================== training-data pipeline extensions ==================
+
+    // ---- text analysis: token/punct/stopword stats, quality, lang-ID ----
+    "q_text_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        size(filter(tokens(lower(col("text"))), t => t.isin(Stopwords: _*))).as("n_stop"),
+        meanTokenLength(col("text")).as("mean_tok_len"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact dedup groups by MD5 content fingerprint ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(documents(s, dir), "text", "doc_id")
+        .orderBy("fingerprint")),
+
+    // ---- MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures) ----
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLshPairs(documents(s, dir), "text", "doc_id",
+        shingleK = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // ---- SimHash near-dup pairs (rows-only) ----
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(documents(s, dir), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- word-3-gram Jaccard near-dup pairs (rows-only) ----
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+        n = 3, jaccardThreshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- brute-force cosine top-k similarity search ----
+    "q_similarity_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id", 10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed approximate top-k (rows-only; recall vs brute
+    //      force asserted in SimilaritySpec) ----
+    "q_similarity_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
+        k = 10, dim = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- embedding-cosine near-duplicate pairs ----
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(embeddings(s, dir), "embedding", "vec_id", 0.45)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
+    // ---- multimodal plumbing: binary payload → decoded meta + features
+    //      (rows-only; codec stubbed, Spark-side batching real) ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val withMeta = Multimodal.withDecodedMeta(d, "payload")
+      Multimodal.withFeatures(withMeta, "payload")
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,5 +442,84 @@ object SparkEntry {
         |  LEAST(MIN(p*n/rk) OVER (ORDER BY p DESC), 1.0) AS fdr
         |FROM r
         |ORDER BY l_orderkey, l_linenumber, p""".stripMargin,
+
+    "q_text_stats" -> {
+      val stops = TextFunctionsOracle.stopList
+      val langCases = TextFunctionsOracle.langIdSql
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |    len(list_filter(ltoks, x -> x IN ($stops))) AS n_stop,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
+        |    list_distinct(ltoks) AS dtoks
+        |  FROM t),
+        |sc AS (
+        |  SELECT *,
+        |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(n_punct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |    LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE CAST(n_stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 4.0, 1.0) AS stop_score,
+        |    CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+        |    $langCases
+        |  FROM b)
+        |SELECT doc_id, n_tokens, n_punct, n_stop, mean_tok_len,
+        |  GREATEST(LEAST(len_score * 0.3 + stop_score * 0.3 + word_score * 0.2
+        |    + (1.0 - punct_ratio * 5.0) * 0.2, 1.0), 0.0) AS quality,
+        |  CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_it) <= 0 THEN 'und'
+        |       WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_it) THEN 'en'
+        |       WHEN s_de >= GREATEST(s_es, s_fr, s_it) THEN 'de'
+        |       WHEN s_es >= GREATEST(s_fr, s_it) THEN 'es'
+        |       WHEN s_fr >= s_it THEN 'fr'
+        |       ELSE 'it' END AS lang_pred
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fingerprint""".stripMargin,
+
+    "q_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS score
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
   )
+
+  /** SQL fragments for the text oracle, generated from TextFunctions so
+    * the Spark expressions and the DuckDB SQL cannot drift apart. */
+  private object TextFunctionsOracle {
+    import graft.functions.TextFunctions
+    def stopList: String =
+      TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+    def langIdSql: String =
+      TextFunctions.LangProfiles.map { case (lang, markers) =>
+        val lst = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_intersect(dtoks, [$lst])) AS s_$lang"
+      }.mkString(",\n    ")
+  }
 }

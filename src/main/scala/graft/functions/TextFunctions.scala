@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for large-scale training-data pipelines
+  * (north-star extensions beyond the reference surface — SURVEY.md §7.2
+  * step 7). All are pure Column expressions (whole-stage codegen, no UDFs)
+  * so they fuse into the scan and scale linearly over a 100 TB documents
+  * table.
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse non-alphanumerics to single spaces, trim — the
+    * canonical form used by fingerprinting and dedup. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens (empty strings dropped). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword token count: word pieces capped at 4 chars plus
+    * punctuation marks each count as one token — a deterministic proxy for
+    * byte-pair-encoded lengths (ceil(wordlen/4) per word + punct count). */
+  def bpeTokenCount(c: Column): Column =
+    aggregate(tokens(c), lit(0),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("int")) +
+      punctCount(c)
+
+  /** Count of punctuation marks (explicit class for cross-engine parity). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "on", "for", "with",
+    "that", "this", "it", "as", "are", "was", "be", "by", "at")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length, a healthy
+    * stopword ratio and word lengths, penalizes punctuation soup. The
+    * weights are a heuristic (length-normalized linear blend), chosen to be
+    * exactly reproducible in ANSI SQL for the oracle. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctRatio = punctCount(c).cast("double") /
+      greatest(length(c).cast("double"), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    val wordLen = meanTokenLength(c)
+    val wordScore = when(wordLen >= 3.0 && wordLen <= 10.0, 1.0).otherwise(0.5)
+    greatest(least(
+      lenScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 + (lit(1.0) - punctRatio * 5.0) * 0.2,
+      lit(1.0)), lit(0.0))
+  }
+
+  /** Language-ID by stopword-profile hit counting: distinct-token overlap
+    * with each language's marker list; argmax, ties broken by profile
+    * order. A deterministic n-gram-free heuristic adequate for routing. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "it" -> Seq("il", "lo", "la", "gli", "che", "di", "un", "una", "per", "con"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val toks = array_distinct(tokens(lower(c)))
+    LangProfiles.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks, array(markers.map(lit): _*)))
+    }
+  }
+
+  /** Best-scoring language, "und" (undetermined) when nothing matches. */
+  def langId(c: Column): Column = {
+    val scored = langScores(c)
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") <= 0, "und").otherwise(best.getField("l"))
+  }
+
+  /** Content fingerprint: MD5 of the normalized text. MD5 is engine-
+    * portable (identical hex in Spark and DuckDB), making exact-dedup
+    * oracle-checkable. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Rolling (Rabin-Karp style) 64-bit hash of the normalized text —
+    * cheap shift-resistant fingerprint; xxhash64 seeded variant. */
+  def rollingFingerprint(c: Column, window: Int = 8): Column = {
+    val n = normalizeText(c)
+    // min over xxhash64 of all `window`-grams = a 1-hash MinHash — shift
+    // robust and pure-expression
+    val grams = charShingles(n, window)
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+
+  /** All k-character shingles of a string as an array (expression-only:
+    * transform over an index sequence + substr with Column offsets). */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) < k, array(c)).otherwise(
+      transform(sequence(lit(1), length(c) - k + 1), i => c.substr(i, lit(k))))
+
+  /** Word n-grams as strings ("w1 w2 ... wn"). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(normalizeText(c))
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** docs with an exact dup (1,2), a near-dup pair (3,4), and distinct (5). */
+  lazy val docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank today!"),
+    (3L, "spark query engines shuffle partition data across executors for joins and aggregations"),
+    (4L, "spark query engines shuffle partition data across executors for joins and aggregation"),
+    (5L, "completely different content about machine learning embeddings and vector search")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/punctuation-normalized duplicates") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 4) // 1+2 merge
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds near-dup pairs and dedup drops the larger id") {
+    val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", jaccardThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing exact-dup pair, got $pairs")
+    assert(pairs.contains((3L, 4L)), s"missing near-dup pair, got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+    val kept = Dedup.minHashLshDedup(docs, "text", "doc_id", jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("simhash pairs near-identical token sets within hamming distance") {
+    // one changed token out of ~28: few sign flips -> small hamming distance
+    val longDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three five"),
+      (3L, "totally unrelated words about database engines and streaming watermark state")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(longDocs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 16))
+    assert(!pairs.exists(p => p._2 == 3L && p._3 == 0))
+    // identical docs -> distance 0
+    val same = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(same == Set((1L, 2L)))
+  }
+
+  test("word-ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0)) // identical after norm
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 4L && p._3 > 0.5 && p._3 < 1.0))
+  }
+
+  test("determinism: same pairs regardless of partitioning") {
+    val p1 = Dedup.minHashLshPairs(docs.repartition(7), "text", "doc_id", jaccardThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.minHashLshPairs(docs.coalesce(1), "text", "doc_id", jaccardThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p2)
+  }
+}

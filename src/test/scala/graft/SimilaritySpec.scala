@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val embeddings = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("cosine expression: known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, descending scores, no self") {
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 5)
+      .collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k: subset of candidates agrees with brute-force scores") {
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    val lsh = Similarity.lshTopK(embeddings, queries, "embedding", "vec_id",
+      k = 5, dim = 64).collect()
+    // every LSH hit must carry the exact same cosine as the brute-force path
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getAs[Double]("score")) < 1e-12))
+    }
+  }
+
+  test("near-dup pairs symmetric-free and thresholded") {
+    val pairs = Similarity.embeddingNearDupPairs(embeddings, "embedding", "vec_id", 0.4)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cosine") >= 0.4)
+    }
+  }
+
+  test("multimodal: decoded meta + features are deterministic plumbing") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")).limit(20)
+    val out = Multimodal.withFeatures(Multimodal.withDecodedMeta(d, "payload"), "payload")
+    val rows = out.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("media_meta"))
+      assert(meta.getAs[Long]("n_bytes") > 0)
+      assert(Seq("jpeg", "png", "webp").contains(meta.getAs[String]("format")))
+      val feats = r.getSeq[Float](r.fieldIndex("features"))
+      assert(feats.length == Multimodal.FeatureDim)
+    }
+    // deterministic across partitionings
+    val again = Multimodal.withFeatures(Multimodal.withDecodedMeta(
+      d.repartition(5), "payload"), "payload")
+      .orderBy("doc_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")).toList)
+    assert(out.orderBy("doc_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq == again.toSeq)
+  }
+
+  test("frame sampling explodes deterministic frame indices") {
+    val d = Seq((1L)).toDF("doc_id")
+    val frames = Multimodal.sampleFrames(d, "doc_id", nFrames = 4, every = 10)
+      .collect().map(_.getAs[Int]("frame_idx"))
+    assert(frames.toSeq == Seq(0, 10, 20, 30))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, "The quick brown fox, and the lazy dog!"),
+    (2L, "der die das und ist nicht ein mit"),
+    (3L, "el la los es un una que por"),
+    (4L, ""),
+    (5L, "xyzzy plugh")
+  ).toDF("id", "text")
+
+  private def one[T](c: org.apache.spark.sql.Column, id: Long): T =
+    df.filter($"id" === id).select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("normalize + tokens + counts") {
+    assert(one[String](normalizeText(col("text")), 1L) ==
+      "the quick brown fox and the lazy dog")
+    assert(one[Int](tokenCount(col("text")), 1L) == 8)
+    assert(one[Int](tokenCount(col("text")), 4L) == 0)
+    assert(one[Int](punctCount(col("text")), 1L) == 2)
+  }
+
+  test("stopword ratio and mean token length") {
+    assert(math.abs(one[Double](stopwordRatio(col("text")), 1L) - 3.0 / 8) < 1e-12)
+    assert(one[Double](meanTokenLength(col("text")), 4L) == 0.0)
+  }
+
+  test("bpe-ish token count: ceil(len/4) per word + punctuation") {
+    // "ab cdefgh." -> ceil(2/4)+ceil(8/4) + 1 punct = 1+2+1 (the '.' is
+    // part of token "cdefgh." len 7 -> ceil(7/4)=2)
+    val d2 = Seq("ab cdefgh.").toDF("text")
+    val got = d2.select(bpeTokenCount(col("text")).as("v")).collect()(0).getAs[Int]("v")
+    assert(got == 4, s"got $got")
+  }
+
+  test("language id picks the profile with most marker hits; und for none") {
+    assert(one[String](langId(col("text")), 1L) == "en")
+    assert(one[String](langId(col("text")), 2L) == "de")
+    assert(one[String](langId(col("text")), 3L) == "es")
+    assert(one[String](langId(col("text")), 5L) == "und")
+  }
+
+  test("quality score in [0,1], higher for natural text than noise") {
+    val q1 = one[Double](qualityScore(col("text")), 1L)
+    val q5 = one[Double](qualityScore(col("text")), 5L)
+    assert(q1 >= 0 && q1 <= 1 && q5 >= 0 && q5 <= 1)
+    assert(q1 > q5)
+  }
+
+  test("fingerprints: md5 of normalized text; rolling fingerprint shift-stable") {
+    val a = Seq("Hello, World!").toDF("text")
+    val b = Seq("hello world").toDF("text")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      d.select(fingerprint(col("text")).as("v")).collect()(0).getString(0)
+    assert(fp(a) == fp(b))
+    // rolling fingerprint survives a prefix insertion when the window
+    // content still appears
+    val c = Seq("PREFIX hello world this is some shared content tail").toDF("text")
+    val e = Seq("hello world this is some shared content tail").toDF("text")
+    def rfp(d: org.apache.spark.sql.DataFrame) =
+      d.select(rollingFingerprint(col("text")).as("v")).collect()(0).getLong(0)
+    assert(rfp(c) == rfp(e))
+  }
+
+  test("char shingles and word ngrams") {
+    val d = Seq("abcdef").toDF("text")
+    val sh = d.select(charShingles(col("text"), 4).as("v")).collect()(0)
+      .getSeq[String](0)
+    assert(sh == Seq("abcd", "bcde", "cdef"))
+    val ng = Seq("a b c d").toDF("text")
+      .select(wordNgrams(col("text"), 2).as("v")).collect()(0).getSeq[String](0)
+    assert(ng == Seq("a b", "b c", "c d"))
+  }
+}
