@@ -334,6 +334,23 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start_sec")),
 
+    // ---- M1/M2/M5 ML operators (rows-only: model fits are not
+    //      SQL-expressible; contracts pinned by ClusteringSpec) ----
+    "q_kmeans" -> ((s, dir) =>
+      KMeansOp(nClusters = 4, sort = false, protect = Seq("l_partkey"))(countMatrix(s, dir))
+        .select(col("l_partkey"), col("KNN").as("cluster"))
+        .orderBy("l_partkey")),
+
+    "q_agglo" -> ((s, dir) =>
+      AggloOp(nClusters = 3, sort = false, protect = Seq("l_partkey"))(
+        countMatrix(s, dir).limit(200))
+        .select(col("l_partkey"), col("Agglo").as("cluster"))
+        .orderBy("l_partkey")),
+
+    "q_pca" -> ((s, dir) =>
+      PcaOp(nComponents = 2, protect = Seq("l_partkey"))(countMatrix(s, dir))
+        .orderBy("sample")),
+
     "q_stream_dedup" -> ((s, dir) => {
       val e = events(s, dir)
       graft.streaming.EventStream.dedupEvents(e.union(e))

@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.MFrame
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mirrors tests/test_clustering.py + projection contract checks. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** conftest test_frame: 4 genes × 6 samples. */
+  lazy val counts: DataFrame = Seq(
+    ("genA", 23.0, 2.0, 21.0, 23.0, 3.0, 4.0),
+    ("genB", 12.0, 14.0, 14.0, 4.0, 4.0, 5.0),
+    ("genC", 9.0, 6.0, 6.0, 21.0, 22.0, 23.0),
+    ("genD", 40.0, 80.0, 80.0, 90.0, 90.0, 80.0)
+  ).toDF("gene_stable_id", "sampleA_1", "sampleA_2", "sampleA_3", "sampleB_1", "sampleB_2", "sampleB_3")
+
+  test("Agglo defaults and naming (test_clustering.py:9-17)") {
+    val a = AggloOp()
+    assert(a.name == "Agglo" && a.nClusters == 2)
+    val other = AggloOp("other", nClusters = 3)
+    assert(other.name == "other" && other.nClusters == 3)
+  }
+
+  test("cluster adds a label column, monotonic after sort (test_clustering.py:20-25)") {
+    val out = AggloOp()(counts)
+    assert(out.columns.contains("Agglo"))
+    val labels = out.collect().map(_.getAs[Int]("Agglo"))
+    assert(labels.zip(labels.tail).forall { case (a, b) => a <= b })
+    assert(labels.distinct.length == 2)
+  }
+
+  test("sort=false preserves input, ascending=false reverses (test_clustering.py:28-36)") {
+    val desc = AggloOp(ascending = false)(counts)
+    val dl = desc.collect().map(_.getAs[Int]("Agglo"))
+    assert(dl.zip(dl.tail).forall { case (a, b) => a >= b })
+    val noSort = AggloOp(sort = false)(counts)
+    assert(noSort.select("gene_stable_id").collect().map(_.getString(0)).toSeq ==
+      Seq("genA", "genB", "genC", "genD"))
+  }
+
+  test("add=false drops the label column (test_clustering.py:39-46)") {
+    val out = AggloOp(add = false)(counts)
+    assert(!out.columns.contains("Agglo"))
+  }
+
+  test("ward merges the obviously-close genes") {
+    // genA/genB/genC are two orders of magnitude below genD
+    val labels = AggloOp(sort = false)(counts).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("Agglo")).toMap
+    assert(labels("genD") != labels("genA"))
+    assert(labels("genA") == labels("genB") && labels("genB") == labels("genC"))
+  }
+
+  test("KMeans labels with k clusters; predict reuses the model (M1/M3)") {
+    val km = KMeansOp(nClusters = 2, sort = false)
+    val out = km(counts)
+    assert(out.columns.contains("KNN"))
+    assert(out.select("KNN").distinct().count() == 2)
+    val pred = km.predict(counts)
+    assert(pred.columns.contains("KNN"))
+    assert(pred.count() == 4)
+  }
+
+  test("ClassLabel maps ids, -1 unmapped (strategies.py:187-211)") {
+    val cl = ClassLabel(Map("genA" -> 7, "genD" -> 9))
+    val out = cl(counts).collect().map(r => r.getString(0) -> r.getAs[Int]("ClassLabel")).toMap
+    assert(out("genA") == 7 && out("genD") == 9 && out("genB") == -1)
+  }
+
+  test("MFrame cluster wrapper joins labels into metaRows with -1 fill (M4/J2)") {
+    val mf = MFrame(counts)
+    val clustered = Clustering.clusterRows(mf, AggloOp(nClusters = 2))
+    val meta = clustered.metaRows.get.collect()
+      .map(r => r.getString(r.fieldIndex("gene_stable_id")) -> r.getAs[Double]("Agglo")).toMap
+    assert(meta.size == 4 && meta.values.forall(v => v == 0.0 || v == 1.0))
+    // skip-fit guard: k >= n rows -> all zero labels
+    val tiny = MFrame(counts.limit(2))
+    val skipped = Clustering.clusterRows(tiny, AggloOp(nClusters = 2))
+    assert(skipped.metaRows.get.collect().forall(_.getAs[Double]("Agglo") == 0.0))
+  }
+
+  test("PCA over samples: coords per sample, labeled expl.var columns (M5)") {
+    val pca = PcaOp(nComponents = 2)
+    val out = pca(counts)
+    assert(out.count() == 6)
+    val cols = out.columns.toSeq
+    assert(cols.head == "sample")
+    assert(cols(1).matches("PC1 \\(expl\\.var = \\d+\\.\\d%\\)"), cols(1))
+    assert(pca.explainedVarianceRatio.length == 2)
+    assert(pca.explainedVarianceRatio(0) >= pca.explainedVarianceRatio(1))
+    assert(pca.explainedVarianceRatio.sum <= 1.0 + 1e-9)
+    // sampleA_* and sampleB_* separate on PC1 or PC2 given the data shape
+    val coords = out.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(coords.size == 6)
+  }
+
+  test("t-SNE driver-local embedding: deterministic, right shape (M6)") {
+    val t = TsneOp(perplexity = 2, iterations = 50)
+    val a = t(counts).collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val b = t(counts).collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.length == 6 && a.toSeq == b.toSeq)
+  }
+
+  test("reduce guard + UMAP unsupported (M7/M8)") {
+    intercept[IllegalArgumentException] {
+      Projection.reduce(counts.select("gene_stable_id", "sampleA_1"), PcaOp(), 2)
+    }
+    intercept[UnsupportedOperationException] { Projection.umap() }
+  }
+}
