@@ -228,6 +228,18 @@ object SparkEntry {
       d(replicateMatrix(s, dir)).orderBy("l_partkey")
     }),
 
+    // ---- D4 DESeq2 LRT (intended semantics of the reference's broken
+    //      DESeq2Timeseries; rows-only, contract pinned by DESeq2LRTSpec) ----
+    "q_deseq2_lrt" -> ((s, dir) => {
+      val sampleCols = Seq("a_0", "a_1", "a_2", "n_0", "n_1", "n_2", "r_0", "r_1", "r_2")
+      val l = graft.stats.DESeq2LRT(sampleCols,
+        Map("condition" -> Seq("A", "A", "A", "N", "N", "N", "R", "R", "R")),
+        full = Seq("condition"), reduced = Seq(),
+        comparisonName = Some("cond_lrt"),
+        index = "l_partkey")
+      l(replicateMatrix(s, dir)).orderBy("l_partkey")
+    }),
+
     // ---- A10 VST (rows-only: gene-dispersion trend fit not
     //      SQL-expressible; transform kernel pinned at 1e-5 vs the R
     //      golden frame in VstSpec) ----

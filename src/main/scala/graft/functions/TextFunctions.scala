@@ -121,10 +121,15 @@ object TextFunctions {
       transform(sequence(lit(1), length(c) - k + 1), i => c.substr(i, lit(k))))
 
   /** Word n-grams as strings ("w1 w2 ... wn"). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = tokens(normalizeText(c))
+  def wordNgrams(c: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(normalizeText(c)), n)
+
+  /** Word n-grams from an already-materialized token-array column. Pass a
+    * plain column reference here when shingling a corpus: a computed
+    * expression would re-evaluate once per n-gram position inside the
+    * transform lambda. */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 }

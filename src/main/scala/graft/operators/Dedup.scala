@@ -30,12 +30,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the doc's shingle set — a pure expression (no UDF). */
+  /** MinHash signature: shingles are hashed ONCE by codegen'd xxhash64;
+    * the `numHashes` per-seed minima come from a splitmix64 remix of that
+    * base hash inside one compact UDF. (The pure-expression alternative —
+    * numHashes inlined `array_min(transform(...))` — re-hashes every
+    * shingle string per seed and overflows the JVM's 64KB generated-method
+    * limit, silently falling back to interpreted execution.) */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }: _*)
+    minHashFromBase(numHashes)(transform(shingles, s => xxhash64(s)))
+
+  private def minHashFromBase(numHashes: Int) = udf { (hs: Seq[Long]) =>
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    hs.foreach { h0 =>
+      var i = 0
+      while (i < numHashes) {
+        var z = h0 + 0x9E3779B97F4A7C15L * (i + 1)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if (z < mins(i)) mins(i) = z
+        i += 1
+      }
+    }
+    mins.toSeq
+  }
 
   /** MinHash + LSH near-duplicate PAIRS: shingle → minhash → band →
     * bucket-join → exact Jaccard verify.
@@ -53,32 +71,95 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.8): DataFrame = {
+    // shingling happens in ONE UDF whose argument (the normalized text)
+    // is evaluated once per row. The expression form — transform(sequence,
+    // substr) over a normalize expression — re-runs the regex
+    // normalization per shingle position (~200× per doc): materializing
+    // the norm into its own column does not help because CollapseProject
+    // re-inlines deterministic aliases into the lambda.
+    val sh = df
+      .withColumn("__sh", charShingleSet(shingleK)(normalizeText(col(textCol))))
+      .select(col(idCol), col("__sh"))
+    lshVerifiedPairs(sh, idCol, bands, rowsPerBand, jaccardThreshold)
+  }
+
+  /** Distinct k-char shingles of a (pre-normalized) string, insertion
+    * order — matches array_distinct(charShingles(...)) semantics. */
+  private def charShingleSet(k: Int) = udf { (s: String) =>
+    if (s == null) Array.empty[String]
+    else if (s.length < k) Array(s)
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= s.length) { seen.add(s.substring(i, i + k)); i += 1 }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
+  }
+
+  /** Shared MinHash-LSH pair skeleton over a (id, __sh shingle-array)
+    * frame: sign → band → bucket self-join → exact Jaccard verify.
+    *
+    * The shingle frame is cached (reused by banding + two verification
+    * joins); band/bucket rows stay NARROW (id, band, bucket) so the heavy
+    * shingle arrays never enter the exploded shuffle or the self-join —
+    * only the (few) verified candidate ids join them back. */
+  private def lshVerifiedPairs(shingled: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int, jaccardThreshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df
-      .withColumn("__sh", array_distinct(charShingles(normalizeText(col(textCol)), shingleK)))
-      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
-      .select(col(idCol), col("__sh"), col("__sig"))
-    val banded = withSig.select(
-      col(idCol), col("__sh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-      }: _*)).as("e"))
-      .select(col(idCol), col("__sh"), col("e.band"), col("e.bucket"))
+    // everything downstream works on the 64-bit shingle hashes: minhash
+    // remixes them, and the Jaccard verify merge-counts the SORTED hash
+    // arrays in a primitive loop (string-array array_intersect per
+    // candidate pair costs ~10× — per-element UTF8 hashing). Exact up to
+    // xxhash64 collisions (~|shingles|²/2⁶⁴, negligible).
+    // a small corpus parquet arrives as ONE partition; spread the rows
+    // before the UDF-heavy shingle/signature work or the whole pipeline
+    // runs in a single task
+    val shuffleP = shingled.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = shingled
+      .repartition(shuffleP, col(idCol))
+      .withColumn("__hs", sort_array(transform(col("__sh"), s => xxhash64(s))))
+      .select(col(idCol), col("__hs"))
+      .cache()
+    val banded = sh
+      .withColumn("__sig", minHashFromBase(numHashes)(col("__hs")))
+      .select(col(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)
+                .cast("array<string>"))).as("bucket"))
+        }: _*)).as("e"))
+      .select(col(idCol), col("e.band"), col("e.bucket"))
+      .cache() // self-joined below: both sides must read the materialized
+               // rows, not re-run the signature UDF lineage twice
     val l = banded.alias("l"); val r = banded.alias("r")
     val candidates = l.join(r,
       col(s"l.band") === col(s"r.band") && col(s"l.bucket") === col(s"r.bucket") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        col("l.__sh").as("sh_a"), col("r.__sh").as("sh_b"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .join(sh.select(col(idCol).as("id_a"), col("__hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", sortedJaccard(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Jaccard of two SORTED distinct long arrays by merge-count. */
+  private val sortedJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var inter = 0
+    val na = a.length; val nb = b.length
+    while (i < na && j < nb) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   /** Drop near-duplicates: a doc is removed when a verified pair links it
@@ -142,29 +223,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.7): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val withSig = df
-      .withColumn("__sh", array_distinct(wordNgrams(col(textCol), n)))
-      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
-      .select(col(idCol), col("__sh"), col("__sig"))
-    val banded = withSig.select(
-      col(idCol), col("__sh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-      }: _*)).as("e"))
-      .select(col(idCol), col("__sh"), col("e.band"), col("e.bucket"))
-    val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        col("l.__sh").as("sh_a"), col("r.__sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= jaccardThreshold)
-      .select("id_a", "id_b", "jaccard")
+    // tokenize once per doc (see the per-shingle re-evaluation note in
+    // minHashLshPairs)
+    val sh = df
+      .withColumn("__toks", tokens(normalizeText(col(textCol))))
+      .withColumn("__sh", array_distinct(wordNgramsFromTokens(col("__toks"), n)))
+      .select(col(idCol), col("__sh"))
+    lshVerifiedPairs(sh, idCol, bands, rowsPerBand, jaccardThreshold)
   }
 }

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (expression-only). */
+  /** Cosine similarity of two double-array columns (expression-only).
+    * Fine for per-row use; inside an all-pairs join prefer pre-normalized
+    * unit vectors + [[dotUdf]] — higher-order expressions pay per-element
+    * interpretation on every PAIR, and any norm expression embedded here
+    * would recompute per pair instead of per row. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
@@ -30,17 +34,34 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Tight-loop dot product for join-side scoring. */
+  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Project a vector column to unit length: norm computed ONCE into its
+    * own column, then divided through (never embed the norm expression in
+    * the transform lambda — it would re-evaluate per element). */
+  def withUnitVec(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__n2", sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x)))
+      .withColumn(outCol, transform(v, x => x / col("__n2")))
+      .drop("__n2")
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    val q = withUnitVec(queries, vecCol, "__qv").select(col(idCol).as("query_id"), col("__qv"))
+    val c = withUnitVec(corpus, vecCol, "__cv").select(col(idCol).as("neighbor_id"), col("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", dotUdf(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -48,25 +69,43 @@ object Similarity {
   }
 
   /** Sign-bit sketch: one bit per seeded pseudo-random hyperplane.
-    * Hyperplane components are derived from xxhash64(dim, plane, seed) —
-    * deterministic, no stored model. */
-  def hyperplaneSketch(vec: Column, dim: Int, bits: Int, seed: Int): Column =
-    (0 until bits).map { p =>
-      val dot = (0 until dim).map { d =>
-        // hash → uniform in [-1,1): deterministic "random" hyperplane
-        val h = xxhash64(lit(d), lit(p), lit(seed))
-        element_at(vec, d + 1) * (pmod(h, lit(2000000L)).cast("double") / 1000000.0 - 1.0)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    * Plane components come from a splitmix64 mix of (seed, plane, dim) —
+    * deterministic, no stored model. The bits·dim dot products run in ONE
+    * tight-loop UDF over a closure-captured plane matrix: the inlined
+    * expression alternative (bits·dim element_at terms) overflows the
+    * 64KB generated-method limit and drops to interpreted execution. */
+  def hyperplaneSketch(vec: Column, dim: Int, bits: Int, seed: Int): Column = {
+    val planes: Array[Array[Double]] = Array.tabulate(bits, dim) { (p, d) =>
+      var z = seed.toLong * 0x9E3779B97F4A7C15L +
+        p.toLong * 0xBF58476D1CE4E5B9L + d.toLong + 1L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      java.lang.Math.floorMod(z, 2000000L).toDouble / 1000000.0 - 1.0
+    }
+    val f = udf { (v: Seq[Double]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes.length) {
+        val pl = planes(p)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(pl.length, v.length)
+        while (d < n) { dot += v(d) * pl(d); d += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    f(vec)
+  }
 
   /** Approximate top-k via multi-table hyperplane LSH + exact re-rank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, dim: Int, bits: Int = 12, tables: Int = 6): DataFrame = {
     def sketched(df: DataFrame, id: String): DataFrame = {
-      val v = col(vecCol).cast("array<double>")
-      val withTables = (0 until tables).foldLeft(
-        df.select(col(idCol).as(id), v.as(s"__v_$id"))) { (acc, t) =>
+      val base = withUnitVec(df, vecCol, s"__v_$id").select(col(idCol).as(id), col(s"__v_$id"))
+      val withTables = (0 until tables).foldLeft(base) { (acc, t) =>
         acc.withColumn(s"__b_$t", hyperplaneSketch(col(s"__v_$id"), dim, bits, t * 7919))
       }
       withTables.select(col(id), col(s"__v_$id"),
@@ -80,7 +119,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("score", cosine(col("__v_query_id"), col("__v_neighbor_id")))
+      .withColumn("score", dotUdf(col("__v_query_id"), col("__v_neighbor_id")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -93,16 +132,47 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, approximate: Boolean = false, dim: Int = 64): DataFrame = {
     if (!approximate) {
-      val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("__va"))
-      val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("__vb"))
-      a.crossJoin(b).where(col("id_a") < col("id_b"))
-        .withColumn("cosine", cosine(col("__va"), col("__vb")))
-        .where(col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+      // broadcast block-compare: unit vectors fan out once (n·dim doubles,
+      // e.g. 10⁵·64 ≈ 50 MB), each task scans its rows against the
+      // broadcast block in a primitive loop — no 12M-row join
+      // materialization, O(n²·dim / cores) flops. Beyond ~10⁵ rows use
+      // `approximate = true` (LSH-bucketed).
+      val spark = df.sparkSession
+      val u = withUnitVec(df, vecCol, "__u").select(col(idCol), col("__u"))
+      val idField = u.schema.fields(0)
+      val indexed = u.rdd.zipWithIndex().map { case (r, i) =>
+        (i, r.get(0), r.getSeq[Double](1).toArray)
+      }
+      indexed.cache()
+      val all = indexed.map { case (i, id, v) => (i, id, v) }.collect().sortBy(_._1)
+      val bc = spark.sparkContext.broadcast((all.map(_._2), all.map(_._3)))
+      val pairs = indexed.mapPartitions { it =>
+        val (ids, vecs) = bc.value
+        it.flatMap { case (i, id, v) =>
+          Iterator.range(i.toInt + 1, vecs.length).flatMap { j =>
+            val w = vecs(j)
+            var s = 0.0
+            var d = 0
+            val nd = math.min(v.length, w.length)
+            while (d < nd) { s += v(d) * w(d); d += 1 }
+            if (s >= threshold)
+              Some(org.apache.spark.sql.Row(id, ids(j), s))
+            else None
+          }
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "id_a"), idField.copy(name = "id_b"),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType)))
+      // enumeration order is collect order; normalize pair orientation to
+      // id order (matches the join formulation's id_a < id_b)
+      spark.createDataFrame(pairs, schema)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
     } else {
       def sk(d: DataFrame, id: String): DataFrame = {
-        val v = col(vecCol).cast("array<double>")
-        val base = d.select(col(idCol).as(id), v.as(s"__v_$id"))
+        val base = withUnitVec(d, vecCol, s"__v_$id").select(col(idCol).as(id), col(s"__v_$id"))
         (0 until 8).foldLeft(base) { (acc, t) =>
           acc.withColumn(s"__b_$t", hyperplaneSketch(col(s"__v_$id"), dim, 10, t * 104729))
         }.select(col(id), col(s"__v_$id"),
@@ -113,7 +183,7 @@ object Similarity {
       sk(df, "id_a").join(sk(df, "id_b"), Seq("table", "bucket"))
         .where(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
-        .withColumn("cosine", cosine(col("__v_id_a"), col("__v_id_b")))
+        .withColumn("cosine", dotUdf(col("__v_id_a"), col("__v_id_b")))
         .where(col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     }

@@ -79,18 +79,8 @@ final case class DESeq2Unpaired(
       base ++ otherGroups.map { case (_, cs) => if (cs.contains(s)) 1.0 else 0.0 }
     }.toArray
 
-    // ---- 1. size factors: exp(median of LOG count/geometric-mean ratios)
-    // (DESeq2 medians the log ratios, so an even sample count yields the
-    // GEOMETRIC mean of the two middle ratios) ----
-    val logGm = samples.map(c => log(col(c).cast("double"))).reduce(_ + _) / nS
-    val ratios = df.select(samples.map(c =>
-      (log(col(c).cast("double")) - logGm).as(c)) :+
-      (!isnan(logGm) && logGm =!= Double.NegativeInfinity).as("__ok"): _*)
-      .where(col("__ok"))
-    val sfRow = ratios.agg(
-      percentile(col(samples.head), lit(0.5)).as(samples.head),
-      samples.tail.map(c => percentile(col(c), lit(0.5)).as(c)): _*).collect()(0)
-    val sf = samples.map(c => math.exp(sfRow.getAs[Double](c))).toArray
+    // ---- 1. size factors (median-of-log-ratios, exact) ----
+    val sf = DESeq2Unpaired.sizeFactors(df, samples)
 
     val bcDesign = df.sparkSession.sparkContext.broadcast((design, sf))
 
@@ -149,6 +139,23 @@ final case class DESeq2Unpaired(
 
 object DESeq2Unpaired {
   final case class GeneEst(baseMean: Double, alpha: Double)
+
+  /** DESeq2 estimateSizeFactors: exp(median of log count/geometric-mean
+    * ratios) per sample, over genes with finite log geometric mean.
+    * (DESeq2 medians the LOG ratios, so an even gene count yields the
+    * GEOMETRIC mean of the two middle ratios — exact `percentile` agg.) */
+  def sizeFactors(df: DataFrame, samples: Seq[String]): Array[Double] = {
+    val nS = samples.length
+    val logGm = samples.map(c => log(col(c).cast("double"))).reduce(_ + _) / nS
+    val ratios = df.select(samples.map(c =>
+      (log(col(c).cast("double")) - logGm).as(c)) :+
+      (!isnan(logGm) && logGm =!= Double.NegativeInfinity).as("__ok"): _*)
+      .where(col("__ok"))
+    val sfRow = ratios.agg(
+      percentile(col(samples.head), lit(0.5)).as(samples.head),
+      samples.tail.map(c => percentile(col(c), lit(0.5)).as(c)): _*).collect()(0)
+    samples.map(c => math.exp(sfRow.getAs[Double](c))).toArray
+  }
   final case class WaldRes(lfc: Double, se: Double, stat: Double, p: Double)
   final case class Trend(a0: Double, a1: Double, flat: Boolean) {
     def apply(mu: Double): Double = if (flat) a0 else a0 + a1 / math.max(mu, 1e-8)

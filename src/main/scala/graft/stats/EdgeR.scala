@@ -204,6 +204,37 @@ object EdgeRKernel {
   def maximizeGridDisp(ll: Array[Double]): Double =
     0.1 * math.pow(2.0, maximizeInterpolant(SplinePts, ll))
 
+  /** Moving average of each element of a 21-array column over rows
+    * [i−half1, i+half2] in `order`, appended as `outCol` — computed with
+    * prefix sums + lead/lag so every window frame is O(n) (edgeR
+    * movingAverageByCol's cumsum formulation; a sliding avg frame would
+    * re-aggregate O(width) per row). Edge windows divide by the actual
+    * row count, matching the R behavior. */
+  def movingAvgArray(df: org.apache.spark.sql.DataFrame, arrCol: String,
+      outCol: String, order: Seq[org.apache.spark.sql.Column],
+      half1: Long, half2: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(order: _*)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val k = 21
+    val s1 = df
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cum", array((0 until k).map(i => sum(col(arrCol)(i)).over(wCum)): _*))
+      .withColumn("__tot", array((0 until k).map(i => sum(col(arrCol)(i)).over(wAll)): _*))
+    val lo = greatest(col("__rn") - half1, lit(1L))
+    val hi = least(col("__rn") + half2, col("__n"))
+    val cnt = (hi - lo + 1).cast("double")
+    val avgCols = (0 until k).map { i =>
+      val upper = coalesce(lead(col("__cum")(i), half2.toInt).over(wOrd), col("__tot")(i))
+      val lower = coalesce(lag(col("__cum")(i), (half1 + 1).toInt).over(wOrd), lit(0.0))
+      (upper - lower) / cnt
+    }
+    s1.withColumn(outCol, array(avgCols: _*))
+      .drop("__rn", "__n", "__cum", "__tot")
+  }
+
   /** edgeR exactTestDoubleTail for one gene on pseudo counts; beta
     * approximation above bigCount keeps this O(1) for huge totals. */
   def exactTestDoubleTail(y1: Array[Double], y2: Array[Double], disp: Double,
@@ -342,18 +373,24 @@ final case class EdgeRUnpaired(
     val nA = columnsA.length
     val groupOf: Array[Int] = Array.tabulate(cols.length)(j => if (j < nA) 0 else 1)
 
+    // cache the narrow (index + selected samples) projection: TMM factor
+    // estimation, the grid-likelihood agg, the trend windows and the BH
+    // passes each trigger an action — without this the full upstream plan
+    // (often an expensive aggregation) re-executes per action
+    val proj = df.select((index +: cols).map(col(_)): _*).cache()
+
     // samples axis: library sizes + TMM factors (driver-side smalls)
     val lib: Map[String, Double] = librarySizes match {
       case Some(ls) => cols.zip(ls.map(_.toDouble)).toMap
-      case None => Normalization.libSizes(df, cols)
+      case None => Normalization.libSizes(proj, cols)
     }
-    val factors = Normalization.tmmFactors(df, cols)
+    val factors = Normalization.tmmFactors(proj, cols)
     val effLib: Array[Double] = cols.map(c => lib(c) * factors(c)).toArray
     val commonLib = math.exp(effLib.map(math.log).sum / effLib.length)
     val nGroups = 2
 
     val yArr = array(cols.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
-    val base = df.select(col(index), yArr.as("y"))
+    val base = proj.select(col(index), yArr.as("y"))
 
     // covariate for the dispersion trend: aveLogCPM at the default 0.05
     val aveUdf = udf((y: Seq[Double], d: Double) => aveLogCpm(y.toArray, effLib, 2.0, d))
@@ -369,9 +406,13 @@ final case class EdgeRUnpaired(
         val l0Udf = udf((y: Seq[Double], d: Double) =>
           l0Grid(pseudoCounts(y.toArray, groupOf, nGroups, effLib, commonLib, d),
             groupOf, nGroups))
+        // cache: the grid agg action and the final pass both need these
+        // kernel columns; and the window stages below must read them from
+        // storage, not re-run the UDFs single-threaded (see repartitions)
         val s1 = base
           .withColumn("avelogcpm", aveUdf(col("y"), lit(0.05)))
           .withColumn("l0", l0Udf(col("y"), lit(0.01)))
+          .cache()
 
         // one small agg: gene count + the 21 summed log-likelihoods
         val aggRow = s1.agg(
@@ -387,11 +428,20 @@ final case class EdgeRUnpaired(
         // AveLogCPM-ordered moving average (edgeR movingAverageByCol).
         // Single-range window: acceptable because width is sublinear; the
         // orderBy shuffles once on the double key.
-        val w = Window.orderBy(col("avelogcpm"), col(index))
-          .rowsBetween(-half1, half2)
-        val m0Cols = (0 until 21).map(i => avg(col("l0")(i)).over(w))
+        // Moving average along the AveLogCPM order via PREFIX-SUM
+        // differencing (exactly edgeR movingAverageByCol's own cumsum
+        // formulation): a naive sliding `avg().over(rowsBetween(-h1,h2))`
+        // is O(n·width) in Spark (no retractable aggregates — the frame
+        // re-aggregates per row; 66s single-threaded at sf0.1), while
+        // cumsum/lead/lag frames are all O(n). Each window stage computes
+        // only these cheap passes and is followed by a repartition so the
+        // expensive per-gene kernels fan back out across all cores (an
+        // un-partitioned Window otherwise pins everything downstream of
+        // it into ONE task).
         val maxUdf = udf((ll: Seq[Double]) => maximizeGridDisp(ll.toArray))
-        val s2 = s1.withColumn("m0", array(m0Cols: _*))
+        val s2 = EdgeRKernel.movingAvgArray(s1, "l0", "m0",
+          Seq(col("avelogcpm"), col(index)), half1, half2)
+          .repartition(col(index))
           .withColumn("trend_disp", maxUdf(col("m0")))
           .withColumn("l02", l0Udf(col("y"), col("trend_disp")))
         // tagwise: maximize l02 + prior.n · m0' (m0' = moving avg of l02).
@@ -399,10 +449,11 @@ final case class EdgeRUnpaired(
         // collapses toward zero, which we take as the robust approximation
         // (calibrated against the reference golden frame — EdgeRSpec).
         val priorN = if (robust) 0.0 else priorDf / (cols.length - nGroups).toDouble
-        val m0pCols = (0 until 21).map(i => avg(col("l02")(i)).over(w))
         val tagUdf = udf((l: Seq[Double], m: Seq[Double]) =>
           maximizeGridDisp(Array.tabulate(21)(i => l(i) + priorN * m(i))))
-        s2.withColumn("m0p", array(m0pCols: _*))
+        EdgeRKernel.movingAvgArray(s2, "l02", "m0p",
+          Seq(col("avelogcpm"), col(index)), half1, half2)
+          .repartition(col(index))
           .withColumn("disp", tagUdf(col("l02"), col("m0p")))
           // reported logCPM: aveLogCPM at the estimated common dispersion
           // (edgeR estimateDisp refreshes AveLogCPM; pinned by the golden
@@ -421,12 +472,16 @@ final case class EdgeRUnpaired(
       Array(lfc, p)
     })
 
+    // cache before BH: the distributed FDR makes several passes (count,
+    // ranked sort, partition-minima collect) — the exact-test kernel must
+    // run once, not once per pass
     val tested = withDisp
       .withColumn("res", testUdf(col("y"), col("disp")))
       .select(col(index),
         col("res")(0).as(logFCColumn),
         col("logcpm_out").as(logCPMColumn),
         col("res")(1).as("p_raw"))
+      .cache()
 
     BhFdr.adjustDistributed(tested, "p_raw", fdrColumn)
       .withColumnRenamed("p_raw", pColumn)

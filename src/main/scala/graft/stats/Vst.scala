@@ -42,15 +42,7 @@ final case class Vst(
     val nS = samples.length
 
     // ---- 1. size factors (median-of-log-ratios, exact) ----
-    val logGm = samples.map(c => log(col(c).cast("double"))).reduce(_ + _) / nS
-    val ratios = df.select(samples.map(c =>
-      (log(col(c).cast("double")) - logGm).as(c)) :+
-      (!isnan(logGm) && logGm =!= Double.NegativeInfinity).as("__ok"): _*)
-      .where(col("__ok"))
-    val sfRow = ratios.agg(
-      percentile(col(samples.head), lit(0.5)).as(samples.head),
-      samples.tail.map(c => percentile(col(c), lit(0.5)).as(c)): _*).collect()(0)
-    val sf = samples.map(c => math.exp(sfRow.getAs[Double](c))).toArray
+    val sf = DESeq2Unpaired.sizeFactors(df, samples)
 
     // ---- 2. blind gene-wise dispersions (intercept-only design) ----
     val interceptDesign: Array[Array[Double]] = Array.fill(nS)(Array(1.0))

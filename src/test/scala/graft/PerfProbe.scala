@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch timing probe for individual SparkEntry queries at a chosen
+  * scale factor (not a test; run via Test/runMain graft.PerfProbe <sfdir>
+  * <query...>). */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val cnt = try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable => println(s"$n FAILED: ${e.getMessage}"); -1L }
+      println(f"PERF $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$cnt")
+    }
+    spark.stop()
+  }
+}
