@@ -228,6 +228,21 @@ object SparkEntry {
       d(replicateMatrix(s, dir)).orderBy("l_partkey")
     }),
 
+    // ---- A9 batch-effect removal (limma removeBatchEffect linear-model
+    //      residuals; the projection matrix is data-independent, so the
+    //      oracle embeds the same coefficients — see BatchEffectOracle) ----
+    "q_batch_effect" -> ((s, dir) =>
+      graft.functions.Normalization.removeBatchEffect(
+        countMatrix(s, dir), Seq("rf_a", "rf_n", "rf_r"), BatchEffectOracle.batches)
+        .orderBy("l_partkey")),
+
+    // ---- M3 DBSCAN density clustering (rows-only: label assignment not
+    //      SQL-expressible; contract pinned by DbscanSpec) ----
+    "q_dbscan" -> ((s, dir) =>
+      DbscanOp(eps = 4.0, minSamples = 5, protect = Seq("l_partkey"))(countMatrix(s, dir))
+        .select(col("l_partkey"), col("DBSCAN").as("cluster"))
+        .orderBy("l_partkey")),
+
     // ---- D4 DESeq2 LRT (intended semantics of the reference's broken
     //      DESeq2Timeseries; rows-only, contract pinned by DESeq2LRTSpec) ----
     "q_deseq2_lrt" -> ((s, dir) => {
@@ -507,6 +522,8 @@ object SparkEntry {
         |FROM m, s
         |ORDER BY l_partkey""".stripMargin,
 
+    "q_batch_effect" -> BatchEffectOracle.sql(CountMatrixSql),
+
     "q_bh_fdr" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber,
         |    ((l_orderkey*7 + l_linenumber*13) % 9973)/9973.0 AS p FROM lineitem),
@@ -626,6 +643,27 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
   )
+
+  /** Batch assignment + oracle SQL for q_batch_effect, generated from the
+    * SAME projection matrix the operator uses (cannot drift). */
+  private object BatchEffectOracle {
+    val cols = Seq("rf_a", "rf_n", "rf_r")
+    val batches: Map[String, String] =
+      Map("rf_a" -> "b1", "rf_n" -> "b2", "rf_r" -> "b1")
+    def sql(countMatrixSql: String): String = {
+      val p = graft.functions.Normalization.batchProjection(cols, batches)
+      val exprs = cols.zipWithIndex.map { case (ci, i) =>
+        val terms = cols.zipWithIndex
+          .map { case (cj, j) => s"(${p(i)(j)}) * $cj" }.mkString(" + ")
+        s"$ci - ($terms) AS $ci"
+      }.mkString(",\n  ")
+      s"""WITH m AS ($countMatrixSql)
+         |SELECT l_partkey,
+         |  $exprs
+         |FROM m
+         |ORDER BY l_partkey""".stripMargin
+    }
+  }
 
   /** SQL fragments for the text oracle, generated from TextFunctions so
     * the Spark expressions and the DuckDB SQL cannot drift apart. */

@@ -168,8 +168,11 @@ object Normalization {
     * correction is the fixed linear map (I − X_b·C_b) applied to the sample
     * vector — compiled to per-column linear-combination expressions
     * (embarrassingly parallel over genes, zero shuffle). */
-  def removeBatchEffect(df: DataFrame, cols: Seq[String],
-      batches: Map[String, String]): DataFrame = {
+  /** The (samples × samples) batch-effect projection: data-independent,
+    * determined solely by the batch assignment (contr.sum design, as in
+    * limma removeBatchEffect). Exposed so the DuckDB oracle can embed the
+    * identical coefficients. */
+  def batchProjection(cols: Seq[String], batches: Map[String, String]): Array[Array[Double]] = {
     import breeze.linalg.{DenseMatrix, pinv}
     val s = cols.size
     val levels = cols.map(batches).distinct.sorted
@@ -184,9 +187,15 @@ object Normalization {
     val c = pinv(x.t * x) * x.t                    // (l × s)
     val cb = c(1 until l, ::)                      // batch-coefficient rows
     val p = xb * cb                                // (s × s) projection
+    Array.tabulate(s, s)((i, j) => p(i, j))
+  }
+
+  def removeBatchEffect(df: DataFrame, cols: Seq[String],
+      batches: Map[String, String]): DataFrame = {
+    val p = batchProjection(cols, batches)
     df.withColumns(cols.zipWithIndex.map { case (ci, i) =>
       ci -> (col(ci).cast("double") - cols.zipWithIndex.map { case (cj, j) =>
-        lit(p(i, j)) * col(cj).cast("double")
+        lit(p(i)(j)) * col(cj).cast("double")
       }.reduce(_ + _))
     }.toMap)
   }
