@@ -65,12 +65,23 @@ final case class FilterClause(
   }
 
   /** Compile to one boolean Column (replaces filter.py:54-83's
-    * per-clause index materialization). */
+    * per-clause index materialization).
+    *
+    * Null handling: pandas comparisons yield False on NaN, so NaN rows
+    * never survive (filter.py:85-118). In a WHERE (or OR-combined)
+    * context SQL's NULL propagates to "row dropped" — the same outcome —
+    * so plain predicates suffice and stay PUSHDOWN-TRANSLATABLE (a
+    * `coalesce(pred, false)` wrapper blocks parquet predicate pushdown
+    * entirely). Only the k-of-n SUM needs an explicit null→false
+    * coalesce, where a NULL term would otherwise nullify the whole sum
+    * instead of counting 0. */
   def compile: Column = {
-    val preds = columns.map(c => coalesce(elem(col(c)), lit(false)))
     atLeast match {
-      case "a" => preds.reduce(_ && _)
-      case k   => preds.map(_.cast("int")).reduce(_ + _) >= k.toInt
+      case "a" => columns.map(c => elem(col(c))).reduce(_ && _)
+      case "1" if columns.sizeIs == 1 => elem(col(columns.head))
+      case k => columns
+        .map(c => coalesce(elem(col(c)), lit(false)).cast("int"))
+        .reduce(_ + _) >= k.toInt
     }
   }
 

@@ -71,10 +71,14 @@ final case class NOISeq(
   def apply(df: DataFrame): DataFrame = {
     val dataCols = columnsA ++ columnsB
     // sinceros: zeros → k (differential.py: k parameter; NOISeq semantics)
+    // cached: library sizes, the per-column TMM factors, the noise
+    // collection and the final probability pass each trigger an action —
+    // the (often expensive) upstream plan must not re-execute per action
     val zeroed = df.select(
       (col(index) +: dataCols.map(c =>
         when(col(c).cast("double") === 0.0, lit(k))
           .otherwise(col(c).cast("double")).as(c))): _*)
+      .cache()
 
     // per-column scale factors
     val lib = graft.functions.Normalization.libSizes(zeroed, dataCols)
