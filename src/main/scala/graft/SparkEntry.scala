@@ -336,6 +336,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- native Catalyst cosine_sim expression (whole-stage codegen,
+    //      registered via SparkSessionExtensions; float-cast on both
+    //      sides so engine summation-order ulps cannot flake the exact
+    //      hash compare) ----
+    "q_cosine_native" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.alias("a"); val b = e.alias("b")
+      a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_id"),
+          expr("cosine_sim(a.v, b.v)").cast("float").as("cos_next"))
+        .orderBy("vec_id")
+    }),
+
     // ---- embedding-cosine near-duplicate pairs ----
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(embeddings(s, dir), "embedding", "vec_id", 0.45)
@@ -591,6 +606,13 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_cosine_native" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_id,
+        |  CAST(list_cosine_similarity(a.v, b.v) AS REAL) AS cos_next
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
 
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
