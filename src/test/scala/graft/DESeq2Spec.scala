@@ -104,4 +104,36 @@ class DESeq2Spec extends SparkSpec {
     val lfcs = out.map(r => r.getAs[Double](d.logFCColumn))
     assert(lfcs.forall(v => !v.isNaN && !v.isInfinite))
   }
+
+  // R golden values for the D3 9-sample fixture (reference
+  // test_differential.py:153-229: conditions A/B/C, design includes C,
+  // contrast A-vs-B): baseMean, log2FC, lfcSE, stat, p, padj
+  val golden9 = Map(
+    "genA" -> (10.302582, 0.6577772, 0.8259099, 0.7964272, 0.425783759, 0.42578376),
+    "genB" -> (8.938091, 1.5981515, 0.7503795, 2.1297910, 0.033188868, 0.06637774),
+    "genC" -> (15.465866, -1.7288386, 0.6314611, -2.7378387, 0.006184439, 0.02473776),
+    "genD" -> (78.136713, -0.3961812, 0.4143803, -0.9560813, 0.339031148, 0.42578376))
+
+  test("D3 golden frame: baseMean exact, logFC near-exact, ordering (test_differential.py:194-229)") {
+    val nine = Seq(
+      ("genA", 23L, 2L, 21L, 23L, 3L, 4L, 20L, 4L, 6L),
+      ("genB", 12L, 14L, 14L, 4L, 4L, 5L, 12L, 7L, 7L),
+      ("genC", 9L, 6L, 6L, 21L, 22L, 23L, 12L, 22L, 13L),
+      ("genD", 40L, 80L, 80L, 90L, 90L, 80L, 70L, 75L, 76L)
+    ).toDF("gene_stable_id", "sampleA_1", "sampleA_2", "sampleA_3",
+      "sampleB_1", "sampleB_2", "sampleB_3", "sampleC_1", "sampleC_2", "sampleC_3")
+    val cond3 = condToCols + ("C" -> Seq("sampleC_1", "sampleC_2", "sampleC_3"))
+    val d = DESeq2Unpaired("A", "B", cond3, includeOtherColumnsForVariance = true)
+    val got = d(nine).collect().map { r =>
+      r.getString(0) -> (r.getAs[Double](d.logFCColumn), r.getAs[Double](d.pColumn),
+        r.getAs[Double](d.fdrColumn), r.getAs[Double](d.baseMeanColumn))
+    }.toMap
+    golden9.foreach { case (g, (bmR, lfcR, _, _, _, _)) =>
+      assert(math.abs(got(g)._4 - bmR) < 1e-4, s"$g baseMean ${got(g)._4} vs $bmR")
+      assert(math.abs(got(g)._1 - lfcR) < 0.03, s"$g logFC ${got(g)._1} vs $lfcR")
+    }
+    // significance ordering matches R: genC < genB < genD < genA
+    assert(got("genC")._2 < got("genB")._2)
+    assert(got("genB")._2 < got("genD")._2 && got("genB")._2 < got("genA")._2)
+  }
 }
