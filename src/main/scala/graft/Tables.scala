@@ -24,8 +24,14 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings arrive as one small parquet file → ONE input
+    * partition; the text/vector operators do heavy per-row work, so spread
+    * the rows across the configured parallelism up front (results are
+    * order-insensitive; every query re-sorts). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  def documents(s: SparkSession, d: String): DataFrame = spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, table(s, d, "embeddings"))
 
   /** Exact-sum helper for oracle parity: floating-point sums are
     * order-dependent, so a distributed Spark sum and a DuckDB sum of the same

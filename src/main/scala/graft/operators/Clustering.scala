@@ -28,7 +28,9 @@ sealed abstract class ClusterOp extends Transformer {
   def apply(df: DataFrame): DataFrame = {
     val features = graft.operators.Transforms.numericValueColumns(df, protect)
     require(features.nonEmpty, "clustering needs numeric feature columns")
-    val labeled = assignLabels(df, features)
+    // iterative fits (Lloyd / bisecting) re-scan the input once per
+    // iteration — cache so an expensive upstream plan executes once
+    val labeled = assignLabels(df.cache(), features)
     val sorted =
       if (sort) labeled.orderBy(if (ascending) col(newColumn).asc else col(newColumn).desc)
       else labeled
