@@ -73,6 +73,18 @@ final case class KMeansOp(
       .setInputCols(features.toArray).setOutputCol("__features").transform(df)
     model.transform(assembled).drop("__features")
   }
+
+  /** Reference-shaped predict (strategies.py:126-133): impute, drop rows
+    * whose row-max is not positive (F3 guard, strategies.py:131), scale,
+    * then apply the trained model. */
+  def predict(df: DataFrame, imputer: graft.core.Transformer,
+      scaler: graft.core.Transformer): DataFrame = {
+    val imputed = imputer(df)
+    val features = graft.operators.Transforms.numericValueColumns(imputed, protect)
+    val guarded = imputed.filter(
+      org.apache.spark.sql.functions.greatest(features.map(col): _*) > 0)
+    predict(scaler(guarded))
+  }
 }
 
 /** M2: agglomerative clustering. Spark ML has no hierarchical clustering;

@@ -62,6 +62,19 @@ class ClusteringSpec extends SparkSpec {
     val pred = km.predict(counts)
     assert(pred.columns.contains("KNN"))
     assert(pred.count() == 4)
+    // reference-shaped predict: impute → max>0 guard → scale → model
+    // (strategies.py:126-133); the all-zero row is dropped by the guard
+    import org.apache.spark.sql.functions._
+    val withNullZero = counts
+      .withColumn("sampleA_1",
+        when(col("gene_stable_id") === "genA", lit(null)).otherwise(col("sampleA_1")))
+      .union(counts.limit(1).select(
+        (col("gene_stable_id") +: counts.columns.tail.map(_ => lit(0.0)).toSeq): _*))
+    val pred2 = km.predict(withNullZero,
+      graft.operators.ImputeFixed(replacementValue = 0.0, protect = Seq("gene_stable_id")),
+      graft.core.Transformer("identity", Seq.empty)(identity))
+    assert(pred2.count() == 4) // zero row guarded out, imputed rows kept
+    assert(pred2.columns.contains("KNN"))
   }
 
   test("ClassLabel maps ids, -1 unmapped (strategies.py:187-211)") {
