@@ -50,6 +50,18 @@ object Normalization {
     cols.minBy(c => math.abs(f75(c) - mean))
   }
 
+  /** libSizes + refColumn in ONE aggregation pass (sample-axis stats are
+    * a single small row; no reason to scan twice). */
+  def libAndRef(df: DataFrame, cols: Seq[String]): (Map[String, Double], String) = {
+    val aggs = cols.map(c => sum(col(c).cast("double")).as(s"__s_$c")) ++
+      cols.map(c => percentile(col(c).cast("double"), lit(0.75)).as(s"__p_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val lib = cols.map(c => c -> row.getAs[Double](s"__s_$c")).toMap
+    val f75 = cols.map(c => c -> row.getAs[Double](s"__p_$c") / lib(c)).toMap
+    val mean = f75.values.sum / f75.size
+    (lib, cols.minBy(c => math.abs(f75(c) - mean)))
+  }
+
   /** edgeR `calcNormFactors(method="TMM")`: trimmed (30% on M, 5% on A)
     * weighted mean of M-values vs the reference column, normalized to a
     * geometric mean of 1. Exact ranks use windows partitioned by sample
@@ -62,8 +74,7 @@ object Normalization {
       sumTrim: Double = 0.05,
       doWeighting: Boolean = true,
       approximate: Boolean = false): Map[String, Double] = {
-    val lib = libSizes(df, cols)
-    val ref = refColumn(df, cols, lib)
+    val (lib, ref) = libAndRef(df, cols)
     val nR = lib(ref)
     val others = cols.filterNot(_ == ref)
     if (others.isEmpty) return Map(ref -> 1.0)
