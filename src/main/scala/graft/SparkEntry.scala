@@ -336,6 +336,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF (inverted-file) approximate top-k (rows-only: KMeans
+    //      coarse quantizer not SQL-expressible; recall + exactness at
+    //      nprobe=nlist pinned by SimilaritySpec) ----
+    "q_similarity_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
+        k = 10, nlist = 16, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- native Catalyst cosine_sim expression (whole-stage codegen,
     //      registered via SparkSessionExtensions; float-cast on both
     //      sides so engine summation-order ulps cannot flake the exact

@@ -126,6 +126,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and exact-scores only those candidates.
+    *
+    * Scale shape: the corpus shuffles ONCE on cell id (and at 100 TB the
+    * cell assignment would be written/bucketed once and reused); each
+    * query fans out to `nprobe` rows and hash-joins its cells — no full
+    * corpus scan per query, unlike brute force. Recall rises with
+    * `nprobe` (== nlist ⇒ exact). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+    val toVec = udf((a: Seq[Double]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
+    val cu = withUnitVec(corpus, vecCol, "__cv")
+      .select(col(idCol).as("neighbor_id"), col("__cv"))
+      .withColumn("__f", toVec(col("__cv")))
+      .cache()
+    val km = new MlKMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__f").setPredictionCol("__cell").fit(cu)
+    val corpusCells = km.transform(cu).select(col("neighbor_id"), col("__cv"), col("__cell"))
+    // nprobe nearest centroids per query (centroid table is tiny —
+    // closure-captured, one tight loop per query row)
+    val centroids: Array[Array[Double]] = km.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (q: Seq[Double]) =>
+      centroids.indices
+        .map { c =>
+          val ctr = centroids(c)
+          var d = 0.0
+          var i = 0
+          val n = math.min(ctr.length, q.length)
+          while (i < n) { val t = q(i) - ctr(i); d += t * t; i += 1 }
+          (c, d)
+        }
+        .sortBy(_._2).take(nprobe).map(_._1).toArray
+    }
+    val q = withUnitVec(queries, vecCol, "__qv")
+      .select(col(idCol).as("query_id"), col("__qv"))
+      .withColumn("__cell", explode(probeUdf(col("__qv"))))
+    val cands = corpusCells.join(q, Seq("__cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dotUdf(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold. Exact variant:
     * block-nested self-join (adequate to ~10⁵ rows); scale variant via
     * [[lshTopK]]-style bucketing when `approximate`. */

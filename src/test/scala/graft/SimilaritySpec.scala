@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: exact scores, high recall vs brute force, exact at nprobe=nlist") {
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    val ivf = Similarity.ivfTopK(embeddings, queries, "embedding", "vec_id",
+      k = 10, nlist = 8, nprobe = 4).collect()
+    // scores are exact cosines wherever brute force agrees
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getAs[Double]("score")) < 1e-12))
+    }
+    // probing half the cells should recover a healthy share of true top-10
+    val recall = ivf.count(r =>
+      brute.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+      .toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // nprobe == nlist probes every cell ⇒ identical neighbor sets to brute
+    val full = Similarity.ivfTopK(embeddings, queries, "embedding", "vec_id",
+      k = 10, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == brute.keySet)
+  }
+
   test("near-dup pairs symmetric-free and thresholded") {
     val pairs = Similarity.embeddingNearDupPairs(embeddings, "embedding", "vec_id", 0.4)
       .collect()
