@@ -42,8 +42,13 @@ object BhFdr {
     * (range-partitioned), per-partition running min of p·n/rank computed
     * map-side, then a reverse prefix-min of per-partition minima broadcast
     * back. Two passes over the sorted data, fully distributed. */
-  def adjustDistributed(df: DataFrame, pCol: String, outCol: String = "fdr"): DataFrame = {
+  def adjustDistributed(df: DataFrame, pCol: String, outCol: String = "fdr",
+      smallCutoff: Long = 1000000L): DataFrame = {
     val n = df.count().toDouble
+    // below the cutoff the single-partition window is faster than the
+    // RDD zipWithIndex round-trips; the distributed formulation exists
+    // for the scale where that window becomes the bottleneck
+    if (n < smallCutoff) return adjust(df, pCol, outCol)
     // zipWithIndex on the sorted RDD keeps the range-partitioned sort order
     // and yields exact global ranks without a single-partition window.
     val schema = df.schema

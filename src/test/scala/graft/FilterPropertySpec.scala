@@ -130,7 +130,7 @@ class FilterPropertySpec extends AnyFunSuite {
       val expect = bhReference(ps.toArray)
       val gotW = BhFdr.adjust(df, "p", "fdr")
         .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
-      val gotD = BhFdr.adjustDistributed(df, "p", "fdr")
+      val gotD = BhFdr.adjustDistributed(df, "p", "fdr", smallCutoff = 0L)
         .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
       ps.indices.forall { i =>
         math.abs(gotW(i) - expect(i)) < 1e-12 && math.abs(gotD(i) - expect(i)) < 1e-12
