@@ -44,6 +44,21 @@ object Sinks {
 
   /** Parquet sink — the scale path (not in the reference; its pickle cache
     * plays this role, mdataframe.py:311-317). */
+  /** Bucketed parquet table: pre-shuffles ONCE at write time so joins and
+    * aggregations on the bucket keys read co-located data with NO exchange
+    * (the 100 TB alternative to re-shuffling a fact table per query; pair
+    * with `broadcast()` for small dims and [[graft.operators.Skew]] for
+    * skewed keys). Registered through the session catalog — Spark's
+    * bucketing metadata lives in the metastore, not the files. */
+  def writeBucketed(df: DataFrame, tableName: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    df.write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 }
