@@ -421,6 +421,19 @@ object SparkEntry {
       PcaOp(nComponents = 2, protect = Seq("l_partkey"))(countMatrix(s, dir))
         .orderBy("sample")),
 
+    // ---- stream-static enrichment join + windowed per-segment counts ----
+    "q_stream_enriched" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = e.select(col("user_id")).distinct()
+        .withColumn("segment",
+          when(pmod(col("user_id"), lit(3)) === 0, "gold")
+            .when(pmod(col("user_id"), lit(3)) === 1, "silver")
+            .otherwise("bronze"))
+      graft.streaming.EventStream.enrichedCounts(e, dim)
+        .withColumn("window_start", unix_timestamp(col("window_start")))
+        .orderBy("window_start", "segment")
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       val e = events(s, dir)
       graft.streaming.EventStream.dedupEvents(e.union(e))
@@ -669,6 +682,16 @@ object SparkEntry {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start_sec""".stripMargin,
+
+    "q_stream_enriched" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  CASE WHEN user_id % 3 = 0 THEN 'gold'
+        |       WHEN user_id % 3 = 1 THEN 'silver'
+        |       ELSE 'bronze' END AS segment,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, segment""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n_events

@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+/** Fingerprint-keyed parquet checkpoint cache — the Spark analog of the
+  * reference's content-addressed job cache (`CachedDataLoadingJob` keyed
+  * by `cache_dir/name` with `ParameterInvariant`/`FunctionInvariant`
+  * invalidation, mdataframe.py:189-193, 208-230, 311-317): the ONE real
+  * optimization the reference implements itself (SURVEY.md §4 caching
+  * row). Catalyst supplies laziness for free; this supplies
+  * cross-session reuse: a chain result is materialized once under
+  * `dir/<sha256(chain fingerprint + input key)>` and read back on every
+  * later request with the same key.
+  *
+  * Invalidation follows the reference's model: the key is derived from
+  * operator parameters (the `Transformer.fingerprint` sha256) plus a
+  * caller-supplied input key (dataset version/path — the analog of the
+  * reference's FileInvariant). Changing either produces a new directory;
+  * stale entries are simply unreferenced (prune by age out of band).
+  */
+final case class CheckpointStore(dir: String) {
+
+  private def pathFor(key: String): String =
+    s"$dir/${Transformer.sha256(key)}"
+
+  def contains(key: String): Boolean =
+    Files.exists(Paths.get(pathFor(key), "_SUCCESS"))
+
+  /** Materialize `df` under `key` if absent; always returns the cached
+    * read (so downstream plans cut lineage at the checkpoint). */
+  def materialize(df: DataFrame, key: String): DataFrame = {
+    val p = pathFor(key)
+    if (!contains(key)) df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
+  /** Apply a transformer with checkpointing: cache hit skips executing
+    * `t` (and its whole upstream plan) entirely. `inputKey` identifies
+    * the input dataset (path + version). */
+  def apply(t: Transformer, input: => DataFrame, inputKey: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val key = t.fingerprint + "|" + inputKey
+    val p = pathFor(key)
+    if (contains(key)) spark.read.parquet(p)
+    else {
+      t(input).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+  }
+}

@@ -111,4 +111,20 @@ object EventStream {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Stream-static enrichment: join the (streaming) events against a
+    * static dimension on `user_id`, then windowed per-segment counts —
+    * the standard "enrich the stream with a dim table" pipeline shape.
+    * The static side is broadcast per micro-batch by the planner; at
+    * scale a slowly-changing dim would be a Delta/parquet path re-read
+    * per batch. Works identically on a batch frame (tests + oracle). */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame,
+      watermarked: Boolean = false): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    src.join(broadcast(userDim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("segment"), col("n_events"))
+  }
 }

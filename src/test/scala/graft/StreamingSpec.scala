@@ -8,6 +8,16 @@ class StreamingSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
   lazy val events = Tables.events(spark, dir)
 
+  test("stream-static enrichment: dim segments join in, unmatched fill unknown") {
+    import spark.implicits._
+    val dim = events.select("user_id").distinct().limit(5)
+      .withColumn("segment", lit("member"))
+    val out = EventStream.enrichedCounts(events, dim).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == events.count())
+    val segs = out.map(_.getAs[String]("segment")).toSet
+    assert(segs.contains("member") && segs.contains("unknown"))
+  }
+
   test("tumbling window counts: batch totals partition the events") {
     val out = EventStream.tumblingCounts(events).collect()
     assert(out.map(_.getAs[Long]("n_events")).sum == events.count())
