@@ -296,6 +296,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curation pipeline: quality/language/length filter over the
+    //      text metrics (oracle: same generated SQL as q_text_stats with
+    //      a WHERE) ----
+    "q_text_curation" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      documents(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"))
+        .where(col("quality") >= 0.5 && col("lang_pred") === "en" &&
+          col("n_tokens").between(10, 1000))
+        .orderBy("doc_id")
+    }),
+
+    // ---- chained dedup pass: exact fingerprint dedup, then MinHash-LSH
+    //      near-dup removal over the survivors (rows-only; stage
+    //      semantics pinned by DedupSpec) ----
+    "q_dedup_pipeline" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val afterExact = Dedup.exactDedup(d, "text", "doc_id")
+      Dedup.minHashLshDedup(afterExact, "text", "doc_id",
+        shingleK = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- exact dedup groups by MD5 content fingerprint ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir), "text", "doc_id")
@@ -572,45 +598,25 @@ object SparkEntry {
         |FROM r
         |ORDER BY l_orderkey, l_linenumber, p""".stripMargin,
 
-    "q_text_stats" -> {
-      val stops = TextFunctionsOracle.stopList
-      val langCases = TextFunctionsOracle.langIdSql
-      s"""WITH t AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, text, toks,
-        |    len(toks) AS n_tokens,
-        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-        |    len(list_filter(ltoks, x -> x IN ($stops))) AS n_stop,
-        |    CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-        |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
-        |    list_distinct(ltoks) AS dtoks
-        |  FROM t),
-        |sc AS (
-        |  SELECT *,
-        |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-        |    CAST(n_punct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
-        |    LEAST((CASE WHEN len(toks) = 0 THEN 0.0
-        |           ELSE CAST(n_stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 4.0, 1.0) AS stop_score,
-        |    CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
-        |    $langCases
-        |  FROM b)
+    "q_text_stats" ->
+      s"""${TextFunctionsOracle.statsCtes}
         |SELECT doc_id, n_tokens, n_punct, n_stop, mean_tok_len,
-        |  GREATEST(LEAST(len_score * 0.3 + stop_score * 0.3 + word_score * 0.2
-        |    + (1.0 - punct_ratio * 5.0) * 0.2, 1.0), 0.0) AS quality,
-        |  CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_it) <= 0 THEN 'und'
-        |       WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_it) THEN 'en'
-        |       WHEN s_de >= GREATEST(s_es, s_fr, s_it) THEN 'de'
-        |       WHEN s_es >= GREATEST(s_fr, s_it) THEN 'es'
-        |       WHEN s_fr >= s_it THEN 'fr'
-        |       ELSE 'it' END AS lang_pred
+        |  ${TextFunctionsOracle.qualityExpr} AS quality,
+        |  ${TextFunctionsOracle.langExpr} AS lang_pred
         |FROM sc
-        |ORDER BY doc_id""".stripMargin
-    },
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_curation" ->
+      s"""${TextFunctionsOracle.statsCtes},
+        |m AS (
+        |  SELECT doc_id, n_tokens,
+        |    ${TextFunctionsOracle.qualityExpr} AS quality,
+        |    ${TextFunctionsOracle.langExpr} AS lang_pred
+        |  FROM sc)
+        |SELECT doc_id, n_tokens, quality, lang_pred
+        |FROM m
+        |WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens BETWEEN 10 AND 1000
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
@@ -732,5 +738,45 @@ object SparkEntry {
         val lst = markers.map(m => s"'$m'").mkString(", ")
         s"len(list_intersect(dtoks, [$lst])) AS s_$lang"
       }.mkString(",\n    ")
+
+    /** Shared CTE chain computing the per-doc text metrics (used by the
+      * stats dump and the curation filter — single source of truth). */
+    def statsCtes: String =
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |    len(list_filter(ltoks, x -> x IN ($stopList))) AS n_stop,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
+        |    list_distinct(ltoks) AS dtoks
+        |  FROM t),
+        |sc AS (
+        |  SELECT *,
+        |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(n_punct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        |    LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE CAST(n_stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) * 4.0, 1.0) AS stop_score,
+        |    CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END AS word_score,
+        |    $langIdSql
+        |  FROM b)""".stripMargin
+
+    val qualityExpr: String =
+      """GREATEST(LEAST(len_score * 0.3 + stop_score * 0.3 + word_score * 0.2
+        |    + (1.0 - punct_ratio * 5.0) * 0.2, 1.0), 0.0)""".stripMargin
+
+    val langExpr: String =
+      """CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_it) <= 0 THEN 'und'
+        |       WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_it) THEN 'en'
+        |       WHEN s_de >= GREATEST(s_es, s_fr, s_it) THEN 'de'
+        |       WHEN s_es >= GREATEST(s_fr, s_it) THEN 'es'
+        |       WHEN s_fr >= s_it THEN 'fr'
+        |       ELSE 'it' END""".stripMargin
   }
 }
