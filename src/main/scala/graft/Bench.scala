@@ -10,11 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/codegen/scheduler warm-up OUTSIDE the timed region: without it
+    // whichever query runs first absorbs ~5-10 s of one-time cost and the
+    // per-query numbers are not comparable across runs
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.range(1000000).agg(sum(col("id"))).collect()
+      val w = udf((x: Double) => x * 2)
+      spark.range(1000).select(w(col("id").cast("double"))).agg(count(lit(1))).collect()
+    }
+    // deterministic order so per-query timings compare across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
