@@ -44,16 +44,23 @@ final case class FromTable(
 }
 
 object Annotate {
-  /** TSV/Excel-backed annotation source (reference mbf_compliance.py:57-63 /
-    * S5): `.tsv` via the csv reader; `.xls(x)` must be pre-converted to
-    * tsv/parquet (no JVM Excel reader in the allowed dependency set). */
+  /** Format-detecting annotation source (reference mbf_compliance.py:57-63
+    * / S5 `FromFile(...).parse()`): `.xlsx` through the JDK-only reader
+    * ([[graft.sources.Excel]]), `.csv` comma-separated, `.json` lines,
+    * `.parquet` native, anything else tab-separated (the reference's
+    * default). All text paths infer header + schema like pandas. */
   def fromFile(spark: SparkSession, path: String): DataFrame = {
-    require(!path.endsWith(".xls") && !path.endsWith(".xlsx"),
-      "Excel annotation tables must be pre-converted to .tsv or .parquet")
+    require(!path.endsWith(".xls"),
+      "legacy .xls is unsupported; convert to .xlsx/.tsv/.parquet")
     if (path.endsWith(".parquet")) spark.read.parquet(path)
-    else spark.read
-      .option("sep", "\t").option("header", "true").option("inferSchema", "true")
-      .csv(path)
+    else if (path.endsWith(".xlsx")) graft.sources.Excel.readXlsx(spark, path)
+    else if (path.endsWith(".json")) spark.read.json(path)
+    else {
+      val sep = if (path.endsWith(".csv")) "," else "\t"
+      spark.read
+        .option("sep", sep).option("header", "true").option("inferSchema", "true")
+        .csv(path)
+    }
   }
 
   /** Cluster-label annotation (reference mdataframe.py:47-75 `ClusterAnnotator`

@@ -140,26 +140,15 @@ object Dedup {
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // native codegen merge-count (no per-pair array boxing)
+    graft.plans.GraftExtensions.register(shingled.sparkSession)
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("__hs").as("hs_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__hs").as("hs_b")), Seq("id_b"))
-      .withColumn("jaccard", sortedJaccard(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        graft.plans.GraftExtensions.jaccardSorted(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
-  }
-
-  /** Jaccard of two SORTED distinct long arrays by merge-count. */
-  private val sortedJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var i = 0; var j = 0; var inter = 0
-    val na = a.length; val nb = b.length
-    while (i < na && j < nb) {
-      val x = a(i); val y = b(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    val union = na + nb - inter
-    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   /** Drop near-duplicates: a doc is removed when a verified pair links it

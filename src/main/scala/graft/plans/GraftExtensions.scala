@@ -80,6 +80,74 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two SORTED distinct long arrays by merge-count —
+  * the verification kernel of the MinHash dedup path, as a codegen
+  * expression (the UDF form boxes both arrays per candidate pair). */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted needs two array<bigint> args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val union = ctx.freshName("union")
+      s"""
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = $union == 0 ? 1.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `SparkSessionExtensions` entry point: registers graft's native
   * expressions. Install with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
@@ -87,6 +155,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.jaccardSortedDescriptor)
   }
 }
 
@@ -99,9 +168,25 @@ object GraftExtensions {
       CosineSimExpr(children.head, children(1))
     })
 
+  private[graft] val jaccardSortedDescriptor = (
+    FunctionIdentifier("jaccard_sorted"),
+    new ExpressionInfo(classOf[JaccardSortedExpr].getName, "jaccard_sorted"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "jaccard_sorted(a, b) takes two array<bigint> columns")
+      JaccardSortedExpr(children.head, children(1))
+    })
+
+  /** Column-level accessors — resolve through the function registry, so
+    * `register(spark)` (or the extensions config) must have run. */
+  def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  def jaccardSorted(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("jaccard_sorted", a, b)
+
   /** Register on an already-built session (local/test convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineSimDescriptor._1, cosineSimDescriptor._2, cosineSimDescriptor._3)
+    Seq(cosineSimDescriptor, jaccardSortedDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
   }
 }

@@ -60,6 +60,31 @@ class ExcelSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("fromFile detects tsv/csv/json/xlsx formats (S5 parse)") {
+    import graft.operators.Annotate
+    val dir = java.nio.file.Files.createTempDirectory("fromfile")
+    def write(name: String, content: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, content)
+      p.toString
+    }
+    val tsv = write("a.tsv", "gid\tscore\ngenA\t1.5\ngenB\t2.5\n")
+    val csv = write("a.csv", "gid,score\ngenA,1.5\ngenB,2.5\n")
+    val json = write("a.json", """{"gid":"genA","score":1.5}""" + "\n" +
+      """{"gid":"genB","score":2.5}""" + "\n")
+    val xlsx = dir.resolve("a.xlsx").toString
+    import spark.implicits._
+    Excel.writeXlsx(xlsx, Seq("t" -> Seq(("genA", 1.5), ("genB", 2.5)).toDF("gid", "score")))
+    Seq(tsv, csv, json, xlsx).foreach { p =>
+      val df = Annotate.fromFile(spark, p)
+      assert(df.columns.sorted.toSeq == Seq("gid", "score"), p)
+      val m = df.collect().map(r => r.getAs[String]("gid") ->
+        r.getAs[Number]("score").doubleValue()).toMap
+      assert(m == Map("genA" -> 1.5, "genB" -> 2.5), p)
+    }
+    intercept[IllegalArgumentException](Annotate.fromFile(spark, "old.xls"))
+  }
+
   test("annotation join from an xlsx table (S5 FromFile path)") {
     import spark.implicits._
     val table = Seq(("genA", "TP53"), ("genB", "BRCA1")).toDF("gid", "symbol")

@@ -41,6 +41,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(v - expect) < 1e-12)
   }
 
+  test("jaccard_sorted merge-counts sorted long arrays (codegen, no UDF)") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Array(1L, 2L, 3L, 9L), Array(2L, 3L, 4L)),
+      (2L, Array(1L, 2L), Array(1L, 2L)),
+      (3L, Array(1L, 2L), Array(5L, 6L)),
+      (4L, Array.empty[Long], Array.empty[Long])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), expr("jaccard_sorted(a, b)").as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 2.0 / 5.0) < 1e-12)
+    assert(got(2L) == 1.0)
+    assert(got(3L) == 0.0)
+    assert(got(4L) == 1.0) // empty vs empty: union 0 → defined as identical
+    val plan = df.select(expr("jaccard_sorted(a, b)")).queryExecution.executedPlan.toString()
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("null inputs propagate null") {
     GraftExtensions.register(spark)
     val df = Seq((1L, Option(Array(1.0)), Option.empty[Array[Double]]))
