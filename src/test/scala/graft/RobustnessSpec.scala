@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.{DESeq2Unpaired, EdgeRUnpaired, NOISeq, Vst}
+
+/** Pathological-input robustness: all-zero genes, constant genes, and a
+  * zero-heavy column must flow through the differential operators with
+  * finite, in-range statistics (no ANSI arithmetic throws, no NaN/Inf in
+  * p-values). */
+class RobustnessSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def uglyDf = Seq(
+    ("zeroGene", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    ("constGene", 5.0, 5.0, 5.0, 5.0, 5.0, 5.0),
+    ("normalA", 30.0, 25.0, 28.0, 5.0, 6.0, 4.0),
+    ("normalB", 3.0, 4.0, 5.0, 40.0, 45.0, 38.0),
+    ("sparse", 0.0, 1.0, 0.0, 2.0, 0.0, 0.0)
+  ).toDF("gene_stable_id", "a1", "a2", "a3", "b1", "b2", "b3")
+
+  val condToCols = Map("A" -> Seq("a1", "a2", "a3"), "B" -> Seq("b1", "b2", "b3"))
+
+  test("edgeR handles zero/constant/sparse genes") {
+    val out = EdgeRUnpaired("A", "B", condToCols, index = "gene_stable_id")(uglyDf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.size == 5)
+    out.foreach { case (g, (lfc, p, fdr)) =>
+      assert(!lfc.isNaN && !lfc.isInfinite, s"$g lfc=$lfc")
+      assert(p > 0 && p <= 1, s"$g p=$p")
+      assert(fdr > 0 && fdr <= 1, s"$g fdr=$fdr")
+    }
+    assert(out("zeroGene")._2 == 1.0)
+    assert(out("normalA")._2 < 0.05 && out("normalB")._2 < 0.05)
+  }
+
+  test("DESeq2 handles zero/constant/sparse genes") {
+    val out = DESeq2Unpaired("A", "B", condToCols, index = "gene_stable_id")(uglyDf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { case (g, (lfc, p)) =>
+      assert(!lfc.isNaN && !lfc.isInfinite, s"$g lfc=$lfc")
+      assert(p >= 0 && p <= 1, s"$g p=$p")
+    }
+  }
+
+  test("NOISeq handles zero/constant/sparse genes") {
+    val out = NOISeq("A", "B", condToCols, index = "gene_stable_id")(uglyDf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    out.foreach { case (g, (m, prob)) =>
+      assert(!m.isNaN && !m.isInfinite, s"$g M=$m")
+      assert(prob >= 0 && prob <= 1, s"$g prob=$prob")
+    }
+  }
+
+  test("VST handles zero/constant/sparse genes") {
+    val out = Vst(index = "gene_stable_id")(uglyDf).collect()
+    out.foreach { r =>
+      (1 to 6).foreach { i =>
+        val v = r.getDouble(i)
+        assert(!v.isNaN && !v.isInfinite, s"${r.getString(0)}[$i]=$v")
+      }
+    }
+  }
+
+  test("TMM survives an all-zero sample column") {
+    val df = Seq(
+      ("g1", 10.0, 0.0, 12.0),
+      ("g2", 20.0, 0.0, 18.0),
+      ("g3", 5.0, 0.0, 6.0)
+    ).toDF("gene_stable_id", "s1", "s2", "s3")
+    // zero library: factors must come back finite (neutral for the dead
+    // column), not throw an ANSI division error
+    val factors = graft.functions.Normalization.tmmFactors(df, Seq("s1", "s2", "s3"))
+    assert(factors.values.forall(v => !v.isNaN && !v.isInfinite && v > 0), factors.toString)
+  }
+}
