@@ -438,8 +438,10 @@ object SparkEntry {
         .orderBy("l_partkey")),
 
     "q_agglo" -> ((s, dir) =>
+      // deterministic subset: a bare limit over an unordered aggregation
+      // could pick different rows per run
       AggloOp(nClusters = 3, sort = false, protect = Seq("l_partkey"))(
-        countMatrix(s, dir).limit(200))
+        countMatrix(s, dir).orderBy("l_partkey").limit(200))
         .select(col("l_partkey"), col("Agglo").as("cluster"))
         .orderBy("l_partkey")),
 
