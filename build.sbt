@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout unprefixed: the bench harness
+// parses the JSON result line, and sbt's default logger would wrap it
+// as "[info] {...}" which is not valid JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,7 +31,11 @@ final case class DbscanOp(
     maxExactRows: Int = 10000,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
 
-  override protected def params = Seq(name, eps, minSamples)
+  // all output-affecting fields (columnName/add change the schema,
+  // maxExactRows flips exact vs grid labeling, protect changes the
+  // feature set) — a partial list would collide checkpoint cache keys
+  override protected def params =
+    Seq(name, eps, minSamples, columnName, add, maxExactRows, protect)
   def newColumn: String = columnName.getOrElse(name)
 
   def apply(df: DataFrame): DataFrame = {
@@ -44,8 +48,23 @@ final case class DbscanOp(
   }
 
   private def exact(df: DataFrame, features: Seq[String]): DataFrame = {
-    val pts = df.select(features.map(c => col(c).cast("double")): _*).collect()
-      .map(r => features.indices.map(r.getDouble).toArray)
+    // collect the FULL rows once (n ≤ maxExactRows by construction) and
+    // derive both the feature matrix and the output frame from that single
+    // materialization — re-running the plan for a second job and aligning
+    // by monotonically_increasing_id would silently mislabel rows when a
+    // nondeterministic upstream (sample, AQE-coalesced shuffle) enumerates
+    // them in a different order
+    val rows = df.collect()
+    val featIdx = features.map(df.schema.fieldIndex)
+    val pts = rows.map { r =>
+      featIdx.map { j =>
+        r.get(j) match {
+          case null => Double.NaN
+          case x: java.lang.Number => x.doubleValue()
+          case x => x.toString.toDouble
+        }
+      }.toArray
+    }
     val n = pts.length
     val eps2 = eps * eps
     def neighbors(i: Int): Array[Int] = {

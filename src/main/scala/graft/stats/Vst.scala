@@ -34,7 +34,12 @@ final case class Vst(
     index: String = "gene_stable_id") extends Transformer {
 
   val name = "VST"
-  override protected def params = Seq(samplesToGroup, nsub)
+  // every output-affecting field: suffixed renames all output columns and
+  // index/maxDriverGenes change the frame — omitting them from the
+  // fingerprint would collide CheckpointStore entries of differently
+  // configured instances
+  override protected def params =
+    Seq(samplesToGroup, nsub, suffixed, maxDriverGenes, index)
   override def suffix: Option[String] = if (suffixed) Some(" (VST)") else None
 
   def apply(df: DataFrame): DataFrame = {
@@ -65,7 +70,11 @@ final case class Vst(
       .orderBy("__h").limit(cap.toInt)
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     val trend = DESeq2Unpaired.parametricTrend(pairs)
-    val ad = if (trend.flat) trend.a0 else trend.a0
+    // flat trend (parametric fit failed / degenerate): constant dispersion
+    // a0 with extraPois = 0 — the closed form below then reduces to the
+    // exact constant-dispersion VST log2((1 + 2aq + 2sqrt(aq(1+aq)))/(4a)),
+    // DESeq2's fitType="mean" formula, so only ep needs the branch
+    val ad = trend.a0
     val ep = if (trend.flat) 0.0 else trend.a1
     require(ad > 0, s"VST needs a positive asymptotic dispersion, got $ad")
 
