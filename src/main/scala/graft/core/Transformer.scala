@@ -25,11 +25,20 @@ trait Transformer extends (DataFrame => DataFrame) with Serializable {
   /** Operator name (reference: `_Transformer.name`). */
   def name: String
 
-  /** Parameters in declaration order; rendered to the fingerprint string. */
-  protected def params: Seq[Any] = Seq.empty
+  /** Parameters in declaration order; rendered to the fingerprint string.
+    *
+    * Defaults to EVERY constructor field (case-class product arity) so an
+    * operator cannot accidentally omit an output-affecting parameter from
+    * its fingerprint — two differently-configured instances colliding on
+    * one CheckpointStore entry silently serves the wrong frame. Override
+    * only to EXTEND (never to subset) what the default captures. */
+  protected def params: Seq[Any] = this match {
+    case p: Product => p.productIterator.toSeq
+    case _          => Seq.empty
+  }
 
   /** Stable textual form of the parameters (transformations.py:25-30). */
-  final def parameterString: String = params.map(String.valueOf).mkString(",")
+  final def parameterString: String = params.map(Transformer.render).mkString(",")
 
   /** sha256 hex of the parameter string (transformations.py:39-42). */
   final def fingerprint: String = Transformer.sha256(parameterString)
@@ -62,6 +71,29 @@ trait Transformer extends (DataFrame => DataFrame) with Serializable {
 }
 
 object Transformer {
+  /** Deterministic rendering for fingerprinting: map entries are sorted by
+    * key (a Scala Map's toString order depends on insertion order below
+    * 5 entries, so equal maps could otherwise hash differently — the
+    * reference requires equal params ⇒ equal fingerprints); DataFrames
+    * render as their schema (content cannot be cheaply content-addressed —
+    * callers passing different tables with identical schemas to the same
+    * operator must not rely on the checkpoint cache to tell them apart,
+    * documented on [[graft.core.CheckpointStore]]). */
+  def render(v: Any): String = v match {
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => (String.valueOf(k), render(x)) }
+        .sortBy(_._1).map { case (k, x) => s"$k -> $x" }
+        .mkString("Map(", ", ", ")")
+    case o: Option[_] => o.map(render).fold("None")(x => s"Some($x)")
+    case df: org.apache.spark.sql.Dataset[_] =>
+      s"DataFrame[${df.schema.catalogString}]"
+    // concrete collection type is erased on purpose: List vs Vector of the
+    // same values must fingerprint identically
+    case s: scala.collection.Iterable[_] =>
+      s.map(render).mkString("Seq(", ", ", ")")
+    case other => String.valueOf(other)
+  }
+
   def sha256(s: String): String =
     MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8"))

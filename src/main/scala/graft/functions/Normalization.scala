@@ -224,7 +224,6 @@ final case class Tmm(
     approximate: Boolean = false,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
   val name = "TMM"
-  override protected def params = Seq(samplesToGroup, batchEffects)
   override def suffix: Option[String] = suffixArg.orElse(
     if (suffixDefault)
       Some(if (batchEffects.isEmpty) " (TMM)" else " (TMM batch-corrected)")

@@ -19,8 +19,6 @@ final case class FromTable(
     indexColumnTable: String = "gene_stable_id",
     fill: Option[Any] = None) extends Transformer {
   val name = "FromTable"
-  override protected def params =
-    Seq(columnsToAdd, indexColumnTarget, indexColumnTable, fill)
 
   def apply(df: DataFrame): DataFrame = {
     require(df.columns.contains(indexColumnTarget),

@@ -28,9 +28,12 @@ sealed abstract class ClusterOp extends Transformer {
   def apply(df: DataFrame): DataFrame = {
     val features = graft.operators.Transforms.numericValueColumns(df, protect)
     require(features.nonEmpty, "clustering needs numeric feature columns")
-    // iterative fits (Lloyd / bisecting) re-scan the input once per
-    // iteration — cache so an expensive upstream plan executes once
-    val labeled = assignLabels(df.cache(), features)
+    // no .cache() here: Spark ML's iterative fits persist their training
+    // input internally for the duration of the fit, and a cache we never
+    // unpersist would accumulate across operator invocations in a
+    // long-lived session (the upstream plan executes once for the fit and
+    // once more at the caller's action — bounded, unlike the leak)
+    val labeled = assignLabels(df, features)
     val sorted =
       if (sort) labeled.orderBy(if (ascending) col(newColumn).asc else col(newColumn).desc)
       else labeled
@@ -49,7 +52,6 @@ final case class KMeansOp(
     add: Boolean = true,
     seed: Long = 42L,
     protect: Seq[String] = Seq("gene_stable_id")) extends ClusterOp {
-  override protected def params = Seq(name, nClusters, seed)
 
   @transient var lastModel: Option[KMeansModel] = None
 
@@ -102,7 +104,6 @@ final case class AggloOp(
     maxExactRows: Int = 10000,
     seed: Long = 42L,
     protect: Seq[String] = Seq("gene_stable_id")) extends ClusterOp {
-  override protected def params = Seq(name, nClusters, seed)
 
   protected def assignLabels(df: DataFrame, features: Seq[String]): DataFrame = {
     val n = df.count()
@@ -119,8 +120,22 @@ final case class AggloOp(
   /** Exact Ward agglomeration (Lance-Williams update), labels numbered by
     * first-seen row order like sklearn's deterministic output. */
   private def exactWard(df: DataFrame, features: Seq[String]): DataFrame = {
-    val rows = df.select(features.map(c => col(c).cast("double")): _*).collect()
-      .map(r => features.indices.map(r.getDouble).toArray)
+    // collect the FULL rows once and derive both the feature matrix and the
+    // labeled output from that single materialization (n ≤ maxExactRows):
+    // re-running the plan for a second job and aligning labels by
+    // monotonically_increasing_id would mislabel rows when a
+    // nondeterministic upstream enumerates them in a different order
+    val fullRows = df.collect()
+    val featIdx = features.map(df.schema.fieldIndex)
+    val rows = fullRows.map { r =>
+      featIdx.map { j =>
+        r.get(j) match {
+          case null                => Double.NaN
+          case x: java.lang.Number => x.doubleValue()
+          case x                   => x.toString.toDouble
+        }
+      }.toArray
+    }
     val n = rows.length
     if (n == 0) return df.withColumn(newColumn, lit(0))
     // cluster membership + sizes + centroids
@@ -182,7 +197,6 @@ final case class ClassLabel(
     labels: Map[String, Int],
     name: String = "ClassLabel",
     index: String = "gene_stable_id") extends Transformer {
-  override protected def params = Seq(labels)
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val labelDf = spark.createDataFrame(labels.toSeq).toDF(index, name)

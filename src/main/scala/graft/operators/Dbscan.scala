@@ -31,11 +31,6 @@ final case class DbscanOp(
     maxExactRows: Int = 10000,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
 
-  // all output-affecting fields (columnName/add change the schema,
-  // maxExactRows flips exact vs grid labeling, protect changes the
-  // feature set) — a partial list would collide checkpoint cache keys
-  override protected def params =
-    Seq(name, eps, minSamples, columnName, add, maxExactRows, protect)
   def newColumn: String = columnName.getOrElse(name)
 
   def apply(df: DataFrame): DataFrame = {

@@ -116,7 +116,6 @@ sealed trait FilterLike extends Transformer {
 final case class Filter(clauses: Seq[FilterClause]) extends FilterLike {
   require(clauses.nonEmpty, "Filter needs at least one clause")
   val name = "Filter"
-  override protected def params = clauses
 
   /** AND of all clauses (filter.py:134-139). */
   def predicate: Column = clauses.map(_.compile).reduce(_ && _)

@@ -24,7 +24,6 @@ final case class PcaOp(
     name: String = "PCA",
     nComponents: Int = 2,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
-  override protected def params = Seq(name, nComponents)
 
   @transient var explainedVarianceRatio: Array[Double] = Array.empty
 
@@ -79,7 +78,6 @@ final case class TsneOp(
     iterations: Int = 400,
     seed: Long = 42L,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
-  override protected def params = Seq(name, nComponents, perplexity, seed)
 
   def apply(df: DataFrame): DataFrame = {
     val samples = graft.operators.Transforms.numericValueColumns(df, protect)

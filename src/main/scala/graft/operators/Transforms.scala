@@ -29,7 +29,6 @@ final case class ImputeFixed(
     replacementValue: Double = 0.0,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
   val name = s"Im($missingValue$replacementValue)"
-  override protected def params = Seq(missingValue, replacementValue)
 
   def apply(df: DataFrame): DataFrame = {
     val cols = Transforms.numericValueColumns(df, protect)
@@ -59,7 +58,6 @@ final case class ImputeStrategy(
   require(Seq("mean", "median", "most_frequent").contains(strategy),
     s"Wrong strategy, allowed is mean, median and most_frequent, was $strategy.")
   val name = s"Im(nan0$strategy)"
-  override protected def params = Seq(strategy, "nan", 0)
 
   def apply(df: DataFrame): DataFrame = {
     val cols = Transforms.numericValueColumns(df, protect)
@@ -118,7 +116,6 @@ final case class ZScale(
     ddof: Int = 1,
     protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
   val name = "Z"
-  override protected def params = Seq(axis, ddof)
 
   def apply(df: DataFrame): DataFrame = {
     val cols = Transforms.numericValueColumns(df, protect)
@@ -170,7 +167,6 @@ final case class Elementwise(
   require(Whitelist.contains(method),
     s"Don't know how to apply this transformation: $method.")
   val name = method
-  override protected def params = Seq(method) ++ args
 
   def apply(df: DataFrame): DataFrame = {
     val f = compile(method, args)

@@ -45,8 +45,6 @@ final case class DESeq2Unpaired(
     index: String = "gene_stable_id") extends Transformer {
 
   val name = "DESeq2Unpaired"
-  override protected def params =
-    Seq(conditionA, conditionB, conditionToColumns, comparisonName, includeOtherColumnsForVariance)
   override def suffix: Option[String] =
     Some(comparisonName.fold(s" ($name)")(c => s" ($c)"))
 

@@ -41,8 +41,6 @@ final case class DESeq2LRT(
     "factor levels must align with sampleColumns"))
 
   val name = "DESeq2LRT"
-  override protected def params =
-    Seq(sampleColumns, factors.toSeq.sortBy(_._1), full, reduced, comparisonName)
   override def suffix: Option[String] =
     Some(comparisonName.fold(s" ($name)")(c => s" ($c)"))
 

@@ -354,9 +354,6 @@ final case class EdgeRUnpaired(
   val name = "EdgeR_Unpaired"
   override val suffix: Option[String] =
     Some(" (" + comparisonName.getOrElse(name) + ")")
-  override protected def params: Seq[Any] = Seq(
-    conditionA, conditionB, conditionToColumns.toSeq.sortBy(_._1),
-    comparisonName, librarySizes, manualDispersionValue, robust, priorDf, index)
 
   val columnsA: Seq[String] = conditionToColumns(conditionA)
   val columnsB: Seq[String] = conditionToColumns(conditionB)

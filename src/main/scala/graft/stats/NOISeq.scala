@@ -50,8 +50,6 @@ final case class NOISeq(
     index: String = "gene_stable_id") extends Transformer {
 
   val name = "NOISeq"
-  override protected def params =
-    Seq(conditionA, conditionB, conditionToColumns, comparisonName, k, norm, lc, pnr, nss, v)
   override def suffix: Option[String] =
     Some(comparisonName.fold(s" ($name)")(c => s" ($c)"))
 

@@ -34,12 +34,6 @@ final case class Vst(
     index: String = "gene_stable_id") extends Transformer {
 
   val name = "VST"
-  // every output-affecting field: suffixed renames all output columns and
-  // index/maxDriverGenes change the frame — omitting them from the
-  // fingerprint would collide CheckpointStore entries of differently
-  // configured instances
-  override protected def params =
-    Seq(samplesToGroup, nsub, suffixed, maxDriverGenes, index)
   override def suffix: Option[String] = if (suffixed) Some(" (VST)") else None
 
   def apply(df: DataFrame): DataFrame = {
