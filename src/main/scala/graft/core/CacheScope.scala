@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+
+/** Bounded registry for caches that back a RETURNED frame.
+  *
+  * Operators cache two kinds of intermediates:
+  *
+  *  - scratch frames whose last action happens INSIDE the operator —
+  *    those are unpersisted by the operator itself (try/finally);
+  *  - frames the returned plan still reads, materialized by an internal
+  *    action (trend-fit collects, BH passes, KMeans fits). Unpersisting
+  *    those before the caller's action would throw the materialized work
+  *    away, so they must outlive `apply` — but a long-lived session that
+  *    never unpersists them accumulates cached blocks until LRU eviction
+  *    and disk spill degrade unrelated jobs.
+  *
+  * `retain` solves the second case: the cache is registered in a bounded
+  * FIFO (`-Dgraft.cache.retained`, default 8) and the oldest entry beyond
+  * the cap is unpersisted (non-blocking). Evicting a frame the caller
+  * still holds is safe — Spark recomputes it from lineage on next use —
+  * so the cap trades recompute for bounded storage, never correctness.
+  *
+  * RDD-level caches (e.g. the zipWithIndex materialization in
+  * [[graft.operators.Similarity.embeddingNearDupPairs]]) are NOT routed
+  * here: unreferenced cached RDDs are already unpersisted by Spark's
+  * ContextCleaner when they are garbage-collected on the driver, unlike
+  * Dataset caches, which the CacheManager holds strongly.
+  */
+object CacheScope {
+  private val Max: Int = Integer.getInteger("graft.cache.retained", 8).intValue()
+  private val retained = scala.collection.mutable.ArrayDeque.empty[Dataset[_]]
+
+  /** Cache `ds` and register it for bounded retention; re-retaining an
+    * already-registered frame refreshes its position instead of
+    * double-registering. Returns `ds` for chaining. */
+  def retain[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    ds.cache()
+    retained.filterInPlace(_ ne ds)
+    retained.append(ds)
+    while (retained.length > Max) retained.removeHead().unpersist(blocking = false)
+    ds
+  }
+
+  /** Number of currently retained caches (test hook). */
+  def size: Int = synchronized(retained.length)
+
+  /** Unpersist and drop every retained cache (e.g. at session shutdown). */
+  def releaseAll(): Unit = synchronized {
+    retained.foreach(_.unpersist(blocking = false))
+    retained.clear()
+  }
+}

@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Deduplication operators for large-scale training-data pipelines
   * (north-star extensions — judge-graded alongside SURVEY.md §2).
@@ -121,7 +122,8 @@ object Dedup {
       .repartition(shuffleP, col(idCol))
       .withColumn("__hs", sort_array(transform(col("__sh"), s => xxhash64(s))))
       .select(col(idCol), col("__hs"))
-      .cache()
+      // the returned pair plan joins this cache twice; bounded retention
+      .pipe(graft.core.CacheScope.retain)
     val banded = sh
       .withColumn("__sig", minHashFromBase(numHashes)(col("__hs")))
       .select(col(idCol),
@@ -132,8 +134,9 @@ object Dedup {
                 .cast("array<string>"))).as("bucket"))
         }: _*)).as("e"))
       .select(col(idCol), col("e.band"), col("e.bucket"))
-      .cache() // self-joined below: both sides must read the materialized
-               // rows, not re-run the signature UDF lineage twice
+      // self-joined below: both sides must read the materialized rows,
+      // not re-run the signature UDF lineage twice; bounded retention
+      .pipe(graft.core.CacheScope.retain)
     val l = banded.alias("l"); val r = banded.alias("r")
     val candidates = l.join(r,
       col(s"l.band") === col(s"r.band") && col(s"l.bucket") === col(s"r.bucket") &&

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Similarity search over an embedding column (`Array[Float]`) —
   * north-star extension. Two paths:
@@ -144,7 +145,9 @@ object Similarity {
     val cu = withUnitVec(corpus, vecCol, "__cv")
       .select(col(idCol).as("neighbor_id"), col("__cv"))
       .withColumn("__f", toVec(col("__cv")))
-      .cache()
+      // KMeans fit iterates over it and the returned candidate plan reads
+      // it again; bounded retention
+      .pipe(graft.core.CacheScope.retain)
     val km = new MlKMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("__cell").fit(cu)
     val corpusCells = km.transform(cu).select(col("neighbor_id"), col("__cv"), col("__cell"))

@@ -92,7 +92,8 @@ final case class DESeq2Unpaired(
       .withColumn("__baseMean", col("__est.baseMean"))
       .withColumn("__alphaGw", col("__est.alpha"))
       .drop("__est")
-    withEst.cache()
+    // the returned Wald plan reads this cache; bounded retention
+    graft.core.CacheScope.retain(withEst)
 
     // ---- 3. trend fit (driver, capped deterministic sample) ----
     val pairsDf = withEst.select(col("__baseMean"), col("__alphaGw"))

@@ -86,7 +86,8 @@ final case class DESeq2LRT(
       .withColumn("__baseMean", col("__est.baseMean"))
       .withColumn("__alphaGw", col("__est.alpha"))
       .drop("__est")
-    withEst.cache()
+    // the returned LRT plan reads this cache; bounded retention
+    graft.core.CacheScope.retain(withEst)
 
     val pairs = withEst.select(col("__baseMean"), col("__alphaGw"))
       .where(col("__alphaGw") > 100 * NbGlm.MinDisp && col("__baseMean") > 0)

@@ -373,8 +373,12 @@ final case class EdgeRUnpaired(
     // cache the narrow (index + selected samples) projection: TMM factor
     // estimation, the grid-likelihood agg, the trend windows and the BH
     // passes each trigger an action — without this the full upstream plan
-    // (often an expensive aggregation) re-executes per action
+    // (often an expensive aggregation) re-executes per action. Scratch
+    // cache: dead once `tested` materializes, unpersisted below.
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val proj = df.select((index +: cols).map(col(_)): _*).cache()
+    scratch += proj
+    try {
 
     // samples axis: library sizes + TMM factors (driver-side smalls)
     val lib: Map[String, Double] = librarySizes match {
@@ -410,6 +414,7 @@ final case class EdgeRUnpaired(
           .withColumn("avelogcpm", aveUdf(col("y"), lit(0.05)))
           .withColumn("l0", l0Udf(col("y"), lit(0.01)))
           .cache()
+        scratch += s1
 
         // one small agg: gene count + the 21 summed log-likelihoods
         val aggRow = s1.agg(
@@ -471,17 +476,22 @@ final case class EdgeRUnpaired(
 
     // cache before BH: the distributed FDR makes several passes (count,
     // ranked sort, partition-minima collect) — the exact-test kernel must
-    // run once, not once per pass
-    val tested = withDisp
+    // run once, not once per pass. The returned plan reads this cache, so
+    // it outlives apply under CacheScope's bounded retention.
+    val tested = graft.core.CacheScope.retain(withDisp
       .withColumn("res", testUdf(col("y"), col("disp")))
       .select(col(index),
         col("res")(0).as(logFCColumn),
         col("logcpm_out").as(logCPMColumn),
-        col("res")(1).as("p_raw"))
-      .cache()
+        col("res")(1).as("p_raw")))
 
     BhFdr.adjustDistributed(tested, "p_raw", fdrColumn)
       .withColumnRenamed("p_raw", pColumn)
       .select(col(index), col(logFCColumn), col(pColumn), col(fdrColumn), col(logCPMColumn))
+    } finally {
+      // adjustDistributed's count() materialized `tested`; the scratch
+      // caches (proj, s1) are dead from here even if we threw mid-way
+      scratch.foreach(_.unpersist(blocking = false))
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.stats
 import graft.core.Transformer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** NOISeq differential expression (reference SURVEY.md §2.5 D5;
   * src/mdataframe/differential.py:526-740; Tarazona et al. 2011).
@@ -76,7 +77,7 @@ final case class NOISeq(
       (col(index) +: dataCols.map(c =>
         when(col(c).cast("double") === 0.0, lit(k))
           .otherwise(col(c).cast("double")).as(c))): _*)
-      .cache()
+      .pipe(graft.core.CacheScope.retain)
 
     // per-column scale factors
     val lib = graft.functions.Normalization.libSizes(zeroed, dataCols)
