@@ -23,6 +23,11 @@ object Bench {
       spark.range(1000000).agg(sum(col("id"))).collect()
       val w = udf((x: Double) => x * 2)
       spark.range(1000).select(w(col("id").cast("double"))).agg(count(lit(1))).collect()
+      // MLlib/BLAS one-time init, otherwise paid by the first ML query
+      val tv = udf((d: Double) => org.apache.spark.ml.linalg.Vectors.dense(d, d * 0.5))
+      new org.apache.spark.ml.clustering.KMeans().setK(2).setMaxIter(1).setSeed(1L)
+        .setFeaturesCol("f")
+        .fit(spark.range(64).select(tv(col("id").cast("double")).as("f")))
     }
     // deterministic order so per-query timings compare across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -93,4 +93,28 @@ object BhFdr {
     val w = Window.orderBy(if (ascending) col(scoreCol).asc else col(scoreCol).desc)
     df.withColumn(outCol, rank().over(w))
   }
+
+  /** [[rankBy]] without a single-partition window, for tables past the
+    * small cutoff: global sort (range-partitioned) + zipWithIndex gives
+    * row positions; `rank()`'s min-rank tie semantics are restored by
+    * joining each row to min(position) over its score value. Same
+    * numbers, two distributed passes. */
+  def rankByDistributed(df: DataFrame, scoreCol: String, ascending: Boolean = true,
+      outCol: String = "Rank", smallCutoff: Long = 1000000L): DataFrame = {
+    if (df.count() < smallCutoff) return rankBy(df, scoreCol, ascending, outCol)
+    val sorted = df.orderBy(if (ascending) col(scoreCol).asc else col(scoreCol).desc)
+    val schema = df.schema
+    val ranked = {
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      df.sparkSession.createDataFrame(rdd,
+        schema.add("__pos", org.apache.spark.sql.types.LongType))
+    }
+    val minRanks = ranked.groupBy(col(scoreCol).as("__s"))
+      .agg(min(col("__pos")).as("__minpos"))
+    ranked.join(minRanks, ranked(scoreCol) === minRanks("__s"))
+      .withColumn(outCol, col("__minpos").cast("int"))
+      .drop("__s", "__minpos", "__pos")
+  }
 }

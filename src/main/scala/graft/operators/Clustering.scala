@@ -180,14 +180,18 @@ final case class AggloOp(
     // relabel clusters 0..k-1 by first occurrence
     val relabel = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
     val labels = parent.map(p => relabel.getOrElseUpdate(p, relabel.size))
-    // join labels back positionally via a row-number key (driver-scale path)
+    // build the output from the SAME collected rows the labels were
+    // computed from — joining back to a re-executed plan (by position or
+    // monotonic id) would mislabel rows whenever the second run
+    // enumerates them differently
     val spark = df.sparkSession
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(monotonically_increasing_id())
-    val withIdx = df.withColumn("__pos", row_number().over(w) - 1)
-    val labelDf = spark.createDataFrame(
-      labels.toSeq.zipWithIndex.map { case (l, i) => (i, l) }).toDF("__pos", newColumn)
-    withIdx.join(broadcast(labelDf), Seq("__pos"), "left").drop("__pos")
+    val outRows = fullRows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ labels(i))
+    }
+    val outSchema = df.schema.add(newColumn, org.apache.spark.sql.types.IntegerType)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toIndexedSeq,
+        spark.sparkContext.defaultParallelism), outSchema)
   }
 }
 

@@ -98,12 +98,18 @@ final case class DbscanOp(
       }
       i += 1
     }
+    // build the output from the SAME collected rows the labels were
+    // computed from — joining labels back to a re-executed plan (by
+    // position or monotonic id) would mislabel rows whenever the second
+    // run enumerates them differently
     val spark = df.sparkSession
-    val w = Window.orderBy(monotonically_increasing_id())
-    val withIdx = df.withColumn("__pos", row_number().over(w) - 1)
-    val labelDf = spark.createDataFrame(
-      labels.toSeq.zipWithIndex.map { case (l, i2) => (i2, l) }).toDF("__pos", newColumn)
-    withIdx.join(broadcast(labelDf), Seq("__pos"), "left").drop("__pos")
+    val outRows = rows.zipWithIndex.map { case (r, i2) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ labels(i2))
+    }
+    val outSchema = df.schema.add(newColumn, org.apache.spark.sql.types.IntegerType)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toIndexedSeq,
+        spark.sparkContext.defaultParallelism), outSchema)
   }
 
   private def grid(df: DataFrame, features: Seq[String]): DataFrame = {

@@ -148,7 +148,12 @@ object Similarity {
       // KMeans fit iterates over it and the returned candidate plan reads
       // it again; bounded retention
       .pipe(graft.core.CacheScope.retain)
+    // random init + capped iterations: the coarse quantizer only needs
+    // roughly-balanced cells (recall is governed by nprobe, and
+    // nprobe=nlist stays exact regardless of centroids); k-means|| init
+    // alone costs several extra distributed passes over the corpus
     val km = new MlKMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("__f").setPredictionCol("__cell").fit(cu)
     val corpusCells = km.transform(cu).select(col("neighbor_id"), col("__cv"), col("__cell"))
     // nprobe nearest centroids per query (centroid table is tiny —

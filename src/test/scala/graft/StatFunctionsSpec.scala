@@ -10,7 +10,11 @@ class StatFunctionsSpec extends SparkSpec {
 
   private def adjusted(ps: Seq[Double], distributed: Boolean = false): Seq[Double] = {
     val df = ps.zipWithIndex.map { case (p, i) => (i, p) }.toDF("id", "p")
-    val out = if (distributed) BhFdr.adjustDistributed(df, "p") else BhFdr.adjust(df, "p")
+    // smallCutoff=1 forces the genuinely distributed branch — with the
+    // default cutoff a small fixture would silently fall back to the
+    // windowed path and leave the scale path untested
+    val out = if (distributed) BhFdr.adjustDistributed(df, "p", smallCutoff = 1)
+      else BhFdr.adjust(df, "p")
     out.orderBy("id").collect().map(_.getAs[Double]("fdr")).toSeq
   }
 
@@ -44,5 +48,18 @@ class StatFunctionsSpec extends SparkSpec {
     val df = Seq((1, 0.3), (2, 0.1), (3, 0.2)).toDF("id", "s")
     val got = BhFdr.rankBy(df, "s").orderBy("id").collect().map(_.getAs[Int]("Rank")).toSeq
     assert(got == Seq(3, 1, 2))
+  }
+
+  test("distributed rankBy equals windowed rankBy, including ties") {
+    val scores = (1 to 400).map(i => ((i * 31) % 13).toDouble) // heavy ties
+    val df = scores.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+    def ranksOf(out: org.apache.spark.sql.DataFrame): Seq[Int] =
+      out.orderBy("id").collect().map(_.getAs[Int]("Rank")).toSeq
+    val windowed = ranksOf(BhFdr.rankBy(df, "s"))
+    val dist = ranksOf(BhFdr.rankByDistributed(df, "s", smallCutoff = 1))
+    assert(dist == windowed)
+    val windowedDesc = ranksOf(BhFdr.rankBy(df, "s", ascending = false))
+    val distDesc = ranksOf(BhFdr.rankByDistributed(df, "s", ascending = false, smallCutoff = 1))
+    assert(distDesc == windowedDesc)
   }
 }
