@@ -565,9 +565,14 @@ final case class EdgeRUnpaired(
           else {
             val statUdf = udf((y: Seq[Double], d: Double) =>
               priorDfStat(y.toArray, groupOf, nGroups, effLib, d))
+            // cache the 2-double projection: the quantile pass and the
+            // moments pass inside fitFDistDf2 would otherwise each re-run
+            // the per-gene NB fits
             val eDf = s2.select(statUdf(col("y"), col("trend_disp")).as("es"))
               .where(col("es").isNotNull)
               .select(col("es")(0).as("e"), col("es")(1).as("tri"))
+              .cache()
+            scratch += eDf
             fitFDistDf2(eDf, winsorize = true) / (cols.length - nGroups).toDouble
           }
         val tagUdf = udf((l: Seq[Double], m: Seq[Double]) =>
