@@ -73,7 +73,8 @@ object Normalization {
       logratioTrim: Double = 0.3,
       sumTrim: Double = 0.05,
       doWeighting: Boolean = true,
-      approximate: Boolean = false): Map[String, Double] = {
+      approximate: Boolean = false,
+      exactCutoff: Long = 2000000L): Map[String, Double] = {
     val (lib, ref) = libAndRef(df, cols)
     val nR = lib(ref)
     val others = cols.filterNot(_ == ref)
@@ -94,11 +95,25 @@ object Normalization {
         when(ok, (nO - obs) / nO / obs + (lit(nR) - rf) / nR / rf).as("w"),
         ok.as("ok"))
     }
+    // cached: the count below plus the path-specific passes (2 aggs on
+    // the approximate path, the ranked windows on the exact one) must not
+    // re-run the explode lineage; unpersisted before return (all stats
+    // are collected by then)
     val long = df.select(explode(array(pairStructs: _*)).as("e"))
       .select(col("e.pid").as("pid"), col("e.m").as("m"), col("e.a").as("a"), col("e.w").as("w"))
       .where(col("e.ok"))
+      .cache()
+    try {
 
-    val stats: Map[Int, (Double, Double)] = if (approximate) {
+    // the exact-rank path's windows partition by pid, so its parallelism
+    // is the number of sample PAIRS, not the data size — a per-pair
+    // single-task sort that serializes at millions of genes. Past the
+    // cutoff, trim by approximate quantile cutoffs instead (fully
+    // parallel; 1e-4 rank accuracy, indistinguishable trim boundaries at
+    // that scale). Small inputs keep exact R average-rank semantics
+    // (golden-pinned).
+    val useApprox = approximate || long.count() > exactCutoff
+    val stats: Map[Int, (Double, Double)] = if (useApprox) {
       // scale path: trim by approximate quantile cutoffs instead of ranks
       val cuts = long.groupBy("pid").agg(
         percentile_approx(col("m"), array(lit(logratioTrim), lit(1 - logratioTrim)), lit(10000)).as("mc"),
@@ -150,6 +165,7 @@ object Normalization {
     // normalize: factors multiply to 1 (geometric mean 1)
     val gm = math.exp(raw.values.map(math.log).sum / raw.size)
     raw.map { case (c, f) => c -> f / gm }
+    } finally long.unpersist(blocking = false)
   }
 
   /** edgeR `cpm(log=TRUE, prior.count=k)` with effective library sizes:

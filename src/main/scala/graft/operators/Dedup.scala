@@ -66,11 +66,18 @@ object Dedup {
     * [[exactDedup]]. No global sort, no cross product.
     *
     * @param bands       number of LSH bands (signature length = bands·rowsPerBand)
-    * @param rowsPerBand rows per band; P(candidate) = 1-(1-j^r)^b
+    * @param rowsPerBand rows per band; P(candidate) = 1-(1-j^r)^b. The
+    *   defaults (8×8) put the LSH S-curve threshold (1/b)^(1/r) ≈ 0.77,
+    *   matched to `jaccardThreshold` 0.8: recall > 0.9999 for J ≥ 0.95
+    *   pairs while background pairs (corpora often sit at J ≈ 0.1-0.2)
+    *   become candidates at ~1e-5 — candidate volume stays LINEAR in the
+    *   corpus. Shallower bands (e.g. 16×4, threshold ≈ 0.5) admit ~1% of
+    *   ALL pairs: quadratic candidate generation that dominates runtime
+    *   past ~10⁴ docs even when the verify threshold discards them.
     */
   def minHashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleK: Int = 5, bands: Int = 8, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
     // shingling happens in ONE UDF whose argument (the normalized text)
     // is evaluated once per row. The expression form — transform(sequence,
@@ -159,7 +166,7 @@ object Dedup {
     * approximation of connected components, exact when clusters are
     * cliques, e.g. true duplicate groups). */
   def minHashLshDedup(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleK: Int = 5, bands: Int = 8, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val losers = minHashLshPairs(df, textCol, idCol, shingleK, bands, rowsPerBand, jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()

@@ -67,7 +67,11 @@ final case class DESeq2Unpaired(
   def columns: Seq[String] =
     Seq(logFCColumn, pColumn, fdrColumn, baseMeanColumn, lfcSEColumn, statColumn)
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df0: DataFrame): DataFrame = {
+    // read by the size-factor count/agg and again by the estimate pass —
+    // cache so an expensive upstream plan executes once; the returned
+    // plan reads it too, so bounded retention rather than scratch
+    val df = graft.core.CacheScope.retain(df0)
     val samples: Seq[String] = columnsA ++ columnsB ++ otherGroups.flatMap(_._2)
     val nS = samples.length
     // design: intercept + condition-A indicator (+ one column per "other"
@@ -77,7 +81,7 @@ final case class DESeq2Unpaired(
       base ++ otherGroups.map { case (_, cs) => if (cs.contains(s)) 1.0 else 0.0 }
     }.toArray
 
-    // ---- 1. size factors (median-of-log-ratios, exact) ----
+    // ---- 1. size factors (median-of-log-ratios, exact below cutoff) ----
     val sf = DESeq2Unpaired.sizeFactors(df, samples)
 
     val bcDesign = df.sparkSession.sparkContext.broadcast((design, sf))
@@ -143,16 +147,27 @@ object DESeq2Unpaired {
     * ratios) per sample, over genes with finite log geometric mean.
     * (DESeq2 medians the LOG ratios, so an even gene count yields the
     * GEOMETRIC mean of the two middle ratios — exact `percentile` agg.) */
-  def sizeFactors(df: DataFrame, samples: Seq[String]): Array[Double] = {
+  /** Median-of-log-ratios size factors. Below `exactCutoff` rows the
+    * median uses Spark's exact `percentile` (interpolated, matching R's
+    * median() on the golden fixtures); beyond it, `percentile_approx`
+    * with 1e-5 rank accuracy — the exact aggregate buffers EVERY value
+    * in the final reduce task, which is a single-task memory wall at
+    * scale, while at millions of genes neighboring order statistics are
+    * numerically indistinguishable. */
+  def sizeFactors(df: DataFrame, samples: Seq[String],
+      exactCutoff: Long = 1000000L): Array[Double] = {
     val nS = samples.length
     val logGm = samples.map(c => log(col(c).cast("double"))).reduce(_ + _) / nS
     val ratios = df.select(samples.map(c =>
       (log(col(c).cast("double")) - logGm).as(c)) :+
       (!isnan(logGm) && logGm =!= Double.NegativeInfinity).as("__ok"): _*)
       .where(col("__ok"))
+    val exact = df.count() <= exactCutoff
+    def medCol(c: String): Column =
+      if (exact) percentile(col(c), lit(0.5)).as(c)
+      else percentile_approx(col(c), lit(0.5), lit(100000)).as(c)
     val sfRow = ratios.agg(
-      percentile(col(samples.head), lit(0.5)).as(samples.head),
-      samples.tail.map(c => percentile(col(c), lit(0.5)).as(c)): _*).collect()(0)
+      medCol(samples.head), samples.tail.map(medCol): _*).collect()(0)
     samples.map(c => math.exp(sfRow.getAs[Double](c))).toArray
   }
   final case class WaldRes(lfc: Double, se: Double, stat: Double, p: Double)

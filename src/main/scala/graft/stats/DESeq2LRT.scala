@@ -67,7 +67,10 @@ final case class DESeq2LRT(
     }.toArray
   }
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df0: DataFrame): DataFrame = {
+    // read by the size-factor count/agg and again by the estimate pass —
+    // cache so an expensive upstream plan executes once (bounded retention)
+    val df = graft.core.CacheScope.retain(df0)
     val xFull = designFor(full)
     val xRed = designFor(reduced)
     val dfDelta = xFull(0).length - xRed(0).length

@@ -36,11 +36,16 @@ final case class Vst(
   val name = "VST"
   override def suffix: Option[String] = if (suffixed) Some(" (VST)") else None
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df0: DataFrame): DataFrame = {
+    // the input is read three times (size-factor agg, trend collect, the
+    // returned transform) — without a cache the upstream plan (often an
+    // expensive aggregation) re-executes per pass; the returned plan also
+    // reads it, so bounded retention rather than scratch unpersist
+    val df = graft.core.CacheScope.retain(df0)
     val samples = df.columns.toSeq.filterNot(_ == index)
     val nS = samples.length
 
-    // ---- 1. size factors (median-of-log-ratios, exact) ----
+    // ---- 1. size factors (median-of-log-ratios, exact below cutoff) ----
     val sf = DESeq2Unpaired.sizeFactors(df, samples)
 
     // ---- 2. blind gene-wise dispersions (intercept-only design) ----

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up measurement probe (not a test; Test/runMain graft.ScaleProbe
+  * [reps] [query...]): materializes a `reps`× blow-up of the sf0.1
+  * tables under target/ and times queries at both scales to measure how
+  * close each operator is to linear scaling — the local stand-in for
+  * "would this plan survive a 100× scale-up".
+  *
+  * The blow-up keeps realistic structure instead of duplicating rows:
+  *  - lineitem/orders/part/documents/embeddings replicate with key
+  *    offsets, so the genes axis (l_partkey), the order axis and the
+  *    corpus all genuinely grow `reps`×;
+  *  - replica documents salt every 3rd word, so replicas are NOT
+  *    near-duplicates of the originals and candidate-pair counts stay
+  *    realistic for the minhash/simhash paths;
+  *  - replica embeddings jitter each coordinate ±3%, keeping cosine
+  *    structure without exact duplicates.
+  */
+object ScaleProbe {
+  private val Off = 10000000L
+
+  private def replicate(df: DataFrame, reps: Int)(edit: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until reps).map(r => edit(df, r)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 10
+    val base = "/root/testdata/sf0.1"
+    val out = s"target/scaled${reps}x"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q1_agg", "q_filter_dsl", "q_window_rank", "q_sort_topk", "q_setops",
+      "q_star_join", "q_annotate_join", "q_cpm", "q_zscale_matrix",
+      "q_tmm_logcpm", "q_edger", "q_deseq2_wald", "q_vst", "q_kmeans",
+      "q_dbscan", "q_pca", "q_text_stats", "q_text_curation",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_similarity_topk")
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.parquet carries TIMESTAMP(NANOS) — readable only as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def rd(dir: String, t: String) = spark.read.parquet(s"$dir/$t.parquet")
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      println(s"building $out (${reps}x sf0.1) ...")
+      Seq("region", "nation", "customer", "supplier", "events").foreach { t =>
+        rd(base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      replicate(rd(base, "lineitem"), reps) { (df, r) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(r * Off))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * Off))
+      }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      replicate(rd(base, "orders"), reps) { (df, r) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(r * Off))
+      }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+      replicate(rd(base, "part"), reps) { (df, r) =>
+        df.withColumn("p_partkey", col("p_partkey") + lit(r * Off))
+      }.write.mode("overwrite").parquet(s"$out/part.parquet")
+      replicate(rd(base, "documents"), reps) { (df, r) =>
+        // replica r>0 rewrites the VOCABULARY: every word maps to a
+        // replica-specific pseudoword (base-36 of a seeded hash). A
+        // bijection on words keeps each replica's internal near-dup
+        // structure identical to the original corpus while making
+        // replicas mutually unrelated — naive salting (same suffix on
+        // every word) instead ADDS shared structure between all docs of
+        // a replica and inflates the baseline Jaccard from ~0.17 to
+        // ~0.6, drowning the measurement in data-created pairs.
+        val rotated =
+          if (r == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            w => lower(conv(pmod(xxhash64(w, lit(r)), lit(2176782336L))
+              .cast("string"), 10, 36))), " ")
+        df.withColumn("doc_id", col("doc_id") + lit(r * Off))
+          .withColumn("text", rotated)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      replicate(rd(base, "embeddings"), reps) { (df, r) =>
+        val jittered =
+          if (r == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            (x * (lit(1.0f) + (pmod(i + lit(r * 31), lit(7)) - lit(3)).cast("float") * lit(0.01f)))
+              .cast("float"))
+        df.withColumn("vec_id", col("vec_id") + lit(r * Off))
+          .withColumn("embedding", jittered)
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println("built.")
+    }
+
+    // JVM / codegen warm-up outside the timed region
+    SparkEntry.queries("q1_agg")(spark, base).count()
+
+    println(f"${"query"}%-22s ${"sf0.1"}%9s ${reps + "x"}%9s ${"ratio"}%7s  rows(${reps}x)")
+    names.foreach { n =>
+      def t(dir: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      try {
+        val (t0, _) = t(base)
+        val (t1, c1) = t(out)
+        println(f"SCALE $n%-22s $t0%8.2fs $t1%8.2fs ${t1 / t0}%6.1fx  $c1")
+      } catch {
+        case e: Throwable => println(s"SCALE $n FAILED: ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}
