@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Normalization {
 
+  /** Row-count threshold below which exact `percentile` is used. The
+    * exact aggregate buffers EVERY input value in the final reduce task
+    * — a single-task memory wall at scale — while past ~10⁶ rows
+    * adjacent order statistics are numerically indistinguishable, so
+    * `percentile_approx` at 1e-5 rank accuracy is used instead. Small
+    * inputs keep the exact interpolated percentile (R quantile type 7,
+    * golden-pinned). */
+  val ExactPercentileCutoff: Long = 1000000L
+
+  /** Percentile aggregate with the [[ExactPercentileCutoff]] switch. */
+  def scalablePercentile(c: Column, p: Double, exact: Boolean): Column =
+    if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(100000))
+
   /** Per-column library sizes (A1, transformations.py:105): one agg row. */
   def libSizes(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
     val row = df.agg(
@@ -39,12 +52,13 @@ object Normalization {
   }
 
   /** edgeR reference-column selection: column whose 75th-percentile
-    * count/libsize is closest to the mean of those. Spark's exact
-    * `percentile` interpolates identically to R quantile type 7. */
-  def refColumn(df: DataFrame, cols: Seq[String], lib: Map[String, Double]): String = {
+    * count/libsize is closest to the mean of those. */
+  def refColumn(df: DataFrame, cols: Seq[String], lib: Map[String, Double],
+      exact: Boolean = true): String = {
     val row = df.agg(
-      percentile(col(cols.head).cast("double"), lit(0.75)).as(cols.head),
-      cols.tail.map(c => percentile(col(c).cast("double"), lit(0.75)).as(c)): _*).collect()(0)
+      scalablePercentile(col(cols.head).cast("double"), 0.75, exact).as(cols.head),
+      cols.tail.map(c =>
+        scalablePercentile(col(c).cast("double"), 0.75, exact).as(c)): _*).collect()(0)
     val f75 = cols.map(c => c -> row.getAs[Double](c) / lib(c)).toMap
     val mean = f75.values.sum / f75.size
     cols.minBy(c => math.abs(f75(c) - mean))
@@ -52,9 +66,11 @@ object Normalization {
 
   /** libSizes + refColumn in ONE aggregation pass (sample-axis stats are
     * a single small row; no reason to scan twice). */
-  def libAndRef(df: DataFrame, cols: Seq[String]): (Map[String, Double], String) = {
+  def libAndRef(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): (Map[String, Double], String) = {
     val aggs = cols.map(c => sum(col(c).cast("double")).as(s"__s_$c")) ++
-      cols.map(c => percentile(col(c).cast("double"), lit(0.75)).as(s"__p_$c"))
+      cols.map(c =>
+        scalablePercentile(col(c).cast("double"), 0.75, exact).as(s"__p_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val lib = cols.map(c => c -> row.getAs[Double](s"__s_$c")).toMap
     val f75 = cols.map(c => c -> row.getAs[Double](s"__p_$c") / lib(c)).toMap
@@ -75,7 +91,11 @@ object Normalization {
       doWeighting: Boolean = true,
       approximate: Boolean = false,
       exactCutoff: Long = 2000000L): Map[String, Double] = {
-    val (lib, ref) = libAndRef(df, cols)
+    // one count drives every scale switch below (usually the caller has
+    // cached df, making this a cheap columnar pass): exact-vs-approx
+    // 75th percentile in libAndRef, and the trim-path choice
+    val nRows = df.count()
+    val (lib, ref) = libAndRef(df, cols, exact = nRows <= ExactPercentileCutoff)
     val nR = lib(ref)
     val others = cols.filterNot(_ == ref)
     if (others.isEmpty) return Map(ref -> 1.0)
@@ -95,16 +115,6 @@ object Normalization {
         when(ok, (nO - obs) / nO / obs + (lit(nR) - rf) / nR / rf).as("w"),
         ok.as("ok"))
     }
-    // cached: the count below plus the path-specific passes (2 aggs on
-    // the approximate path, the ranked windows on the exact one) must not
-    // re-run the explode lineage; unpersisted before return (all stats
-    // are collected by then)
-    val long = df.select(explode(array(pairStructs: _*)).as("e"))
-      .select(col("e.pid").as("pid"), col("e.m").as("m"), col("e.a").as("a"), col("e.w").as("w"))
-      .where(col("e.ok"))
-      .cache()
-    try {
-
     // the exact-rank path's windows partition by pid, so its parallelism
     // is the number of sample PAIRS, not the data size — a per-pair
     // single-task sort that serializes at millions of genes. Past the
@@ -112,7 +122,15 @@ object Normalization {
     // parallel; 1e-4 rank accuracy, indistinguishable trim boundaries at
     // that scale). Small inputs keep exact R average-rank semantics
     // (golden-pinned).
-    val useApprox = approximate || long.count() > exactCutoff
+    val useApprox = approximate || nRows * others.length > exactCutoff
+    val long0 = df.select(explode(array(pairStructs: _*)).as("e"))
+      .select(col("e.pid").as("pid"), col("e.m").as("m"), col("e.a").as("a"), col("e.w").as("w"))
+      .where(col("e.ok"))
+    // the approximate path makes two passes (cutoff agg + trimmed agg) —
+    // cache so the explode lineage runs once; the exact path is a single
+    // windowed pass and needs no cache
+    val long = if (useApprox) long0.cache() else long0
+    try {
     val stats: Map[Int, (Double, Double)] = if (useApprox) {
       // scale path: trim by approximate quantile cutoffs instead of ranks
       val cuts = long.groupBy("pid").agg(
@@ -165,7 +183,7 @@ object Normalization {
     // normalize: factors multiply to 1 (geometric mean 1)
     val gm = math.exp(raw.values.map(math.log).sum / raw.size)
     raw.map { case (c, f) => c -> f / gm }
-    } finally long.unpersist(blocking = false)
+    } finally if (useApprox) long.unpersist(blocking = false)
   }
 
   /** edgeR `cpm(log=TRUE, prior.count=k)` with effective library sizes:

@@ -76,13 +76,18 @@ final case class ImputeStrategy(
       }.toMap
       df.na.fill(fills)
     } else {
+      // exact median buffers every value in one reduce task; switch to
+      // the approx aggregate past the shared cutoff (one cheap count —
+      // mean imputation needs no count and skips it)
+      lazy val exactMedian =
+        df.count() <= graft.functions.Normalization.ExactPercentileCutoff
       val aggs = cols.map { c =>
         strategy match {
           case "mean" =>
             (sum(col(c).cast(DecimalType(28, 10))).cast("double") /
               count(col(c))).as(c)
           case "median" =>
-            percentile(col(c), lit(0.5)).as(c)
+            graft.functions.Normalization.scalablePercentile(col(c), 0.5, exactMedian).as(c)
         }
       }
       val stats = df.agg(aggs.head, aggs.tail: _*)

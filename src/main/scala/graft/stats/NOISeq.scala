@@ -180,9 +180,14 @@ final case class NOISeq(
   }
 
   private def upperQuartiles(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    import graft.functions.Normalization.{scalablePercentile, ExactPercentileCutoff}
+    // exact percentile buffers every value in one reduce task; switch to
+    // the approx aggregate past the shared cutoff (df is cached upstream,
+    // so the count is a cheap columnar pass)
+    val exact = df.count() <= ExactPercentileCutoff
     val row = df.agg(
-      percentile(col(cols.head), lit(0.75)).as(cols.head),
-      cols.tail.map(c => percentile(col(c), lit(0.75)).as(c)): _*).collect()(0)
+      scalablePercentile(col(cols.head), 0.75, exact).as(cols.head),
+      cols.tail.map(c => scalablePercentile(col(c), 0.75, exact).as(c)): _*).collect()(0)
     cols.map(c => c -> row.getAs[Double](c)).toMap
   }
 }
