@@ -317,8 +317,10 @@ object SparkEntry {
     "q_dedup_pipeline" -> ((s, dir) => {
       val d = documents(s, dir)
       val afterExact = Dedup.exactDedup(d, "text", "doc_id")
+      // 8×8 banding matched to the 0.8 verify threshold — see
+      // q_dedup_minhash; shallower bands generate quadratic candidates
       Dedup.minHashLshDedup(afterExact, "text", "doc_id",
-        shingleK = 5, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+        shingleK = 5, bands = 8, rowsPerBand = 8, jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")
     }),
 

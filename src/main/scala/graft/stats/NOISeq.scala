@@ -264,7 +264,8 @@ object Tmm2 {
   def pairFactor(df: DataFrame, obsCol: String, refCol: String,
       nO: Double, nR: Double,
       logratioTrim: Double = 0.3, sumTrim: Double = 0.05,
-      doWeighting: Boolean = true): Double = {
+      doWeighting: Boolean = true,
+      exactCutoff: Long = 2000000L): Double = {
     if (obsCol == refCol) return 1.0
     val obs = col(obsCol).cast("double"); val rf = col(refCol).cast("double")
     val base = df.select(
@@ -274,22 +275,39 @@ object Tmm2 {
       .where(!isnan(col("m")) && !isnan(col("a")) &&
         col("m") =!= Double.PositiveInfinity && col("m") =!= Double.NegativeInfinity &&
         col("a") =!= Double.NegativeInfinity)
-    val wAll = Window.partitionBy(lit(1))
-    val ranked = base
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("rm", rank().over(Window.orderBy("m")) +
-        (count(lit(1)).over(Window.partitionBy("m")) - 1) / 2.0)
-      .withColumn("ra", rank().over(Window.orderBy("a")) +
-        (count(lit(1)).over(Window.partitionBy("a")) - 1) / 2.0)
-    val loL = floor(col("n") * logratioTrim) + 1
-    val hiL = col("n") + 1 - loL
-    val loS = floor(col("n") * sumTrim) + 1
-    val hiS = col("n") + 1 - loS
-    val res = ranked
-      .where(col("rm") >= loL && col("rm") <= hiL && col("ra") >= loS && col("ra") <= hiS)
-      .agg((sum(col("m") / col("w")) / sum(lit(1.0) / col("w"))).as("fw"),
-        avg(col("m")).as("fu"))
-      .collect()
+    // the exact-rank windows below are global-order (single-task sorts of
+    // the whole genes axis); past the cutoff, trim by approximate
+    // quantile cutoffs instead — same switch as Normalization.tmmFactors
+    val res = if (df.count() > exactCutoff) {
+      val cuts = base.agg(
+        percentile_approx(col("m"),
+          array(lit(logratioTrim), lit(1 - logratioTrim)), lit(10000)).as("mc"),
+        percentile_approx(col("a"),
+          array(lit(sumTrim), lit(1 - sumTrim)), lit(10000)).as("ac")).collect()(0)
+      val mc = cuts.getSeq[Double](0); val ac = cuts.getSeq[Double](1)
+      base.where(col("m") >= mc(0) && col("m") <= mc(1) &&
+          col("a") >= ac(0) && col("a") <= ac(1))
+        .agg((sum(col("m") / col("w")) / sum(lit(1.0) / col("w"))).as("fw"),
+          avg(col("m")).as("fu"))
+        .collect()
+    } else {
+      val wAll = Window.partitionBy(lit(1))
+      val ranked = base
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("rm", rank().over(Window.orderBy("m")) +
+          (count(lit(1)).over(Window.partitionBy("m")) - 1) / 2.0)
+        .withColumn("ra", rank().over(Window.orderBy("a")) +
+          (count(lit(1)).over(Window.partitionBy("a")) - 1) / 2.0)
+      val loL = floor(col("n") * logratioTrim) + 1
+      val hiL = col("n") + 1 - loL
+      val loS = floor(col("n") * sumTrim) + 1
+      val hiS = col("n") + 1 - loS
+      ranked
+        .where(col("rm") >= loL && col("rm") <= hiL && col("ra") >= loS && col("ra") <= hiS)
+        .agg((sum(col("m") / col("w")) / sum(lit(1.0) / col("w"))).as("fw"),
+          avg(col("m")).as("fu"))
+        .collect()
+    }
     if (res.isEmpty || res(0).isNullAt(0)) 1.0
     else math.pow(2.0, if (doWeighting) res(0).getDouble(0) else res(0).getDouble(1))
   }
