@@ -90,7 +90,20 @@ object Normalization {
       sumTrim: Double = 0.05,
       doWeighting: Boolean = true,
       approximate: Boolean = false,
-      exactCutoff: Long = 2000000L): Map[String, Double] = {
+      exactCutoff: Long = 2000000L): Map[String, Double] =
+    tmmAndLib(df, cols, logratioTrim, sumTrim, doWeighting, approximate, exactCutoff)._2
+
+  /** TMM factors + library sizes from ONE sample-axis aggregation and one
+    * count — callers that need both (edgeR, the Tmm transformer) would
+    * otherwise re-aggregate the same columns in separate jobs. */
+  def tmmAndLib(
+      df: DataFrame,
+      cols: Seq[String],
+      logratioTrim: Double = 0.3,
+      sumTrim: Double = 0.05,
+      doWeighting: Boolean = true,
+      approximate: Boolean = false,
+      exactCutoff: Long = 2000000L): (Map[String, Double], Map[String, Double]) = {
     // one count drives every scale switch below (usually the caller has
     // cached df, making this a cheap columnar pass): exact-vs-approx
     // 75th percentile in libAndRef, and the trim-path choice
@@ -98,7 +111,7 @@ object Normalization {
     val (lib, ref) = libAndRef(df, cols, exact = nRows <= ExactPercentileCutoff)
     val nR = lib(ref)
     val others = cols.filterNot(_ == ref)
-    if (others.isEmpty) return Map(ref -> 1.0)
+    if (others.isEmpty) return (lib, Map(ref -> 1.0))
 
     // long (pairId, M, A, w) frame; only rows with obs>0 && ref>0 are
     // finite (counts are non-negative) — matches edgeR's is.finite filter.
@@ -182,7 +195,7 @@ object Normalization {
     }.toMap
     // normalize: factors multiply to 1 (geometric mean 1)
     val gm = math.exp(raw.values.map(math.log).sum / raw.size)
-    raw.map { case (c, f) => c -> f / gm }
+    (lib, raw.map { case (c, f) => c -> f / gm })
     } finally if (useApprox) long.unpersist(blocking = false)
   }
 
@@ -265,8 +278,7 @@ final case class Tmm(
 
   def apply(df: DataFrame): DataFrame = {
     val cols = graft.operators.Transforms.numericValueColumns(df, protect)
-    val lib = Normalization.libSizes(df, cols)
-    val factors = Normalization.tmmFactors(df, cols, approximate = approximate)
+    val (lib, factors) = Normalization.tmmAndLib(df, cols, approximate = approximate)
     val logged = Normalization.logCpm(df, cols, lib, factors, priorCount)
     val corrected = batchEffects match {
       case Some(b) => Normalization.removeBatchEffect(logged, cols, b)

@@ -307,7 +307,28 @@ object EdgeRKernel {
     * movingAverageByCol's cumsum formulation; a sliding avg frame would
     * re-aggregate O(width) per row). Edge windows divide by the actual
     * row count, matching the R behavior. */
+  /** Above this many rows the ordered moving average switches from the
+    * single-partition window formulation to the distributed prefix-sum
+    * one — an un-partitioned Spark window materializes the WHOLE frame
+    * in one task, which the 30× scaling probe measured as the dominant
+    * serial stage of q_edger at 600k genes. */
+  val MovingAvgWindowCutoff: Long = 100000L
+
+  /** Moving average of a 21-array column along a total order. `nRows`
+    * (when the caller knows it) selects the path: below the cutoff a
+    * global-order window computes prefix sums in one task (cheapest for
+    * small frames); above it, the distributed formulation — range-
+    * partitioned sort + zipWithIndex, per-partition prefix sums with
+    * broadcast partition offsets, then two equi-joins fetch the window's
+    * boundary cumulatives — keeps every stage parallel. */
   def movingAvgArray(df: org.apache.spark.sql.DataFrame, arrCol: String,
+      outCol: String, order: Seq[org.apache.spark.sql.Column],
+      half1: Long, half2: Long, nRows: Long = -1L): org.apache.spark.sql.DataFrame =
+    if (nRows > MovingAvgWindowCutoff)
+      movingAvgArrayDistributed(df, arrCol, outCol, order, half1, half2, nRows)
+    else movingAvgArrayWindowed(df, arrCol, outCol, order, half1, half2)
+
+  private[graft] def movingAvgArrayWindowed(df: org.apache.spark.sql.DataFrame, arrCol: String,
       outCol: String, order: Seq[org.apache.spark.sql.Column],
       half1: Long, half2: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -330,6 +351,68 @@ object EdgeRKernel {
     }
     s1.withColumn(outCol, array(avgCols: _*))
       .drop("__rn", "__n", "__cum", "__tot")
+  }
+
+  private[graft] def movingAvgArrayDistributed(df: org.apache.spark.sql.DataFrame, arrCol: String,
+      outCol: String, order: Seq[org.apache.spark.sql.Column],
+      half1: Long, half2: Long, nRows: Long): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val k = 21
+    val ai = df.schema.fieldIndex(arrCol)
+    // range-partitioned global sort; zipWithIndex pins each row's global
+    // position without funneling the frame into one task. Cached: the
+    // totals pass, the cum pass and the output all read it (RDD caches
+    // are released by the ContextCleaner once unreferenced).
+    val sortedRdd = df.orderBy(order: _*).rdd.zipWithIndex
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      .cache()
+    val idxField = df.schema.length
+    // pass 1: per-partition elementwise totals → tiny driver table
+    val partTotals = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val tot = new Array[Double](k)
+      it.foreach { r =>
+        val a = r.getSeq[Double](ai); var i = 0
+        while (i < k) { tot(i) += a(i); i += 1 }
+      }
+      Iterator((pid, tot))
+    }.collect().sortBy(_._1)
+    val offsets: Map[Int, Array[Double]] = {
+      val run = new Array[Double](k)
+      partTotals.map { case (pid, tot) =>
+        val before = run.clone(); var i = 0
+        while (i < k) { run(i) += tot(i); i += 1 }
+        pid -> before
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: (global idx, global prefix-sum array) rows
+    val cumRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = bc.value(pid).clone()
+      it.map { r =>
+        val a = r.getSeq[Double](ai); var i = 0
+        while (i < k) { run(i) += a(i); i += 1 }
+        Row(r.getLong(idxField), run.clone().toSeq)
+      }
+    }
+    val cumSchema = StructType(Seq(
+      StructField("__cidx", LongType), StructField("__cumv", ArrayType(DoubleType))))
+    val withIdxDf = spark.createDataFrame(sortedRdd, df.schema.add("__idx", LongType))
+    val cumDf = spark.createDataFrame(cumRdd, cumSchema)
+    // boundary cumulatives via two equi-joins on the position key:
+    // upper = cum[min(idx+h2, n-1)], lower = cum[idx-h1-1] (absent ⇒ 0)
+    val upper = cumDf.select(col("__cidx").as("__uidx"), col("__cumv").as("__cumU"))
+    val lower = cumDf.select(col("__cidx").as("__lidx"), col("__cumv").as("__cumL"))
+    val lo = greatest(col("__idx") - half1, lit(0L))
+    val hi = least(col("__idx") + half2, lit(nRows - 1))
+    val cnt = (hi - lo + 1).cast("double")
+    val avgCols = (0 until k).map { i =>
+      (col("__cumU")(i) - coalesce(col("__cumL")(i), lit(0.0))) / cnt
+    }
+    withIdxDf
+      .join(upper, least(col("__idx") + half2, lit(nRows - 1)) === col("__uidx"))
+      .join(lower, col("__idx") - half1 - 1 === col("__lidx"), "left")
+      .withColumn(outCol, array(avgCols: _*))
+      .drop("__idx", "__uidx", "__cumU", "__lidx", "__cumL")
   }
 
   /** edgeR exactTestDoubleTail for one gene on pseudo counts; beta
@@ -480,12 +563,13 @@ final case class EdgeRUnpaired(
     scratch += proj
     try {
 
-    // samples axis: library sizes + TMM factors (driver-side smalls)
+    // samples axis: library sizes + TMM factors (driver-side smalls,
+    // one shared aggregation + one count on the cached projection)
+    val (libComputed, factors) = Normalization.tmmAndLib(proj, cols)
     val lib: Map[String, Double] = librarySizes match {
       case Some(ls) => cols.zip(ls.map(_.toDouble)).toMap
-      case None => Normalization.libSizes(proj, cols)
+      case None => libComputed
     }
-    val factors = Normalization.tmmFactors(proj, cols)
     val effLib: Array[Double] = cols.map(c => lib(c) * factors(c)).toArray
     val commonLib = math.exp(effLib.map(math.log).sum / effLib.length)
     val nGroups = 2
@@ -542,7 +626,7 @@ final case class EdgeRUnpaired(
         // it into ONE task).
         val maxUdf = udf((ll: Seq[Double]) => maximizeGridDisp(ll.toArray))
         val s2base = EdgeRKernel.movingAvgArray(s1, "l0", "m0",
-          Seq(col("avelogcpm"), col(index)), half1, half2)
+          Seq(col("avelogcpm"), col(index)), half1, half2, nTags)
           .repartition(col(index))
           .withColumn("trend_disp", maxUdf(col("m0")))
           .withColumn("l02", l0Udf(col("y"), col("trend_disp")))
@@ -578,7 +662,7 @@ final case class EdgeRUnpaired(
         val tagUdf = udf((l: Seq[Double], m: Seq[Double]) =>
           maximizeGridDisp(Array.tabulate(21)(i => l(i) + priorN * m(i))))
         EdgeRKernel.movingAvgArray(s2, "l02", "m0p",
-          Seq(col("avelogcpm"), col(index)), half1, half2)
+          Seq(col("avelogcpm"), col(index)), half1, half2, nTags)
           .repartition(col(index))
           .withColumn("disp", tagUdf(col("l02"), col("m0p")))
           // reported logCPM: aveLogCPM at the estimated common dispersion

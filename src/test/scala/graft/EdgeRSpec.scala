@@ -244,6 +244,30 @@ class EdgeRSpec extends SparkSpec {
     assert(math.abs(oneSided(1) - graft.stats.Gamma.trigamma(1.0)) < 1e-12)
   }
 
+  test("distributed moving average equals the windowed formulation") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextDouble(), Array.fill(21)(rnd.nextGaussian()).toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "key", "arr")
+      .repartition(7)
+    val order = Seq(col("key"), col("id"))
+    def resultOf(out: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      out.select(col("id"), col("ma")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((h1, h2) <- Seq((10L, 9L), (0L, 0L), (400L, 399L), (149L, 150L))) {
+      val w = resultOf(EdgeRKernel.movingAvgArrayWindowed(df, "arr", "ma", order, h1, h2))
+      val d = resultOf(EdgeRKernel.movingAvgArrayDistributed(df, "arr", "ma", order, h1, h2, 300L))
+      assert(w.keySet == d.keySet)
+      w.foreach { case (id, arr) =>
+        arr.zip(d(id)).zipWithIndex.foreach { case ((a, b), i) =>
+          assert(math.abs(a - b) < 1e-9, s"h=($h1,$h2) id=$id i=$i: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("single-replicate fallback uses manual dispersion squared") {
     val df2 = fixtureDf.select(col("gene_stable_id"), col("sampleA_1"), col("sampleB_1"))
     val e = EdgeRUnpaired("A", "B",
