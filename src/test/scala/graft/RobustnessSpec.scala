@@ -63,6 +63,35 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("edgeR prior-df estimation survives degenerate genes in a larger frame") {
+    // ≥20 informative genes engages the empirical prior.df fit; mix in
+    // zero/constant/sparse genes so the deviance statistics see
+    // pathological members (null stats must be filtered, not crash the
+    // moment match)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 60).map { i =>
+      if (i % 10 == 0) (s"zero$i", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      else if (i % 10 == 1) (s"sparse$i", 0.0, 1.0, 0.0, 0.0, 2.0, 0.0)
+      else {
+        val base = math.exp(rnd.nextGaussian() + 3.0)
+        def d() = math.max(0.0, math.round(base * math.exp(rnd.nextGaussian() * 0.3)).toDouble)
+        (s"gene$i", d(), d(), d(), d(), d(), d())
+      }
+    }
+    val df = rows.toDF("gene_stable_id", "a1", "a2", "a3", "b1", "b2", "b3")
+    val out = EdgeRUnpaired("A", "B", condToCols, index = "gene_stable_id")(df)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.size == 60)
+    out.foreach { case (g, (lfc, p)) =>
+      assert(!lfc.isNaN && !lfc.isInfinite, s"$g lfc=$lfc")
+      assert(p > 0 && p <= 1, s"$g p=$p")
+    }
+    // homogeneous same-mean groups: the estimated prior shrinks tagwise
+    // dispersions toward the trend, so no gene should look significant
+    val realPs = out.collect { case (g, (_, p)) if g.startsWith("gene") => p }
+    assert(realPs.count(_ < 0.01) == 0, s"spurious significance: ${realPs.min}")
+  }
+
   test("TMM survives an all-zero sample column") {
     val df = Seq(
       ("g1", 10.0, 0.0, 12.0),
