@@ -311,8 +311,10 @@ object EdgeRKernel {
     * single-partition window formulation to the distributed prefix-sum
     * one — an un-partitioned Spark window materializes the WHOLE frame
     * in one task, which the 30× scaling probe measured as the dominant
-    * serial stage of q_edger at 600k genes. */
-  val MovingAvgWindowCutoff: Long = 100000L
+    * serial stage of q_edger at 600k genes. Crossover measured on
+    * local[32]: windowed wins at 200k rows (13 s vs 19 s), distributed
+    * wins at 600k (41 s vs 71 s). */
+  val MovingAvgWindowCutoff: Long = 300000L
 
   /** Moving average of a 21-array column along a total order. `nRows`
     * (when the caller knows it) selects the path: below the cutoff a
