@@ -320,7 +320,7 @@ object SparkEntry {
       // 8×8 banding matched to the 0.8 verify threshold — see
       // q_dedup_minhash; shallower bands generate quadratic candidates
       Dedup.minHashLshDedup(afterExact, "text", "doc_id",
-        shingleK = 5, bands = 8, rowsPerBand = 8, jaccardThreshold = 0.8)
+        shingleK = 5, bands = 16, rowsPerBand = 8, jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -336,7 +336,7 @@ object SparkEntry {
     // 0.8 keeps the output linear in true duplicates on denser corpora
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(documents(s, dir), "text", "doc_id",
-        shingleK = 5, bands = 8, rowsPerBand = 8, jaccardThreshold = 0.8)
+        shingleK = 5, bands = 16, rowsPerBand = 8, jaccardThreshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // ---- SimHash near-dup pairs (rows-only) ----

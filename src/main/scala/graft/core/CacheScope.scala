@@ -42,6 +42,14 @@ object CacheScope {
     ds
   }
 
+  /** [[retain]] for a CALLER-provided input frame: if the caller already
+    * cached it, reuse that cache without adopting it — registering a
+    * user-owned cache in the FIFO would let a later eviction unpersist
+    * storage the user established and still relies on. */
+  def retainInput[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE) ds
+    else retain(ds)
+
   /** Number of currently retained caches (test hook). */
   def size: Int = synchronized(retained.length)
 

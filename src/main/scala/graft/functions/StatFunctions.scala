@@ -113,7 +113,10 @@ object BhFdr {
     }
     val minRanks = ranked.groupBy(col(scoreCol).as("__s"))
       .agg(min(col("__pos")).as("__minpos"))
-    ranked.join(minRanks, ranked(scoreCol) === minRanks("__s"))
+    // null-safe equality: rank() keeps null-score rows (they sort first),
+    // so the distributed path must too — a plain === join would silently
+    // drop them
+    ranked.join(minRanks, ranked(scoreCol) <=> minRanks("__s"))
       .withColumn(outCol, col("__minpos").cast("int"))
       .drop("__s", "__minpos", "__pos")
   }

@@ -120,22 +120,10 @@ final case class AggloOp(
   /** Exact Ward agglomeration (Lance-Williams update), labels numbered by
     * first-seen row order like sklearn's deterministic output. */
   private def exactWard(df: DataFrame, features: Seq[String]): DataFrame = {
-    // collect the FULL rows once and derive both the feature matrix and the
-    // labeled output from that single materialization (n ≤ maxExactRows):
-    // re-running the plan for a second job and aligning labels by
-    // monotonically_increasing_id would mislabel rows when a
-    // nondeterministic upstream enumerates them in a different order
-    val fullRows = df.collect()
-    val featIdx = features.map(df.schema.fieldIndex)
-    val rows = fullRows.map { r =>
-      featIdx.map { j =>
-        r.get(j) match {
-          case null                => Double.NaN
-          case x: java.lang.Number => x.doubleValue()
-          case x                   => x.toString.toDouble
-        }
-      }.toArray
-    }
+    // one cached materialization backs the collected feature matrix AND
+    // the labeled output (n ≤ maxExactRows) — only the numeric features
+    // reach the driver; see ExactCollect
+    val (rdd, rows) = ExactCollect.featureMatrix(df, features)
     val n = rows.length
     if (n == 0) return df.withColumn(newColumn, lit(0))
     // cluster membership + sizes + centroids
@@ -180,18 +168,7 @@ final case class AggloOp(
     // relabel clusters 0..k-1 by first occurrence
     val relabel = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
     val labels = parent.map(p => relabel.getOrElseUpdate(p, relabel.size))
-    // build the output from the SAME collected rows the labels were
-    // computed from — joining back to a re-executed plan (by position or
-    // monotonic id) would mislabel rows whenever the second run
-    // enumerates them differently
-    val spark = df.sparkSession
-    val outRows = fullRows.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ labels(i))
-    }
-    val outSchema = df.schema.add(newColumn, org.apache.spark.sql.types.IntegerType)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows.toIndexedSeq,
-        spark.sparkContext.defaultParallelism), outSchema)
+    ExactCollect.labeled(df, rdd, labels, newColumn)
   }
 }
 

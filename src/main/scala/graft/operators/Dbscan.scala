@@ -43,23 +43,10 @@ final case class DbscanOp(
   }
 
   private def exact(df: DataFrame, features: Seq[String]): DataFrame = {
-    // collect the FULL rows once (n ≤ maxExactRows by construction) and
-    // derive both the feature matrix and the output frame from that single
-    // materialization — re-running the plan for a second job and aligning
-    // by monotonically_increasing_id would silently mislabel rows when a
-    // nondeterministic upstream (sample, AQE-coalesced shuffle) enumerates
-    // them in a different order
-    val rows = df.collect()
-    val featIdx = features.map(df.schema.fieldIndex)
-    val pts = rows.map { r =>
-      featIdx.map { j =>
-        r.get(j) match {
-          case null => Double.NaN
-          case x: java.lang.Number => x.doubleValue()
-          case x => x.toString.toDouble
-        }
-      }.toArray
-    }
+    // one cached materialization backs the collected feature matrix AND
+    // the labeled output (n ≤ maxExactRows by construction) — only the
+    // numeric features reach the driver; see ExactCollect
+    val (rdd, pts) = ExactCollect.featureMatrix(df, features)
     val n = pts.length
     val eps2 = eps * eps
     def neighbors(i: Int): Array[Int] = {
@@ -98,18 +85,7 @@ final case class DbscanOp(
       }
       i += 1
     }
-    // build the output from the SAME collected rows the labels were
-    // computed from — joining labels back to a re-executed plan (by
-    // position or monotonic id) would mislabel rows whenever the second
-    // run enumerates them differently
-    val spark = df.sparkSession
-    val outRows = rows.zipWithIndex.map { case (r, i2) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ labels(i2))
-    }
-    val outSchema = df.schema.add(newColumn, org.apache.spark.sql.types.IntegerType)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows.toIndexedSeq,
-        spark.sparkContext.defaultParallelism), outSchema)
+    ExactCollect.labeled(df, rdd, labels, newColumn)
   }
 
   private def grid(df: DataFrame, features: Seq[String]): DataFrame = {

@@ -67,17 +67,19 @@ object Dedup {
     *
     * @param bands       number of LSH bands (signature length = bands·rowsPerBand)
     * @param rowsPerBand rows per band; P(candidate) = 1-(1-j^r)^b. The
-    *   defaults (8×8) put the LSH S-curve threshold (1/b)^(1/r) ≈ 0.77,
-    *   matched to `jaccardThreshold` 0.8: recall > 0.9999 for J ≥ 0.95
-    *   pairs while background pairs (corpora often sit at J ≈ 0.1-0.2)
-    *   become candidates at ~1e-5 — candidate volume stays LINEAR in the
-    *   corpus. Shallower bands (e.g. 16×4, threshold ≈ 0.5) admit ~1% of
+    *   defaults (16 bands × 8 rows, 128 hashes) keep row depth r = 8 so
+    *   background pairs (corpora often sit at J ≈ 0.1-0.2) become
+    *   candidates at ~1e-5 — candidate volume stays LINEAR in the
+    *   corpus — while 16 bands hold recall at the verify threshold:
+    *   95% of J = 0.80 pairs, 99.4% at J = 0.85, > 0.9999 at J ≥ 0.95.
+    *   Shallow rows (e.g. 16×4, S-curve threshold ≈ 0.5) admit ~1% of
     *   ALL pairs: quadratic candidate generation that dominates runtime
-    *   past ~10⁴ docs even when the verify threshold discards them.
+    *   past ~10⁴ docs even when the verify threshold discards them;
+    *   few bands (8×8) silently miss ~23% of exactly-at-threshold pairs.
     */
   def minHashLshPairs(
       df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, bands: Int = 8, rowsPerBand: Int = 8,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
     // shingling happens in ONE UDF whose argument (the normalized text)
     // is evaluated once per row. The expression form — transform(sequence,
@@ -166,7 +168,7 @@ object Dedup {
     * approximation of connected components, exact when clusters are
     * cliques, e.g. true duplicate groups). */
   def minHashLshDedup(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 5, bands: Int = 8, rowsPerBand: Int = 8,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val losers = minHashLshPairs(df, textCol, idCol, shingleK, bands, rowsPerBand, jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()

@@ -71,7 +71,7 @@ final case class DESeq2Unpaired(
     // read by the size-factor count/agg and again by the estimate pass —
     // cache so an expensive upstream plan executes once; the returned
     // plan reads it too, so bounded retention rather than scratch
-    val df = graft.core.CacheScope.retain(df0)
+    val df = graft.core.CacheScope.retainInput(df0)
     val samples: Seq[String] = columnsA ++ columnsB ++ otherGroups.flatMap(_._2)
     val nS = samples.length
     // design: intercept + condition-A indicator (+ one column per "other"

@@ -70,7 +70,7 @@ final case class DESeq2LRT(
   def apply(df0: DataFrame): DataFrame = {
     // read by the size-factor count/agg and again by the estimate pass —
     // cache so an expensive upstream plan executes once (bounded retention)
-    val df = graft.core.CacheScope.retain(df0)
+    val df = graft.core.CacheScope.retainInput(df0)
     val xFull = designFor(full)
     val xRed = designFor(reduced)
     val dfDelta = xFull(0).length - xRed(0).length

@@ -632,9 +632,15 @@ final case class EdgeRUnpaired(
           .repartition(col(index))
           .withColumn("trend_disp", maxUdf(col("m0")))
           .withColumn("l02", l0Udf(col("y"), col("trend_disp")))
-        // robust=TRUE needs two extra aggregation passes over this stage
-        // (quantiles + moments); cache it so the window lineage runs once
-        val s2 = if (robust) { val c = s2base.cache(); scratch += c; c } else s2base
+        // cache when anything makes a second pass over this stage:
+        // robust=TRUE adds the prior-df quantile + moments aggregations,
+        // and the distributed moving average (past the cutoff) launches a
+        // partition-sizing job plus the totals pass before its own cache
+        // exists — uncached, the expensive l0 re-grid would execute twice
+        val s2 =
+          if (robust || nTags > MovingAvgWindowCutoff) {
+            val c = s2base.cache(); scratch += c; c
+          } else s2base
         // tagwise: maximize l02 + prior.n · m0' (m0' = moving avg of l02).
         // prior.n comes from the empirical prior.df (estimateDisp's
         // prior.df=NULL default): per-gene deviance-residual variances at

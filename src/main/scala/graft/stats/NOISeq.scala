@@ -82,10 +82,14 @@ final case class NOISeq(
     // per-column scale factors
     val lib = graft.functions.Normalization.libSizes(zeroed, dataCols)
     val meanLib = dataCols.map(lib).sum / dataCols.size
+    // one cheap count on the cached frame drives every pairFactor's
+    // exact-vs-approx switch instead of a count job per sample column
+    lazy val nGenes = zeroed.count()
     val scales: Map[String, Double] = norm match {
       case "tmm" =>
         val raw = dataCols.map { c =>
-          c -> Tmm2.pairFactor(zeroed, c, dataCols.head, lib(c), lib(dataCols.head))
+          c -> Tmm2.pairFactor(zeroed, c, dataCols.head, lib(c), lib(dataCols.head),
+            nRows = Some(nGenes))
         }.toMap
         val gm = math.exp(raw.values.map(math.log).sum / raw.size)
         dataCols.map(c => c -> meanLib / (lib(c) * raw(c) / gm)).toMap
@@ -265,7 +269,8 @@ object Tmm2 {
       nO: Double, nR: Double,
       logratioTrim: Double = 0.3, sumTrim: Double = 0.05,
       doWeighting: Boolean = true,
-      exactCutoff: Long = 2000000L): Double = {
+      exactCutoff: Long = 2000000L,
+      nRows: Option[Long] = None): Double = {
     if (obsCol == refCol) return 1.0
     val obs = col(obsCol).cast("double"); val rf = col(refCol).cast("double")
     val base = df.select(
@@ -277,19 +282,26 @@ object Tmm2 {
         col("a") =!= Double.NegativeInfinity)
     // the exact-rank windows below are global-order (single-task sorts of
     // the whole genes axis); past the cutoff, trim by approximate
-    // quantile cutoffs instead — same switch as Normalization.tmmFactors
-    val res = if (df.count() > exactCutoff) {
+    // quantile cutoffs instead — same switch as Normalization.tmmFactors.
+    // nRows lets a caller looping over sample columns count once instead
+    // of once per pair.
+    val res = if (nRows.getOrElse(df.count()) > exactCutoff) {
       val cuts = base.agg(
         percentile_approx(col("m"),
           array(lit(logratioTrim), lit(1 - logratioTrim)), lit(10000)).as("mc"),
         percentile_approx(col("a"),
           array(lit(sumTrim), lit(1 - sumTrim)), lit(10000)).as("ac")).collect()(0)
-      val mc = cuts.getSeq[Double](0); val ac = cuts.getSeq[Double](1)
-      base.where(col("m") >= mc(0) && col("m") <= mc(1) &&
-          col("a") >= ac(0) && col("a") <= ac(1))
-        .agg((sum(col("m") / col("w")) / sum(lit(1.0) / col("w"))).as("fw"),
-          avg(col("m")).as("fu"))
-        .collect()
+      // an empty M/A frame yields null quantiles — fall through to the
+      // same documented 1.0 fallback the exact branch produces
+      if (cuts.isNullAt(0) || cuts.isNullAt(1)) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val mc = cuts.getSeq[Double](0); val ac = cuts.getSeq[Double](1)
+        base.where(col("m") >= mc(0) && col("m") <= mc(1) &&
+            col("a") >= ac(0) && col("a") <= ac(1))
+          .agg((sum(col("m") / col("w")) / sum(lit(1.0) / col("w"))).as("fw"),
+            avg(col("m")).as("fu"))
+          .collect()
+      }
     } else {
       val wAll = Window.partitionBy(lit(1))
       val ranked = base

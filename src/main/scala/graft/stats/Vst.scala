@@ -41,7 +41,7 @@ final case class Vst(
     // returned transform) — without a cache the upstream plan (often an
     // expensive aggregation) re-executes per pass; the returned plan also
     // reads it, so bounded retention rather than scratch unpersist
-    val df = graft.core.CacheScope.retain(df0)
+    val df = graft.core.CacheScope.retainInput(df0)
     val samples = df.columns.toSeq.filterNot(_ == index)
     val nS = samples.length
 

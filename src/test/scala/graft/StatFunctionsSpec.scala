@@ -50,8 +50,10 @@ class StatFunctionsSpec extends SparkSpec {
     assert(got == Seq(3, 1, 2))
   }
 
-  test("distributed rankBy equals windowed rankBy, including ties") {
-    val scores = (1 to 400).map(i => ((i * 31) % 13).toDouble) // heavy ties
+  test("distributed rankBy equals windowed rankBy, including ties and nulls") {
+    val scores = (1 to 400).map { i =>
+      if (i % 37 == 0) null else java.lang.Double.valueOf(((i * 31) % 13).toDouble)
+    } // heavy ties + null scores (rank() keeps them; the join must too)
     val df = scores.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
     def ranksOf(out: org.apache.spark.sql.DataFrame): Seq[Int] =
       out.orderBy("id").collect().map(_.getAs[Int]("Rank")).toSeq
