@@ -317,7 +317,7 @@ object SparkEntry {
     "q_dedup_pipeline" -> ((s, dir) => {
       val d = documents(s, dir)
       val afterExact = Dedup.exactDedup(d, "text", "doc_id")
-      // 8×8 banding matched to the 0.8 verify threshold — see
+      // 16×8 banding matched to the 0.8 verify threshold — see
       // q_dedup_minhash; shallower bands generate quadratic candidates
       Dedup.minHashLshDedup(afterExact, "text", "doc_id",
         shingleK = 5, bands = 16, rowsPerBand = 8, jaccardThreshold = 0.8)
@@ -375,6 +375,18 @@ object SparkEntry {
       val e = embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
         k = 10, nlist = 16, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF in exact mode: nprobe = nlist probes every cell, so the
+    //      candidate set is the full corpus and the result equals brute
+    //      force regardless of the learned centroids — oracle-checkable
+    //      with the same SQL as q_similarity_topk ----
+    "q_similarity_ivf_exact" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
+        k = 10, nlist = 16, nprobe = 16)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -633,6 +645,40 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY fingerprint""".stripMargin,
 
+    // LSH output equals the exact all-pairs Jaccard at this threshold:
+    // verification inside buckets is EXACT (so no false positives), and
+    // candidate recall at the corpus' verified-J modes (families ≈ 0.97)
+    // is > 1 - 1e-4 with 16×8 banding — confirmed by running both sides
+    // on the gate corpus. DuckDB recomputes the shingle sets from scratch.
+    "q_dedup_minhash" -> DedupOracle.pairSql(
+      DedupOracle.charShingleCtes("documents"), 0.8),
+
+    "q_dedup_ngram" -> DedupOracle.pairSql(
+      DedupOracle.wordNgramCtes("documents"), 0.4),
+
+    "q_dedup_pipeline" ->
+      s"""${DedupOracle.survivorsCte},
+        |${DedupOracle.charShingleCtes("surv").stripPrefix("WITH ")},
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ${DedupOracle.jaccardExpr} >= 0.8)
+        |SELECT doc_id FROM surv
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_similarity_ivf_exact" -> // nprobe = nlist ⇒ identical to brute force
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS score
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -733,6 +779,67 @@ object SparkEntry {
          |FROM m
          |ORDER BY l_partkey""".stripMargin
     }
+  }
+
+  /** DuckDB SQL builders recomputing the dedup shingle pipelines from
+    * first principles (string shingle sets, not hashes): exact-Jaccard
+    * all-pairs — O(n²) is fine at the sf0.01 correctness-gate corpus.
+    * Shingle semantics mirror [[graft.functions.TextFunctions]]:
+    * normalize = lower + collapse non-alnum + trim; char shingles =
+    * distinct k-substrings (whole string when shorter than k); word
+    * n-grams = space-joined token windows (whole doc when fewer than n
+    * tokens). Jaccard division is (double)|∩| / |∪| in both engines. */
+  private object DedupOracle {
+    val normExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+    /** CTE chain ending in sh(doc_id, s): distinct 5-char shingle sets. */
+    def charShingleCtes(src: String): String =
+      s"""WITH n AS (
+         |  SELECT doc_id, $normExpr AS norm FROM $src),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) < 5 THEN [norm]
+         |         ELSE list_distinct(list_transform(generate_series(1, length(norm) - 4),
+         |              i -> substring(norm, i, 5)))
+         |    END AS s
+         |  FROM n)""".stripMargin
+
+    /** CTE chain ending in sh(doc_id, s): distinct word-3-gram sets. */
+    def wordNgramCtes(src: String): String =
+      s"""WITH n AS (
+         |  SELECT doc_id, $normExpr AS norm FROM $src),
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+         |  FROM n),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |              i -> array_to_string(toks[i:i+2], ' ')))
+         |    END AS s
+         |  FROM t)""".stripMargin
+
+    val jaccardExpr: String =
+      """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin
+
+    /** Full pair query: all-pairs exact Jaccard ≥ threshold. */
+    def pairSql(ctes: String, threshold: Double): String =
+      s"""$ctes,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    $jaccardExpr AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+
+    /** Exact-dedup survivors (min doc_id per content fingerprint). */
+    val survivorsCte: String =
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5($normExpr) ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |surv AS (SELECT doc_id, text FROM d WHERE rn = 1)""".stripMargin
   }
 
   /** SQL fragments for the text oracle, generated from TextFunctions so
