@@ -35,7 +35,8 @@ object ScaleProbe {
       "q_tmm_logcpm", "q_edger", "q_deseq2_wald", "q_vst", "q_kmeans",
       "q_dbscan", "q_pca", "q_text_stats", "q_text_curation",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_similarity_topk")
+      "q_similarity_topk", "q_embedding_neardup", "q_embedding_neardup_approx",
+      "q_agglo")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -96,10 +97,21 @@ object ScaleProbe {
     SparkEntry.queries("q1_agg")(spark, base).count()
 
     println(f"${"query"}%-22s ${"sf0.1"}%9s ${reps + "x"}%9s ${"ratio"}%7s  rows(${reps}x)")
+    // probe-only entries exercising paths the driver contract leaves on
+    // auto (the forced-approx near-dup demonstrates the IVF branch's
+    // sub-quadratic growth even while the corpus sits under the cutoff)
+    def query(n: String, dir: String): DataFrame = n match {
+      case "q_embedding_neardup_approx" =>
+        operators.Similarity.embeddingNearDupPairs(
+          Tables.embeddings(spark, dir), "embedding", "vec_id", 0.45,
+          approximate = Some(true))
+      case _ => SparkEntry.queries(n)(spark, dir)
+    }
+
     names.foreach { n =>
       def t(dir: String): (Double, Long) = {
         val t0 = System.nanoTime()
-        val c = SparkEntry.queries(n)(spark, dir).count()
+        val c = query(n, dir).count()
         ((System.nanoTime() - t0) / 1e9, c)
       }
       try {

@@ -77,6 +77,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup auto-switch: past the cutoff the LSH path engages with exact cosines") {
+    val exact = Similarity.embeddingNearDupPairs(
+      embeddings, "embedding", "vec_id", 0.4, approximate = Some(false))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    // exactCutoff = 0 drives the auto-selection down the approximate branch
+    val auto = Similarity.embeddingNearDupPairs(
+      embeddings, "embedding", "vec_id", 0.4, exactCutoff = 0L)
+      .collect()
+    // LSH output is a subset of exact pairs (no false positives — the
+    // verify cosine is exact) and every hit carries the exact cosine
+    auto.foreach { r =>
+      val key = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(exact.contains(key), s"LSH produced non-near-dup pair $key")
+      assert(math.abs(exact(key) - r.getAs[Double]("cosine")) < 1e-12)
+    }
+    assert(auto.length >= (exact.size * 0.8).toInt,
+      s"LSH recall too low: ${auto.length}/${exact.size}")
+    // below the cutoff the auto path must equal the exact path bit-for-bit
+    val autoExact = Similarity.embeddingNearDupPairs(
+      embeddings, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(autoExact == exact)
+  }
+
   test("multimodal: decoded meta + features are deterministic plumbing") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text").cast("binary").as("payload")).limit(20)
