@@ -105,10 +105,29 @@ final case class AggloOp(
     seed: Long = 42L,
     protect: Seq[String] = Seq("gene_stable_id")) extends ClusterOp {
 
+  /** scipy-convention linkage matrix from the last exact-path fit: rows
+    * (id_a, id_b, dist, size) where singleton clusters are 0..n-1, the
+    * k-th merge creates cluster n+k, and dist is the Ward linkage height
+    * (Euclidean units — √(2·sᵢsⱼ/(sᵢ+sⱼ)·‖cᵢ−cⱼ‖²); singletons merge at
+    * their plain Euclidean distance). Mirrors the reference's exposed
+    * `ScipyAgglomerative` linkage (strategies.py:475-486). None before a
+    * fit or when the BisectingKMeans scale path ran. */
+  @transient var lastLinkage: Option[Array[Array[Double]]] = None
+
+  /** Last linkage as a small DataFrame (n−1 rows — driver-scale by
+    * construction, the dendrogram is what a user plots next). */
+  def linkageFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val rows = lastLinkage.getOrElse(
+      throw new IllegalStateException("fit the exact path first")).toSeq
+    import spark.implicits._
+    rows.map(r => (r(0), r(1), r(2), r(3))).toDF("id_a", "id_b", "dist", "size")
+  }
+
   protected def assignLabels(df: DataFrame, features: Seq[String]): DataFrame = {
     val n = df.count()
     if (n <= maxExactRows) exactWard(df, features)
     else {
+      lastLinkage = None
       val assembled = new VectorAssembler()
         .setInputCols(features.toArray).setOutputCol("__features").transform(df)
       new BisectingKMeans().setK(nClusters).setSeed(seed)
@@ -117,20 +136,30 @@ final case class AggloOp(
     }
   }
 
-  /** Exact Ward agglomeration (Lance-Williams update), labels numbered by
-    * first-seen row order like sklearn's deterministic output. */
+  /** Exact Ward agglomeration by nearest-neighbor chain: O(n²·dim) total
+    * (each chain step scans active clusters once; ≤ 3(n−1) steps), versus
+    * the O(n³) rescan-all-pairs loop this replaced — at the 10k-row cap
+    * that is ~10⁸ operations instead of ~3×10¹¹. Ward distances satisfy
+    * Lance-Williams reducibility, so reciprocal nearest neighbors found
+    * chain-wise merge in an order that yields the SAME dendrogram as
+    * greedy global-minimum merging (ties broken deterministically:
+    * ascending cluster id, chain predecessor preferred on equality).
+    * Labels numbered by first-seen row order like sklearn. */
   private def exactWard(df: DataFrame, features: Seq[String]): DataFrame = {
     // one cached materialization backs the collected feature matrix AND
     // the labeled output (n ≤ maxExactRows) — only the numeric features
     // reach the driver; see ExactCollect
     val (rdd, rows) = ExactCollect.featureMatrix(df, features)
     val n = rows.length
-    if (n == 0) return df.withColumn(newColumn, lit(0))
-    // cluster membership + sizes + centroids
-    val parent = Array.tabulate(n)(identity)
-    val active = scala.collection.mutable.Set(0 until n: _*)
-    val size = Array.fill(n)(1.0)
-    val centroid = rows.map(_.clone())
+    if (n == 0) { lastLinkage = Some(Array.empty); return df.withColumn(newColumn, lit(0)) }
+    val total = 2 * n - 1
+    val size = new Array[Double](total)
+    java.util.Arrays.fill(size, 0, n, 1.0)
+    val centroid = new Array[Array[Double]](total)
+    var i0 = 0
+    while (i0 < n) { centroid(i0) = rows(i0).clone(); i0 += 1 }
+    val alive = new Array[Boolean](total)
+    java.util.Arrays.fill(alive, 0, n, true)
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -138,36 +167,91 @@ final case class AggloOp(
     }
     def ward(i: Int, j: Int): Double =
       (2.0 * size(i) * size(j) / (size(i) + size(j))) * d2(centroid(i), centroid(j))
-    var clusters = n
-    while (clusters > nClusters) {
-      var bi = -1; var bj = -1; var best = Double.MaxValue
-      val act = active.toArray.sorted
-      var x = 0
-      while (x < act.length) {
-        var y = x + 1
-        while (y < act.length) {
-          val w = ward(act(x), act(y))
-          if (w < best) { best = w; bi = act(x); bj = act(y) }
-          y += 1
+    // generation-order merges: (child a, child b, ward value); the chain
+    // stack holds cluster ids whose nearest neighbor is the next element
+    val mergeA = new Array[Int](math.max(n - 1, 0))
+    val mergeB = new Array[Int](math.max(n - 1, 0))
+    val mergeW = new Array[Double](math.max(n - 1, 0))
+    val chain = new Array[Int](total)
+    var top = -1
+    var m = 0
+    while (m < n - 1) {
+      if (top < 0) {
+        var s0 = 0
+        while (!alive(s0)) s0 += 1
+        chain(0) = s0; top = 0
+      }
+      var merged = false
+      while (!merged) {
+        val x = chain(top)
+        val prev = if (top > 0) chain(top - 1) else -1
+        // nearest alive neighbor of x; the chain predecessor wins ties so
+        // reciprocal pairs are always detected (standard NN-chain rule)
+        var best = if (prev >= 0) ward(x, prev) else Double.MaxValue
+        var bi = prev
+        var c = 0
+        while (c < total) {
+          if (alive(c) && c != x && c != prev) {
+            val w = ward(x, c)
+            if (w < best) { best = w; bi = c }
+          }
+          c += 1
         }
-        x += 1
+        if (bi == prev && prev >= 0) {
+          // reciprocal nearest neighbors: merge into generation id n+m
+          val a = math.min(prev, x); val b = math.max(prev, x)
+          mergeA(m) = a; mergeB(m) = b; mergeW(m) = best
+          val g = n + m
+          val tot = size(a) + size(b)
+          val cg = new Array[Double](centroid(a).length)
+          var k = 0
+          while (k < cg.length) {
+            cg(k) = (centroid(a)(k) * size(a) + centroid(b)(k) * size(b)) / tot
+            k += 1
+          }
+          centroid(g) = cg; size(g) = tot
+          alive(a) = false; alive(b) = false; alive(g) = true
+          top -= 2 // rest of the chain stays valid under reducibility
+          m += 1
+          merged = true
+        } else {
+          top += 1; chain(top) = bi
+        }
       }
-      // merge bj into bi
-      val tot = size(bi) + size(bj)
-      var k = 0
-      while (k < centroid(bi).length) {
-        centroid(bi)(k) = (centroid(bi)(k) * size(bi) + centroid(bj)(k) * size(bj)) / tot
-        k += 1
-      }
-      size(bi) = tot
-      active -= bj
-      var r = 0
-      while (r < n) { if (parent(r) == bj) parent(r) = bi; r += 1 }
-      clusters -= 1
     }
+    // sort merges by linkage height (stable: reducibility puts children at
+    // ≤ the parent's height, and equal heights keep generation order, so
+    // every child is relabeled before its parent) and emit scipy ids
+    val order = (0 until n - 1).sortBy(g => mergeW(g))
+    val sortedId = new Array[Int](total)
+    var s1 = 0
+    while (s1 < n) { sortedId(s1) = s1; s1 += 1 }
+    val linkage = new Array[Array[Double]](math.max(n - 1, 0))
+    // union-find over generation ids for the cluster cut
+    val uf = Array.tabulate(total)(identity)
+    def find(v: Int): Int = {
+      var r = v
+      while (uf(r) != r) r = uf(r)
+      var w = v
+      while (uf(w) != r) { val nx = uf(w); uf(w) = r; w = nx }
+      r
+    }
+    val cut = math.max(n - nClusters, 0)
+    order.zipWithIndex.foreach { case (g, k) =>
+      val a = sortedId(mergeA(g)); val b = sortedId(mergeB(g))
+      linkage(k) = Array(math.min(a, b).toDouble, math.max(a, b).toDouble,
+        math.sqrt(mergeW(g)), size(n + g))
+      sortedId(n + g) = n + k
+      if (k < cut) {
+        // removing the (nClusters−1) tallest merges cuts the dendrogram
+        val ra = find(mergeA(g)); val rb = find(mergeB(g))
+        uf(rb) = ra; uf(n + g) = ra
+      }
+    }
+    lastLinkage = Some(linkage)
     // relabel clusters 0..k-1 by first occurrence
     val relabel = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-    val labels = parent.map(p => relabel.getOrElseUpdate(p, relabel.size))
+    val labels = Array.tabulate(n)(r => relabel.getOrElseUpdate(find(r), relabel.size))
     ExactCollect.labeled(df, rdd, labels, newColumn)
   }
 }

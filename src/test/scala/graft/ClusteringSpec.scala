@@ -54,6 +54,45 @@ class ClusteringSpec extends SparkSpec {
     assert(labels("genA") == labels("genB") && labels("genB") == labels("genC"))
   }
 
+  test("ward linkage matrix matches scipy on the 4×6 fixture (strategies.py:475-486)") {
+    val op = AggloOp(sort = false)
+    op(counts).collect()
+    // golden: naive greedy Ward (scipy linkage convention) on the fixture
+    val expected = Seq(
+      Seq(0.0, 1.0, 26.019223662515376, 2.0),
+      Seq(2.0, 4.0, 35.57620927904864, 3.0),
+      Seq(3.0, 5.0, 201.46546436879282, 4.0))
+    val got = op.lastLinkage.get.map(_.toSeq).toSeq
+    assert(got.length == 3)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g(0) == e(0) && g(1) == e(1) && g(3) == e(3), s"$g vs $e")
+      assert(math.abs(g(2) - e(2)) < 1e-9, s"$g vs $e")
+    }
+    val frame = op.linkageFrame(spark).collect()
+    assert(frame.length == 3 && frame(0).getDouble(2) > 26.0 && frame(0).getDouble(2) < 26.1)
+  }
+
+  test("NN-chain ward handles a 2k-row input in driver time (O(n²) path)") {
+    // 2000 rows × 3 features with two planted blobs; the pre-NN-chain
+    // all-pairs rescan took minutes here, the chain runs in < ~2s
+    val rows = (0 until 2000).map { i =>
+      val blob = if (i % 2 == 0) 0.0 else 100.0
+      (s"g$i", blob + i % 7, blob + (i * 3) % 11, blob + (i * 5) % 13)
+    }
+    val df = rows.toDF("gene_stable_id", "f1", "f2", "f3")
+    val t0 = System.nanoTime()
+    val out = AggloOp(sort = false)(df)
+    val labels = out.collect().map(r => (r.getString(0), r.getAs[Int]("Agglo")))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"NN-chain too slow: $secs s")
+    // the two blobs separate perfectly at k=2
+    val byParity = labels.groupBy(_._1.drop(1).toInt % 2).map { case (p, g) =>
+      p -> g.map(_._2).distinct
+    }
+    assert(byParity(0).length == 1 && byParity(1).length == 1)
+    assert(byParity(0).head != byParity(1).head)
+  }
+
   test("KMeans labels with k clusters; predict reuses the model (M1/M3)") {
     val km = KMeansOp(nClusters = 2, sort = false)
     val out = km(counts)

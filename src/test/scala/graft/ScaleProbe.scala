@@ -36,7 +36,7 @@ object ScaleProbe {
       "q_dbscan", "q_pca", "q_text_stats", "q_text_curation",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
       "q_similarity_topk", "q_embedding_neardup", "q_embedding_neardup_approx",
-      "q_agglo")
+      "q_agglo_10k")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -105,6 +105,16 @@ object ScaleProbe {
         operators.Similarity.embeddingNearDupPairs(
           Tables.embeddings(spark, dir), "embedding", "vec_id", 0.45,
           approximate = Some(true))
+      case "q_agglo_10k" =>
+        // the driver query caps at 200 rows; this exercises the exact
+        // NN-chain Ward at its 10k-row default cap
+        operators.AggloOp(nClusters = 3, sort = false, protect = Seq("l_partkey"))(
+          Tables.lineitem(spark, dir).groupBy(col("l_partkey"))
+            .agg(
+              sum(when(col("l_returnflag") === "A", 1).otherwise(0)).cast("double").as("rf_a"),
+              sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("double").as("rf_n"),
+              sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("rf_r"))
+            .orderBy("l_partkey").limit(10000))
       case _ => SparkEntry.queries(n)(spark, dir)
     }
 
