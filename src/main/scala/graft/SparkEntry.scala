@@ -412,19 +412,26 @@ object SparkEntry {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
-    // ---- multimodal plumbing: binary payload → decoded meta + features
-    //      (rows-only; codec stubbed, Spark-side batching real) ----
+    // ---- multimodal: synthesize PNG payloads with id-derived dims,
+    //      decode REAL metadata back through javax.imageio (header-only
+    //      read), extract pixel features. Oracle-checked: the encode →
+    //      decode round-trip must recover exactly the dimensions the SQL
+    //      computes arithmetically. Feature extraction stays in the plan
+    //      (exercised, not selected — PNG byte lengths and pixel sums are
+    //      encoder-specific, not ANSI-SQL-expressible) ----
     "q_multimodal_meta" -> ((s, dir) => {
-      val d = documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val withMeta = Multimodal.withDecodedMeta(d, "payload")
+      val d = documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("h"))
+      val png = Multimodal.withSyntheticPng(d, "w", "h", "payload")
+      val withMeta = Multimodal.withDecodedMeta(png, "payload")
       Multimodal.withFeatures(withMeta, "payload")
+        .where(size(col("features")) === Multimodal.FeatureDim)
         .select(col("doc_id"),
           col("media_meta.format").as("format"),
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"),
-          col("media_meta.n_bytes").as("n_bytes"),
-          element_at(col("features"), 1).as("f0"))
+          col("media_meta.channels").as("channels"))
         .orderBy("doc_id")
     }),
 
@@ -665,6 +672,14 @@ object SparkEntry {
         |  WHERE ${DedupOracle.jaccardExpr} >= 0.8)
         |SELECT doc_id FROM surv
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 5 + 1 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_similarity_ivf_exact" -> // nprobe = nlist ⇒ identical to brute force

@@ -103,25 +103,57 @@ class SimilaritySpec extends SparkSpec {
     assert(autoExact == exact)
   }
 
-  test("multimodal: decoded meta + features are deterministic plumbing") {
+  test("multimodal: real PNG round-trip — encode, header decode, features, resize") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
-      .select(col("doc_id"), col("text").cast("binary").as("payload")).limit(20)
-    val out = Multimodal.withFeatures(Multimodal.withDecodedMeta(d, "payload"), "payload")
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(7)) + 3).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(5)) + 2).cast("int").as("h"))
+      .limit(20)
+    val png = Multimodal.withSyntheticPng(d, "w", "h", "payload")
+    val out = Multimodal.withFeatures(Multimodal.withDecodedMeta(png, "payload"), "payload")
     val rows = out.collect()
     assert(rows.length == 20)
     rows.foreach { r =>
       val meta = r.getStruct(r.fieldIndex("media_meta"))
+      // javax.imageio must recover the exact synthesized dimensions
+      assert(meta.getAs[String]("format") == "png")
+      assert(meta.getAs[Int]("width") == r.getAs[Int]("w"))
+      assert(meta.getAs[Int]("height") == r.getAs[Int]("h"))
+      assert(meta.getAs[Int]("channels") == 3)
       assert(meta.getAs[Long]("n_bytes") > 0)
-      assert(Seq("jpeg", "png", "webp").contains(meta.getAs[String]("format")))
       val feats = r.getSeq[Float](r.fieldIndex("features"))
       assert(feats.length == Multimodal.FeatureDim)
+      // spatial luminance means are real pixel statistics in [0,1]
+      assert(feats.forall(f => f >= 0.0f && f <= 1.0f))
+      assert(feats.exists(_ > 0.0f))
     }
     // deterministic across partitionings
     val again = Multimodal.withFeatures(Multimodal.withDecodedMeta(
-      d.repartition(5), "payload"), "payload")
+      png.repartition(5), "payload"), "payload")
       .orderBy("doc_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")).toList)
     assert(out.orderBy("doc_id").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("features")).toList).toSeq == again.toSeq)
+    // real pixel resize: re-decoded dims equal the target
+    val resized = Multimodal.withDecodedMeta(
+      Multimodal.resizedPayload(png, "payload", 8, 6), "resized_payload", "rmeta")
+    resized.collect().foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("rmeta"))
+      assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 6)
+    }
+  }
+
+  test("multimodal: undecodable payloads fall back deterministically") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")).limit(10)
+    val out = Multimodal.withFeatures(Multimodal.withDecodedMeta(d, "payload"), "payload")
+    out.collect().foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("media_meta"))
+      assert(meta.getAs[String]("format") == "unknown")
+      assert(meta.getAs[Int]("width") == -1)
+      assert(meta.getAs[Long]("n_bytes") > 0)
+      // byte-moment fallback features still populate
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == Multimodal.FeatureDim)
+    }
   }
 
   test("frame sampling explodes deterministic frame indices") {
