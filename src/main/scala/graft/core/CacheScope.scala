@@ -32,11 +32,17 @@ object CacheScope {
   private val retained = scala.collection.mutable.ArrayDeque.empty[Dataset[_]]
 
   /** Cache `ds` and register it for bounded retention; re-retaining an
-    * already-registered frame refreshes its position instead of
-    * double-registering. Returns `ds` for chaining. */
+    * already-registered frame — or any frame with the SAME logical plan —
+    * refreshes its position instead of double-registering. Spark's
+    * CacheManager keys cached data by plan, so two equal-plan Dataset
+    * objects share one cache entry: deduping by object identity would let
+    * the older registration's eviction unpersist the shared data out from
+    * under the newer one (perf-only, lineage recomputes — but it defeats
+    * the retention guarantee). Returns `ds` for chaining. */
   def retain[T](ds: Dataset[T]): Dataset[T] = synchronized {
     ds.cache()
-    retained.filterInPlace(_ ne ds)
+    val plan = ds.queryExecution.analyzed
+    retained.filterInPlace(d => (d ne ds) && !d.queryExecution.analyzed.sameResult(plan))
     retained.append(ds)
     while (retained.length > Max) retained.removeHead().unpersist(blocking = false)
     ds

@@ -18,6 +18,14 @@ import java.nio.file.{Files, Paths}
   * caller-supplied input key (dataset version/path — the analog of the
   * reference's FileInvariant). Changing either produces a new directory;
   * stale entries are simply unreferenced (prune by age out of band).
+  *
+  * Collision caveat: Dataset-valued operator parameters fingerprint as
+  * schema + the analyzed plan's semantic hash (Transformer.render) — NOT
+  * row content. Two frames with the same plan always key the same entry;
+  * if the underlying DATA changed without the plan changing (a parquet
+  * path whose files were rewritten in place), the caller must fold a
+  * version into `inputKey`, exactly as the reference folds FileInvariants
+  * into its job keys.
   */
 final case class CheckpointStore(dir: String) {
 

@@ -75,10 +75,13 @@ object Transformer {
     * key (a Scala Map's toString order depends on insertion order below
     * 5 entries, so equal maps could otherwise hash differently — the
     * reference requires equal params ⇒ equal fingerprints); DataFrames
-    * render as their schema (content cannot be cheaply content-addressed —
-    * callers passing different tables with identical schemas to the same
-    * operator must not rely on the checkpoint cache to tell them apart,
-    * documented on [[graft.core.CheckpointStore]]). */
+    * render as schema PLUS the semantic hash of their analyzed plan, so
+    * two operators wrapping different tables with identical schemas get
+    * distinct fingerprints (same-plan frames still collide on purpose —
+    * that is the cache hit). Content is not hashed: a table whose rows
+    * changed under an unchanged plan (e.g. a re-written parquet path)
+    * must be invalidated via the caller-supplied input key, documented on
+    * [[graft.core.CheckpointStore]]. */
   def render(v: Any): String = v match {
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => (String.valueOf(k), render(x)) }
@@ -86,7 +89,7 @@ object Transformer {
         .mkString("Map(", ", ", ")")
     case o: Option[_] => o.map(render).fold("None")(x => s"Some($x)")
     case df: org.apache.spark.sql.Dataset[_] =>
-      s"DataFrame[${df.schema.catalogString}]"
+      s"DataFrame[${df.schema.catalogString}]@${df.queryExecution.analyzed.semanticHash()}"
     // concrete collection type is erased on purpose: List vs Vector of the
     // same values must fingerprint identically
     case s: scala.collection.Iterable[_] =>

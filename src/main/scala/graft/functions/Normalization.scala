@@ -278,8 +278,12 @@ final case class Tmm(
 
   def apply(df: DataFrame): DataFrame = {
     val cols = graft.operators.Transforms.numericValueColumns(df, protect)
-    val (lib, factors) = Normalization.tmmAndLib(df, cols, approximate = approximate)
-    val logged = Normalization.logCpm(df, cols, lib, factors, priorCount)
+    // tmmAndLib counts + aggregates, and the returned logCpm plan re-reads
+    // the input: cache it here (respecting a caller-established cache)
+    // instead of assuming the caller did
+    val input = graft.core.CacheScope.retainInput(df)
+    val (lib, factors) = Normalization.tmmAndLib(input, cols, approximate = approximate)
+    val logged = Normalization.logCpm(input, cols, lib, factors, priorCount)
     val corrected = batchEffects match {
       case Some(b) => Normalization.removeBatchEffect(logged, cols, b)
       case None    => logged

@@ -166,7 +166,13 @@ object Dedup {
   /** Drop near-duplicates: a doc is removed when a verified pair links it
     * to a smaller id (single-hop winner rule — the standard large-scale
     * approximation of connected components, exact when clusters are
-    * cliques, e.g. true duplicate groups). */
+    * cliques, e.g. true duplicate groups).
+    *
+    * Recall note (inherited from the 16×8 banding defaults): candidate
+    * recall at EXACTLY the default 0.8 threshold is ~95%, so up to ~5% of
+    * precisely-at-threshold near-dups survive dedup; recall exceeds 99.4%
+    * at J ≥ 0.85 and 0.9999 at J ≥ 0.95, where real duplicate families
+    * live. Raise `bands` for tighter at-threshold recall at linear cost. */
   def minHashLshDedup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
@@ -197,11 +203,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into four 16-bit keys
     * (guarantees candidates for hamming distance ≤ 3), verify exact
-    * popcount(xor) ≤ maxHamming inside buckets. */
+    * popcount(xor) ≤ maxHamming inside buckets. Same cache/spread
+    * discipline as [[lshVerifiedPairs]]: spread rows before the
+    * tokenize+simhash UDF (a small parquet arrives as ONE partition) and
+    * cache the signature frame so the banded self-join reads materialized
+    * rows instead of recomputing the signature lineage per side. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.withColumn("__sim", simHash(col(textCol)))
+    val shuffleP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val withSig = df
+      .repartition(shuffleP, col(idCol))
+      .withColumn("__sim", simHash(col(textCol)))
       .select(col(idCol), col("__sim"))
+      // both sides of the self-join below read this; bounded retention
+      .pipe(graft.core.CacheScope.retain)
     val banded = withSig.select(col(idCol), col("__sim"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -86,21 +86,45 @@ object EventStream {
   /** Custom state machine: running per-user totals via
     * flatMapGroupsWithState (the KeyValueGroupedDataset path the reference
     * lacks entirely) — demonstrates arbitrary stateful processing with
-    * processing-time timeout eviction. */
-  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    * EVENT-TIME timeout eviction: a user idle for `idleGapMs` of event time
+    * beyond the watermark has its state removed, so per-user state on an
+    * unbounded stream is bounded by the active-user set, not the all-time
+    * user set. A user returning after eviction restarts from zero (the
+    * semantics of evicting a running total). On a batch frame timeouts
+    * never fire (single batch) and the operator degrades to one total per
+    * user. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame,
+      idleGapMs: Long = 30L * 60 * 1000): DataFrame = {
     import spark.implicits._
-    val ds = events.select(col("event_id"), col("ts"), col("user_id"),
+    val gapMs = idleGapMs
+    // EventTimeTimeout requires a watermark on streaming input
+    val src = if (events.isStreaming) events.withWatermark("ts", "10 minutes") else events
+    val ds = src.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value")).as[Ev]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRunning, UserRunning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          var n = prev.n; var total = prev.total
-          rows.foreach { e => n += 1; total += e.value }
-          val next = UserRunning(uid, n, total)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            // idle user: totals were already emitted on the last update;
+            // drop the state so it cannot accumulate forever
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.n; var total = prev.total
+            var lastTs = Long.MinValue
+            rows.foreach { e =>
+              n += 1; total += e.value
+              if (e.ts.getTime > lastTs) lastTs = e.ts.getTime
+            }
+            val next = UserRunning(uid, n, total)
+            state.update(next)
+            // evict once the watermark passes idleGap beyond this user's
+            // newest event (batch mode ignores the timestamp)
+            if (lastTs != Long.MinValue) state.setTimeoutTimestamp(lastTs + gapMs)
+            Iterator(next)
+          }
       }.toDF()
   }
 

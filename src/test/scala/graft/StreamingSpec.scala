@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(totalN == events.count()) // single batch: one state emission per user
   }
 
+  test("running totals evict idle users via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 360000L * 60000 // epoch-aligned base instant
+    def ev(id: Long, min: Long, uid: Long, v: Double) =
+      EventStream.Ev(id, new java.sql.Timestamp(base + min * 60000), uid, "a", v)
+    val ms = MemoryStream[EventStream.Ev]
+    val q = EventStream.runningUserTotals(spark, ms.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("running_totals")
+      .start()
+    try {
+      // b1: both users at t=0; watermark after b1 = t-10min
+      ms.addData(ev(1, 0, 1, 1.0), ev(2, 0, 2, 1.0)); q.processAllAvailable()
+      // b2: user2 at t=120 → watermark advances to t=110 AFTER this batch
+      ms.addData(ev(3, 120, 2, 1.0)); q.processAllAvailable()
+      // b3 runs with watermark 110 > user1's timeout (0+30) → state evicted
+      ms.addData(ev(4, 150, 2, 1.0)); q.processAllAvailable()
+      // b4: user1 returns — must restart from zero, proving eviction
+      ms.addData(ev(5, 160, 1, 5.0)); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM running_totals").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1)
+        .map(r => (r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+      assert(u1.contains((1L, 1.0)))
+      assert(u1.contains((1L, 5.0)), s"state must restart after eviction, got $u1")
+      assert(!u1.contains((2L, 6.0)), "evicted state must not accumulate")
+      // user2 stayed active throughout — never evicted, keeps accumulating
+      val u2max = rows.filter(_.getAs[Long]("user_id") == 2).map(_.getAs[Long]("n")).max
+      assert(u2max == 3L)
+    } finally q.stop()
+  }
+
   test("end-to-end streaming query: file source -> watermark -> memory sink") {
     val q = EventStream.startTumblingQuery(spark, dir, "stream_out")
     try {
