@@ -43,15 +43,15 @@ final case class FromTable(
 
 object Annotate {
   /** Format-detecting annotation source (reference mbf_compliance.py:57-63
-    * / S5 `FromFile(...).parse()`): `.xlsx` through the JDK-only reader
-    * ([[graft.sources.Excel]]), `.csv` comma-separated, `.json` lines,
-    * `.parquet` native, anything else tab-separated (the reference's
-    * default). All text paths infer header + schema like pandas. */
+    * / S5 `FromFile(...).parse()`): `.xlsx` and legacy `.xls` through the
+    * JDK-only readers ([[graft.sources.Excel]] / [[graft.sources.Biff]]),
+    * `.csv` comma-separated, `.json` lines, `.parquet` native, anything
+    * else tab-separated (the reference's default). All text paths infer
+    * header + schema like pandas. */
   def fromFile(spark: SparkSession, path: String): DataFrame = {
-    require(!path.endsWith(".xls"),
-      "legacy .xls is unsupported; convert to .xlsx/.tsv/.parquet")
     if (path.endsWith(".parquet")) spark.read.parquet(path)
     else if (path.endsWith(".xlsx")) graft.sources.Excel.readXlsx(spark, path)
+    else if (path.endsWith(".xls")) graft.sources.Excel.readXls(spark, path)
     else if (path.endsWith(".json")) spark.read.json(path)
     else {
       val sep = if (path.endsWith(".csv")) "," else "\t"

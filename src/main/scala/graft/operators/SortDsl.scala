@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** One sort step: simultaneous multi-key `sort_values` (reference:
   * src/mdataframe/mdataframe.py:319-487 / O1-O2). `axis=0` sorts rows by
-  * column values; `axis=1` reorders *columns* by the values in given rows. */
-final case class SortStep(by: Seq[String], axis: Int = 0, ascending: Seq[Boolean] = Seq(true)) {
+  * column values; `axis=1` reorders *columns* by the values in given rows.
+  * Keys listed in `computed` sort by the given expression instead of a
+  * stored column — the Scala analog of the reference's callable keys
+  * (mdataframe.py:339-348). */
+final case class SortStep(by: Seq[String], axis: Int = 0, ascending: Seq[Boolean] = Seq(true),
+    computed: Map[String, Column] = Map.empty) {
   require(axis == 0 || axis == 1, s"No axis to sort: $axis.")
   def asc: Seq[Boolean] =
     if (ascending.size == by.size) ascending
@@ -30,16 +34,23 @@ final case class SortStep(by: Seq[String], axis: Int = 0, ascending: Seq[Boolean
   */
 object SortDsl {
 
-  /** Parse the vararg mini-language into consecutive steps. */
+  /** Parse the vararg mini-language into consecutive steps. `(name,
+    * Column)` tuples register a computed key under `name` — the reference
+    * accepts Python callables in the same position (mdataframe.py:339-348);
+    * a named Catalyst expression is the Spark-native equivalent (it stays
+    * in the plan, so the derived key is codegen'd, never materialized). */
   def parse(args: Seq[Any], defaultAxis: Int = 0): Seq[SortStep] = {
     val steps = scala.collection.mutable.ArrayBuffer.empty[SortStep]
     var by: Option[Seq[String]] = None
     var ax = defaultAxis
     var ac: Seq[Boolean] = Seq(true)
+    var comp: Map[String, Column] = Map.empty
     def flush(): Unit = by.foreach { b =>
-      steps += SortStep(b, ax, ac); by = None; ax = defaultAxis; ac = Seq(true)
+      steps += SortStep(b, ax, ac, comp)
+      by = None; ax = defaultAxis; ac = Seq(true); comp = Map.empty
     }
     args.foreach {
+      case (s: String, c: Column) => flush(); by = Some(Seq(s)); comp = Map(s -> c)
       case s: String => flush(); by = Some(Seq(s))
       case b: Boolean => ac = Seq(b)
       case i: Int => ax = i
@@ -74,7 +85,10 @@ object SortDsl {
     if (rowSteps.isEmpty) df
     else {
       val keys: Seq[Column] = rowSteps.reverse.flatMap { st =>
-        st.by.zip(st.asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }
+        st.by.zip(st.asc).map { case (c, a) =>
+          val k = st.computed.getOrElse(c, col(c))
+          if (a) k.asc else k.desc
+        }
       }
       df.orderBy(keys: _*)
     }
@@ -110,7 +124,8 @@ object SortDsl {
     steps.foreach { st =>
       if (st.axis == 1) data = sortColumns(data, mf.index, st)
       else {
-        val missing = st.by.filterNot(data.columns.contains)
+        val missing = st.by.filterNot(c =>
+          data.columns.contains(c) || st.computed.contains(c))
         val fromMeta = mf.metaRows match {
           case Some(meta) =>
             val have = missing.filter(meta.columns.contains)

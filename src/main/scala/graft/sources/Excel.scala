@@ -232,8 +232,27 @@ object Excel {
   /** S5 `FromFile(...).parse()` for xlsx: first sheet → DataFrame with a
     * header row; columns where every non-empty cell parses numeric become
     * DoubleType (pandas read_excel-style inference), others StringType. */
-  def readXlsx(spark: SparkSession, path: String): DataFrame = {
-    val (header, rows) = readSheet(path)
+  def readXlsx(spark: SparkSession, path: String): DataFrame =
+    inferFrame(spark, readSheet(path))
+
+  /** S5 for legacy `.xls` (BIFF8): same contract, [[Biff]] reader. */
+  def readXls(spark: SparkSession, path: String): DataFrame =
+    inferFrame(spark, Biff.readSheet(path))
+
+  /** S7 analog for .xls: sheets data (+ meta_columns, meta_rows). */
+  def writeExcelXls(mf: MFrame, filename: String, full: Boolean = true): Unit = {
+    val sheets = ArrayBuffer("data" -> mf.data)
+    if (full) {
+      mf.metaCols.foreach(m => sheets += ("meta_columns" -> m))
+      mf.metaRows.foreach(m => sheets += ("meta_rows" -> m))
+    }
+    Biff.writeXls(filename, sheets.toSeq)
+  }
+
+  /** Shared pandas-style inference from a (header, string cells) sheet. */
+  private def inferFrame(spark: SparkSession,
+      sheet: (Seq[String], Seq[Seq[Option[String]]])): DataFrame = {
+    val (header, rows) = sheet
     val numeric = header.indices.map { c =>
       val vals = rows.flatMap(_(c))
       vals.nonEmpty && vals.forall(v => scala.util.Try(v.toDouble).isSuccess)

@@ -75,14 +75,60 @@ class ExcelSpec extends SparkSpec {
     val xlsx = dir.resolve("a.xlsx").toString
     import spark.implicits._
     Excel.writeXlsx(xlsx, Seq("t" -> Seq(("genA", 1.5), ("genB", 2.5)).toDF("gid", "score")))
-    Seq(tsv, csv, json, xlsx).foreach { p =>
+    val xls = dir.resolve("a.xls").toString
+    graft.sources.Biff.writeXls(xls, Seq("t" -> Seq(("genA", 1.5), ("genB", 2.5)).toDF("gid", "score")))
+    Seq(tsv, csv, json, xlsx, xls).foreach { p =>
       val df = Annotate.fromFile(spark, p)
       assert(df.columns.sorted.toSeq == Seq("gid", "score"), p)
       val m = df.collect().map(r => r.getAs[String]("gid") ->
         r.getAs[Number]("score").doubleValue()).toMap
       assert(m == Map("genA" -> 1.5, "genB" -> 2.5), p)
     }
-    intercept[IllegalArgumentException](Annotate.fromFile(spark, "old.xls"))
+  }
+
+  test(".xls (BIFF8) round-trip: ministream container, strings + numbers + unicode") {
+    val path = java.nio.file.Files.createTempDirectory("xls").resolve("t.xls").toString
+    graft.sources.Biff.writeXls(path, Seq("data" -> sampleDf))
+    // a small workbook stream must use the CFB ministream (< 4096 bytes)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val back = Excel.readXls(spark, path)
+    assert(back.columns.toSeq == Seq("gene_stable_id", "score", "count", "note"))
+    assert(back.schema("score").dataType.typeName == "double")
+    assert(back.schema("note").dataType.typeName == "string")
+    val rows = back.orderBy("gene_stable_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "genA")
+    assert(rows(0).getDouble(1) == 1.5)
+    assert(rows(0).getDouble(2) == 10.0)
+    assert(rows(0).getString(3) == "coding & <odd> \"chars\"")
+    assert(rows(2).getString(3) == "ünïcødé") // UTF-16 SST entry
+    assert(bytes.length >= 512 + 512) // header + at least one sector
+  }
+
+  test(".xls round-trip: regular-sector container past the 4096 cutoff") {
+    import spark.implicits._
+    // 400 rows × 3 cols ≈ 12 KB of NUMBER/LABELSST records → regular FAT
+    val big = (0 until 400).map(i => (s"gene_$i", i * 1.5, s"note_$i"))
+      .toDF("gid", "score", "note")
+    val path = java.nio.file.Files.createTempDirectory("xls").resolve("big.xls").toString
+    graft.sources.Biff.writeXls(path, Seq("data" -> big))
+    val back = Excel.readXls(spark, path).orderBy(length(col("gid")), col("gid")).collect()
+    assert(back.length == 400)
+    assert(back(0).getString(0) == "gene_0" && back(0).getDouble(1) == 0.0)
+    assert(back(399).getString(0) == "gene_399" && back(399).getString(2) == "note_399")
+  }
+
+  test(".xls multi-sheet write keeps the data sheet first (write_excel analog)") {
+    import spark.implicits._
+    val meta = Seq(("genA", "chr1"), ("genB", "chr2"), ("genC", "chrX"))
+      .toDF("gene_stable_id", "chromosome")
+    val mf = MFrame(sampleDf.select("gene_stable_id", "score"), index = "gene_stable_id")
+      .withMetaRows(meta)
+    val path = java.nio.file.Files.createTempDirectory("xls").resolve("mf.xls").toString
+    Excel.writeExcelXls(mf, path, full = true)
+    val back = Excel.readXls(spark, path)
+    assert(back.columns.toSeq == Seq("gene_stable_id", "score"))
+    assert(back.count() == 3)
   }
 
   test("annotation join from an xlsx table (S5 FromFile path)") {

@@ -72,4 +72,18 @@ class SortDslSpec extends SparkSpec {
   test("unknown sort key raises") {
     intercept[IllegalArgumentException] { SortDsl.sort(MFrame(df), "nope") }
   }
+
+  test("computed key: (name, Column) sorts by a derived expression (mdataframe.py:339-348)") {
+    import org.apache.spark.sql.functions.col
+    // single computed step: x+y descending — a=4, c=4, b=3, d=2, and the
+    // a/c tie resolves via the consecutive "x" sort (last dominates, the
+    // computed step becomes the tiebreaker): x asc = b(1), c(2), d(2), a(3),
+    // c before d on the x tie because x+y desc has c=4 > d=2
+    val sorted = SortDsl.transformer(("xy", col("x") + col("y")), false, "x")(df)
+    assert(order(sorted) == Seq("b", "c", "d", "a"))
+    // MFrame path: computed keys need no column in data or meta
+    val viaMf = SortDsl.sort(MFrame(df), ("neg_y", col("y") * -1), "x")
+    assert(order(viaMf.data) == Seq("b", "c", "d", "a"))
+    assert(!viaMf.data.columns.exists(_.contains("neg_y")))
+  }
 }
