@@ -59,10 +59,26 @@ final case class MFrame(
   /** Apply a transformer to the data block, keeping meta aligned. If the
     * transformer changes the index column set, meta is discarded
     * (mdataframe.py:688-692). */
-  def transform(t: Transformer): MFrame = {
-    val out = t(data)
-    if (out.columns.contains(index)) copy(data = out).dedupMeta
-    else MFrame(out, index, None, metaCols)
+  def transform(t: Transformer): MFrame = transform(t, transformData = true)
+
+  /** `transform` with the reference's modify mask (mdataframe.py:590-676:
+    * `transform_data` / `transform_meta_rows` / `transform_meta_columns`):
+    * the same transformer routes to any subset of the three frames —
+    * renames and elementwise cleanups legitimately apply to metadata too.
+    * metaCols is stored LONG (one row per sample) rather than transposed,
+    * so a metaCols transform sees that long frame directly — no transpose
+    * round-trip like the reference's `.transpose().apply().transpose()`.
+    * The index-change discard rule applies per frame: a data transform
+    * that drops the index discards metaRows (mdataframe.py:688-692). */
+  def transform(t: Transformer, transformData: Boolean,
+      transformMetaRows: Boolean = false,
+      transformMetaCols: Boolean = false): MFrame = {
+    val newData = if (transformData) t(data) else data
+    val newMetaRows = if (transformMetaRows) metaRows.map(t) else metaRows
+    val newMetaCols = if (transformMetaCols) metaCols.map(t) else metaCols
+    if (transformData && !newData.columns.contains(index))
+      MFrame(newData, index, None, newMetaCols)
+    else copy(data = newData, metaRows = newMetaRows, metaCols = newMetaCols).dedupMeta
   }
 
   /** Full frame = data + metaRows columns (used by sinks with full=true,

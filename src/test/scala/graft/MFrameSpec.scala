@@ -47,6 +47,36 @@ class MFrameSpec extends SparkSpec {
     assert(dropped.metaRows.isEmpty)
   }
 
+  test("transform modify-mask routes to data/metaRows/metaCols (mdataframe.py:590-676)") {
+    val meta = Seq(("genA", "x"), ("genB", "y")).toDF("gene_stable_id", "note")
+    val mcols = Seq(("s1", "batch1"), ("s2", "batch2")).toDF("sample", "batch")
+    val mf = MFrame(df.select("gene_stable_id", "s1", "s2"))
+      .withMetaRows(meta).withMetaCols(mcols)
+    val upper = graft.core.Transformer("upper_strings", Nil) { d =>
+      d.select(d.columns.map { c =>
+        if (d.schema(c).dataType.typeName == "string" && c != "gene_stable_id" && c != "sample")
+          org.apache.spark.sql.functions.upper(org.apache.spark.sql.functions.col(c)).as(c)
+        else org.apache.spark.sql.functions.col(c)
+      }.toSeq: _*)
+    }
+    // meta-only routing: data untouched, both meta frames transformed
+    val metaOnly = mf.transform(upper, transformData = false,
+      transformMetaRows = true, transformMetaCols = true)
+    assert(metaOnly.data.collect().map(_.getDouble(1)).sorted.toSeq == Seq(1.0, 3.0))
+    assert(metaOnly.metaRows.get.orderBy("gene_stable_id").collect()
+      .map(_.getString(1)).toSeq == Seq("X", "Y"))
+    assert(metaOnly.metaCols.get.orderBy("sample").collect()
+      .map(_.getString(1)).toSeq == Seq("BATCH1", "BATCH2"))
+    // default mask = data only (back-compat with single-arg transform)
+    val dataOnly = mf.transform(upper)
+    assert(dataOnly.metaRows.get.orderBy("gene_stable_id").collect()
+      .map(_.getString(1)).toSeq == Seq("x", "y"))
+    // index-dropping data transform still discards metaRows under a mask
+    val dropIdx = graft.core.Transformer("drop_index", Nil)(_.drop("gene_stable_id"))
+    assert(mf.transform(dropIdx, transformData = true,
+      transformMetaRows = false).metaRows.isEmpty)
+  }
+
   test("FromTable annotator validates columns and fills (mbf_compliance.py:69-91 / J3)") {
     val anno = Seq(("genA", "chr1")).toDF("gid", "chr")
     val out = FromTable(anno, Seq("chr"), "gene_stable_id", "gid", fill = Some("NA"))(df)
