@@ -201,10 +201,14 @@ object Similarity {
     * 0.5 background — banding that recalls such pairs admits most of the
     * quadratic background (measured 9/66 recall at 8 tables × 10 bits).
     * Cell granularity separates moderate-cosine pairs far better:
-    * measured on the harness embeddings, nlist = n/4, corpusAssign = 2,
-    * nprobe = 12 gives 66/66 (sf0.001, t=0.4) and 14/14 (sf0.01, t=0.45)
-    * recall at ~0.6× the all-pairs compare volume, and the ratio falls as
-    * 1/nlist with growing corpus (cells stay O(1) rows until nlistCap).
+    * measured on the harness embeddings, corpusAssign = 2, nprobe = 12
+    * gives 66/66 (sf0.001, t=0.4) and 14/14 (sf0.01, t=0.45) recall, and
+    * the 30× ScaleProbe corpus verifies EXACT-equal output (995,763
+    * pairs both paths). nlist grows as 4·√n (capped): cells hold ~√n/4
+    * rows, so candidate volume is O(n^1.5) — sub-quadratic — while the
+    * quantizer fit stays O(n·√n) (nlist ∝ n would make the FIT the
+    * quadratic bottleneck: measured 263 s vs 16 s at 15k rows). Past
+    * nlistCap (n ≳ 1M) raise the cap with cluster size.
     *
     * `approximate = None` (the default) auto-selects by row count against
     * [[ExactNearDupCutoff]] — same switch pattern as
@@ -266,7 +270,8 @@ object Similarity {
         // two verify joins below; bounded retention
         .pipe(graft.core.CacheScope.retain)
       val n = u.count()
-      val nlist = math.max(16L, math.min(n / 4, nlistCap.toLong)).toInt
+      val nlist = math.max(16L, math.min((4.0 * math.sqrt(n.toDouble)).toLong,
+        math.min(n / 4, nlistCap.toLong))).toInt
       val toVec = udf((a: Seq[Double]) =>
         org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
       // quantizer trains on a bounded sample: cells only need to be
@@ -289,24 +294,32 @@ object Similarity {
           (c, d)
         }.sortBy(_._2).take(k).map(_._1).toArray
       }
-      // candidate rows stay NARROW (id, cell): the dim-sized vectors join
-      // back only for pairs that survive dedup — same discipline as the
-      // MinHash skeleton in Dedup.lshVerifiedPairs
-      val cSide = u.select(col(idCol).as("id_c"),
+      // score INSIDE the cell join: vectors ride along on the (small)
+      // exploded sides and every joined pair is dotted + thresholded in
+      // the same stage, so the candidate-pair stream is pipelined through
+      // the filter and never shuffled or spilled. The narrow-pairs-then-
+      // join-vectors-back alternative is a trap on dense corpora: at the
+      // 30× probe (60k rows, 2×10⁸ candidates) it materializes
+      // candidates·dim ≈ 200 GB through two shuffles and fills the disk,
+      // while duplicate scoring across shared cells here costs only
+      // ~10¹⁰ flops. Dedup happens on the ~10⁶ surviving pairs.
+      val cSide = u.select(col(idCol).as("id_c"), col("__u").as("__uc"),
         explode(nearestCells(corpusAssign)(col("__u"))).as("__cell"))
-      val qSide = u.select(col(idCol).as("id_q"),
+      val qSide = u.select(col(idCol).as("id_q"), col("__u").as("__uq"),
         explode(nearestCells(nprobe)(col("__u"))).as("__cell"))
-      val cand = qSide.join(cSide, Seq("__cell"))
+      // native codegen'd cosine (doGenCode primitive loop): a boxed
+      // Seq[Double] UDF here costs ~1µs/pair — 250 s at the 30× probe's
+      // 2.5×10⁸ candidates — while the expression keeps the whole
+      // join+score+filter stage in generated code
+      graft.plans.GraftExtensions.register(spark)
+      qSide.join(cSide, Seq("__cell"))
         .where(col("id_q") =!= col("id_c"))
-        .select(least(col("id_q"), col("id_c")).as("id_a"),
-          greatest(col("id_q"), col("id_c")).as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      cand
-        .join(u.select(col(idCol).as("id_a"), col("__u").as("__ua")), Seq("id_a"))
-        .join(u.select(col(idCol).as("id_b"), col("__u").as("__ub")), Seq("id_b"))
-        .withColumn("cosine", dotUdf(col("__ua"), col("__ub")))
+        .withColumn("cosine",
+          graft.plans.GraftExtensions.cosineSim(col("__uq"), col("__uc")))
         .where(col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(least(col("id_q"), col("id_c")).as("id_a"),
+          greatest(col("id_q"), col("id_c")).as("id_b"), col("cosine"))
+        .dropDuplicates("id_a", "id_b")
     }
   }
 }
