@@ -425,11 +425,27 @@ object Biff {
       p ++= unicodeStr8(name)
       p
     }
-    val sstPayload = ArrayBuffer.empty[Byte]
-    putI32(sstPayload, totalRefs); putI32(sstPayload, strings.length)
-    strings.foreach(s => sstPayload ++= sstEntry(s))
+    // SST split into CONTINUE records at STRING boundaries whenever the
+    // current record would exceed the BIFF payload cap (8224) — a u16
+    // record length silently wraps past 65535, corrupting large string
+    // tables; boundary splits need no restated flag byte on read
+    val RecordCap = 8224
+    val sstRecords = ArrayBuffer.empty[(Int, ArrayBuffer[Byte])] // (id, payload)
+    var sstCur = ArrayBuffer.empty[Byte]
+    putI32(sstCur, totalRefs); putI32(sstCur, strings.length)
+    strings.foreach { s =>
+      val e = sstEntry(s)
+      require(e.length <= RecordCap, s"single SST string too long: ${s.length} chars")
+      if (sstCur.length + e.length > RecordCap) {
+        sstRecords += ((if (sstRecords.isEmpty) 0x00FC else 0x003C, sstCur))
+        sstCur = ArrayBuffer.empty[Byte]
+      }
+      sstCur ++= e
+    }
+    sstRecords += ((if (sstRecords.isEmpty) 0x00FC else 0x003C, sstCur))
+    val sstLen = sstRecords.map(_._2.length + 4).sum
     val globalsLen = globalsBof.length +
-      boundPayloads.map(_.length + 4).sum + (4 + sstPayload.length) + 4
+      boundPayloads.map(_.length + 4).sum + sstLen + 4
     val offsets = sheetStreams.scanLeft(globalsLen)((acc, s) => acc + s.length)
     boundPayloads.zipWithIndex.foreach { case (p, i) =>
       val off = offsets(i)
@@ -439,7 +455,7 @@ object Biff {
     val wb = ArrayBuffer.empty[Byte]
     wb ++= globalsBof
     boundPayloads.foreach(p => wb ++= record(0x0085, p))
-    wb ++= record(0x00FC, sstPayload)
+    sstRecords.foreach { case (id, p) => wb ++= record(id, p) }
     wb ++= record(0x000A, ArrayBuffer.empty[Byte])
     sheetStreams.foreach(wb ++= _)
     writeCfb(filename, "Workbook", wb.toArray)

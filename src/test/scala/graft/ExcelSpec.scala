@@ -118,6 +118,21 @@ class ExcelSpec extends SparkSpec {
     assert(back(399).getString(0) == "gene_399" && back(399).getString(2) == "note_399")
   }
 
+  test(".xls SST continuation: >64KB of shared strings split across CONTINUE records") {
+    import spark.implicits._
+    // 3000 distinct ~30-char strings ≈ 100 KB of SST payload — without
+    // CONTINUE splitting the u16 record length wraps and corrupts the file
+    val big = (0 until 3000).map(i => (i.toDouble, s"annotation_value_number_$i${"x" * 12}"))
+      .toDF("k", "label")
+    val path = java.nio.file.Files.createTempDirectory("xls").resolve("sst.xls").toString
+    graft.sources.Biff.writeXls(path, Seq("data" -> big))
+    val back = Excel.readXls(spark, path).orderBy("k").collect()
+    assert(back.length == 3000)
+    assert(back(0).getString(1) == s"annotation_value_number_0${"x" * 12}")
+    assert(back(2999).getString(1) == s"annotation_value_number_2999${"x" * 12}")
+    assert(back.map(_.getString(1)).distinct.length == 3000)
+  }
+
   test(".xls multi-sheet write keeps the data sheet first (write_excel analog)") {
     import spark.implicits._
     val meta = Seq(("genA", "chr1"), ("genB", "chr2"), ("genC", "chrX"))
