@@ -37,6 +37,23 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("equal-plan re-retention dedupes by plan, protecting the shared cache") {
+    CacheScope.releaseAll()
+    // two DISTINCT Dataset objects over the same logical plan share one
+    // CacheManager entry; registering both then evicting the older one
+    // would unpersist the shared data under the newer registration
+    val base = Seq(42).toDF("v")
+    val again = Seq(42).toDF("v") // same plan as base, different object
+    CacheScope.retain(base)
+    CacheScope.retain(again) // dedupes the base registration by sameResult
+    assert(CacheScope.size == 1)
+    // fill to the cap: the single merged registration survives 7 more adds
+    (0 until 7).foreach(i => CacheScope.retain(Seq(i + 100).toDF("v")))
+    assert(CacheScope.size == 8)
+    assert(isCached(base) && isCached(again))
+    CacheScope.releaseAll()
+  }
+
   test("an evicted frame is still usable (recomputed from lineage)") {
     CacheScope.releaseAll()
     val first = Seq(1, 2, 3).toDF("v")

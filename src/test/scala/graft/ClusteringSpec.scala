@@ -72,6 +72,53 @@ class ClusteringSpec extends SparkSpec {
     assert(frame.length == 3 && frame(0).getDouble(2) > 26.0 && frame(0).getDouble(2) < 26.1)
   }
 
+  test("NN-chain ward equals naive greedy Ward on random matrices (property)") {
+    // in-test oracle: textbook greedy global-minimum Ward with scipy
+    // linkage conventions — O(n³), fine at n=40
+    def naiveWard(pts: Array[Array[Double]]): Seq[(Int, Int, Double, Int)] = {
+      val n = pts.length
+      val size = scala.collection.mutable.Map((0 until n).map(i => i -> 1.0): _*)
+      val cent = scala.collection.mutable.Map((0 until n).map(i => i -> pts(i).clone()): _*)
+      val active = scala.collection.mutable.SortedSet((0 until n): _*)
+      def wd(i: Int, j: Int): Double = {
+        val d2 = cent(i).zip(cent(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+        2.0 * size(i) * size(j) / (size(i) + size(j)) * d2
+      }
+      var next = n
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Int)]
+      while (active.size > 1) {
+        val pairs = for (i <- active.toSeq; j <- active.toSeq if i < j) yield (i, j)
+        val (bi, bj) = pairs.minBy { case (i, j) => wd(i, j) }
+        val d = math.sqrt(wd(bi, bj))
+        val s = size(bi) + size(bj)
+        cent(next) = cent(bi).zip(cent(bj)).map { case (a, b) =>
+          (a * size(bi) + b * size(bj)) / s
+        }
+        size(next) = s
+        out += ((bi, bj, d, s.toInt))
+        active -= bi; active -= bj; active += next
+        next += 1
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val pts = Array.fill(40, 4)(rng.nextDouble() * 10)
+      val df = pts.zipWithIndex.map { case (p, i) => (s"r$i", p(0), p(1), p(2), p(3)) }
+        .toSeq.toDF("gene_stable_id", "f1", "f2", "f3", "f4")
+      val op = AggloOp(nClusters = 3, sort = false)
+      op(df).collect()
+      val got = op.lastLinkage.get
+      val want = naiveWard(pts)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, (a, b, d, s)) =>
+        assert(g(0) == a.toDouble && g(1) == b.toDouble,
+          s"trial $trial: merge ids ${g.toSeq} vs ($a,$b,$d,$s)")
+        assert(math.abs(g(2) - d) < 1e-9 && g(3) == s.toDouble)
+      }
+    }
+  }
+
   test("NN-chain ward handles a 2k-row input in driver time (O(n²) path)") {
     // 2000 rows × 3 features with two planted blobs; the pre-NN-chain
     // all-pairs rescan took minutes here, the chain runs in < ~2s
