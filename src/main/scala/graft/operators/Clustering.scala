@@ -219,9 +219,21 @@ final case class AggloOp(
         }
       }
     }
-    // sort merges by linkage height (stable: reducibility puts children at
-    // ≤ the parent's height, and equal heights keep generation order, so
-    // every child is relabeled before its parent) and emit scipy ids
+    // Reducibility makes merge heights mathematically monotone along
+    // dendrogram paths, but floating-point evaluation can invert a parent
+    // below its child by an ulp (different arithmetic paths). Clamp each
+    // parent to at least its children's height IN GENERATION ORDER
+    // (children are always generated first), so the stable height sort
+    // below provably relabels every child before its parent and the
+    // cluster cut unions consistently.
+    var gm = 0
+    while (gm < n - 1) {
+      if (mergeA(gm) >= n) mergeW(gm) = math.max(mergeW(gm), mergeW(mergeA(gm) - n))
+      if (mergeB(gm) >= n) mergeW(gm) = math.max(mergeW(gm), mergeW(mergeB(gm) - n))
+      gm += 1
+    }
+    // sort merges by linkage height (stable: equal heights keep generation
+    // order) and emit scipy ids
     val order = (0 until n - 1).sortBy(g => mergeW(g))
     val sortedId = new Array[Int](total)
     var s1 = 0

@@ -168,69 +168,55 @@ object Multimodal {
     }
   }
 
-  /** Attach a metadata struct decoded from the binary column. */
-  def withDecodedMeta(df: DataFrame, binCol: String, outCol: String = "media_meta"): DataFrame = {
+  /** Shared derive-one-column skeleton: iterator-to-iterator
+    * `mapPartitions` (constant memory, no per-row UDF overhead) appending
+    * `f(row)` under `outCol` — the one place the batching contract lives
+    * for every codec operator below. */
+  private def withDerived(df: DataFrame, outCol: String, outType: DataType)(
+      f: Row => Any): DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema.add(outCol, MetaSchema)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binCol)
-        val (fmt, w, h, c) = ImageCodec.decodeMeta(bytes)
-        val n = if (bytes == null) 0L else bytes.length.toLong
-        Row.fromSeq(row.toSeq :+ Row(fmt, w, h, c, n))
-      }
-    }
+    val schema = df.schema.add(outCol, outType)
+    val rdd = df.rdd.mapPartitions(it => it.map(row => Row.fromSeq(row.toSeq :+ f(row))))
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Attach a metadata struct decoded from the binary column. */
+  def withDecodedMeta(df: DataFrame, binCol: String, outCol: String = "media_meta"): DataFrame =
+    withDerived(df, outCol, MetaSchema) { row =>
+      val bytes = row.getAs[Array[Byte]](binCol)
+      val (fmt, w, h, c) = ImageCodec.decodeMeta(bytes)
+      Row(fmt, w, h, c, if (bytes == null) 0L else bytes.length.toLong)
+    }
+
   /** Attach a feature vector extracted per partition (batched iterator —
     * constant-memory decode, the shape a heavier codec also uses). */
-  def withFeatures(df: DataFrame, binCol: String, outCol: String = "features"): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(outCol, ArrayType(FloatType))
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binCol)
-        Row.fromSeq(row.toSeq :+ ImageCodec.features(bytes).toSeq)
-      }
+  def withFeatures(df: DataFrame, binCol: String, outCol: String = "features"): DataFrame =
+    withDerived(df, outCol, ArrayType(FloatType)) { row =>
+      ImageCodec.features(row.getAs[Array[Byte]](binCol)).toSeq
     }
-    spark.createDataFrame(rdd, schema)
-  }
 
   /** Synthesize deterministic PNG payloads from integer width/height
     * columns (id-seeded pattern). Harness/test helper: real corpora carry
     * their own bytes; queries use this to exercise the encode→decode path
     * end-to-end with oracle-computable dimensions. */
   def withSyntheticPng(df: DataFrame, wCol: String, hCol: String,
-      outCol: String = "payload", seedCol: Option[String] = None): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(outCol, BinaryType)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val w = row.getAs[Int](wCol)
-        val h = row.getAs[Int](hCol)
-        val seed = seedCol.map(c => row.getAs[Long](c)).getOrElse(w.toLong * 31 + h)
-        Row.fromSeq(row.toSeq :+ ImageCodec.synthPng(w, h, seed))
-      }
+      outCol: String = "payload", seedCol: Option[String] = None): DataFrame =
+    withDerived(df, outCol, BinaryType) { row =>
+      val w = row.getAs[Int](wCol)
+      val h = row.getAs[Int](hCol)
+      val seed = seedCol.map(c => row.getAs[Long](c)).getOrElse(w.toLong * 31 + h)
+      ImageCodec.synthPng(w, h, seed)
     }
-    spark.createDataFrame(rdd, schema)
-  }
 
   /** Pixel-level resize of every payload to targetW×targetH (bilinear,
     * PNG re-encode); undecodable payloads pass through unchanged. */
   def resizedPayload(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
-      outCol: String = "resized_payload"): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(outCol, BinaryType)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](binCol)
-        val resized = ImageCodec.resizePng(bytes, targetW, targetH)
-        Row.fromSeq(row.toSeq :+ (if (resized == null) bytes else resized))
-      }
+      outCol: String = "resized_payload"): DataFrame =
+    withDerived(df, outCol, BinaryType) { row =>
+      val bytes = row.getAs[Array[Byte]](binCol)
+      val resized = ImageCodec.resizePng(bytes, targetW, targetH)
+      if (resized == null) bytes else resized
     }
-    spark.createDataFrame(rdd, schema)
-  }
 
   /** Metadata-level resize (no byte rewrite — width/height bookkeeping
     * for planning before the heavy [[resizedPayload]] pass). */

@@ -136,44 +136,60 @@ object Similarity {
     * query fans out to `nprobe` rows and hash-joins its cells — no full
     * corpus scan per query, unlike brute force. Recall rises with
     * `nprobe` (== nlist ⇒ exact). */
+  private val toMlVec = udf((a: Seq[Double]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
+
+  /** Fit the IVF coarse quantizer over a unit-vector column and return
+    * the centroid table (driver-small: nlist × dim doubles). Random init
+    * + capped iterations: the quantizer only needs roughly-balanced cells
+    * (recall is governed by multi-probe, and every candidate is verified
+    * exactly); k-means|| init alone costs several extra distributed
+    * passes. `sampleFrom = Some(n)` bounds the fit to a ≤20k-row sample,
+    * keeping fit cost flat in n. Shared by [[ivfTopK]],
+    * [[embeddingNearDupPairs]] and the NearDupProbe profiler — one place
+    * for the quantizer recipe. */
+  private[graft] def fitQuantizer(u: DataFrame, vecCol: String, nlist: Int,
+      seed: Long, maxIter: Int, sampleFrom: Option[Long] = None): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
+    val fitInput = sampleFrom match {
+      case Some(n) if n > 20000 => u.sample(withReplacement = false, 20000.0 / n, seed)
+      case _ => u
+    }
+    new MlKMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(maxIter)
+      .setFeaturesCol("__f").setPredictionCol("__cell")
+      .fit(fitInput.withColumn("__f", toMlVec(col(vecCol))))
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** Top-k nearest quantizer cells per vector (closure-captured centroid
+    * table, one tight primitive loop per row). */
+  private[graft] def nearestCellsUdf(centroids: Array[Array[Double]], k: Int) =
+    udf { (v: Seq[Double]) =>
+      centroids.indices.map { c =>
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        val m = math.min(ctr.length, v.length)
+        while (i < m) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(k).map(_._1).toArray
+    }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
-    val toVec = udf((a: Seq[Double]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
     val cu = withUnitVec(corpus, vecCol, "__cv")
       .select(col(idCol).as("neighbor_id"), col("__cv"))
-      .withColumn("__f", toVec(col("__cv")))
       // KMeans fit iterates over it and the returned candidate plan reads
       // it again; bounded retention
       .pipe(graft.core.CacheScope.retain)
-    // random init + capped iterations: the coarse quantizer only needs
-    // roughly-balanced cells (recall is governed by nprobe, and
-    // nprobe=nlist stays exact regardless of centroids); k-means|| init
-    // alone costs several extra distributed passes over the corpus
-    val km = new MlKMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(10)
-      .setFeaturesCol("__f").setPredictionCol("__cell").fit(cu)
-    val corpusCells = km.transform(cu).select(col("neighbor_id"), col("__cv"), col("__cell"))
-    // nprobe nearest centroids per query (centroid table is tiny —
-    // closure-captured, one tight loop per query row)
-    val centroids: Array[Array[Double]] = km.clusterCenters.map(_.toArray)
-    val probeUdf = udf { (q: Seq[Double]) =>
-      centroids.indices
-        .map { c =>
-          val ctr = centroids(c)
-          var d = 0.0
-          var i = 0
-          val n = math.min(ctr.length, q.length)
-          while (i < n) { val t = q(i) - ctr(i); d += t * t; i += 1 }
-          (c, d)
-        }
-        .sortBy(_._2).take(nprobe).map(_._1).toArray
-    }
+    val centroids = fitQuantizer(cu, "__cv", nlist, seed, maxIter = 10)
+    val corpusCells = cu.withColumn("__cell",
+      element_at(nearestCellsUdf(centroids, 1)(col("__cv")), 1))
     val q = withUnitVec(queries, vecCol, "__qv")
       .select(col(idCol).as("query_id"), col("__qv"))
-      .withColumn("__cell", explode(probeUdf(col("__qv"))))
+      .withColumn("__cell", explode(nearestCellsUdf(centroids, nprobe)(col("__qv"))))
     val cands = corpusCells.join(q, Seq("__cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", dotUdf(col("__qv"), col("__cv")))
@@ -218,19 +234,14 @@ object Similarity {
       threshold: Double, approximate: Option[Boolean] = None,
       exactCutoff: Long = ExactNearDupCutoff, nlistCap: Int = 4096,
       corpusAssign: Int = 2, nprobe: Int = 12, seed: Long = 42L): DataFrame = {
-    val useApprox = approximate.getOrElse {
-      // one cheap count against the knee; at 100 TB the input is a scan
-      // whose count is O(metadata) for parquet sources
-      df.count() > exactCutoff
-    }
-    if (!useApprox) {
-      // broadcast block-compare: unit vectors fan out once (n·dim doubles,
-      // e.g. 10⁵·64 ≈ 50 MB), each task scans its rows against the
-      // broadcast block in a primitive loop — no 12M-row join
-      // materialization, O(n²·dim / cores) flops. Beyond the cutoff the
-      // auto-switch above selects the LSH-bucketed branch.
-      val spark = df.sparkSession
-      val u = withUnitVec(df, vecCol, "__u").select(col(idCol), col("__u"))
+    val spark = df.sparkSession
+    val uBase = withUnitVec(df, vecCol, "__u").select(col(idCol), col("__u"))
+
+    // broadcast block-compare: unit vectors fan out once (n·dim doubles,
+    // e.g. 10⁵·64 ≈ 50 MB), each task scans its rows against the
+    // broadcast block in a primitive loop — no 12M-row join
+    // materialization, O(n²·dim / cores) flops.
+    def exactPath(u: DataFrame): DataFrame = {
       val idField = u.schema.fields(0)
       val indexed = u.rdd.zipWithIndex().map { case (r, i) =>
         (i, r.get(0), r.getSeq[Double](1).toArray)
@@ -262,51 +273,28 @@ object Similarity {
       spark.createDataFrame(pairs, schema)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
-    } else {
-      import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
-      val spark = df.sparkSession
-      val u = withUnitVec(df, vecCol, "__u").select(col(idCol), col("__u"))
-        // read by: count, quantizer fit/sample, both cell sides, and the
-        // two verify joins below; bounded retention
-        .pipe(graft.core.CacheScope.retain)
-      val n = u.count()
-      val nlist = math.max(16L, math.min((4.0 * math.sqrt(n.toDouble)).toLong,
-        math.min(n / 4, nlistCap.toLong))).toInt
-      val toVec = udf((a: Seq[Double]) =>
-        org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
-      // quantizer trains on a bounded sample: cells only need to be
-      // roughly balanced (recall comes from multi-assign + multi-probe,
-      // verified exactly), so 5 Lloyd iterations on ≤20k rows suffice and
-      // keep the fit cost flat in n
-      val fitInput = (if (n > 20000) u.sample(withReplacement = false, 20000.0 / n, seed) else u)
-        .withColumn("__f", toVec(col("__u")))
-      val km = new MlKMeans().setK(nlist).setSeed(seed)
-        .setInitMode("random").setMaxIter(5)
-        .setFeaturesCol("__f").setPredictionCol("__cell").fit(fitInput)
-      val centroids: Array[Array[Double]] = km.clusterCenters.map(_.toArray)
-      def nearestCells(k: Int) = udf { (v: Seq[Double]) =>
-        centroids.indices.map { c =>
-          val ctr = centroids(c)
-          var d = 0.0
-          var i = 0
-          val m = math.min(ctr.length, v.length)
-          while (i < m) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-          (c, d)
-        }.sortBy(_._2).take(k).map(_._1).toArray
-      }
-      // score INSIDE the cell join: vectors ride along on the (small)
-      // exploded sides and every joined pair is dotted + thresholded in
-      // the same stage, so the candidate-pair stream is pipelined through
-      // the filter and never shuffled or spilled. The narrow-pairs-then-
-      // join-vectors-back alternative is a trap on dense corpora: at the
-      // 30× probe (60k rows, 2×10⁸ candidates) it materializes
-      // candidates·dim ≈ 200 GB through two shuffles and fills the disk,
-      // while duplicate scoring across shared cells here costs only
-      // ~10¹⁰ flops. Dedup happens on the ~10⁶ surviving pairs.
+    }
+
+    // IVF ANN-join. Scoring happens INSIDE the cell join: vectors ride
+    // along on the (small) exploded sides and every joined pair is dotted
+    // + thresholded in the same stage, so the candidate-pair stream is
+    // pipelined through the filter and never shuffled or spilled. The
+    // narrow-pairs-then-join-vectors-back alternative is a trap on dense
+    // corpora: at the 30× probe (60k rows, 2×10⁸ candidates) it
+    // materializes candidates·dim ≈ 200 GB through two shuffles and fills
+    // the disk, while duplicate scoring across shared cells here costs
+    // only ~10¹⁰ flops. Dedup happens on the ~10⁶ surviving pairs.
+    def approxPath(u: DataFrame, nRows: Long): DataFrame = {
+      val nlist = math.max(16L, math.min((4.0 * math.sqrt(nRows.toDouble)).toLong,
+        math.min(nRows / 4, nlistCap.toLong))).toInt
+      // 5 Lloyd iterations on a ≤20k sample keep the fit cost flat in n;
+      // cells only need rough balance (candidates are verified exactly)
+      val centroids = fitQuantizer(u, "__u", nlist, seed, maxIter = 5,
+        sampleFrom = Some(nRows))
       val cSide = u.select(col(idCol).as("id_c"), col("__u").as("__uc"),
-        explode(nearestCells(corpusAssign)(col("__u"))).as("__cell"))
+        explode(nearestCellsUdf(centroids, corpusAssign)(col("__u"))).as("__cell"))
       val qSide = u.select(col(idCol).as("id_q"), col("__u").as("__uq"),
-        explode(nearestCells(nprobe)(col("__u"))).as("__cell"))
+        explode(nearestCellsUdf(centroids, nprobe)(col("__u"))).as("__cell"))
       // native codegen'd cosine (doGenCode primitive loop): a boxed
       // Seq[Double] UDF here costs ~1µs/pair — 250 s at the 30× probe's
       // 2.5×10⁸ candidates — while the expression keeps the whole
@@ -320,6 +308,21 @@ object Similarity {
         .select(least(col("id_q"), col("id_c")).as("id_a"),
           greatest(col("id_q"), col("id_c")).as("id_b"), col("cosine"))
         .dropDuplicates("id_a", "id_b")
+    }
+
+    approximate match {
+      case Some(false) => exactPath(uBase)
+      case Some(true) =>
+        // quantizer fit/sample + both cell sides read it; bounded retention
+        val u = graft.core.CacheScope.retain(uBase)
+        approxPath(u, u.count())
+      case None =>
+        // ONE count serves both the cutoff decision and nlist sizing —
+        // cached first so the switch scan is not a second full pass over
+        // an expensive upstream plan
+        val u = graft.core.CacheScope.retain(uBase)
+        val n = u.count()
+        if (n > exactCutoff) approxPath(u, n) else exactPath(u)
     }
   }
 }

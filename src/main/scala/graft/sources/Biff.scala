@@ -99,6 +99,8 @@ object Biff {
       var s = start
       var guard = 0
       while (s != EndOfChain && s != FreeSect && guard <= fat.length) {
+        require(s >= 0 && s < fat.length,
+          s"corrupt CFB: FAT chain sector $s out of bounds (${fat.length} entries)")
         val base = sector(s)
         out ++= java.util.Arrays.copyOfRange(bytes, base, math.min(base + sectorSize, bytes.length))
         s = fat(s); guard += 1
@@ -135,6 +137,8 @@ object Biff {
         var s = target.startSect
         var guard = 0
         while (s != EndOfChain && s != FreeSect && guard * 4 <= miniFatBytes.length) {
+          require(s >= 0 && (s + 1) * 4 <= miniFatBytes.length,
+            s"corrupt CFB: mini-FAT chain sector $s out of bounds")
           val base = s * miniSize
           out ++= java.util.Arrays.copyOfRange(miniStream, base,
             math.min(base + miniSize, miniStream.length))
@@ -358,6 +362,14 @@ object Biff {
     val grids = sheets.map { case (_, df) =>
       val header = df.columns.toSeq.map(_.asInstanceOf[Any])
       header +: df.collect().toSeq.map(_.toSeq)
+    }
+    // BIFF8 hard limits: u16 row, u8-addressable columns. Fail loudly —
+    // silent u16 wrap-around would overwrite rows 0..k with rows 65536+k
+    grids.foreach { g =>
+      require(g.length <= 65536,
+        s".xls sheets hold at most 65536 rows (incl. header), got ${g.length}; use parquet/TSV for large frames")
+      require(g.headOption.forall(_.length <= 256),
+        s".xls sheets hold at most 256 columns, got ${g.headOption.fold(0)(_.length)}")
     }
     val strings = ArrayBuffer.empty[String]
     val sstIndex = scala.collection.mutable.HashMap.empty[String, Int]

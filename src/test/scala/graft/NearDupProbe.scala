@@ -25,23 +25,11 @@ object NearDupProbe {
     u.count()
     val nlist = math.max(16L, math.min((4.0 * math.sqrt(n.toDouble)).toLong, n / 4)).toInt
     println(s"PROBE nlist=$nlist")
-    val toVec = udf((a: Seq[Double]) => org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
     val t0 = System.nanoTime()
-    val km = new org.apache.spark.ml.clustering.KMeans().setK(nlist).setSeed(42L)
-      .setInitMode("random").setMaxIter(5)
-      .setFeaturesCol("__f").setPredictionCol("__cell")
-      .fit(u.withColumn("__f", toVec(col("__u"))))
+    val centroids = operators.Similarity.fitQuantizer(
+      u, "__u", nlist, seed = 42L, maxIter = 5, sampleFrom = Some(n))
     println(f"PROBE kmeans_fit=${(System.nanoTime() - t0) / 1e9}%.1fs")
-    val centroids = km.clusterCenters.map(_.toArray)
-    def nearestCells(k: Int) = udf { (v: Seq[Double]) =>
-      centroids.indices.map { c =>
-        val ctr = centroids(c)
-        var d = 0.0; var i = 0
-        val m = math.min(ctr.length, v.length)
-        while (i < m) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        (c, d)
-      }.sortBy(_._2).take(k).map(_._1).toArray
-    }
+    def nearestCells(k: Int) = operators.Similarity.nearestCellsUdf(centroids, k)
     val cSide = u.select(col("vec_id").as("id_c"),
       explode(nearestCells(2)(col("__u"))).as("__cell")).cache()
     val qSide = u.select(col("vec_id").as("id_q"),
