@@ -103,4 +103,44 @@ class RobustnessSpec extends SparkSpec {
     val factors = graft.functions.Normalization.tmmFactors(df, Seq("s1", "s2", "s3"))
     assert(factors.values.forall(v => !v.isNaN && !v.isInfinite && v > 0), factors.toString)
   }
+
+  test("AggloOp degenerate sizes: empty, singleton, n == k") {
+    val empty = Seq.empty[(String, Double, Double)].toDF("gene_stable_id", "f1", "f2")
+    val op0 = graft.operators.AggloOp(nClusters = 2, sort = false)
+    assert(op0(empty).count() == 0)
+    val one = Seq(("g1", 1.0, 2.0)).toDF("gene_stable_id", "f1", "f2")
+    val op1 = graft.operators.AggloOp(nClusters = 2, sort = false)
+    val r1 = op1(one).collect()
+    assert(r1.length == 1 && r1(0).getAs[Int]("Agglo") == 0)
+    assert(op1.lastLinkage.get.isEmpty)
+    val three = Seq(("g1", 1.0, 2.0), ("g2", 9.0, 9.0), ("g3", 1.1, 2.1))
+      .toDF("gene_stable_id", "f1", "f2")
+    val op3 = graft.operators.AggloOp(nClusters = 3, sort = false)
+    // n == k: every row its own cluster, linkage still n-1 rows
+    assert(op3(three).select("Agglo").distinct().count() == 3)
+    assert(op3.lastLinkage.get.length == 2)
+  }
+
+  test("embedding near-dup handles empty and single-row inputs on both paths") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.embeddingNearDupPairs(
+      empty, "embedding", "vec_id", 0.5).count() == 0)
+    val one = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.embeddingNearDupPairs(
+      one, "embedding", "vec_id", 0.5).count() == 0)
+    // forced-approximate on a tiny frame: quantizer must clamp nlist ≤ n
+    assert(graft.operators.Similarity.embeddingNearDupPairs(
+      Seq((1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.01)), (3L, Array(-1.0, 0.0)))
+        .toDF("vec_id", "embedding"),
+      "embedding", "vec_id", 0.5, approximate = Some(true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test(".xls round-trips a header-only (zero-row) frame") {
+    val hdr = Seq.empty[(String, Double)].toDF("gid", "score")
+    val path = java.nio.file.Files.createTempDirectory("xls").resolve("hdr.xls").toString
+    graft.sources.Biff.writeXls(path, Seq("data" -> hdr))
+    val back = graft.sources.Excel.readXls(spark, path)
+    assert(back.columns.toSeq == Seq("gid", "score") && back.count() == 0)
+  }
 }
