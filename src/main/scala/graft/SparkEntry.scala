@@ -19,6 +19,9 @@ import graft.Tables._
   *  - count matrices aggregate integer-valued doubles — exact in IEEE;
   *  - derived columns use only +,-,*,/ ,sqrt, comparisons (IEEE-exact given
   *    identical expression trees) — no transcendentals, no engine `round`;
+  *    where a pipeline is irreducibly transcendental (TMM's log2), BOTH
+  *    sides round to 4 decimals and the query comment argues why the
+  *    cross-engine error is orders of magnitude inside the bucket;
   *  - every computed column is aliased identically on both sides;
   *  - every query ends in a total-order `orderBy`.
   */
@@ -102,6 +105,24 @@ object SparkEntry {
     }),
 
     // ---- E1 elementwise transform chain (mdataframe.py:489-676) ----
+    // ---- O1 computed sort keys (the reference's callable keys,
+    //      mdataframe.py:339-348): a (name, Column) DSL entry sorts by a
+    //      derived expression that never materializes outside the plan.
+    //      Two steps — the later computed-revenue step dominates, the
+    //      earlier (l_orderkey, l_linenumber) step becomes the tiebreak,
+    //      exercising the reference's last-sort-wins chaining. Per-row
+    //      double products are IEEE-exact, so no rounding is needed. ----
+    "q_sort_computed" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("double") *
+        (lit(1.0) - col("l_discount").cast("double"))
+      val steps = SortDsl.parse(Seq(
+        Seq("l_orderkey", "l_linenumber"), true,
+        ("revenue", rev), false))
+      SortDsl.sortRows(lineitem(s, dir), steps)
+        .select(col("l_orderkey"), col("l_linenumber"), rev.as("revenue"))
+        .limit(100)
+    }),
+
     "q_elementwise" -> ((s, dir) => {
       val base = lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -200,9 +221,20 @@ object SparkEntry {
     // ---- A8 full TMM → log2 CPM (edgeR algorithm; rows-only check —
     //      transcendental math is not bit-reproducible across engines;
     //      conformance is pinned by NormalizationSpec golden values) ----
-    "q_tmm_logcpm" -> ((s, dir) =>
-      graft.functions.Tmm(protect = Seq("l_partkey"))(countMatrix(s, dir))
-        .orderBy("l_partkey")),
+    // ---- A8 TMM → log2 CPM, oracle-checked: the full edgeR TMM pipeline
+    //      is re-derived in DuckDB SQL (TmmOracle — exact type-7
+    //      quantiles, average-rank trim, trimmed weighted mean,
+    //      geometric-mean normalization, prior-scaled log-CPM). log2 is
+    //      transcendental, so cross-engine doubles differ in the last
+    //      bits; BOTH sides round to 4 decimals (~1e-13 relative noise
+    //      vs a 1e-4 bucket). Rank-trim tie groups are exact rational
+    //      equalities of count ratios — identical in both engines. ----
+    "q_tmm_logcpm" -> ((s, dir) => {
+      val t = graft.functions.Tmm(protect = Seq("l_partkey"))(countMatrix(s, dir))
+      t.select(col("l_partkey") +:
+          Seq("rf_a", "rf_n", "rf_r").map(c => round(col(c), 4).as(c)): _*)
+        .orderBy("l_partkey")
+    }),
 
     // ---- D5 NOISeq differential expression (rows-only: TMM factors and
     //      the noise distribution are not ANSI-SQL-expressible; M/D/Rank
@@ -236,12 +268,30 @@ object SparkEntry {
         countMatrix(s, dir), Seq("rf_a", "rf_n", "rf_r"), BatchEffectOracle.batches)
         .orderBy("l_partkey")),
 
-    // ---- M3 DBSCAN density clustering (rows-only: label assignment not
-    //      SQL-expressible; contract pinned by DbscanSpec) ----
-    "q_dbscan" -> ((s, dir) =>
-      DbscanOp(eps = 4.0, minSamples = 5, protect = Seq("l_partkey"))(countMatrix(s, dir))
-        .select(col("l_partkey"), col("DBSCAN").as("cluster"))
-        .orderBy("l_partkey")),
+    // ---- M3 DBSCAN density clustering, oracle-checked. The query runs
+    //      on the high-count shell (row sum ≥ 38), where the integer
+    //      lattice fragments into 5 clusters + border + noise (the full
+    //      matrix is one connected blob at any workable ε — structurally
+    //      useless as a clustering demo), then relabels every cluster to
+    //      its minimum member l_partkey, erasing discovery-order
+    //      numbering. At (eps=1.8, minSamples=4) NO border point touches
+    //      two clusters (verified exhaustively on the gate data), so the
+    //      canonical labels are fully order-independent and equal the
+    //      DuckDB re-derivation: core = ε-self-join degree ≥ minSamples,
+    //      clusters = recursive-CTE connected components over core-core
+    //      edges, borders adopt their core neighbors' cluster. Squared
+    //      distances are exact integers, so ε² comparisons cannot
+    //      straddle float noise. ----
+    "q_dbscan" -> ((s, dir) => {
+      val m = countMatrix(s, dir)
+        .where(col("rf_a") + col("rf_n") + col("rf_r") >= 38)
+      DbscanOp(eps = 1.8, minSamples = 4, protect = Seq("l_partkey"))(m)
+        .withColumn("cluster",
+          when(col("DBSCAN") === -1, lit(-1L))
+            .otherwise(min(col("l_partkey")).over(Window.partitionBy(col("DBSCAN")))))
+        .select("l_partkey", "cluster")
+        .orderBy("l_partkey")
+    }),
 
     // ---- D4 DESeq2 LRT (intended semantics of the reference's broken
     //      DESeq2Timeseries; rows-only, contract pinned by DESeq2LRTSpec) ----
@@ -476,9 +526,32 @@ object SparkEntry {
         .select(col("l_partkey"), col("Agglo").as("cluster"))
         .orderBy("l_partkey")),
 
-    "q_pca" -> ((s, dir) =>
-      PcaOp(nComponents = 2, protect = Seq("l_partkey"))(countMatrix(s, dir))
-        .orderBy("sample")),
+    // ---- M5/M9 PCA, oracle-checked. The samples×samples Gram is 3×3
+    //      here, so DuckDB can solve the SAME eigenproblem in closed
+    //      form (trigonometric cubic roots; eigenvectors = cross
+    //      products of (G−λI) rows — measured agreement with the
+    //      driver-side LAPACK path ~1e-11). Eigenvector sign is
+    //      arbitrary, so BOTH sides flip each component to make the
+    //      first sample's coordinate positive (|coord| ≥ 17 on the gate
+    //      data — far from the flip boundary), rename to positional
+    //      pc1/pc2 (the reference's dynamic "expl.var" labels are not
+    //      SQL-expressible), and round to 4 decimals. ----
+    "q_pca" -> ((s, dir) => {
+      val op = PcaOp(nComponents = 2, protect = Seq("l_partkey"))
+      // positional rename: the reference's "PC1 (expl.var = …%)" labels
+      // embed data-dependent percentages (and dots that fight column
+      // resolution) — static names are what the oracle can address
+      val out = op(countMatrix(s, dir)).toDF("sample", "c1", "c2")
+      val ev = op.explainedVarianceRatio
+      val first = out.orderBy("sample").limit(1).collect()(0)
+      def sg(i: Int): Double = if (first.getDouble(i) < 0) -1.0 else 1.0
+      out.select(col("sample"),
+          round(col("c1") * sg(1), 4).as("pc1"),
+          round(col("c2") * sg(2), 4).as("pc2"),
+          round(lit(ev(0)), 4).as("expl_var1"),
+          round(lit(ev(1)), 4).as("expl_var2"))
+        .orderBy("sample")
+    }),
 
     // ---- stream-static enrichment join + windowed per-segment counts ----
     "q_stream_enriched" -> ((s, dir) => {
@@ -535,6 +608,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |ORDER BY l_quantity DESC, l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q_sort_computed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber
         |LIMIT 100""".stripMargin,
 
     "q_elementwise" ->
@@ -621,6 +701,91 @@ object SparkEntry {
         |ORDER BY l_partkey""".stripMargin,
 
     "q_batch_effect" -> BatchEffectOracle.sql(CountMatrixSql),
+
+    "q_tmm_logcpm" -> TmmOracle.sql(CountMatrixSql),
+
+    // Closed-form 3×3 symmetric eigenproblem (trigonometric cubic
+    // roots; eigenvectors = cross products of (G−λI) rows), mirroring
+    // PcaOp's one-pass centered Gram. See the queries entry for the
+    // sign-canonicalization argument.
+    "q_pca" ->
+      s"""WITH m AS ($CountMatrixSql),
+        |c AS (SELECT rf_a - (rf_a+rf_n+rf_r)/3.0 AS ca,
+        |             rf_n - (rf_a+rf_n+rf_r)/3.0 AS cn,
+        |             rf_r - (rf_a+rf_n+rf_r)/3.0 AS cr FROM m),
+        |g AS (SELECT SUM(ca*ca) AS a11, SUM(ca*cn) AS a12, SUM(ca*cr) AS a13,
+        |             SUM(cn*cn) AS a22, SUM(cn*cr) AS a23, SUM(cr*cr) AS a33 FROM c),
+        |t1 AS (SELECT *, (a11+a22+a33)/3.0 AS q FROM g),
+        |t2 AS (SELECT *, sqrt(((a11-q)*(a11-q)+(a22-q)*(a22-q)+(a33-q)*(a33-q)
+        |  + 2.0*(a12*a12+a13*a13+a23*a23))/6.0) AS p FROM t1),
+        |t4 AS (SELECT *, ((a11-q)/p*((a22-q)/p*(a33-q)/p - a23/p*a23/p)
+        |  - a12/p*(a12/p*(a33-q)/p - a23/p*a13/p)
+        |  + a13/p*(a12/p*a23/p - (a22-q)/p*a13/p))/2.0 AS r FROM t2),
+        |t5 AS (SELECT *, acos(GREATEST(LEAST(r, 1.0), -1.0))/3.0 AS phi FROM t4),
+        |lam AS (SELECT *, q + 2.0*p*cos(phi) AS l1,
+        |                  q + 2.0*p*cos(phi + 2.0*pi()/3.0) AS l3 FROM t5),
+        |lam2 AS (SELECT *, 3.0*q - l1 - l3 AS l2 FROM lam),
+        |vraw AS (SELECT k.pc,
+        |    CASE k.pc WHEN 1 THEN l1 ELSE l2 END AS lv,
+        |    a12*a23 - a13*(a22 - CASE k.pc WHEN 1 THEN l1 ELSE l2 END) AS vx,
+        |    a13*a12 - (a11 - CASE k.pc WHEN 1 THEN l1 ELSE l2 END)*a23 AS vy,
+        |    (a11 - CASE k.pc WHEN 1 THEN l1 ELSE l2 END)
+        |      * (a22 - CASE k.pc WHEN 1 THEN l1 ELSE l2 END) - a12*a12 AS vz
+        |  FROM lam2, (VALUES (1),(2)) k(pc)),
+        |vnorm AS (SELECT pc, lv,
+        |    vx/sqrt(vx*vx+vy*vy+vz*vz) AS ux, vy/sqrt(vx*vx+vy*vy+vz*vz) AS uy,
+        |    vz/sqrt(vx*vx+vy*vy+vz*vz) AS uz FROM vraw),
+        |coords AS (SELECT pc, lv,
+        |    (CASE WHEN ux < 0 THEN -1.0 ELSE 1.0 END) * ux * sqrt(GREATEST(lv, 0.0)) AS c1,
+        |    (CASE WHEN ux < 0 THEN -1.0 ELSE 1.0 END) * uy * sqrt(GREATEST(lv, 0.0)) AS c2,
+        |    (CASE WHEN ux < 0 THEN -1.0 ELSE 1.0 END) * uz * sqrt(GREATEST(lv, 0.0)) AS c3
+        |  FROM vnorm),
+        |tot AS (SELECT GREATEST(l1,0.0)+GREATEST(l2,0.0)+GREATEST(l3,0.0) AS t FROM lam2)
+        |SELECT s.sample,
+        |  round(CASE s.i WHEN 1 THEN (SELECT c1 FROM coords WHERE pc=1)
+        |                 WHEN 2 THEN (SELECT c2 FROM coords WHERE pc=1)
+        |                 ELSE (SELECT c3 FROM coords WHERE pc=1) END, 4) AS pc1,
+        |  round(CASE s.i WHEN 1 THEN (SELECT c1 FROM coords WHERE pc=2)
+        |                 WHEN 2 THEN (SELECT c2 FROM coords WHERE pc=2)
+        |                 ELSE (SELECT c3 FROM coords WHERE pc=2) END, 4) AS pc2,
+        |  round((SELECT GREATEST(lv,0.0) FROM coords WHERE pc=1)
+        |    / GREATEST((SELECT t FROM tot), 1e-300), 4) AS expl_var1,
+        |  round((SELECT GREATEST(lv,0.0) FROM coords WHERE pc=2)
+        |    / GREATEST((SELECT t FROM tot), 1e-300), 4) AS expl_var2
+        |FROM (VALUES ('rf_a', 1), ('rf_n', 2), ('rf_r', 3)) s(sample, i)
+        |ORDER BY sample""".stripMargin,
+
+    // Exact DBSCAN re-derived in SQL: ε-ball self-join → core degree →
+    // recursive-CTE connected components (min-id propagation) → border
+    // adoption → canonical min-member relabel. See the queries entry for
+    // why this is order-independent on the gate data.
+    "q_dbscan" ->
+      s"""WITH cm AS ($CountMatrixSql),
+        |m AS (SELECT * FROM cm WHERE rf_a + rf_n + rf_r >= 38),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM m a JOIN m b
+        |  ON (a.rf_a-b.rf_a)*(a.rf_a-b.rf_a) + (a.rf_n-b.rf_n)*(a.rf_n-b.rf_n)
+        |     + (a.rf_r-b.rf_r)*(a.rf_r-b.rf_r) <= 3.24),
+        |core AS (SELECT pa AS id FROM pairs GROUP BY pa HAVING count(*) >= 4),
+        |ce AS (SELECT pa, pb FROM pairs
+        |  WHERE pa IN (SELECT id FROM core) AND pb IN (SELECT id FROM core)),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT id, id FROM core
+        |    UNION
+        |    SELECT e.pb, r.rep FROM r JOIN ce e ON e.pa = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node),
+        |assigned AS (
+        |  SELECT m.l_partkey,
+        |    COALESCE(c.rep,
+        |      (SELECT MIN(c2.rep) FROM pairs p JOIN comp c2 ON p.pb = c2.node
+        |       WHERE p.pa = m.l_partkey)) AS rep
+        |  FROM m LEFT JOIN comp c ON m.l_partkey = c.node)
+        |SELECT l_partkey,
+        |  CASE WHEN rep IS NULL THEN CAST(-1 AS BIGINT)
+        |       ELSE MIN(l_partkey) OVER (PARTITION BY rep) END AS cluster
+        |FROM assigned
+        |ORDER BY l_partkey""".stripMargin,
 
     "q_bh_fdr" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber,
@@ -783,6 +948,96 @@ object SparkEntry {
 
   /** Batch assignment + oracle SQL for q_batch_effect, generated from the
     * SAME projection matrix the operator uses (cannot drift). */
+  /** DuckDB re-derivation of the full edgeR TMM → log-CPM pipeline
+    * ([[graft.functions.Normalization.tmmAndLib]] exact path +
+    * [[graft.functions.Normalization.logCpm]], prior.count = 5):
+    *
+    *  - library sizes + exact type-7 75th percentiles (`quantile_cont`
+    *    mirrors Spark's `percentile` interpolation bit-for-bit on
+    *    integer counts);
+    *  - reference column = first minimum of |f75 − mean| in column
+    *    declaration order (Scala `minBy` tie semantics);
+    *  - M/A/weight values over genes with positive counts on both sides;
+    *  - two-sided trim by R average ranks (rank() + (peers−1)/2): tie
+    *    groups are exact rational equalities of count ratios — e.g.
+    *    (5,7) vs (10,14) yields bit-identical IEEE ratios — so they
+    *    form identically in both engines, and distinct ratios sit
+    *    hundreds of ulps apart, far outside cross-engine log2 jitter;
+    *  - trimmed weighted mean, 2^f with edgeR's |M|max < 1e-6 guard,
+    *    geometric-mean normalization, prior-scaled log2 CPM.
+    *
+    * Both sides round to 4 decimals: the only cross-engine
+    * nondeterminism left is summation order inside the trimmed means
+    * (~1e-13 relative), far inside the 1e-4 bucket. */
+  private object TmmOracle {
+    def sql(countMatrixSql: String): String = {
+      val cols = Seq("rf_a", "rf_n", "rf_r")
+      val libs = cols.map(c => s"SUM($c) AS l_$c").mkString(", ")
+      val quarts = cols.map(c => s"quantile_cont($c, 0.75) AS p_$c").mkString(", ")
+      val fr = cols.map(c => s"p_$c / l_$c AS f_$c").mkString(", ")
+      val mean3 = cols.map(c => s"p_$c / l_$c").mkString("(", " + ", s") / ${cols.size}.0")
+      val ds = cols.map(c => s"abs(f_$c - mean3)")
+      val refCase =
+        s"""CASE WHEN ${ds(0)} <= ${ds(1)} AND ${ds(0)} <= ${ds(2)} THEN '${cols(0)}'
+           |       WHEN ${ds(1)} <= ${ds(2)} THEN '${cols(1)}'
+           |       ELSE '${cols(2)}' END""".stripMargin
+      def pick(sel: String, f: String => String) =
+        s"CASE $sel ${cols.map(c => s"WHEN '$c' THEN ${f(c)}").mkString(" ")} END"
+      val values = cols.map(c => s"('$c')").mkString(", ")
+      val outCols = cols.map(c =>
+        s"round(log2((m.$c + (SELECT pr FROM prior WHERE cname = '$c')) / " +
+          s"(SELECT adj FROM prior WHERE cname = '$c') * 1e6), 4) AS $c")
+        .mkString(",\n  ")
+      s"""WITH m AS ($countMatrixSql),
+        |s AS (SELECT $libs, $quarts FROM m),
+        |refsel AS (SELECT *, $mean3 AS mean3 FROM (SELECT *, $fr FROM s)),
+        |refcol AS (SELECT *, $refCase AS ref FROM refsel),
+        |long AS (
+        |  SELECT sm.cname,
+        |    ${pick("sm.cname", c => s"m.$c")} AS obs,
+        |    ${pick("r.ref", c => s"m.$c")} AS refc,
+        |    ${pick("sm.cname", c => s"r.l_$c")} AS n_o,
+        |    ${pick("r.ref", c => s"r.l_$c")} AS n_r
+        |  FROM m, (VALUES $values) sm(cname), refcol r
+        |  WHERE sm.cname <> r.ref),
+        |mav AS (
+        |  SELECT cname, log2((obs / n_o) / (refc / n_r)) AS mval,
+        |    log2((obs / n_o) * (refc / n_r)) * 0.5 AS aval,
+        |    (n_o - obs) / n_o / obs + (n_r - refc) / n_r / refc AS w
+        |  FROM long WHERE obs > 0 AND refc > 0),
+        |ranked AS (
+        |  SELECT *, count(*) OVER (PARTITION BY cname) AS n,
+        |    max(abs(mval)) OVER (PARTITION BY cname) AS maxabs,
+        |    rank() OVER (PARTITION BY cname ORDER BY mval)
+        |      + (count(*) OVER (PARTITION BY cname, mval) - 1) / 2.0 AS rm,
+        |    rank() OVER (PARTITION BY cname ORDER BY aval)
+        |      + (count(*) OVER (PARTITION BY cname, aval) - 1) / 2.0 AS ra
+        |  FROM mav),
+        |fstat AS (
+        |  SELECT cname, SUM(mval / w) / SUM(1.0 / w) AS fw, MAX(maxabs) AS maxabs
+        |  FROM ranked
+        |  WHERE rm >= floor(n * 0.3) + 1 AND rm <= n + 1 - (floor(n * 0.3) + 1)
+        |    AND ra >= floor(n * 0.05) + 1 AND ra <= n + 1 - (floor(n * 0.05) + 1)
+        |  GROUP BY cname),
+        |allf AS (
+        |  SELECT cname, CASE WHEN maxabs >= 1e-6 THEN power(2.0, fw) ELSE 1.0 END AS f
+        |  FROM fstat
+        |  UNION ALL SELECT ref, 1.0 FROM refcol),
+        |normf AS (SELECT cname, f / (SELECT exp(AVG(ln(f))) FROM allf) AS f FROM allf),
+        |eff AS (
+        |  SELECT n0.cname, ${pick("n0.cname", c => s"r.l_$c")} * n0.f AS el
+        |  FROM normf n0, refcol r),
+        |prior AS (
+        |  SELECT cname, 5.0 * el / (SELECT AVG(el) FROM eff) AS pr,
+        |    el + 2 * (5.0 * el / (SELECT AVG(el) FROM eff)) AS adj
+        |  FROM eff)
+        |SELECT l_partkey,
+        |  $outCols
+        |FROM m
+        |ORDER BY l_partkey""".stripMargin
+    }
+  }
+
   private object BatchEffectOracle {
     val cols = Seq("rf_a", "rf_n", "rf_r")
     val batches: Map[String, String] =
