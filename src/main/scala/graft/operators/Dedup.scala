@@ -176,9 +176,13 @@ object Dedup {
   def minHashLshDedup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame = {
-    val losers = minHashLshPairs(df, textCol, idCol, shingleK, bands, rowsPerBand, jaccardThreshold)
+    // the input plan feeds BOTH the pair lineage and the final anti-join;
+    // without a cache an expensive upstream (e.g. an exact-dedup window
+    // in a chained pipeline) executes twice
+    val input = graft.core.CacheScope.retainInput(df)
+    val losers = minHashLshPairs(input, textCol, idCol, shingleK, bands, rowsPerBand, jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+    input.join(losers, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sign of Σ(±1) over

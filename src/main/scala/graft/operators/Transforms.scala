@@ -63,18 +63,22 @@ final case class ImputeStrategy(
     val cols = Transforms.numericValueColumns(df, protect)
     if (cols.isEmpty) return df
     if (strategy == "most_frequent") {
-      // mode per column: groupBy value, max count, smallest value on ties
-      val fills = cols.map { c =>
-        val m = df.filter(col(c).isNotNull)
-          .groupBy(col(c)).agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), col(c))
-          .limit(1).collect()
-        c -> (if (m.isEmpty) 0.0 else m(0).get(0) match {
-          case n: Number => n.doubleValue()
-          case _         => 0.0
-        })
-      }.toMap
-      df.na.fill(fills)
+      // mode per column in ONE distributed pass (a per-column
+      // groupBy/limit/collect loop would run S sequential jobs): explode
+      // to narrow (column, value) rows, count, then per-column argmax.
+      // min(struct(-n, v)) = largest count, smallest value on ties, with
+      // NaN losing ties to numbers — the same order desc(n)/asc(value)
+      // yields (Spark sorts NaN above every double).
+      val pairs = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)).as("e"))
+        .select(col("e.c").as("c"), col("e.v").as("v"))
+        .where(col("v").isNotNull)
+      val best = pairs.groupBy("c", "v").agg(count(lit(1)).as("n"))
+        .groupBy("c").agg(min(struct(negate(col("n")), col("v"))).as("b"))
+        .select(col("c"), col("b.v").as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // all-null columns have no pair rows: fill 0.0 as before
+      df.na.fill(cols.map(c => c -> best.getOrElse(c, 0.0)).toMap)
     } else {
       // exact median buffers every value in one reduce task; switch to
       // the approx aggregate past the shared cutoff (one cheap count —

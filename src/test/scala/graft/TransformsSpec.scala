@@ -46,6 +46,23 @@ class TransformsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ImputeStrategy("nope") }
   }
 
+  test("ImputeStrategy most_frequent single-pass mode: ties pick the smallest value, all-null columns fill 0.0") {
+    val df = Seq(
+      ("a", Some(2.0), Some(5.0), None: Option[Double]),
+      ("b", Some(1.0), None, None: Option[Double]),
+      ("c", Some(2.0), Some(5.0), None: Option[Double]),
+      ("d", Some(1.0), Some(7.0), None: Option[Double]),
+      ("e", None: Option[Double], Some(7.0), None: Option[Double]))
+      .toDF("gene_stable_id", "x", "y", "z")
+    val out = ImputeStrategy("most_frequent")(df)
+    // x: 1.0 and 2.0 both appear twice — the tie picks the smallest
+    assert(out.filter($"gene_stable_id" === "e").collect()(0).getDouble(1) == 1.0)
+    // y: 5.0 and 7.0 both appear twice — same rule
+    assert(out.filter($"gene_stable_id" === "b").collect()(0).getDouble(2) == 5.0)
+    // z: no non-null values at all — falls back to 0.0
+    assert(out.select("z").collect().forall(_.getDouble(0) == 0.0))
+  }
+
   test("ZScale axis=0 standardizes each column with ddof=1 (ZScaler semantics)") {
     val out = rows(ZScale(axis = 0, ddof = 1)(counts))
     // sampleA_1 column: values 23,12,9,40  mean=21, sd=ddof1 sqrt(((23-21)^2+..)/3)
