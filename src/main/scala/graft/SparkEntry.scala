@@ -481,13 +481,25 @@ object SparkEntry {
         (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("h"))
       val png = Multimodal.withSyntheticPng(d, "w", "h", "payload")
       val withMeta = Multimodal.withDecodedMeta(png, "payload")
-      Multimodal.withFeatures(withMeta, "payload")
+      // audio leg: synthesize a REAL RIFF/PCM WAV per doc (id-derived
+      // rate/length), decode it back through the chunk-walking codec —
+      // the oracle recomputes the same numbers arithmetically, so a
+      // header-layout or sample-count bug breaks the hash
+      val audioIn = withMeta
+        .withColumn("rate", (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int"))
+        .withColumn("n_in", ((pmod(col("doc_id"), lit(50)) + 1) * 160).cast("int"))
+      val wav = Multimodal.withSyntheticWav(audioIn, "rate", "n_in", "audio_payload")
+      val audio = Multimodal.withAudioMeta(wav, "audio_payload")
+      Multimodal.withFeatures(audio, "payload")
         .where(size(col("features")) === Multimodal.FeatureDim)
         .select(col("doc_id"),
           col("media_meta.format").as("format"),
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"),
-          col("media_meta.channels").as("channels"))
+          col("media_meta.channels").as("channels"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.n_samples").as("n_samples"),
+          col("audio_meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
     }),
 
@@ -849,7 +861,11 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS format,
         |  CAST(doc_id % 7 + 1 AS INTEGER) AS width,
         |  CAST(doc_id % 5 + 1 AS INTEGER) AS height,
-        |  3 AS channels
+        |  3 AS channels,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST((doc_id % 50 + 1) * 160 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 50 + 1) * 160 AS BIGINT) * 1000
+        |    // CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS duration_ms
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

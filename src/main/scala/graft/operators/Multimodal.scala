@@ -168,6 +168,120 @@ object Multimodal {
     }
   }
 
+  /** audio metadata contract (mirrors [[MetaSchema]] for the image side) */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** JDK-native WAV (RIFF/PCM) codec: a REAL audio format decoded by
+    * hand-parsing the RIFF chunk structure — no external libraries, like
+    * [[ImageCodec]]'s javax.imageio path. Same totality rule: corrupt
+    * payloads yield the documented fallback, never an exception. */
+  object AudioCodec extends Serializable {
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** Walk the RIFF chunks to the fmt + data blocks:
+      * (format, sampleRate, channels, nSamples, durationMs);
+      * ("unknown", -1, -1, -1, -1) for anything that is not PCM WAV. */
+    def decodeMeta(bytes: Array[Byte]): (String, Int, Int, Long, Long) = {
+      val bad = ("unknown", -1, -1, -1L, -1L)
+      if (bytes == null || bytes.length < 44) return bad
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return bad
+      var pos = 12
+      var rate = -1; var ch = -1; var bps = -1; var dataLen = -1L
+      while (pos + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val sz = le32(bytes, pos + 4).toLong & 0xffffffffL
+        if (id == "fmt " && pos + 24 <= bytes.length) {
+          if (le16(bytes, pos + 8) != 1) return bad // PCM only
+          ch = le16(bytes, pos + 10)
+          rate = le32(bytes, pos + 12)
+          bps = le16(bytes, pos + 22)
+        } else if (id == "data") {
+          dataLen = math.min(sz, (bytes.length - pos - 8).toLong)
+        }
+        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        if (sz <= 0 && id != "data") return bad
+      }
+      if (rate <= 0 || ch <= 0 || bps <= 0 || dataLen < 0) bad
+      else {
+        val n = dataLen / (ch.toLong * (bps / 8))
+        ("wav", rate, ch, n, n * 1000L / rate)
+      }
+    }
+
+    /** Deterministic PCM16 mono sine WAV (the audio analog of
+      * [[ImageCodec.synthPng]]): id-seeded frequency and length. */
+    def synthWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val out = new Array[Byte](44 + dataLen)
+      def putAscii(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+      def put32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+      def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+      putAscii(0, "RIFF"); put32(4, 36 + dataLen); putAscii(8, "WAVE")
+      putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+      put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+      putAscii(36, "data"); put32(40, dataLen)
+      val freq = 110.0 + (math.abs(seed) % 880)
+      var i = 0
+      while (i < nSamples) {
+        val v = (math.sin(2.0 * math.Pi * freq * i / sampleRate) * 12000).toInt
+        put16(44 + 2 * i, v)
+        i += 1
+      }
+      out
+    }
+
+    /** Windowed RMS energy + zero-crossing rate over the PCM16 samples
+      * ([[FeatureDim]]/2 windows of each): the classic cheap audio
+      * descriptor. Non-WAV payloads → zero vector (total). */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val (fmt, _, ch, n, _) = decodeMeta(bytes)
+      val out = new Array[Float](FeatureDim)
+      if (fmt != "wav" || n <= 0) return out
+      // locate the data chunk again (decodeMeta validated the layout)
+      var pos = 12
+      var dataPos = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length && dataPos < 0) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val sz = le32(bytes, pos + 4)
+        if (id == "data") { dataPos = pos + 8; dataLen = math.min(sz, bytes.length - pos - 8) }
+        pos += 8 + sz + (sz & 1)
+      }
+      if (dataPos < 0) return out
+      val nSamp = dataLen / 2 // interleaved channels fold into the windows
+      val half = FeatureDim / 2
+      val win = math.max(1, nSamp / half)
+      var w = 0
+      while (w < half) {
+        val from = w * win
+        val to = math.min(nSamp, from + win)
+        var sumSq = 0.0; var zc = 0; var prev = 0; var i = from
+        while (i < to) {
+          val s = (le16(bytes, dataPos + 2 * i) << 16) >> 16 // sign-extend
+          sumSq += s.toDouble * s
+          if (i > from && ((s >= 0) != (prev >= 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        val cnt = math.max(1, to - from)
+        out(w) = math.sqrt(sumSq / cnt).toFloat
+        out(half + w) = zc.toFloat / cnt
+        w += 1
+      }
+      out
+    }
+  }
+
   /** Shared derive-one-column skeleton: iterator-to-iterator
     * `mapPartitions` (constant memory, no per-row UDF overhead) appending
     * `f(row)` under `outCol` — the one place the batching contract lives
@@ -229,6 +343,31 @@ object Multimodal {
         .cast("integer")).as("height"),
       col(s"$metaCol.channels").as("channels"),
       col(s"$metaCol.n_bytes").as("n_bytes")))
+
+  /** Attach audio metadata decoded from a WAV binary column. */
+  def withAudioMeta(df: DataFrame, binCol: String, outCol: String = "audio_meta"): DataFrame =
+    withDerived(df, outCol, AudioMetaSchema) { row =>
+      val bytes = row.getAs[Array[Byte]](binCol)
+      val (fmt, rate, ch, n, ms) = AudioCodec.decodeMeta(bytes)
+      Row(fmt, rate, ch, n, ms)
+    }
+
+  /** Attach windowed RMS/zero-crossing audio features (same batched
+    * iterator shape as the image featurizer). */
+  def withAudioFeatures(df: DataFrame, binCol: String, outCol: String = "audio_features"): DataFrame =
+    withDerived(df, outCol, ArrayType(FloatType)) { row =>
+      AudioCodec.features(row.getAs[Array[Byte]](binCol)).toSeq
+    }
+
+  /** Synthesize deterministic WAV payloads (id-seeded tone + length). */
+  def withSyntheticWav(df: DataFrame, rateCol: String, nSamplesCol: String,
+      outCol: String = "audio_payload", seedCol: Option[String] = None): DataFrame =
+    withDerived(df, outCol, BinaryType) { row =>
+      val rate = row.getAs[Int](rateCol)
+      val n = row.getAs[Int](nSamplesCol)
+      val seed = seedCol.map(c => row.getAs[Long](c)).getOrElse(rate.toLong * 31 + n)
+      AudioCodec.synthWav(rate, n, seed)
+    }
 
   /** Frame sampling for a (fake) video track: every nth frame index up to
     * `maxFrames` — demonstrates the explode-to-frames shape. */

@@ -156,6 +156,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("audio: WAV synth → chunk-walking decode round-trips, features are real DSP") {
+    import graft.operators.Multimodal.AudioCodec
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int").as("rate"),
+        ((pmod(col("doc_id"), lit(50)) + 1) * 160).cast("int").as("n_in"))
+      .limit(20)
+    val wav = Multimodal.withSyntheticWav(d, "rate", "n_in")
+    val out = Multimodal.withAudioFeatures(
+      Multimodal.withAudioMeta(wav, "audio_payload"), "audio_payload")
+    out.collect().foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("audio_meta"))
+      assert(meta.getAs[String]("format") == "wav")
+      assert(meta.getAs[Int]("sample_rate") == r.getAs[Int]("rate"))
+      assert(meta.getAs[Int]("channels") == 1)
+      assert(meta.getAs[Long]("n_samples") == r.getAs[Int]("n_in").toLong)
+      assert(meta.getAs[Long]("duration_ms") ==
+        r.getAs[Int]("n_in").toLong * 1000L / r.getAs[Int]("rate"))
+      val feats = r.getSeq[Float](r.fieldIndex("audio_features"))
+      assert(feats.length == Multimodal.FeatureDim)
+      // a sine tone has substantial RMS in every window…
+      assert(feats.take(Multimodal.FeatureDim / 2).forall(_ > 1000f))
+      // …and a zero-crossing rate ≈ 2·freq/rate, strictly inside (0, 1)
+      assert(feats.drop(Multimodal.FeatureDim / 2).forall(z => z > 0f && z < 1f))
+    }
+
+    // zero-crossing rate quantitatively matches the synthesized tone
+    val one = AudioCodec.synthWav(8000, 8000, seed = 42)
+    val freq = 110.0 + 42 % 880
+    val zc = AudioCodec.features(one).drop(Multimodal.FeatureDim / 2).sum /
+      (Multimodal.FeatureDim / 2)
+    assert(math.abs(zc - 2 * freq / 8000) < 0.01, s"zc=$zc expected=${2 * freq / 8000}")
+
+    // RIFF walker skips unknown chunks (LIST before fmt/data)
+    val base = AudioCodec.synthWav(8000, 16, seed = 1)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val padded = base.take(12) ++ listChunk ++ base.drop(12)
+    // fix the RIFF size field (not validated, but keep it honest)
+    val (fmt, rate, ch, n, _) = AudioCodec.decodeMeta(padded)
+    assert(fmt == "wav" && rate == 8000 && ch == 1 && n == 16)
+
+    // corrupt payloads fall back, never throw
+    assert(AudioCodec.decodeMeta("not audio".getBytes)._1 == "unknown")
+    assert(AudioCodec.decodeMeta(null)._1 == "unknown")
+    assert(AudioCodec.decodeMeta(base.take(30))._1 == "unknown")
+    assert(AudioCodec.features("junk".getBytes).forall(_ == 0f))
+  }
+
   test("frame sampling explodes deterministic frame indices") {
     val d = Seq((1L)).toDF("doc_id")
     val frames = Multimodal.sampleFrames(d, "doc_id", nFrames = 4, every = 10)
