@@ -153,6 +153,16 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "tax_n")
     }),
 
+    // ---- A5 mode impute (single-pass distributed mode; ties pick the
+    //      smallest value — mirrored by the oracle's min-over-argmax) ----
+    "q_impute_mode" -> ((s, dir) => {
+      val base = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") >= 49.0, lit(null)).otherwise(col("l_quantity")).as("qty_n"))
+      ImputeStrategy("most_frequent", protect = Seq("l_orderkey", "l_linenumber"))(base)
+        .orderBy("l_orderkey", "l_linenumber", "qty_n")
+    }),
+
     // ---- A5 median impute ----
     "q_impute_median" -> ((s, dir) => {
       val base = lineitem(s, dir).select(
@@ -649,6 +659,15 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, COALESCE(t.tax_n, m.mu) AS tax_n
         |FROM t, m
         |ORDER BY l_orderkey, l_linenumber, tax_n""".stripMargin,
+
+    "q_impute_mode" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity >= 49.0 THEN NULL ELSE l_quantity END AS qty_n FROM lineitem),
+        |m AS (SELECT qty_n AS mode_v FROM t WHERE qty_n IS NOT NULL
+        |  GROUP BY qty_n ORDER BY count(*) DESC, qty_n LIMIT 1)
+        |SELECT l_orderkey, l_linenumber, COALESCE(t.qty_n, m.mode_v) AS qty_n
+        |FROM t, m
+        |ORDER BY l_orderkey, l_linenumber, qty_n""".stripMargin,
 
     "q_impute_median" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, NULLIF(l_tax, 0.0) AS tax_n FROM lineitem),
