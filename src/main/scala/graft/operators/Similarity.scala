@@ -178,25 +178,77 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val cu = withUnitVec(corpus, vecCol, "__cv")
-      .select(col(idCol).as("neighbor_id"), col("__cv"))
-      // KMeans fit iterates over it and the returned candidate plan reads
-      // it again; bounded retention
-      .pipe(graft.core.CacheScope.retain)
-    val centroids = fitQuantizer(cu, "__cv", nlist, seed, maxIter = 10)
-    val corpusCells = cu.withColumn("__cell",
-      element_at(nearestCellsUdf(centroids, 1)(col("__cv")), 1))
-    val q = withUnitVec(queries, vecCol, "__qv")
-      .select(col(idCol).as("query_id"), col("__qv"))
-      .withColumn("__cell", explode(nearestCellsUdf(centroids, nprobe)(col("__qv"))))
-    val cands = corpusCells.join(q, Seq("__cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", dotUdf(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+      seed: Long = 42L): DataFrame =
+    IvfIndex.build(corpus, vecCol, idCol, nlist, seed)
+      .topK(queries, vecCol, idCol, k, nprobe)
+
+  /** A built IVF index: the coarse-quantizer centroid table (driver-small)
+    * plus the cell-assigned unit-vector corpus. Build ONCE, serve many
+    * query batches — re-fitting the quantizer per query batch (what a
+    * bare [[ivfTopK]] call does) throws away the expensive part.
+    *
+    * The 100 TB shape: [[save]] writes the assigned corpus partitioned by
+    * cell id (so a query batch's `nprobe` probes prune to exactly the
+    * cell partitions they touch at scan time) next to the centroid table;
+    * [[IvfIndex.load]] restores the index in another session/job with no
+    * KMeans pass at all. */
+  final case class IvfIndex private[operators] (
+      centroids: Array[Array[Double]],
+      cells: DataFrame) {
+
+    /** Top-k per query against the prebuilt cells (same output contract
+      * as [[ivfTopK]]). */
+    def topK(queries: DataFrame, vecCol: String, idCol: String, k: Int,
+        nprobe: Int = 8): DataFrame = {
+      val q = withUnitVec(queries, vecCol, "__qv")
+        .select(col(idCol).as("query_id"), col("__qv"))
+        .withColumn("__cell", explode(nearestCellsUdf(centroids, nprobe)(col("__qv"))))
+      val cands = cells.join(q, Seq("__cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("score", dotUdf(col("__qv"), col("__cv")))
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+      cands.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    }
+
+    /** Persist the index: `dir/cells` = assigned corpus partitioned by
+      * cell id (partition pruning serves each probe from its own files),
+      * `dir/centroids` = the quantizer table. */
+    def save(dir: String): Unit = {
+      val spark = cells.sparkSession
+      cells.write.mode("overwrite").partitionBy("__cell").parquet(s"$dir/cells")
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+  }
+
+  object IvfIndex {
+    /** Fit the quantizer and assign every corpus row to its nearest cell
+      * (ONE distributed pass after the sampled fit). */
+    def build(corpus: DataFrame, vecCol: String, idCol: String,
+        nlist: Int = 64, seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
+      val cu = withUnitVec(corpus, vecCol, "__cv")
+        .select(col(idCol).as("neighbor_id"), col("__cv"))
+        // KMeans fit iterates over it and the candidate plan reads it
+        // again; bounded retention
+        .pipe(graft.core.CacheScope.retain)
+      val centroids = fitQuantizer(cu, "__cv", nlist, seed, maxIter)
+      val cells = cu.withColumn("__cell",
+        element_at(nearestCellsUdf(centroids, 1)(col("__cv")), 1))
+      IvfIndex(centroids, cells)
+    }
+
+    /** Restore a [[IvfIndex.build]]-then-[[IvfIndex#save]]d index without
+      * any quantizer fit. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      IvfIndex(cents, spark.read.parquet(s"$dir/cells"))
+    }
   }
 
   /** Row-count cutoff above which [[embeddingNearDupPairs]] switches from

@@ -68,6 +68,30 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute.keySet)
   }
 
+  test("IvfIndex: build once serves many batches; save/load round-trips with no re-fit") {
+    import graft.operators.Similarity.IvfIndex
+    val idx = IvfIndex.build(embeddings, "embedding", "vec_id", nlist = 8, seed = 42L)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val batch1 = embeddings.filter(col("vec_id") < 3)
+    val batch2 = embeddings.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+    // identical to a fresh ivfTopK per batch (same quantizer recipe/seed)
+    assert(res(idx.topK(batch1, "embedding", "vec_id", k = 10, nprobe = 4)) ==
+      res(Similarity.ivfTopK(embeddings, batch1, "embedding", "vec_id", 10, 8, 4)))
+    assert(res(idx.topK(batch2, "embedding", "vec_id", k = 10, nprobe = 4)) ==
+      res(Similarity.ivfTopK(embeddings, batch2, "embedding", "vec_id", 10, 8, 4)))
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    idx.save(dir)
+    // cells land partitioned by cell id — the probe-pruning layout
+    assert(new java.io.File(s"$dir/cells").listFiles().exists(_.getName.startsWith("__cell=")))
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    assert(res(loaded.topK(batch1, "embedding", "vec_id", k = 10, nprobe = 4)) ==
+      res(idx.topK(batch1, "embedding", "vec_id", k = 10, nprobe = 4)))
+  }
+
   test("near-dup pairs symmetric-free and thresholded") {
     val pairs = Similarity.embeddingNearDupPairs(embeddings, "embedding", "vec_id", 0.4)
       .collect()
