@@ -81,6 +81,31 @@ final case class MFrame(
     else copy(data = newData, metaRows = newMetaRows, metaCols = newMetaCols).dedupMeta
   }
 
+  /** The reference's convenience wrappers over the modify mask
+    * (mdataframe.py:727-763). Naming note, preserved from the reference:
+    * `add_meta_column` ADDS A COLUMN TO the meta-ROWS frame (per-gene
+    * metadata), and `add_meta_row` augments meta-COLUMNS (per-sample). */
+  def addMetaColumn(t: Transformer): MFrame =
+    transform(t, transformData = false, transformMetaRows = true)
+
+  def addMetaRow(t: Transformer): MFrame =
+    transform(t, transformData = false, transformMetaCols = true)
+
+  def addMeta(t: Transformer, axis: Int = 0): MFrame =
+    if (axis == 0) addMetaColumn(t) else addMetaRow(t)
+
+  /** `MDF.impute()` default: NaN/NULL → 0 (mdataframe.py:753-758). */
+  def impute(t: Option[Transformer] = None): MFrame =
+    transform(t.getOrElse(
+      graft.operators.ImputeFixed(None, 0.0, protect = Seq(index))))
+
+  /** `MDF.scale()` default: sklearn `preprocessing.scale` applied per
+    * row via the axis=1 transpose dance (mdataframe.py:617-620, 760-763)
+    * = population-std z-score along each gene row. */
+  def scale(t: Option[Transformer] = None): MFrame =
+    transform(t.getOrElse(
+      graft.operators.ZScale(axis = 1, ddof = 0, protect = Seq(index))))
+
   /** Full frame = data + metaRows columns (used by sinks with full=true,
     * mdataframe.py:938-944 / J4). metaCols, living on the samples axis,
     * cannot be row-joined; sinks emit it separately (S7 sheet model). */

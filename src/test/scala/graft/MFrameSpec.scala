@@ -77,6 +77,45 @@ class MFrameSpec extends SparkSpec {
       transformMetaRows = false).metaRows.isEmpty)
   }
 
+  test("convenience wrappers: addMeta*/impute/scale defaults (mdataframe.py:727-763)") {
+    val meta = Seq(("genA", "x"), ("genB", "y")).toDF("gene_stable_id", "note")
+    val mcols = Seq(("s1", "b1"), ("s2", "b2")).toDF("sample", "batch")
+    val mf = MFrame(df.select("gene_stable_id", "s1", "s2"))
+      .withMetaRows(meta).withMetaCols(mcols)
+    val upper = graft.core.Transformer("upper_strings", Nil) { d =>
+      d.select(d.columns.map { c =>
+        if (d.schema(c).dataType.typeName == "string" && c != "gene_stable_id" && c != "sample")
+          org.apache.spark.sql.functions.upper(org.apache.spark.sql.functions.col(c)).as(c)
+        else org.apache.spark.sql.functions.col(c)
+      }.toSeq: _*)
+    }
+    // reference naming: add_meta_column augments meta-ROWS, add_meta_row meta-COLS
+    val a = mf.addMetaColumn(upper)
+    assert(a.metaRows.get.orderBy("gene_stable_id").collect()
+      .map(_.getString(1)).toSeq == Seq("X", "Y"))
+    assert(a.metaCols.get.orderBy("sample").collect()
+      .map(_.getString(1)).toSeq == Seq("b1", "b2"))
+    val b = mf.addMetaRow(upper)
+    assert(b.metaRows.get.orderBy("gene_stable_id").collect()
+      .map(_.getString(1)).toSeq == Seq("x", "y"))
+    assert(b.metaCols.get.orderBy("sample").collect()
+      .map(_.getString(1)).toSeq == Seq("B1", "B2"))
+    assert(mf.addMeta(upper, axis = 1).metaCols.get.orderBy("sample").collect()
+      .map(_.getString(1)).toSeq == Seq("B1", "B2"))
+
+    // impute() default: NaN/NULL → 0
+    val withNull = MFrame(Seq(("genA", Some(1.0)), ("genB", None: Option[Double]))
+      .toDF("gene_stable_id", "s1"))
+    assert(withNull.impute().data.orderBy("gene_stable_id").collect()
+      .map(_.getDouble(1)).toSeq == Seq(1.0, 0.0))
+
+    // scale() default: per-row population-std z-score (sklearn scale)
+    val scaled = mf.scale().data.orderBy("gene_stable_id").collect()
+    // row (1,2): mean 1.5, pop sd 0.5 → (-1, 1)
+    assert(math.abs(scaled(0).getDouble(1) + 1.0) < 1e-12 &&
+      math.abs(scaled(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("FromTable annotator validates columns and fills (mbf_compliance.py:69-91 / J3)") {
     val anno = Seq(("genA", "chr1")).toDF("gid", "chr")
     val out = FromTable(anno, Seq("chr"), "gene_stable_id", "gid", fill = Some("NA"))(df)
