@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
 import graft.operators._
 import graft.functions.BhFdr
 import graft.Tables._
@@ -489,18 +490,36 @@ object SparkEntry {
       val d = documents(s, dir).select(col("doc_id"),
         (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("w"),
         (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("h"))
-      val png = Multimodal.withSyntheticPng(d, "w", "h", "payload")
-      val withMeta = Multimodal.withDecodedMeta(png, "payload")
       // audio leg: synthesize a REAL RIFF/PCM WAV per doc (id-derived
       // rate/length), decode it back through the chunk-walking codec —
       // the oracle recomputes the same numbers arithmetically, so a
-      // header-layout or sample-count bug breaks the hash
-      val audioIn = withMeta
+      // header-layout or sample-count bug breaks the hash.
+      // TWO mapPartitions passes total (synth both payloads; decode both
+      // + featurize) — chaining per-column derivations would re-serialize
+      // the binary payloads at every RDD boundary (Multimodal.deriveMany)
+      val params = d
         .withColumn("rate", (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int"))
         .withColumn("n_in", ((pmod(col("doc_id"), lit(50)) + 1) * 160).cast("int"))
-      val wav = Multimodal.withSyntheticWav(audioIn, "rate", "n_in", "audio_payload")
-      val audio = Multimodal.withAudioMeta(wav, "audio_payload")
-      Multimodal.withFeatures(audio, "payload")
+      val synth = Multimodal.deriveMany(params,
+        Seq("payload" -> BinaryType, "audio_payload" -> BinaryType)) { row =>
+        val w = row.getAs[Int]("w"); val h = row.getAs[Int]("h")
+        Seq(Multimodal.ImageCodec.synthPng(w, h, w.toLong * 31 + h),
+          Multimodal.AudioCodec.synthWav(row.getAs[Int]("rate"), row.getAs[Int]("n_in"),
+            row.getAs[Int]("rate").toLong * 31 + row.getAs[Int]("n_in")))
+      }
+      val decoded = Multimodal.deriveMany(synth,
+        Seq("media_meta" -> Multimodal.MetaSchema,
+          "audio_meta" -> Multimodal.AudioMetaSchema,
+          "features" -> ArrayType(FloatType))) { row =>
+        val png = row.getAs[Array[Byte]]("payload")
+        val wav = row.getAs[Array[Byte]]("audio_payload")
+        val (fmt, w, h, c) = Multimodal.ImageCodec.decodeMeta(png)
+        val (afmt, rate, ch, n, ms) = Multimodal.AudioCodec.decodeMeta(wav)
+        Seq(Row(fmt, w, h, c, if (png == null) 0L else png.length.toLong),
+          Row(afmt, rate, ch, n, ms),
+          Multimodal.ImageCodec.features(png).toSeq)
+      }
+      decoded
         .where(size(col("features")) === Multimodal.FeatureDim)
         .select(col("doc_id"),
           col("media_meta.format").as("format"),

@@ -294,6 +294,19 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** One mapPartitions pass appending SEVERAL derived columns at once.
+    * Chaining single-column derivations crosses an RDD boundary per step
+    * — every payload column re-serializes each time, which dominates the
+    * cost when the payloads are megabyte media blobs. Decode once, emit
+    * every derived column together. */
+  def deriveMany(df: DataFrame, outs: Seq[(String, DataType)])(
+      f: Row => Seq[Any]): DataFrame = {
+    val spark = df.sparkSession
+    val schema = outs.foldLeft(df.schema) { case (s, (n, t)) => s.add(n, t) }
+    val rdd = df.rdd.mapPartitions(it => it.map(row => Row.fromSeq(row.toSeq ++ f(row))))
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Attach a metadata struct decoded from the binary column. */
   def withDecodedMeta(df: DataFrame, binCol: String, outCol: String = "media_meta"): DataFrame =
     withDerived(df, outCol, MetaSchema) { row =>
