@@ -386,6 +386,20 @@ object SparkEntry {
     }),
 
     // ---- exact dedup groups by MD5 content fingerprint ----
+    // ---- incremental near-dup: probe docs (id % 7 == 0) screened
+    //      against the frozen remainder — the streaming-compatible
+    //      LSH join (stateless probe side; see Dedup.nearDupAgainst).
+    //      Oracle = exact all-pairs Jaccard across the split, with the
+    //      same recall argument as q_dedup_minhash (bimodal verified-J,
+    //      families ≈ 0.97 where 16×8 banding recall > 0.9999). ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")
+        .orderBy("probe_id", "corpus_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir), "text", "doc_id")
         .orderBy("fingerprint")),
@@ -880,6 +894,15 @@ object SparkEntry {
     // on the gate corpus. DuckDB recomputes the shingle sets from scratch.
     "q_dedup_minhash" -> DedupOracle.pairSql(
       DedupOracle.charShingleCtes("documents"), 0.8),
+
+    "q_dedup_incremental" ->
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+        |    ${DedupOracle.jaccardExpr} AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0)
+        |SELECT probe_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY probe_id, corpus_id""".stripMargin,
 
     "q_dedup_ngram" -> DedupOracle.pairSql(
       DedupOracle.wordNgramCtes("documents"), 0.4),

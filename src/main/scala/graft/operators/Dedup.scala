@@ -108,6 +108,29 @@ object Dedup {
     }
   }
 
+  /** Minhash-sign a (…, __hs) frame and explode it to one row per LSH
+    * band: keeps `carry` columns plus (band, bucket). Shared by the
+    * self-join skeleton and the probe-vs-corpus join. */
+  private def bandExplode(sh: DataFrame, bands: Int, rowsPerBand: Int,
+      carry: Seq[String]): DataFrame =
+    sh.withColumn("__sig", minHashFromBase(bands * rowsPerBand)(col("__hs")))
+      .select(carry.map(col) :+
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)
+                .cast("array<string>"))).as("bucket"))
+        }: _*)).as("e"): _*)
+      .select(carry.map(col) :+ col("e.band") :+ col("e.bucket"): _*)
+
+  /** Hashed-sorted shingle frame (id, __hs) — the input both LSH joins
+    * verify against. */
+  private def hashedShingles(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int): DataFrame =
+    df.withColumn("__sh", charShingleSet(shingleK)(normalizeText(col(textCol))))
+      .withColumn("__hs", sort_array(transform(col("__sh"), s => xxhash64(s))))
+      .select(col(idCol), col("__hs"))
+
   /** Shared MinHash-LSH pair skeleton over a (id, __sh shingle-array)
     * frame: sign → band → bucket self-join → exact Jaccard verify.
     *
@@ -133,16 +156,7 @@ object Dedup {
       .select(col(idCol), col("__hs"))
       // the returned pair plan joins this cache twice; bounded retention
       .pipe(graft.core.CacheScope.retain)
-    val banded = sh
-      .withColumn("__sig", minHashFromBase(numHashes)(col("__hs")))
-      .select(col(idCol),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)
-                .cast("array<string>"))).as("bucket"))
-        }: _*)).as("e"))
-      .select(col(idCol), col("e.band"), col("e.bucket"))
+    val banded = bandExplode(sh, bands, rowsPerBand, Seq(idCol))
       // self-joined below: both sides must read the materialized rows,
       // not re-run the signature UDF lineage twice; bounded retention
       .pipe(graft.core.CacheScope.retain)
@@ -183,6 +197,55 @@ object Dedup {
     val losers = minHashLshPairs(input, textCol, idCol, shingleK, bands, rowsPerBand, jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     input.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental near-dup probe: which PROBE docs near-duplicate a
+    * FROZEN corpus — the production "screen incoming documents against
+    * the existing training corpus" shape. Every probe-side step is
+    * STATELESS (map-side shingle/signature expressions, band explode,
+    * equi-join against the prebuilt corpus bands, inline Jaccard
+    * verify), so `probe` may be a Structured Streaming frame; the
+    * corpus side materializes once into the bounded CacheScope, like an
+    * [[graft.operators.Similarity.IvfIndex]] build.
+    *
+    * Width discipline is deliberately asymmetric: CORPUS band rows stay
+    * narrow (id, band, bucket) with shingle hashes joined back only at
+    * verification, but the PROBE's hashes ride its own band rows — a
+    * stream cannot re-join itself statelessly, and a micro-batch is
+    * small by construction, so bands× temporary duplication of its hash
+    * arrays is the right trade.
+    *
+    * Multi-band collisions emit duplicate pairs; `dedupePairs = true`
+    * drops them (on an unbounded stream this keeps pair state — give
+    * the stream a watermark upstream, or pass false and dedupe
+    * downstream). Output: (probe_id, corpus_id, jaccard ≥ threshold). */
+  def nearDupAgainst(probe: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+      jaccardThreshold: Double = 0.8, dedupePairs: Boolean = true): DataFrame = {
+    val shuffleP = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val corpusSh = hashedShingles(corpus, textCol, idCol, shingleK)
+      .repartition(shuffleP, col(idCol))
+      .pipe(graft.core.CacheScope.retain)
+    val corpusBands = bandExplode(corpusSh, bands, rowsPerBand, Seq(idCol))
+      .select(col(idCol).as("corpus_id"), col("band"), col("bucket"))
+      .pipe(graft.core.CacheScope.retain)
+    val probeBands = bandExplode(
+      hashedShingles(probe, textCol, idCol, shingleK)
+        .select(col(idCol).as("probe_id"), col("__hs")),
+      bands, rowsPerBand, Seq("probe_id", "__hs"))
+      .select(col("probe_id"), col("__hs").as("probe_hs"), col("band"), col("bucket"))
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val verified = probeBands
+      .join(corpusBands, Seq("band", "bucket"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .join(corpusSh.select(col(idCol).as("corpus_id"), col("__hs").as("corpus_hs")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        graft.plans.GraftExtensions.jaccardSorted(col("probe_hs"), col("corpus_hs")))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("probe_id", "corpus_id", "jaccard")
+    if (dedupePairs) verified.dropDuplicates("probe_id", "corpus_id") else verified
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sign of Σ(±1) over

@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental near-dup screens a STREAMING probe against a frozen corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = graft.operators.Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain cross-split near-dups")
+
+    // stream the probe through a real file source; every probe-side step
+    // is stateless, so the same operator runs unchanged
+    val probeDir = java.nio.file.Files.createTempDirectory("neardup_probe").toString
+    probe.write.mode("overwrite").parquet(probeDir)
+    val probeStream = spark.readStream.schema(probe.schema).parquet(probeDir)
+    assert(probeStream.isStreaming)
+    val q = graft.operators.Dedup
+      .nearDupAgainst(probeStream, corpus, "text", "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT probe_id, corpus_id FROM neardup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("end-to-end streaming query: file source -> watermark -> memory sink") {
     val q = EventStream.startTumblingQuery(spark, dir, "stream_out")
     try {
