@@ -103,14 +103,20 @@ final case class AggloOp(
     add: Boolean = true,
     maxExactRows: Int = 10000,
     seed: Long = 42L,
+    linkage: String = "ward",
     protect: Seq[String] = Seq("gene_stable_id")) extends ClusterOp {
+
+  require(Seq("ward", "single", "complete", "average").contains(linkage),
+    s"Unknown linkage type $linkage. Allowed: ward, single, complete, average.")
 
   /** scipy-convention linkage matrix from the last exact-path fit: rows
     * (id_a, id_b, dist, size) where singleton clusters are 0..n-1, the
-    * k-th merge creates cluster n+k, and dist is the Ward linkage height
-    * (Euclidean units — √(2·sᵢsⱼ/(sᵢ+sⱼ)·‖cᵢ−cⱼ‖²); singletons merge at
-    * their plain Euclidean distance). Mirrors the reference's exposed
-    * `ScipyAgglomerative` linkage (strategies.py:475-486). None before a
+    * k-th merge creates cluster n+k, and dist is the linkage height in
+    * Euclidean units (ward: √(2·sᵢsⱼ/(sᵢ+sⱼ)·‖cᵢ−cⱼ‖²), singletons merge
+    * at their plain Euclidean distance; single/complete/average: the
+    * min/max/mean inter-point distance). Mirrors the reference's exposed
+    * `ScipyAgglomerative` linkage + method param (strategies.py:450-486,
+    * SKlearnAgglomerative linkage=, strategies.py:284-311). None before a
     * fit or when the BisectingKMeans scale path ran. */
   @transient var lastLinkage: Option[Array[Array[Double]]] = None
 
@@ -125,8 +131,12 @@ final case class AggloOp(
 
   protected def assignLabels(df: DataFrame, features: Seq[String]): DataFrame = {
     val n = df.count()
-    if (n <= maxExactRows) exactWard(df, features)
+    if (n <= maxExactRows) exactLinkage(df, features)
     else {
+      // scale fallback regardless of linkage method: divisive bisecting
+      // k-means approximates the Ward-style variance objective; exact
+      // single/complete/average beyond the cap would need the full
+      // distance matrix, which is exactly what cannot exist at scale
       lastLinkage = None
       val assembled = new VectorAssembler()
         .setInputCols(features.toArray).setOutputCol("__features").transform(df)
@@ -136,22 +146,26 @@ final case class AggloOp(
     }
   }
 
-  /** Exact Ward agglomeration by nearest-neighbor chain: O(n²·dim) total
+  /** Exact agglomeration by nearest-neighbor chain: O(n²·dim) total
     * (each chain step scans active clusters once; ≤ 3(n−1) steps), versus
     * the O(n³) rescan-all-pairs loop this replaced — at the 10k-row cap
-    * that is ~10⁸ operations instead of ~3×10¹¹. Ward distances satisfy
-    * Lance-Williams reducibility, so reciprocal nearest neighbors found
-    * chain-wise merge in an order that yields the SAME dendrogram as
-    * greedy global-minimum merging (ties broken deterministically:
-    * ascending cluster id, chain predecessor preferred on equality).
-    * Labels numbered by first-seen row order like sklearn. */
-  private def exactWard(df: DataFrame, features: Seq[String]): DataFrame = {
-    // one cached materialization backs the collected feature matrix AND
-    // the labeled output (n ≤ maxExactRows) — only the numeric features
-    // reach the driver; see ExactCollect
-    val (rdd, rows) = ExactCollect.featureMatrix(df, features)
+    * that is ~10⁸ operations instead of ~3×10¹¹. Every supported linkage
+    * (ward / single / complete / average) satisfies Lance-Williams
+    * reducibility, so reciprocal nearest neighbors found chain-wise merge
+    * in an order that yields the SAME dendrogram as greedy global-minimum
+    * merging (ties broken deterministically: ascending cluster id, chain
+    * predecessor preferred on equality). Ward runs centroid-based (O(n)
+    * memory beyond the points); the other linkages maintain the full
+    * inter-cluster distance matrix under Lance-Williams updates (n²
+    * doubles — 800 MB at the 10k cap, driver-transient). Labels numbered
+    * by first-seen row order like sklearn. */
+  /** Centroid-based Ward NN-chain: merges carry the Ward objective
+    * 2·sᵢsⱼ/(sᵢ+sⱼ)·‖cᵢ−cⱼ‖² (squared units; √ applied at output).
+    * Returns (mergeA, mergeB, mergeW, sizeByGeneration) with cluster ids
+    * in GENERATION numbering: singletons 0..n-1, m-th merge = n+m. */
+  private def chainWard(rows: Array[Array[Double]])
+      : (Array[Int], Array[Int], Array[Double], Array[Double]) = {
     val n = rows.length
-    if (n == 0) { lastLinkage = Some(Array.empty); return df.withColumn(newColumn, lit(0)) }
     val total = 2 * n - 1
     val size = new Array[Double](total)
     java.util.Arrays.fill(size, 0, n, 1.0)
@@ -167,8 +181,8 @@ final case class AggloOp(
     }
     def ward(i: Int, j: Int): Double =
       (2.0 * size(i) * size(j) / (size(i) + size(j))) * d2(centroid(i), centroid(j))
-    // generation-order merges: (child a, child b, ward value); the chain
-    // stack holds cluster ids whose nearest neighbor is the next element
+    // generation-order merges; the chain stack holds cluster ids whose
+    // nearest neighbor is the next element
     val mergeA = new Array[Int](math.max(n - 1, 0))
     val mergeB = new Array[Int](math.max(n - 1, 0))
     val mergeW = new Array[Double](math.max(n - 1, 0))
@@ -219,6 +233,111 @@ final case class AggloOp(
         }
       }
     }
+    (mergeA, mergeB, mergeW, size)
+  }
+
+  /** Distance-matrix NN-chain for single/complete/average linkage:
+    * clusters live in SLOTS 0..n-1 (a merge reuses its smaller slot and
+    * frees the larger), Euclidean inter-cluster distances update by
+    * Lance-Williams (single: min, complete: max, average: size-weighted
+    * mean). Same return contract as [[chainWard]] — merge records carry
+    * GENERATION ids via the slot→generation map. */
+  private def chainMatrix(rows: Array[Array[Double]], method: String)
+      : (Array[Int], Array[Int], Array[Double], Array[Double]) = {
+    val n = rows.length
+    val kind = method match {
+      case "single" => 0
+      case "complete" => 1
+      case "average" => 2
+    }
+    val sizeByGen = new Array[Double](2 * n - 1)
+    java.util.Arrays.fill(sizeByGen, 0, n, 1.0)
+    val D = new Array[Double](n * n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var s = 0.0; var k = 0
+        while (k < rows(i).length) { val d = rows(i)(k) - rows(j)(k); s += d * d; k += 1 }
+        val dist = math.sqrt(s)
+        D(i * n + j) = dist; D(j * n + i) = dist
+        j += 1
+      }
+      i += 1
+    }
+    val slotSize = Array.fill(n)(1.0)
+    val slotGen = Array.tabulate(n)(identity)
+    val alive = Array.fill(n)(true)
+    val mergeA = new Array[Int](math.max(n - 1, 0))
+    val mergeB = new Array[Int](math.max(n - 1, 0))
+    val mergeW = new Array[Double](math.max(n - 1, 0))
+    val chain = new Array[Int](n + 1)
+    var top = -1
+    var m = 0
+    while (m < n - 1) {
+      if (top < 0) {
+        var s0 = 0
+        while (!alive(s0)) s0 += 1
+        chain(0) = s0; top = 0
+      }
+      var merged = false
+      while (!merged) {
+        val x = chain(top)
+        val prev = if (top > 0) chain(top - 1) else -1
+        var best = if (prev >= 0) D(x * n + prev) else Double.MaxValue
+        var bi = prev
+        var c = 0
+        while (c < n) {
+          if (alive(c) && c != x && c != prev) {
+            val w = D(x * n + c)
+            if (w < best) { best = w; bi = c }
+          }
+          c += 1
+        }
+        if (bi == prev && prev >= 0) {
+          val a = math.min(prev, x); val b = math.max(prev, x)
+          val ga = slotGen(a); val gb = slotGen(b)
+          mergeA(m) = math.min(ga, gb); mergeB(m) = math.max(ga, gb)
+          mergeW(m) = best
+          val na = slotSize(a); val nb = slotSize(b)
+          var k2 = 0
+          while (k2 < n) {
+            if (alive(k2) && k2 != a && k2 != b) {
+              val dak = D(a * n + k2); val dbk = D(b * n + k2)
+              val nd = kind match {
+                case 0 => math.min(dak, dbk)
+                case 1 => math.max(dak, dbk)
+                case _ => (na * dak + nb * dbk) / (na + nb)
+              }
+              D(a * n + k2) = nd; D(k2 * n + a) = nd
+            }
+            k2 += 1
+          }
+          alive(b) = false
+          slotSize(a) = na + nb
+          slotGen(a) = n + m
+          sizeByGen(n + m) = na + nb
+          top -= 2
+          m += 1
+          merged = true
+        } else {
+          top += 1; chain(top) = bi
+        }
+      }
+    }
+    (mergeA, mergeB, mergeW, sizeByGen)
+  }
+
+  private def exactLinkage(df: DataFrame, features: Seq[String]): DataFrame = {
+    // one cached materialization backs the collected feature matrix AND
+    // the labeled output (n ≤ maxExactRows) — only the numeric features
+    // reach the driver; see ExactCollect
+    val (rdd, rows) = ExactCollect.featureMatrix(df, features)
+    val n = rows.length
+    if (n == 0) { lastLinkage = Some(Array.empty); return df.withColumn(newColumn, lit(0)) }
+    val total = 2 * n - 1
+    val (mergeA, mergeB, mergeW, size) =
+      if (linkage == "ward") chainWard(rows) else chainMatrix(rows, linkage)
     // Reducibility makes merge heights mathematically monotone along
     // dendrogram paths, but floating-point evaluation can invert a parent
     // below its child by an ulp (different arithmetic paths). Clamp each
@@ -238,7 +357,7 @@ final case class AggloOp(
     val sortedId = new Array[Int](total)
     var s1 = 0
     while (s1 < n) { sortedId(s1) = s1; s1 += 1 }
-    val linkage = new Array[Array[Double]](math.max(n - 1, 0))
+    val linkOut = new Array[Array[Double]](math.max(n - 1, 0))
     // union-find over generation ids for the cluster cut
     val uf = Array.tabulate(total)(identity)
     def find(v: Int): Int = {
@@ -251,8 +370,11 @@ final case class AggloOp(
     val cut = math.max(n - nClusters, 0)
     order.zipWithIndex.foreach { case (g, k) =>
       val a = sortedId(mergeA(g)); val b = sortedId(mergeB(g))
-      linkage(k) = Array(math.min(a, b).toDouble, math.max(a, b).toDouble,
-        math.sqrt(mergeW(g)), size(n + g))
+      // ward accumulates the SQUARED objective; the distance-matrix
+      // linkages already carry Euclidean heights (scipy convention)
+      val height = if (linkage == "ward") math.sqrt(mergeW(g)) else mergeW(g)
+      linkOut(k) = Array(math.min(a, b).toDouble, math.max(a, b).toDouble,
+        height, size(n + g))
       sortedId(n + g) = n + k
       if (k < cut) {
         // removing the (nClusters−1) tallest merges cuts the dendrogram
@@ -260,7 +382,7 @@ final case class AggloOp(
         uf(rb) = ra; uf(n + g) = ra
       }
     }
-    lastLinkage = Some(linkage)
+    lastLinkage = Some(linkOut)
     // relabel clusters 0..k-1 by first occurrence
     val relabel = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
     val labels = Array.tabulate(n)(r => relabel.getOrElseUpdate(find(r), relabel.size))

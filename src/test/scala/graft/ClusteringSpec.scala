@@ -54,6 +54,62 @@ class ClusteringSpec extends SparkSpec {
     assert(labels("genA") == labels("genB") && labels("genB") == labels("genC"))
   }
 
+  test("NN-chain single/complete/average equal naive greedy linkage (property)") {
+    // in-test oracle: textbook greedy global-minimum agglomeration with
+    // Lance-Williams updates on plain Euclidean distances, scipy ids
+    def naive(pts: Array[Array[Double]], method: String): Seq[(Int, Int, Double, Int)] = {
+      val n = pts.length
+      val size = scala.collection.mutable.Map((0 until n).map(i => i -> 1.0): _*)
+      val active = scala.collection.mutable.SortedSet((0 until n): _*)
+      val d = scala.collection.mutable.Map.empty[(Int, Int), Double]
+      def key(i: Int, j: Int) = (math.min(i, j), math.max(i, j))
+      for (i <- 0 until n; j <- i + 1 until n)
+        d(key(i, j)) = math.sqrt(
+          pts(i).zip(pts(j)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      var next = n
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Int)]
+      while (active.size > 1) {
+        val pairs = for (i <- active.toSeq; j <- active.toSeq if i < j) yield (i, j)
+        val (bi, bj) = pairs.minBy(p => d(key(p._1, p._2)))
+        val h = d(key(bi, bj))
+        active.foreach { k =>
+          if (k != bi && k != bj) {
+            val dik = d(key(bi, k)); val djk = d(key(bj, k))
+            d(key(next, k)) = method match {
+              case "single"   => math.min(dik, djk)
+              case "complete" => math.max(dik, djk)
+              case _          => (size(bi) * dik + size(bj) * djk) / (size(bi) + size(bj))
+            }
+          }
+        }
+        size(next) = size(bi) + size(bj)
+        out += ((bi, bj, h, size(next).toInt))
+        active -= bi; active -= bj; active += next
+        next += 1
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(11)
+    Seq("single", "complete", "average").foreach { method =>
+      (0 until 2).foreach { trial =>
+        val pts = Array.fill(35, 4)(rng.nextDouble() * 10)
+        val df = pts.zipWithIndex.map { case (p, i) => (s"r$i", p(0), p(1), p(2), p(3)) }
+          .toSeq.toDF("gene_stable_id", "f1", "f2", "f3", "f4")
+        val op = AggloOp(nClusters = 3, sort = false, linkage = method)
+        op(df).collect()
+        val got = op.lastLinkage.get
+        val want = naive(pts, method)
+        assert(got.length == want.length)
+        got.zip(want).foreach { case (g, (a, b, d, s)) =>
+          assert(g(0) == a.toDouble && g(1) == b.toDouble,
+            s"$method trial $trial: merge ids ${g.toSeq} vs ($a,$b,$d,$s)")
+          assert(math.abs(g(2) - d) < 1e-9 && g(3) == s.toDouble, s"$method: ${g.toSeq} vs ($a,$b,$d,$s)")
+        }
+      }
+    }
+    intercept[IllegalArgumentException] { AggloOp(linkage = "centroid") }
+  }
+
   test("ward linkage matrix matches scipy on the 4×6 fixture (strategies.py:475-486)") {
     val op = AggloOp(sort = false)
     op(counts).collect()
