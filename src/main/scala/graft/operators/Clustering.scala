@@ -51,6 +51,11 @@ final case class KMeansOp(
     ascending: Boolean = true,
     add: Boolean = true,
     seed: Long = 42L,
+    // sklearn KMeans surface mirrored by the reference's NewKMeans
+    // (strategies.py:136-185): max_iter / tol with sklearn defaults —
+    // Lloyd converges by tol long before 300 on real matrices
+    maxIter: Int = 300,
+    tol: Double = 1e-4,
     protect: Seq[String] = Seq("gene_stable_id")) extends ClusterOp {
 
   @transient var lastModel: Option[KMeansModel] = None
@@ -60,6 +65,7 @@ final case class KMeansOp(
       .setInputCols(features.toArray).setOutputCol("__features")
       .transform(df)
     val model = new MlKMeans().setK(nClusters).setSeed(seed)
+      .setMaxIter(maxIter).setTol(tol)
       .setFeaturesCol("__features").setPredictionCol(newColumn)
       .fit(assembled)
     lastModel = Some(model)

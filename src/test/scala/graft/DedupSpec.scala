@@ -62,6 +62,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 3L && p._2 == 4L && p._3 > 0.5 && p._3 < 1.0))
   }
 
+  test("nearDupAgainst screens probes against a frozen corpus; degenerate edges") {
+    // 2 near-dups 1, 4 near-dups 3, 5 matches nothing
+    val probe = docs.where(col("doc_id").isin(2L, 5L))
+    val corpus = docs.where(col("doc_id").isin(1L, 3L))
+    val hits = Dedup.nearDupAgainst(probe, corpus, "text", "doc_id",
+        jaccardThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((2L, 1L)), s"got $hits")
+    // overlapping ids never self-pair
+    val self = Dedup.nearDupAgainst(docs, docs, "text", "doc_id",
+        jaccardThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(self.forall { case (a, b) => a != b })
+    // empty probe and empty corpus both yield empty, not an error
+    val none = docs.where(lit(false))
+    assert(Dedup.nearDupAgainst(none, corpus, "text", "doc_id").count() == 0)
+    assert(Dedup.nearDupAgainst(probe, none, "text", "doc_id").count() == 0)
+  }
+
   test("determinism: same pairs regardless of partitioning") {
     val p1 = Dedup.minHashLshPairs(docs.repartition(7), "text", "doc_id", jaccardThreshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
