@@ -195,20 +195,25 @@ object Multimodal {
       if (bytes == null || bytes.length < 44) return bad
       if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return bad
-      var pos = 12
+      // Long chunk walk: a 32-bit size with the high bit set would
+      // overflow Int arithmetic, drive pos negative, and turn the
+      // "total, never throws" contract into an OOB exception on
+      // adversarial bytes
+      var pos = 12L
       var rate = -1; var ch = -1; var bps = -1; var dataLen = -1L
       while (pos + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
-        val id = new String(bytes, pos, 4, "US-ASCII")
-        val sz = le32(bytes, pos + 4).toLong & 0xffffffffL
+        val p = pos.toInt
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val sz = le32(bytes, p + 4).toLong & 0xffffffffL
         if (id == "fmt " && pos + 24 <= bytes.length) {
-          if (le16(bytes, pos + 8) != 1) return bad // PCM only
-          ch = le16(bytes, pos + 10)
-          rate = le32(bytes, pos + 12)
-          bps = le16(bytes, pos + 22)
+          if (le16(bytes, p + 8) != 1) return bad // PCM only
+          ch = le16(bytes, p + 10)
+          rate = le32(bytes, p + 12)
+          bps = le16(bytes, p + 22)
         } else if (id == "data") {
-          dataLen = math.min(sz, (bytes.length - pos - 8).toLong)
+          dataLen = math.min(sz, bytes.length - pos - 8)
         }
-        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        pos += 8L + sz + (sz & 1L) // chunks are word-aligned
         if (sz <= 0 && id != "data") return bad
       }
       if (rate <= 0 || ch <= 0 || bps <= 0 || dataLen < 0) bad
@@ -248,14 +253,19 @@ object Multimodal {
       val (fmt, _, ch, n, _) = decodeMeta(bytes)
       val out = new Array[Float](FeatureDim)
       if (fmt != "wav" || n <= 0) return out
-      // locate the data chunk again (decodeMeta validated the layout)
-      var pos = 12
+      // locate the data chunk again (decodeMeta validated the layout up
+      // to and including it; same Long walk for the same OOB safety)
+      var pos = 12L
       var dataPos = -1; var dataLen = 0
       while (pos + 8 <= bytes.length && dataPos < 0) {
-        val id = new String(bytes, pos, 4, "US-ASCII")
-        val sz = le32(bytes, pos + 4)
-        if (id == "data") { dataPos = pos + 8; dataLen = math.min(sz, bytes.length - pos - 8) }
-        pos += 8 + sz + (sz & 1)
+        val p = pos.toInt
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val sz = le32(bytes, p + 4).toLong & 0xffffffffL
+        if (id == "data") {
+          dataPos = p + 8
+          dataLen = math.min(sz, bytes.length - pos - 8).toInt
+        }
+        pos += 8L + sz + (sz & 1L)
       }
       if (dataPos < 0) return out
       val nSamp = dataLen / 2 // interleaved channels fold into the windows

@@ -226,6 +226,16 @@ class SimilaritySpec extends SparkSpec {
     assert(AudioCodec.decodeMeta(null)._1 == "unknown")
     assert(AudioCodec.decodeMeta(base.take(30))._1 == "unknown")
     assert(AudioCodec.features("junk".getBytes).forall(_ == 0f))
+    // adversarial chunk size with the sign bit set (0x80000000): the
+    // Int-overflow walk would go out of bounds; the Long walk falls back
+    val evil = base.clone()
+    evil(16) = 0; evil(17) = 0; evil(18) = 0; evil(19) = 0x80.toByte // fmt size
+    assert(AudioCodec.decodeMeta(evil)._1 == "unknown")
+    val evil2 = base.clone()
+    evil2(40) = 0xff.toByte; evil2(41) = 0xff.toByte
+    evil2(42) = 0xff.toByte; evil2(43) = 0xff.toByte // data size = 0xffffffff
+    val (f2, _, _, n2, _) = AudioCodec.decodeMeta(evil2)
+    assert(f2 == "wav" && n2 == 16) // clamped to the real payload
   }
 
   test("frame sampling explodes deterministic frame indices") {
