@@ -47,6 +47,31 @@ class CheckpointStoreSpec extends SparkSpec {
     store(t2, input, "fixture-v2").collect()
     assert(executions.get() == 3)
   }
+
+  test("Dataset params fingerprint by plan identity, not schema alone") {
+    implicit val s = spark
+    // two annotation tables with IDENTICAL schemas but different content:
+    // schema-only rendering would give them the same fingerprint, and the
+    // store would silently serve the first table's output for the second
+    val annoA = Seq((1L, "x")).toDF("id", "tag")
+    val annoB = Seq((1L, "y")).toDF("id", "tag")
+    def annotate(anno: org.apache.spark.sql.DataFrame) =
+      Transformer("annotate", Seq(anno)) { df =>
+        df.join(broadcast(anno), Seq("id"), "left")
+      }
+    assert(annotate(annoA).fingerprint != annotate(annoB).fingerprint,
+      "different tables with equal schemas must not collide")
+    // …while the SAME table twice still collides on purpose (cache hit)
+    assert(annotate(annoA).fingerprint == annotate(annoA).fingerprint)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val store = CheckpointStore(dir)
+    val input = Seq((1L, 2.0)).toDF("id", "v")
+    val rA = store(annotate(annoA), input, "k").collect()(0).getString(2)
+    val rB = store(annotate(annoB), input, "k").collect()(0).getString(2)
+    assert(rA == "x" && rB == "y",
+      s"store served a colliding checkpoint: rA=$rA rB=$rB")
+  }
 }
 
 object CheckpointStoreSpec {
