@@ -386,6 +386,16 @@ object SparkEntry {
     }),
 
     // ---- exact dedup groups by MD5 content fingerprint ----
+    // ---- winnowing document fingerprints (MOSS scheme), oracle-checked:
+    //      the gram hash is md5-derived (TextFunctions.portableHash), so
+    //      DuckDB recomputes the identical winnowed set per doc ----
+    "q_text_winnow" -> ((s, dir) => {
+      val d = documents(s, dir)
+      d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.winnowedFingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+
     // ---- incremental near-dup: probe docs (id % 7 == 0) screened
     //      against the frozen remainder — the streaming-compatible
     //      LSH join (stateless probe side; see Dedup.nearDupAgainst).
@@ -894,6 +904,32 @@ object SparkEntry {
     // on the gate corpus. DuckDB recomputes the shingle sets from scratch.
     "q_dedup_minhash" -> DedupOracle.pairSql(
       DedupOracle.charShingleCtes("documents"), 0.8),
+
+    "q_text_winnow" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(norm) < 5 THEN [norm]
+        |         ELSE list_transform(generate_series(1, length(norm) - 4),
+        |              i -> substring(norm, i, 5))
+        |    END AS grams
+        |  FROM n),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams,
+        |      g -> CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)) AS hs
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+        |         ELSE list_transform(generate_series(1, len(hs) - 3),
+        |              i -> list_min(hs[i:i+3]))
+        |    END AS mins
+        |  FROM h)
+        |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
+        |FROM w
+        |ORDER BY doc_id, fp""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""${DedupOracle.charShingleCtes("documents")},

@@ -114,6 +114,49 @@ object TextFunctions {
     array_min(transform(grams, g => xxhash64(g)))
   }
 
+  /** Engine-portable 64-bit gram hash: first 15 hex digits of the md5 →
+    * long (60 bits, sign-safe). DuckDB computes the identical value as
+    * `CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)`, so fingerprint
+    * schemes built on it stay oracle-checkable — unlike xxhash64, which
+    * only Spark implements. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val winnowUdf = udf { (hashes: Seq[Long], w: Int) =>
+    if (hashes == null || hashes.isEmpty) Array.empty[Long]
+    else {
+      val n = hashes.length
+      val win = math.min(w, n)
+      val out = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i + win <= n) {
+        var m = hashes(i); var j = i + 1
+        while (j < i + win) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        out.add(m)
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var x = 0
+      while (it.hasNext) { arr(x) = it.next(); x += 1 }
+      arr
+    }
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS scheme): hash every k-gram of the normalized
+    * text, slide a w-wide window over the hash sequence, keep each
+    * window's minimum, distinct + sorted. Guarantees any shared
+    * substring of length ≥ w + k − 1 contributes a shared fingerprint,
+    * while storing ~2/(w+1) of the gram hashes. The gram hashing stays a
+    * codegen'd expression evaluated once per gram ([[portableHash]]);
+    * the sliding minima run in one compact UDF — expressing the windows
+    * as slice()/array_min() expressions would re-evaluate the whole hash
+    * array per window position (CollapseProject re-inlines deterministic
+    * aliases; see PERF.md §4). */
+  def winnowedFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
+    winnowUdf(transform(charShingles(normalizeText(c), k), g => portableHash(g)), lit(w))
+
   /** All k-character shingles of a string as an array (expression-only:
     * transform over an index sequence + substr with Column offsets). */
   def charShingles(c: Column, k: Int): Column =

@@ -67,6 +67,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rfp(c) == rfp(e))
   }
 
+  test("winnowing: shared substrings ≥ w+k−1 share fingerprints; sorted distinct; short-doc edge") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river"
+    val df = Seq(
+      (1L, s"AAAA unique prefix one $shared unique suffix alpha"),
+      (2L, s"completely different opening text $shared and another ending"),
+      (3L, "nothing in common with the others at all zebra quartz")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), winnowedFingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // guarantee: docs 1 and 2 share a ≥ (4+5−1)-char substring → overlap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // doc 3 shares (almost) nothing: far smaller overlap than 1∩2
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).size >
+      fps(1L).toSet.intersect(fps(3L).toSet).size)
+    // sorted + distinct contract
+    fps.values.foreach { v =>
+      assert(v == v.sorted && v.toSet.size == v.size)
+    }
+    // compression: far fewer fingerprints than grams
+    val doc1len = "aaaa unique prefix one the quick brown fox jumps over the lazy dog near the river unique suffix alpha".length
+    assert(fps(1L).size < doc1len - 4)
+    // short doc (< k chars → one gram → one fingerprint); empty stays empty
+    val short = Seq((9L, "ab"), (10L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), winnowedFingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(short(9L).size == 1 && short(10L).size == 1)
+  }
+
   test("char shingles and word ngrams") {
     val d = Seq("abcdef").toDF("text")
     val sh = d.select(charShingles(col("text"), 4).as("v")).collect()(0)
