@@ -386,6 +386,29 @@ object SparkEntry {
     }),
 
     // ---- exact dedup groups by MD5 content fingerprint ----
+    // ---- video frame sampling, oracle-checked: synthesize a GVID
+    //      container of REAL PNG frames per doc (id-derived count/dims),
+    //      parse + frame-sample + decode in one mapPartitions pass; the
+    //      oracle recomputes sampled indices and dimensions
+    //      arithmetically, so container-layout or sampling bugs break
+    //      the hash ----
+    "q_multimodal_frames" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("h"),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int").as("nf"))
+      val vid = Multimodal.deriveMany(d, Seq("video" -> BinaryType)) { row =>
+        Seq(Multimodal.VideoCodec.synthVideo(row.getAs[Int]("w"), row.getAs[Int]("h"),
+          row.getAs[Int]("nf"), row.getAs[Long]("doc_id")))
+      }
+      Multimodal.explodeSampledFrames(vid, "video", every = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_meta.format").as("format"),
+          col("frame_meta.width").as("width"),
+          col("frame_meta.height").as("height"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- winnowing document fingerprints (MOSS scheme), oracle-checked:
     //      the gram hash is md5-derived (TextFunctions.portableHash), so
     //      DuckDB recomputes the identical winnowed set per doc ----
@@ -904,6 +927,14 @@ object SparkEntry {
     // on the gate corpus. DuckDB recomputes the shingle sets from scratch.
     "q_dedup_minhash" -> DedupOracle.pairSql(
       DedupOracle.charShingleCtes("documents"), 0.8),
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, 'png' AS format,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 5 + 1 AS INTEGER) AS height
+        |FROM documents, LATERAL unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT))) t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_text_winnow" ->
       s"""WITH n AS (

@@ -244,4 +244,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Int]("frame_idx"))
     assert(frames.toSeq == Seq(0, 10, 20, 30))
   }
+
+  test("video container: synth → parse → sample → per-frame decode round-trips") {
+    import graft.operators.Multimodal.VideoCodec
+    val v = VideoCodec.synthVideo(w = 6, h = 3, nFrames = 5, seed = 9L)
+    assert(VideoCodec.frameCount(v) == 5)
+    val sampled = VideoCodec.sampleFrames(v, every = 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4))
+    sampled.foreach { case (_, frame) =>
+      val (fmt, w, h, c) = Multimodal.ImageCodec.decodeMeta(frame)
+      assert(fmt == "png" && w == 6 && h == 3 && c == 3)
+    }
+    // frames differ (per-frame seed), so sampling is not returning one frame
+    assert(sampled.map(_._2.toSeq).distinct.size == 3)
+    // corrupt/truncated payloads are total
+    assert(VideoCodec.frameCount("nope".getBytes) == -1)
+    assert(VideoCodec.sampleFrames(null, 2).isEmpty)
+    assert(VideoCodec.sampleFrames(v.take(v.length - 3), 1).map(_._1) == Seq(0, 1, 2, 3))
+    // DataFrame-level explode: one row per sampled frame, payloads stay partition-local
+    val df = Seq((1L, v)).toDF("doc_id", "video")
+    val rows = Multimodal.explodeSampledFrames(df, "video", every = 2).collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    assert(rows.forall(r => r.getStruct(r.fieldIndex("frame_meta")).getAs[Int]("width") == 6))
+  }
 }
