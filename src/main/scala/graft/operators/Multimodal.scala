@@ -41,6 +41,12 @@ object Multimodal {
     * that dies on row 10¹² is useless. */
   object ImageCodec extends Serializable {
 
+    // ImageIO defaults to disk-backed image streams (a temp FILE per
+    // encode/decode, behind a synchronized cache directory) — with 32
+    // executor threads hammering the codec that serializes on I/O.
+    // In-memory streams remove the shared resource entirely.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Header-only metadata decode: (format, width, height, channels);
       * ("unknown", -1, -1, -1) when no installed reader claims the bytes.
       * Pixels are NOT decoded — ImageReader parses dimensions from the
