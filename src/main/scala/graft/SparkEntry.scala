@@ -448,6 +448,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // ---- SimHash near-dup pairs (rows-only) ----
+    // ---- SimHash near-dup pairs, oracle-checked: signatures build on
+    //      the md5-derived portable token hash, so DuckDB recomputes
+    //      them bit-for-bit; 16-bit x 4 banding guarantees candidates
+    //      for every hamming <= 3 pair (pigeonhole over 4 bands), so the
+    //      LSH output EQUALS the all-pairs oracle by construction ----
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(documents(s, dir), "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")),
@@ -974,6 +979,8 @@ object SparkEntry {
     "q_dedup_ngram" -> DedupOracle.pairSql(
       DedupOracle.wordNgramCtes("documents"), 0.4),
 
+    "q_dedup_simhash" -> DedupOracle.simhashSql(3),
+
     "q_dedup_pipeline" ->
       s"""${DedupOracle.survivorsCte},
         |${DedupOracle.charShingleCtes("surv").stripPrefix("WITH ")},
@@ -1252,6 +1259,39 @@ object SparkEntry {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** All-pairs SimHash oracle: recompute the 60-bit signatures from
+      * the portable md5 token hash (multiset semantics — duplicate
+      * tokens count), then hamming over every pair. Banding recall is
+      * 100% at hamming ≤ 3 by pigeonhole, so LSH output equals this. */
+    def simhashSql(maxHamming: Int): String = {
+      val bitCols = (0 until 60)
+        .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(",\n    ")
+      val sigExpr = (0 until 60)
+        .map(b => s"CASE WHEN b.c$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+        .mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT doc_id, $normExpr AS norm FROM documents),
+         |tk AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '), x -> x <> '')) AS t
+         |  FROM n),
+         |th AS (
+         |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tk),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitCols
+         |  FROM th GROUP BY doc_id),
+         |sig AS (
+         |  SELECT n.doc_id, $sigExpr AS s
+         |  FROM n LEFT JOIN bits b USING (doc_id)),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxHamming
+         |ORDER BY id_a, id_b""".stripMargin
+    }
 
     /** Exact-dedup survivors (min doc_id per content fingerprint). */
     val survivorsCte: String =

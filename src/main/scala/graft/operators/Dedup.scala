@@ -265,8 +265,17 @@ object Dedup {
     sig
   }
 
+  /** Token hashes use the engine-portable md5-derived 60-bit hash
+    * ([[graft.functions.TextFunctions.portableHash]]) rather than
+    * xxhash64: DuckDB can then recompute the signatures bit-for-bit,
+    * which — combined with the 16-bit × 4 banding guaranteeing 100%
+    * candidate recall at hamming ≤ 3 (pigeonhole) — makes the simhash
+    * query exactly equal to an all-pairs SQL oracle. Bits 60-63 of the
+    * signature are structurally 0 (every token hash has them clear), so
+    * this is an effective 60-bit simhash — the hamming contract is
+    * unchanged. */
   def simHash(textCol: Column): Column =
-    simHashAccumulate(transform(tokens(normalizeText(textCol)), t => xxhash64(t)))
+    simHashAccumulate(transform(tokens(normalizeText(textCol)), t => portableHash(t)))
 
   /** SimHash near-dup pairs: band the 64 bits into four 16-bit keys
     * (guarantees candidates for hamming distance ≤ 3), verify exact
