@@ -419,6 +419,19 @@ object SparkEntry {
         .orderBy("doc_id", "fp")
     }),
 
+    // ---- benchmark decontamination (GPT-3/PaLM pipeline step),
+    //      oracle-checked: corpus docs sharing ANY word 5-gram with the
+    //      pseudo-benchmark slice (id % 31 == 0) are flagged with their
+    //      hit counts — exact containment via a broadcast gram join,
+    //      recomputed verbatim in SQL ----
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val benchmark = d.where(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+      Dedup.contaminatedDocs(corpus, benchmark, "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // ---- incremental near-dup: probe docs (id % 7 == 0) screened
     //      against the frozen remainder — the streaming-compatible
     //      LSH join (stateless probe side; see Dedup.nearDupAgainst).
@@ -966,6 +979,26 @@ object SparkEntry {
         |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp
         |FROM w
         |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+        |  FROM n),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM t),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN bg USING (gram)
+        |WHERE g.doc_id % 31 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""${DedupOracle.charShingleCtes("documents")},

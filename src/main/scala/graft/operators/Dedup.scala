@@ -248,6 +248,36 @@ object Dedup {
     if (dedupePairs) verified.dropDuplicates("probe_id", "corpus_id") else verified
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / PaLM pipeline
+    * step): flag corpus documents sharing ANY word n-gram with a
+    * benchmark/eval set. This is exact containment, not similarity —
+    * a single leaked eval question inside an otherwise-unique document
+    * must flag it, which no Jaccard threshold does.
+    *
+    * Shape: both sides explode to DISTINCT n-grams; the benchmark side
+    * is small by definition (eval sets), so its gram table broadcasts
+    * and the corpus side never shuffles — at 100 TB this is one
+    * broadcast-hash-join pass over the corpus grams. Output: one row
+    * per contaminated corpus doc with its hit count. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(array_distinct(
+            wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
+    val bench = grams(benchmark, "bench_id").select("__g").distinct()
+    grams(corpus, idCol)
+      .join(broadcast(bench), Seq("__g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Decontaminated corpus: drop every document [[contaminatedDocs]]
+    * flags (left-anti on the hit list). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame =
+    corpus.join(contaminatedDocs(corpus, benchmark, textCol, idCol, n)
+      .select(idCol), Seq(idCol), "left_anti")
+
   /** 64-bit SimHash of the token multiset: per bit, sign of Σ(±1) over
     * token hashes. Token hashing stays a codegen'd expression (xxhash64);
     * the 64-bit accumulation is one compact UDF over the hash array

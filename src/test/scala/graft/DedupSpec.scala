@@ -81,6 +81,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDupAgainst(probe, none, "text", "doc_id").count() == 0)
   }
 
+  test("decontamination flags exact n-gram leakage, not mere similarity") {
+    val benchmark = Seq(
+      (100L, "what is the capital city of france paris is the answer")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaked: contains a verbatim benchmark 5-gram inside unique text
+      (1L, "some training document asks what is the capital city of france among other things"),
+      // topically similar but no shared 5-gram
+      (2L, "paris france capital questions appear often in geography quizzes"),
+      (3L, "entirely unrelated text about spark shuffle partitions")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminatedDocs(corpus, benchmark, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 1, s"got $hits")
+    assert(!hits.contains(2L) && !hits.contains(3L), s"got $hits")
+    val clean = Dedup.decontaminate(corpus, benchmark, "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq == Seq(2L, 3L))
+  }
+
   test("determinism: same pairs regardless of partitioning") {
     val p1 = Dedup.minHashLshPairs(docs.repartition(7), "text", "doc_id", jaccardThreshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
