@@ -34,10 +34,15 @@ object Bench {
       graft.operators.Multimodal.ImageCodec.decodeMeta(png)
       graft.operators.Multimodal.ImageCodec.features(png)
     }
-    // deterministic order so per-query timings compare across rounds
+    // deterministic order so per-query timings compare across rounds.
+    // A throwing query must NOT be silently timed as near-zero (a broken
+    // query would read as a perf win): record it, report it, exit nonzero.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable => failures += (name -> t)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -45,5 +50,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach { case (name, t) =>
+        System.err.println(s"BENCH FAILURE: $name — ${t.getClass.getName}: ${t.getMessage}")
+      }
+      System.err.println(s"${failures.length} of ${results.size} queries failed")
+      sys.exit(1)
+    }
   }
 }

@@ -292,11 +292,16 @@ object SparkEntry {
     //      clusters = recursive-CTE connected components over core-core
     //      edges, borders adopt their core neighbors' cluster. Squared
     //      distances are exact integers, so ε² comparisons cannot
-    //      straddle float noise. ----
+    //      straddle float noise. `exactOnly` pins the exact path: if a
+    //      regenerated fixture ever pushes the shell (178 rows at the
+    //      gate sf) past maxExactRows, the op fails loudly instead of
+    //      silently switching to the approximate grid path the SQL
+    //      oracle does not model. ----
     "q_dbscan" -> ((s, dir) => {
       val m = countMatrix(s, dir)
         .where(col("rf_a") + col("rf_n") + col("rf_r") >= 38)
-      DbscanOp(eps = 1.8, minSamples = 4, protect = Seq("l_partkey"))(m)
+      DbscanOp(eps = 1.8, minSamples = 4, protect = Seq("l_partkey"),
+        exactOnly = true)(m)
         .withColumn("cluster",
           when(col("DBSCAN") === -1, lit(-1L))
             .otherwise(min(col("l_partkey")).over(Window.partitionBy(col("DBSCAN")))))
@@ -437,7 +442,14 @@ object SparkEntry {
     //      LSH join (stateless probe side; see Dedup.nearDupAgainst).
     //      Oracle = exact all-pairs Jaccard across the split, with the
     //      same recall argument as q_dedup_minhash (bimodal verified-J,
-    //      families ≈ 0.97 where 16×8 banding recall > 0.9999). ----
+    //      families ≈ 0.97 where 16×8 banding recall > 0.9999).
+    //      FIXTURE-DEPENDENT equality: banding recall is probabilistic,
+    //      so LSH == all-pairs only holds because the measured J
+    //      distribution has no mass near the 0.8 cutoff. If the driver
+    //      ever regenerates documents.parquet, re-measure the verified-J
+    //      histogram; a borderline pair (J barely above 0.8) would make
+    //      this a spurious hash mismatch, and the right fix then is
+    //      asserting LSH ⊆ oracle plus a recall floor, not debugging. ----
     "q_dedup_incremental" -> ((s, dir) => {
       val d = documents(s, dir)
       val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)

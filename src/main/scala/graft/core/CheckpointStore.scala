@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Fingerprint-keyed parquet checkpoint cache — the Spark analog of the
   * reference's content-addressed job cache (`CachedDataLoadingJob` keyed
@@ -17,7 +18,7 @@ import java.nio.file.{Files, Paths}
   * operator parameters (the `Transformer.fingerprint` sha256) plus a
   * caller-supplied input key (dataset version/path — the analog of the
   * reference's FileInvariant). Changing either produces a new directory;
-  * stale entries are simply unreferenced (prune by age out of band).
+  * stale entries are simply unreferenced (remove by age with [[prune]]).
   *
   * Collision caveat: Dataset-valued operator parameters fingerprint as
   * schema + the analyzed plan's semantic hash (Transformer.render) — NOT
@@ -41,6 +42,36 @@ final case class CheckpointStore(dir: String) {
     val p = pathFor(key)
     if (!contains(key)) df.write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
+  }
+
+  /** The out-of-band age pruning the class doc promises: delete every
+    * checkpoint entry whose completed materialization (`_SUCCESS` mtime)
+    * is older than `maxAgeMillis`, plus entries with no `_SUCCESS` at all
+    * (crashed half-writes — `materialize` would overwrite them anyway).
+    * Safe against concurrent writers of NEW entries (only old/incomplete
+    * dirs are touched); a key pruned here simply re-materializes on next
+    * request. Returns the number of entries removed. */
+  def prune(maxAgeMillis: Long): Int = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return 0
+    val cutoff = System.currentTimeMillis() - maxAgeMillis
+    val entries = Files.list(root)
+    try {
+      entries.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filter { d =>
+          val success = d.resolve("_SUCCESS")
+          !Files.exists(success) ||
+            Files.getLastModifiedTime(success).toMillis < cutoff
+        }
+        .map { d =>
+          // delete children before the directory itself
+          val files = Files.walk(d)
+          try files.iterator().asScala.toSeq.reverseIterator.foreach(Files.delete)
+          finally files.close()
+        }
+        .length
+    } finally entries.close()
   }
 
   /** Apply a transformer with checkpointing: cache hit skips executing

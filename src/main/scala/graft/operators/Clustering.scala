@@ -99,7 +99,15 @@ final case class KMeansOp(
   * dual path per SURVEY.md §7.3: exact Ward agglomeration on the driver
   * for small inputs (≤ `maxExactRows`, matching sklearn semantics), and
   * BisectingKMeans — the scalable divisive analog — beyond that
-  * (documented semantic substitute). */
+  * (documented semantic substitute).
+  *
+  * Memory note on `maxExactRows`: the exact path's driver footprint is
+  * LINKAGE-dependent. Ward runs centroid-based (O(n·dim) beyond the
+  * points), but single/complete/average maintain the full n×n distance
+  * matrix — 8·n² bytes, ~800 MB at the default 10k cap — so a non-ward
+  * fit near the cap needs a driver heap comfortably above 1 GB. The
+  * exact path checks available headroom up front and fails with an
+  * actionable message rather than OOM-ing mid-fit. */
 final case class AggloOp(
     name: String = "Agglo",
     nClusters: Int = 2,
@@ -135,7 +143,11 @@ final case class AggloOp(
     rows.map(r => (r(0), r(1), r(2), r(3))).toDF("id_a", "id_b", "dist", "size")
   }
 
-  protected def assignLabels(df: DataFrame, features: Seq[String]): DataFrame = {
+  protected def assignLabels(df0: DataFrame, features: Seq[String]): DataFrame = {
+    // the path-selection count and the fit both read the input: cache it
+    // (unless the caller already did) so an expensive upstream plan is
+    // scanned once, not twice — same fix as Tmm.apply
+    val df = graft.core.CacheScope.retainInput(df0)
     val n = df.count()
     if (n <= maxExactRows) exactLinkage(df, features)
     else {
@@ -341,6 +353,21 @@ final case class AggloOp(
     val (rdd, rows) = ExactCollect.featureMatrix(df, features)
     val n = rows.length
     if (n == 0) { lastLinkage = Some(Array.empty); return df.withColumn(newColumn, lit(0)) }
+    // single/complete/average hold the full n×n distance matrix on the
+    // driver (8·n² bytes ≈ 800 MB at the 10k cap) while ward is O(n)
+    // beyond the points; fail with an actionable message instead of an
+    // opaque driver OOM when the matrix cannot fit alongside the running
+    // heap (ward fits whenever the collected points do)
+    if (linkage != "ward") {
+      val needed = 8L * n * n
+      val rt = Runtime.getRuntime
+      val headroom = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+      require(needed < headroom / 2,
+        s"$linkage linkage needs an n×n distance matrix (${needed / (1 << 20)} MB at n=$n) " +
+          s"but only ${headroom / (1 << 20)} MB driver heap headroom is available; " +
+          "lower maxExactRows (the scale path takes over), raise driver memory, " +
+          "or use ward linkage (centroid-based, O(n) memory)")
+    }
     val total = 2 * n - 1
     val (mergeA, mergeB, mergeW, size) =
       if (linkage == "ward") chainWard(rows) else chainMatrix(rows, linkage)

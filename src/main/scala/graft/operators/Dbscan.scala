@@ -29,15 +29,24 @@ final case class DbscanOp(
     columnName: Option[String] = None,
     add: Boolean = true,
     maxExactRows: Int = 10000,
-    protect: Seq[String] = Seq("gene_stable_id")) extends Transformer {
+    protect: Seq[String] = Seq("gene_stable_id"),
+    exactOnly: Boolean = false) extends Transformer {
 
   def newColumn: String = columnName.getOrElse(name)
 
   def apply(df: DataFrame): DataFrame = {
     val features = Transforms.numericValueColumns(df, protect)
     require(features.nonEmpty, "DBSCAN needs numeric feature columns")
+    val n = df.count()
+    // `exactOnly` pins callers that depend on exact-DBSCAN semantics
+    // (e.g. an oracle comparison): a silent switch to the approximate
+    // grid path would surface as a confusing result mismatch instead of
+    // this actionable error
+    require(!exactOnly || n <= maxExactRows,
+      s"exactOnly DBSCAN got $n rows > maxExactRows=$maxExactRows; " +
+        "raise maxExactRows or drop exactOnly to allow the grid path")
     val labeled =
-      if (df.count() <= maxExactRows) exact(df, features)
+      if (n <= maxExactRows) exact(df, features)
       else grid(df, features)
     if (add) labeled else labeled.drop(newColumn)
   }

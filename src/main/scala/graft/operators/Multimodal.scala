@@ -45,7 +45,16 @@ object Multimodal {
     // encode/decode, behind a synchronized cache directory) — with 32
     // executor threads hammering the codec that serializes on I/O.
     // In-memory streams remove the shared resource entirely.
-    javax.imageio.ImageIO.setUseCache(false)
+    //
+    // CAVEAT: setUseCache is a PROCESS-GLOBAL javax.imageio setting, so
+    // any co-resident code using ImageIO in the same JVM inherits it
+    // (heap-backed streams buffer whole images in memory — a concern only
+    // for images too large for heap). Embedders that need the disk cache
+    // can opt out with -Dgraft.imageio.nocache=false; the flag is read
+    // once at ImageCodec init.
+    if (java.lang.Boolean.parseBoolean(
+        System.getProperty("graft.imageio.nocache", "true")))
+      javax.imageio.ImageIO.setUseCache(false)
 
     /** Header-only metadata decode: (format, width, height, channels);
       * ("unknown", -1, -1, -1) when no installed reader claims the bytes.

@@ -72,6 +72,39 @@ class CheckpointStoreSpec extends SparkSpec {
     assert(rA == "x" && rB == "y",
       s"store served a colliding checkpoint: rA=$rA rB=$rB")
   }
+
+  test("prune removes aged and incomplete entries, keeps fresh ones") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    val store = CheckpointStore(dir)
+    val input = Seq((1L, 2.0)).toDF("id", "v")
+    val t = Transformer("identity", Seq(1.0))(df => df)
+
+    store(t, input, "old").collect()
+    store(t, input, "fresh").collect()
+    // a crashed half-write: directory without _SUCCESS
+    val partial = java.nio.file.Paths.get(dir, "deadbeef-partial")
+    java.nio.file.Files.createDirectory(partial)
+    java.nio.file.Files.writeString(partial.resolve("part-0.parquet"), "junk")
+
+    // age the "old" entry's _SUCCESS two hours into the past
+    def entryDir(key: String) =
+      java.nio.file.Paths.get(dir, Transformer.sha256(t.fingerprint + "|" + key))
+    java.nio.file.Files.setLastModifiedTime(
+      entryDir("old").resolve("_SUCCESS"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+
+    val removed = store.prune(maxAgeMillis = 3600 * 1000L)
+    assert(removed == 2, s"expected old+partial pruned, got $removed")
+    assert(!java.nio.file.Files.exists(entryDir("old")))
+    assert(!java.nio.file.Files.exists(partial))
+    assert(java.nio.file.Files.exists(entryDir("fresh").resolve("_SUCCESS")))
+
+    // a pruned key transparently re-materializes on the next request
+    assert(store(t, input, "old").count() == 1)
+    assert(store.contains(t.fingerprint + "|" + "old"))
+  }
 }
 
 object CheckpointStoreSpec {
