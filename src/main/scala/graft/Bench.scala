@@ -34,6 +34,13 @@ object Bench {
       graft.operators.Multimodal.ImageCodec.decodeMeta(png)
       graft.operators.Multimodal.ImageCodec.features(png)
     }
+    // OS load average at the run boundaries: bench numbers on this box
+    // swing up to 2x with background tenant load (see PERF.md round 4 —
+    // the q_edger "regression" was exactly this), so the JSON records the
+    // load so a polluted run is self-diagnosing
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // deterministic order so per-query timings compare across rounds.
     // A throwing query must NOT be silently timed as near-zero (a broken
     // query would read as a perf win): record it, report it, exit nonzero.
@@ -48,7 +55,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""load_start":$loadStart,"load_end":$loadAvg}""")
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach { case (name, t) =>
