@@ -321,11 +321,26 @@ object SparkEntry {
       l(replicateMatrix(s, dir)).orderBy("l_partkey")
     }),
 
-    // ---- A10 VST (rows-only: gene-dispersion trend fit not
-    //      SQL-expressible; transform kernel pinned at 1e-5 vs the R
-    //      golden frame in VstSpec) ----
+    // ---- A10 VST, oracle-checked via the embedded-coefficients pattern
+    //      (q_batch_effect): the dispersion-trend FIT is not
+    //      SQL-expressible (iterative gamma-family GLM on a sampled
+    //      subset), but given the two fitted coefficients (asymptDisp,
+    //      extraPois) the whole transform is closed-form per cell, and
+    //      the size factors (median-of-log-ratios) are exactly
+    //      re-derivable in DuckDB (quantile_cont == Spark's exact
+    //      percentile). The oracle embeds AD/EP measured at the sf0.01
+    //      gate (OracleFitProbe prints them; refresh after any fixture
+    //      regeneration) and re-derives everything else from the parquet.
+    //      Both sides round to 4 decimals (log/sqrt cross-engine jitter
+    //      ~1e-13, far inside the bucket). Transform kernel additionally
+    //      pinned at 1e-5 vs the R golden frame in VstSpec. ----
     "q_vst" -> ((s, dir) =>
-      graft.stats.Vst(index = "l_partkey")(countMatrix(s, dir)).orderBy("l_partkey")),
+      graft.stats.Vst(index = "l_partkey")(countMatrix(s, dir))
+        .select(col("l_partkey"),
+          round(col("rf_a"), 4).as("rf_a"),
+          round(col("rf_n"), 4).as("rf_n"),
+          round(col("rf_r"), 4).as("rf_r"))
+        .orderBy("l_partkey")),
 
     // ---- D1 edgeR exact test (rows-only: qCML dispersion estimation and
     //      the NB exact test are not SQL-expressible; conformance is
@@ -631,9 +646,25 @@ object SparkEntry {
 
     // ---- M1/M2/M5 ML operators (rows-only: model fits are not
     //      SQL-expressible; contracts pinned by ClusteringSpec) ----
+    // ---- M1 KMeans, PARTIAL oracle: the oracle embeds the converged
+    //      centroids (OracleFitProbe prints them at the sf0.01 gate) and
+    //      verifies nearest-centroid ASSIGNMENT in DuckDB — it checks the
+    //      assignment semantics and label canonicalization, NOT the Lloyd
+    //      fit itself (the iterative fit is pinned by ClusteringSpec).
+    //      Labels are canonicalized to the minimum member l_partkey on
+    //      both sides, erasing Spark ML's arbitrary cluster numbering.
+    //      The input layout is PINNED (fixed-count hash repartition +
+    //      within-partition sort) because kmeans|| initialization samples
+    //      per partition: an upstream cache with a different physical
+    //      layout would otherwise seed a different local optimum — the
+    //      fit is only deterministic per layout, so the gate pins one.
+    //      Refresh the embedded centroids after any fixture change. ----
     "q_kmeans" -> ((s, dir) =>
-      KMeansOp(nClusters = 4, sort = false, protect = Seq("l_partkey"))(countMatrix(s, dir))
-        .select(col("l_partkey"), col("KNN").as("cluster"))
+      KMeansOp(nClusters = 4, sort = false, protect = Seq("l_partkey"))(
+        countMatrix(s, dir).repartition(8, col("l_partkey"))
+          .sortWithinPartitions("l_partkey"))
+        .withColumn("cluster", min(col("l_partkey")).over(Window.partitionBy(col("KNN"))))
+        .select("l_partkey", "cluster")
         .orderBy("l_partkey")),
 
     "q_agglo" -> ((s, dir) =>
@@ -642,6 +673,27 @@ object SparkEntry {
       AggloOp(nClusters = 3, sort = false, protect = Seq("l_partkey"))(
         countMatrix(s, dir).orderBy("l_partkey").limit(200))
         .select(col("l_partkey"), col("Agglo").as("cluster"))
+        .orderBy("l_partkey")),
+
+    // ---- M2 single-linkage agglomeration, oracle-checked: a flat k-cut
+    //      of the single-linkage dendrogram equals the connected
+    //      components of the ε-graph with ε = the largest KEPT merge
+    //      height, PROVIDED the boundary is strict (kept max < removed
+    //      min). On the gate subset the k=5 cut sits in a strict gap:
+    //      kept merges have d² ≤ 13, removed ones d² ≥ 14 (OracleFitProbe
+    //      prints the spectrum — k=3 would land inside a √14 tie group,
+    //      which is why this query cuts at 5). Squared lattice distances
+    //      are exact integers, so the ε² comparison cannot straddle float
+    //      noise; labels canonicalize to min member id on both sides
+    //      (the q_dbscan recursive-CTE machinery). The ward-linkage
+    //      q_agglo stays rows-only (its merge objective is not
+    //      SQL-expressible). ----
+    "q_agglo_single" -> ((s, dir) =>
+      AggloOp(nClusters = 5, sort = false, linkage = "single",
+        protect = Seq("l_partkey"))(
+        countMatrix(s, dir).orderBy("l_partkey").limit(200))
+        .withColumn("cluster", min(col("l_partkey")).over(Window.partitionBy(col("Agglo"))))
+        .select("l_partkey", "cluster")
         .orderBy("l_partkey")),
 
     // ---- M5/M9 PCA, oracle-checked. The samples×samples Gram is 3×3
@@ -912,6 +964,85 @@ object SparkEntry {
         |  CASE WHEN rep IS NULL THEN CAST(-1 AS BIGINT)
         |       ELSE MIN(l_partkey) OVER (PARTITION BY rep) END AS cluster
         |FROM assigned
+        |ORDER BY l_partkey""".stripMargin,
+
+    // Embedded-coefficients oracle (q_batch_effect pattern): AD/EP are the
+    // dispersion-trend coefficients fitted at the sf0.01 gate
+    // (OracleFitProbe prints them — refresh after fixture regeneration);
+    // size factors and the closed-form transform re-derive from parquet.
+    "q_vst" -> {
+      val ad = "0.11765865151955804"
+      val ep = "0.0"
+      def u(c: String, sf: String) = {
+        val q = s"($c / $sf)"
+        s"round(log2((1.0 + $ep + 2.0*$ad*$q + " +
+          s"2.0*sqrt($ad*$q*(1.0 + $ep + $ad*$q))) / (4.0*$ad)), 4)"
+      }
+      s"""WITH m AS ($CountMatrixSql),
+        |pos AS (SELECT *, (ln(rf_a)+ln(rf_n)+ln(rf_r))/3.0 AS gm FROM m
+        |  WHERE rf_a > 0 AND rf_n > 0 AND rf_r > 0),
+        |sf AS (SELECT
+        |  exp(quantile_cont(ln(rf_a) - gm, 0.5)) AS sa,
+        |  exp(quantile_cont(ln(rf_n) - gm, 0.5)) AS sn,
+        |  exp(quantile_cont(ln(rf_r) - gm, 0.5)) AS sr FROM pos)
+        |SELECT l_partkey,
+        |  ${u("rf_a", "sf.sa")} AS rf_a,
+        |  ${u("rf_n", "sf.sn")} AS rf_n,
+        |  ${u("rf_r", "sf.sr")} AS rf_r
+        |FROM m, sf
+        |ORDER BY l_partkey""".stripMargin
+    },
+
+    // PARTIAL oracle: embedded converged centroids (OracleFitProbe) +
+    // nearest-centroid assignment with lowest-index tie-break (Spark ML
+    // findClosest keeps the first strict minimum), canonicalized to min
+    // member l_partkey. Verifies assignment semantics, not the fit.
+    "q_kmeans" -> {
+      val cs = Seq(
+        Seq("7.6348920863309360", "8.2230215827338140", "8.2338129496402890"),
+        Seq("13.500000000000000", "8.8696498054474710", "8.7120622568093380"),
+        Seq("9.4271844660194170", "14.201456310679610", "9.1310679611650480"),
+        Seq("9.5752895752895760", "9.5444015444015450", "13.953667953667955"))
+      val dists = cs.zipWithIndex.map { case (c, i) =>
+        s"(rf_a-(${c(0)}))*(rf_a-(${c(0)})) + (rf_n-(${c(1)}))*(rf_n-(${c(1)})) + " +
+          s"(rf_r-(${c(2)}))*(rf_r-(${c(2)})) AS d$i"
+      }.mkString(",\n  ")
+      s"""WITH m AS ($CountMatrixSql),
+        |d AS (SELECT l_partkey,
+        |  $dists
+        |FROM m),
+        |a AS (SELECT l_partkey,
+        |  CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+        |       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+        |       WHEN d2 <= d3 THEN 2
+        |       ELSE 3 END AS c
+        |FROM d)
+        |SELECT l_partkey, MIN(l_partkey) OVER (PARTITION BY c) AS cluster
+        |FROM a
+        |ORDER BY l_partkey""".stripMargin
+    },
+
+    // Single-linkage flat k-cut == connected components of the ε-graph
+    // when the cut boundary is strict: on the gate subset kept merges
+    // have d² ≤ 13 and removed ones ≥ 14 (integer lattice distances), so
+    // ε² = 13 reproduces the k=5 cut exactly. Same recursive-CTE
+    // component machinery as q_dbscan; labels are min member id.
+    "q_agglo_single" ->
+      s"""WITH cm AS ($CountMatrixSql),
+        |sub AS (SELECT * FROM cm ORDER BY l_partkey LIMIT 200),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM sub a JOIN sub b
+        |  ON a.l_partkey <> b.l_partkey AND
+        |     (a.rf_a-b.rf_a)*(a.rf_a-b.rf_a) + (a.rf_n-b.rf_n)*(a.rf_n-b.rf_n)
+        |     + (a.rf_r-b.rf_r)*(a.rf_r-b.rf_r) <= 13.0),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT l_partkey, l_partkey FROM sub
+        |    UNION
+        |    SELECT e.pb, r.rep FROM r JOIN e ON e.pa = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node)
+        |SELECT node AS l_partkey, rep AS cluster
+        |FROM comp
         |ORDER BY l_partkey""".stripMargin,
 
     "q_bh_fdr" ->

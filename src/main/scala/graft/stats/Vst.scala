@@ -36,6 +36,12 @@ final case class Vst(
   val name = "VST"
   override def suffix: Option[String] = if (suffixed) Some(" (VST)") else None
 
+  /** Fitted trend from the last apply (sklearn-style fitted attribute):
+    * (asymptDisp, extraPois) — the two coefficients of
+    * α(μ) = asymptDisp + extraPois/μ that fully determine the closed-form
+    * transform given the size factors. None before a fit. */
+  @transient var lastTrend: Option[(Double, Double)] = None
+
   def apply(df0: DataFrame): DataFrame = {
     // the input is read three times (size-factor agg, trend collect, the
     // returned transform) — without a cache the upstream plan (often an
@@ -76,6 +82,7 @@ final case class Vst(
     val ad = trend.a0
     val ep = if (trend.flat) 0.0 else trend.a1
     require(ad > 0, s"VST needs a positive asymptotic dispersion, got $ad")
+    lastTrend = Some((ad, ep))
 
     // ---- 4. closed-form transform of normalized counts ----
     val out = df.select(col(index) +: samples.map { c =>
