@@ -250,6 +250,18 @@ object SparkEntry {
     // ---- D5 NOISeq differential expression (rows-only: TMM factors and
     //      the noise distribution are not ANSI-SQL-expressible; M/D/Rank
     //      conformance is pinned by NOISeqSpec golden values) ----
+    // ---- D5 NOISeq (replicate path), oracle-checked: every step —
+    //      zero-replacement, the pairwise old-edgeR TMM factors (exact
+    //      rank-trim, the TmmOracle pattern), normalization, per-gene
+    //      M/D, the pooled within-condition noise multiset, and the
+    //      strict 2-D dominance probability — is re-derived in DuckDB.
+    //      The noise cap (maxNoisePoints = 500k) does not bind at the
+    //      gate (6 pairs × 2000 genes = 12k points), so the oracle
+    //      reproduces the FULL multiset and no hash-order subsample is
+    //      involved. Prob values are exact multiples of 1/12000, which
+    //      sit on round() half-boundaries — both sides canonicalize with
+    //      an explicit floor(x·10⁴+0.5)/10⁴ instead of engine round()
+    //      (IEEE-identical given identical inputs). ----
     "q_noiseq" -> ((s, dir) => {
       val ns = graft.stats.NOISeq("A", "R",
         Map("A" -> Seq("a_0", "a_1", "a_2"), "N" -> Seq("n_0", "n_1", "n_2"),
@@ -257,7 +269,9 @@ object SparkEntry {
         comparisonName = Some("A_vs_R"),
         includeOtherColumnsForVariance = true,
         index = "l_partkey")
-      ns(replicateMatrix(s, dir)).orderBy("l_partkey")
+      val out = ns(replicateMatrix(s, dir))
+      val r4 = (c: String) => (floor(col(c) * 10000 + 0.5) / 10000).as(c)
+      out.select(col("l_partkey") +: ns.columns.map(r4): _*).orderBy("l_partkey")
     }),
 
     // ---- D2 DESeq2-style Wald differential expression (rows-only:
@@ -966,6 +980,9 @@ object SparkEntry {
         |FROM assigned
         |ORDER BY l_partkey""".stripMargin,
 
+    // Full NOISeq replicate-path re-derivation (see NoiseqOracle).
+    "q_noiseq" -> NoiseqOracle.sql,
+
     // Embedded-coefficients oracle (q_batch_effect pattern): AD/EP are the
     // dispersion-trend coefficients fitted at the sf0.01 gate
     // (OracleFitProbe prints them — refresh after fixture regeneration);
@@ -1296,6 +1313,119 @@ object SparkEntry {
     * Both sides round to 4 decimals: the only cross-engine
     * nondeterminism left is summation order inside the trimmed means
     * (~1e-13 relative), far inside the 1e-4 bucket. */
+  /** DuckDB re-derivation of the full NOISeq replicate path
+    * ([[graft.stats.NOISeq]] with A/R replicates): zeros → k = 0.5,
+    * library sizes on the zeroed data, pairwise old-edgeR TMM factors vs
+    * the first data column (exact rank-trim — the [[TmmOracle]] pattern,
+    * but per pair and WITHOUT the |M|max guard, matching
+    * [[graft.stats.Tmm2.pairFactor]]), geometric-mean renormalization to
+    * the mean library size, per-gene M = log2(meanA/meanB) and
+    * D = |meanA − meanB|, the pooled within-condition noise pairs, and
+    * Prob = fraction of noise points strictly dominated in both |M*| and
+    * D*. The trimmed-mean sums are the only cross-engine nondeterminism
+    * (~1e-13 summation order); the strict dominance comparisons are
+    * between value populations whose pairwise gaps are ≫ 1e-7 on the
+    * gate data, so no comparison straddles the jitter. */
+  private object NoiseqOracle {
+    private val dataCols = Seq("a_0", "a_1", "a_2", "r_0", "r_1", "r_2")
+    private val ref = "a_0"
+    private val noisePairs = Seq(
+      ("a_0", "a_1"), ("a_0", "a_2"), ("a_1", "a_2"),
+      ("r_0", "r_1"), ("r_0", "r_2"), ("r_1", "r_2"))
+
+    def sql: String = {
+      val rmCols = dataCols.map { c =>
+        val rf = c.head.toUpper
+        val rep = c.last
+        s"CAST(SUM(CASE WHEN l_returnflag='$rf' AND l_linenumber % 3 = $rep " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) AS $c"
+      }.mkString(",\n    ")
+      val zCols = dataCols.map(c =>
+        s"CASE WHEN $c = 0 THEN 0.5 ELSE $c END AS $c").mkString(",\n    ")
+      val libCols = dataCols.map(c => s"SUM($c) AS l_$c").mkString(", ")
+      val meanLib = dataCols.map(c => s"SUM($c)").mkString("(", " + ", s") / ${dataCols.size}.0 AS meanlib")
+      // per-pair M/A/w long frame (obs column vs the fixed reference);
+      // all zeroed counts are >= 0.5, so no NaN/Inf filter is needed
+      // qv/pv mirror Tmm2.pairFactor's exact-rank keys: pure IEEE
+      // division/multiplication of exact-integer-valued sums, so the tie
+      // structure (and therefore the trimmed set) is bit-identical across
+      // engines — ranking on log2 values is not (1-ulp tie splits)
+      val longArms = dataCols.filterNot(_ == ref).map { c =>
+        s"""  SELECT '$c' AS pid,
+           |    (z.$c / lib.l_$c) / (z.$ref / lib.l_$ref) AS qv,
+           |    (z.$c / lib.l_$c) * (z.$ref / lib.l_$ref) AS pv,
+           |    log2((z.$c / lib.l_$c) / (z.$ref / lib.l_$ref)) AS m,
+           |    (lib.l_$c - z.$c)/lib.l_$c/z.$c + (lib.l_$ref - z.$ref)/lib.l_$ref/z.$ref AS w
+           |  FROM z, lib""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val fPiv = dataCols.map(c =>
+        s"MAX(CASE WHEN pid = '$c' THEN f END) AS f_$c").mkString(",\n    ")
+      val scaleCols = dataCols.map(c =>
+        s"lib.meanlib / (lib.l_$c * fpiv.f_$c / gmf.gm) AS s_$c").mkString(",\n    ")
+      val normCols = dataCols.map(c => s"z.$c * sc.s_$c AS $c").mkString(",\n    ")
+      val meanA = "((a_0 + a_1 + a_2) / 3)"
+      val meanB = "((r_0 + r_1 + r_2) / 3)"
+      val noiseArms = noisePairs.map { case (x, y) =>
+        s"  SELECT abs(log2($x / $y)) AS nm, abs($x - $y) AS nd FROM normed"
+      }.mkString("\n  UNION ALL\n")
+      def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+      s"""WITH rm0 AS (
+        |  SELECT l_partkey,
+        |    $rmCols
+        |  FROM lineitem GROUP BY l_partkey),
+        |z AS (SELECT l_partkey,
+        |    $zCols
+        |  FROM rm0),
+        |lib AS (SELECT $libCols, $meanLib FROM z),
+        |long AS (
+        |$longArms),
+        |ranked AS (
+        |  SELECT *, count(*) OVER (PARTITION BY pid) AS n,
+        |    rank() OVER (PARTITION BY pid ORDER BY qv)
+        |      + (count(*) OVER (PARTITION BY pid, qv) - 1) / 2.0 AS rnk_m,
+        |    rank() OVER (PARTITION BY pid ORDER BY pv)
+        |      + (count(*) OVER (PARTITION BY pid, pv) - 1) / 2.0 AS rnk_a
+        |  FROM long),
+        |fstat AS (
+        |  SELECT pid, SUM(m / w) / SUM(1.0 / w) AS fw
+        |  FROM ranked
+        |  WHERE rnk_m >= floor(n * 0.3) + 1 AND rnk_m <= n + 1 - (floor(n * 0.3) + 1)
+        |    AND rnk_a >= floor(n * 0.05) + 1 AND rnk_a <= n + 1 - (floor(n * 0.05) + 1)
+        |  GROUP BY pid),
+        |allf AS (
+        |  SELECT pid, power(2.0, fw) AS f FROM fstat
+        |  UNION ALL SELECT '$ref', 1.0),
+        |gmf AS (SELECT exp(AVG(ln(f))) AS gm FROM allf),
+        |fpiv AS (SELECT
+        |    $fPiv
+        |  FROM allf),
+        |sc AS (SELECT
+        |    $scaleCols
+        |  FROM lib, fpiv, gmf),
+        |normed AS (SELECT l_partkey,
+        |    $normCols
+        |  FROM z, sc),
+        |md AS (SELECT l_partkey,
+        |    log2($meanA / $meanB) AS m,
+        |    abs($meanA - $meanB) AS d
+        |  FROM normed),
+        |noise AS (
+        |$noiseArms),
+        |prob AS (
+        |  SELECT g.l_partkey,
+        |    CAST(SUM(CASE WHEN n.nm < abs(g.m) AND n.nd < g.d THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM noise) AS p
+        |  FROM md g CROSS JOIN noise n GROUP BY g.l_partkey)
+        |SELECT md.l_partkey,
+        |  ${r4("md.m")} AS "logFC (A_vs_R)",
+        |  ${r4("md.d")} AS "D (A_vs_R)",
+        |  ${r4("prob.p")} AS "Prob (A_vs_R)",
+        |  ${r4("sign(md.m) * sqrt(md.m * md.m + md.d * md.d)")} AS "Rank (A_vs_R)"
+        |FROM md JOIN prob USING (l_partkey)
+        |ORDER BY l_partkey""".stripMargin
+    }
+  }
+
   private object TmmOracle {
     def sql(countMatrixSql: String): String = {
       val cols = Seq("rf_a", "rf_n", "rf_r")

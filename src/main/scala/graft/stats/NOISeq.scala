@@ -273,7 +273,19 @@ object Tmm2 {
       nRows: Option[Long] = None): Double = {
     if (obsCol == refCol) return 1.0
     val obs = col(obsCol).cast("double"); val rf = col(refCol).cast("double")
+    // q/p carry the SAME order as m/a (log2 is monotone) but are pure
+    // IEEE divisions/multiplications: the exact-rank path ranks on them
+    // so tie groups form on exact rational structure. Ranking on the
+    // log values is fragile — two mathematically-equal count ratios
+    // reached through different arithmetic (e.g. 1/3 vs 3/9 of
+    // differently-rounded normalized values) can sit one ulp apart, and
+    // whether a transcendental log2 collapses or separates them is
+    // implementation-defined, which reorders average ranks and shifts
+    // the whole trimmed set (observed: a 1e-2 factor jump from one
+    // split tie group on the sf0.01 replicate matrix).
     val base = df.select(
+      ((obs / nO) / (rf / nR)).as("q"),
+      ((obs / nO) * (rf / nR)).as("p"),
       log2((obs / nO) / (rf / nR)).as("m"),
       ((log2(obs / nO) + log2(rf / nR)) / 2).as("a"),
       ((lit(nO) - obs) / nO / obs + (lit(nR) - rf) / nR / rf).as("w"))
@@ -306,10 +318,10 @@ object Tmm2 {
       val wAll = Window.partitionBy(lit(1))
       val ranked = base
         .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("rm", rank().over(Window.orderBy("m")) +
-          (count(lit(1)).over(Window.partitionBy("m")) - 1) / 2.0)
-        .withColumn("ra", rank().over(Window.orderBy("a")) +
-          (count(lit(1)).over(Window.partitionBy("a")) - 1) / 2.0)
+        .withColumn("rm", rank().over(Window.orderBy("q")) +
+          (count(lit(1)).over(Window.partitionBy("q")) - 1) / 2.0)
+        .withColumn("ra", rank().over(Window.orderBy("p")) +
+          (count(lit(1)).over(Window.partitionBy("p")) - 1) / 2.0)
       val loL = floor(col("n") * logratioTrim) + 1
       val hiL = col("n") + 1 - loL
       val loS = floor(col("n") * sumTrim) + 1
