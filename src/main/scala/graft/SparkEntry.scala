@@ -651,6 +651,18 @@ object SparkEntry {
         .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start", "event_type")),
 
+    // ---- stream-stream interval join (batch equivalent; the true
+    //      two-stream path with watermark-bounded join state runs in
+    //      StreamingSpec). Timestamps are micro-exact in both engines
+    //      (the fixture has no sub-microsecond parts), so the range
+    //      predicate and lag are integer-exact. ----
+    "q_stream_join" -> ((s, dir) =>
+      graft.streaming.EventStream.attributedPurchases(events(s, dir))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"),
+          col("value"))
+        .orderBy("user_id", "click_id", "purchase_id")),
+
     "q_stream_session" -> ((s, dir) =>
       graft.streaming.EventStream.sessionize(events(s, dir))
         .select(col("user_id"),
@@ -1234,6 +1246,15 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value AS value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -22,7 +22,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // INTEGER division: `/` on longs is double division in Spark, and
+      // 2024-era nanosecond epochs (~1.7e18) exceed double's 2^53 exact
+      // range — the rounding error shifts some timestamps by ±1 µs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   /** documents/embeddings arrive as one small parquet file → ONE input
     * partition; the text/vector operators do heavy per-row work, so spread

@@ -39,7 +39,10 @@ object EventStream {
     spark.readStream.schema(EventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // INTEGER division: `/` on longs is double division in Spark, and
+      // 2024-era nanosecond epochs (~1.7e18) exceed double's 2^53 exact
+      // range — the rounding error shifts some timestamps by ±1 µs
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windows per event type: count + exact decimal sum.
@@ -135,6 +138,35 @@ object EventStream {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Stream-stream INTERVAL join: attribute each purchase to every click
+    * by the same user in the preceding hour — the canonical two-stream
+    * correlation shape (here two filtered views of one stream, which
+    * Structured Streaming plans as a genuine stream-stream join).
+    *
+    * State-boundedness: on a stream BOTH sides carry watermarks and the
+    * join predicate is an event-time RANGE, so Spark derives a state
+    * watermark per side and evicts buffered rows once they can no longer
+    * match (clicks after watermark + 1 hour, purchases after the
+    * watermark) — state is O(traffic within watermark + interval), not
+    * O(stream history). Without the range predicate a stream-stream join
+    * would buffer forever; that is the design rule this operator
+    * demonstrates. Works identically on batch frames (oracle-checked as
+    * q_stream_join). */
+  def attributedPurchases(events: DataFrame, watermarked: Boolean = false): DataFrame = {
+    def wm(df: DataFrame) = if (watermarked) df.withWatermark("ts", "10 minutes") else df
+    val clicks = wm(events).where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = wm(events).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
 
   /** Stream-static enrichment: join the (streaming) events against a
     * static dimension on `user_id`, then windowed per-segment counts —

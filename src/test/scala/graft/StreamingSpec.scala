@@ -121,6 +121,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch result") {
+    // batch reference
+    val batch = EventStream.attributedPurchases(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain click->purchase attributions")
+
+    // genuine two-stream join: both sides are filtered views of the same
+    // file-source stream, watermarked, with an event-time range predicate
+    // (the planner requires exactly this shape for bounded join state)
+    val src = EventStream.readStream(spark, dir)
+    assert(src.isStreaming)
+    val q = EventStream.attributedPurchases(src, watermarked = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, click_id, purchase_id FROM join_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // inner join + AvailableNow: every pair inside the watermark emits;
+      // pairs whose click arrived after the final watermark cannot be
+      // dropped here because AvailableNow drains everything before the
+      // final watermark advances — so the streamed set must EQUAL batch
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs, batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("end-to-end streaming query: file source -> watermark -> memory sink") {
     val q = EventStream.startTumblingQuery(spark, dir, "stream_out")
     try {
