@@ -33,6 +33,15 @@ object Bench {
       val png = graft.operators.Multimodal.ImageCodec.synthPng(2, 2, 1L)
       graft.operators.Multimodal.ImageCodec.decodeMeta(png)
       graft.operators.Multimodal.ImageCodec.features(png)
+      // JIT-warm the HNSW build/search hot loops (interpreted first-run
+      // cost measured ~3s, same class of one-time cost as the above)
+      locally {
+        val g = new graft.operators.Hnsw.Graph(8, 4, 16, 1L)
+        (0 until 256).foreach { i =>
+          g.insert(Array.tabulate(8)(d => math.sin(i * 8 + d)))
+        }
+        g.search(Array.tabulate(8)(d => math.cos(d)), 4, 16)
+      }
     }
     // OS load average at the run boundaries: bench numbers on this box
     // swing up to 2x with background tenant load (see PERF.md round 4 —
