@@ -210,6 +210,84 @@ object Hnsw {
     }
   }
 
+  /** Persisted sharded-HNSW index — the build-once / serve-many shape
+    * (the [[Similarity.IvfIndex]] analog for graph ANN): one row per
+    * shard carrying the java-serialized [[Graph]] and the node→id map.
+    * Query cost per batch is shards × (descend + beam) with NO graph
+    * rebuild; `save`/`load` round-trip the shard frame through parquet
+    * (graph blobs are a binary column — a 5k-vector/64-dim shard is a
+    * few MB). */
+  final case class HnswIndex private[operators] (shards: DataFrame, dim: Int) {
+
+    /** Same output contract as [[topK]]. */
+    def topK(queries: DataFrame, vecCol: String, idCol: String, k: Int,
+        efSearch: Int = 64): DataFrame = {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      val q = Similarity.withUnitVec(queries, vecCol, "__qv")
+        .select(col(idCol), col("__qv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      require(q.nonEmpty, "no query vectors")
+      val bcQ = spark.sparkContext.broadcast(q)
+      val kk = k; val efS = efSearch
+      val hits = shards.select(col("graph"), col("ids"))
+        .as[(Array[Byte], Seq[Long])]
+        .flatMap { case (blob, ids) =>
+          val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(blob))
+          val g = try in.readObject().asInstanceOf[Graph] finally in.close()
+          bcQ.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, kk + 1, efS).iterator.collect {
+              case (node, score) if ids(node) != qid => (qid, ids(node), score)
+            }.take(kk)
+          }
+        }.toDF("query_id", "neighbor_id", "score")
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+      hits.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    }
+
+    def save(dir: String): Unit =
+      shards.withColumn("dim", lit(dim)).write.mode("overwrite").parquet(dir)
+  }
+
+  object HnswIndex {
+    /** One graph per hash shard, built inside mapPartitions and
+      * serialized into the shard row. */
+    def build(corpus: DataFrame, vecCol: String, idCol: String,
+        m: Int = 16, efConstruction: Int = 200, shards: Int = 32,
+        seed: Long = 42L): HnswIndex = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val u = Similarity.withUnitVec(corpus, vecCol, "__cv")
+        .select(col(idCol).as("id"), col("__cv").as("v")).as[(Long, Seq[Double])]
+      val dim = u.head()._2.length
+      val (mm, efC, sd) = (m, efConstruction, seed)
+      val shardDf = u.repartition(shards, col("id"))
+        .sortWithinPartitions("id")
+        .mapPartitions { it =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val g = new Graph(dim, mm, efC, sd)
+            rows.foreach { case (_, v) => g.insert(v.toArray) }
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new java.io.ObjectOutputStream(bos)
+            out.writeObject(g); out.close()
+            Iterator((bos.toByteArray, rows.map(_._1).toSeq))
+          }
+        }.toDF("graph", "ids")
+      HnswIndex(shardDf, dim)
+    }
+
+    /** Restore a built-then-saved index. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): HnswIndex = {
+      val df = spark.read.parquet(dir)
+      val dim = df.select("dim").head().getInt(0)
+      HnswIndex(df.select("graph", "ids"), dim)
+    }
+  }
+
   /** Approximate cosine top-k via sharded HNSW graphs.
     * Output: (query_id, neighbor_id, rank, score) — same contract as
     * [[Similarity.bruteForceTopK]]. Deterministic: shard membership is a

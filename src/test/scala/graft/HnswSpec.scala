@@ -49,6 +49,20 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("HnswIndex: build -> save -> load serves the same results as direct topK") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val direct = Hnsw.topK(emb, queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = Hnsw.HnswIndex.build(emb, "embedding", "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-idx").toString
+    idx.save(dir)
+    val loaded = Hnsw.HnswIndex.load(spark, dir)
+    val served = loaded.topK(queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == direct,
+      s"index served ${served.size} rows, direct ${direct.size}")
+  }
+
   test("empty and tiny shards do not break the distributed merge") {
     import spark.implicits._
     val tiny = (0L until 5L).map(i =>
