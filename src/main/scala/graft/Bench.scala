@@ -42,6 +42,19 @@ object Bench {
         }
         g.search(Array.tabulate(8)(d => math.cos(d)), 4, 16)
       }
+      // JIT-warm the text/dedup kernels (quality, langid, shingles,
+      // minhash): alphabetical bench order runs q_curation_pipeline
+      // BEFORE the standalone text/dedup queries, so without this the
+      // pipeline's number absorbs their one-time JIT cost
+      locally {
+        import graft.functions.TextFunctions._
+        val docs = spark.range(64).select(col("id").as("doc_id"),
+          concat(lit("the quick brown fox jumps over the lazy dog number "),
+            col("id").cast("string")).as("text"))
+        docs.select(qualityScore(col("text")), langId(col("text")),
+          tokenCount(col("text"))).agg(count(lit(1))).collect()
+        graft.operators.Dedup.minHashLshPairs(docs, "text", "doc_id").count()
+      }
     }
     // OS load average at the run boundaries: bench numbers on this box
     // swing up to 2x with background tenant load (see PERF.md round 4 —

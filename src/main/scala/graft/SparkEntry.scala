@@ -491,6 +491,36 @@ object SparkEntry {
       Dedup.exactGroups(documents(s, dir), "text", "doc_id")
         .orderBy("fingerprint")),
 
+    // ---- the flagship END-TO-END curation pass, oracle-checked: the
+    //      full training-data sequence a real pipeline runs — quality/
+    //      language/length gates → exact dedup → MinHash-LSH near-dup
+    //      dedup → benchmark decontamination — chained as ONE lazy plan
+    //      and re-derived step for step in DuckDB (each stage's oracle
+    //      pattern is individually proven by q_text_curation,
+    //      q_dedup_exact, q_dedup_pipeline and q_decontaminate; the LSH
+    //      == exact-all-pairs recall argument inherits because the
+    //      curated survivors are a SUBSET of the corpus, so their pair
+    //      set is a subset of the pairs already verified gap-separated).
+    //      Output: the surviving doc ids. ----
+    "q_curation_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = documents(s, dir)
+      val evalSet = d.where(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+      val curated = corpus
+        .withColumn("__q", qualityScore(col("text")))
+        .withColumn("__lang", langId(col("text")))
+        .withColumn("__nt", tokenCount(col("text")))
+        .where(col("__q") >= 0.5 && col("__lang") === "en" &&
+          col("__nt").between(10, 1000))
+        .drop("__q", "__lang", "__nt")
+      val afterExact = Dedup.exactDedup(curated, "text", "doc_id")
+      val afterNear = Dedup.minHashLshDedup(afterExact, "text", "doc_id",
+        shingleK = 5, bands = 16, rowsPerBand = 8, jaccardThreshold = 0.8)
+      Dedup.decontaminate(afterNear, evalSet, "text", "doc_id", n = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures) ----
     // threshold 0.8 = the standard near-dup setting; on this corpus the
     // verified-J distribution is bimodal (families ≈ 0.97, background
@@ -1196,6 +1226,56 @@ object SparkEntry {
       DedupOracle.wordNgramCtes("documents"), 0.4),
 
     "q_dedup_simhash" -> DedupOracle.simhashSql(3),
+
+    // Stage-for-stage re-derivation of the end-to-end curation pass;
+    // every fragment is the same proven SQL as its standalone oracle.
+    "q_curation_pipeline" ->
+      s"""${TextFunctionsOracle.statsCtes},
+        |cur AS (
+        |  SELECT doc_id, text FROM sc
+        |  WHERE doc_id % 31 <> 0
+        |    AND ${TextFunctionsOracle.qualityExpr} >= 0.5
+        |    AND ${TextFunctionsOracle.langExpr} = 'en'
+        |    AND n_tokens BETWEEN 10 AND 1000),
+        |dd AS (
+        |  SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(${DedupOracle.normExpr}) ORDER BY doc_id) AS rn
+        |  FROM cur),
+        |surv AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+        |${DedupOracle.charShingleCtes("surv").stripPrefix("WITH ")},
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ${DedupOracle.jaccardExpr} >= 0.8),
+        |nd AS (
+        |  SELECT doc_id, text FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM nd),
+        |gn AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM ct),
+        |et AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM et),
+        |cont AS (SELECT DISTINCT gn.doc_id FROM gn JOIN bg USING (gram))
+        |SELECT doc_id FROM nd
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_pipeline" ->
       s"""${DedupOracle.survivorsCte},

@@ -272,11 +272,16 @@ object Dedup {
   }
 
   /** Decontaminated corpus: drop every document [[contaminatedDocs]]
-    * flags (left-anti on the hit list). */
+    * flags (left-anti on the hit list). The corpus plan feeds BOTH the
+    * gram-explode side and the anti-join side — cache it (unless the
+    * caller already did) so a chained upstream (e.g. the full curation
+    * pipeline) executes once, not twice. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 13): DataFrame =
-    corpus.join(contaminatedDocs(corpus, benchmark, textCol, idCol, n)
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(corpus)
+    input.join(contaminatedDocs(input, benchmark, textCol, idCol, n)
       .select(idCol), Seq(idCol), "left_anti")
+  }
 
   /** 64-bit SimHash of the token multiset: per bit, sign of Σ(±1) over
     * token hashes. Token hashing stays a codegen'd expression (xxhash64);
