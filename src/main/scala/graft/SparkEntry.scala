@@ -692,6 +692,27 @@ object SparkEntry {
         .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start", "event_type")),
 
+    // ---- as-of (point-in-time) join: for every purchase, the latest
+    //      view by the same user at-or-before the purchase time — the
+    //      feature-lookup primitive Spark lacks natively, implemented as
+    //      ONE key-shuffle union-sort window (linear; no per-key range
+    //      explosion). Oracle = DuckDB's native ASOF LEFT JOIN. ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"), col("value").as("purchase_value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.backward(purchases, views, Seq("user_id"), "ts",
+        suffix = "_view")
+        .select(col("user_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
+          unix_micros(col("ts_view")).as("view_ts_us"),
+          col("value_view").as("view_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // ---- stream-stream interval join (batch equivalent; the true
     //      two-stream path with watermark-bounded join state runs in
     //      StreamingSpec). Timestamps are micro-exact in both engines
@@ -1337,6 +1358,15 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS ts_us,
+        |  p.value AS purchase_value,
+        |  epoch_us(v.ts) AS view_ts_us, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
 
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

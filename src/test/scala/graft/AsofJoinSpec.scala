@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** As-of join semantics: backward inclusive match, left-join nulls,
+  * multi-key grouping, and plan shape (one shuffle, no range join). */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward inclusive match with left-join nulls") {
+    val left = Seq(
+      (1L, 5L, "p5"), (1L, 10L, "p10"), (1L, 15L, "p15"), (1L, 25L, "p25"),
+      (2L, 100L, "p100")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"),
+      (3L, 1L, "zzz")).toDF("k", "t", "rv")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t")
+      .select("k", "t", "lv", "rv_asof", "t_asof")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, 5L, "p5", None, -1L),           // before any right row
+      (1L, 10L, "p10", Some("a"), 10L),    // equal time: INCLUSIVE
+      (1L, 15L, "p15", Some("a"), 10L),    // latest at-or-before
+      (1L, 25L, "p25", Some("b"), 20L),
+      (2L, 100L, "p100", None, -1L)))      // key with no right rows
+  }
+
+  test("multi-key as-of and right rows never leak across keys") {
+    val left = Seq((1L, "x", 10L, 1.0), (1L, "y", 10L, 2.0)).toDF("k1", "k2", "t", "lv")
+    val right = Seq((1L, "x", 5L, 0.5)).toDF("k1", "k2", "t", "rv")
+    val out = AsofJoin.backward(left, right, Seq("k1", "k2"), "t")
+      .select("k2", "rv_asof")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(out == Set(("x", Some(0.5)), ("y", None)))
+  }
+
+  test("plan: single key shuffle, no join operator at all") {
+    val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1L, 3L, "b")).toDF("k", "t", "rv")
+    val plan = AsofJoin.backward(left, right, Seq("k"), "t")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"expected no join operator:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly one hash shuffle, got $shuffles:\n$plan")
+  }
+
+  test("matches DuckDB-style semantics on the events fixture shape") {
+    // mirror q_asof_join's structure on sf0.001 and sanity-check
+    // monotonicity: every matched view_ts is <= its purchase ts
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val out = AsofJoin.backward(purchases, views, Seq("user_id"), "ts", "_view")
+    assert(out.count() == purchases.count(), "as-of must preserve left cardinality")
+    assert(out.where(col("ts_view") > col("ts")).count() == 0,
+      "no future leakage: matched view must be at-or-before the purchase")
+    assert(out.where(col("ts_view").isNotNull).count() > 0)
+  }
+}
