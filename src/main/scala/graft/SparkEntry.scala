@@ -692,6 +692,15 @@ object SparkEntry {
         .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start", "event_type")),
 
+    // ---- per-source quota sampling: the "balance the mix" curation
+    //      step — a reproducible fixed-size random sample per source,
+    //      selected by the n smallest engine-portable hashes so DuckDB
+    //      re-derives the EXACT sample. ----
+    "q_sample_quota" -> ((s, dir) =>
+      graft.operators.Sampling.quotaPerGroup(
+        documents(s, dir).select("doc_id", "source"), "source", "doc_id", quota = 50)
+        .orderBy("doc_id")),
+
     // ---- as-of (point-in-time) join: for every purchase, the latest
     //      view by the same user at-or-before the purchase time — the
     //      feature-lookup primitive Spark lacks natively, implemented as
@@ -1358,6 +1367,18 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sample_quota" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, source FROM r WHERE rk <= 50
+        |ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS ts_us,

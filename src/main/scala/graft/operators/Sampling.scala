@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation — the "balance the mix"
+  * step after filtering/dedup: cap the number of documents per group
+  * (source / domain / language) so no single origin dominates the
+  * training mix.
+  *
+  * Selection is the n smallest ENGINE-PORTABLE hashes per group
+  * ([[graft.functions.TextFunctions.portableHash]] of id and seed):
+  * deterministic across runs, reshuffles, and engines (a DuckDB oracle
+  * reproduces the exact sample), and uniform over each group — i.e. a
+  * fixed-size simple random sample per group with a reproducible seed.
+  *
+  * Scale shape: the naive form — `row_number() OVER (PARTITION BY group
+  * ORDER BY hash)` then `<= quota` — sorts EVERY row of a group inside
+  * one task, which dies on a billion-row group. This implementation
+  * pre-filters map-side with a per-group hash threshold chosen from the
+  * group counts (quota/count scaled with slack), so the exact window
+  * ranks only ~quota·(1+slack) candidate rows per group; a driver-side
+  * check retries with a doubled threshold for any group the slack
+  * under-served (vanishingly rare — binomial tail; the loop is bounded
+  * and each pass is one map-side filter). Output is the EXACT top-quota
+  * by hash order regardless of which pass served it. */
+object Sampling {
+
+  private val HashSpan = math.pow(2.0, 60.0) // portableHash range [0, 2^60)
+
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int, seed: Long = 42L): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val h: Column = graft.functions.TextFunctions.portableHash(
+      concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val input = graft.core.CacheScope.retainInput(df)
+    val counts = input.groupBy(groupCol).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+
+    // slack: 1.5x the quota fraction plus an absolute floor keeps
+    // P(missing the quota-th order statistic) below ~1e-9 per group
+    var slack = 1.5
+    var out: DataFrame = null
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      require(attempts <= 6, "quota sampling failed to converge (hash skew?)")
+      val sl = slack
+      val spark = df.sparkSession
+      import spark.implicits._
+      val fracs = counts.toSeq.map { case (g, n) =>
+        (g.toString, math.min(1.0, (sl * quota + 64.0) / n.toDouble))
+      }.toDF(groupCol, "__frac")
+      val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+      val ranked = input
+        .join(broadcast(fracs), Seq(groupCol))
+        .where(h < col("__frac") * lit(HashSpan))
+        .drop("__frac")
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= quota)
+      val kept = ranked.groupBy(groupCol).agg(count(lit(1)).as("__k")).collect()
+        .map(r => (r.get(0), r.getLong(1))).toMap
+      val short = counts.exists { case (g, n) =>
+        kept.getOrElse(g, 0L) < math.min(quota.toLong, n)
+      }
+      if (short) slack *= 4 else { out = ranked.drop("__rk"); done = true }
+    }
+    out
+  }
+}
