@@ -692,6 +692,23 @@ object SparkEntry {
         .withColumn("window_start", unix_timestamp(col("window_start")))
         .orderBy("window_start", "event_type")),
 
+    // ---- repetition quality signals (Gopher/Dolma rules): top-2-gram
+    //      share + duplicate-3-gram share per doc. Fractions are exact
+    //      integer ratios, so both sides canonicalize with the explicit
+    //      floor(x·10⁴+0.5)/10⁴ (round() half-boundaries hit k/m
+    //      rationals). ----
+    "q_text_repetition" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val r4 = (c: Column) => floor(c * 10000 + 0.5) / 10000
+      documents(s, dir).select(col("doc_id"),
+        repetitionStats(col("text"), 2).as("__r2"),
+        repetitionStats(col("text"), 3).as("__r3"))
+        .select(col("doc_id"),
+          r4(col("__r2")(0)).as("top2_frac"),
+          r4(col("__r3")(1)).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source quota sampling: the "balance the mix" curation
     //      step — a reproducible fixed-size random sample per source,
     //      selected by the n smallest engine-portable hashes so DuckDB
@@ -1367,6 +1384,33 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks FROM n),
+        |g2 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 1),
+        |              i -> array_to_string(toks[i:i+1], ' ')) END) AS g
+        |  FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS v FROM c2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |              i -> array_to_string(toks[i:i+2], ' ')) END) AS g
+        |  FROM t),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS v FROM c3 GROUP BY doc_id)
+        |SELECT s2.doc_id,
+        |  floor(s2.v * 10000 + 0.5) / 10000 AS top2_frac,
+        |  floor(s3.v * 10000 + 0.5) / 10000 AS dup3_frac
+        |FROM s2 JOIN s3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_quota" ->
       """WITH h AS (

@@ -175,4 +175,38 @@ object TextFunctions {
     when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Repetition quality signals (the Gopher/Dolma rules adapted to
+    * token streams): over the document's word n-gram OCCURRENCES,
+    *  - `topNgramFraction`: share held by the single most frequent gram
+    *    (boilerplate/chant detector);
+    *  - `dupNgramFraction`: share that are repeats of an earlier
+    *    occurrence, i.e. 1 − distinct/total (templated-text detector).
+    * One compact UDF per doc over the gram array (a pure-expression mode
+    * computation would need a per-element group-by; the counting loop is
+    * O(grams) with one hash map). Empty docs score 0. */
+  private val repStatsUdf = udf { (grams: Seq[String]) =>
+    if (grams == null || grams.isEmpty) Array(0.0, 0.0)
+    else {
+      val counts = new java.util.HashMap[String, Int]()
+      var max = 0
+      grams.foreach { g =>
+        val c = counts.merge(g, 1, (a, b) => a + b)
+        if (c > max) max = c
+      }
+      val total = grams.length.toDouble
+      Array(max / total, 1.0 - counts.size / total)
+    }
+  }
+
+  def topNgramFraction(c: Column, n: Int): Column =
+    repStatsUdf(wordNgrams(c, n))(0)
+
+  def dupNgramFraction(c: Column, n: Int): Column =
+    repStatsUdf(wordNgrams(c, n))(1)
+
+  /** Both repetition signals in ONE kernel pass (the UDF runs once; the
+    * two element_at projections read the same evaluated array). */
+  def repetitionStats(c: Column, n: Int): Column =
+    repStatsUdf(wordNgrams(c, n))
 }

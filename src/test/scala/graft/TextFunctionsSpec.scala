@@ -104,4 +104,25 @@ class TextFunctionsSpec extends SparkSpec {
       .select(wordNgrams(col("text"), 2).as("v")).collect()(0).getSeq[String](0)
     assert(ng == Seq("a b", "b c", "c d"))
   }
+
+  test("repetition signals: top-gram and duplicate-gram fractions") {
+    // "a b a b a b": 2-gram occurrences [ab, ba, ab, ba, ab] → top 3/5;
+    // 3-grams [aba, bab, aba, bab] → 2 distinct of 4 → dup 0.5
+    val d = Seq("a b a b a b").toDF("text")
+    val r = d.select(
+      topNgramFraction(col("text"), 2).as("t2"),
+      dupNgramFraction(col("text"), 3).as("d3"),
+      repetitionStats(col("text"), 2).as("both")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.6) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(r.getSeq[Double](2)(0) - 0.6) < 1e-12)
+    // unique text: no repetition
+    val u = Seq("one two three four").toDF("text")
+      .select(dupNgramFraction(col("text"), 2).as("d")).collect()(0).getDouble(0)
+    assert(u == 0.0)
+    // empty text degenerates to the single empty gram (top=1, dup=0)
+    val e = Seq("").toDF("text")
+      .select(repetitionStats(col("text"), 2).as("r")).collect()(0).getSeq[Double](0)
+    assert(e == Seq(1.0, 0.0))
+  }
 }
