@@ -48,11 +48,16 @@ object Bench {
       // pipeline's number absorbs their one-time JIT cost
       locally {
         import graft.functions.TextFunctions._
-        val docs = spark.range(64).select(col("id").as("doc_id"),
-          concat(lit("the quick brown fox jumps over the lazy dog number "),
+        // enough rows × tokens that C2 actually compiles the shingle/
+        // minhash/quality loops (64 short docs left them interpreted —
+        // the pipeline query still paid ~10s of first-run JIT)
+        val docs = spark.range(2048).select(col("id").as("doc_id"),
+          concat(lit("the quick brown fox jumps over the lazy dog and then "
+            + "walks back home counting stars along the river bank number "),
             col("id").cast("string")).as("text"))
         docs.select(qualityScore(col("text")), langId(col("text")),
-          tokenCount(col("text"))).agg(count(lit(1))).collect()
+          tokenCount(col("text")), repetitionStats(col("text"), 2))
+          .agg(count(lit(1))).collect()
         graft.operators.Dedup.minHashLshPairs(docs, "text", "doc_id").count()
       }
     }
