@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion screening — the production shape of the curation
+  * pipeline: documents ARRIVE continuously and each one is gated,
+  * near-dup-screened against the frozen training corpus, and
+  * decontaminated against the eval set before admission.
+  *
+  * [[screen]] is a plain batch transform built from per-doc-independent
+  * pieces (quality gates are stateless expressions; the near-dup screen
+  * is the stateless-probe-side LSH join of [[graft.operators.Dedup.nearDupAgainst]];
+  * decontamination is a broadcast gram join) — so screening distributes
+  * over any partition of the input: screen(A ∪ B) = screen(A) ∪ screen(B).
+  * That property is what makes the streaming form correct:
+  * [[startScreen]] applies it per micro-batch via `foreachBatch` (the
+  * standard Structured Streaming pattern for batch-only ops like
+  * anti-joins), and the union of per-batch admissions provably equals
+  * the one-shot batch screening of the same documents. Corpus bands and
+  * eval grams build once into the bounded cache and serve every batch.
+  *
+  * Admission does NOT dedup arrivals against each other (two near-dup
+  * docs in different micro-batches both pass if neither collides with
+  * the CORPUS) — by design: intra-arrival dedup is a separate stateful
+  * concern (watermarked `dropDuplicates`, or periodic re-dedup of the
+  * accumulated corpus), while this operator answers "may this document
+  * enter?" against the frozen state. */
+object CurationStream {
+
+  /** Batch screening: quality/language/length gates → near-dup screen
+    * vs `corpus` → n-gram decontamination vs `evalSet`. Returns the
+    * admitted subset of `probe` (original columns). */
+  def screen(probe: DataFrame, corpus: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8, decontamN: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions._
+    val gated = probe.where(
+      qualityScore(col(textCol)) >= minQuality &&
+        langId(col(textCol)) === lang &&
+        tokenCount(col(textCol)).between(minTokens, maxTokens))
+    val nearDups = graft.operators.Dedup
+      .nearDupAgainst(gated, corpus, textCol, idCol,
+        jaccardThreshold = jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    graft.operators.Dedup.decontaminate(unique, evalSet, textCol, idCol, decontamN)
+  }
+
+  /** Run [[screen]] over a streaming document source, appending admitted
+    * documents per micro-batch through `sink`. The corpus/eval frames
+    * are static; their band/gram structures materialize on the first
+    * batch and are served from cache for every later one. */
+  def startScreen(stream: DataFrame, corpus: DataFrame, evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id",
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screen(batch, corpus, evalSet, textCol, idCol))
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -121,6 +121,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation screen: multi-batch union equals one-shot batch screening") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    // frozen corpus vs arriving probe: same split as q_dedup_incremental
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+
+    val batchAdmitted = graft.streaming.CurationStream
+      .screen(probe, corpus, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchAdmitted.nonEmpty, "fixture must admit some documents")
+    assert(batchAdmitted.size < probe.count(), "fixture must also reject some")
+
+    // stream the probe as FOUR files, one per micro-batch, so the
+    // per-batch screening path genuinely runs more than once
+    val dir = java.nio.file.Files.createTempDirectory("curation_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    assert(stream.isStreaming)
+
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation_ck").toString
+    val q = graft.streaming.CurationStream.startScreen(
+      stream, corpus, evalSet,
+      sink = out => {
+        batches += 1
+        out.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == batchAdmitted,
+        s"streamed ${admitted.size} admissions, batch ${batchAdmitted.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch result") {
     // batch reference
     val batch = EventStream.attributedPurchases(events)
