@@ -50,7 +50,7 @@ object ScaleProbe {
 
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
       println(s"building $out (${reps}x sf0.1) ...")
-      Seq("region", "nation", "customer", "supplier", "events").foreach { t =>
+      Seq("region", "nation", "customer", "supplier").foreach { t =>
         rd(base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
       replicate(rd(base, "lineitem"), reps) { (df, r) =>
@@ -91,6 +91,22 @@ object ScaleProbe {
           .withColumn("embedding", jittered)
       }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println("built.")
+    }
+    // events replicated by user/event offsets (replicas are disjoint user
+    // populations in the same time range — the realistic way traffic
+    // grows: more users, not a longer history). Guarded separately so a
+    // scaled dir built by the older copy-as-is code self-heals.
+    locally {
+      val f = s"$out/events.parquet"
+      val needs = !new java.io.File(f).exists() ||
+        spark.read.parquet(f).count() == rd(base, "events").count()
+      if (needs) {
+        println(s"replicating events ${reps}x ...")
+        replicate(rd(base, "events"), reps) { (df, r) =>
+          df.withColumn("event_id", col("event_id") + lit(r * Off))
+            .withColumn("user_id", col("user_id") + lit(r * Off))
+        }.write.mode("overwrite").parquet(f)
+      }
     }
 
     // JVM / codegen warm-up outside the timed region
