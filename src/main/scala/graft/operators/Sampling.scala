@@ -37,6 +37,10 @@ object Sampling {
     val input = graft.core.CacheScope.retainInput(df)
     val counts = input.groupBy(groupCol).agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.get(0), r.getLong(1))).toMap
+    // a null group would silently drop through the equi-join below;
+    // make the caller normalize (coalesce to a sentinel) instead
+    require(!counts.contains(null),
+      s"quotaPerGroup: null values in group column '$groupCol' — coalesce them first")
 
     // slack: 1.5x the quota fraction plus an absolute floor keeps
     // P(missing the quota-th order statistic) below ~1e-9 per group
