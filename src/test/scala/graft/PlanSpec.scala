@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards for the flagship queries: these pin
+  * the PLAN SHAPES the 100 TB design depends on, so a refactor that
+  * silently turns a broadcast into a shuffle, un-pushes a filter, or
+  * introduces a cartesian product fails here rather than in a benchmark
+  * three rounds later. All checks run at sf0.001 (plan shape is
+  * scale-independent below AQE's broadcast thresholds). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q_filter_dsl: predicates reach the parquet scan") {
+    val p = plan("q_filter_dsl")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert("PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(p).isDefined,
+      "expected non-empty pushed filters")
+  }
+
+  test("q_annotate_join: dimension joins broadcast") {
+    val p = plan("q_annotate_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle-sort")
+  }
+
+  test("q_decontaminate: eval grams broadcast; corpus side never sorts for the join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH dedup queries: no cartesian product anywhere") {
+    Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_incremental",
+      "q_dedup_pipeline", "q_curation_pipeline").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+  }
+
+  test("q_stream_join: range predicate rides an equi-join, not a nested loop") {
+    val p = plan("q_stream_join")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q1_agg: two-phase aggregation (map-side partial)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final hash aggregation")
+  }
+
+  test("scans prune columns: q_sort_topk reads only what it selects") {
+    val p = plan("q_sort_topk")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(read.nonEmpty, "no ReadSchema in plan")
+    assert(!read.contains("l_comment"),
+      s"scan reads unused wide column: $read")
+  }
+}
