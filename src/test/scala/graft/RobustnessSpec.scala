@@ -143,4 +143,31 @@ class RobustnessSpec extends SparkSpec {
     val back = graft.sources.Excel.readXls(spark, path)
     assert(back.columns.toSeq == Seq("gid", "score") && back.count() == 0)
   }
+
+  test("as-of join degenerate inputs: empty right, empty left") {
+    val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
+    val emptyRight = Seq.empty[(Long, Long, String)].toDF("k", "t", "rv")
+    val r1 = graft.operators.AsofJoin.backward(left, emptyRight, Seq("k"), "t")
+      .collect()
+    assert(r1.length == 1 && r1(0).isNullAt(3), "empty right → null payloads")
+    val emptyLeft = Seq.empty[(Long, Long, String)].toDF("k", "t", "lv")
+    assert(graft.operators.AsofJoin.backward(
+      emptyLeft, Seq((1L, 3L, "b")).toDF("k", "t", "rv"), Seq("k"), "t").count() == 0)
+  }
+
+  test("quota sampling degenerate inputs: empty frame, quota above group sizes") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(graft.operators.Sampling.quotaPerGroup(empty, "source", "doc_id", 5).count() == 0)
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val all = graft.operators.Sampling.quotaPerGroup(tiny, "source", "doc_id", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L), "quota above group size keeps everything")
+  }
+
+  test("curation screen on an empty batch (streaming empty-micro-batch shape)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emptyBatch = docs.where(org.apache.spark.sql.functions.lit(false))
+    assert(graft.streaming.CurationStream.screen(
+      emptyBatch, docs, docs.limit(5)).count() == 0)
+  }
 }
