@@ -79,11 +79,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedNames = failures.map(_._1).toSet
+    // a failed query's elapsed time is meaningless — null it in the JSON
+    // so the persisted artifact cannot read as a perf win, and list the
+    // failures in the line itself (the exit code alone doesn't travel
+    // with an archived BENCH_rNN.json)
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (failedNames(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failedNames(k) => v }.sum
+    val failedJson = failedNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""load_start":$loadStart,"load_end":$loadAvg}""")
+      s""""failed":$failedJson,"load_start":$loadStart,"load_end":$loadAvg}""")
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach { case (name, t) =>

@@ -46,11 +46,13 @@ final case class CheckpointStore(dir: String) {
 
   /** The out-of-band age pruning the class doc promises: delete every
     * checkpoint entry whose completed materialization (`_SUCCESS` mtime)
-    * is older than `maxAgeMillis`, plus entries with no `_SUCCESS` at all
-    * (crashed half-writes — `materialize` would overwrite them anyway).
-    * Safe against concurrent writers of NEW entries (only old/incomplete
-    * dirs are touched); a key pruned here simply re-materializes on next
-    * request. Returns the number of entries removed. */
+    * is older than `maxAgeMillis`, plus STALE entries with no `_SUCCESS`
+    * (crashed half-writes). An incomplete dir is only removed once its
+    * own mtime is past the cutoff too — a no-`_SUCCESS` dir with recent
+    * mtime is a materialization in progress (part files are landing in
+    * it right now), and deleting it would fail the concurrent writer.
+    * A key pruned here simply re-materializes on next request. Returns
+    * the number of entries removed. */
   def prune(maxAgeMillis: Long): Int = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return 0
@@ -61,8 +63,8 @@ final case class CheckpointStore(dir: String) {
         .filter(Files.isDirectory(_))
         .filter { d =>
           val success = d.resolve("_SUCCESS")
-          !Files.exists(success) ||
-            Files.getLastModifiedTime(success).toMillis < cutoff
+          val stamp = if (Files.exists(success)) success else d
+          Files.getLastModifiedTime(stamp).toMillis < cutoff
         }
         .map { d =>
           // delete children before the directory itself

@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   * keys.
   *
   * Left rows with no prior right row keep null payloads (left-join
-  * semantics). Right payload columns are suffixed into the output;
+  * semantics). Null handling matches SQL ASOF (`r.t <= l.t` and key
+  * equality are null-rejecting): right rows with a null time or a null
+  * key can never match and are dropped before the union — without that
+  * filter Spark's NULLS-FIRST ascending sort would treat a null-time
+  * right row as the earliest known value and leak it into every match.
+  * Left rows with null time/keys pass through unmatched. Right payload
+  * columns are suffixed into the output;
   * duplicate right rows at the same (key, time) are broken by the
   * pre-sort order of the union input — give the right side a
   * deterministic tiebreak column upstream if that case exists in your
@@ -45,7 +51,9 @@ object AsofJoin {
         lit(1).as("__tag"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(rStructType).as("__r")): _*)
-    val rPacked = right.select(
+    val rPacked = right
+      .where((col(timeCol) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(timeCol).as("__t"),
         lit(0).as("__tag"),

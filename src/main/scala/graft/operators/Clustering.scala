@@ -360,11 +360,13 @@ final case class AggloOp(
     // heap (ward fits whenever the collected points do)
     if (linkage != "ward") {
       val needed = 8L * n * n
-      val rt = Runtime.getRuntime
-      val headroom = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
-      require(needed < headroom / 2,
+      // bound against MAX heap, not instantaneous occupancy: current
+      // usage includes collectable garbage from earlier queries, and a
+      // guard keyed to it would spuriously fail a fit a GC would allow
+      val budget = Runtime.getRuntime.maxMemory / 2
+      require(needed < budget,
         s"$linkage linkage needs an n×n distance matrix (${needed / (1 << 20)} MB at n=$n) " +
-          s"but only ${headroom / (1 << 20)} MB driver heap headroom is available; " +
+          s"but the driver heap budget for it is ${budget / (1 << 20)} MB (half of -Xmx); " +
           "lower maxExactRows (the scale path takes over), raise driver memory, " +
           "or use ward linkage (centroid-based, O(n) memory)")
     }

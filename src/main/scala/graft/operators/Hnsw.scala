@@ -38,6 +38,7 @@ object Hnsw {
 
   /** Single-shard HNSW graph over unit vectors. Insertion-order node ids;
     * deterministic given (vectors, M, efConstruction, seed). */
+  @SerialVersionUID(1L) // saved indexes must survive recompiles — see HnswIndex.save
   final class Graph(dim: Int, m: Int, efConstruction: Int, seed: Long) extends Serializable {
     private val levelMult = 1.0 / math.log(m.toDouble)
     private val maxM0 = 2 * m
@@ -217,38 +218,15 @@ object Hnsw {
     * rebuild; `save`/`load` round-trip the shard frame through parquet
     * (graph blobs are a binary column — a 5k-vector/64-dim shard is a
     * few MB). */
-  final case class HnswIndex private[operators] (shards: DataFrame, dim: Int) {
+  final case class HnswIndex private[operators] (shards: DataFrame) {
 
-    /** Same output contract as [[topK]]. */
+    /** Same output contract as [[Hnsw.topK]]. */
     def topK(queries: DataFrame, vecCol: String, idCol: String, k: Int,
-        efSearch: Int = 64): DataFrame = {
-      val spark = shards.sparkSession
-      import spark.implicits._
-      val q = Similarity.withUnitVec(queries, vecCol, "__qv")
-        .select(col(idCol), col("__qv")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      require(q.nonEmpty, "no query vectors")
-      val bcQ = spark.sparkContext.broadcast(q)
-      val kk = k; val efS = efSearch
-      val hits = shards.select(col("graph"), col("ids"))
-        .as[(Array[Byte], Seq[Long])]
-        .flatMap { case (blob, ids) =>
-          val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(blob))
-          val g = try in.readObject().asInstanceOf[Graph] finally in.close()
-          bcQ.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, kk + 1, efS).iterator.collect {
-              case (node, score) if ids(node) != qid => (qid, ids(node), score)
-            }.take(kk)
-          }
-        }.toDF("query_id", "neighbor_id", "score")
-      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-      hits.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    }
+        efSearch: Int = 64): DataFrame =
+      searchShards(shards, collectQueries(queries, vecCol, idCol), k, efSearch)
 
     def save(dir: String): Unit =
-      shards.withColumn("dim", lit(dim)).write.mode("overwrite").parquet(dir)
+      shards.write.mode("overwrite").parquet(dir)
   }
 
   object HnswIndex {
@@ -261,15 +239,17 @@ object Hnsw {
       import spark.implicits._
       val u = Similarity.withUnitVec(corpus, vecCol, "__cv")
         .select(col(idCol).as("id"), col("__cv").as("v")).as[(Long, Seq[Double])]
-      val dim = u.head()._2.length
       val (mm, efC, sd) = (m, efConstruction, seed)
       val shardDf = u.repartition(shards, col("id"))
         .sortWithinPartitions("id")
         .mapPartitions { it =>
-          val rows = it.toArray
-          if (rows.isEmpty) Iterator.empty
+          if (!it.hasNext) Iterator.empty
           else {
-            val g = new Graph(dim, mm, efC, sd)
+            val rows = it.toArray
+            // dimension comes from the shard's own (homogeneous) rows —
+            // probing it with a driver-side head() would execute the
+            // whole upstream plan one extra time
+            val g = new Graph(rows.head._2.length, mm, efC, sd)
             rows.foreach { case (_, v) => g.insert(v.toArray) }
             val bos = new java.io.ByteArrayOutputStream()
             val out = new java.io.ObjectOutputStream(bos)
@@ -277,57 +257,63 @@ object Hnsw {
             Iterator((bos.toByteArray, rows.map(_._1).toSeq))
           }
         }.toDF("graph", "ids")
-      HnswIndex(shardDf, dim)
+      HnswIndex(shardDf)
     }
 
     /** Restore a built-then-saved index. */
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): HnswIndex = {
-      val df = spark.read.parquet(dir)
-      val dim = df.select("dim").head().getInt(0)
-      HnswIndex(df.select("graph", "ids"), dim)
-    }
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): HnswIndex =
+      HnswIndex(spark.read.parquet(dir).select("graph", "ids"))
+  }
+
+  private def collectQueries(queries: DataFrame, vecCol: String, idCol: String)
+      : Array[(Long, Array[Double])] = {
+    val q = Similarity.withUnitVec(queries, vecCol, "__qv")
+      .select(col(idCol), col("__qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(q.nonEmpty, "no query vectors")
+    q
+  }
+
+  /** Scatter every broadcast query to every shard graph, gather the
+    * per-shard top-k, keep the global top-k with one window — the single
+    * search path behind both the one-shot [[topK]] and [[HnswIndex.topK]]
+    * (self-matches excluded by id so a corpus row querying itself returns
+    * its true neighbors). */
+  private def searchShards(shards: DataFrame, q: Array[(Long, Array[Double])],
+      k: Int, efSearch: Int): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(q)
+    val kk = k; val efS = efSearch
+    val hits = shards.select(col("graph"), col("ids"))
+      .as[(Array[Byte], Seq[Long])]
+      .flatMap { case (blob, ids) =>
+        val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(blob))
+        val g = try in.readObject().asInstanceOf[Graph] finally in.close()
+        bcQ.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, kk + 1, efS).iterator.collect {
+            case (node, score) if ids(node) != qid => (qid, ids(node), score)
+          }.take(kk)
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
   }
 
   /** Approximate cosine top-k via sharded HNSW graphs.
     * Output: (query_id, neighbor_id, rank, score) — same contract as
     * [[Similarity.bruteForceTopK]]. Deterministic: shard membership is a
     * hash of the id, within-shard insertion order is sorted by id, and
-    * graph construction/search use a seeded RNG stream. */
+    * graph construction/search use a seeded RNG stream. One-shot shape:
+    * build (mapPartitions) and search (flatMap) are narrow neighbors in
+    * the same stage, so the serialized graph bytes never leave the
+    * executor — the index detour costs one in-memory round-trip, not a
+    * shuffle or an extra job. */
   def topK(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int, m: Int = 16, efConstruction: Int = 200, efSearch: Int = 64,
-      shards: Int = 32, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val q = Similarity.withUnitVec(queries, vecCol, "__qv")
-      .select(col(idCol), col("__qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(q.nonEmpty, "no query vectors")
-    val dim = q.head._2.length
-    val bcQ = spark.sparkContext.broadcast(q)
-    val (mm, efC, efS, sd, kk) = (m, efConstruction, efSearch, seed, k)
-
-    val shardResults = Similarity.withUnitVec(corpus, vecCol, "__cv")
-      .select(col(idCol).as("id"), col("__cv").as("v")).as[(Long, Seq[Double])]
-      .repartition(shards, col("id"))
-      .sortWithinPartitions("id")
-      .mapPartitions { it =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val g = new Graph(dim, mm, efC, sd)
-          rows.foreach { case (_, v) => g.insert(v.toArray) }
-          bcQ.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, kk + 1, efS).iterator.collect {
-              case (node, score) if rows(node)._1 != qid =>
-                (qid, rows(node)._1, score)
-            }.take(kk)
-          }
-        }
-      }.toDF("query_id", "neighbor_id", "score")
-
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    shardResults.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
-  }
+      shards: Int = 32, seed: Long = 42L): DataFrame =
+    HnswIndex.build(corpus, vecCol, idCol, m, efConstruction, shards, seed)
+      .topK(queries, vecCol, idCol, k, efSearch)
 }

@@ -31,12 +31,20 @@ object CurationStream {
 
   /** Batch screening: quality/language/length gates → near-dup screen
     * vs `corpus` → n-gram decontamination vs `evalSet`. Returns the
-    * admitted subset of `probe` (original columns). */
+    * admitted subset of `probe` (original columns).
+    *
+    * `bands`×`rowsPerBand` must be matched to `jaccardThreshold` (the
+    * LSH S-curve rule documented at [[graft.operators.Dedup.minHashLshPairs]]):
+    * the 16×8 default places the collision threshold ≈0.707, right for
+    * the 0.8 default — lowering the threshold without re-matching the
+    * banding silently loses near-dup recall (at J=0.6 the 16×8 geometry
+    * catches only ~24% of true pairs), so both knobs are forwarded. */
   def screen(probe: DataFrame, corpus: DataFrame, evalSet: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, lang: String = "en",
       minTokens: Int = 10, maxTokens: Int = 1000,
-      jaccardThreshold: Double = 0.8, decontamN: Int = 5): DataFrame = {
+      jaccardThreshold: Double = 0.8, decontamN: Int = 5,
+      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     import graft.functions.TextFunctions._
     val gated = probe.where(
       qualityScore(col(textCol)) >= minQuality &&
@@ -44,6 +52,7 @@ object CurationStream {
         tokenCount(col(textCol)).between(minTokens, maxTokens))
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
+        bands = bands, rowsPerBand = rowsPerBand,
         jaccardThreshold = jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")

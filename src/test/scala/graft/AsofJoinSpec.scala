@@ -36,6 +36,31 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Set(("x", Some(0.5)), ("y", None)))
   }
 
+  test("null times/keys are null-rejecting, matching SQL ASOF") {
+    // Spark sorts nulls FIRST ascending, so an unfiltered null-time right
+    // row would read as "the earliest known value" and leak into every
+    // left row with no real predecessor; SQL ASOF (r.t <= l.t, key
+    // equality) can never match a null. Null-key right rows likewise must
+    // not pair with null-key left rows (null = null is not true in SQL).
+    val left = Seq(
+      (Option(1L), Option(2L), "l2"),
+      (Option(1L), Option(6L), "l6"),
+      (Option(1L), Option.empty[Long], "lnullt"),
+      (Option.empty[Long], Option(9L), "lnullk")).toDF("k", "t", "lv")
+    val right = Seq(
+      (Option(1L), Option.empty[Long], "rnullt"),
+      (Option(1L), Option(5L), "r5"),
+      (Option.empty[Long], Option(1L), "rnullk")).toDF("k", "t", "rv")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t")
+      .select("lv", "rv_asof")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(
+      ("l2", None),         // only r5 (later) and rnullt (never matches)
+      ("l6", Some("r5")),
+      ("lnullt", None),     // null left time matches nothing, row kept
+      ("lnullk", None)))    // null key must not pair with rnullk
+  }
+
   test("plan: single key shuffle, no join operator at all") {
     val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
     val right = Seq((1L, 3L, "b")).toDF("k", "t", "rv")

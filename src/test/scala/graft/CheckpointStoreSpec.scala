@@ -82,10 +82,18 @@ class CheckpointStoreSpec extends SparkSpec {
 
     store(t, input, "old").collect()
     store(t, input, "fresh").collect()
-    // a crashed half-write: directory without _SUCCESS
+    // a crashed half-write: STALE directory without _SUCCESS
     val partial = java.nio.file.Paths.get(dir, "deadbeef-partial")
     java.nio.file.Files.createDirectory(partial)
     java.nio.file.Files.writeString(partial.resolve("part-0.parquet"), "junk")
+    java.nio.file.Files.setLastModifiedTime(partial,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    // an IN-PROGRESS write: no _SUCCESS yet but recent mtime — pruning it
+    // would fail the concurrent materialization mid-flight
+    val inflight = java.nio.file.Paths.get(dir, "deadbeef-inflight")
+    java.nio.file.Files.createDirectory(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "junk")
 
     // age the "old" entry's _SUCCESS two hours into the past
     def entryDir(key: String) =
@@ -96,9 +104,11 @@ class CheckpointStoreSpec extends SparkSpec {
         System.currentTimeMillis() - 2 * 3600 * 1000L))
 
     val removed = store.prune(maxAgeMillis = 3600 * 1000L)
-    assert(removed == 2, s"expected old+partial pruned, got $removed")
+    assert(removed == 2, s"expected old+stale-partial pruned, got $removed")
     assert(!java.nio.file.Files.exists(entryDir("old")))
     assert(!java.nio.file.Files.exists(partial))
+    assert(java.nio.file.Files.exists(inflight.resolve("part-0.parquet")),
+      "a recent incomplete write must survive pruning")
     assert(java.nio.file.Files.exists(entryDir("fresh").resolve("_SUCCESS")))
 
     // a pruned key transparently re-materializes on the next request
