@@ -718,6 +718,55 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", quota = 50)
         .orderBy("doc_id")),
 
+    // ---- near-dup FAMILIES: connected components of the verified LSH
+    //      pair graph, min-member labels — the cluster form of dedup
+    //      that collapses transitive edit-chains (vs q_dedup_minhash's
+    //      pairwise rule). Oracle: recursive-CTE components over the
+    //      exact all-pairs Jaccard graph (the q_dbscan machinery); the
+    //      LSH-pairs-equal-exact-pairs recall argument is inherited
+    //      verbatim from q_dedup_minhash (same banding, same corpus). ----
+    "q_dedup_cluster" -> ((s, dir) =>
+      graft.operators.Dedup.nearDupClusters(documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // ---- PII redaction (C4-style scrub): email → <EMAIL>, dotted-quad
+    //      → <IP>, 9+-digit run → <NUMBER>, a codegen'd regexp_replace
+    //      chain over RE2-compatible patterns. The fixture text carries
+    //      no planted PII, so the query prepends a deterministic
+    //      id-derived contact line — both engines scrub the SAME
+    //      composite string, and the real text tail keeps the patterns
+    //      honest against arbitrary content. ----
+    "q_pii_redact" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = col("doc_id").cast("string")
+      val planted = concat(
+        lit("reach me at user"), d, lit("@mail"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.org or 10."),
+        pmod(col("doc_id"), lit(250)).cast("string"), lit(".0.1 acct 9021"),
+        (col("doc_id") * 100000 + 77).cast("string"), lit(" :: "), col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), redactPii(planted).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- sequence packing: greedy fixed-budget layout of documents
+    //      into training sequences (8 streams dealt by doc_id mod 8,
+    //      id-order greedy fill, 256-token budget). One narrow shuffle +
+    //      per-stream sequential scan; the oracle replays the identical
+    //      greedy recurrence with a per-stream recursive CTE. ----
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(documents(s, dir), "text", "doc_id",
+        budgetTokens = 256, streams = 8)
+        .orderBy("doc_id")),
+
+    // ---- corpus n-gram census: occurrence counts of every word 3-gram
+    //      corpus-wide, top 25 — ordered by (count desc, gram asc) so
+    //      the LIMIT selection is deterministic through count ties. ----
+    "q_corpus_ngrams" -> ((s, dir) =>
+      graft.functions.TextFunctions.corpusNgramCounts(documents(s, dir), "text", 3)
+        .orderBy(col("n_occurrences").desc, col("gram"))
+        .limit(25)),
+
     // ---- as-of (point-in-time) join: for every purchase, the latest
     //      view by the same user at-or-before the purchase time — the
     //      feature-lookup primitive Spark lacks natively, implemented as
@@ -1423,6 +1472,83 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, source FROM r WHERE rk <= 50
         |ORDER BY doc_id""".stripMargin,
+
+    // Exact-Jaccard pair graph → recursive-CTE connected components →
+    // min-member labels (the q_dbscan component machinery over the
+    // q_dedup_minhash pair definition).
+    "q_dedup_cluster" ->
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ${DedupOracle.jaccardExpr} AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+        |ee AS (SELECT id_a AS u, id_b AS v FROM e
+        |       UNION SELECT id_b, id_a FROM e),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT u, u FROM ee
+        |    UNION
+        |    SELECT ee.v, r.rep FROM r JOIN ee ON ee.u = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node)
+        |SELECT node AS doc_id, rep AS cluster FROM comp
+        |ORDER BY doc_id""".stripMargin,
+
+    // The same regexp_replace chain; patterns are RE2/java.util.regex
+    // portable by construction (see TextFunctions.redactPii scaladoc).
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        'reach me at user' || doc_id::VARCHAR || '@mail' ||
+        |        (doc_id % 7)::VARCHAR || '.example.org or 10.' ||
+        |        (doc_id % 250)::VARCHAR || '.0.1 acct 9021' ||
+        |        (doc_id * 100000 + 77)::VARCHAR || ' :: ' || text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{9,}', '<NUMBER>', 'g') AS clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replay of the greedy packing recurrence, one recursive-CTE step
+    // per document rank within its stream (all 8 streams advance
+    // set-wise per iteration).
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS stream,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn FROM t),
+        |rec AS (
+        |  WITH RECURSIVE r(stream, rn, doc_id, ntok, pack, ofs) AS (
+        |    SELECT stream, rn, doc_id, ntok, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |    FROM o WHERE rn = 1
+        |    UNION ALL
+        |    SELECT o.stream, o.rn, o.doc_id, o.ntok,
+        |      CASE WHEN r.ofs + r.ntok > 0 AND r.ofs + r.ntok + o.ntok > 256
+        |           THEN r.pack + 1 ELSE r.pack END,
+        |      CASE WHEN r.ofs + r.ntok > 0 AND r.ofs + r.ntok + o.ntok > 256
+        |           THEN CAST(0 AS BIGINT) ELSE r.ofs + r.ntok END
+        |    FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1)
+        |  SELECT * FROM r)
+        |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
+        |FROM rec
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_ngrams" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |t AS (
+        |  SELECT list_filter(string_split(norm, ' '), x -> x <> '') AS toks FROM n),
+        |g AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram
+        |LIMIT 25""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS ts_us,

@@ -209,4 +209,44 @@ object TextFunctions {
     * two element_at projections read the same evaluated array). */
   def repetitionStats(c: Column, n: Int): Column =
     repStatsUdf(wordNgrams(c, n))
+
+  /** PII scrub (the C4/"responsible web-corpus" redaction step): emails
+    * → `<EMAIL>`, dotted-quad IPs → `<IP>`, then any remaining run of 9+
+    * digits (SSNs, phone numbers, card numbers written without
+    * separators) → `<NUMBER>`, applied in that order so an address's
+    * digits are consumed by its own tag first. Pure codegen'd
+    * `regexp_replace` chain — no UDF in the hot path.
+    *
+    * The patterns are deliberately restricted to the syntax RE2 and
+    * java.util.regex evaluate identically (character classes, counted
+    * repetition, ASCII `\b`; no lookaround, no backreferences), so an
+    * external engine reproduces the scrub byte-for-byte — that is what
+    * lets the DuckDB oracle hash-match it. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\d{9,}", "<NUMBER>")
+
+  /** Corpus-level n-gram frequency: occurrence counts of every word
+    * n-gram across the corpus (docs shorter than n tokens contribute
+    * nothing). The boilerplate census behind quality rules like "drop
+    * lines occurring in > 0.1% of documents".
+    *
+    * Scale shape: explode → hash aggregate with map-side partial
+    * combine (the heavy lifting happens before the shuffle: each task
+    * emits its local gram counts, so shuffle volume is bounded by
+    * DISTINCT grams per task, not occurrences); a top-k consumer should
+    * `orderBy(count).limit(k)` on the result, which Spark executes as
+    * TakeOrdered — a per-partition heap, never a global sort. */
+  def corpusNgramCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    df.select(toks.as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(explode(wordNgramsFromTokens(col("__toks"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -101,6 +101,51 @@ class DedupSpec extends SparkSpec {
     assert(clean.toSeq == Seq(2L, 3L))
   }
 
+  test("connectedComponents: min-member labels, log-round convergence on a chain") {
+    // two components (a 9-node path — worst case for plain propagation,
+    // exercising path compression — and a triangle) plus ids that are
+    // NOT contiguous, so labels can't accidentally equal positions
+    val chain = (0 until 8).map(i => (10L + i, 11L + i)) // path 10..18
+    val tri = Seq((100L, 104L), (104L, 102L), (102L, 100L))
+    val pairs = (chain ++ tri).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 18L).forall(comp(_) == 10L), s"chain mislabeled: $comp")
+    assert(Seq(100L, 102L, 104L).forall(comp(_) == 100L), s"triangle mislabeled: $comp")
+    assert(comp.size == 12)
+  }
+
+  test("family semantics: transitive edit-chain collapses where pairwise keeps ends") {
+    // A~B and B~C near-dup (successive single-word edits, word-bigram
+    // J ≈ 0.81 each) but A vs C differ by two words (J ≈ 0.65 < 0.8):
+    // the pair list has NO (A,C) edge, yet family semantics put all
+    // three in one component — the case pairwise loser-removal gets
+    // wrong (it keeps both A and C)
+    val base = ('a' to 't').map(c => s"$c${c}word").mkString(" ") // 20 distinct words
+    val editB = base.replace("eeword", "eXword")
+    val editC = editB.replace("jjword", "jXword")
+    val docs = Seq((1L, base), (2L, editB), (3L, editC), (9L, "wholly unrelated text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 2, jaccardThreshold = 0.8)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (2L, 3L)), s"fixture drifted: $edges")
+    val family = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(family == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("clusterDedup keeps one representative per exact-duplicate family") {
+    val docs = Seq(
+      (5L, "identical family text shared across documents"),
+      (2L, "identical family text shared across documents"),
+      (8L, "identical family text shared across documents"),
+      (3L, "a singleton document that stays")).toDF("doc_id", "text")
+    val kept = Dedup.clusterDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"got $kept")
+  }
+
   test("determinism: same pairs regardless of partitioning") {
     val p1 = Dedup.minHashLshPairs(docs.repartition(7), "text", "doc_id", jaccardThreshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: budget respected, offsets contiguous per pack,
+  * over-long docs isolated, layout deterministic across partitionings. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, words: Int) = (id, Seq.fill(words)("w").mkString(" "))
+
+  test("greedy layout: budget respected, offsets contiguous, overflow opens a pack") {
+    // stream 0 (ids 0,2,4,6): 3+4 fit in 8, 5 overflows, 2 follows 5
+    val docs = Seq(doc(0, 3), doc(2, 4), doc(4, 5), doc(6, 2)).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "text", "doc_id", budgetTokens = 8, streams = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((0L, 0L, 3L)))
+    assert(out(4L) == ((0L, 1L, 0L))) // 3+4+5 > 8 → next pack
+    assert(out(6L) == ((0L, 1L, 5L)))
+  }
+
+  test("a document longer than the whole budget is placed alone at offset 0") {
+    val docs = Seq(doc(1, 20), doc(3, 2), doc(5, 2)).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "text", "doc_id", budgetTokens = 8, streams = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((0L, 0L)))  // oversize doc owns pack 0
+    assert(out(3L) == ((1L, 0L)))  // next doc must not share it
+    assert(out(5L) == ((1L, 2L)))
+  }
+
+  test("invariants + determinism across partitionings on a generated corpus") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", array_repeat(lit("tok"), (pmod(col("id"), lit(37)) + 1).cast("int")))
+        .as("text"))
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, "text", "doc_id", budgetTokens = 64, streams = 4)
+    val a = layout(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b = layout(docs.repartition(13)).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(a == b, "layout must not depend on input partitioning")
+    // every pack's docs tile it: offsets sorted, each next = prev + ntok,
+    // and no multi-doc pack exceeds the budget
+    a.groupBy(t => (t._2, t._3)).foreach { case ((stream, pack), docsIn) =>
+      val sorted = docsIn.toSeq.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, o1, n1), (_, _, _, o2, _)) => assert(o2 == o1 + n1,
+          s"gap in stream=$stream pack=$pack")
+        case _ =>
+      }
+      val total = sorted.map(_._5).sum
+      assert(docsIn.size == 1 || total <= 64,
+        s"multi-doc pack over budget: stream=$stream pack=$pack total=$total")
+    }
+    // stream assignment is id mod streams
+    a.foreach { case (id, stream, _, _, _) => assert(stream == id % 4) }
+  }
+}

@@ -17,6 +17,27 @@ class TextFunctionsSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column, id: Long): T =
     df.filter($"id" === id).select(c.as("v")).collect()(0).getAs[T]("v")
 
+  test("redactPii: emails, dotted quads, long digit runs — in that order") {
+    val cases = Seq(
+      ("mail me: first.last+tag@sub.example.co today", "mail me: <EMAIL> today"),
+      ("server at 192.168.254.1 responded", "server at <IP> responded"),
+      ("card 4111111111111111 and ssn 123456789.", "card <NUMBER> and ssn <NUMBER>."),
+      // the email's own digits are consumed by <EMAIL>, not <NUMBER>;
+      // an 8-digit run is below the 9-digit floor and survives
+      ("u123456789@x.org plus 12345678 stays", "<EMAIL> plus 12345678 stays"),
+      // version strings are NOT dotted quads once a segment exceeds 3
+      // digits or a boundary is missing
+      ("v1.2.3 and 1.2.3.4567 pass through", "v1.2.3 and 1.2.3.4567 pass through"),
+      ("no pii here", "no pii here"))
+    val out = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "t")
+      .select($"id", redactPii($"t").as("r")).orderBy("id")
+      .collect().map(_.getString(1))
+    cases.zip(out).foreach { case ((in, expect), got) =>
+      assert(got == expect, s"input '$in'")
+    }
+  }
+
   test("normalize + tokens + counts") {
     assert(one[String](normalizeText(col("text")), 1L) ==
       "the quick brown fox and the lazy dog")
