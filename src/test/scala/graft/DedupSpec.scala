@@ -101,18 +101,36 @@ class DedupSpec extends SparkSpec {
     assert(clean.toSeq == Seq(2L, 3L))
   }
 
-  test("connectedComponents: min-member labels, log-round convergence on a chain") {
+  test("connectedComponents: min-member labels on both the driver and distributed paths") {
     // two components (a 9-node path — worst case for plain propagation,
     // exercising path compression — and a triangle) plus ids that are
     // NOT contiguous, so labels can't accidentally equal positions
     val chain = (0 until 8).map(i => (10L + i, 11L + i)) // path 10..18
     val tri = Seq((100L, 104L), (104L, 102L), (102L, 100L))
     val pairs = (chain ++ tri).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 6)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((10L to 18L).forall(comp(_) == 10L), s"chain mislabeled: $comp")
-    assert(Seq(100L, 102L, 104L).forall(comp(_) == 100L), s"triangle mislabeled: $comp")
-    assert(comp.size == 12)
+    for (cap <- Seq(Long.MaxValue, 0L)) { // driver union-find / distributed loop
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        maxIter = 6, maxDriverEdges = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((10L to 18L).forall(comp(_) == 10L), s"cap=$cap chain mislabeled: $comp")
+      assert(Seq(100L, 102L, 104L).forall(comp(_) == 100L), s"cap=$cap triangle: $comp")
+      assert(comp.size == 12)
+    }
+  }
+
+  test("connectedComponents: driver and distributed paths agree on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      val exact = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(pairs, "id_a", "id_b", maxDriverEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact == dist, s"trial $trial diverged")
+    }
   }
 
   test("family semantics: transitive edit-chain collapses where pairwise keeps ends") {
