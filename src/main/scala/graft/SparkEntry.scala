@@ -767,6 +767,15 @@ object SparkEntry {
         .orderBy(col("n_occurrences").desc, col("gram"))
         .limit(25)),
 
+    // ---- deterministic train/valid/test hash split: per-id bucket from
+    //      the portable 60-bit hash against integer thresholds — stable
+    //      under corpus growth, no shuffle, engine-reproducible. ----
+    "q_split_hash" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(
+        documents(s, dir).select("doc_id"), "doc_id",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .orderBy("doc_id")),
+
     // ---- as-of (point-in-time) join: for every purchase, the latest
     //      view by the same user at-or-before the purchase time — the
     //      feature-lookup primitive Spark lacks natively, implemented as
@@ -1535,6 +1544,24 @@ object SparkEntry {
         |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
         |FROM rec
         |ORDER BY doc_id""".stripMargin,
+
+    // Same integer cut points (Sampling.splitThresholds embeds the exact
+    // literals) over the same portable 60-bit hash — integer-only
+    // comparisons, so no float-boundary disagreement is possible.
+    "q_split_hash" -> {
+      val cuts = graft.operators.Sampling.splitThresholds(
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN hh < ${cuts(0)._2} THEN 'train'
+        |       WHEN hh < ${cuts(1)._2} THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM h
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "q_corpus_ngrams" ->
       s"""WITH n AS (

@@ -400,6 +400,7 @@ object Dedup {
     // plan (an LSH pair derivation, typically) would execute end-to-end
     // once per read
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull) // a null id names no node
       .persist()
     val out =
       if (half.count() <= maxDriverEdges) driverCC(pairs.sparkSession, half)

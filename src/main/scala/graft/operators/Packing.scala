@@ -39,10 +39,15 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     val budget = budgetTokens.toLong
-    val narrow = df.select(
-      col(idCol).cast("long").as("id"),
-      pmod(col(idCol).cast("long"), lit(streams.toLong)).as("stream"),
-      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("ntok"))
+    // total on degenerate rows: a null text packs as 0 tokens; a null id
+    // has no identity to lay out or join back on and is dropped
+    val narrow = df
+      .where(col(idCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        pmod(col(idCol).cast("long"), lit(streams.toLong)).as("stream"),
+        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"),
+          lit(0L)).as("ntok"))
     narrow
       .repartition(col("stream"))
       .sortWithinPartitions("stream", "id")

@@ -73,4 +73,44 @@ object Sampling {
     }
     out
   }
+
+  /** Deterministic train/validation/test split: each row's bucket is a
+    * pure function of (id, seed) — the engine-portable 60-bit hash
+    * mapped against integer thresholds — so the assignment is
+    * reproducible across runs, partitionings, and engines, and STABLE
+    * UNDER CORPUS GROWTH: adding documents never reassigns an existing
+    * one (the property random-shuffle splits lack, and the reason
+    * production pipelines hash-split: yesterday's eval docs must not
+    * leak into tomorrow's train set when the corpus grows).
+    *
+    * Thresholds are cumulative-fraction cut points of the hash range
+    * computed ONCE here as integers — comparisons are integer-only, so
+    * there is no float-boundary disagreement for an external oracle to
+    * hit. Purely map-side: no shuffle, no state. */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val h = graft.functions.TextFunctions.portableHash(
+      concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val cuts = splitThresholds(fractions)
+    // CASE h < t1 THEN n1 WHEN h < t2 THEN n2 ... ELSE last
+    val caseExpr = cuts.init.foldRight(lit(fractions.last._1): Column) {
+      case ((name, t), rest) => when(h < t, name).otherwise(rest)
+    }
+    df.withColumn("split", caseExpr)
+  }
+
+  /** The integer cut points backing [[hashSplit]] — exposed so an
+    * external verifier can embed the EXACT same literals. */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val span = BigDecimal(2).pow(60)
+    val cum = fractions.scanLeft(BigDecimal(0)) { case (acc, (_, f)) =>
+      acc + BigDecimal(f)
+    }.tail
+    fractions.map(_._1).zip(cum.map(c => (c * span).setScale(0,
+      BigDecimal.RoundingMode.FLOOR).toLong))
+  }
 }

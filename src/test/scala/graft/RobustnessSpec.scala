@@ -170,4 +170,32 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.streaming.CurationStream.screen(
       emptyBatch, docs, docs.limit(5)).count() == 0)
   }
+
+  test("packing degenerate inputs: null text packs as 0 tokens, null id dropped") {
+    val docs = Seq(
+      (Option(1L), Option("three tokens here")),
+      (Option(2L), Option.empty[String]),          // null text → ntok 0
+      (Option.empty[Long], Option("orphan"))       // null id → dropped
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Packing.packSequences(docs, "text", "doc_id",
+      budgetTokens = 8, streams = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((0L, 0L, 3L)))
+    assert(out(2L) == ((0L, 3L, 0L)), "null text occupies zero tokens")
+    // empty frame
+    assert(graft.operators.Packing.packSequences(
+      docs.where(lit(false)), "text", "doc_id", 8).count() == 0)
+  }
+
+  test("connected components degenerate inputs: empty and null-bearing pair lists") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    val withNulls = Seq((Option(1L), Option(2L)), (Option(3L), Option.empty[Long]))
+      .toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(withNulls, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L), "null-edge rows name no node")
+  }
 }
