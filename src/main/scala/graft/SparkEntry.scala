@@ -776,6 +776,21 @@ object SparkEntry {
         Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
         .orderBy("doc_id")),
 
+    // ---- bigram-LM perplexity scoring (the CCNet quality-filter step):
+    //      fit an add-one-smoothed bigram model on the English slice,
+    //      score every doc's cross-entropy. Every model count is an
+    //      integer and every probability a ratio of integers, so the
+    //      oracle re-derives the FULL pipeline (vocab selection included)
+    //      in SQL; per-doc log2 sums go through exact decimal summation
+    //      (order-independent) and round to 4 decimals. ----
+    "q_lm_perplexity" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.operators.QualityLm.fit(
+        docs.where(col("lang") === "en"), "text", vocabSize = 256)
+      graft.operators.QualityLm.score(docs, "text", "doc_id", model)
+        .orderBy("doc_id")
+    }),
+
     // ---- as-of (point-in-time) join: for every purchase, the latest
     //      view by the same user at-or-before the purchase time — the
     //      feature-lookup primitive Spark lacks natively, implemented as
@@ -1548,6 +1563,52 @@ object SparkEntry {
     // Same integer cut points (Sampling.splitThresholds embeds the exact
     // literals) over the same portable 60-bit hash — integer-only
     // comparisons, so no float-boundary disagreement is possible.
+    // Full re-derivation: vocab = top-256 English unigrams by
+    // (count DESC, token ASC); bigram/context counts over vocab-mapped
+    // consecutive pairs; add-one smoothing over the 257-event space.
+    // Probabilities are integer ratios (bit-identical division), log2
+    // differs by ≤ a few ulp cross-engine — absorbed by the decimal-12
+    // summation and the 4-decimal canonicalization.
+    "q_lm_perplexity" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.token, count(*) AS cnt
+        |  FROM toks, unnest(toks.toks) AS u(token)
+        |  WHERE lang = 'en'
+        |  GROUP BY 1),
+        |vocab AS (SELECT token FROM uni ORDER BY cnt DESC, token LIMIT 256),
+        |pairs AS (
+        |  SELECT t.doc_id, t.lang, t.toks[g.i] AS rw1, t.toks[g.i + 1] AS rw2
+        |  FROM toks t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)),
+        |mapped AS (
+        |  SELECT p.doc_id, p.lang,
+        |    CASE WHEN v1.token IS NULL THEN '<unk>' ELSE p.rw1 END AS w1,
+        |    CASE WHEN v2.token IS NULL THEN '<unk>' ELSE p.rw2 END AS w2
+        |  FROM pairs p
+        |  LEFT JOIN vocab v1 ON p.rw1 = v1.token
+        |  LEFT JOIN vocab v2 ON p.rw2 = v2.token),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM mapped
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    count(*) AS n_bigrams,
+        |    CAST(sum(CAST(-log2(
+        |      CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE) /
+        |      CAST(COALESCE(c.c1, 0) + (SELECT count(*) FROM vocab) + 1 AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS hsum
+        |  FROM mapped m
+        |  LEFT JOIN big b ON m.w1 = b.w1 AND m.w2 = b.w2
+        |  LEFT JOIN ctx c ON m.w1 = c.w1
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  floor(hsum / n_bigrams * 1e4 + 0.5) / 1e4 AS entropy_bits
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+
     "q_split_hash" -> {
       val cuts = graft.operators.Sampling.splitThresholds(
         Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
