@@ -759,6 +759,16 @@ object SparkEntry {
         budgetTokens = 256, streams = 8)
         .orderBy("doc_id")),
 
+    // ---- context-window chunking: split each doc's canonical token
+    //      stream into ≤32-token windows overlapping by 8 — the
+    //      long-document complement of sequence packing. Map-side only;
+    //      the oracle replays the same window arithmetic with
+    //      generate_series + list slicing. ----
+    "q_chunk_windows" -> ((s, dir) =>
+      graft.operators.Packing.chunkWindows(documents(s, dir), "text", "doc_id",
+        maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_ix")),
+
     // ---- corpus n-gram census: occurrence counts of every word 3-gram
     //      corpus-wide, top 25 — ordered by (count desc, gram asc) so
     //      the LIMIT selection is deterministic through count ties. ----
@@ -1563,6 +1573,24 @@ object SparkEntry {
     // Same integer cut points (Sampling.splitThresholds embeds the exact
     // literals) over the same portable 60-bit hash — integer-only
     // comparisons, so no float-boundary disagreement is possible.
+    // Window k starts at token 1 + k·24 (stride = 32 − 8) and takes
+    // min(32, remaining); integer-only arithmetic on both sides.
+    "q_chunk_windows" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nchunks
+        |  FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id, g.i AS chunk_ix,
+        |  least(32, n - g.i * 24) AS n_tokens,
+        |  array_to_string(toks[(g.i * 24 + 1):(g.i * 24 + least(32, n - g.i * 24))], ' ') AS chunk_text
+        |FROM k, unnest(generate_series(0, nchunks - 1)) AS g(i)
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
+
     // Full re-derivation: vocab = top-256 English unigrams by
     // (count DESC, token ASC); bigram/context counts over vocab-mapped
     // consecutive pairs; add-one smoothing over the 257-event space.

@@ -69,4 +69,50 @@ object Packing {
       }
       .toDF(idCol, "stream", "pack", "offset", "n_tokens")
   }
+
+  /** Context-window chunking — the complement of [[packSequences]] for
+    * documents LONGER than the model context: split each document's
+    * canonical token stream ([[graft.functions.TextFunctions.tokens]] of
+    * the normalized text, the same stream every other text operator
+    * counts) into windows of at most `maxTokens` tokens, consecutive
+    * windows sharing `overlap` tokens so no span of context is lost at a
+    * boundary.
+    *
+    * Window k (0-based) starts at token 1 + k·stride (stride =
+    * maxTokens − overlap) and takes min(maxTokens, remaining) tokens;
+    * windows are emitted while the start is in range, so the final
+    * window may overlap its predecessor by more than `overlap` but never
+    * duplicates a whole window. Documents with no tokens produce no
+    * chunks; a doc with ≤ maxTokens tokens is one whole-doc chunk.
+    *
+    * Purely map-side (sequence → transform → explode): no shuffle, no
+    * state, trivially linear at any scale. Output:
+    * (idCol, chunk_ix, n_tokens, chunk_text). */
+  def chunkWindows(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = (maxTokens - overlap).toLong
+    val toks = graft.functions.TextFunctions.tokens(
+      graft.functions.TextFunctions.normalizeText(col(textCol)))
+    val n = size(toks).cast("long")
+    // ceil((n - max)/stride) via double floor — token counts are far
+    // below 2^53, so the double round-trip is exact
+    val nChunks = when(n <= maxTokens, lit(1L)).otherwise(
+      lit(1L) + floor((n - maxTokens + stride - 1).cast("double") / stride)
+        .cast("long"))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__k"))
+      .where(col("__n") >= 1)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), col("__k") - 1),
+        k => struct(
+          k.as("chunk_ix"),
+          least(lit(maxTokens.toLong), col("__n") - k * stride).as("n_tokens"),
+          array_join(slice(col("__toks"), (k * stride + 1).cast("int"),
+            least(lit(maxTokens.toLong), col("__n") - k * stride).cast("int")),
+            " ").as("chunk_text")))).as("c"))
+      .select(col(idCol), col("c.chunk_ix"), col("c.n_tokens"),
+        col("c.chunk_text"))
+  }
 }

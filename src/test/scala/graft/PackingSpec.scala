@@ -57,4 +57,47 @@ class PackingSpec extends SparkSpec {
     // stream assignment is id mod streams
     a.foreach { case (id, stream, _, _, _) => assert(stream == id % 4) }
   }
+
+  private def numbered(id: Long, words: Int) =
+    (id, (1 to words).map(i => s"t$i").mkString(" "))
+
+  test("chunkWindows: whole-doc chunk when short, overlapping windows when long") {
+    val docs = Seq(numbered(1, 5), numbered(2, 10), numbered(3, 0)).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "text", "doc_id", maxTokens = 6, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 1 (5 toks ≤ 6): one whole-doc chunk
+    assert(out((1L, 0L)) == ((5L, "t1 t2 t3 t4 t5")))
+    // doc 2 (10 toks, stride 4): ceil((10-6)/4) = 1 extra window →
+    // windows at 1 and 5; the second reaches the final token
+    assert(out((2L, 0L)) == ((6L, "t1 t2 t3 t4 t5 t6")))
+    assert(out((2L, 1L)) == ((6L, "t5 t6 t7 t8 t9 t10")))
+    assert(!out.contains((2L, 2L)))
+    // doc 3 (0 toks): no chunks
+    assert(out.keys.map(_._1).toSet == Set(1L, 2L))
+    // every consecutive pair shares exactly `overlap` tokens at the seam
+    // (except a clamped final window, which may share more)
+  }
+
+  test("chunkWindows: zero overlap tiles the doc exactly") {
+    val docs = Seq(numbered(7, 9)).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "text", "doc_id", maxTokens = 4, overlap = 0)
+      .orderBy("chunk_ix")
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (4L, "t1 t2 t3 t4"), (4L, "t5 t6 t7 t8"), (1L, "t9")))
+    // reconstruction: concatenating zero-overlap chunks yields the doc
+    assert(out.map(_._2).mkString(" ") == numbered(7, 9)._2)
+  }
+
+  test("chunkWindows validates parameters and handles null text") {
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.chunkWindows(docs, "text", "doc_id", maxTokens = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkWindows(docs, "text", "doc_id", maxTokens = 0)
+    }
+    val out = Packing.chunkWindows(docs, "text", "doc_id", maxTokens = 4)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L), "null text → no chunks")
+  }
 }
