@@ -55,6 +55,26 @@ class PlanSpec extends SparkSpec {
       "expected partial + final hash aggregation")
   }
 
+  test("q_lm_perplexity: model joins broadcast; no cartesian product") {
+    val p = plan("q_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "bigram/context model joins must broadcast, not shuffle-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_split_hash and q_chunk_windows: map-side only (no exchange before the output sort)") {
+    Seq("q_split_hash", "q_chunk_windows").foreach { q =>
+      val p = plan(q)
+      // the gate query orders its output for the deterministic dump; a
+      // single range-partitioning exchange for that sort is the ONLY
+      // shuffle allowed — the operator itself must add none
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles beyond the output sort: $exchanges")
+    }
+  }
+
   test("scans prune columns: q_sort_topk reads only what it selects") {
     val p = plan("q_sort_topk")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
