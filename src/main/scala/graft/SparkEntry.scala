@@ -801,6 +801,78 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BM25 lexical retrieval: keyword search over the corpus for a
+    //      small query set — retrieval-side decontamination / corpus
+    //      audit. Map-side tf (no postings shuffle), query terms
+    //      broadcast, df computed only for query terms; per-term
+    //      contributions decimal-summed so the score is order-
+    //      independent and re-derivable in SQL (idf uses log2 — the
+    //      engine-portable transcendental, a constant factor off
+    //      Lucene's ln). ----
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark hash join"), (1L, "window sort merge"),
+        (2L, "table scan filter"), (3L, "fast batch value"))
+        .toDF("query_id", "qtext")
+      graft.operators.Bm25.topK(documents(s, dir), "text", "doc_id",
+        qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25 from the PREBUILT index (build-once/serve-many, the
+    //      IvfIndex pattern): full postings + df table with portable
+    //      term buckets. Identical output contract to q_bm25 — the two
+    //      share one oracle SQL, which is itself the equality proof. ----
+    "q_bm25_index" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark hash join"), (1L, "window sort merge"),
+        (2L, "table scan filter"), (3L, "fast batch value"))
+        .toDF("query_id", "qtext")
+      graft.operators.Bm25.Bm25Index
+        .build(documents(s, dir), "text", "doc_id")
+        .topK(qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- SemDeDup semantic pruning: k-means clusters bound the
+    //      quadratic within-cluster cosine scan (Σc² not n²). PARTIAL
+    //      oracle like q_kmeans: embedded converged centroids
+    //      (OracleFitProbe prints them at the sf0.01 gate; input layout
+    //      pinned for fit determinism), assignment + pairwise prune rule
+    //      verified in DuckDB; the Lloyd fit itself is pinned by
+    //      SimilaritySpec. Probe-checked margins: nearest-vs-second
+    //      centroid distance and cosine-vs-tau gaps are orders of
+    //      magnitude above cross-engine ulp noise. ----
+    //      Probe-measured at the sf0.01 gate: assign margin (min
+    //      d2nd−d1st) 1.6e-3, min |cos−tau| 3.6e-4, 102 pruned of 500 —
+    //      both gaps are ~12 orders of magnitude above the ~1e-15 ulp
+    //      disagreement the differing distance/cosine formulas can
+    //      produce, so neither the argmin nor the threshold can flip. ----
+    "q_semdedup" -> ((s, dir) =>
+      graft.operators.SemDedup.prune(
+        embeddings(s, dir).repartition(8, col("vec_id"))
+          .sortWithinPartitions("vec_id"),
+        "embedding", "vec_id", nClusters = 8, tau = 0.35)
+        .orderBy("vec_id")),
+
+    // ---- temperature-flattened corpus mixing (p_s ∝ n_s^alpha): thin
+    //      dominant sources so the mix follows the flattened composition,
+    //      binding source kept whole. Deterministic portable-hash
+    //      Bernoulli thinning — the per-source integer thresholds depend
+    //      on observed counts, so the oracle embeds the probe-printed
+    //      literals (the q_kmeans embedded-constants pattern). ----
+    //      Grouped by lang (218/75/73/70/64 at the gate — real skew;
+    //      `source` is near-uniform there and would make every
+    //      threshold trivial). ----
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        documents(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        alpha = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // ---- as-of (point-in-time) join: for every purchase, the latest
     //      view by the same user at-or-before the purchase time — the
     //      feature-lookup primitive Spark lacks natively, implemented as
@@ -943,6 +1015,47 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by q_bm25 and q_bm25_index: the indexed path must produce
+    * IDENTICAL output, so one SQL verifies both (and the shared oracle
+    * is itself the equality proof at the gate). */
+  private lazy val Bm25OracleSql: String =
+    s"""WITH q(query_id, qtext) AS (
+          |  VALUES (CAST(0 AS BIGINT), 'spark hash join'), (1, 'window sort merge'),
+          |         (2, 'table scan filter'), (3, 'fast batch value')),
+          |qt AS (
+          |  SELECT query_id, unnest(list_distinct(list_filter(
+          |    string_split(trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g')), ' '),
+          |    x -> x <> ''))) AS term
+          |  FROM q),
+          |toks AS (
+          |  SELECT doc_id, list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |stats AS (SELECT count(*) AS n, sum(len(toks)) AS sdl FROM toks),
+          |terms AS (SELECT DISTINCT term FROM qt),
+          |post AS (
+          |  SELECT doc_id, len(toks) AS dl, term,
+          |    len(list_filter(toks, x -> x = term)) AS tf
+          |  FROM toks CROSS JOIN terms
+          |  WHERE list_contains(toks, term)),
+          |dfv AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT qt.query_id, p.doc_id, count(*) AS n_terms,
+          |    CAST(sum(CAST(
+          |      log2(1.0 + ((SELECT n FROM stats) - dfv.df + 0.5) / (dfv.df + 0.5)) *
+          |      (p.tf * (1.2 + 1.0)) /
+          |      (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / ((SELECT CAST(sdl AS DOUBLE) / n FROM stats))))
+          |      AS DECIMAL(18,12))) AS DOUBLE) AS s
+          |  FROM post p JOIN qt ON p.term = qt.term JOIN dfv ON p.term = dfv.term
+          |  GROUP BY 1, 2),
+          |r AS (
+          |  SELECT query_id, doc_id, n_terms,
+          |    floor(s * 1e4 + 0.5) / 1e4 AS score,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY floor(s * 1e4 + 0.5) / 1e4 DESC, doc_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1597,6 +1710,73 @@ object SparkEntry {
     // Probabilities are integer ratios (bit-identical division), log2
     // differs by ≤ a few ulp cross-engine — absorbed by the decimal-12
     // summation and the 4-decimal canonicalization.
+    // Full BM25 re-derivation: same tokenization, df over query terms
+    // only, identical IEEE expression tree (log2 idf; see Bm25.scala),
+    // per-term contributions decimal-summed (order-independent), score
+    // rounded to 4dp BEFORE ranking on both sides.
+    "q_bm25" -> Bm25OracleSql,
+
+    "q_bm25_index" -> Bm25OracleSql,
+
+    // PARTIAL oracle (the q_kmeans embedded-constants pattern): the 8
+    // converged centroids from the pinned-layout fit are embedded as
+    // literals (OracleFitProbe prints them — refresh after any fixture
+    // change); DuckDB re-derives the nearest-centroid assignment, the
+    // within-cluster cosine prune rule, and the min-member cluster
+    // canonicalization. The Lloyd fit itself is pinned by
+    // SimilaritySpec. list_distance (sqrt of the udf's d-squared) keeps
+    // the identical argmin: sqrt is monotone and the probe-measured
+    // assignment margin is 1.6e-3.
+    "q_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT vec_id, v,
+        |    list_distance(v, [0.053614957121651256, -0.042535041794791575, 0.013581305619168905, -0.053702010502122710, 0.015193790724104057, 0.021739524231887745, 0.014046297421999521, 0.033281363535397610, 0.0016871556090038331, 0.033049587011012850, 0.047676433983724564, 0.0011035827614489149, 0.042827458613262070, 0.058257781637099680, -0.0053391490803390260, 0.025520159833354600, -0.0089493639648846180, 0.027808795065703024, -0.010950936056047557, 0.040890915082676005, -0.024362524490437060, -0.0062247690759965630, 0.0022177847148087183, -0.022516236213020614, -0.030737534391533462, 0.036662503580761250, 0.042894838041946540, 0.10136905731824151, -0.032080794459392060, 0.031291300943312160, 0.0031396278512251918, -0.0071096518458645860, 0.041264725499786440, 0.033386543179388910, 0.031668765777645665, 0.0043167174320484770, -0.037096663721699695, -0.063599381561497930, 0.020784696848437070, -0.031435208922034020, -0.028366522978014147, -0.077772969536513830, -0.0076733162458680690, -0.0065972980112851250, 0.058646729582401570, -0.024826604651562015, -0.024314949605766623, 0.020657954863501624, -0.0067151527752580710, 0.017911746358445495, -0.040915788815463660, -0.037417359879148790, -0.020774689236785607, 0.011713201991190799, 0.023433040186274248, 0.023299004848222022, -0.018662456267505702, -0.051725018278077310, -0.026927031819960562, -0.042036595661765666, 0.020267804840304812, 0.072197653293456000, -0.028344805337122230, -0.038330850627494700]) AS d0,
+        |    list_distance(v, [0.043103469055025810, 0.0082266308712742980, -0.043991116814375404, 0.016137552943321004, 0.045676328369506420, -0.0015400739221443091, -0.040308809016771134, -0.010523968719832239, -0.030237868758699587, -0.082723327084339310, 0.0016488328711279938, -0.063699445979211540, -0.018421986282074584, 0.053135135938646270, 0.023750608816983237, 0.055698635420882170, 0.043705073014397410, 0.058436481041773670, -0.026782127532867656, -0.023800259339623153, 0.0093548102501494400, 0.047478680821856660, 0.081548673412462150, -0.022999465172629680, -0.034932370579964860, -0.057141104262442360, -0.015179702248837378, -0.012167278025205426, -0.00053484122937304840, -0.055713583009257430, 0.013226456624726133, -0.037194152663071310, -0.0081105952605514990, -0.0047185888453837360, 0.031894827997612375, 0.017689110504673613, 0.013613453375235680, 0.027441055798150163, 0.028013675273424240, 0.034490515624413326, 0.010376020971659360, 0.0047068957276003910, -0.053074652407949250, -0.057206377274386820, 0.0077260406391829860, 0.0042688136567331610, -0.031765931210811100, 0.055856799385735706, 0.044700047662181240, -0.019305592755817117, -0.010818259301407623, -0.072250325362303200, 0.013293899633290786, -0.022285797280698804, 0.024328263562863633, -0.029245923320207024, -0.012560852424001260, -0.021787591995821604, 0.031675730964061880, 0.018985443793597720, -0.040721573791797125, -0.019023271996693146, 0.040822734286437830, -0.00067098378091149270]) AS d1,
+        |    list_distance(v, [-0.00065622691375513870, -0.020779575586008528, 0.046057892388004500, 0.0077078165098403890, -0.015924644380963096, -0.059862324360680450, 0.0096482683050756660, 0.084754368856859700, -0.020538886954212406, 0.070219992762819550, 0.0088423754864682750, 0.0069476403916875520, 0.037697015881227950, 0.024197022760442150, -0.0058088787676145630, -0.0034748454112559558, -0.00022054058790672570, -0.025766554827957103, -0.037817800998648940, 0.027940128704843420, -0.019059799619329472, -0.071724611516886700, -0.0034427805764911073, -0.030372157211725910, 0.018037696323396326, -0.0012083913286915049, -0.075519994739443070, 0.036995094219067444, -0.0057423852946764480, 0.032993263889026514, 0.038634423251884680, -0.0076180080029492580, 0.038494566921144724, 0.054691536088163656, 0.0084545562509447340, 0.00042687410411114494, 0.043312971418102580, -0.0090158826050659010, -0.055978286510192750, 0.028156336994531253, -0.012980594672262669, 0.019073701386029523, -0.022398029951667314, 0.041203993927532184, -0.041058915737085050, -0.018468735712425160, -0.036306364529688530, 0.014763880152410517, -0.021084222583643470, -0.014160112745594233, 0.057063461609262350, 0.076882728652951000, 0.019168021553196014, 0.016151934035588057, 0.039966989075765014, -0.011927073932990120, 0.0042071216157637540, -0.038930270444446550, 0.0066197246056011250, 0.024620706856997760, 0.0072210221473748480, -0.068219043907204960, 0.018024239238972464, -0.048664683871902520]) AS d2,
+        |    list_distance(v, [-0.0051012833395765880, 0.0079696550161489060, 0.015287183851580179, -0.049304117648197070, 0.040550065897626886, 0.032768118422522786, 0.0015456602219880247, 0.044400861752884730, 0.043586125922581500, -0.056378139423147317, 0.047414649987504595, -0.022184331150215474, -0.013923274292629063, -0.035450267515169260, -0.0068235441539732230, 0.040724826902742420, 0.021623010825784320, -0.027088940440167096, -0.036047080982594740, -0.0087378913664170310, -0.012842982438289456, 0.0031020820236927460, 0.010663707239834206, -0.011511162039823830, -0.014557929802870762, 0.072504489693701980, -0.020924257768672846, 0.0099966670155510420, 0.035533658705563060, 0.035680903889153834, 0.028302346670349674, -0.054605717768849680, -0.0092998114044940650, -0.043135890229013820, 0.016599276870866084, -0.034415346097260240, -0.032250109886277520, 0.0046834896895147500, 0.046194623175930850, 0.017246551639843910, 0.028008574968904240, -0.0086414146806216900, 0.042583844321410330, -0.0021111755844368230, -0.056793048478929055, 0.027163101511726538, 0.0022083061690893143, -0.047641992637340626, 0.024737192495238213, 0.059546705752995510, 0.044822839813099966, 0.0012047976515965446, 0.018714359347959830, -0.032568583830392790, 0.010686485318555717, -0.026029515368420453, 0.0021028779003591765, -0.021662470326566742, -0.039146747384663845, -0.0065806384035755710, 0.023549476911919928, 0.00062688206422275730, 0.044333638741620000, -0.032929307522459164]) AS d3,
+        |    list_distance(v, [-0.035425093283669815, -0.014367667137689532, 0.011228806810409185, 0.023941444495456320, 0.031159374297463467, 0.012523906748919260, -1.2780210771967494e-05, -0.026513950575867460, -0.00051499211916788700, 0.035539251574802960, 0.0092254453431075760, 0.030081848199996680, 0.036689473256941820, -0.062335081328268320, 0.029042047008665070, -0.046753408631221170, 0.048520540929443780, -0.017664904440087930, 0.020711828442659997, 0.0066275682655118760, 0.010641456759046940, -0.015056870370504578, -0.043016171748084676, -0.0065509025487930530, 0.035310138748692610, 0.068358973226702160, 0.0098182089864239400, -0.039518023323681616, -0.023837273053470110, -0.042469949210210450, -0.041781873316577976, -0.0019094864662278384, 0.091526078311578620, -0.023111528474911453, -0.028240025950787912, -0.024374900940096093, -0.0012784602179650275, -0.027644737168509254, -0.015856362629814870, -0.024085425638726777, 0.066931363703343000, -0.027776154988844480, -0.059389001856158884, -0.071996541150535140, -0.0013450487768129696, -0.0054098035667150740, -0.018242720559808526, -0.0049150588678284765, 0.0023866561019704456, -0.066400736112088440, -0.020093318243097100, -0.011016756493648115, 0.032090705784318580, -0.017988392913211432, -0.020999730291170260, -0.0090723890692941730, 0.026311638273274717, 0.051628959967592170, 0.060137028960208030, -0.040871299393955500, 0.030155318347833740, 0.048922129034522976, -0.064835390835512610, -0.020837840247189713]) AS d4,
+        |    list_distance(v, [0.011403090427400637, 0.031581253370606020, 0.011399790436624870, -0.0010777360310713134, -0.040583410956820505, -0.0058097399167189770, -0.0032696545555363180, -0.042363496041154400, -0.0019820960074926530, 0.0043652131161118140, -0.052064837632151170, -0.029272865381885747, -0.054570101468716980, -0.018721241984882807, -0.012012967797851222, -0.026176170755147204, 0.017394745138428010, 0.0044127278808565410, 0.024713664704964300, 0.033665542460245190, -0.010066897043439209, 0.0083366606353980600, -0.0031577101526934590, 0.0093811430975978010, 0.030632461807652393, -0.072235075427700200, 0.037636329151296870, 0.012067411747593128, -0.0019581802189350130, 0.017684808798653424, -0.0064056808678585980, 0.045528107404815735, -0.030875360406171837, -0.053711397172577810, -0.0022026539520650615, -0.014833737168552690, 0.066353168964508130, -0.058407752265100234, -0.033381218647920210, 0.0055976210505087080, 0.026567851091147263, 0.043202978278296530, 0.043393084298452886, -0.00081102174447208160, -0.043674895860499045, 0.035993519749637450, 0.042722706321329185, -0.022296371533856040, -0.053548787532519310, 0.0051175583321906500, -0.0010003256153498516, 0.014042086265675846, 0.041379733450069540, -0.0070882236249134190, 0.041144680170739290, 0.022683337147607178, 0.014697586793116614, 0.064011929793374960, -0.091701870146741890, 0.0024275516625493765, -0.027533640367452240, 0.050607601938087910, 0.013535942668553260, 0.010116337107677686]) AS d5,
+        |    list_distance(v, [0.014048753655515611, -0.038154090401130140, -0.0010768046076581985, 0.035257653829089740, 0.021914863976201526, -0.0069296106941894520, -0.084130540520332200, -0.034782397422801564, 0.0044212457465214860, -0.066274165072374870, 0.030090294554139727, -0.013289471805802788, -0.045977585224641690, -0.017018997401464730, -0.032410476347582450, -0.034738869207945690, -0.091924429612441200, 0.013221795939090144, 0.0046913176645628280, -0.0039722810092994390, 0.018677934155911550, -0.015363019500876327, -0.025337859311279045, 0.046909727889147620, -0.027386723834314140, 0.038536828231169946, -0.017032440475843570, -0.0039907473622372855, 0.023857893230376282, 0.030060971235528724, -0.032627724490507880, -0.038157364577744844, -0.013601854633263967, 0.032563856605621465, 0.027424859305567760, -0.0072666578839912460, -0.049047665135865960, 0.046269293676164970, -0.0081111242287550800, 0.014078432226260365, -0.051052428475857050, 0.0056349250306892720, 0.070736855428549460, 0.029772842805498467, 0.021291981504031422, 0.0073792149692221920, 0.048174168362661640, -0.0083132849109393580, -0.032788471484781000, -0.0041689132900770610, 0.022262736424131110, -0.018600237021153723, -0.0090545113609416000, 0.0097755891253688810, -0.038018006124292260, -0.0056355081809063750, 0.0014223528430900640, -0.0034209894257839080, -0.010592245147563517, -0.026010975966023073, 0.020239405727436488, -0.056083361710921896, -0.022473121579322550, 0.046990547635316570]) AS d6,
+        |    list_distance(v, [-0.048977084344522530, 0.020978986639468195, -0.015883604362898040, -0.010843396860812055, -0.013911131784736520, 0.054244408809800485, -0.044820069133588970, 0.019490600168386375, -0.013695499508972524, 0.042316568303105760, -0.030792637133823804, 0.094051681072941350, -0.0090037259215023370, 0.012481447040428112, 0.0023367241680573080, 0.026394950035625550, -0.013153481193033880, 0.012842034884287338, 0.047002435430553490, -0.049808213998882196, -0.0016539130608036526, 0.052168682199216590, 0.0091903520706661140, -0.018065412427715370, 0.0041561291704726360, 0.016235043107850573, 0.018168952705118018, -0.013111181759373529, -0.0019441590518813187, -0.033069687990447210, 0.032560415397471700, 0.041371117486433880, -0.035772012176063360, -0.035153610020643100, -0.032262458782306090, 0.055315469715615590, -0.041240146729825550, 0.058331067182160420, 0.0057049553813014520, -0.041468112821396630, -0.050674334048955260, -0.042822586784926606, -0.0019566022858366760, 0.056657071314954295, -0.028633017359473007, 0.0040743059301013620, 0.014930648796603475, 0.032317760128583020, 0.0046933575804838540, -0.050440936157859760, 0.022792578530865474, 0.028605503369027770, -0.027078485640231520, 0.010906655127906848, -0.036684402054800700, 0.0059347437559872080, 0.016950190042782770, -1.5684775318827870e-05, 0.022402898295886667, -0.0026936044328306850, -0.027397640043330427, 0.0025061988807896050, -0.010309152748193714, -0.014482936521648967]) AS d7
+        |  FROM e),
+        |a AS (SELECT vec_id, v,
+        |  CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 AND d0 <= d4 AND d0 <= d5 AND d0 <= d6 AND d0 <= d7 THEN 0
+        |       WHEN d1 <= d2 AND d1 <= d3 AND d1 <= d4 AND d1 <= d5 AND d1 <= d6 AND d1 <= d7 THEN 1
+        |       WHEN d2 <= d3 AND d2 <= d4 AND d2 <= d5 AND d2 <= d6 AND d2 <= d7 THEN 2
+        |       WHEN d3 <= d4 AND d3 <= d5 AND d3 <= d6 AND d3 <= d7 THEN 3
+        |       WHEN d4 <= d5 AND d4 <= d6 AND d4 <= d7 THEN 4
+        |       WHEN d5 <= d6 AND d5 <= d7 THEN 5
+        |       WHEN d6 <= d7 THEN 6
+        |       ELSE 7 END AS c
+        |  FROM d),
+        |p AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+        |      FROM a a1 JOIN a a2 ON a1.c = a2.c AND a1.vec_id < a2.vec_id
+        |      WHERE list_cosine_similarity(a1.v, a2.v) >= 0.35),
+        |l AS (SELECT DISTINCT id_b FROM p)
+        |SELECT a.vec_id,
+        |  MIN(a.vec_id) OVER (PARTITION BY a.c) AS cluster,
+        |  (l.id_b IS NULL) AS keep
+        |FROM a LEFT JOIN l ON a.vec_id = l.id_b
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // Embedded per-lang integer thresholds (OracleFitProbe prints them —
+    // they depend on the observed lang counts at the gate; refresh after
+    // any fixture change). Same portable-hash expression as
+    // q_sample_quota / q_split_hash.
+    "q_temperature_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE hh < CASE lang
+        |  WHEN 'de' THEN 1102403813298366723
+        |  WHEN 'en' THEN 624685578636996824
+        |  WHEN 'es' THEN 1079514044210194263
+        |  WHEN 'fr' THEN 1152921504606846976
+        |  WHEN 'zh' THEN 1065023265662834428 END
+        |ORDER BY doc_id""".stripMargin,
+
     "q_lm_perplexity" ->
       s"""WITH toks AS (
         |  SELECT doc_id, lang,

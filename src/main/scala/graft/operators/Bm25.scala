@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.chaining._
+
+import graft.functions.TextFunctions
+
+/** BM25 lexical retrieval over a document corpus — the keyword-side
+  * complement of the embedding ANN family ([[Similarity]], [[Hnsw]]). A
+  * training-data pipeline reaches for this when screening a corpus
+  * against eval-set queries (retrieval-based decontamination), mining
+  * hard negatives for retriever training, or auditing what a corpus
+  * contains for a topic.
+  *
+  * Scoring follows the Lucene/Robertson formulation with one deliberate
+  * deviation: idf uses log2 instead of ln. log2 of a ratio of integers is
+  * the one transcendental this repo has already proven bit-identical
+  * across engines (q_lm_perplexity), and a positive constant factor
+  * (1/ln 2) rescales every score equally — rankings are unchanged.
+  *
+  *   idf(t)      = log2(1 + (N - df + 0.5) / (df + 0.5))
+  *   score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - per-doc term frequencies are computed MAP-SIDE inside the scan
+  *     (array_distinct + filter-count over the token array — no
+  *     groupBy(doc, term) shuffle to build postings). The O(distinct·len)
+  *     per-row cost is the trade for zero shuffle; documents are
+  *     bounded-length after curation, so it holds.
+  *   - the query set is small by definition and BROADCAST twice: once to
+  *     prune postings to query terms (a broadcast semi-join inside the
+  *     scan — the corpus never shuffles wide), once to attach idf.
+  *   - [[topK]] computes df ONLY for query terms, from the pruned
+  *     postings — never a full corpus vocabulary aggregation. For
+  *     repeated query batches, [[Bm25Index.build]] pays the full
+  *     postings/df build ONCE and persists them partitioned by a term
+  *     bucket, so each later batch reads only its terms' partitions.
+  *   - the only shuffle is the partial-aggregated (query_id, doc_id)
+  *     score sum over narrow matched rows, then a per-query top-k window
+  *     over scored candidates (rows that share ≥1 term with the query).
+  *   - per-term contributions go through exact decimal summation
+  *     ([[graft.Tables.dsum]]) so the score is independent of partition
+  *     order and reproducible by an external engine.
+  *
+  * Reference relationship: the reference has no retrieval operator; this
+  * extends the training-pipeline surface (SURVEY.md §2.13) alongside
+  * decontamination (Dedup.scala) which it complements at query-time
+  * granularity.
+  */
+object Bm25 {
+
+  /** Per-document postings, computed map-side — no shuffle. `terms`
+    * (optional) restricts to a term prune-list. Output: (idCol, __dl,
+    * term, tf). */
+  private def postings(corpus: DataFrame, textCol: String, idCol: String,
+      terms: Option[Column]): DataFrame = {
+    val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
+    val hit = terms match {
+      case Some(t) => array_intersect(array_distinct(col("__toks")), t)
+      case None => array_distinct(col("__toks"))
+    }
+    corpus.select(col(idCol), toks.as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+      .withColumn("__hit", hit)
+      .where(size(col("__hit")) > 0)
+      .select(col(idCol), col("__dl"),
+        explode(col("__hit")).as("term"), col("__toks"))
+      .withColumn("tf", size(filter(col("__toks"), t => t === col("term"))))
+      .drop("__toks")
+  }
+
+  /** Normalized, per-query-distinct (queryIdCol, term) rows. */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol),
+      explode(array_distinct(TextFunctions.tokens(
+        TextFunctions.normalizeText(col(queryTextCol))))).as("term"))
+
+  /** Shared scoring tail: matched postings × query terms × df → decimal-
+    * summed BM25, 4dp-rounded BEFORE ranking, per-query top-k window
+    * (ties break by ascending doc id). */
+  private def scoreAndRank(post: DataFrame, qterms: DataFrame,
+      dfTab: DataFrame, nDocs: Long, avgdl: Double,
+      queryIdCol: String, idCol: String, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val idf = log2(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf *
+      (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    val scored = post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfTab), Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        graft.Tables.dsum(contrib, 12).as("__s"))
+      .withColumn("score", floor(col("__s") * 1e4 + 0.5) / 1e4)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("n_terms"), col("score"),
+        col("rank"))
+  }
+
+  /** Top-k BM25 hits per query, ad hoc (no prebuilt index). `queries` is
+    * a small frame of (queryIdCol, queryTextCol) — it is collected to
+    * build the term prune-list and broadcast into every join; keep it
+    * query-sized (thousands, not millions).
+    *
+    * Output: (queryIdCol, idCol, n_terms, score, rank) — score rounded
+    * to 4 decimals (floor(x·1e4+0.5)/1e4, the repo's canonical rounding)
+    * BEFORE ranking so ties break identically everywhere; rank ties
+    * break by ascending doc id. */
+  def topK(corpus: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val termList = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(termList.nonEmpty, "queries contain no tokens")
+
+    val input = graft.core.CacheScope.retainInput(corpus)
+    val Array(nDocs, sumDl) = {
+      val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
+      val r = input.agg(count(lit(1)), sum(size(toks))).head
+      Array(r.getLong(0), r.getLong(1))
+    }
+    require(nDocs > 0, "empty corpus")
+    val post = postings(input, textCol, idCol,
+      Some(array(termList.map(lit): _*)))
+    // df per query term from the pruned postings ((id, term) is unique
+    // by construction), broadcast back — bounded by the query vocabulary
+    val dfTab = post.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreAndRank(post, qterms, dfTab, nDocs, sumDl.toDouble / nDocs.toDouble,
+      queryIdCol, idCol, k, k1, b)
+  }
+
+  /** A prebuilt, persistable BM25 index (the [[Similarity.IvfIndex]] /
+    * [[Hnsw.HnswIndex]] build-once/serve-many pattern): full map-side
+    * postings plus the full (term, df) table, each carrying a
+    * portable-hash term bucket. [[save]] partitions both by bucket, so a
+    * later query batch prunes its scan to the partitions its terms hash
+    * into instead of re-reading the corpus. Identical output to [[topK]]
+    * for the same corpus and queries (Bm25Spec pins the equality). */
+  final case class Bm25Index(postings: DataFrame, dfTab: DataFrame,
+      nDocs: Long, avgdl: Double, idCol: String) {
+
+    def topK(queries: DataFrame, queryIdCol: String, queryTextCol: String,
+        k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(k > 0, "k must be positive")
+      val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+      val termList = qterms.select("term").distinct()
+        .collect().map(_.getString(0)).sorted
+      require(termList.nonEmpty, "queries contain no tokens")
+      val buckets = termList.map(Bm25Index.bucketOf).distinct.sorted
+      // bucket prune first (partition pruning on a saved index), then
+      // the exact term filter
+      def prune(df: DataFrame): DataFrame = df
+        .where(col("__bucket").isin(buckets.map(Int.box): _*))
+        .where(col("term").isin(termList: _*))
+      scoreAndRank(prune(postings), qterms, prune(dfTab).drop("__bucket"),
+        nDocs, avgdl, queryIdCol, idCol, k, k1, b)
+    }
+
+    /** Persist under `dir`: postings/ and df/ partitioned by term
+      * bucket, meta/ a single row (nDocs, avgdl, idCol). */
+    def save(dir: String): Unit = {
+      val spark = postings.sparkSession
+      postings.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$dir/postings")
+      dfTab.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$dir/df")
+      import spark.implicits._
+      Seq((nDocs, avgdl, idCol)).toDF("n_docs", "avgdl", "id_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object Bm25Index {
+    val NumBuckets = 64
+
+    /** Engine/driver-portable term bucket: first 15 hex digits of md5
+      * mod [[NumBuckets]] — the same scheme as
+      * [[TextFunctions.portableHash]], computable on the driver for
+      * partition pruning. */
+    private[graft] def bucketOf(term: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % NumBuckets).toInt
+    }
+
+    /** Build the full index in one map-side postings pass plus one
+      * (term) aggregation for df — the only shuffle, paid once. */
+    def build(corpus: DataFrame, textCol: String, idCol: String): Bm25Index = {
+      val input = graft.core.CacheScope.retainInput(corpus)
+      val Array(nDocs, sumDl) = {
+        val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
+        val r = input.agg(count(lit(1)), sum(size(toks))).head
+        Array(r.getLong(0), r.getLong(1))
+      }
+      require(nDocs > 0, "empty corpus")
+      val bucket = pmod(TextFunctions.portableHash(col("term")),
+        lit(NumBuckets.toLong)).cast("int").as("__bucket")
+      val post = Bm25.postings(input, textCol, idCol, None)
+        .withColumn("__bucket", bucket)
+        .pipe(graft.core.CacheScope.retain)
+      val dfTab = post.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("__bucket", bucket)
+      Bm25Index(post, dfTab, nDocs, sumDl.toDouble / nDocs.toDouble, idCol)
+    }
+
+    /** Restore a [[build]]-then-[[Bm25Index#save]]d index. */
+    def load(spark: SparkSession, dir: String): Bm25Index = {
+      val meta = spark.read.parquet(s"$dir/meta").head
+      Bm25Index(spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/df"),
+        meta.getLong(0), meta.getDouble(1), meta.getString(2))
+    }
+  }
+}

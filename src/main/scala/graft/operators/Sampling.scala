@@ -103,6 +103,72 @@ object Sampling {
     df.withColumn("split", caseExpr)
   }
 
+  /** Temperature-based corpus mixing (the multilingual-LM sampling rule,
+    * p_s ∝ n_s^alpha): thin each group so the OUTPUT composition follows
+    * the temperature-flattened distribution, keeping the corpus as large
+    * as that composition allows (the binding group — the one the
+    * flattening up-weights most — is kept whole, every other group is
+    * Bernoulli-thinned to match). alpha = 1 keeps everything (natural
+    * mix); alpha → 0 approaches a uniform mix.
+    *
+    * Selection is the same engine-portable deterministic hash as
+    * [[hashSplit]] against per-group integer thresholds, so membership is
+    * a pure function of (id, seed): reproducible across runs and engines,
+    * and monotone in alpha per row. Group sizes are read in one aggregate
+    * (driver-small: one row per group); the keep filter itself is
+    * MAP-SIDE — a broadcast threshold join plus one comparison, no
+    * shuffle of the corpus. Thinning is Bernoulli (expected counts, not
+    * exact) — use [[quotaPerGroup]] when exact per-group counts matter.
+    *
+    * [[temperatureThresholds]] exposes the integer thresholds so an
+    * external verifier embeds the EXACT literals (OracleFitProbe
+    * pattern — they depend on the observed group counts). */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, seed: Long = 42L): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(df)
+    val counts = input.groupBy(groupCol).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+    require(!counts.contains(null),
+      s"temperatureMix: null values in group column '$groupCol' — coalesce them first")
+    val ts = temperatureThresholds(
+      counts.map { case (g, n) => (g.toString, n) }, alpha)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tdf = ts.toSeq.toDF(groupCol, "__t")
+    val h = graft.functions.TextFunctions.portableHash(
+      concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    input.join(broadcast(tdf), Seq(groupCol))
+      .where(h < col("__t"))
+      .drop("__t")
+  }
+
+  /** The per-group integer hash thresholds backing [[temperatureMix]]:
+    * target share p_s ∝ n_s^alpha; output size M = min_s n_s/p_s (the
+    * largest corpus the target composition admits); keep rate
+    * r_s = M·p_s/n_s, mapped to floor(r_s·2^60). The binding group's
+    * threshold is exactly 2^60 (kept whole). */
+  def temperatureThresholds(counts: Map[String, Long],
+      alpha: Double): Map[String, Long] = {
+    require(counts.nonEmpty, "need at least one group")
+    require(counts.values.forall(_ > 0), "group counts must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val pow = counts.map { case (g, n) => (g, math.pow(n.toDouble, alpha)) }
+    val z = pow.values.sum
+    // M = min_s n_s/p_s = z * min_s n_s^(1-alpha); the argmin group is
+    // the BINDING one — pinned to keep-rate exactly 1.0 rather than the
+    // 1-ε float residue of m·(pow/z)/n (x/y·y ≠ x in IEEE)
+    val ratios = counts.map { case (g, n) => (g, n.toDouble / (pow(g) / z)) }
+    val binding = ratios.minBy { case (g, v) => (v, g) }._1
+    val m = ratios(binding)
+    val span = BigDecimal(2).pow(60)
+    counts.map { case (g, n) =>
+      val r = if (g == binding) 1.0
+        else math.min(1.0, m * (pow(g) / z) / n.toDouble)
+      (g, (BigDecimal(r) * span).setScale(0, BigDecimal.RoundingMode.FLOOR)
+        .toLong)
+    }
+  }
+
   /** The integer cut points backing [[hashSplit]] — exposed so an
     * external verifier can embed the EXACT same literals. */
   def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {

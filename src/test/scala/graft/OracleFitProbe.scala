@@ -83,6 +83,70 @@ object OracleFitProbe {
     val d2 = h.map(x => math.round(x * x))
     println("AGGLO top d2 (k for cut AFTER this merge): " +
       (1 to 30).map(j => s"k=${j}:${d2(n - 1 - j)}").mkString(" "))
+
+    // ---- SemDeDup: converged centroids on the pinned embeddings layout
+    //      (q_semdedup embeds them), plus the two margins that make the
+    //      embedded-constants oracle robust: the assignment margin
+    //      (nearest vs second-nearest centroid — must dwarf cross-engine
+    //      ulp noise in the distance arithmetic) and the cosine-vs-tau
+    //      gap over within-cluster pairs (must dwarf ulp noise in the
+    //      cosine formulas, which differ between engines). ----
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+      val cs = graft.operators.SemDedup.fitCentroids(emb, "embedding", 8)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        println(s"SEMDEDUP c$i=[" + c.map(v => f"$v%.17g").mkString(", ") + "]")
+      }
+      val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def d2(a: Array[Double], c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }; s
+      }
+      val assignMargin = rows.map { case (_, v) =>
+        val ds = cs.map(c => d2(v, c)).sorted
+        ds(1) - ds(0)
+      }.min
+      println(f"SEMDEDUP assign margin(min d2nd-d1st)=$assignMargin%.6g")
+      val byCell = rows.groupBy { case (_, v) =>
+        cs.indices.minBy(i => d2(v, cs(i)))
+      }
+      println("SEMDEDUP cell sizes=" +
+        byCell.toSeq.sortBy(_._1).map(_._2.length).mkString(","))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        dot / math.sqrt(na * nb)
+      }
+      for (tau <- Seq(0.30, 0.35, 0.40, 0.45, 0.50)) {
+        var nPairs = 0L; var nOver = 0L; var minGap = Double.MaxValue
+        for (cell <- byCell.values; i <- cell.indices; j <- (i+1) until cell.length) {
+          val c = cos(cell(i)._2, cell(j)._2)
+          nPairs += 1
+          if (c >= tau) nOver += 1
+          val g = math.abs(c - tau)
+          if (g < minGap) minGap = g
+        }
+        println(f"SEMDEDUP tau=$tau pairs=$nPairs over_tau=$nOver min|cos-tau|=$minGap%.6g")
+      }
+    }
+
+    // ---- temperature mix thresholds (q_temperature_mix embeds them) ----
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val counts = docs.groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val ts = graft.operators.Sampling.temperatureThresholds(counts, 0.5)
+      println("TEMPMIX thresholds=" + ts.toSeq.sorted.map { case (g, t) =>
+        s"('$g',${t})" }.mkString(","))
+      val kept = ts.map { case (g, t) =>
+        // expected keep count per source (diagnostic only)
+        counts(g) * (t.toDouble / math.pow(2.0, 60.0))
+      }.sum
+      println(f"TEMPMIX expected kept total=$kept%.1f of ${counts.values.sum}")
+    }
     spark.stop()
   }
 }

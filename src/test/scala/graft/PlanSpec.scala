@@ -75,6 +75,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25: query-term and df joins broadcast; corpus never sort-merges") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "query-side tables are broadcast-sized; the corpus must not shuffle-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_temperature_mix: map-side keep filter (broadcast thresholds, no operator shuffle)") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"thinning must not shuffle the corpus: $exchanges")
+  }
+
+  test("q_semdedup: pair scan joins on cluster id — no cartesian/nested-loop") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("scans prune columns: q_sort_topk reads only what it selects") {
     val p = plan("q_sort_topk")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")

@@ -68,6 +68,60 @@ class SamplingSpec extends SparkSpec {
     assert(rep == split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("temperatureMix: alpha=1 keeps everything; binding group kept whole") {
+    val all = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 1.0)
+    assert(all.count() == docs.count(), "alpha=1 is the natural mix — no thinning")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ts = Sampling.temperatureThresholds(counts, 0.5)
+    // the most up-weighted (smallest n^(1-alpha)) group is kept whole
+    val binding = counts.minBy { case (_, n) => math.pow(n.toDouble, 0.5) }._1
+    assert(ts(binding) == (BigDecimal(2).pow(60)).toLong, s"$binding should be kept whole")
+    val kept = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(binding) == counts(binding))
+    // every kept set is a subset of the source rows, deterministic
+    val again = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
+  test("temperatureMix flattens toward the target composition") {
+    // skewed synthetic: 1000 'big' vs 50 'small'
+    val rows = spark.range(1050).select(col("id").as("doc_id"),
+      when(col("id") < 1000, "big").otherwise("small").as("lang"))
+    val counts = Map("big" -> 1000L, "small" -> 50L)
+    val ts = Sampling.temperatureThresholds(counts, 0.5)
+    // target shares: sqrt(1000):sqrt(50) ≈ 4.47:1 → big keep-rate =
+    // (z·sqrt(50)·p_big)/1000 = sqrt(50/1000) ≈ 0.2236
+    val rBig = ts("big").toDouble / math.pow(2.0, 60.0)
+    assert(math.abs(rBig - math.sqrt(50.0 / 1000.0)) < 1e-12, s"rBig=$rBig")
+    assert(ts("small") == BigDecimal(2).pow(60).toLong)
+    val kept = Sampling.temperatureMix(rows, "lang", "doc_id", 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 50)
+    // binomial(1000, .2236): σ ≈ 13 → ±5σ
+    assert(math.abs(kept("big") - 224) < 66, s"kept=$kept")
+  }
+
+  test("temperatureMix validates alpha and null groups") {
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 1.5)
+    }
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 10 === 0, null).otherwise(col("lang")))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(withNull, "lang", "doc_id", 0.5)
+    }
+  }
+
   test("hashSplit validates its fractions") {
     val ids = spark.range(10).select(col("id").as("doc_id"))
     intercept[IllegalArgumentException] {
