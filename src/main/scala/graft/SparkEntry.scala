@@ -873,6 +873,38 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- real BPE subword tokenization (Sennrich/GPT-2 recipe): fit
+    //      merges on the corpus' bounded word-frequency table (driver
+    //      loop over exact integer counts — deterministic), apply
+    //      map-side with broadcast ranks + per-partition memo. Rows-only:
+    //      the greedy per-word merge recursion is not SQL-expressible;
+    //      the algorithm is pinned by BpeSpec's hand-derived golden
+    //      merges and the driver/distributed-equality test. ----
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.functions.Bpe.fit(docs, "text", numMerges = 200)
+      docs.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text"), model).as("n_bpe_tokens"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus audit stats (the "dataset card" numbers): per
+    //      (lang, source) doc/token/char counts + mean quality, one
+    //      partial-aggregated pass. ----
+    "q_corpus_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      documents(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          graft.Tables.dsum(qualityScore(col("text")), 6).as("__q"))
+        .withColumn("mean_quality",
+          floor(col("__q") / col("n_docs") * 1e4 + 0.5) / 1e4)
+        .drop("__q")
+        .orderBy("lang", "source")
+    }),
+
     // ---- as-of (point-in-time) join: for every purchase, the latest
     //      view by the same user at-or-before the purchase time — the
     //      feature-lookup primitive Spark lacks natively, implemented as
@@ -1763,6 +1795,23 @@ object SparkEntry {
     // they depend on the observed lang counts at the gate; refresh after
     // any fixture change). Same portable-hash expression as
     // q_sample_quota / q_split_hash.
+    // Group rollup over the q_text_stats per-doc machinery; mean quality
+    // decimal-summed then 4dp-canonicalized on both sides.
+    "q_corpus_stats" ->
+      s"""${TextFunctionsOracle.statsCtes},
+        |m AS (
+        |  SELECT d.lang, d.source, sc.n_tokens, d.n_chars,
+        |    ${TextFunctionsOracle.qualityExpr} AS q
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang, source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  floor(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS mean_quality
+        |FROM m
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     "q_temperature_mix" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

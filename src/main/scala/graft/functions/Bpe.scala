@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer — the real subword segmentation step a
+  * training pipeline runs before packing/chunking (the whitespace and
+  * regex counts in [[TextFunctions]] are cheap proxies; this is the
+  * actual algorithm, Sennrich et al. 2016 / the GPT-2 recipe over
+  * word-internal character pairs with an end-of-word marker).
+  *
+  * Scale shape (the [[graft.operators.QualityLm]] pattern): the FIT
+  * aggregates word frequencies distributed (one groupBy over exploded
+  * words — word-level counts, not documents, cross the wire), collects
+  * the bounded top-`vocabCap` word table, and runs the merge loop on the
+  * driver over that table — cost is flat in corpus size once the cap
+  * binds, and every input to the loop is an exact integer count, so the
+  * fit is DETERMINISTIC (ties in pair counts break lexicographically).
+  * APPLY is map-side only: the merge ranks broadcast in the UDF closure,
+  * each word segments independently with a per-partition memo cache
+  * (Zipf makes the cache hit rate ~the token-frequency mass), and
+  * nothing shuffles.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to each word's final character, so
+    * "low" → l o w· and merges distinguish word-final from word-internal
+    * contexts (the standard Sennrich formulation). */
+  val Eow = "·"
+
+  /** A fitted merge list in application order. `ranks` maps a token pair
+    * to its merge priority (lower = earlier-learned = applied first). */
+  final case class Model(merges: Seq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Segment one word (no whitespace) into subword tokens: start from
+      * characters (+ end-of-word marker), repeatedly merge the
+      * lowest-rank adjacent pair until none is mergeable. */
+    def encodeWord(word: String): Seq[String] = {
+      if (word.isEmpty) return Seq.empty
+      var toks = word.toCharArray.map(_.toString).toVector
+      toks = toks.updated(toks.length - 1, toks.last + Eow)
+      var done = toks.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var at = -1
+        var i = 0
+        while (i < toks.length - 1) {
+          val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+          if (r < best) { best = r; at = i }
+          i += 1
+        }
+        if (at < 0) done = true
+        else {
+          toks = (toks.take(at) :+ (toks(at) + toks(at + 1))) ++ toks.drop(at + 2)
+          if (toks.length < 2) done = true
+        }
+      }
+      toks
+    }
+  }
+
+  /** Fit `numMerges` merges on the corpus' word-frequency table.
+    * `vocabCap` bounds the driver-side table to the top words by
+    * (count DESC, word ASC) — a deterministic total order, and the knob
+    * that keeps fit cost flat in corpus size (tail words contribute
+    * negligible pair mass; production BPE fits on samples for the same
+    * reason). */
+  def fit(ref: DataFrame, textCol: String, numMerges: Int,
+      vocabCap: Int = 20000): Model = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(vocabCap > 0, "vocabCap must be positive")
+    val words = ref
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.normalizeText(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver merge loop over the bounded word table: words as token
+    // vectors, pair counts weighted by word frequency
+    var table: Array[(Vector[String], Long)] = words.map { case (w, n) =>
+      val cs = w.toCharArray.map(_.toString).toVector
+      (cs.updated(cs.length - 1, cs.last + Eow), n)
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (toks, n) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // deterministic argmax: count DESC, then pair lexicographic
+        val best = counts.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val (ba, bb) = best
+        table = table.map { case (toks, n) =>
+          if (toks.length < 2) (toks, n)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i < toks.length - 1 && toks(i) == ba && toks(i + 1) == bb) {
+                out += (ba + bb); i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            (out.result(), n)
+          }
+        }
+        m += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Subword tokens of a text column under `model` — normalized
+    * whitespace words, each segmented independently. Map-side UDF with a
+    * per-partition word→tokens memo (Zipf: the cache absorbs most of the
+    * work). */
+  def tokenize(c: Column, model: Model): Column = {
+    val f = udf(new (Seq[String] => Seq[String]) with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[String, Seq[String]](1 << 16)
+      def apply(words: Seq[String]): Seq[String] =
+        if (words == null) Seq.empty
+        else words.flatMap { w =>
+          var t = memo.get(w)
+          if (t == null) { t = model.encodeWord(w); memo.put(w, t) }
+          t
+        }
+    })
+    f(TextFunctions.tokens(TextFunctions.normalizeText(c)))
+  }
+
+  /** BPE token count under `model`. */
+  def tokenCount(c: Column, model: Model): Column =
+    size(tokenize(c, model))
+}
