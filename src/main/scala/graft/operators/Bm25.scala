@@ -127,7 +127,10 @@ object Bm25 {
     val input = graft.core.CacheScope.retainInput(corpus)
     val Array(nDocs, sumDl) = {
       val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
-      val r = input.agg(count(lit(1)), sum(size(toks))).head
+      // greatest(·, 0) absorbs null-text rows under either size(null)
+      // convention (-1 legacy / null): they count as docs of length 0
+      val r = input.agg(count(lit(1)),
+        sum(greatest(size(toks), lit(0)))).head
       Array(r.getLong(0), r.getLong(1))
     }
     require(nDocs > 0, "empty corpus")
@@ -201,7 +204,10 @@ object Bm25 {
       val input = graft.core.CacheScope.retainInput(corpus)
       val Array(nDocs, sumDl) = {
         val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
-        val r = input.agg(count(lit(1)), sum(size(toks))).head
+        // greatest(·, 0) absorbs null-text rows under either size(null)
+      // convention (-1 legacy / null): they count as docs of length 0
+      val r = input.agg(count(lit(1)),
+        sum(greatest(size(toks), lit(0)))).head
         Array(r.getLong(0), r.getLong(1))
       }
       require(nDocs > 0, "empty corpus")

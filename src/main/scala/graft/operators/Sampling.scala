@@ -125,11 +125,13 @@ object Sampling {
     * pattern — they depend on the observed group counts). */
   def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, seed: Long = 42L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val input = graft.core.CacheScope.retainInput(df)
     val counts = input.groupBy(groupCol).agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.get(0), r.getLong(1))).toMap
     require(!counts.contains(null),
       s"temperatureMix: null values in group column '$groupCol' — coalesce them first")
+    if (counts.isEmpty) return df // empty in, empty out — nothing to thin
     val ts = temperatureThresholds(
       counts.map { case (g, n) => (g.toString, n) }, alpha)
     val spark = df.sparkSession

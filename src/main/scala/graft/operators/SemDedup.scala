@@ -66,8 +66,11 @@ object SemDedup {
       centroids: Array[Array[Double]], tau: Double): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val input = graft.core.CacheScope.retainInput(emb)
+    // a null embedding has no semantic neighborhood: excluded from the
+    // output (same contract as the ANN paths)
     val base = input.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
     val cellOf = Similarity.nearestCellsUdf(centroids, 1)
     // assignment + one-time unit normalization, cached: the frame backs
     // both sides of the pair join and the final labeling

@@ -198,4 +198,61 @@ class RobustnessSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L), "null-edge rows name no node")
   }
+
+  test("BM25 degenerate inputs: null text, empty corpus, query-only vocabulary") {
+    val docs = Seq((Option(1L), Option("cat mat")), (Option(2L), Option.empty[String]))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, "cat")).toDF("query_id", "qtext")
+    // null-text doc neither crashes the avgdl aggregate nor scores
+    val hits = graft.operators.Bm25.topK(docs, "text", "doc_id",
+      qs, "query_id", "qtext", k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(hits == Seq(1L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Bm25.topK(docs.where(lit(false)), "text", "doc_id",
+        qs, "query_id", "qtext", k = 5).collect()
+    }
+    // index build over a null-bearing corpus round-trips too
+    val idx = graft.operators.Bm25.Bm25Index.build(docs, "text", "doc_id")
+    assert(idx.topK(qs, "query_id", "qtext", k = 5)
+      .collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("SemDeDup degenerate inputs: null embeddings excluded, empty frame") {
+    val e = Seq(
+      (1L, Some(Seq(1.0, 0.0))), (2L, Some(Seq(1.0, 0.001))),
+      (3L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "vec")
+    val out = graft.operators.SemDedup.pruneWith(e, "vec", "vec_id",
+      Array(Array(1.0, 0.0)), tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false),
+      "null-embedding row is excluded, not crashed on")
+    assert(graft.operators.SemDedup.pruneWith(e.where(lit(false)),
+      "vec", "vec_id", Array(Array(1.0, 0.0)), 0.9).count() == 0)
+  }
+
+  test("temperature mix degenerate inputs: empty frame, single group") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(graft.operators.Sampling.temperatureMix(
+      empty, "lang", "doc_id", 0.5).count() == 0)
+    // a single group is its own binding group: kept whole at any alpha
+    val one = Seq((1L, "en"), (2L, "en"), (3L, "en")).toDF("doc_id", "lang")
+    assert(graft.operators.Sampling.temperatureMix(
+      one, "lang", "doc_id", 0.3).count() == 3)
+  }
+
+  test("BPE degenerate inputs: empty corpus model, null text tokenizes empty") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = graft.functions.Bpe.fit(empty, "text", numMerges = 10)
+    assert(m.merges.isEmpty)
+    assert(m.encodeWord("anything") == Seq("a", "n", "y", "t", "h", "i", "n", "g·"))
+    val docs = Seq((Option(1L), Option("cat")), (Option(2L), Option.empty[String]))
+      .toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(col("text"), m).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts(2L) == 0, "null text → zero tokens")
+    assert(counts(1L) == 3, "unmerged chars: c a t·")
+  }
 }
