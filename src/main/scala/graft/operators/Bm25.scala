@@ -128,14 +128,16 @@ object Bm25 {
     val Array(nDocs, sumDl) = {
       val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
       // greatest(·, 0) absorbs null-text rows under either size(null)
-      // convention (-1 legacy / null): they count as docs of length 0
+      // convention (-1 legacy / null): they count as docs of length 0;
+      // coalesce keeps the null sum of an EMPTY corpus readable so the
+      // nDocs guard below can fire instead of a Row.getLong NPE
       val r = input.agg(count(lit(1)),
-        sum(greatest(size(toks), lit(0)))).head
+        coalesce(sum(greatest(size(toks), lit(0))), lit(0L))).head
       Array(r.getLong(0), r.getLong(1))
     }
     require(nDocs > 0, "empty corpus")
-    val post = postings(input, textCol, idCol,
-      Some(array(termList.map(lit): _*)))
+    val post = graft.core.CacheScope.retain(postings(input, textCol, idCol,
+      Some(array(termList.map(lit): _*))))
     // df per query term from the pruned postings ((id, term) is unique
     // by construction), broadcast back — bounded by the query vocabulary
     val dfTab = post.groupBy("term").agg(count(lit(1)).as("df"))
@@ -205,9 +207,11 @@ object Bm25 {
       val Array(nDocs, sumDl) = {
         val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
         // greatest(·, 0) absorbs null-text rows under either size(null)
-      // convention (-1 legacy / null): they count as docs of length 0
-      val r = input.agg(count(lit(1)),
-        sum(greatest(size(toks), lit(0)))).head
+        // convention (-1 legacy / null): they count as docs of length 0;
+        // coalesce keeps the null sum of an EMPTY corpus readable so the
+        // nDocs guard below can fire instead of a Row.getLong NPE
+        val r = input.agg(count(lit(1)),
+          coalesce(sum(greatest(size(toks), lit(0))), lit(0L))).head
         Array(r.getLong(0), r.getLong(1))
       }
       require(nDocs > 0, "empty corpus")
