@@ -59,6 +59,21 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_r
       |FROM lineitem GROUP BY l_partkey""".stripMargin
 
+  /** Parquet side table emitted for a partial oracle (the embedded-
+    * constants pattern generalized beyond what fits in SQL literals):
+    * the query writes its fitted per-row internals here and the oracle
+    * SQL reads them back with read_parquet. The path is keyed by the sf
+    * dir basename so a bench run at another sf cannot clobber the
+    * sf0.01 table the correctness gate reads. */
+  private def writeOracleSide(df: DataFrame, dir: String, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/$name")
+
+  /** The gate-sf side-table path the oracle SQL embeds (the driver's
+    * DuckDB compare runs at sf0.01). */
+  private def oracleSidePath(name: String): String =
+    s"/root/repo/data/oracle_side/sf0.01/$name/*.parquet"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1-family vertical aggregation over a scan (S1/P1) ----
@@ -274,15 +289,37 @@ object SparkEntry {
       out.select(col("l_partkey") +: ns.columns.map(r4): _*).orderBy("l_partkey")
     }),
 
-    // ---- D2 DESeq2-style Wald differential expression (rows-only:
-    //      NB GLM + CR dispersion estimation not SQL-expressible;
-    //      conformance pinned by DESeq2Spec) ----
+    // ---- D2 DESeq2-style Wald differential expression, PARTIAL oracle
+    //      (the q_kmeans embedded-constants pattern, generalized to a
+    //      side table): the iterative parts — CR dispersion MLE, trend,
+    //      MAP shrinkage, IRLS — emit their per-gene results (final
+    //      dispersion, fitted log2 intercept + lfc) to a parquet side
+    //      table; GIVEN those, everything the gate output contains is
+    //      closed-form and DuckDB replays it from scratch: size factors
+    //      (median-of-log-ratios), baseMean, mu = max(sf·2^Xβ, 0.5),
+    //      weights μ/(1+αμ)·ln²2, the ridged 2×2 information matrix, its
+    //      inverse ⇒ lfcSE, and the Wald stat. p/FDR stay out of the
+    //      gate output (no normal CDF in DuckDB) — the stat→p map is
+    //      monotone and the kernel is R-golden-pinned (DESeq2Spec).
+    //      Both sides round to 4 decimals (cross-engine pow/ln jitter
+    //      ~1e-13 relative, orders inside the bucket). ----
     "q_deseq2_wald" -> ((s, dir) => {
       val d = graft.stats.DESeq2Unpaired("A", "R",
         Map("A" -> Seq("a_0", "a_1", "a_2"), "R" -> Seq("r_0", "r_1", "r_2")),
         comparisonName = Some("A_vs_R"),
         index = "l_partkey")
-      d(replicateMatrix(s, dir)).orderBy("l_partkey")
+      val full = graft.core.CacheScope.retain(
+        d.applyWithFit(replicateMatrix(s, dir)))
+      writeOracleSide(full.select(col("l_partkey"),
+        col("__alpha").as("alpha"), col("__beta0").as("beta0"),
+        col(d.logFCColumn).as("beta1")), dir, "deseq2_wald")
+      val r4 = (c: Column, n: String) => (floor(c * 10000 + 0.5) / 10000).as(n)
+      full.select(col("l_partkey"),
+        r4(col(d.baseMeanColumn), d.baseMeanColumn),
+        r4(col(d.logFCColumn), d.logFCColumn),
+        r4(col(d.lfcSEColumn), d.lfcSEColumn),
+        r4(col(d.statColumn), d.statColumn))
+        .orderBy("l_partkey")
     }),
 
     // ---- A9 batch-effect removal (limma removeBatchEffect linear-model
@@ -324,7 +361,15 @@ object SparkEntry {
     }),
 
     // ---- D4 DESeq2 LRT (intended semantics of the reference's broken
-    //      DESeq2Timeseries; rows-only, contract pinned by DESeq2LRTSpec) ----
+    //      DESeq2Timeseries), PARTIAL oracle (fitted side table, the
+    //      q_deseq2_wald pattern): the side table carries the per-gene
+    //      final dispersion and BOTH coefficient vectors; given them the
+    //      likelihood-ratio stat is a closed-form lgamma sum (both
+    //      9-sample log-likelihoods replayed term-for-term), the SE of
+    //      the reported coefficient is a 3×3 ridged-information inverse,
+    //      and baseMean/size factors re-derive from parquet. p (upper
+    //      χ² tail — no incomplete gamma in DuckDB) and FDR stay
+    //      spec-pinned (DESeq2LRTSpec χ² calibration). ----
     "q_deseq2_lrt" -> ((s, dir) => {
       val sampleCols = Seq("a_0", "a_1", "a_2", "n_0", "n_1", "n_2", "r_0", "r_1", "r_2")
       val l = graft.stats.DESeq2LRT(sampleCols,
@@ -332,7 +377,20 @@ object SparkEntry {
         full = Seq("condition"), reduced = Seq(),
         comparisonName = Some("cond_lrt"),
         index = "l_partkey")
-      l(replicateMatrix(s, dir)).orderBy("l_partkey")
+      val full = graft.core.CacheScope.retain(
+        l.applyWithFit(replicateMatrix(s, dir)))
+      writeOracleSide(full.select(col("l_partkey"),
+        col("__alpha").as("alpha"),
+        col("__bf")(0).as("bf0"), col("__bf")(1).as("bf1"),
+        col("__bf")(2).as("bf2"), col("__br")(0).as("br0")),
+        dir, "deseq2_lrt")
+      val r4 = (c: Column, n: String) => (floor(c * 10000 + 0.5) / 10000).as(n)
+      full.select(col("l_partkey"),
+        r4(col(l.baseMeanColumn), l.baseMeanColumn),
+        r4(col(l.logFCColumn), l.logFCColumn),
+        r4(col(l.lfcSEColumn), l.lfcSEColumn),
+        r4(col(l.statColumn), l.statColumn))
+        .orderBy("l_partkey")
     }),
 
     // ---- A10 VST, oracle-checked via the embedded-coefficients pattern
@@ -356,15 +414,35 @@ object SparkEntry {
           round(col("rf_r"), 4).as("rf_r"))
         .orderBy("l_partkey")),
 
-    // ---- D1 edgeR exact test (rows-only: qCML dispersion estimation and
-    //      the NB exact test are not SQL-expressible; conformance is
-    //      pinned by EdgeRSpec golden values from R) ----
+    // ---- D1 edgeR exact test, PARTIAL oracle (fitted side table, the
+    //      q_deseq2_wald pattern): the iterative machinery — TMM, qCML
+    //      grid dispersions, trend, empirical prior — emits per gene
+    //      the rounded pseudo-count sums (s1, s2) and tagwise
+    //      dispersion; GIVEN those, the exact NB double-tail p-value is
+    //      a finite lgamma sum DuckDB replays term by term
+    //      (EdgeR.scala exactTestDoubleTail), and BH-FDR follows in a
+    //      window. logFC/logCPM (iterative one-group NB fits) stay
+    //      spec-pinned (EdgeRSpec golden). Replayed branches: the gate
+    //      dispersions are grid values ≥ ~1e-4 (never the Poisson
+    //      limit) and pseudo sums ≪ 900 (never the beta
+    //      approximation) — a fixture change crossing either boundary
+    //      surfaces as a hash mismatch, not silence. Both sides round
+    //      to 6 decimals (term-order jitter ~1e-14 relative). ----
     "q_edger" -> ((s, dir) => {
       val e = graft.stats.EdgeRUnpaired("A", "R",
         Map("A" -> Seq("a_0", "a_1", "a_2"), "R" -> Seq("r_0", "r_1", "r_2")),
         comparisonName = Some("A_vs_R"),
         index = "l_partkey")
-      e(replicateMatrix(s, dir)).orderBy("l_partkey")
+      val full = graft.core.CacheScope.retain(
+        e.applyWithFit(replicateMatrix(s, dir)))
+      writeOracleSide(full.select(col("l_partkey"),
+        col("__s1").as("s1"), col("__s2").as("s2"),
+        col("__disp").as("disp")), dir, "edger")
+      val r6 = (c: Column, n: String) => (floor(c * 1e6 + 0.5) / 1e6).as(n)
+      full.select(col("l_partkey"),
+        r6(col(e.pColumn), e.pColumn),
+        r6(col(e.fdrColumn), e.fdrColumn))
+        .orderBy("l_partkey")
     }),
 
     // ---- W1 Benjamini-Hochberg FDR ----
@@ -1311,6 +1389,15 @@ object SparkEntry {
     // Full NOISeq replicate-path re-derivation (see NoiseqOracle).
     "q_noiseq" -> NoiseqOracle.sql,
 
+    // Partial oracle via fitted side table (see DeseqWaldOracle).
+    "q_deseq2_wald" -> DeseqWaldOracle.sql(oracleSidePath("deseq2_wald")),
+
+    // Partial oracle via fitted side table (see EdgerOracle).
+    "q_edger" -> EdgerOracle.sql(oracleSidePath("edger")),
+
+    // Partial oracle via fitted side table (see LrtOracle).
+    "q_deseq2_lrt" -> LrtOracle.sql(oracleSidePath("deseq2_lrt")),
+
     // Embedded-coefficients oracle (q_batch_effect pattern): AD/EP are the
     // dispersion-trend coefficients fitted at the sf0.01 gate
     // (OracleFitProbe prints them — refresh after fixture regeneration);
@@ -2100,6 +2187,227 @@ object SparkEntry {
         |  ${r4("prob.p")} AS "Prob (A_vs_R)",
         |  ${r4("sign(md.m) * sqrt(md.m * md.m + md.d * md.d)")} AS "Rank (A_vs_R)"
         |FROM md JOIN prob USING (l_partkey)
+        |ORDER BY l_partkey""".stripMargin
+    }
+  }
+
+  /** DuckDB replay of the closed-form tail of the DESeq2 Wald pipeline
+    * ([[graft.stats.DESeq2Unpaired]], A-vs-R replicates), given the
+    * per-gene iterative-fit results (final dispersion `alpha`, fitted
+    * log2 intercept `beta0` and contrast `beta1`) from the side table
+    * the query emits. Re-derived from scratch: size factors
+    * (median-of-log-ratios over genes with all counts positive —
+    * quantile_cont == Spark's exact percentile), baseMean
+    * (mean of y/sf in sample order), per-sample mu =
+    * max(sf·2^(β₀+β₁·x), 0.5) (x = A-indicator), IRLS weights
+    * μ/(1+αμ)·ln²2, the ridged (+1e-6) 2×2 observed-information matrix,
+    * its closed-form inverse ⇒ lfcSE = sqrt(inv₁₁), stat = β₁/SE
+    * (NbGlm.fit's SE tail, NbGlm.scala:115-132). */
+  private object DeseqWaldOracle {
+    private val cols = Seq("a_0", "a_1", "a_2", "r_0", "r_1", "r_2")
+    def sql(sidePath: String): String = {
+      val rmCols = cols.map { c =>
+        val rf = c.head.toUpper
+        val rep = c.last
+        s"CAST(SUM(CASE WHEN l_returnflag='$rf' AND l_linenumber % 3 = $rep " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) AS $c"
+      }.mkString(",\n    ")
+      val gm = cols.map(c => s"ln($c)").mkString("(", " + ", s") / ${cols.size}.0")
+      val allPos = cols.map(c => s"$c > 0").mkString(" AND ")
+      val sfCols = cols.map(c =>
+        s"exp(quantile_cont(ln($c) - gm, 0.5)) AS sf_$c").mkString(",\n    ")
+      val baseMean = cols.map(c => s"m.$c / sf.sf_$c")
+        .mkString("(", " + ", s") / ${cols.size}.0")
+      val muCols = cols.map { c =>
+        val eta = if (c.head == 'a') "s.beta0 + s.beta1" else "s.beta0"
+        s"greatest(sf.sf_$c * power(2.0, $eta), 0.5) AS mu_$c"
+      }.mkString(",\n    ")
+      val wCols = cols.map(c =>
+        s"mu_$c / (1.0 + alpha * mu_$c) * ln(2.0) * ln(2.0) AS w_$c")
+        .mkString(",\n    ")
+      val wAll = cols.map(c => s"w_$c").mkString(" + ")
+      val wA = cols.filter(_.head == 'a').map(c => s"w_$c").mkString(" + ")
+      def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+      s"""WITH m AS (
+        |  SELECT l_partkey,
+        |    $rmCols
+        |  FROM lineitem GROUP BY l_partkey),
+        |pos AS (SELECT *, $gm AS gm FROM m WHERE $allPos),
+        |sf AS (SELECT
+        |    $sfCols
+        |  FROM pos),
+        |side AS (SELECT * FROM read_parquet('$sidePath')),
+        |mu AS (
+        |  SELECT m.l_partkey, $baseMean AS basemean, s.alpha, s.beta1,
+        |    $muCols
+        |  FROM m JOIN side s USING (l_partkey), sf),
+        |w AS (
+        |  SELECT l_partkey, basemean, beta1,
+        |    $wCols
+        |  FROM mu),
+        |info AS (
+        |  SELECT l_partkey, basemean, beta1,
+        |    ($wAll) + 1e-6 AS a00,
+        |    ($wA) AS a01,
+        |    ($wA) + 1e-6 AS a11
+        |  FROM w),
+        |fin AS (
+        |  SELECT l_partkey, basemean, beta1,
+        |    sqrt(a00 / (a00 * a11 - a01 * a01)) AS se
+        |  FROM info)
+        |SELECT l_partkey,
+        |  ${r4("basemean")} AS "baseMean (A_vs_R)",
+        |  ${r4("beta1")} AS "log2FC (A_vs_R)",
+        |  ${r4("se")} AS "lfcSE (A_vs_R)",
+        |  ${r4("beta1 / se")} AS "stat (A_vs_R)"
+        |FROM fin
+        |ORDER BY l_partkey""".stripMargin
+    }
+  }
+
+  /** DuckDB replay of the closed-form tail of the DESeq2 LRT pipeline
+    * ([[graft.stats.DESeq2LRT]], 9-sample condition design), given the
+    * per-gene side table (final dispersion `alpha`, full-design
+    * coefficients `bf0..bf2` = intercept + N + R treatment dummies,
+    * reduced intercept `br0`). Re-derived: size factors + baseMean over
+    * all nine samples, per-sample full/reduced mu = max(sf·2^η, 0.5),
+    * BOTH NB log-likelihoods term-for-term (lgamma sums, exactly
+    * NbGlm.nbLogLik's form, including the terms that cancel in the
+    * difference — so IEEE behavior tracks the Scala kernel),
+    * stat = max(2(llF−llR), 0), and the SE of the reported (last)
+    * coefficient from the closed-form inverse of the ridged 3×3
+    * observed information. */
+  private object LrtOracle {
+    private val groups = Seq(
+      ("a", "s.bf0"), ("n", "s.bf0 + s.bf1"), ("r", "s.bf0 + s.bf2"))
+    private val cols = for ((g, _) <- groups; i <- 0 to 2) yield s"${g}_$i"
+    def sql(sidePath: String): String = {
+      val rmCols = cols.map { c =>
+        val rf = c.head.toUpper
+        val rep = c.last
+        s"CAST(SUM(CASE WHEN l_returnflag='$rf' AND l_linenumber % 3 = $rep " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) AS $c"
+      }.mkString(",\n    ")
+      val gm = cols.map(c => s"ln($c)").mkString("(", " + ", s") / ${cols.size}.0")
+      val allPos = cols.map(c => s"$c > 0").mkString(" AND ")
+      val sfCols = cols.map(c =>
+        s"exp(quantile_cont(ln($c) - gm, 0.5)) AS sf_$c").mkString(",\n    ")
+      val baseMean = cols.map(c => s"m.$c / sf.sf_$c")
+        .mkString("(", " + ", s") / ${cols.size}.0")
+      val muCols = groups.flatMap { case (g, eta) =>
+        (0 to 2).map { i =>
+          s"greatest(sf.sf_${g}_$i * power(2.0, $eta), 0.5) AS muf_${g}_$i, " +
+            s"greatest(sf.sf_${g}_$i * power(2.0, s.br0), 0.5) AS mur_${g}_$i"
+        }
+      }.mkString(",\n    ")
+      // NB log-likelihood contribution of one sample at mu `m`
+      def ll(y: String, m: String) =
+        s"lgamma($y + 1.0/alpha) - lgamma(1.0/alpha) - lgamma($y + 1.0)" +
+          s" + $y * ln($m * alpha / (1.0 + $m * alpha))" +
+          s" - (1.0/alpha) * ln(1.0 + $m * alpha)"
+      val llF = cols.map(c => s"(${ll(s"y_$c", s"muf_$c")})").mkString(" + ")
+      val llR = cols.map(c => s"(${ll(s"y_$c", s"mur_$c")})").mkString(" + ")
+      val wCols = cols.map(c =>
+        s"muf_$c / (1.0 + alpha * muf_$c) * ln(2.0) * ln(2.0) AS w_$c")
+        .mkString(",\n    ")
+      def wg(g: Char) = cols.filter(_.head == g).map(c => s"w_$c").mkString(" + ")
+      def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+      s"""WITH m AS (
+        |  SELECT l_partkey,
+        |    $rmCols
+        |  FROM lineitem GROUP BY l_partkey),
+        |pos AS (SELECT *, $gm AS gm FROM m WHERE $allPos),
+        |sf AS (SELECT
+        |    $sfCols
+        |  FROM pos),
+        |side AS (SELECT * FROM read_parquet('$sidePath')),
+        |mu AS (
+        |  SELECT m.l_partkey, $baseMean AS basemean, s.alpha, s.bf2,
+        |    ${cols.map(c => s"m.$c AS y_$c").mkString(", ")},
+        |    $muCols
+        |  FROM m JOIN side s USING (l_partkey), sf),
+        |lik AS (
+        |  SELECT *, ($llF) AS llf, ($llR) AS llr,
+        |    $wCols
+        |  FROM mu),
+        |info AS (
+        |  SELECT l_partkey, basemean, bf2,
+        |    greatest(2.0 * (llf - llr), 0.0) AS stat,
+        |    (${wg('a')}) + (${wg('n')}) + (${wg('r')}) + 1e-6 AS a00,
+        |    (${wg('n')}) AS a01, (${wg('r')}) AS a02,
+        |    (${wg('n')}) + 1e-6 AS a11, (${wg('r')}) + 1e-6 AS a22
+        |  FROM lik),
+        |fin AS (
+        |  SELECT l_partkey, basemean, bf2, stat,
+        |    sqrt((a00 * a11 - a01 * a01)
+        |      / (a00 * a11 * a22 - a01 * a01 * a22 - a02 * a02 * a11)) AS se
+        |  FROM info)
+        |SELECT l_partkey,
+        |  ${r4("basemean")} AS "baseMean (cond_lrt)",
+        |  ${r4("bf2")} AS "log2FC (cond_lrt)",
+        |  ${r4("se")} AS "lfcSE (cond_lrt)",
+        |  ${r4("stat")} AS "stat (cond_lrt)"
+        |FROM fin
+        |ORDER BY l_partkey""".stripMargin
+    }
+  }
+
+  /** DuckDB replay of edgeR's exact NB double-tail test
+    * ([[graft.stats.EdgeRKernel.exactTestDoubleTail]]) given the
+    * per-gene side table (s1, s2 = rounded pseudo-count sums; disp =
+    * tagwise dispersion). With n1 = n2 = 3: size = 3/disp,
+    * mu1 = mu2 = 3·(s/6) (kept in that exact arithmetic form so branch
+    * comparisons agree in IEEE), pBot = dnb(s, 6/disp, s), and the tail
+    * sum runs x ∈ [0, s1] (s1 < mu1) or [s1, s] (s1 > mu1), each term
+    * exp(dnb(x) + dnb(s−x) − pBot) with
+    * dnb(x, sz, mu) = lgamma(x+sz) − lgamma(sz) − lgamma(x+1)
+    *                + sz·ln(sz/(sz+mu)) + x·ln(mu/(sz+mu)).
+    * p = min(2·Σ, 1), 1.0 at s ≤ 0 or s1 = mu1; BH-FDR via the
+    * established reverse-min window (q_bh_fdr). The series is a
+    * 0..100000 literal (generate_series cannot be correlated in
+    * DuckDB 1.0) pruned by an IEJoin range predicate. */
+  private object EdgerOracle {
+    def sql(sidePath: String): String = {
+      // dnb at the gene's shared size/mu — mu written EXACTLY as Scala
+      // forms it: 3.0*((s1+s2)/6.0)
+      def dnb(x: String) =
+        s"lgamma(($x) + sz) - lgamma(sz) - lgamma(($x) + 1.0) " +
+          s"+ sz * ln(sz / (sz + mu1)) + ($x) * ln(mu1 / (sz + mu1))"
+      def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+      s"""WITH side AS (SELECT l_partkey, s1, s2, disp FROM read_parquet('$sidePath')),
+        |g AS (SELECT l_partkey, s1, s2, disp,
+        |    s1 + s2 AS s,
+        |    3.0 / disp AS sz,
+        |    3.0 * ((s1 + s2) / 6.0) AS mu1
+        |  FROM side),
+        |pb AS (SELECT *,
+        |    CASE WHEN s > 0 THEN
+        |      lgamma(s + 6.0/disp) - lgamma(6.0/disp) - lgamma(s + 1.0)
+        |      + (6.0/disp) * ln((6.0/disp) / (6.0/disp + s))
+        |      + s * ln(s / (6.0/disp + s)) END AS pbot,
+        |    CASE WHEN s <= 0 OR s1 = mu1 THEN 1.0
+        |         WHEN s1 < mu1 THEN 0.0 ELSE s1 END AS lo,
+        |    CASE WHEN s <= 0 OR s1 = mu1 THEN 0.0
+        |         WHEN s1 < mu1 THEN s1 ELSE s END AS hi
+        |  FROM g),
+        |ser AS (SELECT CAST(x AS DOUBLE) AS x
+        |  FROM generate_series(0, 100000) t(x)),
+        |acc AS (
+        |  SELECT pb.l_partkey,
+        |    SUM(exp((${dnb("ser.x")}) + (${dnb("pb.s - ser.x")}) - pb.pbot)) AS a
+        |  FROM pb JOIN ser ON ser.x >= pb.lo AND ser.x <= pb.hi
+        |  GROUP BY pb.l_partkey),
+        |praw AS (
+        |  SELECT pb.l_partkey,
+        |    CASE WHEN pb.s <= 0 OR pb.s1 = pb.mu1 THEN 1.0
+        |         ELSE LEAST(2.0 * a.a, 1.0) END AS p
+        |  FROM pb LEFT JOIN acc a USING (l_partkey)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p) AS rk,
+        |    COUNT(*) OVER () AS n FROM praw)
+        |SELECT l_partkey,
+        |  ${r6("p")} AS "p (A_vs_R)",
+        |  ${r6("LEAST(MIN(p*n/rk) OVER (ORDER BY p DESC), 1.0)")} AS "FDR (A_vs_R)"
+        |FROM r
         |ORDER BY l_partkey""".stripMargin
     }
   }

@@ -67,7 +67,16 @@ final case class DESeq2Unpaired(
   def columns: Seq[String] =
     Seq(logFCColumn, pColumn, fdrColumn, baseMeanColumn, lfcSEColumn, statColumn)
 
-  def apply(df0: DataFrame): DataFrame = {
+  def apply(df0: DataFrame): DataFrame = run(df0, keepFit = false)
+
+  /** [[apply]] plus the per-gene final-fit internals as `__alpha`
+    * (final dispersion after MAP/outlier handling) and `__beta0`
+    * (fitted log2 intercept): given these, the SE / Wald-stat tail is
+    * closed-form, so an external engine can replay it (the partial-
+    * oracle pattern — the iterative fit itself stays spec-pinned). */
+  def applyWithFit(df0: DataFrame): DataFrame = run(df0, keepFit = true)
+
+  private def run(df0: DataFrame, keepFit: Boolean): DataFrame = {
     // read by the size-factor count/agg and again by the estimate pass —
     // cache so an expensive upstream plan executes once; the returned
     // plan reads it too, so bounded retention rather than scratch
@@ -132,11 +141,14 @@ final case class DESeq2Unpaired(
       .withColumn(lfcSEColumn, col("__w.se"))
       .withColumn(statColumn, col("__w.stat"))
       .withColumn(pColumn, col("__w.p"))
+      .withColumn("__alpha", col("__w.alpha"))
+      .withColumn("__beta0", col("__w.beta0"))
       .drop("__w", "__baseMean", "__alphaGw")
 
     // ---- 6. BH adjust → FDR ----
     val adjusted = BhFdr.adjust(res, pColumn, fdrColumn)
-    adjusted.select((col(index) +: columns.map(col)): _*)
+    val fitCols = if (keepFit) Seq(col("__alpha"), col("__beta0")) else Nil
+    adjusted.select((col(index) +: columns.map(col)) ++ fitCols: _*)
   }
 }
 
@@ -170,7 +182,11 @@ object DESeq2Unpaired {
       medCol(samples.head), samples.tail.map(medCol): _*).collect()(0)
     samples.map(c => math.exp(sfRow.getAs[Double](c))).toArray
   }
-  final case class WaldRes(lfc: Double, se: Double, stat: Double, p: Double)
+  /** `alpha`/`beta0` carry the final-fit internals so a partial oracle
+    * can replay the closed-form SE/stat tail externally (defaults keep
+    * the LRT call site unchanged). */
+  final case class WaldRes(lfc: Double, se: Double, stat: Double, p: Double,
+      alpha: Double = 0.0, beta0: Double = 0.0)
   final case class Trend(a0: Double, a1: Double, flat: Boolean) {
     def apply(mu: Double): Double = if (flat) a0 else a0 + a1 / math.max(mu, 1e-8)
   }
@@ -297,6 +313,6 @@ object DESeq2Unpaired {
     val f = NbGlm.fit(y, sf, x, alphaFinal)
     val lfc = f.beta(1); val se = f.se(1)
     val stat = lfc / se
-    WaldRes(lfc, se, stat, Gamma.waldP(stat))
+    WaldRes(lfc, se, stat, Gamma.waldP(stat), alphaFinal, f.beta(0))
   }
 }

@@ -67,7 +67,18 @@ final case class DESeq2LRT(
     }.toArray
   }
 
-  def apply(df0: DataFrame): DataFrame = {
+  def apply(df0: DataFrame): DataFrame = run(df0, keepFit = false)
+
+  /** [[apply]] plus the per-gene final-fit internals — `__alpha` (final
+    * dispersion), `__bf` (full-design coefficient vector) and `__br`
+    * (reduced-design coefficient vector): given these, the
+    * log-likelihood ratio stat, the SE of the reported coefficient and
+    * baseMean are closed-form (lgamma sums + a small matrix inverse),
+    * so an external engine can replay them (the partial-oracle
+    * pattern — the iterative fits stay spec-pinned). */
+  def applyWithFit(df0: DataFrame): DataFrame = run(df0, keepFit = true)
+
+  private def run(df0: DataFrame, keepFit: Boolean): DataFrame = {
     // read by the size-factor count/agg and again by the estimate pass —
     // cache so an expensive upstream plan executes once (bounded retention)
     val df = graft.core.CacheScope.retainInput(df0)
@@ -121,21 +132,30 @@ final case class DESeq2LRT(
       .withColumn(lfcSEColumn, col("__r.se"))
       .withColumn(statColumn, col("__r.stat"))
       .withColumn(pColumn, col("__r.p"))
+      .withColumn("__alpha", col("__r.alpha"))
+      .withColumn("__bf", col("__r.betaFull"))
+      .withColumn("__br", col("__r.betaRed"))
       .drop("__r", "__baseMean", "__alphaGw")
 
     val adjusted = BhFdr.adjust(res, pColumn, fdrColumn)
-    adjusted.select((col(index) +: columns.map(col)): _*)
+    val fitCols =
+      if (keepFit) Seq(col("__alpha"), col("__bf"), col("__br")) else Nil
+    adjusted.select((col(index) +: columns.map(col)) ++ fitCols: _*)
   }
 }
 
 object DESeq2LRT {
-  import DESeq2Unpaired.WaldRes
+
+  /** [[lrtKernel]] result; `alpha`/`betaFull`/`betaRed` carry the
+    * final-fit internals for the partial-oracle side table. */
+  final case class LrtRes(lfc: Double, se: Double, stat: Double, p: Double,
+      alpha: Double, betaFull: Array[Double], betaRed: Array[Double])
 
   /** Full-vs-reduced NB GLM likelihood ratio at the MAP dispersion. */
   def lrtKernel(y: Array[Double], sf: Array[Double],
       xFull: Array[Array[Double]], xRed: Array[Array[Double]],
       alphaGw: Double, trendVal: Double, priorVar: Double,
-      varLogDispEsts: Double, dfDelta: Int): WaldRes = {
+      varLogDispEsts: Double, dfDelta: Int): LrtRes = {
     val fGw = NbGlm.fit(y, sf, xFull, alphaGw)
     val aMap = NbGlm.maximizeAlpha(y, fGw.mu, xFull,
       priorMean = math.log(trendVal), priorVar = priorVar)
@@ -148,6 +168,6 @@ object DESeq2LRT {
     val stat = math.max(2.0 * (llF - llR), 0.0)
     val pVal = SpecialFunctions.regGammaQ(dfDelta / 2.0, stat / 2.0)
     val k = fF.beta.length - 1
-    WaldRes(fF.beta(k), fF.se(k), stat, pVal)
+    LrtRes(fF.beta(k), fF.se(k), stat, pVal, alphaFinal, fF.beta, fR.beta)
   }
 }

@@ -549,7 +549,17 @@ final case class EdgeRUnpaired(
   def logCPMColumn: String = "logCPM" + suffix.get
   def columns: Seq[String] = Seq(logFCColumn, pColumn, fdrColumn, logCPMColumn)
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = run(df, keepFit = false)
+
+  /** [[apply]] plus the per-gene exact-test inputs — `__s1`/`__s2`
+    * (rounded pseudo-count sums per condition) and `__disp` (tagwise
+    * dispersion): given these, the NB double-tail p-value and the BH
+    * FDR are closed-form (lgamma sums), so an external engine can
+    * replay them (the partial-oracle pattern — the iterative qCML /
+    * trend / prior machinery stays spec-pinned). */
+  def applyWithFit(df: DataFrame): DataFrame = run(df, keepFit = true)
+
+  private def run(df: DataFrame, keepFit: Boolean): DataFrame = {
     import EdgeRKernel._
     val cols = columnsA ++ columnsB
     val nA = columnsA.length
@@ -687,23 +697,31 @@ final case class EdgeRUnpaired(
       val p2 = (nA until cols.length).map(pseudo(_)).toArray
       val p = exactTestDoubleTail(p1, p2, d)
       val lfc = exactLogFc(ya, groupOf, effLib, d)
-      Array(lfc, p)
+      // rounded pseudo sums, exactly as exactTestDoubleTail forms them —
+      // emitted for the partial oracle's external p-value replay
+      Array(lfc, p, math.round(p1.sum).toDouble, math.round(p2.sum).toDouble)
     })
 
     // cache before BH: the distributed FDR makes several passes (count,
     // ranked sort, partition-minima collect) — the exact-test kernel must
     // run once, not once per pass. The returned plan reads this cache, so
     // it outlives apply under CacheScope's bounded retention.
+    val fitCols =
+      if (keepFit) Seq(col("res")(2).as("__s1"), col("res")(3).as("__s2"),
+        col("disp").as("__disp"))
+      else Nil
     val tested = graft.core.CacheScope.retain(withDisp
       .withColumn("res", testUdf(col("y"), col("disp")))
-      .select(col(index),
+      .select(Seq(col(index),
         col("res")(0).as(logFCColumn),
         col("logcpm_out").as(logCPMColumn),
-        col("res")(1).as("p_raw")))
+        col("res")(1).as("p_raw")) ++ fitCols: _*))
 
     BhFdr.adjustDistributed(tested, "p_raw", fdrColumn)
       .withColumnRenamed("p_raw", pColumn)
-      .select(col(index), col(logFCColumn), col(pColumn), col(fdrColumn), col(logCPMColumn))
+      .select(Seq(col(index), col(logFCColumn), col(pColumn), col(fdrColumn),
+        col(logCPMColumn)) ++ (if (keepFit)
+          Seq(col("__s1"), col("__s2"), col("__disp")) else Nil): _*)
     } finally {
       // adjustDistributed's count() materialized `tested`; the scratch
       // caches (proj, s1) are dead from here even if we threw mid-way
