@@ -954,13 +954,22 @@ object SparkEntry {
     // ---- real BPE subword tokenization (Sennrich/GPT-2 recipe): fit
     //      merges on the corpus' bounded word-frequency table (driver
     //      loop over exact integer counts — deterministic), apply
-    //      map-side with broadcast ranks + per-partition memo. Rows-only:
-    //      the greedy per-word merge recursion is not SQL-expressible;
-    //      the algorithm is pinned by BpeSpec's hand-derived golden
-    //      merges and the driver/distributed-equality test. ----
+    //      map-side with broadcast ranks + per-partition memo.
+    //      PARTIAL oracle (fitted side table): the fitted merge list is
+    //      emitted ranked, and DuckDB replays the ENTIRE apply path —
+    //      normalization, word split, and the greedy lowest-rank-first
+    //      per-word merge recursion as a recursive CTE over token
+    //      lists — then recounts per doc. All-integer outputs, no
+    //      rounding. The fit loop itself (argmax over pair counts)
+    //      stays pinned by BpeSpec's golden merges and the
+    //      driver/distributed-equality test. ----
     "q_bpe_tokens" -> ((s, dir) => {
       val docs = documents(s, dir)
       val model = graft.functions.Bpe.fit(docs, "text", numMerges = 200)
+      import s.implicits._
+      writeOracleSide(model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b"),
+        dir, "bpe_merges")
       docs.select(col("doc_id"),
         graft.functions.Bpe.tokenCount(col("text"), model).as("n_bpe_tokens"),
         graft.functions.TextFunctions.tokenCount(col("text")).as("n_words"))
@@ -1912,6 +1921,62 @@ object SparkEntry {
         |  WHEN 'fr' THEN 1152921504606846976
         |  WHEN 'zh' THEN 1065023265662834428 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Partial oracle (fitted side table, the q_deseq2_wald pattern):
+    // the ranked merge list is read back and the FULL apply path
+    // replays — normalize + word split, then the greedy per-word BPE
+    // segmentation as a recursive CTE: each step looks up every
+    // adjacent pair's rank (list_position over the rank-ordered merge
+    // list; nullif(...,0) maps "absent" to a sentinel), merges the
+    // FIRST lowest-rank pair (list_position returns the first minimum,
+    // matching the Scala scan), and stops when nothing is mergeable.
+    // Distinct words segment once; counts join back per doc instance.
+    // All-integer outputs — exact hash compare, no rounding.
+    "q_bpe_tokens" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS nw,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words
+        |  FROM documents),
+        |words AS (SELECT DISTINCT unnest(nw) AS w FROM docs),
+        |ml AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mlist
+        |  FROM read_parquet('${oracleSidePath("bpe_merges")}')),
+        |init AS (
+        |  SELECT w, list_concat(
+        |     list_transform(range(1, length(w)), i -> w[i]),
+        |     [w[length(w)] || '${graft.functions.Bpe.Eow}']) AS toks
+        |  FROM words),
+        |rec AS (
+        |  WITH RECURSIVE r(w, toks, it) AS (
+        |    SELECT w, toks, 0 FROM init
+        |    UNION ALL
+        |    SELECT w,
+        |      toks[1:att-1] || [toks[att] || toks[att+1]] || toks[att+2:],
+        |      it + 1
+        |    FROM (
+        |      SELECT w, toks, it, list_position(rs, list_min(rs)) AS att,
+        |        list_min(rs) AS minr
+        |      FROM (
+        |        SELECT w, toks, it,
+        |          list_transform(range(1, len(toks)),
+        |            i -> coalesce(nullif(list_position(mlist, toks[i] || chr(1) || toks[i+1]), 0), 1000000)) AS rs
+        |        FROM r, ml
+        |        WHERE len(toks) >= 2))
+        |    WHERE minr < 1000000)
+        |  SELECT * FROM r),
+        |fin AS (
+        |  SELECT w, toks FROM (
+        |    SELECT w, toks, it, max(it) OVER (PARTITION BY w) AS mx FROM rec)
+        |  WHERE it = mx),
+        |counts AS (SELECT w, len(toks) AS k FROM fin),
+        |ex AS (SELECT doc_id, unnest(nw) AS w FROM docs),
+        |agg AS (SELECT ex.doc_id, SUM(c.k) AS nb
+        |  FROM ex JOIN counts c USING (w) GROUP BY ex.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.nb, 0) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(d.n_words AS INTEGER) AS n_words
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_lm_perplexity" ->
       s"""WITH toks AS (
