@@ -89,8 +89,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failedNames(k) => v }.sum
     val failedJson = failedNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""failed":$failedJson,"load_start":$loadStart,"load_end":$loadAvg}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failed":$failedJson,"load_start":$loadStart,"load_end":$loadAvg}"""
+    println(json)
+    // also persist to a file: the driver captures stdout's tail, and a
+    // 70+-query JSON line has already been truncated mid-way once
+    // (BENCH_r04.json "parsed": null) — the file copy survives any tail
+    // length. Path overridable for local runs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${t.getMessage}")
+    }
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach { case (name, t) =>

@@ -127,6 +127,13 @@ object Bpe {
     * whitespace words, each segmented independently. Map-side UDF with a
     * per-partition word→tokens memo (Zipf: the cache absorbs most of the
     * work). */
+  /** Per-task memo cap: past this many distinct words the memo stops
+    * inserting (correctness unaffected — encodeWord always answers; only
+    * the cache-hit rate degrades). Bounds executor memory on adversarial
+    * high-cardinality corpora (random tokens break the Zipf assumption
+    * an unbounded cache relies on). */
+  val MemoCap: Int = 1 << 20
+
   def tokenize(c: Column, model: Model): Column = {
     val f = udf(new (Seq[String] => Seq[String]) with Serializable {
       @transient private lazy val memo =
@@ -135,7 +142,10 @@ object Bpe {
         if (words == null) Seq.empty
         else words.flatMap { w =>
           var t = memo.get(w)
-          if (t == null) { t = model.encodeWord(w); memo.put(w, t) }
+          if (t == null) {
+            t = model.encodeWord(w)
+            if (memo.size < MemoCap) memo.put(w, t)
+          }
           t
         }
     })

@@ -132,11 +132,24 @@ object Sampling {
     require(!counts.contains(null),
       s"temperatureMix: null values in group column '$groupCol' — coalesce them first")
     if (counts.isEmpty) return df // empty in, empty out — nothing to thin
+    // thresholds are keyed by toString internally; the JOIN below uses
+    // the ORIGINAL-typed collected values, so a group type whose
+    // string cast does not round-trip its JVM toString (decimal scale,
+    // timestamp, boolean) still matches its own rows
+    require(counts.keys.map(_.toString).toSet.size == counts.size,
+      s"temperatureMix: distinct '$groupCol' values collide on toString")
     val ts = temperatureThresholds(
       counts.map { case (g, n) => (g.toString, n) }, alpha)
     val spark = df.sparkSession
-    import spark.implicits._
-    val tdf = ts.toSeq.toDF(groupCol, "__t")
+    val gField = input.schema(groupCol)
+    import scala.jdk.CollectionConverters._
+    val tdf = spark.createDataFrame(
+      counts.keys.toSeq.map(g =>
+        org.apache.spark.sql.Row(g, ts(g.toString))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        gField.copy(nullable = false),
+        org.apache.spark.sql.types.StructField("__t",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val h = graft.functions.TextFunctions.portableHash(
       concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
     input.join(broadcast(tdf), Seq(groupCol))

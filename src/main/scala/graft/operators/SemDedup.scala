@@ -51,20 +51,42 @@ object SemDedup {
     * false iff a smaller-id same-cluster row is cosine-≥-tau similar. */
   def prune(emb: DataFrame, vecCol: String, idCol: String,
       nClusters: Int, tau: Double, seed: Long = 42L,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
     require(nClusters > 0, "nClusters must be positive")
     val input = graft.core.CacheScope.retainInput(emb)
     pruneWith(input, vecCol, idCol,
-      fitCentroids(input, vecCol, nClusters, seed, maxIter), tau)
+      fitCentroids(input, vecCol, nClusters, seed, maxIter), tau, maxCellSize)
   }
+
+  /** Default per-cell row cap for the mega-cell guard in [[pruneWith]]:
+    * a cell at the cap costs ~2·10⁸ candidate pairs — heavy but
+    * bounded. Healthy SemDeDup cells are orders of magnitude smaller
+    * (nClusters should target ~10³-10⁴ rows/cell). */
+  val DefaultMaxCellSize: Int = 20000
 
   /** [[prune]] against an EXISTING centroid table — the build-once /
     * serve-many form (the [[Similarity.IvfIndex]] pattern): fit the
     * quantizer on one corpus snapshot, keep pruning future increments
-    * against the same semantic partition without refitting. */
+    * against the same semantic partition without refitting.
+    *
+    * Mega-cell guard: a degenerate corpus (millions of near-identical
+    * embeddings) can collapse into ONE k-means cell, silently turning
+    * the within-cell pair join quadratic. Cell sizes are counted first
+    * (one cheap aggregation over the cached assignment); any cell over
+    * `maxCellSize` is deterministically sub-split by id hash so no
+    * join group exceeds the cap, and a warning names the offending
+    * cells. Sub-splitting is the operator's own neighborhood
+    * approximation applied one level down — pairs across sub-cells go
+    * uncompared, so an oversized cell keeps ~one representative PER
+    * SUB-CELL instead of one overall (graceful, bounded degradation;
+    * the durable fix the warning points at is raising nClusters).
+    * Cluster labels still canonicalize over the FULL cell (labeling is
+    * a window, not a pair scan — it never goes quadratic). */
   def pruneWith(emb: DataFrame, vecCol: String, idCol: String,
-      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+      centroids: Array[Array[Double]], tau: Double,
+      maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
+    require(maxCellSize > 0, "maxCellSize must be positive")
     val input = graft.core.CacheScope.retainInput(emb)
     // a null embedding has no semantic neighborhood: excluded from the
     // output (same contract as the ANN paths)
@@ -78,9 +100,32 @@ object SemDedup {
       Similarity.withUnitVec(
         base.withColumn("__c", cellOf(col("__v"))(0)), "__v", "__u")
         .select(col(idCol), col("__c"), col("__u")))
-    val a = unit.select(col("__c"), col(idCol).as("__id_a"), col("__u").as("__ua"))
-    val b = unit.select(col("__c"), col(idCol).as("__id_b"), col("__u").as("__ub"))
-    val losers = a.join(b, Seq("__c"))
+    val oversized = unit.groupBy("__c").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxCellSize)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val withSub =
+      if (oversized.isEmpty) unit.withColumn("__cs", col("__c").cast("long"))
+      else {
+        System.err.println(
+          s"SemDedup: ${oversized.length} cell(s) over maxCellSize=$maxCellSize " +
+            s"(${oversized.map { case (c, n) => s"cell $c: $n rows" }.mkString(", ")}) — " +
+            "sub-splitting by id hash; raise nClusters to restore full within-cell recall")
+        val spark = unit.sparkSession
+        import spark.implicits._
+        val splits = oversized.map { case (c, n) =>
+          (c, math.ceil(n.toDouble / maxCellSize).toInt)
+        }.toSeq.toDF("__c", "__k")
+        // sub-cell id packs (cell, hash-slice) into one long join key;
+        // unaffected cells keep slice 0
+        unit.join(broadcast(splits), Seq("__c"), "left")
+          .withColumn("__cs", col("__c").cast("long") * 1000000L +
+            when(col("__k").isNull, lit(0L))
+              .otherwise(pmod(xxhash64(col(idCol)), col("__k").cast("long"))))
+          .drop("__k")
+      }
+    val a = withSub.select(col("__cs"), col(idCol).as("__id_a"), col("__u").as("__ua"))
+    val b = withSub.select(col("__cs"), col(idCol).as("__id_b"), col("__u").as("__ub"))
+    val losers = a.join(b, Seq("__cs"))
       .where(col("__id_a") < col("__id_b"))
       .where(Similarity.dotUdf(col("__ua"), col("__ub")) >= tau)
       .select(col("__id_b").as(idCol)).distinct()

@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import scala.util.chaining._
 
 /** JSON-Lines source/sink — the de-facto interchange format of LLM
   * training corpora (one JSON document per line; WebDataset/Dolma/
@@ -31,27 +30,31 @@ object Jsonl {
     spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
   /** Read with an explicit schema, quarantining malformed lines: returns
-    * (good rows with the data schema, corrupt raw lines). One scan
-    * definition; Spark caches requirement: the corrupt column must be
-    * materialized before filtering on it, hence the cache-free two-view
-    * split over one source plan. */
+    * (good rows with the data schema, corrupt raw lines verbatim).
+    *
+    * Parsed via `from_json` over a text scan rather than the json
+    * datasource: the datasource refuses to filter on its corrupt column
+    * (SPARK-26228 — the referenced-columns optimization would parse
+    * only that column), and papering over it with a cache makes the
+    * split legal only while the cache survives. With `from_json` the
+    * two views are independent projections of the same line scan — no
+    * cache dependence, consumable in any order, any number of times.
+    * Blank lines are skipped, matching the json datasource. */
   def readWithCorrupt(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not already contain $CorruptCol")
     val withCorrupt = StructType(schema.fields :+
       StructField(CorruptCol, StringType, nullable = true))
-    val raw = spark.read.schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      // Spark refuses to filter directly on the corrupt column of a
-      // json scan (SPARK-26228: the referenced-columns optimization
-      // would parse only the corrupt column); materialize the split
-      // through a retained cache of the narrow two-column projection
-      .pipe(graft.core.CacheScope.retain)
-    val good = raw.where(col(CorruptCol).isNull).drop(CorruptCol)
-    val bad = raw.where(col(CorruptCol).isNotNull).select(col(CorruptCol))
+    val parsed = spark.read.text(path)
+      .where(trim(col("value")) =!= "")
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
+    val good = parsed.where(col(s"__j.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"__j.$f").as(f)).toSeq: _*)
+    val bad = parsed.where(col(s"__j.$CorruptCol").isNotNull)
+      .select(col("value").as(CorruptCol))
     (good, bad)
   }
 
@@ -62,10 +65,19 @@ object Jsonl {
     val tmp = filename + ".spark-tmp"
     df.coalesce(1).write.mode("overwrite").json(tmp)
     val dir = Paths.get(tmp)
-    val part = Files.list(dir).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    // Files.list streams hold a directory fd until closed — leak-free
+    // via try/finally (a long-lived driver calls this per report file)
+    val part = {
+      val s = Files.list(dir)
+      try s.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      finally s.close()
+    }
     Files.move(part, Paths.get(filename), StandardCopyOption.REPLACE_EXISTING)
-    Files.list(dir).forEach(p => Files.delete(p))
+    locally {
+      val s = Files.list(dir)
+      try s.forEach(p => Files.delete(p)) finally s.close()
+    }
     Files.delete(dir)
   }
 }

@@ -70,4 +70,35 @@ class SemDedupSpec extends SparkSpec {
     assert(out.count() == 6)
     assert(out.select("vec_id").distinct().count() == 6)
   }
+
+  test("mega-cell guard: an adversarial all-near-identical corpus stays bounded") {
+    // 5000 near-identical embeddings collapse into ONE cell — without
+    // the guard the pair join is 12.5M pairs in one group; with
+    // maxCellSize=500 it sub-splits into ~10 hash slices, each scanning
+    // only its own pairs
+    val n = 5000
+    val adversarial = spark.range(1, n + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0) + col("id").cast("double") * 1e-9, lit(0.0)).as("vec"))
+    val out = SemDedup.pruneWith(adversarial, "vec", "vec_id",
+      Array(Array(1.0, 0.0)), tau = 0.999, maxCellSize = 500)
+      .collect()
+    assert(out.length == n)
+    // all one canonical cluster (labeling spans the FULL cell)
+    assert(out.forall(_.getLong(1) == 1L))
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // each of the ceil(5000/500)=10 hash slices keeps exactly its own
+    // minimum (everything is mutually similar): bounded degradation,
+    // never zero survivors, never more than one per slice
+    assert(kept.contains(1L), "global min id must survive")
+    assert(kept.size == 10, s"one survivor per sub-cell expected, got ${kept.size}")
+  }
+
+  test("mega-cell guard is inert below the cap: identical output either way") {
+    val centroids = Array(Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0))
+    def runWith(cap: Int) = SemDedup.pruneWith(emb, "vec", "vec_id",
+      centroids, tau = 0.99, maxCellSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(runWith(1000000) == runWith(3))
+  }
 }
