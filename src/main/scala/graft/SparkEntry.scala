@@ -683,6 +683,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ANN recall artifact: measured recall@10 of each approximate
+    //      path (lsh / ivf / hnsw, at the gate queries' own parameters)
+    //      against the brute-force exact top-10 — makes the approximate
+    //      paths' quality auditable from the round artifacts instead of
+    //      only inside HnswSpec/SimilaritySpec assertions. All three
+    //      methods are deterministic per pinned input (seeded levels /
+    //      seeded fits over a fresh parquet scan), so the per-query hit
+    //      counts are constants at the gate: the oracle embeds them as
+    //      literals (the q_kmeans embedded-constants pattern) — a recall
+    //      regression surfaces as a hash mismatch, not silence. ----
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val brute = graft.core.CacheScope.retain(
+        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+          .select(col("query_id"), col("neighbor_id")))
+      val methods: Seq[(String, DataFrame)] = Seq(
+        "hnsw" -> graft.operators.Hnsw.topK(e, q, "embedding", "vec_id", k = 10),
+        "ivf" -> Similarity.ivfTopK(e, q, "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 6),
+        // hyperplane LSH needs shorter sketches + more tables in the
+        // moderate-cosine top-k regime (collision prob per table is
+        // (1-θ/π)^bits): the near-dup defaults (12 bits) give ~0 recall
+        // here — measured and recorded, which is exactly what this
+        // artifact is for
+        "lsh" -> Similarity.lshTopK(e, q, "embedding", "vec_id",
+          k = 10, dim = 64, bits = 6, tables = 24))
+      methods.map { case (m, df) =>
+        val hits = df.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(m).as("method"), col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall",
+          floor(col("n_hits").cast("double") / 10.0 * 1e4 + 0.5) / 1e4)
+        .orderBy("method", "query_id")
+    }),
+
     // ---- native Catalyst cosine_sim expression (whole-stage codegen,
     //      registered via SparkSessionExtensions; float-cast on both
     //      sides so engine summation-order ulps cannot flake the exact
@@ -1682,6 +1723,26 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Embedded-constants oracle (q_kmeans pattern): the three ANN paths
+    // are deterministic per pinned input (seeded levels/fits over a
+    // fresh parquet scan), so the per-query brute-force hit counts are
+    // gate constants — measured from the verify output at sf0.01
+    // (refresh by reading q_ann_recall's parquet after any fixture or
+    // parameter change). A recall regression breaks the hash compare.
+    "q_ann_recall" -> {
+      val hits = Seq(
+        ("hnsw", Seq(10, 10, 10, 10, 10, 10, 10, 10)),
+        ("ivf", Seq(7, 9, 7, 6, 6, 7, 7, 3)),
+        ("lsh", Seq(4, 6, 7, 6, 5, 8, 4, 7)))
+      val rows = for ((m, hs) <- hits; (h, q) <- hs.zipWithIndex)
+        yield s"('$m', $q, $h)"
+      s"""WITH v(method, query_id, n_hits) AS (VALUES ${rows.mkString(", ")})
+        |SELECT method, CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  floor(CAST(n_hits AS DOUBLE) / 10.0 * 1e4 + 0.5) / 1e4 AS recall
+        |FROM v ORDER BY method, query_id""".stripMargin
+    },
 
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -125,16 +125,10 @@ object Bm25 {
     require(termList.nonEmpty, "queries contain no tokens")
 
     val input = graft.core.CacheScope.retainInput(corpus)
-    val Array(nDocs, sumDl) = {
-      val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
-      // greatest(·, 0) absorbs null-text rows under either size(null)
-      // convention (-1 legacy / null): they count as docs of length 0;
-      // coalesce keeps the null sum of an EMPTY corpus readable so the
-      // nDocs guard below can fire instead of a Row.getLong NPE
-      val r = input.agg(count(lit(1)),
-        coalesce(sum(greatest(size(toks), lit(0))), lit(0L))).head
-      Array(r.getLong(0), r.getLong(1))
-    }
+    // greatest(·,0) in the stats absorbs null-text rows (length-0 docs);
+    // the coalesce'd sum keeps an empty corpus readable so this guard
+    // fires instead of a Row.getLong NPE
+    val (nDocs, sumDl) = Bm25Index.corpusStats(input, textCol)
     require(nDocs > 0, "empty corpus")
     val post = graft.core.CacheScope.retain(postings(input, textCol, idCol,
       Some(array(termList.map(lit): _*))))
@@ -151,9 +145,36 @@ object Bm25 {
     * portable-hash term bucket. [[save]] partitions both by bucket, so a
     * later query batch prunes its scan to the partitions its terms hash
     * into instead of re-reading the corpus. Identical output to [[topK]]
-    * for the same corpus and queries (Bm25Spec pins the equality). */
+    * for the same corpus and queries (Bm25Spec pins the equality).
+    *
+    * Corpus-level stats are kept as (nDocs, sumDl) — not the derived
+    * avgdl — so [[append]] merges exactly: n and Σdl add; an avgdl
+    * stored pre-divided would make append(A,B) ≠ build(A∪B) by an ulp. */
   final case class Bm25Index(postings: DataFrame, dfTab: DataFrame,
-      nDocs: Long, avgdl: Double, idCol: String) {
+      nDocs: Long, sumDl: Long, idCol: String) {
+
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+
+    /** Merge an increment into this index WITHOUT touching the existing
+      * postings (append-only by construction): the increment pays its
+      * own map-side postings pass + one term-level df aggregation, the
+      * stats add exactly, and the merged df re-aggregates only the
+      * narrow (term, df) union — never the postings. Ids must be
+      * disjoint from the existing corpus (same contract as rebuilding
+      * over a union). Bm25Spec pins append(A,B) == build(A ∪ B). */
+    def append(increment: DataFrame, textCol: String): Bm25Index = {
+      val input = graft.core.CacheScope.retainInput(increment)
+      val (n2, sum2) = Bm25Index.corpusStats(input, textCol)
+      require(n2 > 0, "empty increment")
+      val post2 = Bm25.postings(input, textCol, idCol, None)
+        .withColumn("__bucket", Bm25Index.bucketCol)
+      val df2 = post2.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("__bucket", Bm25Index.bucketCol)
+      val mergedDf = dfTab.unionByName(df2)
+        .groupBy("term", "__bucket").agg(sum("df").as("df"))
+      Bm25Index(postings.unionByName(post2), mergedDf,
+        nDocs + n2, sumDl + sum2, idCol)
+    }
 
     def topK(queries: DataFrame, queryIdCol: String, queryTextCol: String,
         k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -173,7 +194,7 @@ object Bm25 {
     }
 
     /** Persist under `dir`: postings/ and df/ partitioned by term
-      * bucket, meta/ a single row (nDocs, avgdl, idCol). */
+      * bucket, meta/ a single row (nDocs, sumDl, idCol). */
     def save(dir: String): Unit = {
       val spark = postings.sparkSession
       postings.write.mode("overwrite").partitionBy("__bucket")
@@ -181,13 +202,27 @@ object Bm25 {
       dfTab.write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"$dir/df")
       import spark.implicits._
-      Seq((nDocs, avgdl, idCol)).toDF("n_docs", "avgdl", "id_col")
+      Seq((nDocs, sumDl, idCol)).toDF("n_docs", "sum_dl", "id_col")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
   }
 
   object Bm25Index {
     val NumBuckets = 64
+
+    /** The portable term-bucket column shared by build and append. */
+    private[Bm25] def bucketCol: Column =
+      pmod(graft.functions.TextFunctions.portableHash(col("term")),
+        lit(NumBuckets.toLong)).cast("int")
+
+    /** (nDocs, Σ document length) in one aggregation; the null-sum
+      * coalesce keeps an empty corpus readable so callers' guards fire. */
+    private[Bm25] def corpusStats(input: DataFrame, textCol: String): (Long, Long) = {
+      val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
+      val r = input.agg(count(lit(1)),
+        coalesce(sum(greatest(size(toks), lit(0))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
 
     /** Engine/driver-portable term bucket: first 15 hex digits of md5
       * mod [[NumBuckets]] — the same scheme as
@@ -204,25 +239,14 @@ object Bm25 {
       * (term) aggregation for df — the only shuffle, paid once. */
     def build(corpus: DataFrame, textCol: String, idCol: String): Bm25Index = {
       val input = graft.core.CacheScope.retainInput(corpus)
-      val Array(nDocs, sumDl) = {
-        val toks = TextFunctions.tokens(TextFunctions.normalizeText(col(textCol)))
-        // greatest(·, 0) absorbs null-text rows under either size(null)
-        // convention (-1 legacy / null): they count as docs of length 0;
-        // coalesce keeps the null sum of an EMPTY corpus readable so the
-        // nDocs guard below can fire instead of a Row.getLong NPE
-        val r = input.agg(count(lit(1)),
-          coalesce(sum(greatest(size(toks), lit(0))), lit(0L))).head
-        Array(r.getLong(0), r.getLong(1))
-      }
+      val (nDocs, sumDl) = corpusStats(input, textCol)
       require(nDocs > 0, "empty corpus")
-      val bucket = pmod(TextFunctions.portableHash(col("term")),
-        lit(NumBuckets.toLong)).cast("int").as("__bucket")
       val post = Bm25.postings(input, textCol, idCol, None)
-        .withColumn("__bucket", bucket)
+        .withColumn("__bucket", bucketCol)
         .pipe(graft.core.CacheScope.retain)
       val dfTab = post.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("__bucket", bucket)
-      Bm25Index(post, dfTab, nDocs, sumDl.toDouble / nDocs.toDouble, idCol)
+        .withColumn("__bucket", bucketCol)
+      Bm25Index(post, dfTab, nDocs, sumDl, idCol)
     }
 
     /** Restore a [[build]]-then-[[Bm25Index#save]]d index. */
@@ -230,7 +254,7 @@ object Bm25 {
       val meta = spark.read.parquet(s"$dir/meta").head
       Bm25Index(spark.read.parquet(s"$dir/postings"),
         spark.read.parquet(s"$dir/df"),
-        meta.getLong(0), meta.getDouble(1), meta.getString(2))
+        meta.getLong(0), meta.getLong(1), meta.getString(2))
     }
   }
 }

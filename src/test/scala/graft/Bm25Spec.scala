@@ -95,6 +95,30 @@ class Bm25Spec extends SparkSpec {
     assert(norm(loaded.topK(qs, "query_id", "qtext", k = 10)) == adhoc)
   }
 
+  test("append(A, B) equals build(A ∪ B): stats, df table, and scores") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val appended = Bm25.Bm25Index.build(a, "text", "doc_id").append(b, "text")
+    val full = Bm25.Bm25Index.build(docs, "text", "doc_id")
+    // exact stat merge (the reason meta stores sumDl, not avgdl)
+    assert(appended.nDocs == full.nDocs)
+    assert(appended.sumDl == full.sumDl)
+    def dfSet(i: Bm25.Bm25Index) = i.dfTab
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Int]("__bucket"))).toSet
+    assert(dfSet(appended) == dfSet(full))
+    val qs = queriesDf((0L, "spark hash join"), (1L, "window sort merge"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(norm(appended.topK(qs, "query_id", "qtext", k = 10))
+      == norm(full.topK(qs, "query_id", "qtext", k = 10)))
+    intercept[IllegalArgumentException] {
+      full.append(docs.where(lit(false)), "text")
+    }
+  }
+
   test("driver-side term bucket matches the engine-side bucket column") {
     val terms = Seq("spark", "hash", "join", "the", "zz9", "merge", "a1b2")
     val engine = terms.toDF("term")

@@ -36,7 +36,9 @@ object ScaleProbe {
       "q_dbscan", "q_pca", "q_text_stats", "q_text_curation",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
       "q_similarity_topk", "q_embedding_neardup", "q_embedding_neardup_approx",
-      "q_agglo_10k")
+      "q_agglo_10k",
+      "q_bm25", "q_bm25_index", "q_semdedup", "q_semdedup_scaled",
+      "q_temperature_mix", "q_bpe_tokens")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -121,6 +123,18 @@ object ScaleProbe {
         operators.Similarity.embeddingNearDupPairs(
           Tables.embeddings(spark, dir), "embedding", "vec_id", 0.45,
           approximate = Some(true))
+      case "q_semdedup_scaled" =>
+        // the 100TB knob contract exercised: nClusters grows with the
+        // corpus so pairs-per-cell stays flat and Σc² scales linearly —
+        // the fixed-knob q_semdedup entry measures what happens when a
+        // caller does NOT scale the knob (superlinear by design, and at
+        // 30x the mega-cell guard's sub-split bounds it)
+        val n = Tables.embeddings(spark, dir).count()
+        operators.SemDedup.prune(
+          Tables.embeddings(spark, dir).repartition(8, col("vec_id"))
+            .sortWithinPartitions("vec_id"),
+          "embedding", "vec_id",
+          nClusters = math.max(8, (8L * n / 5000L).toInt), tau = 0.35)
       case "q_agglo_10k" =>
         // the driver query caps at 200 rows; this exercises the exact
         // NN-chain Ward at its 10k-row default cap
