@@ -631,6 +631,34 @@ object SparkEntry {
         n = 3, bands = 32, jaccardThreshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // ---- fuzzy (edit-budget) near-dup pairs: LSH candidates + exact
+    //      Levenshtein verify. Oracle = exact all-pairs ground truth
+    //      (with the |len diff| ≤ d lower-bound prune — a theorem, not a
+    //      heuristic): equality holds because pairs within 20 edits on
+    //      ~50-word docs have n-gram Jaccard far above the banding
+    //      S-curve (see fuzzyNearDupPairs' completeness note), and the
+    //      gate corpus' distance spectrum has a wide gap at the cut
+    //      (25 true pairs at d ≤ 8, next pair at d = 38 — measured), so
+    //      no boundary case can straddle. Integer distances — exact
+    //      hash compare. ----
+    "q_dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyNearDupPairs(documents(s, dir), "text", "doc_id",
+        maxEdits = 20)
+        .orderBy("id_a", "id_b")),
+
+    // ---- unit-level exact dedup (Dolma/Lee-et-al paragraph pass) over
+    //      chunkWindows units (lines in production; the 10-token
+    //      chunker is the gate's deterministic splitter). First
+    //      occurrence by (doc, pos) survives corpus-wide; docs
+    //      reassemble in order. Fully SQL-replayable: chunk CTE +
+    //      first-occurrence window + ordered string_agg. ----
+    "q_paragraph_dedup" -> ((s, dir) =>
+      Dedup.unitExactDedup(
+        graft.operators.Packing.chunkWindows(documents(s, dir), "text",
+          "doc_id", maxTokens = 10),
+        "doc_id", "chunk_ix", "chunk_text", delim = " ")
+        .orderBy("doc_id")),
+
     // ---- brute-force cosine top-k similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -836,6 +864,35 @@ object SparkEntry {
       graft.operators.Sampling.quotaPerGroup(
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", quota = 50)
         .orderBy("doc_id")),
+
+    // ---- weighted reservoir sample (Efraimidis–Spirakis A-ES, keyed
+    //      by the engine-portable hash): exactly k rows, inclusion
+    //      probability ∝ weight (n_chars here — longer docs likelier).
+    //      Oracle re-derives the same ln(u)/w keys and takes the same
+    //      top-k; the rank-k key gap is orders above cross-engine ln()
+    //      jitter (continuous random keys, ~1e-3 spacing at n=500). ----
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedReservoir(
+        documents(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars",
+        k = 100)
+        .orderBy("doc_id")),
+
+    // ---- line-level boilerplate strip (CCNet/Dolma header-footer
+    //      pass): the fixture text is single-line prose, so the query
+    //      wraps each doc in deterministic nav/footer chrome (menu,
+    //      copyright, cookie banner) — both engines strip the SAME
+    //      composite document and must keep exactly the prose line.
+    //      Codegen'd split→filter→rejoin, replayed in DuckDB with
+    //      list_filter over identical arithmetic. ----
+    "q_boilerplate" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val framed = concat(
+        lit(">> home | products | login | cart (0) <<\n"), col("text"),
+        lit("\n(c) 2024 | all rights reserved.\ncookies: accept-all"))
+      documents(s, dir).select(col("doc_id"),
+        stripBoilerplate(framed).as("clean"))
+        .orderBy("doc_id")
+    }),
 
     // ---- near-dup FAMILIES: connected components of the verified LSH
     //      pair graph, min-member labels — the cluster form of dedup
@@ -1605,6 +1662,46 @@ object SparkEntry {
         |FROM w
         |ORDER BY doc_id, fp""".stripMargin,
 
+    // Exact all-pairs ground truth; |len diff| ≤ d is a LOWER BOUND on
+    // edit distance (a legitimate prune, not an approximation). The
+    // Spark side's LSH candidates lose no true pair (completeness note
+    // on fuzzyNearDupPairs), so the row sets coincide.
+    "q_dedup_fuzzy" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS nt FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.nt, b.nt) AS INTEGER) AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.nt) - length(b.nt)) <= 20
+        |WHERE levenshtein(a.nt, b.nt) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // 10-token disjoint chunk units (the q_chunk_windows CTE at
+    // max=10/overlap=0), first occurrence per distinct unit by
+    // (doc, pos), ordered reassembly per doc.
+    "q_paragraph_dedup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 10 THEN 1
+        |         ELSE 1 + (len(toks) - 10 + 9) // 10 END AS nchunks
+        |  FROM t WHERE len(toks) >= 1),
+        |u AS (
+        |  SELECT doc_id, g.i AS chunk_ix,
+        |    array_to_string(toks[(g.i * 10 + 1):(g.i * 10 + least(10, n - g.i * 10))], ' ') AS chunk_text
+        |  FROM k, unnest(generate_series(0, nchunks - 1)) AS g(i)),
+        |f AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_ix) AS rn
+        |  FROM u)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_ix) AS text
+        |FROM f WHERE rn = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH n AS (
         |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
@@ -1807,6 +1904,35 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
         |  FROM h)
         |SELECT doc_id, source FROM r WHERE rk <= 50
+        |ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted reservoir: same portable-hash u, same ln(u)/w key,
+    // same (key DESC, id) top-100. The denominator literal rounds to
+    // exactly 2⁶⁰ in IEEE on both sides; the rank-100 key gap is ~1e-3,
+    // twelve orders above cross-engine ln() jitter.
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    (CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) + 1.0)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars FROM h
+        |  ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same composite document (nav + prose + footer chrome), same
+    // line-survival arithmetic via list_filter.
+    "q_boilerplate" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    string_split('>> home | products | login | cart (0) <<' || chr(10) || text || chr(10)
+        |      || '(c) 2024 | all rights reserved.' || chr(10) || 'cookies: accept-all', chr(10)),
+        |    l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
+        |      AND CAST(length(regexp_replace(l, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |          >= 0.6 * CAST(length(l) AS DOUBLE)), chr(10)) AS clean
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // Exact-Jaccard pair graph → recursive-CTE connected components →

@@ -230,6 +230,26 @@ object TextFunctions {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\d{9,}", "<NUMBER>")
 
+  /** Line-level boilerplate strip (the CCNet/Dolma header-footer pass):
+    * drop lines that read as navigation chrome rather than prose — a
+    * line survives iff it has ≥ `minWords` whitespace words AND its
+    * alphabetic-character ratio is ≥ `minAlphaRatio` (menus, copyright
+    * footers and cookie banners are short and symbol/digit-heavy).
+    * Surviving lines rejoin with their original newlines; a fully
+    * boilerplate document becomes the empty string (callers filter).
+    *
+    * Pure codegen'd Column expression (split → filter → array_join —
+    * no UDF), restricted to arithmetic both engines evaluate
+    * identically, so the DuckDB oracle replays it exactly. */
+  def stripBoilerplate(c: Column, minWords: Int = 4,
+      minAlphaRatio: Double = 0.6): Column =
+    array_join(
+      filter(split(c, "\n"), l =>
+        (size(filter(split(l, " "), w => w =!= "")) >= minWords) &&
+          (length(regexp_replace(l, "[^a-zA-Z]", "")).cast("double") >=
+            lit(minAlphaRatio) * length(l).cast("double"))),
+      "\n")
+
   /** Corpus-level n-gram frequency: occurrence counts of every word
     * n-gram across the corpus (docs shorter than n tokens contribute
     * nothing). The boilerplate census behind quality rules like "drop

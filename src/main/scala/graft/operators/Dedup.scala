@@ -371,6 +371,73 @@ object Dedup {
     lshVerifiedPairs(sh, idCol, bands, rowsPerBand, jaccardThreshold)
   }
 
+  /** Fuzzy near-dup pairs under an EDIT budget: Levenshtein distance
+    * over normalized text, candidates from the word-n-gram LSH skeleton
+    * — the exact-verify step pipelines run when "near-duplicate" is
+    * contractually an edit count (OCR noise, template fills, small
+    * insertions) rather than a shingle overlap.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] up to candidates
+    * (narrow banded rows — never all-pairs); the verify is Spark's
+    * codegen'd `levenshtein`, O(len²) per pair but only over LSH
+    * candidates, with the |len(a)−len(b)| ≤ maxEdits lower bound pruning
+    * the kernel for free (a length gap of g forces ≥ g edits).
+    *
+    * Completeness (why LSH candidates lose no true pair): a pair within
+    * d edits on L-char texts differs in at most d word 3-grams per edit
+    * neighborhood, so its Jaccard is ≥ ~1 − 6d/W (W = distinct grams ≈
+    * word count); at the gate's W ≈ 50, d = 20 the bound is far above
+    * the 32×4 banding S-curve (0.42), giving candidate recall
+    * ~1 − 1e-9 — the oracle compares against exact all-pairs ground
+    * truth and the row sets match. */
+  def fuzzyNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxEdits: Int, n: Int = 3, bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(maxEdits >= 0, "maxEdits must be non-negative")
+    val input = graft.core.CacheScope.retainInput(df)
+    val norm = input
+      .select(col(idCol), normalizeText(col(textCol)).as("__nt"))
+      .pipe(graft.core.CacheScope.retain)
+    // threshold 0 keeps every banded candidate — the edit verify below
+    // is the only filter that decides membership
+    val cand = ngramJaccardPairs(input, textCol, idCol, n, bands,
+      rowsPerBand, jaccardThreshold = 0.0)
+      .select("id_a", "id_b")
+    cand
+      .join(norm.select(col(idCol).as("id_a"), col("__nt").as("nt_a")), Seq("id_a"))
+      .join(norm.select(col(idCol).as("id_b"), col("__nt").as("nt_b")), Seq("id_b"))
+      .where(abs(length(col("nt_a")) - length(col("nt_b"))) <= maxEdits)
+      .withColumn("dist", levenshtein(col("nt_a"), col("nt_b")))
+      .where(col("dist") <= maxEdits)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Exact unit-level dedup (the Dolma / Lee et al. 2022 paragraph-dedup
+    * pass): given an exploded (doc, pos, unit) frame — units are lines
+    * or paragraphs in production; any splitter composes, e.g.
+    * [[Packing.chunkWindows]] — keep the FIRST occurrence of each
+    * distinct unit corpus-wide (first = minimum (doc, pos)) and drop
+    * every repeat, then reassemble each doc's surviving units in
+    * original order. Docs whose every unit was dropped disappear from
+    * the output (their content exists verbatim elsewhere).
+    *
+    * Scale shape: one shuffle partitioned by unit fingerprint (the
+    * first-occurrence window), one shuffle by doc for reassembly; unit
+    * text crosses the wire once each way and the window state per
+    * fingerprint is one (doc, pos) struct. */
+  def unitExactDedup(units: DataFrame, docCol: String, posCol: String,
+      unitCol: String, delim: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(xxhash64(col(unitCol)))
+    units
+      .withColumn("__first", min(struct(col(docCol), col(posCol))).over(w))
+      .where(col("__first") === struct(col(docCol), col(posCol)))
+      .groupBy(col(docCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(posCol), col(unitCol)))),
+          s => s.getField(unitCol)), delim).as("text"))
+  }
+
   /** Connected components of an undirected pair graph (columns
     * `aCol`/`bCol` hold node ids), labeled by the minimum member id.
     *

@@ -184,6 +184,33 @@ object Sampling {
     }
   }
 
+  /** Deterministic weighted sample without replacement of exactly
+    * min(k, n) rows (Efraimidis–Spirakis A-ES): each row draws
+    * u = (portableHash(id:seed) + 1) / (2⁶⁰ + 1) ∈ (0, 1] and ranks by
+    * key = u^(1/w) — equivalently ln(u)/w, computed in log space for
+    * stability — taking the k largest. Inclusion probability rises with
+    * weight exactly as weighted sampling without replacement demands,
+    * and membership is a pure function of (id, seed, weight):
+    * reproducible across runs and engines (the md5-based hash is the
+    * [[hashSplit]] portability story).
+    *
+    * Scale shape: one map-side key computation + one TakeOrdered(k) —
+    * no full sort, no shuffle of the data, driver memory k rows of
+    * (key, id). Ties in key are measure-zero (continuous keys); the id
+    * tiebreak pins determinism anyway. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (graft.functions.TextFunctions.portableHash(
+      concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+      .cast("double") + 1.0) / (math.pow(2.0, 60.0) + 1.0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** The integer cut points backing [[hashSplit]] — exposed so an
     * external verifier can embed the EXACT same literals. */
   def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
