@@ -1153,12 +1153,25 @@ object SparkEntry {
         .select("l_partkey", "cluster")
         .orderBy("l_partkey")),
 
+    // ---- M2 ward linkage, PARTIAL oracle (embedded merge edges): a flat
+    //      k-cut of ANY dendrogram equals the connected components of the
+    //      graph whose edges are the n−k kept merges, each expressed as a
+    //      pair of member keys (one representative per merged side).
+    //      OracleFitProbe prints those 197 edges from the fitted linkage
+    //      matrix and verifies the CC replay reproduces the op's labels;
+    //      the oracle re-runs the replay in DuckDB (recursive-CTE CC, the
+    //      q_dbscan machinery). This checks the cut/labeling semantics
+    //      and join-back — the Ward NN-chain objective itself is pinned
+    //      by ClusteringSpec (scipy golden). Labels canonicalize to the
+    //      min member key on both sides. Refresh the embedded edges after
+    //      any fixture change. ----
     "q_agglo" -> ((s, dir) =>
       // deterministic subset: a bare limit over an unordered aggregation
       // could pick different rows per run
       AggloOp(nClusters = 3, sort = false, protect = Seq("l_partkey"))(
         countMatrix(s, dir).orderBy("l_partkey").limit(200))
-        .select(col("l_partkey"), col("Agglo").as("cluster"))
+        .withColumn("cluster", min(col("l_partkey")).over(Window.partitionBy(col("Agglo"))))
+        .select("l_partkey", "cluster")
         .orderBy("l_partkey")),
 
     // ---- M2 single-linkage agglomeration, oracle-checked: a flat k-cut
@@ -1560,6 +1573,54 @@ object SparkEntry {
         |FROM a
         |ORDER BY l_partkey""".stripMargin
     },
+
+    // Ward flat k=3 cut == connected components over the 197 kept-merge
+    // edges (member-key pairs emitted by OracleFitProbe from the fitted
+    // linkage matrix and replay-verified there against the op's labels).
+    // Verifies cut/labeling/join-back; the Ward NN-chain objective is
+    // pinned by ClusteringSpec. Refresh after any fixture change.
+    "q_agglo" ->
+      s"""WITH cm AS ($CountMatrixSql),
+        |sub AS (SELECT l_partkey FROM cm ORDER BY l_partkey LIMIT 200),
+        |ev(pa, pb) AS (VALUES
+        |    (81,160),(58,168),(9,144),(17,63),(95,141),(36,164),(126,185),
+        |    (147,156),(56,165),(100,131),(60,169),(118,166),(1,84),(108,130),
+        |    (14,39),(48,189),(59,187),(7,124),(10,180),(88,104),(31,127),
+        |    (57,158),(68,159),(41,91),(133,155),(77,80),(179,192),(37,113),
+        |    (72,135),(21,51),(71,191),(25,111),(29,89),(30,40),(33,175),
+        |    (38,199),(103,129),(92,119),(54,102),(150,153),(90,198),(87,181),
+        |    (109,171),(176,58),(8,81),(172,147),(193,36),(85,108),(137,48),
+        |    (46,57),(154,41),(178,72),(195,7),(140,77),(182,8),(2,82),
+        |    (120,148),(4,28),(86,93),(66,115),(11,35),(94,167),(16,18),
+        |    (145,183),(27,121),(32,122),(34,98),(44,143),(53,146),(67,139),
+        |    (70,194),(14,54),(56,1),(100,147),(43,126),(116,72),(5,97),
+        |    (188,59),(13,88),(184,10),(133,179),(45,105),(26,142),(23,61),
+        |    (177,29),(55,107),(75,190),(79,152),(78,92),(110,134),(151,30),
+        |    (132,174),(163,37),(50,16),(76,66),(157,95),(106,161),(75,132),
+        |    (48,53),(123,77),(52,133),(6,86),(3,85),(101,149),(120,94),
+        |    (19,20),(42,170),(62,99),(9,70),(21,32),(112,14),(73,90),
+        |    (0,22),(65,197),(103,87),(114,26),(47,5),(74,79),(25,58),
+        |    (36,106),(117,118),(67,1),(38,150),(68,16),(138,4),(136,60),
+        |    (17,94),(71,23),(96,59),(109,27),(46,37),(34,66),(41,44),
+        |    (24,19),(33,8),(10,45),(110,60),(2,78),(186,0),(69,128),
+        |    (31,17),(101,73),(49,125),(100,59),(173,4),(9,117),(14,37),
+        |    (15,196),(77,52),(38,27),(12,13),(7,62),(145,16),(64,95),
+        |    (83,74),(11,5),(21,41),(25,34),(162,65),(75,1),(43,30),(26,15),
+        |    (23,7),(42,49),(72,21),(48,6),(3,14),(36,73),(87,1),(55,69),
+        |    (10,4),(29,5),(17,12),(8,16),(60,65),(2,25),(74,3),(9,30),
+        |    (0,15),(59,1),(52,2),(19,64),(27,1),(42,6),(7,9),(8,0),
+        |    (36,12),(5,2),(21,60),(4,0),(55,7),(1,6),(3,12),(21,7),
+        |    (19,2),(1,2),(0,3)),
+        |e AS (SELECT pa, pb FROM ev UNION ALL SELECT pb, pa FROM ev),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT l_partkey, l_partkey FROM sub
+        |    UNION
+        |    SELECT e.pb, r.rep FROM r JOIN e ON e.pa = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node)
+        |SELECT node AS l_partkey, rep AS cluster
+        |FROM comp
+        |ORDER BY l_partkey""".stripMargin,
 
     // Single-linkage flat k-cut == connected components of the ε-graph
     // when the cut boundary is strict: on the gate subset kept merges

@@ -84,6 +84,51 @@ object OracleFitProbe {
     println("AGGLO top d2 (k for cut AFTER this merge): " +
       (1 to 30).map(j => s"k=${j}:${d2(n - 1 - j)}").mkString(" "))
 
+    // ---- ward-linkage 200-row subset: a flat k-cut equals the connected
+    //      components of the graph whose edges are the n−k KEPT merges,
+    //      each expressed as a pair of member keys (one representative
+    //      per merged side). q_agglo embeds those edges; the Ward
+    //      objective itself stays pinned by ClusteringSpec. The replay
+    //      below must reproduce the op's labels or the mapping
+    //      (row index == ascending l_partkey rank) is wrong. ----
+    locally {
+      val aw = graft.operators.AggloOp(nClusters = 3, sort = false,
+        linkage = "ward", protect = Seq("l_partkey"))
+      val out = aw(sub).select("l_partkey", "Agglo").collect()
+        .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+          r.get(1).asInstanceOf[Number].intValue()))
+      val n2 = out.length
+      val keys = out.map(_._1).sorted
+      val link = aw.lastLinkage.get
+      // rep(c) = one member row index of cluster c (sorted-id numbering;
+      // children always precede parents after the monotonicity clamp)
+      val rep = new Array[Int](2 * n2 - 1)
+      var ri = 0
+      while (ri < n2) { rep(ri) = ri; ri += 1 }
+      val cutW = n2 - 3
+      val edges = (0 until cutW).map { k =>
+        val a = link(k)(0).toInt; val b = link(k)(1).toInt
+        val ra = rep(a); val rb = rep(b)
+        rep(n2 + k) = math.min(ra, rb)
+        (ra, rb)
+      }
+      val uf = Array.tabulate(n2)(identity)
+      def findW(v: Int): Int = { var r = v; while (uf(r) != r) r = uf(r); r }
+      edges.foreach { case (a, b) => uf(findW(a)) = findW(b) }
+      val canon = scala.collection.mutable.Map.empty[Int, Long]
+      for (i <- 0 until n2) {
+        val r = findW(i)
+        canon(r) = math.min(canon.getOrElse(r, Long.MaxValue), keys(i))
+      }
+      val replay = (0 until n2).map(i => keys(i) -> canon(findW(i))).toMap
+      val byLabel = out.groupBy(_._2).map { case (l, g) => l -> g.map(_._1).min }
+      val opMap = out.map { case (k, lab) => k -> byLabel(lab) }.toMap
+      println(s"AGGLO_WARD replay==op: ${replay == opMap} " +
+        s"clusters=${byLabel.values.toSeq.sorted.mkString(",")}")
+      println("AGGLO_WARD edges=" + edges.map { case (a, b) =>
+        s"(${keys(a)},${keys(b)})" }.mkString(","))
+    }
+
     // ---- SemDeDup: converged centroids on the pinned embeddings layout
     //      (q_semdedup embeds them), plus the two margins that make the
     //      embedded-constants oracle robust: the assignment margin
