@@ -1015,21 +1015,20 @@ object SparkEntry {
     // ---- SemDeDup semantic pruning: k-means clusters bound the
     //      quadratic within-cluster cosine scan (Σc² not n²). PARTIAL
     //      oracle like q_kmeans: embedded converged centroids
-    //      (OracleFitProbe prints them at the sf0.01 gate; input layout
-    //      pinned for fit determinism), assignment + pairwise prune rule
-    //      verified in DuckDB; the Lloyd fit itself is pinned by
-    //      SimilaritySpec. Probe-checked margins: nearest-vs-second
-    //      centroid distance and cosine-vs-tau gaps are orders of
-    //      magnitude above cross-engine ulp noise. ----
+    //      (OracleFitProbe prints them at the sf0.01 gate; the fit is
+    //      layout-invariant — hash-sampled driver Lloyd), assignment +
+    //      pairwise prune rule verified in DuckDB; the Lloyd fit itself
+    //      is pinned by SimilaritySpec. Probe-checked margins:
+    //      nearest-vs-second centroid distance and cosine-vs-tau gaps
+    //      are orders of magnitude above cross-engine ulp noise. ----
     //      Probe-measured at the sf0.01 gate: assign margin (min
-    //      d2nd−d1st) 1.6e-3, min |cos−tau| 3.6e-4, 102 pruned of 500 —
-    //      both gaps are ~12 orders of magnitude above the ~1e-15 ulp
-    //      disagreement the differing distance/cosine formulas can
-    //      produce, so neither the argmin nor the threshold can flip. ----
+    //      d2nd−d1st) 1.1e-4, min |cos−tau| 3.6e-4 — both gaps are ~11
+    //      orders of magnitude above the ~1e-15 ulp disagreement the
+    //      differing distance/cosine formulas can produce, so neither
+    //      the argmin nor the threshold can flip. ----
     "q_semdedup" -> ((s, dir) =>
       graft.operators.SemDedup.prune(
-        embeddings(s, dir).repartition(8, col("vec_id"))
-          .sortWithinPartitions("vec_id"),
+        embeddings(s, dir),
         "embedding", "vec_id", nClusters = 8, tau = 0.35)
         .orderBy("vec_id")),
 
@@ -1891,7 +1890,7 @@ object SparkEntry {
     "q_ann_recall" -> {
       val hits = Seq(
         ("hnsw", Seq(10, 10, 10, 10, 10, 10, 10, 10)),
-        ("ivf", Seq(7, 9, 7, 6, 6, 7, 7, 3)),
+        ("ivf", Seq(6, 7, 9, 5, 8, 8, 9, 10)),
         ("lsh", Seq(4, 6, 7, 6, 5, 8, 4, 7)))
       val rows = for ((m, hs) <- hits; (h, q) <- hs.zipWithIndex)
         yield s"('$m', $q, $h)"
@@ -2106,14 +2105,14 @@ object SparkEntry {
     "q_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT vec_id, v,
-        |    list_distance(v, [0.053614957121651256, -0.042535041794791575, 0.013581305619168905, -0.053702010502122710, 0.015193790724104057, 0.021739524231887745, 0.014046297421999521, 0.033281363535397610, 0.0016871556090038331, 0.033049587011012850, 0.047676433983724564, 0.0011035827614489149, 0.042827458613262070, 0.058257781637099680, -0.0053391490803390260, 0.025520159833354600, -0.0089493639648846180, 0.027808795065703024, -0.010950936056047557, 0.040890915082676005, -0.024362524490437060, -0.0062247690759965630, 0.0022177847148087183, -0.022516236213020614, -0.030737534391533462, 0.036662503580761250, 0.042894838041946540, 0.10136905731824151, -0.032080794459392060, 0.031291300943312160, 0.0031396278512251918, -0.0071096518458645860, 0.041264725499786440, 0.033386543179388910, 0.031668765777645665, 0.0043167174320484770, -0.037096663721699695, -0.063599381561497930, 0.020784696848437070, -0.031435208922034020, -0.028366522978014147, -0.077772969536513830, -0.0076733162458680690, -0.0065972980112851250, 0.058646729582401570, -0.024826604651562015, -0.024314949605766623, 0.020657954863501624, -0.0067151527752580710, 0.017911746358445495, -0.040915788815463660, -0.037417359879148790, -0.020774689236785607, 0.011713201991190799, 0.023433040186274248, 0.023299004848222022, -0.018662456267505702, -0.051725018278077310, -0.026927031819960562, -0.042036595661765666, 0.020267804840304812, 0.072197653293456000, -0.028344805337122230, -0.038330850627494700]) AS d0,
-        |    list_distance(v, [0.043103469055025810, 0.0082266308712742980, -0.043991116814375404, 0.016137552943321004, 0.045676328369506420, -0.0015400739221443091, -0.040308809016771134, -0.010523968719832239, -0.030237868758699587, -0.082723327084339310, 0.0016488328711279938, -0.063699445979211540, -0.018421986282074584, 0.053135135938646270, 0.023750608816983237, 0.055698635420882170, 0.043705073014397410, 0.058436481041773670, -0.026782127532867656, -0.023800259339623153, 0.0093548102501494400, 0.047478680821856660, 0.081548673412462150, -0.022999465172629680, -0.034932370579964860, -0.057141104262442360, -0.015179702248837378, -0.012167278025205426, -0.00053484122937304840, -0.055713583009257430, 0.013226456624726133, -0.037194152663071310, -0.0081105952605514990, -0.0047185888453837360, 0.031894827997612375, 0.017689110504673613, 0.013613453375235680, 0.027441055798150163, 0.028013675273424240, 0.034490515624413326, 0.010376020971659360, 0.0047068957276003910, -0.053074652407949250, -0.057206377274386820, 0.0077260406391829860, 0.0042688136567331610, -0.031765931210811100, 0.055856799385735706, 0.044700047662181240, -0.019305592755817117, -0.010818259301407623, -0.072250325362303200, 0.013293899633290786, -0.022285797280698804, 0.024328263562863633, -0.029245923320207024, -0.012560852424001260, -0.021787591995821604, 0.031675730964061880, 0.018985443793597720, -0.040721573791797125, -0.019023271996693146, 0.040822734286437830, -0.00067098378091149270]) AS d1,
-        |    list_distance(v, [-0.00065622691375513870, -0.020779575586008528, 0.046057892388004500, 0.0077078165098403890, -0.015924644380963096, -0.059862324360680450, 0.0096482683050756660, 0.084754368856859700, -0.020538886954212406, 0.070219992762819550, 0.0088423754864682750, 0.0069476403916875520, 0.037697015881227950, 0.024197022760442150, -0.0058088787676145630, -0.0034748454112559558, -0.00022054058790672570, -0.025766554827957103, -0.037817800998648940, 0.027940128704843420, -0.019059799619329472, -0.071724611516886700, -0.0034427805764911073, -0.030372157211725910, 0.018037696323396326, -0.0012083913286915049, -0.075519994739443070, 0.036995094219067444, -0.0057423852946764480, 0.032993263889026514, 0.038634423251884680, -0.0076180080029492580, 0.038494566921144724, 0.054691536088163656, 0.0084545562509447340, 0.00042687410411114494, 0.043312971418102580, -0.0090158826050659010, -0.055978286510192750, 0.028156336994531253, -0.012980594672262669, 0.019073701386029523, -0.022398029951667314, 0.041203993927532184, -0.041058915737085050, -0.018468735712425160, -0.036306364529688530, 0.014763880152410517, -0.021084222583643470, -0.014160112745594233, 0.057063461609262350, 0.076882728652951000, 0.019168021553196014, 0.016151934035588057, 0.039966989075765014, -0.011927073932990120, 0.0042071216157637540, -0.038930270444446550, 0.0066197246056011250, 0.024620706856997760, 0.0072210221473748480, -0.068219043907204960, 0.018024239238972464, -0.048664683871902520]) AS d2,
-        |    list_distance(v, [-0.0051012833395765880, 0.0079696550161489060, 0.015287183851580179, -0.049304117648197070, 0.040550065897626886, 0.032768118422522786, 0.0015456602219880247, 0.044400861752884730, 0.043586125922581500, -0.056378139423147317, 0.047414649987504595, -0.022184331150215474, -0.013923274292629063, -0.035450267515169260, -0.0068235441539732230, 0.040724826902742420, 0.021623010825784320, -0.027088940440167096, -0.036047080982594740, -0.0087378913664170310, -0.012842982438289456, 0.0031020820236927460, 0.010663707239834206, -0.011511162039823830, -0.014557929802870762, 0.072504489693701980, -0.020924257768672846, 0.0099966670155510420, 0.035533658705563060, 0.035680903889153834, 0.028302346670349674, -0.054605717768849680, -0.0092998114044940650, -0.043135890229013820, 0.016599276870866084, -0.034415346097260240, -0.032250109886277520, 0.0046834896895147500, 0.046194623175930850, 0.017246551639843910, 0.028008574968904240, -0.0086414146806216900, 0.042583844321410330, -0.0021111755844368230, -0.056793048478929055, 0.027163101511726538, 0.0022083061690893143, -0.047641992637340626, 0.024737192495238213, 0.059546705752995510, 0.044822839813099966, 0.0012047976515965446, 0.018714359347959830, -0.032568583830392790, 0.010686485318555717, -0.026029515368420453, 0.0021028779003591765, -0.021662470326566742, -0.039146747384663845, -0.0065806384035755710, 0.023549476911919928, 0.00062688206422275730, 0.044333638741620000, -0.032929307522459164]) AS d3,
-        |    list_distance(v, [-0.035425093283669815, -0.014367667137689532, 0.011228806810409185, 0.023941444495456320, 0.031159374297463467, 0.012523906748919260, -1.2780210771967494e-05, -0.026513950575867460, -0.00051499211916788700, 0.035539251574802960, 0.0092254453431075760, 0.030081848199996680, 0.036689473256941820, -0.062335081328268320, 0.029042047008665070, -0.046753408631221170, 0.048520540929443780, -0.017664904440087930, 0.020711828442659997, 0.0066275682655118760, 0.010641456759046940, -0.015056870370504578, -0.043016171748084676, -0.0065509025487930530, 0.035310138748692610, 0.068358973226702160, 0.0098182089864239400, -0.039518023323681616, -0.023837273053470110, -0.042469949210210450, -0.041781873316577976, -0.0019094864662278384, 0.091526078311578620, -0.023111528474911453, -0.028240025950787912, -0.024374900940096093, -0.0012784602179650275, -0.027644737168509254, -0.015856362629814870, -0.024085425638726777, 0.066931363703343000, -0.027776154988844480, -0.059389001856158884, -0.071996541150535140, -0.0013450487768129696, -0.0054098035667150740, -0.018242720559808526, -0.0049150588678284765, 0.0023866561019704456, -0.066400736112088440, -0.020093318243097100, -0.011016756493648115, 0.032090705784318580, -0.017988392913211432, -0.020999730291170260, -0.0090723890692941730, 0.026311638273274717, 0.051628959967592170, 0.060137028960208030, -0.040871299393955500, 0.030155318347833740, 0.048922129034522976, -0.064835390835512610, -0.020837840247189713]) AS d4,
-        |    list_distance(v, [0.011403090427400637, 0.031581253370606020, 0.011399790436624870, -0.0010777360310713134, -0.040583410956820505, -0.0058097399167189770, -0.0032696545555363180, -0.042363496041154400, -0.0019820960074926530, 0.0043652131161118140, -0.052064837632151170, -0.029272865381885747, -0.054570101468716980, -0.018721241984882807, -0.012012967797851222, -0.026176170755147204, 0.017394745138428010, 0.0044127278808565410, 0.024713664704964300, 0.033665542460245190, -0.010066897043439209, 0.0083366606353980600, -0.0031577101526934590, 0.0093811430975978010, 0.030632461807652393, -0.072235075427700200, 0.037636329151296870, 0.012067411747593128, -0.0019581802189350130, 0.017684808798653424, -0.0064056808678585980, 0.045528107404815735, -0.030875360406171837, -0.053711397172577810, -0.0022026539520650615, -0.014833737168552690, 0.066353168964508130, -0.058407752265100234, -0.033381218647920210, 0.0055976210505087080, 0.026567851091147263, 0.043202978278296530, 0.043393084298452886, -0.00081102174447208160, -0.043674895860499045, 0.035993519749637450, 0.042722706321329185, -0.022296371533856040, -0.053548787532519310, 0.0051175583321906500, -0.0010003256153498516, 0.014042086265675846, 0.041379733450069540, -0.0070882236249134190, 0.041144680170739290, 0.022683337147607178, 0.014697586793116614, 0.064011929793374960, -0.091701870146741890, 0.0024275516625493765, -0.027533640367452240, 0.050607601938087910, 0.013535942668553260, 0.010116337107677686]) AS d5,
-        |    list_distance(v, [0.014048753655515611, -0.038154090401130140, -0.0010768046076581985, 0.035257653829089740, 0.021914863976201526, -0.0069296106941894520, -0.084130540520332200, -0.034782397422801564, 0.0044212457465214860, -0.066274165072374870, 0.030090294554139727, -0.013289471805802788, -0.045977585224641690, -0.017018997401464730, -0.032410476347582450, -0.034738869207945690, -0.091924429612441200, 0.013221795939090144, 0.0046913176645628280, -0.0039722810092994390, 0.018677934155911550, -0.015363019500876327, -0.025337859311279045, 0.046909727889147620, -0.027386723834314140, 0.038536828231169946, -0.017032440475843570, -0.0039907473622372855, 0.023857893230376282, 0.030060971235528724, -0.032627724490507880, -0.038157364577744844, -0.013601854633263967, 0.032563856605621465, 0.027424859305567760, -0.0072666578839912460, -0.049047665135865960, 0.046269293676164970, -0.0081111242287550800, 0.014078432226260365, -0.051052428475857050, 0.0056349250306892720, 0.070736855428549460, 0.029772842805498467, 0.021291981504031422, 0.0073792149692221920, 0.048174168362661640, -0.0083132849109393580, -0.032788471484781000, -0.0041689132900770610, 0.022262736424131110, -0.018600237021153723, -0.0090545113609416000, 0.0097755891253688810, -0.038018006124292260, -0.0056355081809063750, 0.0014223528430900640, -0.0034209894257839080, -0.010592245147563517, -0.026010975966023073, 0.020239405727436488, -0.056083361710921896, -0.022473121579322550, 0.046990547635316570]) AS d6,
-        |    list_distance(v, [-0.048977084344522530, 0.020978986639468195, -0.015883604362898040, -0.010843396860812055, -0.013911131784736520, 0.054244408809800485, -0.044820069133588970, 0.019490600168386375, -0.013695499508972524, 0.042316568303105760, -0.030792637133823804, 0.094051681072941350, -0.0090037259215023370, 0.012481447040428112, 0.0023367241680573080, 0.026394950035625550, -0.013153481193033880, 0.012842034884287338, 0.047002435430553490, -0.049808213998882196, -0.0016539130608036526, 0.052168682199216590, 0.0091903520706661140, -0.018065412427715370, 0.0041561291704726360, 0.016235043107850573, 0.018168952705118018, -0.013111181759373529, -0.0019441590518813187, -0.033069687990447210, 0.032560415397471700, 0.041371117486433880, -0.035772012176063360, -0.035153610020643100, -0.032262458782306090, 0.055315469715615590, -0.041240146729825550, 0.058331067182160420, 0.0057049553813014520, -0.041468112821396630, -0.050674334048955260, -0.042822586784926606, -0.0019566022858366760, 0.056657071314954295, -0.028633017359473007, 0.0040743059301013620, 0.014930648796603475, 0.032317760128583020, 0.0046933575804838540, -0.050440936157859760, 0.022792578530865474, 0.028605503369027770, -0.027078485640231520, 0.010906655127906848, -0.036684402054800700, 0.0059347437559872080, 0.016950190042782770, -1.5684775318827870e-05, 0.022402898295886667, -0.0026936044328306850, -0.027397640043330427, 0.0025061988807896050, -0.010309152748193714, -0.014482936521648967]) AS d7
+        |    list_distance(v, [0.014308023336956180, -0.061422300417784990, 0.032981451868468674, -0.019409301666248786, 0.065422460720200390, 0.027351764012373200, -0.097571104195115980, 0.039658036614510866, 0.0018072205926536729, 0.046791957533155494, -0.025169135291913624, -0.0010626544305858644, 0.046737152196185070, -0.0072685610091292275, 0.011818184321639006, 0.046400537990082646, -0.028576575424794054, -0.0082593645408786330, -0.0025308596147959562, -0.013140917372718258, 0.041771613649631800, -0.014040018009070895, 0.033779306113597400, -0.032955808031960930, -0.045343838325750674, 0.058803186742711420, -0.013036307432661200, 0.011915883288326623, -0.016718367191252150, -0.010906226611328557, 0.0061534655458097790, -0.049505474074210630, -0.0074756705198524290, 0.051534761444169190, 0.068332783240628870, -0.024181094994817517, -0.021441252056607290, 0.016007276242721434, 0.041987111082275270, -0.0016198323941544483, -0.030772523119881760, -0.034838928718512000, -0.0064536860690599210, -0.0078518260285674930, 0.0016698374437462342, -0.034376105014847495, -0.032187423563491870, -0.040249362131458170, -0.0042739826726335050, 0.018220651475099946, 0.0094441246167805640, -0.0038652256018969254, -0.043105936662916640, 0.065283669541761470, 0.021683019618074850, -0.027338500918918533, 0.011060706152133398, -0.0018634386544458960, 0.038666513291996364, 0.012683993019508259, 0.0020388501648803390, 0.0082005605585628040, -0.016905062078302235, -0.058153620130676580]) AS d0,
+        |    list_distance(v, [0.057219051215927010, -0.015968898924863122, 0.036415713910375620, -0.010551010216456942, 0.032472778357461920, -0.011870846341480501, -0.043023169865288460, -0.012748777555922667, -0.010076586942886934, -0.061120086171690166, 0.032672131731588810, -0.041224614673410540, -0.053081705709094730, -0.073606943250827800, -0.044233607383729470, 0.045709881802192990, -0.027479326952339360, -0.0053479325045676280, 0.027295514794887923, 0.021868554720034200, 0.0033863766414773030, -0.0089367703282429520, -0.033815884333711840, 0.022533529693545360, -0.013570432322416713, -0.024238409628904063, -0.0055410715932440420, 0.021396351584472640, 0.072568791958878540, 0.049566593703881760, -0.022664223606827565, 0.062551705284780230, -0.024328001639029633, 0.017998379760279530, 0.012425004427010814, -0.0095070816241786820, -0.0066505672714103840, -0.00053744056074517880, -0.035256330793749330, -0.013799871775619168, 0.033541648810367204, -0.060739692160293800, 0.033711874625118474, -0.00091516142593819600, -0.037049018238298634, 0.045001745724423220, -0.0075463190700651870, 0.0084810011936092950, 0.0066322316488367505, 0.024424484701335640, 0.026086400929165796, -0.016493468116095755, 0.00096491355604181680, -0.039181612299418904, -0.0016013225637531530, 0.0043077485881642340, 0.025765644415514544, 0.029166759046751797, -0.047588216590358770, 0.0035111258095841752, 0.017187810069622680, -0.037161077317755880, -0.026572463225521560, 0.042526293468351160]) AS d1,
+        |    list_distance(v, [-0.018483656896645890, 0.042295619140771270, 0.021245714986754025, -0.044205205760111936, -0.024827188730501290, 0.014019497572199294, 0.024979380042631213, 0.0013939361333062774, 0.048302401249090680, -0.016513969111991555, -0.033897929515469036, -0.024198278437548300, -0.028907628329634144, 0.010932772635817201, -0.026251392034617693, -0.069889115365712270, 0.059535835387610030, 0.029589355155302770, 0.021152013747364674, -0.010944328115632137, 0.0013330821438055289, 0.025590638540227684, 0.051864618139357810, -0.071541577516319720, 0.023576409801056510, 0.054929119616485480, 0.049848972141677350, -0.0046243360061852030, -0.021998083096389707, 0.022790627566313270, -0.038392019417267620, 0.069229506454512220, -0.0096112434229437720, -0.025574100906388800, -0.035167721690397640, 0.021041197130423888, 0.047911309939400670, -0.015253316533441344, 0.0055909177713226850, -0.0079231447532054100, -0.0081380075517747740, 0.058839817586040385, -0.061278131524950530, 0.0072271791205071570, -0.0063500814201114210, 0.00032600651805599530, 0.062751130045702060, -0.017883280207394835, -0.054659401854957664, -0.045567256423007500, -0.037857597497733014, 0.029941494509234633, 0.028525486465935643, 0.015085279075592234, 0.034092513096861930, -0.042288584722483760, -0.014480621580763622, 0.024825485835766846, -0.063823213000177290, -0.011086686179368642, -0.024981117374345400, 0.023104197797038706, 0.017240547485192093, -0.020802761366786927]) AS d2,
+        |    list_distance(v, [-0.0018656305799430067, 0.018754142378880220, 0.011512455835261129, -0.026004495268518276, -0.0033839810385622760, 0.017391201294958590, 0.024698180817755534, 0.016427943442778830, -0.015155600358478048, 0.022745012868703767, 0.013503088160756637, 0.055319096605208784, 0.0065449237146160820, 0.036838163951919835, 0.011672695226628673, -0.018938157686286350, -0.029046363493596964, 0.070112217406064950, -0.023300090688280760, 0.036147905403578824, -0.0091442432762546980, -0.0072597205215557060, -0.0055441055309281430, 0.0010735353793610227, -0.021340312007602980, 0.023908017842437734, -0.020672120424834163, 0.0080065159211781900, -0.044152990250255576, 0.054538434168154540, -0.055782560665499080, -0.026825125481594693, 0.070502122203734800, -0.049359881289472635, -0.067262966727668590, -0.034293105690316720, -0.017388950102031230, 0.075360604971005650, 0.026549172217809510, 0.044137339791367680, -0.00039897735696285960, -0.058611871695823290, -0.044295708267864860, -0.015445222633636811, -0.010911935508589854, 0.013228794335472313, 0.00071934961967847560, -0.011916875255040147, 0.063562043066221210, -0.080030804587824440, 0.064410850782455370, -0.021094012372619050, 0.020896662568504160, -0.040109149364500560, -0.012989312241023237, -0.026358494789085606, 0.011665245753035626, 0.0098608409149826250, 0.060440287335553546, 0.0039792229463769630, 0.038018042771992360, 0.027311805862171405, -0.0090828598053617920, -0.030965027644891630]) AS d3,
+        |    list_distance(v, [-0.0029530703528400730, -0.022555495103862247, -0.039460808497524875, 0.027648048556062243, -0.0068448219955077070, -0.0075125145992976340, -0.016291842097416520, 0.0092272825456936570, -0.020578048141888920, 0.035829437879489404, 0.044969911269350520, -0.018341998527723585, -0.040452696695437600, 0.040232793582082890, -0.016194748322424644, 0.052070622492893190, 0.032507379768717590, 0.044517690106979850, 0.010961832718321067, -0.031382238184211445, -0.046705620048348516, 0.0064220737480996730, 0.0010523009353646023, 0.033914809348061680, -0.019110298801131326, -0.057813775444896350, -0.012845568185559172, 0.0034216653460616190, -0.0034092687316896286, -0.047039926408187430, 0.054332073582747185, 0.024928142987204516, 0.0063294246030957710, -0.041713944110704365, 0.017078623470083317, 0.052834275846287390, 0.014187787830665270, -0.0070837638537769260, -0.0079448925804600170, 0.022652633737968300, -0.023196164035813555, 0.029319139206028710, -0.044111788591287810, 0.033648422114578460, -0.00088065801537595690, -0.0095839167325346560, 0.036209133672801890, 0.070541307402035110, -0.014055120386140462, -0.019831619295634000, 0.045247971620376440, -0.029837108278811416, 0.061863369664506000, -0.023048567427488650, 0.027063716891194310, -0.018930307496167885, -0.026953612820601420, -0.049787549259182176, 0.030994590078668862, -0.049513642011922510, -0.031735358040725050, -0.011346323020167320, -0.0093784432734965400, -0.0084823825112407040]) AS d4,
+        |    list_distance(v, [0.017305327279286253, -0.0023283200545443430, -0.0055078388528070520, -0.033558099178804290, 0.016426099619517725, 0.021883193889839780, 0.035828045357225670, -0.0029855472889418404, -0.019873411417938767, -0.048054131531777480, 0.028687186751307714, 0.0042522137324946625, 0.041670861772985920, -0.0035089702642936674, 0.050305815020369160, -0.035624487868820630, 0.046178084262646730, 0.017863017387895120, 0.025993998985116680, 0.0053412019482089410, 0.029175458006405582, -0.028147148083533264, -0.026726359191040200, 0.030190461604959435, 0.057009581341925596, 0.057683804031047560, 0.023618469243713965, 0.021682915205342903, 0.0070430622953507640, -0.078804705824909930, 0.017883678528273272, -0.050098499759203860, 0.041749992469946550, 0.040994022791791290, -0.022012339708291823, -0.016737425104818410, -0.071958046240939030, -0.057468405549944790, 0.023314908748984130, 0.0053787419727693000, -0.0072985492439733610, 0.0083037557908230350, 0.049625431125362710, -0.016619693627581000, 0.031908962503075600, -0.0080436977454357680, 0.010257677194507172, -0.020293867549238107, 0.067335536791425610, -0.037207321605334680, -0.083004608838301560, 0.038462249406923850, -0.0013880109181627631, -0.065628779389792020, 0.038077404091341630, 0.026531513143951694, 0.0066560519031352470, 0.0029245710569537346, 0.018416482551644246, -0.088120244640029140, -0.017460100745989218, 0.017623112345528272, -0.013835098064090643, 0.030513116152077500]) AS d5,
+        |    list_distance(v, [0.015421877232109827, 0.026604033820706630, -0.0014821592241435523, 0.027699174021460837, -0.073992003930822740, -0.0010369644934994980, 0.0045881167471018290, 0.027805941378427370, -0.027557703411026348, -0.020009533336926854, -0.024282443735207760, 0.040884992310536966, 0.038487051149845240, -0.014467981321016146, 0.0091750964507340430, 0.015040995907076004, -0.017794318046540983, 0.012083412502937380, 0.011466085863855457, -0.0083086769652342600, -0.028790607905736374, 0.041784734089648530, 0.0016081850983262543, -0.044032714907981210, 0.012331629916462266, -0.022986984323529948, -0.033043887631426900, 0.0037433080405237214, -0.012330081488471478, 0.023805712444535006, 0.067532861364945280, -0.045787179350642665, -0.0040274514467455450, -0.0066251958412448730, 0.010144449049426664, 0.0026632716068096700, -0.035233602412195220, -0.060524351635737520, -0.0090966944234453200, -0.081431868673873050, 0.016253415784317878, -0.040370215440259110, 0.034321766973833640, 0.0031033486744608155, 0.0060571520570515385, 0.052221464282352360, -0.026950605132902462, 0.097008533051966000, -0.072356294953234260, -0.029381443359588665, -0.0019619057101437883, 0.025657484437913575, -0.040816936367792225, 0.0056735494121488540, 0.0035520296754135240, 0.036623653452543000, 0.0081700493371294400, 0.0014719704894589321, -0.022373003668279476, 0.045880470740338485, -0.028751526206002790, 0.014551729340089350, 0.0040500894608539380, -0.063096131768918800]) AS d6,
+        |    list_distance(v, [-0.069272857555188240, 0.0013958189134987500, -0.030531596601940693, 0.026166484207631305, 0.055022116123627014, 0.0076462304828545220, -0.033441697268818430, -0.010576714679168967, 0.022414974383830740, 0.018345594006733825, 0.017302247795921107, 0.024365056932975467, -0.019729614913320310, 0.039214582834392790, 0.020035553025081754, -0.026267563512262244, 0.012864324380643666, -0.095340796946906130, -0.070057871011802200, 0.016684608094734498, -0.019430451317188832, 0.00063794204392112220, 0.0051032885747890055, -0.00093830460861611830, 0.019646000220270184, 0.030693114096692835, 0.011479197019854417, 0.019227049481840088, -0.0026051181261069500, -0.024222244664381904, 0.0082542070832390050, -0.041695778657538960, 0.016895273943933156, -0.045771055288899400, 0.021449205945604122, 0.012199475515920382, 0.032676671932523070, 0.024155910785954730, -0.043995775268054926, 0.028255784601788035, 0.0066996856212007020, 0.017066542431712150, 0.042886298317339075, -0.014061910090430712, -0.061678619177725450, -0.025868601009894448, -0.033518595027271655, -0.043536465723389900, 5.9758124049179830e-05, 0.054892649580366330, 0.022890332951926842, -0.016905317627466640, 0.041580476893935920, 0.021780237859974686, -0.064317320079471050, 0.025565620035362932, 0.013873546921576444, -0.030588934267423330, -0.048770786814678176, -0.010408333469576274, 0.038864262452205780, 0.012487098630495333, 0.048377305584458206, 0.011218101660219523]) AS d7
         |  FROM e),
         |a AS (SELECT vec_id, v,
         |  CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 AND d0 <= d4 AND d0 <= d5 AND d0 <= d6 AND d0 <= d7 THEN 0

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the harness test tables (TESTDATA.md) and shared helpers for
   * oracle-exact arithmetic. */
@@ -17,16 +17,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a (micros) timestamp. */
+  /** events.parquet has shipped with two `ts` physical types across harness
+    * versions: TIMESTAMP(NANOS) (read as nanosecond longs under the legacy
+    * flag) and plain TIMESTAMP(MICROS). Branch on the type actually read so
+    * both layouts load identically. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      // INTEGER division: `/` on longs is double division in Spark, and
-      // 2024-era nanosecond epochs (~1.7e18) exceed double's 2^53 exact
-      // range — the rounding error shifts some timestamps by ±1 µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
+
+  /** ts → session-local TIMESTAMP regardless of the stored type. Works on
+    * batch and streaming frames alike (pure projection). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // INTEGER division: `/` on longs is double division in Spark, and
+        // 2024-era nanosecond epochs (~1.7e18) exceed double's 2^53 exact
+        // range — the rounding error shifts some timestamps by ±1 µs
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
   /** documents/embeddings arrive as one small parquet file → ONE input
     * partition; the text/vector operators do heavy per-row work, so spread
     * the rows across the configured parallelism up front (results are

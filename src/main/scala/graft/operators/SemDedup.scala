@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   * quadratic term, and the cluster-id shuffle partitions evenly as long
   * as the quantizer stays roughly balanced (the same argument as IVF).
   *
-  * The fit is deterministic only per physical layout (k-means init
-  * samples per partition) — gate queries pin the input layout exactly
-  * like q_kmeans does.
+  * The fit is fully deterministic and layout-invariant: fitQuantizer
+  * samples by content hash and runs Lloyd on the driver, so the same
+  * data yields the same centroids at any parallelism.
   */
 object SemDedup {
 

@@ -136,30 +136,80 @@ object Similarity {
     * query fans out to `nprobe` rows and hash-joins its cells — no full
     * corpus scan per query, unlike brute force. Recall rises with
     * `nprobe` (== nlist ⇒ exact). */
-  private val toMlVec = udf((a: Seq[Double]) =>
-    org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
-
   /** Fit the IVF coarse quantizer over a unit-vector column and return
-    * the centroid table (driver-small: nlist × dim doubles). Random init
-    * + capped iterations: the quantizer only needs roughly-balanced cells
-    * (recall is governed by multi-probe, and every candidate is verified
-    * exactly); k-means|| init alone costs several extra distributed
-    * passes. `sampleFrom = Some(n)` bounds the fit to a ≤20k-row sample,
-    * keeping fit cost flat in n. Shared by [[ivfTopK]],
-    * [[embeddingNearDupPairs]] and the NearDupProbe profiler — one place
-    * for the quantizer recipe. */
+    * the centroid table (driver-small: nlist × dim doubles).
+    *
+    * The fit runs Lloyd's algorithm ON THE DRIVER over a bounded sample
+    * (≤20k rows ≈ 10 MB at dim 64) chosen by a deterministic content
+    * hash (distributed TakeOrdered on xxhash64 — a top-k, not a full
+    * sort). Two reasons this beats a distributed ML KMeans here:
+    *  - determinism: per-partition seeded sampling (both ML KMeans
+    *    "random" init and DataFrame.sample) makes the learned centroids
+    *    depend on the physical partitioning, so the same data on a
+    *    different executor count yields a different quantizer — which
+    *    turned the embedded-constants oracles into flakes. Hash-ordered
+    *    sampling + sequential driver accumulation is invariant to
+    *    partitioning, parallelism, and row order.
+    *  - scale: the quantizer only needs roughly-balanced cells (recall
+    *    is governed by multi-probe and every candidate is verified
+    *    exactly), and a bounded-sample fit is how production IVF systems
+    *    train at any corpus size — fit cost stays flat in n while the
+    *    single distributed pass (assignment) does all the real work.
+    * Shared by [[ivfTopK]], [[embeddingNearDupPairs]], SemDeDup and the
+    * NearDupProbe profiler — one place for the quantizer recipe. */
   private[graft] def fitQuantizer(u: DataFrame, vecCol: String, nlist: Int,
       seed: Long, maxIter: Int, sampleFrom: Option[Long] = None): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.{KMeans => MlKMeans}
-    val fitInput = sampleFrom match {
-      case Some(n) if n > 20000 => u.sample(withReplacement = false, 20000.0 / n, seed)
-      case _ => u
+    val cap = 20000
+    // deterministic sample: top-`cap` rows by content hash (TakeOrdered —
+    // no shuffle of the full corpus). sampleFrom is accepted for source
+    // compatibility; the hash cap already bounds the fit for any n.
+    val sample: Array[Array[Double]] = u
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
+      .orderBy(col("__h"), col("__v"))
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "fitQuantizer: empty input")
+    val k = math.min(nlist, sample.length)
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone).toArray
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        val ctr = centroids(c); var d = 0.0; var i = 0
+        val m = math.min(ctr.length, v.length)
+        while (i < m) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
     }
-    new MlKMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(maxIter)
-      .setFeaturesCol("__f").setPredictionCol("__cell")
-      .fit(fitInput.withColumn("__f", toMlVec(col(vecCol))))
-      .clusterCenters.map(_.toArray)
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r); val c = nearest(v)
+        val s = sums(c); var i = 0
+        val m = math.min(dim, v.length)
+        while (i < m) { s(i) += v(i); i += 1 }
+        counts(c) += 1; r += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cell: keep the previous centroid
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
   }
 
   /** Top-k nearest quantizer cells per vector (closure-captured centroid

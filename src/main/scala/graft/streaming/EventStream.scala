@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw file schema: `ts` arrives as nanosecond longs (see Tables.events). */
+  /** Raw file schema with `ts` as nanosecond longs — the layout older
+    * harness testdata used (see Tables.events; newer data stores micros
+    * timestamps directly, which readStream detects from the file). */
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -33,16 +35,17 @@ object EventStream {
     StructField("props", StringType)))
 
   /** events as a stream (file source over the same parquet; the single
-    * parquet file is globbed since a stream source needs a directory). */
+    * parquet file is globbed since a stream source needs a directory).
+    * A file stream needs a declared schema, so the actual schema (the ts
+    * physical type varies across harness versions) is sniffed with a batch
+    * read of the same file; normalizeTs then handles either layout. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // INTEGER division: `/` on longs is double division in Spark, and
-      // 2024-era nanosecond epochs (~1.7e18) exceed double's 2^53 exact
-      // range — the rounding error shifts some timestamps by ±1 µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windows per event type: count + exact decimal sum.
