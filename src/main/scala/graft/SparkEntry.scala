@@ -688,9 +688,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- IVF (inverted-file) approximate top-k (rows-only: KMeans
-    //      coarse quantizer not SQL-expressible; recall + exactness at
-    //      nprobe=nlist pinned by SimilaritySpec) ----
+    // ---- IVF (inverted-file) approximate top-k. PARTIAL oracle: the
+    //      deterministic quantizer's centroids are embedded constants;
+    //      the oracle replays assignment, probing and the exact re-rank
+    //      in SQL (recall + exactness at nprobe=nlist additionally
+    //      pinned by SimilaritySpec) ----
     "q_similarity_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
@@ -1900,6 +1902,61 @@ object SparkEntry {
         |  floor(CAST(n_hits AS DOUBLE) / 10.0 * 1e4 + 0.5) / 1e4 AS recall
         |FROM v ORDER BY method, query_id""".stripMargin
     },
+
+    // PARTIAL oracle (the q_semdedup embedded-centroids pattern): the
+    // 16 coarse-quantizer centroids are constants of the deterministic,
+    // layout-invariant fitQuantizer fit (OracleFitProbe prints them at
+    // the sf0.01 gate — refresh after any testdata regeneration); the
+    // SQL replays everything downstream of the fit exactly: unit
+    // normalization, argmin cell assignment, the 6-nearest-cell probe
+    // set per query, and the exact cosine re-rank inside candidates.
+    // The Lloyd fit itself stays pinned by SimilaritySpec. Probe-checked
+    // margins at the gate: corpus assign margin (min d2nd-d1st) 5.5e-4,
+    // probe boundary (min d7th-d6th) 1.8e-3, rank boundary (min
+    // adjacent top-11 score gap) 2.0e-4 - each ~11 orders of magnitude
+    // above the ~1e-15 cross-engine ulp disagreement of the distance /
+    // cosine formulas, so no discrete choice can flip.
+    "q_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |c(cell, ctr) AS (VALUES
+        |  (0, [-0.029647921449040663, 0.022591227551941012, -0.050224233735827774, 0.0055495760947127840, -0.050814233870624816, -0.013243826454324092, -0.0071346718342410790, -0.017274321288120000, -0.020772087994589960, -0.062697202571580570, -0.0064932233768894060, -0.018087499542542100, -0.059497491152962400, -0.029687898488398975, -0.022437686597278565, -0.081902440554351640, -0.023731325996745380, -0.027826328729332610, 0.030134769504679866, 0.015747920830698054, 0.0043024920691457030, -0.016344941810941958, 0.013196314564122100, 0.046448886277278480, 0.066773044348591810, 0.043898425273959820, 0.0067018738058201230, -0.034687889739340440, -0.011286857837536354, -0.029509170565637280, 0.028575274565815900, -0.018900227691767020, 0.035379471687558520, -0.028058580459595597, 0.0026966828163923380, -0.051661442105554890, -0.050542393068864900, -0.042527695021781920, -0.028587060551814043, -0.0055173898794267020, 0.013850163982505643, 0.041055198182015230, 0.055036903249102945, -0.055877073762119000, 0.015629877567566546, 0.044605501452065310, 0.031566478411684265, -0.030437544781449870, 0.041316395696013190, 0.034950055404657225, -0.024182471431135187, 0.019539490863702574, 0.0030935182119666014, -0.048513667771627980, -0.096124355437398680, -0.046742681998915010, 0.048917838609353820, -0.016760238452586380, 0.033743963581947325, 0.041385525918040740, -0.039100627085925730, 0.046587574325254980, -0.014625397492380584, 0.0037834268155730287]::DOUBLE[]),
+        |  (1, [0.0054231678316132800, -0.012822579107721268, -0.014747213630607213, -0.031923099879736815, 8.0432442389326590e-05, 0.067592237645187780, 0.016396934983612124, 0.030838371748530810, 0.075361344200407880, 0.080659890181341880, 0.048821852745847480, 0.062278146948031535, 0.013235118283479388, 0.011429049805778742, 0.065062234833440500, 0.0086893483445106520, 0.020376929749953903, 0.015109134280399497, -0.0083652732767849940, -0.033347706914911894, -0.025354957572507462, -0.010845123709754163, -0.024288328386401707, -0.0061390724443633160, -0.018854902532577760, 0.019975619653851244, -0.0096266853365283080, 0.027424432521539626, -0.023367495195376658, -0.058220004076280000, 0.033533418596506444, 0.025518577112393366, 0.053767058872124520, -0.034418508693379360, 0.00039382966917350166, 0.0057262249707925520, -0.035497676130010060, -0.035055086909587430, 0.028936789092844972, 0.014132208045499890, -0.035238182010071990, -0.025320181739921604, -0.015431616739789360, 0.044590869871341130, 0.011206350233669098, -0.067704006969619980, 0.024611843397624414, 0.095469723530261440, -0.027502840741476140, -0.0018147861279036333, 0.023673562281596335, -0.026095478934510714, 0.035281200998325900, -0.027726475385818200, 0.017603131922574563, 0.048547140996394500, -0.046947582065863570, -0.070945555798730520, -0.026765056155018736, -0.11021608239954304, 0.024546649215412340, -0.028222573702781847, -0.066392437045600450, -0.058018802145837550]::DOUBLE[]),
+        |  (2, [0.016026937748226392, 0.11885779860784836, -0.024600073906639420, -0.016969727135985463, 0.028987539733133845, 0.0020067465049765387, -0.054888524931464476, 0.066727486357963920, 0.037942958663525360, -0.035881977564606950, -0.045032640843027860, -0.029062966830274126, 0.025244743016908100, 0.0037832451463821115, 0.016455155043517410, 0.066037101043715190, 0.050197752722338720, -0.024471147404454730, -0.018487761373744110, -0.083056028085455670, 0.034250319851192550, 0.0097828571422694970, 0.021619418216388752, -0.034428292271698090, 0.0060676468677977960, -0.018685974293042090, -0.020985567924280715, -0.013414951055419249, -0.021280163980557567, -0.050584243815445950, -0.0014949167834283558, -0.024739391345246470, -0.056812757826272130, -0.034053060722700150, -0.060205535111676194, -0.031710001866574250, 0.039472247959387300, 0.030215655639544068, -0.012982718994981424, -0.031149158577262090, 0.018401382422348500, -0.022457406994424868, -0.038989029362457010, -0.068587187117613230, 0.013767843213098246, -0.036016391534208096, 0.0012251035053926138, 0.066563844387474650, -0.015854493159863557, -0.040221975141589130, -0.040108742980548354, -0.041752452527614630, -0.032263272009916896, -0.0035566268689654324, 0.058352550732959606, -0.010139969530158091, -0.017256656556860397, 0.024253817924616193, -0.052976757654168210, -0.025670816270391313, -0.042127811478261340, -0.097757371362353250, 0.077746087847268840, -0.039227993564877330]::DOUBLE[]),
+        |  (3, [0.024066221323009986, -0.051222032993315520, 0.032110780072197200, 0.014941746624570052, 0.0047441633826229790, -0.017957552711141904, -0.049423191550667220, 0.028013323946302744, -0.023302000759014892, -0.029385742763576354, 0.0073434189294371740, 0.012634488735335354, -0.0011325097252666760, -0.057028822624577630, -0.0045422801134861490, -0.020196014302048890, -0.035502672566887890, -0.053608428636152120, 0.019643112056689510, 0.010199397273827302, -0.096405433184596950, 0.010331904982119538, -0.0018491701162578213, 0.034657790683657760, 0.059274671371593260, 0.059267135819457240, 0.058582365787323840, -0.0026300112390851573, 0.075930340874064210, 0.063694642337216010, -0.019695278511459628, 0.10423876718128344, -0.031258231954605390, -0.017892090245514056, 0.020230218167148675, 0.027075234420588307, -0.061881705120894800, 0.054498482389234690, -0.064423683412074770, 0.0094440202829588410, 0.013838095088450303, -0.024290946636017816, -0.0010631209213067590, 0.026832047428885272, -0.044171191844455480, 0.013502732245244820, 0.019626776642200520, -0.0040154521584611580, -0.11029863416947377, 0.013100210575778372, -0.0024926674443572546, 0.014324542184407100, -0.034572067348135394, -0.032527352503555590, -0.026860494781597362, 0.044021055109130840, 0.0094611377350574070, 0.016231864496930353, -0.14271770367012895, -0.026461555275173870, 0.026849700709156835, -0.035561341107701455, 0.021146720562926755, 0.036472843498674770]::DOUBLE[]),
+        |  (4, [0.024599188748134777, -0.013862250208097641, 0.016765254557215944, -0.030377661866195012, 0.052957828333253874, 0.042435372160211810, -0.0048678819346133450, -0.066685740718145270, 0.030947012119295220, -0.019288729391777115, -0.028509245672330890, 0.068592799005237150, 0.051106576412291520, 0.053262458019114440, -0.0033097883421820260, 0.033415019109204684, -0.063072231892630990, 0.097805785301323460, -0.054755372137170870, 0.014325436300942620, 0.0087297952503493370, -0.0095927314178518160, -0.035207218946875890, -0.050066260797743180, -0.027209490029287155, 0.041234673100209290, -0.029381374615592783, -0.024582348317585236, -0.040735672783522330, 0.027616022561399868, -0.0017813529193596478, -0.057429572943155700, 0.024290230775312747, 0.046992166661200690, -0.043115660023178090, 0.010273373588522941, -0.041518692458881054, 0.048448260835114950, -0.042806126281460330, 0.021279251100444617, 0.0042626815595332420, -0.093579858699786100, -0.0033557721217184985, 0.0064116226236358970, 0.0080682138525903190, 0.021165008162770310, 0.010581490364369527, -0.042280340262928234, 0.012534006119257882, -0.095978866822702530, -0.0071824173096687490, 0.021735117439400188, 0.019421415541498035, 0.038703931099193820, 0.0010206628975074844, 0.0077266036670802210, 0.019855608914224936, -0.0055470777372517330, 0.061857027939684680, -0.021003104131154342, 0.057589801746460830, -0.048391242882534290, 0.025950152111320970, -0.0074239614519610800]::DOUBLE[]),
+        |  (5, [-0.040680154103034920, 0.0071982399645772145, 0.065609393159147270, 0.023041778635976548, 0.0035501449061990102, -0.017372875243193950, -0.021398409536361710, 0.061189066797611160, -0.020494287020027934, 0.050096131911192290, -0.050810854012198470, 0.059731211662609660, 0.041046781810642086, 0.0021306949407077875, 0.10256833391079642, 0.019861740542696262, -0.016214974179037382, -0.049434488505653150, -0.030542765994539170, 0.026220603090256044, -0.0094308055653408820, -0.017416274354215864, -0.051558158435323680, -0.0016133758856317660, 0.050807755133629420, -0.0010356048822724561, -0.039118332835787320, -0.011974980798342734, -0.028498165687556400, -0.0015776812863416690, 0.035238023034880920, -0.024204746091519810, 0.060992852662452954, 0.057884974705589700, 0.015542797604581346, 0.0039285668717522560, 0.046383839788625780, -0.056561685697926620, -0.092376647738401300, -0.072870459907452630, 0.0064005518129155030, -0.020127399676568684, 0.061980828626759770, 0.063805165414902620, -0.078095069717318100, -0.012359194836946313, -0.11438991180822816, -0.022833124218714880, -0.038838901575979065, -0.035239702346503870, 0.047873304066916830, 0.059273215657329490, 0.019907520102290910, 0.023476002765084060, 0.057477299670094810, -0.0099030792597622120, 0.016270180598207923, -0.0035471138628046478, -0.0024813492306441480, 0.062976181518618030, -0.0024684196379151104, -0.030504884587890448, 0.024987463181290373, -0.047695002267489380]::DOUBLE[]),
+        |  (6, [-0.016150379121137820, -0.022181088341993248, 0.018657419861759904, -0.0010348074766146518, -0.0073421869011213120, -0.087077678281333400, -0.012366895795408818, 0.063134535195725600, -0.022993312516387050, 0.12778470399996790, 0.024826824773652610, 0.052515286200219390, -0.011454065823686220, -0.0038735678064575370, -0.022614183589106650, -0.039664332161028540, -0.040978163185238656, 0.033501290758353106, 0.0072294790956160640, 0.073671880188968100, -0.015020320130657374, -0.010071753913877617, 0.0054873290534171205, -0.043809767814102760, -0.047477471391255610, 0.0065740251169083540, -0.067236454791169900, 0.070513631172606760, 0.00092069168759027550, 0.053585918474301610, 0.014174332833754270, 0.0071641143633621770, 0.016468235864214020, 0.026981774954528020, -0.054234452648460090, 0.019224917354825847, -0.0014065247995390757, -0.011471646764319030, 0.050150990767214920, -0.039054448468627316, -0.020197719554895452, 0.058293698616498810, -0.089795880579929180, -0.046945049808920856, -0.099467818898730960, 0.0080373413697255400, 0.021169870454243920, 0.020836193883364440, -0.018565548773961292, -0.048193372318944500, 0.072577836489263250, -0.025720219154338128, 0.063859929481016100, 0.0093906315899931950, -0.029839888648539266, -0.0025004114498934082, -0.024495841348177710, -0.065370304518500510, -0.025811279745031920, -0.049471829225265160, -0.0048594974516119850, 0.10597487381243947, -0.031470070616537880, -0.035321488575535400]::DOUBLE[]),
+        |  (7, [0.075020265306635110, -0.028149156132891690, -0.0070110073355056570, -0.029590936921644564, 0.070398196303734620, 0.038867739705319640, -0.016359628997025973, -0.023064399047101200, -0.029434386745500540, -0.033186137794295925, 0.0062815192311112605, -0.0038046820039956800, -0.031167185325709120, 0.035286242926226466, 0.0040083952261175730, -0.11395456684777285, 0.033335665187503490, 0.016826080706716214, -0.00015004375012113590, -0.0040046635928051450, 0.027443457563569080, -0.029895894952773037, 0.0029143314859150418, -0.097418247550884640, 0.010624135546298572, 0.058163391165996720, 0.15773768739221708, 0.018702401180714284, -0.015062846647886066, 0.063387659222131460, -0.038593072157996630, -0.035034044827741770, 0.0020430034737115580, -0.010414024975320737, -0.019398110863045135, -0.024122136855847480, -0.0064627568746709840, 0.019810282155871734, 0.077433490680303200, 0.044685175996174970, -0.029919289237588020, -0.0064024724704928480, 0.00071323518684585380, 0.065040981430178170, 0.010029337731497967, 0.0092447116655512990, -0.030515037117816154, -0.018604779698814870, -0.0042352751639103140, 0.048761482283500704, -0.012896034760580022, -0.096306283593568880, -0.055291541011708790, -0.0033884367661456295, 0.015089111247272125, -0.073134562197213320, 0.047513044498984636, -0.016688682118443890, 0.020243099025728212, 0.029756521567586150, 0.058730618052240640, -0.0049592926340754255, 0.041923616424076784, -0.049075754975514516]::DOUBLE[]),
+        |  (8, [-0.013813278191274207, 0.056771851356674870, -0.037945141224553060, -0.066992657104304740, -0.090357006648479100, 0.085719759253411780, 0.026154220868051702, 0.013619246982586050, 0.011301971480920600, -0.079925780662271460, -0.039218559338125770, 0.032303875902017580, -0.016513321978382680, -0.032389271036815240, -0.042471408182409735, 0.042169660396714645, 0.014770138800861660, -0.015502595442174557, 0.063017672897811420, 0.071165113645376500, 0.043034990183437455, 0.022737063337339890, 0.036986359935287800, -0.011334529228894538, 0.061518594419707500, -0.012242501526996801, 0.044354029885564020, 0.059478941909536200, -0.0063496906293164860, 0.015004703304107770, -0.033836040681542810, 0.094034712252749550, -0.020887809605628527, -0.014199448224258048, -0.0063720710488178940, 0.099450704413487620, 0.049477933589769840, -0.028869936934276967, 0.037383093951171730, -0.012494534132055254, -0.040595343752532030, 0.013303538175630365, 0.039156594285296430, 0.0028911986054030647, -0.078890134557041820, 0.082984950453431420, 0.030292932549296454, -0.060753113756042330, 0.039101913418314815, 0.014286207323255700, -0.035950945265708490, -0.038399472289196795, 0.017550163215133180, -0.040472659820987400, 0.016203360631147720, -0.037768509996098580, 0.046507693072565144, -0.0048493165352720840, -0.047174032781255110, -0.060976110303827165, -0.021865098380869890, 0.038509347327049887, 0.019400078463300312, 0.0066344468092996160]::DOUBLE[]),
+        |  (9, [-0.022744507003192888, -0.039213958777919740, 0.090388703014147130, -0.023527872937832660, 0.010821683798960391, -0.026210751004607030, 0.10197501475370864, 0.031256625401627804, -0.016329702538479820, 0.019053302758436468, 0.068541452723204100, -0.13292115183921932, -0.028525003399970123, -0.018121245442772200, -0.049676602286373016, 0.044821843335013550, 0.085309549148482490, 0.020229031163967360, 0.0046299094846144240, 0.054088819767823730, 0.010222190598216750, -0.027326344811889197, 0.022083233818967433, 0.064330076813007130, -0.050253980505777580, 0.030573465060176580, -0.011083886024347935, 0.048021094401100440, 0.038632988206006220, 0.047483463143081224, 0.063874779532086580, -0.061651329202243420, -0.0033026298107032477, 0.088104450839935220, 0.054243562461029377, -0.021376735622784150, -0.019295656233879393, -0.025491060089876440, -0.022384551957889710, 0.042565469955258820, -0.065146075975159170, 0.033592940058441710, -0.054792268356662780, -0.037799478629562490, 0.016884021400785692, -0.042083462924338420, -0.048803715870267810, -0.010539615762420866, 0.029729328058089370, 0.027063568483125550, 0.012430238332327764, 0.021336810819667595, -0.0011075075059132970, 0.041635598245252690, 0.093032267437129150, 0.00097544810935701990, 0.040355395186824660, -0.054594702461347185, -0.0024916437525869240, 0.012982561253224023, 0.0082429111636323270, -0.012808246184114185, 0.030602848211564688, -0.074116968069564570]::DOUBLE[]),
+        |  (10, [0.020215710400967823, -0.062444726227382220, -0.0015334836034316599, -0.0088631034444366290, 0.011183601864211353, -0.031343252079185420, -0.033994773865096486, -0.048962562883023635, -0.025029191581833043, -0.095135053072361540, -0.018237368186193797, -0.055410724517307955, -0.051778406684264075, 0.079077657507807260, -0.051561009768075410, 0.039830934447027490, -0.0078420432806458090, 0.060198778531416580, -0.013450699305434398, 0.014540041667523875, 0.0096895371248144880, 0.11065221707028093, 0.019678941777822048, -0.0071479710874513230, -0.018459871293812487, -0.047952670708988274, -0.017937847233449804, -0.021695789986130774, 0.033459366652525760, 0.015935847239982967, -0.052349627688343926, -0.026571247563192930, -0.082294259991841650, 0.0056915165366595740, 0.047337106752031520, 0.047615525682782220, 0.068275585444189630, 0.057420871398290510, -0.0011205696213072158, -0.00039891310304798663, 0.015673141035302186, -0.041907306225868954, -0.027124868857313080, -0.027247993573501016, 0.052940790614128880, -0.0060456089580613950, -0.010412023669055791, 0.060797236040316760, 0.057077341740181545, 0.041842026988036530, -0.022019887384370173, -0.025164135078529503, 0.060167954584881640, -0.064282907241178040, 0.056330876758225590, 0.053600844202914140, -0.0033721130048704560, -0.022948602581109392, 0.020582368141608530, 0.046754283647467254, -0.022742143448576942, 0.086175126838417000, -0.021373415742153505, -0.017403386278469782]::DOUBLE[]),
+        |  (11, [0.038526522379143930, -0.034678532567121510, 0.048746777462743314, 0.027789072386627485, 0.042713822174712826, -0.031672654862959450, 0.0050138868508539820, 0.033463966040552800, -0.0025298068805542397, 0.073961315306474750, -0.0069121645897835050, -0.00095322312438272590, 0.045231683490653720, -0.093384064568272720, 0.038466783158830730, -0.016166173781780250, 0.032856485843784096, 0.028746571619129954, 0.035398582472102230, 0.094766261245226750, 0.038942211651662250, 0.015804182935164498, -0.031880255757615654, 0.061667453744087136, -0.010921094034870168, 0.033156683246164394, -0.0055871868403364250, -0.0022410361061343420, -0.050610550131262200, -0.056703070427634124, -0.052284463342266110, -0.016377304596255398, 0.075291103710709320, -0.023198228349778773, 0.023943939740761016, -0.051449416855007570, 0.014503698608989065, -0.032740241606333810, 0.032597363432853130, -0.029659008593728440, 0.037295698256885286, -0.069179277754062200, -0.038411202827509570, -0.041440781071147334, 0.077751374886389630, -0.00046476612283898710, 0.034391009625173520, 0.0019308546075856839, -0.0074806183305274920, -0.053894336001029740, 0.050749458633737470, 0.018525730007267534, -0.045129016462472755, 0.0027017699152220073, -0.024906686832313785, -0.033324088214170470, 0.059924041058580690, 0.077405624278494680, 0.097073090355139890, -0.069603908958767280, 0.028537775231850738, 0.041880277594575950, -0.10348594357517843, -0.030283229508292334]::DOUBLE[]),
+        |  (12, [-0.051432218222805755, -0.0063084465744073750, -0.049623535417360210, 0.018470060915206046, 0.0093304031666605770, 0.051962979717026870, -0.094126072854497020, 0.0064207272646925620, -0.0055855715427632355, -0.0049388667476212905, 0.092416347913036050, -0.033004602155608534, 0.033411900848702050, -0.039431326725653030, -0.0059843155587437490, 0.011192389498479808, 0.025720125180027902, 0.084533560680899480, 0.042898495428095180, -0.085233964472048100, -0.010400756767327525, -0.066784852339005870, 0.076217856830907630, -0.061936763612190560, 0.015883282010014863, -0.011643040484928986, -0.014122837639592252, 0.051067103792119620, -0.032405440706997704, 0.0012521143572688247, -0.048165406500324920, 0.017556348613610558, 0.062429300264583605, -0.046376877649843204, -0.014347241947155547, 0.012092476250616652, 0.031477969018811900, 0.066036140544343080, -0.0049728131022920500, 0.032658733356909615, 0.010877515067991905, 0.0071472608193255670, -0.046948505000909960, 0.0010429796878455504, -0.0078052037709203540, 0.016379733848255074, -0.022686252880172750, 0.0023389467496237226, 0.079298778606828090, -0.027860021932181223, 0.010237812750619246, 0.024232820602677264, -0.025651566777716097, 0.054294101241185010, -0.017536654024287180, 0.020878541717453460, -0.066560566676426830, 0.087093088541764400, -0.071987979577025350, 0.046227775261975110, 0.037307282106521705, 0.010377810860503923, -0.019602333863259530, 0.088936317708231930]::DOUBLE[]),
+        |  (13, [-0.10986620818271321, 0.011289771794831701, -0.034135608427023680, 0.027400302861584410, 0.068065674367560470, 0.010884165097258853, 0.016913971718346212, -0.018320240935899484, 0.032279423335441246, 0.078387086804381580, 0.081142696703233600, -0.019816826791137450, -0.061204409806565475, 0.047210347230748975, 0.00064492015014774710, -0.049442690259119370, 0.075090445406747900, -0.028733012535398044, -0.043321836058809515, -0.030406536441330893, -0.036282733558361036, 0.056826125677106930, -0.021672266864470546, -0.020767085609367648, -0.078661813276679000, -0.015448378578836814, -0.020992027769284344, 0.046747656002308200, 0.043545527741538796, -0.0046015797360079500, 0.0038197303358083017, -0.067634985060103820, 0.064048578684468070, -0.047740192807437570, 0.0075563598413310290, 0.052280178714652500, 0.047158168414474070, 0.0082767117209324500, -0.012013682826709947, 0.037568444703006500, 0.053045792403980545, 0.031533492283880170, 0.018353508786390270, -0.0054188611791818360, -0.040765884893122405, -0.056645286172989070, 0.022036963018847920, -0.056072804820244286, -0.055800897849662530, 0.024019805089791537, 0.013817128234716090, -0.010599238982223163, 0.062995473352407420, -0.030381654472269207, 0.011413567657759405, -0.026020751374097126, -0.082215382869093050, 0.033747912004874744, 0.023457498572788334, -0.023671820014005175, 0.010530055485716257, 0.066600320231463090, -0.028361357997634257, -0.011391453600714035]::DOUBLE[]),
+        |  (14, [0.089949138033958970, 0.030048516780037900, 0.0048900381022430744, 0.015559563329468593, -0.0065428693733370830, -0.017542139490150700, -0.028444150413880473, 0.080650083009552450, -0.072083078330212700, -0.047939956098268420, 0.010713035995169743, -0.019288504829302933, 0.0064174063525455000, 0.014976435785417982, -0.029649081412913820, 0.070946870666186430, -0.038997735593473554, 0.024856835537844420, -0.017786150918862393, -0.070812936709526100, -0.0041585328860195870, 0.011081656322513697, 0.056450930060534970, -0.017860366452281680, -0.042977924136330926, 0.0071011704971063970, -0.037965445658892990, 0.043267176887004460, 0.0012221258948740350, 0.0024781072869718890, 0.080903937888546590, -0.00088106210401770460, -0.046722748672557400, -0.0046055808904852434, 0.068292248309208780, 0.029857866033370010, -0.10315799730090800, -0.022380731902212233, 0.036952426699581370, 0.010221133801944608, 0.029214818996267230, -0.075528306015866620, 0.069338501570946000, 0.019846004850465090, -0.038368099025675350, 0.060734403474573560, 0.012038840543255817, 0.053689441865531270, -0.0060052293594489260, -0.053867235699913820, 0.047346079130057050, 0.057129271378819240, -0.034703678578425210, 0.00037356312290779694, 0.0015867490325133546, -0.014622506131395041, 0.048758758373446800, -0.019287263919296990, 0.00037942842141819994, 0.024121672225445770, -0.046313655931025330, -0.032420729126402300, -0.0069897203679073360, -0.011064867987229991]::DOUBLE[]),
+        |  (15, [0.020865100343680363, -0.072383130272662410, 0.044607680995797885, 0.0046139588440696500, 0.056249447556719845, 0.035275712113886900, -0.12992670341625823, -0.090315479825634290, -0.00045106448659551290, 0.0098828298888998470, -0.022021968059940084, 0.022849236382110640, -0.0010630862071391670, 0.047297825515218760, -0.027300994844051600, 0.083103204458058450, 0.00030658045249274687, -0.088187723566006650, -0.013366792959576015, -0.010227536165564965, -0.023039185026220887, -0.0056862202963805980, -0.013263745291499407, 0.011664375759847254, -0.052761087173234904, 0.00028683767469290443, -0.0032587910940899380, -0.056968655311477774, 0.038385486971012360, -0.054394811054392210, 0.045537658426413836, -0.032890890889111915, -0.036172866996183155, -0.062037509538504670, 0.036384377528703340, -0.12400365552433712, -0.0083257866985067520, -0.036659740074444650, 0.038892202782032490, -0.036961527705272050, -0.052544955098899020, 0.034466625467643740, 0.0061147975890754784, 0.014413015124732195, 0.0043680933761700960, 0.0054251802320669550, -0.0026680365992975525, 0.022363420601956226, -0.039722208254682350, -0.0047596179305261940, 0.029005909779163428, -0.030739383386174435, 0.062691840339983110, 0.049193121636208405, -0.017615711007502876, 0.0041063408208569890, -0.026887660985977408, 0.036661804226275414, 0.044256674807480170, -0.025092613037758327, -0.068064896862766620, 0.0054355040227955070, 0.047443888024180880, 0.022033281580192472]::DOUBLE[])),
+        |a AS (SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY list_distance(uv, ctr), cell) AS rnk
+        |  FROM u CROSS JOIN c),
+        |cells AS (SELECT vec_id AS neighbor_id, cell FROM a WHERE rnk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM a WHERE vec_id < 8 AND rnk <= 6),
+        |cand AS (SELECT p.query_id, cl.neighbor_id
+        |  FROM probes p JOIN cells cl USING (cell)
+        |  WHERE cl.neighbor_id <> p.query_id),
+        |scored AS (SELECT cd.query_id, cd.neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM cand cd
+        |  JOIN e qe ON qe.vec_id = cd.query_id
+        |  JOIN e ne ON ne.vec_id = cd.neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

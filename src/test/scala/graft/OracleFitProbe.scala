@@ -178,6 +178,65 @@ object OracleFitProbe {
       }
     }
 
+    // ---- IVF coarse quantizer at the q_similarity_ivf gate parameters
+    //      (nlist=16, seed=42, maxIter=10, UNIT vectors — exactly what
+    //      IvfIndex.build fits). q_similarity_ivf embeds the centroids;
+    //      the margins below are what make the embedded-constant oracle
+    //      robust: every discrete choice (corpus cell argmin, the probe
+    //      set boundary, each output rank) must sit in a gap that dwarfs
+    //      cross-engine ulp noise. ----
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cu = graft.operators.Similarity.withUnitVec(emb, "embedding", "__cv")
+        .select(col("vec_id"), col("__cv"))
+      val cs = graft.operators.Similarity.fitQuantizer(cu, "__cv", 16, 42L, 10)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        println(s"IVF c$i=[" + c.map(v => f"$v%.17g").mkString(", ") + "]")
+      }
+      val rows = cu.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def d2(a: Array[Double], c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - c(i); s += t * t; i += 1 }; s
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val assignMargin = rows.map { case (_, v) =>
+        val ds = cs.map(c => d2(v, c)).sorted
+        ds(1) - ds(0)
+      }.min
+      println(f"IVF assign margin(min d2nd-d1st)=$assignMargin%.6g")
+      val probeMargin = rows.filter(_._1 < 8).map { case (_, v) =>
+        val ds = cs.map(c => d2(v, c)).sorted
+        ds(6) - ds(5)
+      }.min
+      println(f"IVF probe margin(min d7th-d6th)=$probeMargin%.6g")
+      val cellOf = rows.map { case (id, v) =>
+        id -> cs.indices.minBy(i => d2(v, cs(i)))
+      }.toMap
+      println("IVF cell sizes=" + (0 until 16).map(i =>
+        cellOf.values.count(_ == i)).mkString(","))
+      // min adjacent score gap across the top-11 candidates of every
+      // query: every output rank boundary (1..10) must be separated by
+      // more than the ~1e-15 disagreement the two engines' score
+      // formulas (unit-vec dot here vs raw-vec cosine in DuckDB) can
+      // produce. Exact ties are rank-stable only if tied in BOTH
+      // engines, so a ~0 gap here would demand a different tie story.
+      val rankGap = rows.filter(_._1 < 8).map { case (qid, qv) =>
+        val probed = cs.indices.map(i => (i, d2(qv, cs(i))))
+          .sortBy(_._2).take(6).map(_._1).toSet
+        val scores = rows.iterator
+          .filter { case (nid, _) => nid != qid && probed.contains(cellOf(nid)) }
+          .map { case (nid, nv) => (dot(qv, nv), nid) }
+          .toSeq.sortBy { case (s, id) => (-s, id) }
+          .take(11).map(_._1)
+        scores.sliding(2).map(p => p(0) - p(1)).min
+      }.min
+      println(f"IVF rank gap(min adjacent in top-11)=$rankGap%.6g")
+    }
+
     // ---- temperature mix thresholds (q_temperature_mix embeds them) ----
     locally {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
