@@ -667,8 +667,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed approximate top-k (rows-only; recall vs brute
-    //      force asserted in SimilaritySpec) ----
+    // ---- LSH-bucketed approximate top-k. FULL oracle: the seeded
+    //      splitmix64 hyperplanes, sketches, bucket joins and re-rank
+    //      are all replayed exactly in SQL (recall vs brute force
+    //      additionally asserted in SimilaritySpec) ----
     "q_similarity_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
@@ -1902,6 +1904,54 @@ object SparkEntry {
         |  floor(CAST(n_hits AS DOUBLE) / 10.0 * 1e4 + 0.5) / 1e4 AS recall
         |FROM v ORDER BY method, query_id""".stripMargin
     },
+
+    // FULL oracle, zero fitted constants: the hyperplanes are pure
+    // splitmix64 arithmetic on (seed, plane, dim), replayed in SQL with
+    // UBIGINT xor/shift and a HUGEINT split-multiply for the wrapping
+    // 64-bit products (validated component-for-component against the
+    // Scala generator: 4608/4608 exact). Sketch dots use per-plane
+    // DOUBLE[] lists + list_inner_product - the same sequential
+    // index-order summation as the Scala loop, so the sign bits are
+    // bit-exact, not margin-dependent (measured min |dot| 1.8e-5
+    // anyway). Downstream: bucket collisions, distinct candidates,
+    // exact cosine re-rank - the whole lshTopK path cross-checked.
+    "q_similarity_lsh" ->
+      """WITH g AS (
+        |  SELECT t.range::UBIGINT * 7919 AS seed, p.range::UBIGINT AS p, d.range::UBIGINT AS d
+        |  FROM range(6) t, range(12) p, range(64) d),
+        |s0 AS (SELECT seed, p, d,
+        |  (((((seed)::HUGEINT * 2654435769 % 4294967296 * 4294967296 + (seed)::HUGEINT * 2135587861) % 18446744073709551616)::UBIGINT::HUGEINT + (((p)::HUGEINT * 3210233709 % 4294967296 * 4294967296 + (p)::HUGEINT * 484763065) % 18446744073709551616)::UBIGINT::HUGEINT + d + 1)
+        |   % 18446744073709551616)::UBIGINT AS z FROM g),
+        |s1 AS (SELECT seed, p, d, (((xor(z, z >> 30))::HUGEINT * 3210233709 % 4294967296 * 4294967296 + (xor(z, z >> 30))::HUGEINT * 484763065) % 18446744073709551616)::UBIGINT AS z FROM s0),
+        |s2 AS (SELECT seed, p, d, (((xor(z, z >> 27))::HUGEINT * 2496678331 % 4294967296 * 4294967296 + (xor(z, z >> 27))::HUGEINT * 321982955) % 18446744073709551616)::UBIGINT AS z FROM s1),
+        |s3 AS (SELECT seed, p, d, xor(z, z >> 31) AS z FROM s2),
+        |pl AS (SELECT seed, p, d,
+        |  (((CASE WHEN z >= 9223372036854775808::UBIGINT
+        |       THEN z::HUGEINT - 18446744073709551616 ELSE z::HUGEINT END
+        |      % 2000000) + 2000000) % 2000000)::DOUBLE / 1000000.0 - 1.0 AS w
+        |  FROM s3),
+        |pv AS (SELECT seed, p, list(w ORDER BY d) AS pw FROM pl GROUP BY seed, p),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |sig AS (SELECT u.vec_id, pv.seed,
+        |    CAST(SUM(CASE WHEN list_inner_product(u.uv, pv.pw) > 0
+        |      THEN (1::BIGINT << pv.p::INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM u CROSS JOIN pv GROUP BY u.vec_id, pv.seed),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sig q JOIN sig c ON q.seed = c.seed AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cd.query_id, cd.neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM cand cd
+        |  JOIN e qe ON qe.vec_id = cd.query_id
+        |  JOIN e ne ON ne.vec_id = cd.neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // PARTIAL oracle (the q_semdedup embedded-centroids pattern): the
     // 16 coarse-quantizer centroids are constants of the deterministic,
