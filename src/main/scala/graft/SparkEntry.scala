@@ -679,9 +679,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- graph ANN: sharded HNSW (rows-only — approximate by design,
-    //      like q_similarity_lsh; measured recall vs brute force is
-    //      pinned by HnswSpec) ----
+    // ---- graph ANN: sharded HNSW. PARTIAL oracle (embedded-deviations
+    //      pattern, deviation set EMPTY at the gate): HNSW is fully
+    //      deterministic here (seeded level stream, hash shard
+    //      membership, id-sorted insertion) and the OracleFitProbe HNSW
+    //      section measures exactly which queries' top-10 deviate from
+    //      brute force — currently NONE (recall 10/10 for all 8 gate
+    //      queries, matching the q_ann_recall constants), so the oracle
+    //      replays plain brute force and any search regression surfaces
+    //      as a hash mismatch. If a fixture change introduces
+    //      deviations, the probe prints the patch rows to embed. ----
     "q_similarity_hnsw" -> ((s, dir) => {
       val e = embeddings(s, dir)
       graft.operators.Hnsw.topK(e, e.filter(col("vec_id") < 8), "embedding", "vec_id",
@@ -1904,6 +1911,21 @@ object SparkEntry {
         |  floor(CAST(n_hits AS DOUBLE) / 10.0 * 1e4 + 0.5) / 1e4 AS recall
         |FROM v ORDER BY method, query_id""".stripMargin
     },
+
+    // Brute-force replay: the probe-measured HNSW deviation set is
+    // empty at the gate (see the query-side comment), so the exact
+    // top-10 IS the expected output. Same SQL as q_similarity_topk.
+    "q_similarity_hnsw" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.v) AS score
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // FULL oracle, zero fitted constants: the hyperplanes are pure
     // splitmix64 arithmetic on (seed, plane, dim), replayed in SQL with

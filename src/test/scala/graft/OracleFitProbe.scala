@@ -237,6 +237,32 @@ object OracleFitProbe {
       println(f"IVF rank gap(min adjacent in top-11)=$rankGap%.6g")
     }
 
+    // ---- HNSW vs brute-force at the q_similarity_hnsw gate parameters:
+    //      print the queries whose top-10 deviates and their full HNSW
+    //      rows (q_similarity_hnsw embeds those as the deviation patch
+    //      over a replayed brute-force oracle). Deterministic: seeded
+    //      level stream, hash shard membership, id-sorted insertion. ----
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 8)
+      val hn = graft.operators.Hnsw.topK(emb, q, "embedding", "vec_id", k = 10)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val br = graft.operators.Similarity
+        .bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val hByQ = hn.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      val bByQ = br.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      val devQ = hByQ.keySet.union(bByQ.keySet)
+        .filter(q => hByQ.get(q) != bByQ.get(q)).toSeq.sorted
+      println("HNSW deviating queries=" + devQ.mkString(","))
+      devQ.foreach { q =>
+        println(s"HNSW dev q$q=" + hByQ(q).zipWithIndex
+          .map { case (n, i) => s"($q,$n,${i + 1})" }.mkString(","))
+      }
+    }
+
     // ---- temperature mix thresholds (q_temperature_mix embeds them) ----
     locally {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
