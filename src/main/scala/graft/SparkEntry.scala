@@ -1140,6 +1140,17 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start_sec")),
 
+    // ---- custom streaming state (flatMapGroupsWithState + event-time
+    //      timeout eviction): on a single batch the state machine
+    //      degrades to one emission per user — exactly a grouped
+    //      count/exact-decimal-sum, which the oracle replays. The
+    //      streaming semantics (running emission per micro-batch,
+    //      idle-state eviction, restart-from-zero) are pinned by
+    //      StreamingSpec's MemoryStream scenario. ----
+    "q_stream_running" -> ((s, dir) =>
+      graft.streaming.EventStream.runningUserTotals(s, events(s, dir))
+        .orderBy("user_id")),
+
     // ---- M1/M2/M5 ML operators (rows-only: model fits are not
     //      SQL-expressible; contracts pinned by ClusteringSpec) ----
     // ---- M1 KMeans, PARTIAL oracle: the oracle embeds the converged
@@ -2478,6 +2489,15 @@ object SparkEntry {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start_sec""".stripMargin,
+
+    // Batch degradation of the flatMapGroupsWithState running totals:
+    // one emission per user carrying the exact-decimal running sum.
+    "q_stream_running" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_enriched" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

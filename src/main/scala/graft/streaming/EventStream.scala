@@ -85,9 +85,13 @@ object EventStream {
         col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  /** `value` rides as exact decimal so the running total is independent
+    * of per-group iteration order (the dsum recipe — a Double
+    * accumulator would make the emitted total depend on row order
+    * inside each micro-batch and flake any exact comparison). */
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-      event_type: String, value: Double)
-  final case class UserRunning(user_id: Long, n: Long, total: Double)
+      event_type: String, value: java.math.BigDecimal)
+  final case class UserRunning(user_id: Long, n: Long, total: java.math.BigDecimal)
 
   /** Custom state machine: running per-user totals via
     * flatMapGroupsWithState (the KeyValueGroupedDataset path the reference
@@ -106,7 +110,8 @@ object EventStream {
     // EventTimeTimeout requires a watermark on streaming input
     val src = if (events.isStreaming) events.withWatermark("ts", "10 minutes") else events
     val ds = src.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value")).as[Ev]
+      col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("value")).as[Ev]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRunning, UserRunning](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -117,11 +122,12 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            val prev = state.getOption.getOrElse(
+              UserRunning(uid, 0L, java.math.BigDecimal.ZERO))
             var n = prev.n; var total = prev.total
             var lastTs = Long.MinValue
             rows.foreach { e =>
-              n += 1; total += e.value
+              n += 1; total = total.add(e.value)
               if (e.ts.getTime > lastTs) lastTs = e.ts.getTime
             }
             val next = UserRunning(uid, n, total)
@@ -132,6 +138,8 @@ object EventStream {
             Iterator(next)
           }
       }.toDF()
+      // exact decimal inside the state; one deterministic double out
+      .withColumn("total", col("total").cast("double"))
   }
 
   /** Start a streaming tumbling-count query into a named memory sink. */

@@ -66,7 +66,8 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = 360000L * 60000 // epoch-aligned base instant
     def ev(id: Long, min: Long, uid: Long, v: Double) =
-      EventStream.Ev(id, new java.sql.Timestamp(base + min * 60000), uid, "a", v)
+      EventStream.Ev(id, new java.sql.Timestamp(base + min * 60000), uid, "a",
+        java.math.BigDecimal.valueOf(v))
     val ms = MemoryStream[EventStream.Ev]
     val q = EventStream.runningUserTotals(spark, ms.toDF())
       .writeStream.outputMode("append").format("memory").queryName("running_totals")
