@@ -876,6 +876,15 @@ object SparkEntry {
         documents(s, dir).select("doc_id", "source"), "source", "doc_id", quota = 50)
         .orderBy("doc_id")),
 
+    // ---- deterministic global training order: portable keyed-hash
+    //      sort with a DISTRIBUTED dense rank (range partition +
+    //      per-partition window + broadcast prefix offsets — no
+    //      single-partition window stage). Fully SQL-replayable. ----
+    "q_shuffle_order" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+        documents(s, dir).select("doc_id"), "doc_id", seed = 42L)
+        .orderBy("doc_id")),
+
     // ---- weighted reservoir sample (Efraimidis–Spirakis A-ES, keyed
     //      by the engine-portable hash): exactly k rows, inclusion
     //      probability ∝ weight (n_chars here — longer docs likelier).
@@ -2104,6 +2113,18 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
         |  FROM h)
         |SELECT doc_id, source FROM r WHERE rk <= 50
+        |ORDER BY doc_id""".stripMargin,
+
+    // Global hash order replayed with a plain window rank: Spark's
+    // distributed range-partition + offset machinery must produce the
+    // identical dense 1..n ranking DuckDB gets from one ORDER BY over
+    // the same lowercase-hex md5 keys (unique ids ⇒ strict total
+    // order, no tie ambiguity).
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id) AS shuffle_rank
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // A-ES weighted reservoir: same portable-hash u, same ln(u)/w key,

@@ -211,6 +211,53 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Deterministic global training order: every row ranked by the
+    * engine-portable keyed hash of its id (md5 hex of "id:seed", ties
+    * impossible for unique ids since the tiebreak is the id itself).
+    * The order is a pure function of (ids, seed) — independent of
+    * partitioning, parallelism, and engine — so the same corpus always
+    * trains in the same order, a DuckDB `ROW_NUMBER() OVER (ORDER BY
+    * md5(...), id)` replays it exactly, and appending documents never
+    * perturbs the relative order of existing ones.
+    *
+    * Scale shape: a global `row_number()` window is the classic
+    * single-partition trap (WindowExec with no PARTITION BY moves
+    * EVERYTHING to one task). This implementation computes the dense
+    * global rank distributively: range-repartition on the hash (the
+    * TeraSort shape — each partition owns a contiguous hash range),
+    * sort within partitions, count rows per partition (a tiny
+    * nPartitions-row collect), broadcast the prefix-sum offsets, and
+    * add each partition's offset to its local row_number. Where the
+    * rank itself is not needed downstream, consumers can skip the
+    * window entirely and just write the range-sorted output. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+      outCol: String = "shuffle_rank", numPartitions: Int = 0): DataFrame = {
+    val h = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__h", h)
+      .repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.core.CacheScope.retain(ranged)
+    // tiny: one row per partition; prefix sums become broadcast offsets
+    val counts = cached.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; pid -> off
+    }
+    val offCol = coalesce(
+      element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid")),
+      lit(0L))
+    // per-partition window: distributed, no single-partition stage
+    val w = Window.partitionBy("__pid").orderBy(col("__h"), col(idCol))
+    cached.withColumn(outCol, (row_number().over(w).cast("long") + offCol))
+      .drop("__h", "__pid")
+  }
+
   /** The integer cut points backing [[hashSplit]] — exposed so an
     * external verifier can embed the EXACT same literals. */
   def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {

@@ -122,6 +122,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle: dense 1..n ranks equal to the hash sort order") {
+    val out = Sampling.deterministicShuffle(docs, "doc_id", seed = 42L)
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.count()
+    assert(out.map(_._2).sorted.toSeq == (1L to n).toSeq, "ranks must be dense 1..n")
+    // exact expected order: driver-side sort by (md5("id:42"), id)
+    def m(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = out.map(_._1).sortBy(id => (m(id), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, r) =>
+      assert(r == expected(id), s"doc $id: rank $r != ${expected(id)}")
+    }
+  }
+
+  test("deterministicShuffle is invariant to input partitioning") {
+    val a = Sampling.deterministicShuffle(docs, "doc_id")
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.deterministicShuffle(
+        docs.repartition(7, col("lang")), "doc_id", numPartitions = 3)
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "ranks must not depend on physical layout or partition count")
+  }
+
   test("hashSplit validates its fractions") {
     val ids = spark.range(10).select(col("id").as("doc_id"))
     intercept[IllegalArgumentException] {
