@@ -885,6 +885,17 @@ object SparkEntry {
         documents(s, dir).select("doc_id"), "doc_id", seed = 42L)
         .orderBy("doc_id")),
 
+    // ---- deterministic token-budget mix selection: keep documents in
+    //      shuffle order while the running char total fits the budget.
+    //      Distributed prefix sums (range partition + broadcast
+    //      offsets + per-partition window); over-budget partitions are
+    //      pruned before the window runs. All-integer output. ----
+    "q_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSelect(
+        documents(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars",
+        budget = 50000L)
+        .select("doc_id", "running_total").orderBy("doc_id")),
+
     // ---- weighted reservoir sample (Efraimidis–Spirakis A-ES, keyed
     //      by the engine-portable hash): exactly k rows, inclusion
     //      probability ∝ weight (n_chars here — longer docs likelier).
@@ -2125,6 +2136,22 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (
         |    ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id) AS shuffle_rank
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // One windowed integer SUM over the same md5 walk order replays the
+    // distributed two-phase prefix sum exactly.
+    "q_token_budget" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(doc_id::VARCHAR || ':' || '42') AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    SUM(n_chars) OVER (ORDER BY hh, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS running_total
+        |  FROM h)
+        |SELECT doc_id, CAST(running_total AS BIGINT) AS running_total
+        |FROM r WHERE running_total <= 50000
         |ORDER BY doc_id""".stripMargin,
 
     // A-ES weighted reservoir: same portable-hash u, same ln(u)/w key,

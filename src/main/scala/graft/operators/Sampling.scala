@@ -258,6 +258,61 @@ object Sampling {
       .drop("__h", "__pid")
   }
 
+  /** Deterministic token-budget selection: walk the corpus in
+    * [[deterministicShuffle]] order and keep every document whose
+    * RUNNING token total (including itself) stays within `budget` —
+    * "fill a 1T-token training mix" as a pure function of
+    * (ids, weights, seed, budget). The walk order is the keyed hash
+    * order, so it is append-stable — new documents interleave without
+    * permuting the relative order of existing ones (the selection
+    * itself shifts as insertions consume budget earlier in the walk) —
+    * and the same corpus always yields the same mix on any engine
+    * (DuckDB replays it with one windowed SUM over the same md5 keys).
+    *
+    * Scale shape: the global running sum uses the same two-phase trick
+    * as [[deterministicShuffle]] — range-repartition on the hash, ONE
+    * per-partition aggregate (nPartitions rows to the driver), broadcast
+    * prefix-sum offsets, then a per-partition window adds each
+    * partition's offset to its local running sum. Partitions whose
+    * offset already exceeds the budget are filtered out BEFORE the
+    * window runs (weights are required non-negative, so their every row
+    * is over budget) — at 100 TB with a 1%-of-corpus budget that prunes
+    * ~99% of the windowing work. Output: input columns + `running_total`
+    * (the inclusive running sum that justified keeping the row).
+    * Weights must be non-negative and non-null. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, seed: Long = 42L, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val h = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__h", h)
+      .repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.core.CacheScope.retain(ranged)
+    val sums = cached.groupBy("__pid")
+      .agg(sum(col(weightCol).cast("long")).as("__s")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val off = acc; acc += s; pid -> off
+    }
+    val offCol = coalesce(
+      element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid")),
+      lit(0L))
+    val w = Window.partitionBy("__pid").orderBy(col("__h"), col(idCol))
+    cached
+      .where(offCol <= budget) // whole-partition prune (non-negative weights)
+      .withColumn("running_total",
+        sum(col(weightCol).cast("long")).over(w) + offCol)
+      .where(col("running_total") <= budget)
+      .drop("__h", "__pid")
+  }
+
   /** The integer cut points backing [[hashSplit]] — exposed so an
     * external verifier can embed the EXACT same literals. */
   def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {

@@ -152,6 +152,52 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "ranks must not depend on physical layout or partition count")
   }
 
+  test("tokenBudgetSelect: exact prefix of the shuffle order by running sum") {
+    val weighted = docs.select(col("doc_id"), col("n_chars"))
+    val total = weighted.agg(sum("n_chars")).collect()(0).getLong(0)
+    val budget = total / 3
+    val out = Sampling.tokenBudgetSelect(weighted, "doc_id", "n_chars", budget)
+      .select("doc_id", "running_total").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side expectation: walk ids in (md5("id:42"), id) order
+    def m(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val rows = weighted.collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val expected = rows.sortBy { case (id, _) => (m(id), id) }
+      .flatMap { case (id, wgt) =>
+        acc += wgt
+        if (acc <= budget) Some(id -> acc) else None
+      }.toMap
+    assert(out == expected, s"${out.size} kept vs ${expected.size} expected")
+    assert(out.nonEmpty && out.size < rows.length)
+  }
+
+  test("tokenBudgetSelect: deterministic, layout-invariant, walk order append-stable") {
+    val weighted = docs.select(col("doc_id"), col("n_chars"))
+    val budget = 20000L
+    val a = Sampling.tokenBudgetSelect(weighted, "doc_id", "n_chars", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.tokenBudgetSelect(
+        weighted.repartition(7, col("doc_id")), "doc_id", "n_chars", budget,
+        numPartitions = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "selection must not depend on physical layout")
+    // append-stability of the WALK ORDER: the shuffle rank order of a
+    // subset is the full corpus' order restricted to that subset
+    val fullOrder = Sampling.deterministicShuffle(weighted, "doc_id")
+      .orderBy("shuffle_rank").select("doc_id")
+      .collect().map(_.getLong(0)).filter(_ % 2 == 0)
+    val halfOrder = Sampling.deterministicShuffle(
+        weighted.where(col("doc_id") % 2 === 0), "doc_id")
+      .orderBy("shuffle_rank").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(fullOrder.toSeq == halfOrder.toSeq)
+  }
+
   test("hashSplit validates its fractions") {
     val ids = spark.range(10).select(col("id").as("doc_id"))
     intercept[IllegalArgumentException] {
