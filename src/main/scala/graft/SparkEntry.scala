@@ -896,6 +896,17 @@ object SparkEntry {
         budget = 50000L)
         .select("doc_id", "running_total").orderBy("doc_id")),
 
+    // ---- per-group token budgets ("at most N chars per language",
+    //      with an override): the budget-denominated quotaPerGroup.
+    //      Grouped two-phase prefix sums — no whole-group
+    //      single-task sort. ----
+    "q_token_budget_group" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetPerGroup(
+        documents(s, dir).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars",
+        budget = 5000L, overrides = Map("en" -> 12000L))
+        .select("doc_id", "lang", "running_total").orderBy("doc_id")),
+
     // ---- weighted reservoir sample (Efraimidis–Spirakis A-ES, keyed
     //      by the engine-portable hash): exactly k rows, inclusion
     //      probability ∝ weight (n_chars here — longer docs likelier).
@@ -2152,6 +2163,23 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, CAST(running_total AS BIGINT) AS running_total
         |FROM r WHERE running_total <= 50000
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same walk order, summed per language, budget per group with the
+    // en override inline.
+    "q_token_budget_group" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(doc_id::VARCHAR || ':' || '42') AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY hh, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS running_total
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(running_total AS BIGINT) AS running_total
+        |FROM r
+        |WHERE running_total <= CASE WHEN lang = 'en' THEN 12000 ELSE 5000 END
         |ORDER BY doc_id""".stripMargin,
 
     // A-ES weighted reservoir: same portable-hash u, same ln(u)/w key,

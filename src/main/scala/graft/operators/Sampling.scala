@@ -313,6 +313,73 @@ object Sampling {
       .drop("__h", "__pid")
   }
 
+  /** Per-group token budgets — [[tokenBudgetSelect]] with the running
+    * sum computed inside each group (source / domain / language): "at
+    * most N tokens per domain", the budget-denominated counterpart of
+    * [[quotaPerGroup]]'s doc-count caps. `overrides` pins specific
+    * groups to their own budgets; everything else gets `budget`.
+    *
+    * Scale shape: the naive `SUM OVER (PARTITION BY group ORDER BY
+    * hash)` sorts a whole group in one task — a billion-row domain
+    * dies. This generalizes the two-phase prefix sum per group:
+    * range-repartition on (group, hash) so each task owns a contiguous
+    * slice of one-or-more groups, aggregate one (partition, group) sum
+    * row per slice (small collect: ≤ partitions × groups-touched),
+    * broadcast per-group prefix offsets, and window per (partition,
+    * group). Slices whose group offset already exceeds the group budget
+    * are pruned before the window. Weights non-negative/non-null;
+    * groups non-null. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, budget: Long,
+      overrides: Map[String, Long] = Map.empty,
+      seed: Long = 42L, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0 && overrides.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val h = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__h", h)
+      .repartitionByRange(n, col(groupCol), col("__h"), col(idCol))
+      .sortWithinPartitions(col(groupCol), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.core.CacheScope.retain(ranged)
+    val sums = cached.groupBy(col("__pid"), col(groupCol).cast("string").as("__g"))
+      .agg(sum(col(weightCol).cast("long")).as("__s")).collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    val offsets: Seq[((Int, String), Long)] = sums.groupBy(_._2).toSeq
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, s) =>
+          val off = acc; acc += s; (pid, g) -> off
+        }
+      }
+    val sep = "\u0001" // unit separator: cannot appear in a decimal pid
+    val keyCol = concat_ws(sep, col("__pid").cast("string"),
+      col(groupCol).cast("string"))
+    val offCol = coalesce(
+      element_at(
+        map(offsets.flatMap { case ((p, g), o) =>
+          Seq(lit(s"$p$sep$g"), lit(o)) }: _*),
+        keyCol),
+      lit(0L))
+    val budgetCol =
+      if (overrides.isEmpty) lit(budget)
+      else coalesce(
+        element_at(
+          map(overrides.toSeq.flatMap { case (g, b) =>
+            Seq(lit(g), lit(b)) }: _*),
+          col(groupCol).cast("string")),
+        lit(budget))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    cached
+      .where(offCol <= budgetCol) // per-(slice, group) prune
+      .withColumn("running_total",
+        sum(col(weightCol).cast("long")).over(w) + offCol)
+      .where(col("running_total") <= budgetCol)
+      .drop("__h", "__pid")
+  }
+
   /** The integer cut points backing [[hashSplit]] — exposed so an
     * external verifier can embed the EXACT same literals. */
   def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {

@@ -97,6 +97,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_shuffle_order / q_token_budget: every window is partitioned (no single-partition stage)") {
+    Seq("q_shuffle_order", "q_token_budget").foreach { q =>
+      val p = plan(q)
+      // WindowExec prints "Window [..], [partSpec], [orderSpec]"; the
+      // single-partition trap prints an empty partition spec — which
+      // also surfaces as an Exchange SinglePartition feeding it
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels through one partition:\n${p.take(2000)}")
+      assert(p.contains("rangepartitioning"),
+        s"$q must range-partition on the hash:\n${p.take(2000)}")
+    }
+  }
+
   test("scans prune columns: q_sort_topk reads only what it selects") {
     val p = plan("q_sort_topk")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")

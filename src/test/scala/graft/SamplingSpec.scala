@@ -198,6 +198,34 @@ class SamplingSpec extends SparkSpec {
     assert(fullOrder.toSeq == halfOrder.toSeq)
   }
 
+  test("tokenBudgetPerGroup: per-group running-sum caps with overrides") {
+    val weighted = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val out = Sampling.tokenBudgetPerGroup(weighted, "lang", "doc_id",
+        "n_chars", budget = 5000L, overrides = Map("en" -> 12000L))
+      .select("doc_id", "lang", "running_total").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def m(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val rows = weighted.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      val cap = if (g == "en") 12000L else 5000L
+      var acc = 0L
+      rs.sortBy { case (id, _, _) => (m(id), id) }.toSeq
+        .flatMap { case (id, _, wgt) =>
+          acc += wgt
+          if (acc <= cap) Some((id, g, acc)) else None
+        }
+    }.toSet
+    assert(out.toSet == expected, s"${out.length} kept vs ${expected.size} expected")
+    // the en override must actually bind: more en chars kept than any default group
+    val perGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(perGroup("en") > 5000L, s"override not applied: $perGroup")
+  }
+
   test("hashSplit validates its fractions") {
     val ids = spark.range(10).select(col("id").as("doc_id"))
     intercept[IllegalArgumentException] {
