@@ -1152,6 +1152,44 @@ object SparkEntry {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // ---- forward as-of: the NEXT view at-or-after each purchase (the
+    //      mirror scan; DuckDB replays it as backward ASOF on negated
+    //      epoch micros) ----
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"), col("value").as("purchase_value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.forward(purchases, views, Seq("user_id"), "ts",
+        suffix = "_view")
+        .select(col("user_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
+          unix_micros(col("ts_view")).as("view_ts_us"),
+          col("value_view").as("view_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    // ---- nearest as-of: closer of the two directions, ties backward
+    //      (one key shuffle — both scans are windows over the same
+    //      partitioning) ----
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts"), col("value").as("purchase_value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.nearest(purchases, views, Seq("user_id"), "ts",
+        suffix = "_view")
+        .select(col("user_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("ts_us"), col("purchase_value"),
+          unix_micros(col("ts_view")).as("view_ts_us"),
+          col("value_view").as("view_value"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // ---- stream-stream interval join (batch equivalent; the true
     //      two-stream path with watermark-bounded join state runs in
     //      StreamingSpec). Timestamps are micro-exact in both engines
@@ -2517,6 +2555,49 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    // Forward = backward ASOF on negated epoch micros: -p >= -v ⟺
+    // v.ts >= p.ts, and "max -v.ts" = "min v.ts at-or-after".
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts, value,
+        |    -epoch_us(ts) AS nts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value,
+        |    -epoch_us(ts) AS nts FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, epoch_us(p.ts) AS ts_us,
+        |  p.value AS purchase_value,
+        |  epoch_us(v.ts) AS view_ts_us, v.value AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.nts >= v.nts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    // Nearest: both ASOF directions, then pick the closer (integer
+    // micro distances; ties → backward).
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts, value
+        |    FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |b AS (SELECT p.purchase_id, v.ts AS bts, v.value AS bval
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+        |pn AS (SELECT user_id, purchase_id, -epoch_us(ts) AS nts FROM p),
+        |vn AS (SELECT user_id, ts, value, -epoch_us(ts) AS nts FROM v),
+        |f AS (SELECT pn.purchase_id, vn.ts AS fts, vn.value AS fval
+        |  FROM pn ASOF LEFT JOIN vn ON pn.user_id = vn.user_id AND pn.nts >= vn.nts)
+        |SELECT p.user_id, p.purchase_id, epoch_us(p.ts) AS ts_us,
+        |  p.value AS purchase_value,
+        |  CASE WHEN b.bts IS NULL THEN epoch_us(f.fts)
+        |       WHEN f.fts IS NULL THEN epoch_us(b.bts)
+        |       WHEN epoch_us(p.ts) - epoch_us(b.bts)
+        |            <= epoch_us(f.fts) - epoch_us(p.ts) THEN epoch_us(b.bts)
+        |       ELSE epoch_us(f.fts) END AS view_ts_us,
+        |  CASE WHEN b.bts IS NULL THEN f.fval
+        |       WHEN f.fts IS NULL THEN b.bval
+        |       WHEN epoch_us(p.ts) - epoch_us(b.bts)
+        |            <= epoch_us(f.fts) - epoch_us(p.ts) THEN b.bval
+        |       ELSE f.fval END AS view_value
+        |FROM p
+        |LEFT JOIN b USING (purchase_id)
+        |LEFT JOIN f USING (purchase_id)
         |ORDER BY p.user_id, purchase_id""".stripMargin,
 
     "q_stream_join" ->

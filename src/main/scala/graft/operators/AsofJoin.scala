@@ -37,8 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      timeCol: String, suffix: String = "_asof"): DataFrame = {
+  /** Tag-and-union both sides for the window scan; returns the packed
+    * union plus the right payload column names. Shared by all three
+    * directions — the direction only changes the scan order. */
+  private def packed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val rPayloadCols = right.columns.filterNot(c => keys.contains(c)).toSeq
     require(rPayloadCols.nonEmpty, "right side has no payload columns")
@@ -59,14 +62,71 @@ object AsofJoin {
         lit(0).as("__tag"),
         lit(null).cast(lPacked.schema("__l").dataType).as("__l"),
         struct(rPayloadCols.map(col): _*).as("__r")): _*)
+    (lPacked.unionByName(rPacked), rPayloadCols)
+  }
 
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, suffix: String = "_asof"): DataFrame = {
+    val (u, rPayloadCols) = packed(left, right, keys, timeCol)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    lPacked.unionByName(rPacked)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
+      .select(col("__l.*") +: rPayloadCols.map(c => col(s"__m.$c").as(c + suffix)): _*)
+  }
+
+  /** Mirror of [[backward]]: attach the NEXT right row with
+    * `right.time >= left.time` per key (inclusive — at equal timestamps
+    * the right row wins, matching pandas `merge_asof`
+    * direction="forward"). Same one-shuffle union-sort shape, scanned
+    * from the future backwards: ordering by (time DESC, tag ASC) makes
+    * each left row see the nearest not-earlier right row as the running
+    * `last`. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, suffix: String = "_asof"): DataFrame = {
+    val (u, rPayloadCols) = packed(left, right, keys, timeCol)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(col("__l.*") +: rPayloadCols.map(c => col(s"__m.$c").as(c + suffix)): _*)
+  }
+
+  /** Nearest-in-time match: the closer of the [[backward]] and
+    * [[forward]] candidates, ties preferring backward (the no-leakage
+    * side). STILL one key shuffle: both direction scans are windows over
+    * the same partitioning, so Catalyst reuses the exchange and only
+    * re-sorts (time ASC then DESC) within partitions.
+    *
+    * Distances compare via a double cast of the time column (epoch
+    * seconds for timestamps): exact for micro-resolution epochs
+    * (~1.7e15 µs < 2^53) and any integer time axis below 2^53. The
+    * right side's time column must be part of its payload (it is,
+    * unless dropped upstream) — it is how the match distance is read. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, suffix: String = "_asof"): DataFrame = {
+    val (u, rPayloadCols) = packed(left, right, keys, timeCol)
+    require(rPayloadCols.contains(timeCol),
+      s"nearest needs the right time column '$timeCol' in the payload")
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("__t").cast("double")
+    val tb = col(s"__mb.$timeCol").cast("double")
+    val tf = col(s"__mf.$timeCol").cast("double")
+    u.withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wf))
+      .where(col("__tag") === 1)
+      .withColumn("__m",
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(t - tb <= tf - t, col("__mb"))
+          .otherwise(col("__mf")))
       .select(col("__l.*") +: rPayloadCols.map(c => col(s"__m.$c").as(c + suffix)): _*)
   }
 }

@@ -61,6 +61,55 @@ class AsofJoinSpec extends SparkSpec {
       ("lnullk", None)))    // null key must not pair with rnullk
   }
 
+  test("forward inclusive match mirrors backward") {
+    val left = Seq(
+      (1L, 5L, "p5"), (1L, 10L, "p10"), (1L, 15L, "p15"), (1L, 25L, "p25"),
+      (2L, 100L, "p100")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"),
+      (3L, 1L, "zzz")).toDF("k", "t", "rv")
+    val out = AsofJoin.forward(left, right, Seq("k"), "t")
+      .select("k", "t", "lv", "rv_asof", "t_asof")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, 5L, "p5", Some("a"), 10L),      // earliest at-or-after
+      (1L, 10L, "p10", Some("a"), 10L),    // equal time: INCLUSIVE
+      (1L, 15L, "p15", Some("b"), 20L),
+      (1L, 25L, "p25", None, -1L),         // after every right row
+      (2L, 100L, "p100", None, -1L)))
+  }
+
+  test("nearest picks the closer side, ties to backward") {
+    val left = Seq(
+      (1L, 4L, "near-a"),    // |4-10|=6 back none, fwd a@10 → a
+      (1L, 14L, "tie"),      // back a@10 d=4, fwd b@18 d=4 → tie → backward a
+      (1L, 17L, "near-b"),   // back a@10 d=7, fwd b@18 d=1 → b
+      (1L, 30L, "after"),    // only backward b@18
+      (2L, 1L, "lonely")).toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "a"), (1L, 18L, "b")).toDF("k", "t", "rv")
+    val out = AsofJoin.nearest(left, right, Seq("k"), "t")
+      .select("lv", "rv_asof")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out == Map(
+      "near-a" -> Some("a"), "tie" -> Some("a"), "near-b" -> Some("b"),
+      "after" -> Some("b"), "lonely" -> None))
+  }
+
+  test("plan: forward and nearest still shuffle exactly once") {
+    val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1L, 3L, "b")).toDF("k", "t", "rv")
+    Seq(
+      "forward" -> AsofJoin.forward(left, right, Seq("k"), "t"),
+      "nearest" -> AsofJoin.nearest(left, right, Seq("k"), "t")
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"$name: expected no join operator:\n$plan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"$name: expected one hash shuffle, got $shuffles:\n$plan")
+    }
+  }
+
   test("plan: single key shuffle, no join operator at all") {
     val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
     val right = Seq((1L, 3L, "b")).toDF("k", "t", "rv")
