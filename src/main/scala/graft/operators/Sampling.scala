@@ -346,6 +346,10 @@ object Sampling {
     val sums = cached.groupBy(col("__pid"), col(groupCol).cast("string").as("__g"))
       .agg(sum(col(weightCol).cast("long")).as("__s")).collect()
       .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+    // a null group would fall out of the concat_ws offset key below and
+    // silently read offset 0; reject it like quotaPerGroup does
+    require(!sums.exists(_._2 == null),
+      s"tokenBudgetPerGroup: null values in group column '$groupCol' — coalesce them first")
     val offsets: Seq[((Int, String), Long)] = sums.groupBy(_._2).toSeq
       .flatMap { case (g, rows) =>
         var acc = 0L

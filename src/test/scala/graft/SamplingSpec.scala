@@ -226,6 +226,32 @@ class SamplingSpec extends SparkSpec {
     assert(perGroup("en") > 5000L, s"override not applied: $perGroup")
   }
 
+  test("prefix-sum operators: empty input and degenerate budgets") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    assert(Sampling.deterministicShuffle(empty, "doc_id").count() == 0)
+    assert(Sampling.tokenBudgetSelect(empty, "doc_id", "n_chars", 100L).count() == 0)
+    // budget 0 keeps nothing (weights positive), budget >= total keeps all
+    val weighted = docs.select(col("doc_id"), col("n_chars"))
+    assert(Sampling.tokenBudgetSelect(weighted, "doc_id", "n_chars", 0L).count() == 0)
+    val total = weighted.agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(Sampling.tokenBudgetSelect(weighted, "doc_id", "n_chars", total).count()
+      == weighted.count())
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(weighted, "doc_id", "n_chars", -1L)
+    }
+  }
+
+  test("tokenBudgetPerGroup rejects null groups loudly") {
+    val withNull = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, null).otherwise(col("lang")).as("lang"),
+      col("n_chars"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPerGroup(withNull, "lang", "doc_id", "n_chars", 5000L)
+    }
+    assert(e.getMessage.contains("null values in group column"))
+  }
+
   test("hashSplit validates its fractions") {
     val ids = spark.range(10).select(col("id").as("doc_id"))
     intercept[IllegalArgumentException] {
