@@ -213,6 +213,24 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    // ---- skew tooling, oracle-checked: the salted equi-join must be
+    //      RESULT-IDENTICAL to the plain join (salting only changes the
+    //      shuffle layout), and the two-phase distinct must equal
+    //      COUNT(DISTINCT ...) ----
+    "q_skew_join" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val sup = supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Skew.saltedJoin(li, sup, Seq("l_suppkey"), saltFactor = 8)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_skew_distinct" -> ((s, dir) =>
+      graft.operators.Skew.distinctCountSalted(
+        lineitem(s, dir), "l_orderkey", "l_suppkey")
+        .orderBy("l_orderkey")),
+
     // ---- U1 set operations on keyed projections ----
     "q_setops" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -1483,6 +1501,17 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name
         |ORDER BY r.r_name""".stripMargin,
+
+    // The salted join must be result-identical to the plain join.
+    "q_skew_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q_skew_distinct" ->
+      """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_distinct
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q_setops" ->
       """(SELECT l_orderkey FROM lineitem WHERE l_returnflag='R'
