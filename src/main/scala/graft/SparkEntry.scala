@@ -231,6 +231,31 @@ object SparkEntry {
         lineitem(s, dir), "l_orderkey", "l_suppkey")
         .orderBy("l_orderkey")),
 
+    // ---- sink round-trips, oracle-checked through an INDEPENDENT
+    //      parser: the query writes the documents through our
+    //      single-file JSONL / TSV sink and reads its own file back;
+    //      the oracle hands the same file to DuckDB's read_json /
+    //      read_csv. A sink that emitted nonstandard escaping would
+    //      round-trip consistently in Spark and still fail the gate. ----
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "lang", "source", "text")
+      val f = new java.io.File(
+        s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/jsonl_documents.jsonl")
+      f.getParentFile.mkdirs()
+      graft.sources.Jsonl.write(d, f.getPath)
+      graft.sources.Jsonl.read(s, f.getPath, d.schema).orderBy("doc_id")
+    }),
+
+    "q_tsv_roundtrip" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "lang", "source", "text")
+      val f = new java.io.File(
+        s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/tsv_documents.tsv")
+      f.getParentFile.mkdirs()
+      graft.sources.Sinks.writeTsv(d, f.getPath)
+      s.read.option("sep", "\t").option("header", "true")
+        .schema(d.schema).csv(f.getPath).orderBy("doc_id")
+    }),
+
     // ---- U1 set operations on keyed projections ----
     "q_setops" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -1512,6 +1537,22 @@ object SparkEntry {
       """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_distinct
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
+
+    // DuckDB's own JSON parser over the file our sink wrote.
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, text
+        |FROM read_json('/root/repo/data/oracle_side/sf0.01/jsonl_documents.jsonl',
+        |  format='newline_delimited',
+        |  columns={doc_id: 'BIGINT', lang: 'VARCHAR', source: 'VARCHAR', text: 'VARCHAR'})
+        |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's own CSV parser over the TSV our sink wrote.
+    "q_tsv_roundtrip" ->
+      """SELECT doc_id, lang, source, text
+        |FROM read_csv('/root/repo/data/oracle_side/sf0.01/tsv_documents.tsv',
+        |  delim='\t', header=true,
+        |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'source': 'VARCHAR', 'text': 'VARCHAR'})
+        |ORDER BY doc_id""".stripMargin,
 
     "q_setops" ->
       """(SELECT l_orderkey FROM lineitem WHERE l_returnflag='R'
