@@ -127,7 +127,7 @@ object SemDedup {
     val b = withSub.select(col("__cs"), col(idCol).as("__id_b"), col("__u").as("__ub"))
     val losers = a.join(b, Seq("__cs"))
       .where(col("__id_a") < col("__id_b"))
-      .where(Similarity.dotUdf(col("__ua"), col("__ub")) >= tau)
+      .where(Similarity.dot(emb.sparkSession)(col("__ua"), col("__ub")) >= tau)
       .select(col("__id_b").as(idCol)).distinct()
       .withColumn("__lost", lit(true))
     unit

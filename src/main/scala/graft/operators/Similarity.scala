@@ -25,7 +25,7 @@ object Similarity {
 
   /** Cosine similarity of two double-array columns (expression-only).
     * Fine for per-row use; inside an all-pairs join prefer pre-normalized
-    * unit vectors + [[dotUdf]] — higher-order expressions pay per-element
+    * unit vectors + [[dot]] — higher-order expressions pay per-element
     * interpretation on every PAIR, and any norm expression embedded here
     * would recompute per pair instead of per row. */
   def cosine(a: Column, b: Column): Column = {
@@ -35,13 +35,15 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Tight-loop dot product for join-side scoring. */
-  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+  /** Native codegen'd dot product for join-side scoring (the re-rank
+    * kernel of every ANN path — scores pre-normalized unit vectors
+    * where cosine degenerates to the dot). Registers the graft
+    * extension functions on first use; summation order matches the old
+    * UDF exactly (index order), so scores are bit-identical. */
+  private[operators] def dot(spark: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(spark)
+    graft.plans.GraftExtensions.dotArr(a, b)
   }
 
   /** Project a vector column to unit length: norm computed ONCE into its
@@ -62,7 +64,7 @@ object Similarity {
     val c = withUnitVec(corpus, vecCol, "__cv").select(col(idCol).as("neighbor_id"), col("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", dotUdf(col("__qv"), col("__cv")))
+      .withColumn("score", dot(corpus.sparkSession)(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -120,7 +122,8 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("score", dotUdf(col("__v_query_id"), col("__v_neighbor_id")))
+      .withColumn("score", dot(corpus.sparkSession)(
+        col("__v_query_id"), col("__v_neighbor_id")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -255,7 +258,7 @@ object Similarity {
         .withColumn("__cell", explode(nearestCellsUdf(centroids, nprobe)(col("__qv"))))
       val cands = cells.join(q, Seq("__cell"))
         .where(col("neighbor_id") =!= col("query_id"))
-        .withColumn("score", dotUdf(col("__qv"), col("__cv")))
+        .withColumn("score", dot(cells.sparkSession)(col("__qv"), col("__cv")))
       val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
       cands.withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)

@@ -80,6 +80,60 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain dot product of two double-array columns — the re-rank kernel of
+  * every ANN path (brute force, LSH, IVF) and the SemDeDup pair scan,
+  * which score pre-normalized unit vectors where cosine degenerates to
+  * the dot. The Scala UDF form boxes both arrays into Seq[Double] per
+  * candidate PAIR (the quadratic term); this expression is one fused
+  * loop over the unsafe array data inside whole-stage codegen, summing
+  * in the same index order as the UDF it replaces — results are
+  * bit-identical, so the embedded-constant oracles are unaffected. */
+case class DotArrExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_arr needs two array<double> args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_arr"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotArrExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard similarity of two SORTED distinct long arrays by merge-count —
   * the verification kernel of the MinHash dedup path, as a codegen
   * expression (the UDF form boxes both arrays per candidate pair). */
@@ -156,6 +210,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.jaccardSortedDescriptor)
+    ext.injectFunction(GraftExtensions.dotArrDescriptor)
   }
 }
 
@@ -166,6 +221,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "cosine_sim(a, b) takes two array<double> columns")
       CosineSimExpr(children.head, children(1))
+    })
+
+  private[graft] val dotArrDescriptor = (
+    FunctionIdentifier("dot_arr"),
+    new ExpressionInfo(classOf[DotArrExpr].getName, "dot_arr"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dot_arr(a, b) takes two array<double> columns")
+      DotArrExpr(children.head, children(1))
     })
 
   private[graft] val jaccardSortedDescriptor = (
@@ -182,10 +245,12 @@ object GraftExtensions {
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
   def jaccardSorted(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("jaccard_sorted", a, b)
+  def dotArr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("dot_arr", a, b)
 
   /** Register on an already-built session (local/test convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSimDescriptor, jaccardSortedDescriptor).foreach { d =>
+    Seq(cosineSimDescriptor, jaccardSortedDescriptor, dotArrDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }
