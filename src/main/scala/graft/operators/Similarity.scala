@@ -86,21 +86,9 @@ object Similarity {
       z ^= (z >>> 31)
       java.lang.Math.floorMod(z, 2000000L).toDouble / 1000000.0 - 1.0
     }
-    val f = udf { (v: Seq[Double]) =>
-      var sig = 0L
-      var p = 0
-      while (p < planes.length) {
-        val pl = planes(p)
-        var dot = 0.0
-        var d = 0
-        val n = math.min(pl.length, v.length)
-        while (d < n) { dot += v(d) * pl(d); d += 1 }
-        if (dot > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
-    f(vec)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.HyperplaneSketchExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), planes))
   }
 
   /** Approximate top-k via multi-table hyperplane LSH + exact re-rank. */
@@ -217,17 +205,11 @@ object Similarity {
 
   /** Top-k nearest quantizer cells per vector (closure-captured centroid
     * table, one tight primitive loop per row). */
-  private[graft] def nearestCellsUdf(centroids: Array[Array[Double]], k: Int) =
-    udf { (v: Seq[Double]) =>
-      centroids.indices.map { c =>
-        val ctr = centroids(c)
-        var d = 0.0
-        var i = 0
-        val m = math.min(ctr.length, v.length)
-        while (i < m) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        (c, d)
-      }.sortBy(_._2).take(k).map(_._1).toArray
-    }
+  private[graft] def nearestCellsUdf(centroids: Array[Array[Double]], k: Int)
+      : Column => Column = (v: Column) =>
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.NearestCellsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), centroids, k))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -200,6 +200,169 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSortedExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane sign-bit sketch as a native expression: one fused
+  * loop over the unsafe vector data against a codegen-referenced plane
+  * matrix (closure state rides along as a reference object — the
+  * registry/literal route would re-materialize the matrix per row). The
+  * UDF form boxed the vector into Seq[Double] per row, and the pure
+  * expression form (bits·dim element_at terms) overflows the 64KB
+  * generated-method limit; this keeps whole-stage codegen AND the
+  * closure matrix. Bit order and arithmetic match the UDF exactly. */
+case class HyperplaneSketchExpr(child: Expression,
+    planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sketch needs array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_sketch"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(pl.length, v.numElements())
+      while (d < n) { dot += v.getDouble(d) * pl(d); d += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pls = ctx.addReferenceObj("planes", planes, "double[][]")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val pl = ctx.freshName("pl")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $pls.length; $p++) {
+         |  double[] $pl = $pls[$p];
+         |  double $dot = 0.0;
+         |  int $n = java.lang.Math.min($pl.length, $v.numElements());
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += $v.getDouble($d) * $pl[$d];
+         |  }
+         |  if ($dot > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketchExpr =
+    copy(child = newChild)
+}
+
+/** k nearest quantizer cells (IVF assignment / probe set) as a native
+  * expression over a codegen-referenced centroid matrix. Output is the
+  * cell indices ordered by ascending squared distance, ties to the
+  * lower index — EXACTLY the stable `sortBy(distance).take(k)` of the
+  * UDF it replaces (successive strict-minimum selection reproduces a
+  * stable ascending order). */
+case class NearestCellsExpr(child: Expression,
+    centroids: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells needs array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  private val kk = math.min(k, centroids.length)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = centroids.length
+    val dist = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ctr = centroids(c)
+      var s = 0.0
+      var i = 0
+      val m = math.min(ctr.length, v.numElements())
+      while (i < m) { val t = v.getDouble(i) - ctr(i); s += t * t; i += 1 }
+      dist(c) = s
+      c += 1
+    }
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c2 = 0
+      while (c2 < n) {
+        if (!used(c2) && dist(c2) < bestD) { bestD = dist(c2); best = c2 }
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ctrs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val dist = ctx.freshName("dist")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c2 = ctx.freshName("c2")
+      val ctr = ctx.freshName("ctr")
+      s"""
+         |double[] $dist = new double[$ctrs.length];
+         |for (int $c = 0; $c < $ctrs.length; $c++) {
+         |  double[] $ctr = $ctrs[$c];
+         |  double $s = 0.0;
+         |  int $m = java.lang.Math.min($ctr.length, $v.numElements());
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $t = $v.getDouble($i) - $ctr[$i];
+         |    $s += $t * $t;
+         |  }
+         |  $dist[$c] = $s;
+         |}
+         |boolean[] $used = new boolean[$ctrs.length];
+         |int[] $out = new int[$kk];
+         |for (int $j = 0; $j < $kk; $j++) {
+         |  int $best = -1;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c2 = 0; $c2 < $ctrs.length; $c2++) {
+         |    if (!$used[$c2] && $dist[$c2] < $bestD) { $bestD = $dist[$c2]; $best = $c2; }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
 }
 
 /** `SparkSessionExtensions` entry point: registers graft's native
