@@ -65,5 +65,49 @@ class GraftExtensionsSpec extends SparkSpec {
       .toDF("id", "a", "b")
     val v = df.selectExpr("cosine_sim(a, b) AS c").collect()(0)
     assert(v.isNullAt(0))
+    assert(df.selectExpr("dot_arr(a, b) AS d").collect()(0).isNullAt(0))
+  }
+
+  test("dot_arr: index-order sum, length-mismatch truncation, codegen") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(1.0, 2.0), Array(3.0, 4.0, 5.0)), // truncates to min length
+      (3L, Array.empty[Double], Array.empty[Double])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), expr("dot_arr(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1 * 4 + 2 * 5 + 3 * 6.0)
+    assert(got(2L) == 1 * 3 + 2 * 4.0)
+    assert(got(3L) == 0.0)
+    val plan = df.select(expr("dot_arr(a, b)")).queryExecution.executedPlan.toString()
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("hyperplane_sketch / nearest_cells: codegen == interpreted eval, stable ties") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import graft.plans.{HyperplaneSketchExpr, NearestCellsExpr}
+    val planes = Array(Array(1.0, 0.0), Array(-1.0, 0.5), Array(0.0, -1.0))
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val df = Seq(
+      (1L, Array(2.0, 1.0)),
+      (2L, Array(-1.0, -1.0)),
+      (3L, Array(0.5, 0.5)) // equidistant to all four centroids: ties → ascending index
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+      GraftColumnBridge.column(HyperplaneSketchExpr(
+        GraftColumnBridge.expression(col("v")), planes)).as("sig"),
+      GraftColumnBridge.column(NearestCellsExpr(
+        GraftColumnBridge.expression(col("v")), cents, 3)).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toList
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // row 1: dots = (2, -1.5, -1) → only plane 0 positive → bit 0
+    assert(byId(1L)._1 == 1L)
+    // row 2: dots = (-2, 0.5, 1) → planes 1 and 2 → bits 1+2 = 6
+    assert(byId(2L)._1 == 6L)
+    // row 3 ties: stable ascending cell order
+    assert(byId(3L)._2 == Seq(0, 1, 2))
+    // row 1 nearest: (2,1) → d²: c0=5, c1=2, c2=4, c3=1 → order 3,1,2
+    assert(byId(1L)._2 == Seq(3, 1, 2))
   }
 }
