@@ -38,7 +38,10 @@ object ScaleProbe {
       "q_similarity_topk", "q_embedding_neardup", "q_embedding_neardup_approx",
       "q_agglo_10k",
       "q_bm25", "q_bm25_index", "q_semdedup", "q_semdedup_scaled",
-      "q_temperature_mix", "q_bpe_tokens")
+      "q_temperature_mix", "q_bpe_tokens",
+      "q_similarity_lsh", "q_similarity_ivf", "q_shuffle_order",
+      "q_token_budget", "q_token_budget_group", "q_stream_running",
+      "q_asof_forward", "q_asof_nearest", "q_skew_join")
 
     val spark = SparkSession.builder()
       .master("local[32]")
