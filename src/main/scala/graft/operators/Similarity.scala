@@ -247,6 +247,23 @@ object Similarity {
         .select("query_id", "neighbor_id", "rank", "score")
     }
 
+    /** Incremental corpus growth without a quantizer refit (the
+      * [[graft.operators.Bm25.Bm25Index.append]] analog): new rows are
+      * assigned to the EXISTING centroids and unioned into the cells —
+      * ONE map-side pass over the new rows, no refit, no reshuffle of
+      * the old cells. The quantizer only needs roughly balanced cells,
+      * so a frozen quantizer stays valid until the data distribution
+      * drifts materially (rebuild then); at `nprobe = nlist` results
+      * remain exactly brute-force regardless. Keeping ids unique across
+      * appends is the caller's contract. */
+    def append(more: DataFrame, vecCol: String, idCol: String): IvfIndex = {
+      val mu = withUnitVec(more, vecCol, "__cv")
+        .select(col(idCol).as("neighbor_id"), col("__cv"))
+        .withColumn("__cell",
+          element_at(nearestCellsUdf(centroids, 1)(col("__cv")), 1))
+      IvfIndex(centroids, cells.unionByName(mu))
+    }
+
     /** Persist the index: `dir/cells` = assigned corpus partitioned by
       * cell id (partition pruning serves each probe from its own files),
       * `dir/centroids` = the quantizer table. */

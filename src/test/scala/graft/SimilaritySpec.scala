@@ -92,6 +92,29 @@ class SimilaritySpec extends SparkSpec {
       res(idx.topK(batch1, "embedding", "vec_id", k = 10, nprobe = 4)))
   }
 
+  test("IvfIndex.append: frozen-quantizer growth; exact at nprobe = nlist") {
+    import graft.operators.Similarity.IvfIndex
+    val first = embeddings.filter(col("vec_id") % 3 =!= 0)
+    val more = embeddings.filter(col("vec_id") % 3 === 0)
+    val idx = IvfIndex.build(first, "embedding", "vec_id", nlist = 8, seed = 42L)
+    val grown = idx.append(more, "embedding", "vec_id")
+    // quantizer untouched; corpus grew
+    assert(grown.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    assert(grown.cells.count() == embeddings.count())
+    // probing every cell makes the candidate set the full corpus, so the
+    // appended index must equal brute force over the union exactly
+    val q = embeddings.filter(col("vec_id") < 4)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(res(grown.topK(q, "embedding", "vec_id", k = 10, nprobe = 8)) ==
+      res(Similarity.bruteForceTopK(embeddings, q, "embedding", "vec_id", 10)))
+    // appended rows are retrievable through normal (pruned) probing
+    val someNew = res(grown.topK(q, "embedding", "vec_id", k = 10, nprobe = 4))
+      .exists { case (_, n, _) => n % 3 == 0 }
+    assert(someNew, "appended vectors must appear in probe results")
+  }
+
   test("near-dup pairs symmetric-free and thresholded") {
     val pairs = Similarity.embeddingNearDupPairs(embeddings, "embedding", "vec_id", 0.4)
       .collect()
