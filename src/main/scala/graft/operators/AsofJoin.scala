@@ -89,7 +89,12 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    // null left times must stay unmatched (`r.t >= l.t` is
+    // null-rejecting); unlike the backward scan, where NULLS-FIRST
+    // ascending makes that fall out naturally, the descending scan puts
+    // null-time left rows AFTER every right row — mask them explicitly
+    u.withColumn("__m", when(col("__t").isNotNull,
+        last(col("__r"), ignoreNulls = true).over(w)))
       .where(col("__tag") === 1)
       .select(col("__l.*") +: rPayloadCols.map(c => col(s"__m.$c").as(c + suffix)): _*)
   }
@@ -119,8 +124,12 @@ object AsofJoin {
     val t = col("__t").cast("double")
     val tb = col(s"__mb.$timeCol").cast("double")
     val tf = col(s"__mf.$timeCol").cast("double")
-    u.withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wb))
-      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wf))
+    // same null-left-time masking as [[forward]] (the backward scan is
+    // naturally safe, but masking both keeps the rule explicit)
+    u.withColumn("__mb", when(col("__t").isNotNull,
+        last(col("__r"), ignoreNulls = true).over(wb)))
+      .withColumn("__mf", when(col("__t").isNotNull,
+        last(col("__r"), ignoreNulls = true).over(wf)))
       .where(col("__tag") === 1)
       .withColumn("__m",
         when(col("__mb").isNull, col("__mf"))

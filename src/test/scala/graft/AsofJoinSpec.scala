@@ -96,6 +96,23 @@ class AsofJoinSpec extends SparkSpec {
       "after" -> Some("b"), "lonely" -> None))
   }
 
+  test("forward/nearest: null left times stay unmatched (null-rejecting)") {
+    // the descending scan puts null-time left rows AFTER every right row,
+    // so without explicit masking they would leak the smallest right time
+    val left = Seq((Option(1L), Option(5L), "ok"), (Option(1L), Option.empty[Long], "nullt"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "a")).toDF("k", "t", "rv")
+    Seq(
+      AsofJoin.forward(left, right, Seq("k"), "t"),
+      AsofJoin.nearest(left, right, Seq("k"), "t")
+    ).foreach { df =>
+      val byLv = df.select("lv", "rv_asof").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(byLv("ok") == Some("a"))
+      assert(byLv("nullt") == None, "null left time must not match")
+    }
+  }
+
   test("plan: forward and nearest still shuffle exactly once") {
     val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
     val right = Seq((1L, 3L, "b")).toDF("k", "t", "rv")
