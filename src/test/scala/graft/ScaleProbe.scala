@@ -148,6 +148,19 @@ object ScaleProbe {
               sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("double").as("rf_n"),
               sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("rf_r"))
             .orderBy("l_partkey").limit(10000))
+      case "q_dbscan_grid" =>
+        // the gate query pins exactOnly (its oracle depends on exact
+        // semantics) and its guard refuses >10k rows by design; this
+        // entry exercises the documented scale path — grid DBSCAN over
+        // ε-side cells — on the same matrix shape
+        operators.DbscanOp(eps = 1.8, minSamples = 4,
+          protect = Seq("l_partkey"))(
+          Tables.lineitem(spark, dir).groupBy(col("l_partkey"))
+            .agg(
+              sum(when(col("l_returnflag") === "A", 1).otherwise(0)).cast("double").as("rf_a"),
+              sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("double").as("rf_n"),
+              sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("rf_r"))
+            .where(col("rf_a") + col("rf_n") + col("rf_r") >= 38))
       case _ => SparkEntry.queries(n)(spark, dir)
     }
 
