@@ -73,10 +73,14 @@ object Similarity {
 
   /** Sign-bit sketch: one bit per seeded pseudo-random hyperplane.
     * Plane components come from a splitmix64 mix of (seed, plane, dim) —
-    * deterministic, no stored model. The bits·dim dot products run in ONE
-    * tight-loop UDF over a closure-captured plane matrix: the inlined
+    * deterministic, no stored model, and SQL-replayable (the
+    * q_similarity_lsh oracle regenerates them in DuckDB). The bits·dim
+    * dot products run as ONE fused loop in a native expression
+    * ([[graft.plans.HyperplaneSketchExpr]]) whose plane matrix rides
+    * into generated code as a codegen reference object — the inlined
     * expression alternative (bits·dim element_at terms) overflows the
-    * 64KB generated-method limit and drops to interpreted execution. */
+    * 64KB generated-method limit, and the earlier UDF form boxed the
+    * vector per row. */
   def hyperplaneSketch(vec: Column, dim: Int, bits: Int, seed: Int): Column = {
     val planes: Array[Array[Double]] = Array.tabulate(bits, dim) { (p, d) =>
       var z = seed.toLong * 0x9E3779B97F4A7C15L +
