@@ -117,4 +117,32 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("l_comment"),
       s"scan reads unused wide column: $read")
   }
+
+  test("document/embedding scans prune to the columns the query touches") {
+    // a CacheScope entry from a concurrently-running suite can replace
+    // the file scan with an InMemoryTableScan (whose description embeds
+    // the ORIGINAL full-width ReadSchema) — release our caches first and
+    // skip any query that still got cache-substituted; the guard then
+    // checks every plan that actually scans parquet
+    graft.core.CacheScope.releaseAll()
+    def readSchema(q: String): Option[String] = {
+      val p = plan(q)
+      if (p.contains("InMemoryTableScan")) None
+      else "ReadSchema: [^\\n]+".r.findFirstIn(p)
+    }
+    // q_text_stats derives everything from text — the wide source/lang
+    // metadata must not reach the scan
+    readSchema("q_text_stats").foreach { r =>
+      assert(r.contains("text") && !r.contains("source"),
+        s"documents scan not pruned: $r")
+    }
+    // q_shuffle_order needs only doc_id — text must not be read
+    readSchema("q_shuffle_order").foreach { r =>
+      assert(r.contains("doc_id") && !r.contains("text"),
+        s"shuffle-order scan not pruned: $r")
+    }
+    readSchema("q_similarity_topk").foreach { r =>
+      assert(r.contains("embedding"), s"embeddings scan: $r")
+    }
+  }
 }
