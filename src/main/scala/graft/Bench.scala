@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle side tables are correctness-gate bookkeeping (Verify's job);
+    // writing them inside a timed query bills the harness as query time
+    // (r6: q_deseq2_lrt measured 2.1x its real cost on the parquet write)
+    System.setProperty("graft.bench.skipOracleSide", "true")
     // JVM/codegen/scheduler warm-up OUTSIDE the timed region: without it
     // whichever query runs first absorbs ~5-10 s of one-time cost and the
     // per-query numbers are not comparable across runs
@@ -60,6 +64,28 @@ object Bench {
           .agg(count(lit(1))).collect()
         graft.operators.Dedup.minHashLshPairs(docs, "text", "doc_id").count()
       }
+      // register graft's native Catalyst expressions and force their
+      // first Janino compile + registry resolution here: r6's artifact
+      // billed exactly that one-time cost to q_cosine_native (0.40 →
+      // 2.89 s) because the registration ran inside the timed query
+      graft.plans.GraftExtensions.register(spark)
+      locally {
+        val vecs = spark.range(256).select(col("id"),
+          array((0 until 8).map(i => sin(col("id") * (i + 1)).cast("double")): _*).as("v"))
+        val a = vecs.alias("a"); val b = vecs.alias("b")
+        a.join(b, org.apache.spark.sql.functions.expr("a.id = b.id + 1"))
+          .select(expr("cosine_sim(a.v, b.v)").as("c"), expr("dot_arr(a.v, b.v)").as("d"))
+          .agg(count(lit(1))).collect()
+        vecs.select(expr("jaccard_sorted(sequence(0L, id % 6), sequence(2L, 8L))"))
+          .agg(count(lit(1))).collect()
+        // hyperplane-sketch and nearest-cells closure expressions (the
+        // LSH / IVF hot kernels) via their operator entry points
+        val q = vecs.where(col("id") < 2)
+        graft.operators.Similarity.lshTopK(vecs, q, "v", "id",
+          k = 2, dim = 8, bits = 6, tables = 2).count()
+        graft.operators.Similarity.ivfTopK(vecs, q, "v", "id",
+          k = 2, nlist = 4, nprobe = 2).count()
+      }
     }
     // OS load average at the run boundaries: bench numbers on this box
     // swing up to 2x with background tenant load (see PERF.md round 4 —
@@ -68,29 +94,48 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
-    // deterministic order so per-query timings compare across rounds.
-    // A throwing query must NOT be silently timed as near-zero (a broken
-    // query would read as a perf win): record it, report it, exit nonzero.
-    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, Throwable)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // MEDIAN-OF-N protocol (default 3 sweeps): each sweep times every
+    // query once in deterministic (sorted) order, and the reported number
+    // is the per-query MEDIAN across sweeps. Full-sweep interleaving (not
+    // 3 back-to-back runs of the same query) decorrelates multi-second
+    // hypervisor/GC spikes from any single query, so one spike lands on
+    // different queries in different sweeps and the median rejects it —
+    // r3/r5/r6 all needed post-hoc forensics because a single noisy run
+    // was the official record. Raw per-sweep timings ride in the JSON.
+    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runs = scala.collection.mutable.LinkedHashMap[String, List[Double]](
+      names.map(_ -> List.empty[Double]): _*)
+    // a throwing query must NOT be silently timed as near-zero (a broken
+    // query would read as a perf win): record it, report it, exit nonzero
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
+    for (_ <- 1 to sweeps; name <- names if !failures.contains(name)) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case t: Throwable => failures += (name -> t)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val failedNames = failures.map(_._1).toSet
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case t: Throwable => failures(name) = t }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     // a failed query's elapsed time is meaningless — null it in the JSON
     // so the persisted artifact cannot read as a perf win, and list the
     // failures in the line itself (the exit code alone doesn't travel
     // with an archived BENCH_rNN.json)
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (failedNames(k)) "null" else v.toString)
+    val qs = names.map { k =>
+      "\"" + k + "\":" + (if (failures.contains(k)) "null" else median(runs(k)).toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failedNames(k) => v }.sum
-    val failedJson = failedNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val raw = names.map { k =>
+      "\"" + k + "\":" + runs(k).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = names.collect { case k if !failures.contains(k) => median(runs(k)) }.sum
+    val failedJson = failures.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""sweeps":$sweeps,"runs":$raw,""" +
         s""""failed":$failedJson,"load_start":$loadStart,"load_end":$loadAvg}"""
     println(json)
     // also persist to a file: the driver captures stdout's tail, and a
@@ -107,7 +152,7 @@ object Bench {
       failures.foreach { case (name, t) =>
         System.err.println(s"BENCH FAILURE: $name — ${t.getClass.getName}: ${t.getMessage}")
       }
-      System.err.println(s"${failures.length} of ${results.size} queries failed")
+      System.err.println(s"${failures.size} of ${names.size} queries failed")
       sys.exit(1)
     }
   }

@@ -66,11 +66,18 @@ object SparkEntry {
     * dir basename so a bench run at another sf cannot clobber the
     * sf0.01 table the correctness gate reads. */
   private def writeOracleSide(df: DataFrame, dir: String, name: String): Unit =
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/$name")
+    // Bench sets this property: the side table is oracle BOOKKEEPING, and
+    // a parquet write inside the timed region bills the test harness as
+    // query time (r6: q_deseq2_lrt read 2.1× its real cost). Verify never
+    // sets it, so the correctness gate always gets fresh side tables.
+    if (!sys.props.get("graft.bench.skipOracleSide").exists(_.toBoolean))
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/$name")
 
   /** The gate-sf side-table path the oracle SQL embeds (the driver's
-    * DuckDB compare runs at sf0.01). */
+    * DuckDB compare runs at sf0.01). Verify.scala substitutes the actual
+    * run-dir basename for `sf0.01` when it dumps oracle_sql.json, so an
+    * oracle run at any sf reads the side files that run wrote. */
   private def oracleSidePath(name: String): String =
     s"/root/repo/data/oracle_side/sf0.01/$name/*.parquet"
 
@@ -236,7 +243,12 @@ object SparkEntry {
     //      single-file JSONL / TSV sink and reads its own file back;
     //      the oracle hands the same file to DuckDB's read_json /
     //      read_csv. A sink that emitted nonstandard escaping would
-    //      round-trip consistently in Spark and still fail the gate. ----
+    //      round-trip consistently in Spark and still fail the gate.
+    //      NOTE: the sink write runs eagerly at query-CONSTRUCTION time
+    //      (deliberate — the write IS the operator under test, so Bench
+    //      times it with the read-back), and the file path derives from
+    //      the run dir; Verify substitutes the same dir into the oracle
+    //      SQL so both sides always read this run's file. ----
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val d = documents(s, dir).select("doc_id", "lang", "source", "text")
       val f = new java.io.File(
@@ -254,6 +266,69 @@ object SparkEntry {
       graft.sources.Sinks.writeTsv(d, f.getPath)
       s.read.option("sep", "\t").option("header", "true")
         .schema(d.schema).csv(f.getPath).orderBy("doc_id")
+    }),
+
+    // ---- S7 Excel sink + S5 xlsx scan round-trip, oracle-checked
+    //      through the sink's own file: a report-shaped aggregate (the
+    //      reference's Excel surface is driver-side gene reports) is
+    //      written with writeXlsx, re-read with readXlsx (StAX parse +
+    //      pandas-style numeric inference → DoubleType), and the oracle
+    //      recomputes the same aggregate from parquet. Byte lengths via
+    //      UTF-8 encode on both sides (char-count semantics differ
+    //      across engines for non-BMP text; byte counts cannot). ----
+    "q_excel_roundtrip" -> ((s, dir) => {
+      val report = documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          sum(length(encode(col("text"), "UTF-8")).cast("long")).cast("double").as("n_bytes"))
+      val f = new java.io.File(
+        s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/excel_report.xlsx")
+      f.getParentFile.mkdirs()
+      graft.sources.Excel.writeXlsx(f.getPath, Seq("report" -> report))
+      graft.sources.Excel.readXlsx(s, f.getPath)
+        .orderBy("lang", "source")
+    }),
+
+    // ---- WARC source (sources/Warc.scala), oracle-checked end-to-end:
+    //      the documents table is serialized DETERMINISTICALLY into
+    //      member-per-file .warc.gz shards (one response record per doc;
+    //      uri/date/mime derived from doc_id/lang, payload = UTF-8 text),
+    //      executor-side per partition — no driver collect. Warc.read
+    //      then parses the shards back and the oracle re-derives every
+    //      header field plus the byte-exact payload length from the
+    //      parquet originals: a parser that mis-split a header, dropped
+    //      a record, or truncated a payload hash-mismatches. ----
+    "q_warc" -> ((s, dir) => {
+      import graft.sources.Warc
+      val outDir = new java.io.File(
+        s"/root/repo/data/warc_fixture/${new java.io.File(dir).getName}")
+      outDir.mkdirs()
+      Option(outDir.listFiles()).foreach(_.foreach(_.delete()))
+      val base = outDir.getPath
+      documents(s, dir).select("doc_id", "lang", "text")
+        .repartition(8, col("doc_id"))
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          val recs = it.map { r =>
+            val id = r.getLong(0)
+            ("response", s"http://corpus.local/doc/$id",
+              java.time.Instant.ofEpochSecond(1704067200L + id).toString,
+              s"text/plain; lang=${r.getString(1)}",
+              r.getString(2).getBytes("UTF-8"))
+          }.toSeq
+          if (recs.nonEmpty) {
+            val gz = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(new java.io.File(base, f"part_$pid%05d.warc.gz")))
+            gz.write(Warc.recordBytes(recs)); gz.close()
+          }
+          Iterator.single(1)
+        }.count()
+      Warc.read(s, s"$base/*.warc.gz")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"), col("date"),
+          col("content_type"), col("content_length"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .orderBy("doc_id")
     }),
 
     // ---- U1 set operations on keyed projections ----
@@ -341,9 +416,11 @@ object SparkEntry {
     //      closed-form and DuckDB replays it from scratch: size factors
     //      (median-of-log-ratios), baseMean, mu = max(sf·2^Xβ, 0.5),
     //      weights μ/(1+αμ)·ln²2, the ridged 2×2 information matrix, its
-    //      inverse ⇒ lfcSE, and the Wald stat. p/FDR stay out of the
-    //      gate output (no normal CDF in DuckDB) — the stat→p map is
-    //      monotone and the kernel is R-golden-pinned (DESeq2Spec).
+    //      inverse ⇒ lfcSE, and the Wald stat. The normal-CDF p itself
+    //      is not DuckDB-expressible (kernel R-golden-pinned in
+    //      DESeq2Spec) so p rides in the side table — which puts p AND
+    //      the BH-FDR column inside the hash: the oracle replays BH from
+    //      the side-table p with the q_bh_fdr reverse-min window.
     //      Both sides round to 4 decimals (cross-engine pow/ln jitter
     //      ~1e-13 relative, orders inside the bucket). ----
     "q_deseq2_wald" -> ((s, dir) => {
@@ -353,15 +430,23 @@ object SparkEntry {
         index = "l_partkey")
       val full = graft.core.CacheScope.retain(
         d.applyWithFit(replicateMatrix(s, dir)))
+      // p rides in the side table (spec-pinned kernel — no normal CDF in
+      // DuckDB), which brings p AND the BH-FDR column inside the oracle
+      // hash: the oracle replays BH from the side-table p with the
+      // q_bh_fdr reverse-min window (r6 VERDICT ask #5)
       writeOracleSide(full.select(col("l_partkey"),
         col("__alpha").as("alpha"), col("__beta0").as("beta0"),
-        col(d.logFCColumn).as("beta1")), dir, "deseq2_wald")
+        col(d.logFCColumn).as("beta1"), col(d.pColumn).as("p")),
+        dir, "deseq2_wald")
       val r4 = (c: Column, n: String) => (floor(c * 10000 + 0.5) / 10000).as(n)
+      val r6 = (c: Column, n: String) => (floor(c * 1e6 + 0.5) / 1e6).as(n)
       full.select(col("l_partkey"),
         r4(col(d.baseMeanColumn), d.baseMeanColumn),
         r4(col(d.logFCColumn), d.logFCColumn),
         r4(col(d.lfcSEColumn), d.lfcSEColumn),
-        r4(col(d.statColumn), d.statColumn))
+        r4(col(d.statColumn), d.statColumn),
+        r6(col(d.pColumn), d.pColumn),
+        r6(col(d.fdrColumn), d.fdrColumn))
         .orderBy("l_partkey")
     }),
 
@@ -403,6 +488,26 @@ object SparkEntry {
         .orderBy("l_partkey")
     }),
 
+    // ---- M3 grid DBSCAN — the documented 100 TB scale path (cells
+    //      bucket map-side, dense-cell union-find on the driver over
+    //      ≤ n/minSamples cells), previously probe-measured only; this
+    //      gate oracle-checks its SEMANTICS end-to-end. maxExactRows=100
+    //      pins the grid branch (2000 gene rows > 100). The full replay:
+    //      cells = floor(count/eps) per axis (eps=1.0 ⇒ integer-exact on
+    //      both engines), dense = cells with ≥ minSamples points,
+    //      components = recursive-CTE CC over Chebyshev-1 dense-cell
+    //      adjacency with ids ranked by the component's minimal cell
+    //      (numeric lexicographic — exactly the operator's union-find
+    //      ordering), border points adopt the MIN adjacent component id
+    //      (52 gate points touch ≥2 components, so the tie rule itself
+    //      is under test), else noise −1. Raw cluster IDS are hashed,
+    //      not a relabeling — numbering discipline included. ----
+    "q_dbscan_grid" -> ((s, dir) =>
+      DbscanOp(eps = 1.0, minSamples = 3, protect = Seq("l_partkey"),
+        maxExactRows = 100)(countMatrix(s, dir))
+        .select(col("l_partkey"), col("DBSCAN").cast("long").as("cluster"))
+        .orderBy("l_partkey")),
+
     // ---- D4 DESeq2 LRT (intended semantics of the reference's broken
     //      DESeq2Timeseries), PARTIAL oracle (fitted side table, the
     //      q_deseq2_wald pattern): the side table carries the per-gene
@@ -410,9 +515,11 @@ object SparkEntry {
     //      likelihood-ratio stat is a closed-form lgamma sum (both
     //      9-sample log-likelihoods replayed term-for-term), the SE of
     //      the reported coefficient is a 3×3 ridged-information inverse,
-    //      and baseMean/size factors re-derive from parquet. p (upper
-    //      χ² tail — no incomplete gamma in DuckDB) and FDR stay
-    //      spec-pinned (DESeq2LRTSpec χ² calibration). ----
+    //      and baseMean/size factors re-derive from parquet. The upper
+    //      χ² tail itself is not DuckDB-expressible (no incomplete
+    //      gamma; spec-pinned via DESeq2LRTSpec χ² calibration) so p
+    //      rides in the side table, putting p and the BH-FDR replay
+    //      inside the hash (the q_deseq2_wald pattern). ----
     "q_deseq2_lrt" -> ((s, dir) => {
       val sampleCols = Seq("a_0", "a_1", "a_2", "n_0", "n_1", "n_2", "r_0", "r_1", "r_2")
       val l = graft.stats.DESeq2LRT(sampleCols,
@@ -422,17 +529,23 @@ object SparkEntry {
         index = "l_partkey")
       val full = graft.core.CacheScope.retain(
         l.applyWithFit(replicateMatrix(s, dir)))
+      // p in the side table → p and BH-FDR inside the oracle hash (the
+      // q_deseq2_wald pattern; the χ² tail itself stays spec-pinned)
       writeOracleSide(full.select(col("l_partkey"),
         col("__alpha").as("alpha"),
         col("__bf")(0).as("bf0"), col("__bf")(1).as("bf1"),
-        col("__bf")(2).as("bf2"), col("__br")(0).as("br0")),
+        col("__bf")(2).as("bf2"), col("__br")(0).as("br0"),
+        col(l.pColumn).as("p")),
         dir, "deseq2_lrt")
       val r4 = (c: Column, n: String) => (floor(c * 10000 + 0.5) / 10000).as(n)
+      val r6 = (c: Column, n: String) => (floor(c * 1e6 + 0.5) / 1e6).as(n)
       full.select(col("l_partkey"),
         r4(col(l.baseMeanColumn), l.baseMeanColumn),
         r4(col(l.logFCColumn), l.logFCColumn),
         r4(col(l.lfcSEColumn), l.lfcSEColumn),
-        r4(col(l.statColumn), l.statColumn))
+        r4(col(l.statColumn), l.statColumn),
+        r6(col(l.pColumn), l.pColumn),
+        r6(col(l.fdrColumn), l.fdrColumn))
         .orderBy("l_partkey")
     }),
 
@@ -1546,6 +1659,31 @@ object SparkEntry {
         |  columns={doc_id: 'BIGINT', lang: 'VARCHAR', source: 'VARCHAR', text: 'VARCHAR'})
         |ORDER BY doc_id""".stripMargin,
 
+    // The xlsx round-trip report re-aggregated from parquet (byte
+    // lengths via UTF-8 encode on both sides).
+    "q_excel_roundtrip" ->
+      """SELECT lang, source,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) AS n_bytes
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    // Every WARC header field + payload re-derived from the parquet
+    // originals (the serialization is a pure function of doc_id/lang/
+    // text — see the q_warc query comment).
+    "q_warc" ->
+      """SELECT doc_id,
+        |  'response' AS warc_type,
+        |  'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+        |           '%Y-%m-%dT%H:%M:%SZ') AS "date",
+        |  'text/plain; lang=' || lang AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // DuckDB's own CSV parser over the TSV our sink wrote.
     "q_tsv_roundtrip" ->
       """SELECT doc_id, lang, source, text
@@ -1664,6 +1802,44 @@ object SparkEntry {
         |  CASE WHEN rep IS NULL THEN CAST(-1 AS BIGINT)
         |       ELSE MIN(l_partkey) OVER (PARTITION BY rep) END AS cluster
         |FROM assigned
+        |ORDER BY l_partkey""".stripMargin,
+
+    // Grid-DBSCAN replay: ε-cells → dense cells → recursive-CTE CC over
+    // Chebyshev-1 adjacency → min-cell-ranked ids → border = min
+    // adjacent id. Cells pack into one BIGINT (coords < 64 at the gate;
+    // packed order == numeric lexicographic order the operator uses).
+    "q_dbscan_grid" ->
+      s"""WITH m AS ($CountMatrixSql),
+        |cells AS (SELECT l_partkey,
+        |    CAST(floor(rf_a / 1.0) AS BIGINT) AS c0,
+        |    CAST(floor(rf_n / 1.0) AS BIGINT) AS c1,
+        |    CAST(floor(rf_r / 1.0) AS BIGINT) AS c2
+        |  FROM m),
+        |dense AS (SELECT c0, c1, c2 FROM cells
+        |  GROUP BY c0, c1, c2 HAVING count(*) >= 3),
+        |dk AS (SELECT c0, c1, c2, c0*4096 + c1*64 + c2 AS k FROM dense),
+        |e AS (SELECT a.k AS ak, b.k AS bk FROM dk a JOIN dk b
+        |  ON abs(a.c0-b.c0) <= 1 AND abs(a.c1-b.c1) <= 1
+        |     AND abs(a.c2-b.c2) <= 1 AND a.k <> b.k),
+        |comp AS (
+        |  WITH RECURSIVE r(k, rep) AS (
+        |    SELECT k, k FROM dk
+        |    UNION
+        |    SELECT e.bk, r.rep FROM r JOIN e ON e.ak = r.k)
+        |  SELECT k, MIN(rep) AS rep FROM r GROUP BY k),
+        |lab AS (SELECT dk.c0, dk.c1, dk.c2,
+        |    DENSE_RANK() OVER (ORDER BY comp.rep) - 1 AS cid
+        |  FROM dk JOIN comp USING (k)),
+        |pt AS (SELECT c.l_partkey, c.c0, c.c1, c.c2, l.cid AS own
+        |  FROM cells c LEFT JOIN lab l USING (c0, c1, c2)),
+        |border AS (SELECT p.l_partkey, MIN(l2.cid) AS adj
+        |  FROM pt p JOIN lab l2
+        |  ON abs(p.c0-l2.c0) <= 1 AND abs(p.c1-l2.c1) <= 1
+        |     AND abs(p.c2-l2.c2) <= 1
+        |  WHERE p.own IS NULL GROUP BY p.l_partkey)
+        |SELECT p.l_partkey,
+        |  CAST(COALESCE(p.own, b.adj, -1) AS BIGINT) AS cluster
+        |FROM pt p LEFT JOIN border b USING (l_partkey)
         |ORDER BY l_partkey""".stripMargin,
 
     // Full NOISeq replicate-path re-derivation (see NoiseqOracle).
@@ -2916,6 +3092,7 @@ object SparkEntry {
       val wAll = cols.map(c => s"w_$c").mkString(" + ")
       val wA = cols.filter(_.head == 'a').map(c => s"w_$c").mkString(" + ")
       def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+      def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
       s"""WITH m AS (
         |  SELECT l_partkey,
         |    $rmCols
@@ -2926,29 +3103,33 @@ object SparkEntry {
         |  FROM pos),
         |side AS (SELECT * FROM read_parquet('$sidePath')),
         |mu AS (
-        |  SELECT m.l_partkey, $baseMean AS basemean, s.alpha, s.beta1,
+        |  SELECT m.l_partkey, $baseMean AS basemean, s.alpha, s.beta1, s.p,
         |    $muCols
         |  FROM m JOIN side s USING (l_partkey), sf),
         |w AS (
-        |  SELECT l_partkey, basemean, beta1,
+        |  SELECT l_partkey, basemean, beta1, p,
         |    $wCols
         |  FROM mu),
         |info AS (
-        |  SELECT l_partkey, basemean, beta1,
+        |  SELECT l_partkey, basemean, beta1, p,
         |    ($wAll) + 1e-6 AS a00,
         |    ($wA) AS a01,
         |    ($wA) + 1e-6 AS a11
         |  FROM w),
         |fin AS (
-        |  SELECT l_partkey, basemean, beta1,
+        |  SELECT l_partkey, basemean, beta1, p,
         |    sqrt(a00 / (a00 * a11 - a01 * a01)) AS se
-        |  FROM info)
+        |  FROM info),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p) AS rk,
+        |    COUNT(*) OVER () AS n FROM fin)
         |SELECT l_partkey,
         |  ${r4("basemean")} AS "baseMean (A_vs_R)",
         |  ${r4("beta1")} AS "log2FC (A_vs_R)",
         |  ${r4("se")} AS "lfcSE (A_vs_R)",
-        |  ${r4("beta1 / se")} AS "stat (A_vs_R)"
-        |FROM fin
+        |  ${r4("beta1 / se")} AS "stat (A_vs_R)",
+        |  ${r6("p")} AS "p (A_vs_R)",
+        |  ${r6("LEAST(MIN(p*n/rk) OVER (ORDER BY p DESC), 1.0)")} AS "FDR (A_vs_R)"
+        |FROM r
         |ORDER BY l_partkey""".stripMargin
     }
   }
@@ -3000,6 +3181,7 @@ object SparkEntry {
         .mkString(",\n    ")
       def wg(g: Char) = cols.filter(_.head == g).map(c => s"w_$c").mkString(" + ")
       def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+      def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
       s"""WITH m AS (
         |  SELECT l_partkey,
         |    $rmCols
@@ -3010,7 +3192,7 @@ object SparkEntry {
         |  FROM pos),
         |side AS (SELECT * FROM read_parquet('$sidePath')),
         |mu AS (
-        |  SELECT m.l_partkey, $baseMean AS basemean, s.alpha, s.bf2,
+        |  SELECT m.l_partkey, $baseMean AS basemean, s.alpha, s.bf2, s.p,
         |    ${cols.map(c => s"m.$c AS y_$c").mkString(", ")},
         |    $muCols
         |  FROM m JOIN side s USING (l_partkey), sf),
@@ -3019,23 +3201,27 @@ object SparkEntry {
         |    $wCols
         |  FROM mu),
         |info AS (
-        |  SELECT l_partkey, basemean, bf2,
+        |  SELECT l_partkey, basemean, bf2, p,
         |    greatest(2.0 * (llf - llr), 0.0) AS stat,
         |    (${wg('a')}) + (${wg('n')}) + (${wg('r')}) + 1e-6 AS a00,
         |    (${wg('n')}) AS a01, (${wg('r')}) AS a02,
         |    (${wg('n')}) + 1e-6 AS a11, (${wg('r')}) + 1e-6 AS a22
         |  FROM lik),
         |fin AS (
-        |  SELECT l_partkey, basemean, bf2, stat,
+        |  SELECT l_partkey, basemean, bf2, p, stat,
         |    sqrt((a00 * a11 - a01 * a01)
         |      / (a00 * a11 * a22 - a01 * a01 * a22 - a02 * a02 * a11)) AS se
-        |  FROM info)
+        |  FROM info),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p) AS rk,
+        |    COUNT(*) OVER () AS n FROM fin)
         |SELECT l_partkey,
         |  ${r4("basemean")} AS "baseMean (cond_lrt)",
         |  ${r4("bf2")} AS "log2FC (cond_lrt)",
         |  ${r4("se")} AS "lfcSE (cond_lrt)",
-        |  ${r4("stat")} AS "stat (cond_lrt)"
-        |FROM fin
+        |  ${r4("stat")} AS "stat (cond_lrt)",
+        |  ${r6("p")} AS "p (cond_lrt)",
+        |  ${r6("LEAST(MIN(p*n/rk) OVER (ORDER BY p DESC), 1.0)")} AS "FDR (cond_lrt)"
+        |FROM r
         |ORDER BY l_partkey""".stripMargin
     }
   }

@@ -39,8 +39,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Side-table oracle SQL embeds the gate-sf path
+    // (data/oracle_side/sf0.01/...). Substitute the ACTUAL run dir at dump
+    // time so an oracle run at any sf reads the side files THIS run wrote
+    // — never a stale sf0.01 copy left by an earlier run (r6 ADVICE).
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("/data/oracle_side/sf0.01/", s"/data/oracle_side/$sfName/"))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -105,11 +105,15 @@ object AsofJoin {
     * the same partitioning, so Catalyst reuses the exchange and only
     * re-sorts (time ASC then DESC) within partitions.
     *
-    * Distances compare via a double cast of the time column (epoch
-    * seconds for timestamps): exact for micro-resolution epochs
-    * (~1.7e15 µs < 2^53) and any integer time axis below 2^53. The
-    * right side's time column must be part of its payload (it is,
-    * unless dropped upstream) — it is how the match distance is read. */
+    * Distances compare in EXACT integer units on integer-like axes —
+    * `unix_micros` for timestamps, `unix_date` for dates, a long cast
+    * for integral columns — so a backward/forward tie in integer micros
+    * can never flip to the forward match through float rounding (a
+    * double cast of a timestamp is micros/1e6 with ~1.2e-7 s error per
+    * cast). Float/double time axes compare as doubles, which is their
+    * native exactness. The right side's time column must be part of its
+    * payload (it is, unless dropped upstream) — it is how the match
+    * distance is read. */
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, suffix: String = "_asof"): DataFrame = {
     val (u, rPayloadCols) = packed(left, right, keys, timeCol)
@@ -121,9 +125,20 @@ object AsofJoin {
     val wf = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val t = col("__t").cast("double")
-    val tb = col(s"__mb.$timeCol").cast("double")
-    val tf = col(s"__mf.$timeCol").cast("double")
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Column
+    val exactAxis: Column => Column = u.schema("__t").dataType match {
+      case _: TimestampType => unix_micros _
+      // session-local shift is the same on both sides, distances unaffected
+      case _: TimestampNTZType => (c: Column) => unix_micros(c.cast("timestamp"))
+      case _: DateType => unix_date _
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        (c: Column) => c.cast("long")
+      case _ => (c: Column) => c.cast("double")
+    }
+    val t = exactAxis(col("__t"))
+    val tb = exactAxis(col(s"__mb.$timeCol"))
+    val tf = exactAxis(col(s"__mf.$timeCol"))
     // same null-left-time masking as [[forward]] (the backward scan is
     // naturally safe, but masking both keeps the rule explicit)
     u.withColumn("__mb", when(col("__t").isNotNull,

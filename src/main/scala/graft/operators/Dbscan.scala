@@ -108,6 +108,12 @@ final case class DbscanOp(
     // driver union-find over dense cells (adjacent = Chebyshev distance 1)
     val cellSet = dense.toSet
     val parent = scala.collection.mutable.Map(dense.map(c => c -> c): _*)
+    // NUMERIC lexicographic cell order (dims compared left to right as
+    // longs, not as strings): the smaller-root-wins rule then makes every
+    // component's final root its numerically-minimal cell, which a SQL
+    // oracle replays with a plain MIN over (c0, c1, ...) tuples — string
+    // order ("10" < "2") would not be
+    val vecOrd: Ordering[Vector[Long]] = math.Ordering.Implicits.seqOrdering
     def find(c: Vector[Long]): Vector[Long] = {
       var r = c
       while (parent(r) != r) r = parent(r)
@@ -118,8 +124,8 @@ final case class DbscanOp(
     def union(a: Vector[Long], b: Vector[Long]): Unit = {
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
-        // deterministic: lexicographically smaller root wins
-        if (ra.toString <= rb.toString) parent(rb) = ra else parent(ra) = rb
+        // deterministic: numerically smaller root wins
+        if (vecOrd.lteq(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
     val d = features.length
@@ -132,8 +138,9 @@ final case class DbscanOp(
         if (cellSet.contains(nb)) union(c, nb)
       }
     }
-    // stable cluster ids: rank of the root cell (lexicographic)
-    val roots = dense.map(find).distinct.sortBy(_.toString())
+    // stable cluster ids: rank of the root cell (numeric lexicographic —
+    // component root == its minimal member cell, see vecOrd above)
+    val roots = dense.map(find).distinct.sorted(vecOrd)
     val rootId = roots.zipWithIndex.toMap
     val cellLabel: Map[Vector[Long], Int] = dense.map(c => c -> rootId(find(c))).toMap
     val bc = df.sparkSession.sparkContext.broadcast((cellLabel, offsets))

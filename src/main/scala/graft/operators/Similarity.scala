@@ -90,9 +90,12 @@ object Similarity {
       z ^= (z >>> 31)
       java.lang.Math.floorMod(z, 2000000L).toDouble / 1000000.0 - 1.0
     }
+    // Seq state (not Array) so equal-plane sketch expressions compare
+    // equal and CSE/exchange-reuse can deduplicate them
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.HyperplaneSketchExpr(
-        org.apache.spark.sql.GraftColumnBridge.expression(vec), planes))
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        planes.map(_.toSeq).toSeq))
   }
 
   /** Approximate top-k via multi-table hyperplane LSH + exact re-rank. */
@@ -153,11 +156,10 @@ object Similarity {
     * Shared by [[ivfTopK]], [[embeddingNearDupPairs]], SemDeDup and the
     * NearDupProbe profiler — one place for the quantizer recipe. */
   private[graft] def fitQuantizer(u: DataFrame, vecCol: String, nlist: Int,
-      seed: Long, maxIter: Int, sampleFrom: Option[Long] = None): Array[Array[Double]] = {
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
     val cap = 20000
     // deterministic sample: top-`cap` rows by content hash (TakeOrdered —
-    // no shuffle of the full corpus). sampleFrom is accepted for source
-    // compatibility; the hash cap already bounds the fit for any n.
+    // no shuffle of the full corpus); the hash cap bounds the fit for any n.
     val sample: Array[Array[Double]] = u
       .select(col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
@@ -213,7 +215,8 @@ object Similarity {
       : Column => Column = (v: Column) =>
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.NearestCellsExpr(
-        org.apache.spark.sql.GraftColumnBridge.expression(v), centroids, k))
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        centroids.map(_.toSeq).toSeq, k))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
@@ -397,8 +400,7 @@ object Similarity {
         math.min(nRows / 4, nlistCap.toLong))).toInt
       // 5 Lloyd iterations on a ≤20k sample keep the fit cost flat in n;
       // cells only need rough balance (candidates are verified exactly)
-      val centroids = fitQuantizer(u, "__u", nlist, seed, maxIter = 5,
-        sampleFrom = Some(nRows))
+      val centroids = fitQuantizer(u, "__u", nlist, seed, maxIter = 5)
       val cSide = u.select(col(idCol).as("id_c"), col("__u").as("__uc"),
         explode(nearestCellsUdf(centroids, corpusAssign)(col("__u"))).as("__cell"))
       val qSide = u.select(col(idCol).as("id_q"), col("__u").as("__uq"),

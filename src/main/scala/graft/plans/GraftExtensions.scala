@@ -209,10 +209,18 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   * UDF form boxed the vector into Seq[Double] per row, and the pure
   * expression form (bits·dim element_at terms) overflows the 64KB
   * generated-method limit; this keeps whole-stage codegen AND the
-  * closure matrix. Bit order and arithmetic match the UDF exactly. */
+  * closure matrix. Bit order and arithmetic match the UDF exactly.
+  *
+  * Plane state is `Seq[Seq[Double]]` (not `Array`): case-class equality
+  * on Array fields is by reference, which would make two semantically
+  * identical sketch expressions never compare equal and defeat
+  * common-subexpression elimination and exchange reuse. */
 case class HyperplaneSketchExpr(child: Expression,
-    planes: Array[Array[Double]])
+    planes: Seq[Seq[Double]])
     extends UnaryExpression {
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -224,6 +232,7 @@ case class HyperplaneSketchExpr(child: Expression,
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val planes = planeArr
     var sig = 0L
     var p = 0
     while (p < planes.length) {
@@ -240,7 +249,7 @@ case class HyperplaneSketchExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val pls = ctx.addReferenceObj("planes", planes, "double[][]")
+      val pls = ctx.addReferenceObj("planes", planeArr, "double[][]")
       val sig = ctx.freshName("sig")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
@@ -273,8 +282,11 @@ case class HyperplaneSketchExpr(child: Expression,
   * UDF it replaces (successive strict-minimum selection reproduces a
   * stable ascending order). */
 case class NearestCellsExpr(child: Expression,
-    centroids: Array[Array[Double]], k: Int)
+    centroids: Seq[Seq[Double]], k: Int)
     extends UnaryExpression {
+
+  @transient private lazy val centroidArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -288,6 +300,7 @@ case class NearestCellsExpr(child: Expression,
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val centroids = centroidArr
     val n = centroids.length
     val dist = new Array[Double](n)
     var c = 0
@@ -320,7 +333,7 @@ case class NearestCellsExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val ctrs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val ctrs = ctx.addReferenceObj("centroids", centroidArr, "double[][]")
       val dist = ctx.freshName("dist")
       val used = ctx.freshName("used")
       val out = ctx.freshName("out")

@@ -87,8 +87,8 @@ class GraftExtensionsSpec extends SparkSpec {
   test("hyperplane_sketch / nearest_cells: codegen == interpreted eval, stable ties") {
     import org.apache.spark.sql.GraftColumnBridge
     import graft.plans.{HyperplaneSketchExpr, NearestCellsExpr}
-    val planes = Array(Array(1.0, 0.0), Array(-1.0, 0.5), Array(0.0, -1.0))
-    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val planes = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.5), Seq(0.0, -1.0))
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))
     val df = Seq(
       (1L, Array(2.0, 1.0)),
       (2L, Array(-1.0, -1.0)),
@@ -109,5 +109,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(byId(3L)._2 == Seq(0, 1, 2))
     // row 1 nearest: (2,1) → d²: c0=5, c1=2, c2=4, c3=1 → order 3,1,2
     assert(byId(1L)._2 == Seq(3, 1, 2))
+    // structural equality of the closure state (Seq, not Array): two
+    // independently built expressions over equal planes must compare
+    // equal or CSE/exchange reuse can never deduplicate them. The same
+    // child expression is shared — column nodes carry call-site Origins
+    // that differ across col() calls; the field under test is the matrix.
+    val childE = GraftColumnBridge.expression(col("v"))
+    assert(HyperplaneSketchExpr(childE, planes.map(_.toVector).toVector) ==
+      HyperplaneSketchExpr(childE, planes))
+    assert(NearestCellsExpr(childE, cents.map(_.toVector).toVector, 3) ==
+      NearestCellsExpr(childE, cents, 3))
   }
 }

@@ -27,7 +27,7 @@ object NearDupProbe {
     println(s"PROBE nlist=$nlist")
     val t0 = System.nanoTime()
     val centroids = operators.Similarity.fitQuantizer(
-      u, "__u", nlist, seed = 42L, maxIter = 5, sampleFrom = Some(n))
+      u, "__u", nlist, seed = 42L, maxIter = 5)
     println(f"PROBE kmeans_fit=${(System.nanoTime() - t0) / 1e9}%.1fs")
     def nearestCells(k: Int) = operators.Similarity.nearestCellsUdf(centroids, k)
     val cSide = u.select(col("vec_id").as("id_c"),
