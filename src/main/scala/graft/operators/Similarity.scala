@@ -32,7 +32,9 @@ object Similarity {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
+    // zero-norm side → cosine 0, not ANSI DIVIDE_BY_ZERO (same degenerate-
+    // row contract as withUnitVec)
+    when(na * nb === 0.0, 0.0).otherwise(dot / (na * nb))
   }
 
   /** Native codegen'd dot product for join-side scoring (the re-rank
@@ -48,11 +50,16 @@ object Similarity {
 
   /** Project a vector column to unit length: norm computed ONCE into its
     * own column, then divided through (never embed the norm expression in
-    * the transform lambda — it would re-evaluate per element). */
+    * the transform lambda — it would re-evaluate per element). An
+    * all-zero vector stays all-zero (cosine 0 against everything, ranks
+    * last) instead of tripping ANSI DIVIDE_BY_ZERO — a web-scale
+    * embedding table WILL contain degenerate rows and one of them must
+    * not kill a whole similarity job. */
   def withUnitVec(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.withColumn("__n2", sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, x) => s + x)))
-      .withColumn(outCol, transform(v, x => x / col("__n2")))
+      .withColumn(outCol,
+        when(col("__n2") === 0.0, v).otherwise(transform(v, x => x / col("__n2"))))
       .drop("__n2")
   }
 

@@ -16,6 +16,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
   }
 
+  test("zero-norm vectors survive normalization and rank last, no ANSI throw") {
+    val df = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val unit = Similarity.withUnitVec(df, "embedding", "u")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(unit(0L) == Seq(0.0, 0.0)) // stays zero, not DIVIDE_BY_ZERO
+    assert(math.abs(unit(1L).map(x => x * x).sum - 1.0) < 1e-12)
+    val cz = df.filter(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .head().getDouble(0)
+    assert(cz == 0.0)
+    // zero vector in the corpus: dot 0 against everything -> ranks last
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1),
+      "embedding", "vec_id", 3).collect()
+    assert(out.length == 3)
+    assert(out.maxBy(_.getAs[Int]("rank")).getAs[Long]("neighbor_id") == 0L)
+  }
+
   test("brute-force top-k: k rows per query, descending scores, no self") {
     val queries = embeddings.filter(col("vec_id") < 3)
     val out = Similarity.bruteForceTopK(embeddings, queries, "embedding", "vec_id", 5)
