@@ -815,6 +815,16 @@ object SparkEntry {
         "doc_id", "chunk_ix", "chunk_text", delim = " ")
         .orderBy("doc_id")),
 
+    // ---- corpus-wide duplicate-SPAN scrub (Lee et al. 2022 ExactSubstr
+    //      over 8-token grams): repeated passages at arbitrary offsets
+    //      are cut, keeping only the globally-first occurrence. FULL
+    //      oracle: grams on the portable hash, duplicate counts, the
+    //      canonical-first rule, interval coverage and ordered
+    //      reassembly all replay in SQL ----
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanScrub(documents(s, dir), "text", "doc_id", n = 8)
+        .orderBy("doc_id")),
+
     // ---- brute-force cosine top-k similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -2097,6 +2107,44 @@ object SparkEntry {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_ix) AS text
         |FROM f WHERE rn = 1
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the duplicate-span scrub: same 8-token grams on the
+    // portable md5 hash, duplicate/canonical marking via windows ((doc,
+    // start) unique ⟹ ROW_NUMBER over (doc_id, s) ≡ Spark's
+    // min(struct) canonical rule), interval coverage via
+    // generate_series, ordered reassembly via string_agg.
+    "q_dedup_spans" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, g.i - 1 AS s,
+        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (
+        |  SELECT doc_id, s,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+        |  FROM o),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, g.ix AS ix
+        |  FROM d, unnest(generate_series(s, s + 7)) AS g(ix)
+        |  WHERE cnt >= 2 AND rn >= 2),
+        |tok AS (
+        |  SELECT doc_id, g.i - 1 AS ix, toks[g.i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) >= 1),
+        |j AS (
+        |  SELECT tok.doc_id, tok.ix, tok.tok, cov.ix IS NOT NULL AS rm
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ix = cov.ix)
+        |SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY ix) FILTER (WHERE NOT rm) AS text,
+        |  CAST(count(*) FILTER (WHERE rm) AS INT) AS n_tokens_removed
+        |FROM j GROUP BY doc_id
+        |HAVING count(*) FILTER (WHERE NOT rm) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->

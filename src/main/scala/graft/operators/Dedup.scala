@@ -438,6 +438,98 @@ object Dedup {
           s => s.getField(unitCol)), delim).as("text"))
   }
 
+  /** Corpus-wide duplicate-SPAN scrub — the ExactSubstr pass of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed over token n-grams: any n-token window whose
+    * content occurs ≥ 2 times corpus-wide is a duplicated span, and every
+    * occurrence EXCEPT the globally-first one (minimum (doc, start)) is
+    * scrubbed — a token is dropped when at least one non-canonical
+    * occurrence of a duplicated gram covers it, and each doc reassembles
+    * from its surviving tokens in order. Docs left with zero tokens
+    * disappear (their content exists verbatim elsewhere). Complements
+    * [[unitExactDedup]]: that pass drops whole pre-split units on exact
+    * equality; this one cuts repeated passages at ARBITRARY offsets
+    * inside otherwise-unique docs (boilerplate headers, license blocks,
+    * quoted chain mail) — the dedup family's last missing flavor.
+    *
+    * Output: (idCol, text, n_tokens_removed) where text is the
+    * NORMALIZED token stream rejoined with single spaces (the same
+    * canonical form every dedup pass fingerprints).
+    *
+    * Scale shape: one shuffle keyed by the 60-bit gram hash (the
+    * duplicate-count/canonical window — same skew profile as the
+    * exact-dedup fingerprint window: a boilerplate gram repeated across
+    * the corpus lands in one partition, bounded because window state is
+    * one count plus one (doc, start) pair, not the rows), one shuffle by
+    * doc to collect scrub starts. Full text never crosses the wire:
+    * grams travel as hashes, and the reassembly side re-reads the cached
+    * token arrays. Gram hashing is the engine-portable
+    * [[graft.functions.TextFunctions.portableHash]], so the entire pass
+    * replays in SQL (gate query q_dedup_spans). */
+  def duplicateSpanScrub(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val shuffleP = df.sparkSession.sessionState.conf.numShufflePartitions
+    // tokens materialized ONCE (cached): read by the occurrence explode
+    // and again by the reassembly join — and the transform lambda below
+    // must see a plain column, not a re-evaluated tokenize expression
+    val toks = df
+      .repartition(shuffleP, col(idCol))
+      .withColumn("__toks", tokens(normalizeText(col(textCol))))
+      .select(col(idCol), col("__toks"))
+      .pipe(graft.core.CacheScope.retain)
+    // (doc, start, gramHash) for every n-token window; docs shorter than
+    // n contribute none (they cannot contain an n-token duplicate)
+    val occ = toks
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => portableHash(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))))
+      .toDF(idCol, "start", "gram")
+    // duplicate detection + canonical-first marking in ONE unordered
+    // window pass over the gram-keyed shuffle ((doc, start) is unique
+    // per occurrence, so min(struct) is a total order)
+    val wg = Window.partitionBy(col("gram"))
+    val scrubStarts = occ
+      .withColumn("__cnt", count(lit(1)).over(wg))
+      .withColumn("__first", min(struct(col(idCol), col("start"))).over(wg))
+      .where(col("__cnt") >= 2 && col("__first") =!= struct(col(idCol), col("start")))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("start")).as("__starts"))
+    toks.join(scrubStarts, Seq(idCol), "left")
+      .withColumn("__out", spanScrubUdf(col("__toks"), col("__starts"), lit(n)))
+      .select(col(idCol), col("__out._1").as("text"),
+        col("__out._2").as("n_tokens_removed"))
+      .where(col("text") =!= "")
+  }
+
+  /** Span-union + reassembly kernel: mark tokens covered by any scrub
+    * start's [s, s+n) interval, rebuild the doc from survivors. One
+    * compact UDF per doc (the interval union is imperative; an
+    * exists()-per-token expression would be O(tokens · spans)). */
+  private val spanScrubUdf = udf { (toks: Seq[String], starts: Seq[Int], n: Int) =>
+    if (toks == null) ("", 0)
+    else if (starts == null || starts.isEmpty) (toks.mkString(" "), 0)
+    else {
+      val m = toks.length
+      val covered = new Array[Boolean](m)
+      starts.foreach { s =>
+        var i = s
+        val e = math.min(s + n, m)
+        while (i < e) { covered(i) = true; i += 1 }
+      }
+      val sb = new StringBuilder
+      var removed = 0
+      var i = 0
+      while (i < m) {
+        if (covered(i)) removed += 1
+        else { if (sb.nonEmpty) sb.append(' '); sb.append(toks(i)) }
+        i += 1
+      }
+      (sb.toString, removed)
+    }
+  }
+
   /** Connected components of an undirected pair graph (columns
     * `aCol`/`bCol` hold node ids), labeled by the minimum member id.
     *

@@ -171,4 +171,54 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1 == p2)
   }
+
+  test("duplicateSpanScrub cuts repeated passages, keeps the first occurrence") {
+    // doc 1 and doc 2 share an 8-token boilerplate block at DIFFERENT
+    // offsets; doc 3 is unrelated; doc 4 is shorter than the gram width
+    val boiler = "all rights reserved no part may be reproduced"
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"zeta eta theta $boiler"),
+      (3L, "a completely unrelated document about stream processing watermarks"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanScrub(corpus, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // doc 1 holds the canonical (globally-first) occurrence: untouched
+    assert(out(1L) == (s"$boiler alpha beta gamma delta epsilon", 0), s"got ${out(1L)}")
+    // doc 2's copy is scrubbed; its unique prefix survives
+    assert(out(2L) == ("zeta eta theta", 8), s"got ${out(2L)}")
+    // unrelated + sub-gram-width docs pass through (normalized join)
+    assert(out(3L)._2 == 0 && out(4L) == ("tiny doc", 0))
+  }
+
+  test("duplicateSpanScrub: a doc that is entirely duplicated text disappears") {
+    val block = "one two three four five six seven eight"
+    val corpus = Seq(
+      (10L, s"$block and then some trailing original content here"),
+      (20L, block)
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanScrub(corpus, "text", "doc_id", n = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(10L), s"doc 20 should vanish, got $out")
+  }
+
+  test("duplicateSpanScrub: within-doc repetition scrubs the later copy") {
+    val chant = "badger badger badger badger mushroom mushroom snake snake"
+    val corpus = Seq(
+      (1L, s"$chant some middle words appear right here $chant"),
+      (2L, "entirely different filler content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanScrub(corpus, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (s"$chant some middle words appear right here", 8), s"got ${out(1L)}")
+  }
+
+  test("duplicateSpanScrub determinism across partitionings") {
+    val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 100))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateSpanScrub(df, "text", "doc_id", n = 8)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(run(corpus.repartition(7)) == run(corpus.coalesce(1)))
+  }
 }
