@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_spans: gram window is hash-partitioned and text stays off the gram shuffle") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"span scrub funnels through one partition:\n${p.take(2000)}")
+    // the duplicate-detection window runs over (doc, start, gram) rows
+    // only — the token arrays / text must not ride that shuffle
+    val windowLine = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(windowLine.nonEmpty && !windowLine.contains("__toks") && !windowLine.contains("text#"),
+      s"gram window carries payload columns: $windowLine")
+  }
+
   test("scans prune columns: q_sort_topk reads only what it selects") {
     val p = plan("q_sort_topk")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")

@@ -41,7 +41,7 @@ object ScaleProbe {
       "q_temperature_mix", "q_bpe_tokens",
       "q_similarity_lsh", "q_similarity_ivf", "q_shuffle_order",
       "q_token_budget", "q_token_budget_group", "q_stream_running",
-      "q_asof_forward", "q_asof_nearest", "q_skew_join")
+      "q_asof_forward", "q_asof_nearest", "q_skew_join", "q_dedup_spans")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -69,19 +69,28 @@ object ScaleProbe {
         df.withColumn("p_partkey", col("p_partkey") + lit(r * Off))
       }.write.mode("overwrite").parquet(s"$out/part.parquet")
       replicate(rd(base, "documents"), reps) { (df, r) =>
-        // replica r>0 rewrites the VOCABULARY: every word maps to a
-        // replica-specific pseudoword (base-36 of a seeded hash). A
+        // replica r>0 rewrites the VOCABULARY: every content word maps
+        // to a replica-specific pseudoword (base-36 of a seeded hash). A
         // bijection on words keeps each replica's internal near-dup
         // structure identical to the original corpus while making
         // replicas mutually unrelated — naive salting (same suffix on
         // every word) instead ADDS shared structure between all docs of
         // a replica and inflates the baseline Jaccard from ~0.17 to
         // ~0.6, drowning the measurement in data-created pairs.
+        // STOPWORDS stay verbatim: they carry the langid/quality signal
+        // the curation gates filter on — rotating them made every
+        // replica "und" and the 100x pipeline probe silently measured a
+        // corpus whose first gate pruned 99% of it (round-7 find). The
+        // shared stopwords add only stopword-derived shingles across
+        // replicas, far below every banding threshold.
+        val keepWords = array(
+          graft.functions.TextFunctions.Stopwords.map(lit): _*)
         val rotated =
           if (r == 0) col("text")
           else array_join(transform(split(col("text"), " "),
-            w => lower(conv(pmod(xxhash64(w, lit(r)), lit(2176782336L))
-              .cast("string"), 10, 36))), " ")
+            w => when(array_contains(keepWords, lower(w)), w)
+              .otherwise(lower(conv(pmod(xxhash64(w, lit(r)), lit(2176782336L))
+                .cast("string"), 10, 36)))), " ")
         df.withColumn("doc_id", col("doc_id") + lit(r * Off))
           .withColumn("text", rotated)
           .withColumn("n_chars", length(col("text")).cast("long"))
