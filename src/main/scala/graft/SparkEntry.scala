@@ -1133,6 +1133,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- URL canonicalization + registrable domain (the C4/CCNet
+    //      url-dedup primitives). The documents table has no URL
+    //      column, so the query synthesizes five deterministic messy
+    //      shapes per doc_id (case soup, default/explicit ports,
+    //      userinfo, tracking params, duplicate/trailing slashes,
+    //      fragments, multi-part TLDs). The oracle derives the expected
+    //      canonical forms INDEPENDENTLY by doc_id arithmetic — it does
+    //      not re-implement the string surgery, so the hash compare
+    //      checks intended semantics, not a parallel port. ----
+    "q_url_normalize" -> ((s, dir) => {
+      import graft.functions.UrlFunctions._
+      val d = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/Docs//"), d,
+            lit("/?utm_source=feed&id="), d, lit("#frag")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("https://user:pw@News.Example.co.uk:443/Article?id="), d,
+            lit("&fbclid=abc123&page=2")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("https://cdn.example.org:8080/a//b///"), d))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit("http://blog.example.com/post/"), d, lit("/")))
+        .otherwise(
+          concat(lit("https://Example.net/?gclid=x&q="), d, lit("&utm_campaign=z")))
+      documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          urlCanonicalize(col("url")).as("canonical_url"),
+          urlHost(col("url")).as("host"),
+          registrableDomain(urlHost(col("url"))).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence packing: greedy fixed-budget layout of documents
     //      into training sequences (8 streams dealt by doc_id mod 8,
     //      id-order greedy fill, 256-token budget). One narrow shuffle +
@@ -2580,6 +2613,36 @@ object SparkEntry {
         |    '\d{9,}', '<NUMBER>', 'g') AS clean
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // INDEPENDENT derivation, not a replay: the expected canonical
+    // form / host / registrable domain of each synthesized URL shape is
+    // written down directly by doc_id arithmetic, so the hash compare
+    // checks the Spark string surgery against intended semantics rather
+    // than against a DuckDB port of the same surgery.
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS m, doc_id::VARCHAR AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Docs//' || n || '/?utm_source=feed&id=' || n || '#frag'
+        |    WHEN 1 THEN 'https://user:pw@News.Example.co.uk:443/Article?id=' || n || '&fbclid=abc123&page=2'
+        |    WHEN 2 THEN 'https://cdn.example.org:8080/a//b///' || n
+        |    WHEN 3 THEN 'http://blog.example.com/post/' || n || '/'
+        |    ELSE 'https://Example.net/?gclid=x&q=' || n || '&utm_campaign=z' END AS url,
+        |  CASE m
+        |    WHEN 0 THEN 'http://www.example.com/Docs/' || n || '?id=' || n
+        |    WHEN 1 THEN 'https://news.example.co.uk/Article?id=' || n || '&page=2'
+        |    WHEN 2 THEN 'https://cdn.example.org:8080/a/b/' || n
+        |    WHEN 3 THEN 'http://blog.example.com/post/' || n
+        |    ELSE 'https://example.net/?q=' || n END AS canonical_url,
+        |  CASE m WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'news.example.co.uk'
+        |         WHEN 2 THEN 'cdn.example.org' WHEN 3 THEN 'blog.example.com'
+        |         ELSE 'example.net' END AS host,
+        |  CASE m WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
+        |         WHEN 2 THEN 'example.org' WHEN 3 THEN 'example.com'
+        |         ELSE 'example.net' END AS domain
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // Replay of the greedy packing recurrence, one recursive-CTE step
     // per document rank within its stream (all 8 streams advance
