@@ -283,6 +283,63 @@ object Dedup {
       .select(idCol), Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the Dolma-style scale path for huge
+    * eval suites. [[contaminatedDocs]] broadcasts the eval grams as
+    * STRINGS (~50 bytes each): fine for normal eval sets, ~500 MB per
+    * executor once a mega-suite reaches 10⁷ distinct grams. Here the
+    * eval side aggregates into one Bloom filter (~1.2 bytes/gram at 1%
+    * fpp — two orders smaller), and the corpus side probes it MAP-SIDE:
+    * no join at all, one filter pass over the corpus grams.
+    *
+    * Contract: NO false negatives — Bloom membership is a superset of
+    * exact membership, so every exactly-contaminated doc is flagged and
+    * per-doc `n_hits` is ≥ the exact count; false positives over-flag
+    * (the safe direction for decontamination) at ≤ fpp per probed gram.
+    * Deterministic: Spark's BloomFilter hashes with fixed seeds, and
+    * bit-OR aggregation is order/parallelism-invariant — the same
+    * inputs give the same flags on any cluster layout (spec-pinned,
+    * DedupSpec).
+    *
+    * Grams enter the filter as xxhash64 LONGS, not strings: measured on
+    * the gate corpus, Guava-style double hashing (two Murmur3_x86_32
+    * values) over similar short gram strings has an FPR floor around
+    * 1e-4 regardless of the requested fpp (2 false positives at a
+    * claimed 9e-9 over 20k probes); one 64-bit avalanche pre-hash
+    * restores the theoretical rate (0 false positives, same probe set)
+    * and makes the probe cheaper than hashing UTF-8 bytes per gram. */
+  def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 0.001): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(array_distinct(
+            wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
+    val bench = grams(benchmark, "bench_id")
+      .select(xxhash64(col("__g")).as("__h")).distinct()
+      .pipe(graft.core.CacheScope.retain)
+    // sizing needs the true cardinality; one count on the (cached,
+    // small-by-definition) eval side beats a guessed capacity that
+    // either wastes executor memory or blows the fpp contract
+    val nGrams = math.max(bench.count(), 1L)
+    val bf = bench.stat.bloomFilter("__h", nGrams, fpp)
+    val bcBf = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
+    grams(corpus, idCol)
+      .where(mightContain(xxhash64(col("__g"))))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[decontaminate]] with the Bloom screen: conservative (may drop a
+    * false-positive doc at ≤ fpp per gram) but never leaks — the flag
+    * set is a superset of the exact pass's. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 0.001): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(corpus)
+    input.join(contaminatedDocsBloom(input, benchmark, textCol, idCol, n, fpp)
+      .select(idCol), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sign of Σ(±1) over
     * token hashes. Token hashing stays a codegen'd expression (xxhash64);
     * the 64-bit accumulation is one compact UDF over the hash array

@@ -172,6 +172,31 @@ class DedupSpec extends SparkSpec {
     assert(p1 == p2)
   }
 
+  test("bloom decontamination: superset of exact flags, equal on this corpus, parallelism-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val eval = docs.where(col("doc_id") % 31 === 0)
+    val corpus = docs.where(col("doc_id") % 31 =!= 0)
+    def hits(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = hits(Dedup.contaminatedDocs(corpus, eval, "text", "doc_id", n = 5))
+    // default fpp=1e-3 over ~20k probed grams WILL produce ~20
+    // deterministic false positives on this fixture — assert only the
+    // containment contract for it
+    val loose = hits(Dedup.contaminatedDocsBloom(corpus, eval, "text", "doc_id", n = 5))
+    exact.foreach { case (id, n) =>
+      assert(loose.contains(id) && loose(id) >= n, s"doc $id: exact $n, bloom ${loose.get(id)}")
+    }
+    // at fpp=1e-8 (expected FPs ~2e-4) the filter reproduces the exact
+    // pass bit-for-bit on this fixture
+    val tight = hits(Dedup.contaminatedDocsBloom(corpus, eval, "text", "doc_id",
+      n = 5, fpp = 1e-8))
+    assert(tight == exact)
+    // bit-OR aggregation is layout-invariant
+    val tight1 = hits(Dedup.contaminatedDocsBloom(
+      corpus.repartition(13), eval.coalesce(1), "text", "doc_id", n = 5, fpp = 1e-8))
+    assert(tight1 == tight)
+  }
+
   test("duplicateSpanScrub cuts repeated passages, keeps the first occurrence") {
     // doc 1 and doc 2 share an 8-token boilerplate block at DIFFERENT
     // offsets; doc 3 is unrelated; doc 4 is shorter than the gram width
