@@ -1051,6 +1051,17 @@ object SparkEntry {
         documents(s, dir).select("doc_id"), "doc_id", seed = 42L)
         .orderBy("doc_id")),
 
+    // ---- deterministic sharded export manifest: the final mix dealt
+    //      round-robin by training-order rank into 8 shards, with
+    //      per-shard doc/token/byte counts and an order-free bit-XOR
+    //      content checksum over the portable doc hashes. Fully
+    //      SQL-replayable (same md5 walk, same bit_xor). ----
+    "q_shard_manifest" -> ((s, dir) =>
+      graft.sources.ShardedExport.manifest(
+        documents(s, dir).select("doc_id", "text"), "text", "doc_id",
+        nShards = 8, seed = 42L)
+        .orderBy("shard")),
+
     // ---- deterministic token-budget mix selection: keep documents in
     //      shuffle order while the running char total fits the budget.
     //      Distributed prefix sums (range partition + broadcast
@@ -2513,6 +2524,24 @@ object SparkEntry {
         |    ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id) AS shuffle_rank
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Same md5 walk order as q_shuffle_order; round-robin shard deal;
+    // bit_xor over the portable per-doc hash replays the order-free
+    // content checksum exactly.
+    "q_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id) AS rk
+        |  FROM documents)
+        |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)) AS content_hash
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin,
 
     // One windowed integer SUM over the same md5 walk order replays the
     // distributed two-phase prefix sum exactly.

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class ShardedExportSpec extends SparkSpec {
+
+  test("write + manifest: balanced round-robin shards; re-read matches the manifest") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    val total = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("shardexp").toString
+    val manifest = graft.sources.ShardedExport
+      .write(docs, "text", "doc_id", dir, nShards = 4)
+      .collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_bytes"), r.getAs[Long]("content_hash")))
+      .toMap
+    assert(manifest.keySet == Set(0L, 1L, 2L, 3L))
+    assert(manifest.values.map(_._1).sum == total)
+    // round-robin deal is exactly balanced
+    val sizes = manifest.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $manifest")
+    // what landed on disk checksums back to the manifest, shard by shard
+    val re = spark.read.json(dir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        sum(length(encode(col("text"), "UTF-8")).cast("long")).as("n_bytes"),
+        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))").as("content_hash"))
+      .collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_bytes"), r.getAs[Long]("content_hash")))
+      .toMap
+    assert(re == manifest)
+  }
+
+  test("manifest is partitioning-invariant (XOR checksum commutes)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.ShardedExport.manifest(df, "text", "doc_id", nShards = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(m(docs.repartition(11)) == m(docs.coalesce(1)))
+  }
+}
