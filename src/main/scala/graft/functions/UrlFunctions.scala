@@ -92,7 +92,9 @@ object UrlFunctions {
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
-    when(n <= 2, host).otherwise {
+    // explicit null passthrough: concat_ws below SKIPS nulls, so without
+    // the guard a null host would canonicalize to "" instead of null
+    when(host.isNull, lit(null).cast("string")).when(n <= 2, host).otherwise {
       val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
       val last3 = concat_ws(".", element_at(labels, -3), last2)
       when(array_contains(array(MultiPartTlds.map(lit): _*), last2), last3)

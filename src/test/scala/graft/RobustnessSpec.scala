@@ -242,6 +242,38 @@ class RobustnessSpec extends SparkSpec {
       one, "lang", "doc_id", 0.3).count() == 3)
   }
 
+  test("duplicateSpanScrub degenerate inputs: empty corpus, null/empty text, all-identical corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.duplicateSpanScrub(empty, "text", "doc_id").count() == 0)
+    // null/empty text rows vanish (no tokens to keep), others unaffected
+    val mixed = Seq((Option(1L), Option("one two three words here")),
+      (Option(2L), Option.empty[String]), (Option(3L), Option("")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicateSpanScrub(mixed, "text", "doc_id", n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L))
+    // every doc identical: exactly one survivor (the min id), intact
+    val same = (1L to 6L).map(i => (i, "eight tokens of fully duplicated content right here"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.duplicateSpanScrub(same, "text", "doc_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(kept.toSeq == Seq((1L, 0)), s"got ${kept.toSeq}")
+  }
+
+  test("URL + shard-export degenerate inputs: nulls flow, empty frames produce empty outputs") {
+    import graft.functions.UrlFunctions._
+    val urls = Seq(Option("https://a.example.com/x"), Option.empty[String])
+      .toDF("u")
+      .select(urlCanonicalize(col("u")).as("c"), urlHost(col("u")).as("h"),
+        registrableDomain(urlHost(col("u"))).as("d"))
+      .collect()
+    assert(urls(0).getString(0) == "https://a.example.com/x" &&
+      urls(0).getString(2) == "example.com")
+    assert(urls(1).isNullAt(0) && urls(1).isNullAt(1) && urls(1).isNullAt(2))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.sources.ShardedExport.manifest(empty, "text", "doc_id", 4).count() == 0)
+  }
+
   test("BPE degenerate inputs: empty corpus model, null text tokenizes empty") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val m = graft.functions.Bpe.fit(empty, "text", numMerges = 10)
