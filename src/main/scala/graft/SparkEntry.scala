@@ -825,6 +825,20 @@ object SparkEntry {
       Dedup.duplicateSpanScrub(documents(s, dir), "text", "doc_id", n = 8)
         .orderBy("doc_id")),
 
+    // ---- incremental span scrub: probe docs (doc_id % 7 == 0) lose
+    //      every 8-token passage already present in the frozen corpus
+    //      (the rest) — the ingestion-time ExactSubstr form, exact
+    //      hash-join path. FULL oracle: corpus gram set + probe
+    //      coverage + reassembly in SQL ----
+    "q_dedup_spans_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.duplicateSpanScrubAgainst(
+        d.where(pmod(col("doc_id"), lit(7)) === 0),
+        d.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -2181,6 +2195,42 @@ object SparkEntry {
         |  SELECT doc_id, g.i - 1 AS ix, toks[g.i] AS tok
         |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
         |  WHERE len(toks) >= 1),
+        |j AS (
+        |  SELECT tok.doc_id, tok.ix, tok.tok, cov.ix IS NOT NULL AS rm
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ix = cov.ix)
+        |SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY ix) FILTER (WHERE NOT rm) AS text,
+        |  CAST(count(*) FILTER (WHERE rm) AS INT) AS n_tokens_removed
+        |FROM j GROUP BY doc_id
+        |HAVING count(*) FILTER (WHERE NOT rm) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Incremental form: the corpus (doc_id % 7 <> 0) contributes a
+    // distinct gram set; every probe occurrence matching it is
+    // scrubbed unconditionally (the corpus holds the canonicals).
+    "q_dedup_spans_incremental" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE doc_id % 7 <> 0 AND len(toks) >= 8),
+        |po AS (
+        |  SELECT doc_id, g.i - 1 AS s,
+        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE doc_id % 7 = 0 AND len(toks) >= 8),
+        |hit AS (SELECT po.doc_id, po.s FROM po JOIN cg USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, g.ix AS ix
+        |  FROM hit, unnest(generate_series(s, s + 7)) AS g(ix)),
+        |tok AS (
+        |  SELECT doc_id, g.i - 1 AS ix, toks[g.i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE doc_id % 7 = 0 AND len(toks) >= 1),
         |j AS (
         |  SELECT tok.doc_id, tok.ix, tok.tok, cov.ix IS NOT NULL AS rm
         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ix = cov.ix)

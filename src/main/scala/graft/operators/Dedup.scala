@@ -560,6 +560,64 @@ object Dedup {
       .where(col("text") =!= "")
   }
 
+  /** Incremental duplicate-span scrub: cut from PROBE documents every
+    * n-token passage that already exists anywhere in a FROZEN corpus —
+    * the ingestion-time form of [[duplicateSpanScrub]] (the corpus holds
+    * every canonical occurrence, so probe-side copies are scrubbed
+    * unconditionally; probe-internal duplication is NOT touched — chain
+    * the full pass for that). Stateless per probe doc, so it composes
+    * with `foreachBatch` streaming ingestion like
+    * [[nearDupAgainst]]/[[decontaminate]] do.
+    *
+    * Scale: the corpus side reduces to DISTINCT gram hashes once
+    * (re-usable across batches); the probe side either hash-joins
+    * against them (exact, one shuffle keyed by gram — `bloomFpp = 0`)
+    * or probes a Bloom filter map-side (no join; over-scrubs at ≤ fpp
+    * per gram, never under-scrubs — same contract as
+    * [[contaminatedDocsBloom]], and the right trade at 100 TB where the
+    * corpus gram set dwarfs any broadcast). */
+  def duplicateSpanScrubAgainst(probe: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      bloomFpp: Double = 0.0): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    val shuffleP = probe.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = probe
+      .repartition(shuffleP, col(idCol))
+      .withColumn("__toks", tokens(normalizeText(col(textCol))))
+      .select(col(idCol), col("__toks"))
+      .pipe(graft.core.CacheScope.retain)
+    val probeOcc = toks
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => portableHash(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))))
+      .toDF(idCol, "start", "gram")
+    val corpusGrams = corpus
+      .withColumn("__ct", tokens(normalizeText(col(textCol))))
+      .where(size(col("__ct")) >= n)
+      .select(explode(array_distinct(
+        transform(sequence(lit(0), size(col("__ct")) - n),
+          i => portableHash(concat_ws(" ", slice(col("__ct"), i + 1, lit(n)))))))
+        .as("gram"))
+      .distinct()
+    val hits =
+      if (bloomFpp > 0.0) {
+        val cached = graft.core.CacheScope.retain(corpusGrams)
+        val bf = cached.stat.bloomFilter("gram", math.max(cached.count(), 1L), bloomFpp)
+        val bcBf = probe.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
+        probeOcc.where(mightContain(col("gram")))
+      } else probeOcc.join(corpusGrams, Seq("gram"))
+    val scrubStarts = hits
+      .groupBy(col(idCol))
+      .agg(collect_list(col("start")).as("__starts"))
+    toks.join(scrubStarts, Seq(idCol), "left")
+      .withColumn("__out", spanScrubUdf(col("__toks"), col("__starts"), lit(n)))
+      .select(col(idCol), col("__out._1").as("text"),
+        col("__out._2").as("n_tokens_removed"))
+      .where(col("text") =!= "")
+  }
+
   /** Span-union + reassembly kernel: mark tokens covered by any scrub
     * start's [s, s+n) interval, rebuild the doc from survivors. One
     * compact UDF per doc (the interval union is imperative; an

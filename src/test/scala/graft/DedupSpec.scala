@@ -239,6 +239,29 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == (s"$chant some middle words appear right here", 8), s"got ${out(1L)}")
   }
 
+  test("duplicateSpanScrubAgainst: frozen-corpus passages cut, probe-internal repeats kept; bloom == exact") {
+    val boiler = "all rights reserved no part may be reproduced"
+    val corpus = Seq(
+      (100L, s"corpus context one $boiler corpus context two"),
+      (101L, "unrelated frozen corpus content sits here")).toDF("doc_id", "text")
+    val chant = "alpha beta gamma delta epsilon zeta eta theta"
+    val probe = Seq(
+      (1L, s"fresh words then $boiler and a fresh tail"),
+      (2L, s"$chant middle unique words right here $chant"),
+      (3L, "entirely novel probe content with no duplicates")).toDF("doc_id", "text")
+    def run(fpp: Double) =
+      Dedup.duplicateSpanScrubAgainst(probe, corpus, "text", "doc_id", n = 8, bloomFpp = fpp)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val out = run(0.0)
+    // corpus passage cut from doc 1; its unique frame survives
+    assert(out(1L) == ("fresh words then and a fresh tail", 8), s"got ${out(1L)}")
+    // probe-INTERNAL duplication untouched (the full pass's job, not this one's)
+    assert(out(2L)._2 == 0)
+    assert(out(3L)._2 == 0)
+    // map-side Bloom screen reproduces the exact path at tight fpp
+    assert(run(1e-8) == out)
+  }
+
   test("duplicateSpanScrub determinism across partitionings") {
     val corpus = docs.union(docs.withColumn("doc_id", col("doc_id") + 100))
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -41,7 +41,8 @@ object ScaleProbe {
       "q_temperature_mix", "q_bpe_tokens",
       "q_similarity_lsh", "q_similarity_ivf", "q_shuffle_order",
       "q_token_budget", "q_token_budget_group", "q_stream_running",
-      "q_asof_forward", "q_asof_nearest", "q_skew_join", "q_dedup_spans")
+      "q_asof_forward", "q_asof_nearest", "q_skew_join", "q_dedup_spans",
+      "q_url_normalize", "q_shard_manifest")
 
     val spark = SparkSession.builder()
       .master("local[32]")
