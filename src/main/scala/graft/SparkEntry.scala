@@ -1138,6 +1138,16 @@ object SparkEntry {
       graft.operators.Dedup.nearDupClusters(documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // ---- cross-source near-dup overlap matrix (dataset-card audit:
+    //      which sources ship the same content). LSH pairs ≡ exact
+    //      all-pairs at this banding/corpus (the q_dedup_minhash
+    //      argument, inherited verbatim), rolled up by unordered
+    //      source pair. ----
+    "q_source_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.groupOverlapMatrix(
+        documents(s, dir), "text", "doc_id", "source")
+        .orderBy("group_a", "group_b")),
+
     // ---- PII redaction (C4-style scrub): email → <EMAIL>, dotted-quad
     //      → <IP>, 9+-digit run → <NUMBER>, a codegen'd regexp_replace
     //      chain over RE2-compatible patterns. The fixture text carries
@@ -2269,6 +2279,25 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0)
         |SELECT probe_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY probe_id, corpus_id""".stripMargin,
+
+    // Exact all-pairs Jaccard graph (≡ the LSH pairs at this corpus,
+    // the q_dedup_minhash recall argument) rolled up by unordered
+    // source pair.
+    "q_source_overlap" ->
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ${DedupOracle.jaccardExpr} AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |q AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.8)
+        |SELECT least(da.source, db.source) AS group_a,
+        |  greatest(da.source, db.source) AS group_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM q
+        |JOIN documents da ON q.id_a = da.doc_id
+        |JOIN documents db ON q.id_b = db.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "q_dedup_ngram" -> DedupOracle.pairSql(
       DedupOracle.wordNgramCtes("documents"), 0.4),

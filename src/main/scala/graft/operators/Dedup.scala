@@ -770,6 +770,33 @@ object Dedup {
       "id_a", "id_b")
       .select(col("id").as(idCol), col("component").as("cluster"))
 
+  /** Cross-source near-duplication matrix — the dataset-card audit
+    * "which sources duplicate each other": verified near-dup PAIRS
+    * ([[minHashLshPairs]]) rolled up by the unordered pair of group
+    * labels (e.g. source, language, crawl snapshot). A heavy
+    * off-diagonal cell means two feeds ship the same content and one
+    * of them should be dropped or down-quotaed BEFORE paying to dedup
+    * them row by row.
+    *
+    * Scale: the pair derivation is the banded LSH skeleton (never
+    * all-pairs); the rollup joins only the narrow (id, group) columns
+    * onto the pair list and partial-aggregates over |groups|² keys. */
+  def groupOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, shingleK: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 8, jaccardThreshold: Double = 0.8): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(df)
+    val pairs = minHashLshPairs(input, textCol, idCol, shingleK, bands,
+      rowsPerBand, jaccardThreshold)
+    val g = input.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.select(col(idCol).as("id_a"), col(groupCol).as("__ga")), Seq("id_a"))
+      .join(g.select(col(idCol).as("id_b"), col(groupCol).as("__gb")), Seq("id_b"))
+      .select(least(col("__ga"), col("__gb")).as("group_a"),
+        greatest(col("__ga"), col("__gb")).as("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Family-canonical dedup: keep ONE representative (the min id) per
     * near-dup family. Stricter than [[minHashLshDedup]], which drops the
     * larger side of each PAIR — pairwise removal keeps every "local
