@@ -42,6 +42,7 @@ object ScaleProbe {
       "q_similarity_lsh", "q_similarity_ivf", "q_shuffle_order",
       "q_token_budget", "q_token_budget_group", "q_stream_running",
       "q_asof_forward", "q_asof_nearest", "q_skew_join", "q_dedup_spans",
+      "q_dedup_spans_incremental", "q_source_overlap",
       "q_url_normalize", "q_shard_manifest")
 
     val spark = SparkSession.builder()
