@@ -35,7 +35,8 @@ class PlanSpec extends SparkSpec {
 
   test("LSH dedup queries: no cartesian product anywhere") {
     Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_incremental",
-      "q_dedup_pipeline", "q_curation_pipeline").foreach { q =>
+      "q_dedup_pipeline", "q_curation_pipeline",
+      "q_dedup_spans_incremental", "q_source_overlap").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
