@@ -755,6 +755,37 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- end-to-end curation v2: the v1 chain with the ExactSubstr
+    //      span scrub inserted AFTER family-level dedup (the standard
+    //      Lee et al. placement — doc-level dedup removes whole family
+    //      members first, then residual repeated passages across the
+    //      survivors are cut) and decontamination screening the
+    //      SCRUBBED text. Output carries the final text, so the hash
+    //      pins the whole rewrite, not just survivorship. Oracle:
+    //      stage-for-stage SQL, every fragment its standalone oracle's
+    //      proven form. ----
+    "q_curation_pipeline2" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = documents(s, dir)
+      val evalSet = d.where(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+      val curated = corpus
+        .withColumn("__q", qualityScore(col("text")))
+        .withColumn("__lang", langId(col("text")))
+        .withColumn("__nt", tokenCount(col("text")))
+        .where(col("__q") >= 0.5 && col("__lang") === "en" &&
+          col("__nt").between(10, 1000))
+        .drop("__q", "__lang", "__nt")
+      val afterExact = Dedup.exactDedup(curated, "text", "doc_id")
+      val afterNear = Dedup.minHashLshDedup(afterExact, "text", "doc_id",
+        shingleK = 5, bands = 16, rowsPerBand = 8, jaccardThreshold = 0.8)
+      val scrubbed = Dedup.duplicateSpanScrub(
+        afterNear.select("doc_id", "text"), "text", "doc_id", n = 8)
+      Dedup.decontaminate(scrubbed.select("doc_id", "text"), evalSet,
+        "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures) ----
     // threshold 0.8 = the standard near-dup setting; on this corpus the
     // verified-J distribution is bimodal (families ≈ 0.97, background
@@ -2351,6 +2382,87 @@ object SparkEntry {
         |  FROM et),
         |cont AS (SELECT DISTINCT gn.doc_id FROM gn JOIN bg USING (gram))
         |SELECT doc_id FROM nd
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
+
+    // v2 = the v1 chain + the q_dedup_spans fragment on the near-dup
+    // survivors + decontamination over the SCRUBBED text; the final
+    // text column rides the hash.
+    "q_curation_pipeline2" ->
+      s"""${TextFunctionsOracle.statsCtes},
+        |cur AS (
+        |  SELECT doc_id, text FROM sc
+        |  WHERE doc_id % 31 <> 0
+        |    AND ${TextFunctionsOracle.qualityExpr} >= 0.5
+        |    AND ${TextFunctionsOracle.langExpr} = 'en'
+        |    AND n_tokens BETWEEN 10 AND 1000),
+        |dd AS (
+        |  SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(${DedupOracle.normExpr}) ORDER BY doc_id) AS rn
+        |  FROM cur),
+        |surv AS (SELECT doc_id, text FROM dd WHERE rn = 1),
+        |${DedupOracle.charShingleCtes("surv").stripPrefix("WITH ")},
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE ${DedupOracle.jaccardExpr} >= 0.8),
+        |nd AS (
+        |  SELECT doc_id, text FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |spt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM nd),
+        |spo AS (
+        |  SELECT doc_id, g.i - 1 AS s,
+        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+        |  FROM spt, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |spd AS (
+        |  SELECT doc_id, s,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+        |  FROM spo),
+        |spcov AS (
+        |  SELECT DISTINCT doc_id, g.ix AS ix
+        |  FROM spd, unnest(generate_series(s, s + 7)) AS g(ix)
+        |  WHERE cnt >= 2 AND rn >= 2),
+        |sptok AS (
+        |  SELECT doc_id, g.i - 1 AS ix, toks[g.i] AS tok
+        |  FROM spt, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) >= 1),
+        |spj AS (
+        |  SELECT sptok.doc_id, sptok.ix, sptok.tok, spcov.ix IS NOT NULL AS rm
+        |  FROM sptok LEFT JOIN spcov ON sptok.doc_id = spcov.doc_id AND sptok.ix = spcov.ix),
+        |scr AS (
+        |  SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY ix) FILTER (WHERE NOT rm) AS text
+        |  FROM spj GROUP BY doc_id
+        |  HAVING count(*) FILTER (WHERE NOT rm) > 0),
+        |ct AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM scr),
+        |gn AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM ct),
+        |et AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM et),
+        |cont AS (SELECT DISTINCT gn.doc_id FROM gn JOIN bg USING (gram))
+        |SELECT doc_id, text FROM scr
         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
 
