@@ -122,6 +122,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental span scrub distributes over micro-batches (foreachBatch-composable)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    def scrub(p: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.duplicateSpanScrubAgainst(p, corpus, "text", "doc_id", n = 5)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val whole = scrub(probe)
+    assert(whole.exists(_._3 > 0), "fixture must contain cross-split duplicated spans")
+    // per-probe-doc independence given a frozen corpus: any batch split
+    // yields the same union — the property foreachBatch ingestion needs
+    val half1 = scrub(probe.where(pmod(col("doc_id"), lit(2)) === 0))
+    val half2 = scrub(probe.where(pmod(col("doc_id"), lit(2)) === 1))
+    assert((half1 ++ half2) == whole)
+  }
+
   test("streaming curation screen: multi-batch union equals one-shot batch screening") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
