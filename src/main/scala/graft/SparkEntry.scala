@@ -1169,6 +1169,24 @@ object SparkEntry {
       graft.operators.Dedup.nearDupClusters(documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // ---- corpus snapshot diff (dataset-versioning audit). Synthetic
+    //      v1/v2 derived from documents by id arithmetic: m=0 docs
+    //      exist only in v1 (removed), m=4 only in v2 (added), m=2
+    //      edited between snapshots (changed), m∈{1,3} untouched
+    //      (omitted). The oracle derives the expected statuses
+    //      INDEPENDENTLY from the same arithmetic — it never runs a
+    //      diff, so the hash checks intended semantics. ----
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val m = pmod(col("doc_id"), lit(5))
+      val before = d.where(m =!= 4).select(col("doc_id"), col("text"))
+      val after = d.where(m =!= 0).select(col("doc_id"),
+        when(m === 2, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.corpusDiff(before, after, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- cross-source near-dup overlap matrix (dataset-card audit:
     //      which sources ship the same content). LSH pairs ≡ exact
     //      all-pairs at this banding/corpus (the q_dedup_minhash
@@ -2310,6 +2328,16 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0)
         |SELECT probe_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY probe_id, corpus_id""".stripMargin,
+
+    // Independent derivation by the same id arithmetic — no diff run.
+    "q_corpus_diff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'removed' WHEN 2 THEN 'changed'
+        |    WHEN 4 THEN 'added' END AS status
+        |FROM documents
+        |WHERE doc_id % 5 IN (0, 2, 4)
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact all-pairs Jaccard graph (≡ the LSH pairs at this corpus,
     // the q_dedup_minhash recall argument) rolled up by unordered

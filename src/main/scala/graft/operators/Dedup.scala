@@ -770,6 +770,28 @@ object Dedup {
       "id_a", "id_b")
       .select(col("id").as(idCol), col("component").as("cluster"))
 
+  /** Corpus snapshot diff — the dataset-versioning audit "what changed
+    * between corpus v1 and v2": full outer join on the id with a
+    * content-fingerprint compare. Output: (id, status) for every doc
+    * whose membership or content differs — `added` (only in `after`),
+    * `removed` (only in `before`), `changed` (both, different
+    * fingerprint); unchanged docs are omitted (at 100 TB the diff is
+    * the small output, the snapshots are the big inputs). One hash
+    * shuffle per side on the id; text reduces to its md5 fingerprint
+    * before the join, so payloads never cross the wire. */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol), fingerprint(col(textCol)).as(out))
+    fp(before, "__fb").join(fp(after, "__fa"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__fb").isNull, "added")
+          .when(col("__fa").isNull, "removed")
+          .when(col("__fb") =!= col("__fa"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Cross-source near-duplication matrix — the dataset-card audit
     * "which sources duplicate each other": verified near-dup PAIRS
     * ([[minHashLshPairs]]) rolled up by the unordered pair of group
