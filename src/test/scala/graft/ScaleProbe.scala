@@ -43,7 +43,8 @@ object ScaleProbe {
       "q_token_budget", "q_token_budget_group", "q_stream_running",
       "q_asof_forward", "q_asof_nearest", "q_skew_join", "q_dedup_spans",
       "q_dedup_spans_incremental", "q_source_overlap",
-      "q_url_normalize", "q_shard_manifest", "q_curation_pipeline2")
+      "q_url_normalize", "q_shard_manifest", "q_curation_pipeline2",
+      "q_corpus_diff")
 
     val spark = SparkSession.builder()
       .master("local[32]")
