@@ -157,5 +157,11 @@ class PlanSpec extends SparkSpec {
     readSchema("q_similarity_topk").foreach { r =>
       assert(r.contains("embedding"), s"embeddings scan: $r")
     }
+    // q_url_normalize synthesizes its URLs from doc_id — the text
+    // payload must not be read
+    readSchema("q_url_normalize").foreach { r =>
+      assert(r.contains("doc_id") && !r.contains("text"),
+        s"url-normalize scan not pruned: $r")
+    }
   }
 }
