@@ -513,14 +513,16 @@ object Dedup {
     * NORMALIZED token stream rejoined with single spaces (the same
     * canonical form every dedup pass fingerprints).
     *
-    * Scale shape: one shuffle keyed by the 60-bit gram hash (the
-    * duplicate-count/canonical window — same skew profile as the
-    * exact-dedup fingerprint window: a boilerplate gram repeated across
-    * the corpus lands in one partition, bounded because window state is
-    * one count plus one (doc, start) pair, not the rows), one shuffle by
-    * doc to collect scrub starts. Full text never crosses the wire:
-    * grams travel as hashes, and the reassembly side re-reads the cached
-    * token arrays. Gram hashing is the engine-portable
+    * Scale shape: duplicate detection is a PARTIAL-AGGREGATED
+    * count/min per gram hash followed by a join back onto the
+    * occurrence stream — deliberately NOT a window: a flood gram (web
+    * boilerplate repeated 10⁹ times) would funnel every occurrence
+    * through the single task that owns its window partition, while the
+    * aggregate combines map-side and AQE's skew-join handling can
+    * split the join side. Then one shuffle by doc collects scrub
+    * starts. Full text never crosses the wire: grams travel as hashes,
+    * and the reassembly side re-reads the cached token arrays. Gram
+    * hashing is the engine-portable
     * [[graft.functions.TextFunctions.portableHash]], so the entire pass
     * replays in SQL (gate query q_dedup_spans). */
   def duplicateSpanScrub(df: DataFrame, textCol: String, idCol: String,
@@ -536,21 +538,28 @@ object Dedup {
       .select(col(idCol), col("__toks"))
       .pipe(graft.core.CacheScope.retain)
     // (doc, start, gramHash) for every n-token window; docs shorter than
-    // n contribute none (they cannot contain an n-token duplicate)
-    val occ = toks
+    // n contribute none (they cannot contain an n-token duplicate).
+    // Cached: read once by the duplicate-gram aggregate and once by the
+    // join that marks non-canonical occurrences.
+    val occ = graft.core.CacheScope.retain(toks
       .where(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - n),
           i => portableHash(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))))
-      .toDF(idCol, "start", "gram")
-    // duplicate detection + canonical-first marking in ONE unordered
-    // window pass over the gram-keyed shuffle ((doc, start) is unique
-    // per occurrence, so min(struct) is a total order)
-    val wg = Window.partitionBy(col("gram"))
+      .toDF(idCol, "start", "gram"))
+    // duplicated grams + their canonical occurrence via a map-side-
+    // combinable aggregate ((doc, start) is unique per occurrence, so
+    // min(struct) is a total order); the join back is AQE-skew-splittable
+    // where a window over the gram key would not be
+    val dupGrams = occ
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("start"))).as("__first"))
+      .where(col("__cnt") >= 2)
+      .select(col("gram"), col("__first"))
     val scrubStarts = occ
-      .withColumn("__cnt", count(lit(1)).over(wg))
-      .withColumn("__first", min(struct(col(idCol), col("start"))).over(wg))
-      .where(col("__cnt") >= 2 && col("__first") =!= struct(col(idCol), col("start")))
+      .join(dupGrams, Seq("gram"))
+      .where(col("__first") =!= struct(col(idCol), col("start")))
       .groupBy(col(idCol))
       .agg(collect_list(col("start")).as("__starts"))
     toks.join(scrubStarts, Seq(idCol), "left")

@@ -111,16 +111,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_dedup_spans: gram window is hash-partitioned and text stays off the gram shuffle") {
+  test("q_dedup_spans: map-side-combinable dup detection, no window, payload off the gram shuffle") {
+    graft.core.CacheScope.releaseAll()
     val p = plan("q_dedup_spans")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("Exchange SinglePartition"),
       s"span scrub funnels through one partition:\n${p.take(2000)}")
-    // the duplicate-detection window runs over (doc, start, gram) rows
-    // only — the token arrays / text must not ride that shuffle
-    val windowLine = p.linesIterator.find(_.contains("Window [")).getOrElse("")
-    assert(windowLine.nonEmpty && !windowLine.contains("__toks") && !windowLine.contains("text#"),
-      s"gram window carries payload columns: $windowLine")
+    // duplicate detection must be the aggregate+join form — a Window
+    // over the gram key would funnel a flood gram's every occurrence
+    // through one task, and AQE cannot split a window partition
+    assert(!p.contains("Window ["),
+      s"span scrub regressed to a gram window:\n${p.take(3000)}")
+    // the gram-keyed exchanges carry (doc, start, gram) only — token
+    // arrays and text must not ride that shuffle
+    p.linesIterator.filter(_.contains("hashpartitioning(gram")).foreach { l =>
+      assert(!l.contains("__toks") && !l.contains("text#"),
+        s"gram shuffle carries payload columns: $l")
+    }
   }
 
   test("scans prune columns: q_sort_topk reads only what it selects") {
