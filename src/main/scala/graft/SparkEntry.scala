@@ -700,6 +700,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the BLOOM branch of decontamination (Dolma-scale eval
+    //      suites: grams enter a ~1.2-byte/gram filter instead of a
+    //      string broadcast; the corpus probes it map-side — no join).
+    //      Gated against the EXACT-path oracle: flags are a superset
+    //      and per-doc hit counts ≥ exact by contract, and at fpp 1e-8
+    //      both collapse to equality on this corpus (expected FP count
+    //      ~1e-4; DedupSpec pins superset + equality + layout
+    //      invariance), so seeding/hashing/fpp-sizing regressions
+    //      surface as hash mismatches. ----
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val benchmark = d.where(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+      Dedup.contaminatedDocsBloom(corpus, benchmark, "text", "doc_id", n = 5,
+        fpp = 1e-8)
+        .orderBy("doc_id")
+    }),
+
     // ---- incremental near-dup: probe docs (id % 7 == 0) screened
     //      against the frozen remainder — the streaming-compatible
     //      LSH join (stateless probe side; see Dedup.nearDupAgainst).
@@ -867,6 +885,23 @@ object SparkEntry {
         d.where(pmod(col("doc_id"), lit(7)) === 0),
         d.where(pmod(col("doc_id"), lit(7)) =!= 0),
         "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- the BLOOM branch of the incremental span scrub — the
+    //      designated 100 TB path (map-side membership screen, no gram
+    //      join). Gated against the EXACT-path oracle: Bloom
+    //      over-scrubs at ≤ fpp per gram and never under-scrubs, and at
+    //      fpp 1e-8 on this corpus the expected false-positive count is
+    //      ~1e-4 (DedupSpec pins output == exact at this fpp), so any
+    //      mismatch is a real defect in seeding/hashing/sizing, not
+    //      probabilistic noise. ----
+    "q_dedup_spans_incremental_bloom" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.duplicateSpanScrubAgainst(
+        d.where(pmod(col("doc_id"), lit(7)) === 0),
+        d.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        "text", "doc_id", n = 8, bloomFpp = 1e-8)
         .orderBy("doc_id")
     }),
 
@@ -1247,6 +1282,53 @@ object SparkEntry {
           urlCanonicalize(col("url")).as("canonical_url"),
           urlHost(col("url")).as("host"),
           registrableDomain(urlHost(col("url"))).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- URL-level dedup — the composition the C4 crawl rule runs
+    //      ("one document per page"): two messy spellings of the SAME
+    //      page per doc (tracking params vs case soup + default port +
+    //      userinfo + duplicate/trailing slashes + fragment) collapse
+    //      onto one canonical key; the min url_id survives. Oracle
+    //      derives survivors INDEPENDENTLY by id arithmetic (url_id =
+    //      2·doc_id, canonical spelled out directly) — it never
+    //      canonicalizes, so the hash checks intended semantics. ----
+    "q_url_dedup" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val variants = documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), explode(array(lit(0), lit(1))).as("__v"))
+        .select((col("doc_id") * 2 + col("__v")).as("url_id"),
+          when(col("__v") === 0,
+            concat(lit("https://example.com/p/"), d, lit("?utm_source=feed")))
+            .otherwise(concat(lit("HTTPS://crawler@EXAMPLE.com:443/p//"), d,
+              lit("/#top"))).as("url"))
+      Dedup.urlDedup(variants, "url", "url_id")
+        .select(col("url_id"),
+          graft.functions.UrlFunctions.urlCanonicalize(col("url")).as("canonical_url"))
+        .orderBy("url_id")
+    }),
+
+    // ---- registrable domain driven by a full public-suffix list
+    //      (plain + wildcard + exception rules, publicsuffix.org
+    //      semantics) with built-in fallback for unlisted TLDs — the
+    //      deployment path that fixes the silent wrong answers of the
+    //      20-entry subset on com.ar/co.id-class hosts. Oracle derives
+    //      every expected domain INDEPENDENTLY by doc_id arithmetic. ----
+    "q_url_domain_psl" -> ((s, dir) => {
+      import s.implicits._
+      val psl = Seq("// synthetic public-suffix slice", "com.ar", "co.id",
+        "com.tw", "*.ck", "!www.ck").toDF("rule")
+      val d = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(6))
+      val host = when(m === 0, concat(lit("www.shop.site"), d, lit(".com.ar")))
+        .when(m === 1, concat(lit("a.b.page"), d, lit(".co.id")))
+        .when(m === 2, concat(lit("x.brand"), d, lit(".com.tw")))
+        .when(m === 3, concat(lit("sub"), d, lit(".host"), d, lit(".ck")))
+        .when(m === 4, concat(lit("deep.sub"), d, lit(".www.ck")))
+        .otherwise(concat(lit("blog.site"), d, lit(".org")))
+      documents(s, dir).select(col("doc_id"), host.as("host"))
+        .withColumn("domain",
+          graft.functions.UrlFunctions.registrableDomainWith(col("host"), psl))
         .orderBy("doc_id")
     }),
 
@@ -1659,7 +1741,18 @@ object SparkEntry {
           |SELECT query_id, doc_id, n_terms, score, rank FROM r WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ Map(
+      // the Bloom scale paths are gated against the EXACT-path oracles
+      // verbatim: their contract is superset-flagging that collapses to
+      // equality at fpp 1e-8 (DedupSpec proves it on this corpus), so
+      // any divergence is a seeding/hashing/sizing defect
+      "q_decontaminate_bloom" -> base("q_decontaminate"),
+      "q_dedup_spans_incremental_bloom" -> base("q_dedup_spans_incremental"))
+  }
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2745,7 +2838,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // Same md5 walk order as q_shuffle_order; round-robin shard deal;
-    // bit_xor over the portable per-doc hash replays the order-free
+    // bit_xor over the portable per-doc hash of id:text (id mixed in so
+    // equal-text pairs cannot XOR-cancel) replays the order-free
     // content checksum exactly.
     "q_shard_manifest" ->
       """WITH r AS (
@@ -2757,7 +2851,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
         |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
-        |  bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)) AS content_hash
+        |  bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || text), 1, 15)) AS BIGINT)) AS content_hash
         |FROM r
         |GROUP BY 1
         |ORDER BY shard""".stripMargin,
@@ -2890,6 +2984,41 @@ object SparkEntry {
         |  CASE m WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
         |         WHEN 2 THEN 'example.org' WHEN 3 THEN 'example.com'
         |         ELSE 'example.net' END AS domain
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Survivors + canonicals derived purely by id arithmetic: both
+    // variant URLs of doc d canonicalize to the same page, so the even
+    // url_id (= 2·doc_id) survives — the oracle never canonicalizes.
+    "q_url_dedup" ->
+      """SELECT doc_id * 2 AS url_id,
+        |  'https://example.com/p/' || doc_id::VARCHAR AS canonical_url
+        |FROM documents
+        |ORDER BY url_id""".stripMargin,
+
+    // Expected registrable domains by doc_id arithmetic — plain rules
+    // give suffix+1 label, the *.ck wildcard makes host<d>.ck a public
+    // suffix (whole 3-label host registrable), !www.ck carves the
+    // exception back out, and unlisted .org falls back to the built-in
+    // last-two-labels answer.
+    "q_url_domain_psl" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS m, doc_id::VARCHAR AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN 'www.shop.site' || n || '.com.ar'
+        |    WHEN 1 THEN 'a.b.page' || n || '.co.id'
+        |    WHEN 2 THEN 'x.brand' || n || '.com.tw'
+        |    WHEN 3 THEN 'sub' || n || '.host' || n || '.ck'
+        |    WHEN 4 THEN 'deep.sub' || n || '.www.ck'
+        |    ELSE 'blog.site' || n || '.org' END AS host,
+        |  CASE m
+        |    WHEN 0 THEN 'site' || n || '.com.ar'
+        |    WHEN 1 THEN 'page' || n || '.co.id'
+        |    WHEN 2 THEN 'brand' || n || '.com.tw'
+        |    WHEN 3 THEN 'sub' || n || '.host' || n || '.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    ELSE 'site' || n || '.org' END AS domain
         |FROM u ORDER BY doc_id""".stripMargin,
 
     // Replay of the greedy packing recurrence, one recursive-CTE step

@@ -31,6 +31,22 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** URL-level dedup (the C4 crawl rule "one document per page"): one
+    * survivor (min id) per CANONICAL URL, where canonical =
+    * [[graft.functions.UrlFunctions.urlCanonicalize]] — so case soup,
+    * default ports, userinfo, fragments and tracking params all
+    * collapse onto one key. Keys on the md5 of the RAW canonical
+    * string, NOT the text-normalizing [[fingerprint]]: URL paths are
+    * case- and punctuation-significant (`/A` and `/a` are different
+    * pages), so the prose normalizer would over-merge. Same scale shape
+    * as [[exactDedup]]: one hash-shuffle on the 128-bit key. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(md5(graft.functions.UrlFunctions.urlCanonicalize(col(urlCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   /** MinHash signature: shingles are hashed ONCE by codegen'd xxhash64;
     * the `numHashes` per-seed minima come from a splitmix64 remix of that
     * base hash inside one compact UDF. (The pure-expression alternative —
@@ -111,7 +127,7 @@ object Dedup {
   /** Minhash-sign a (…, __hs) frame and explode it to one row per LSH
     * band: keeps `carry` columns plus (band, bucket). Shared by the
     * self-join skeleton and the probe-vs-corpus join. */
-  private def bandExplode(sh: DataFrame, bands: Int, rowsPerBand: Int,
+  private[operators] def bandExplode(sh: DataFrame, bands: Int, rowsPerBand: Int,
       carry: Seq[String]): DataFrame =
     sh.withColumn("__sig", minHashFromBase(bands * rowsPerBand)(col("__hs")))
       .select(carry.map(col) :+
@@ -125,7 +141,7 @@ object Dedup {
 
   /** Hashed-sorted shingle frame (id, __hs) — the input both LSH joins
     * verify against. */
-  private def hashedShingles(df: DataFrame, textCol: String, idCol: String,
+  private[operators] def hashedShingles(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int): DataFrame =
     df.withColumn("__sh", charShingleSet(shingleK)(normalizeText(col(textCol))))
       .withColumn("__hs", sort_array(transform(col("__sh"), s => xxhash64(s))))
@@ -525,23 +541,38 @@ object Dedup {
     * hashing is the engine-portable
     * [[graft.functions.TextFunctions.portableHash]], so the entire pass
     * replays in SQL (gate query q_dedup_spans). */
+  /** Inputs whose Catalyst size estimate is under this are re-computed
+    * instead of cached by the span scrubs: at bench scale (sf0.1 ≈
+    * 0.6 MB of documents) materializing the token/occurrence caches
+    * costs more (~2.8 s) than the double-computation it avoids, while
+    * the 30×/100× probe corpora (≥ 18 MB on disk) sit far above the
+    * cut. Unknown sizes default HUGE in Catalyst, so "can't tell" safely
+    * lands on the caching side. */
+  private val SpanScrubCacheMinBytes = 8L << 20
+
+  private def retainIfBig[T](small: Boolean)(ds: org.apache.spark.sql.Dataset[T]) =
+    if (small) ds else graft.core.CacheScope.retain(ds)
+
   def duplicateSpanScrub(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     val shuffleP = df.sparkSession.sessionState.conf.numShufflePartitions
-    // tokens materialized ONCE (cached): read by the occurrence explode
-    // and again by the reassembly join — and the transform lambda below
-    // must see a plain column, not a re-evaluated tokenize expression
+    val small =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < SpanScrubCacheMinBytes
+    // tokens materialized ONCE (cached past [[SpanScrubCacheMinBytes]]):
+    // read by the occurrence explode and again by the reassembly join —
+    // and the transform lambda below must see a plain column, not a
+    // re-evaluated tokenize expression
     val toks = df
       .repartition(shuffleP, col(idCol))
       .withColumn("__toks", tokens(normalizeText(col(textCol))))
       .select(col(idCol), col("__toks"))
-      .pipe(graft.core.CacheScope.retain)
+      .pipe(retainIfBig(small))
     // (doc, start, gramHash) for every n-token window; docs shorter than
     // n contribute none (they cannot contain an n-token duplicate).
     // Cached: read once by the duplicate-gram aggregate and once by the
     // join that marks non-canonical occurrences.
-    val occ = graft.core.CacheScope.retain(toks
+    val occ = retainIfBig(small)(toks
       .where(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - n),
@@ -590,11 +621,13 @@ object Dedup {
       bloomFpp: Double = 0.0): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     val shuffleP = probe.sparkSession.sessionState.conf.numShufflePartitions
+    val small =
+      probe.queryExecution.optimizedPlan.stats.sizeInBytes < SpanScrubCacheMinBytes
     val toks = probe
       .repartition(shuffleP, col(idCol))
       .withColumn("__toks", tokens(normalizeText(col(textCol))))
       .select(col(idCol), col("__toks"))
-      .pipe(graft.core.CacheScope.retain)
+      .pipe(retainIfBig(small))
     val probeOcc = toks
       .where(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(
@@ -616,7 +649,14 @@ object Dedup {
         val bcBf = probe.sparkSession.sparkContext.broadcast(bf)
         val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
         probeOcc.where(mightContain(col("gram")))
-      } else probeOcc.join(corpusGrams, Seq("gram"))
+      } else {
+        // cache the reduced corpus gram set past the size cut: Spark's
+        // CacheManager keys by plan, so a foreachBatch caller rebuilding
+        // this frame every micro-batch hits ONE materialization
+        val corpusSmall = corpus.queryExecution.optimizedPlan
+          .stats.sizeInBytes < SpanScrubCacheMinBytes
+        probeOcc.join(retainIfBig(corpusSmall)(corpusGrams), Seq("gram"))
+      }
     val scrubStarts = hits
       .groupBy(col(idCol))
       .agg(collect_list(col("start")).as("__starts"))
@@ -758,6 +798,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // diagnostic only: rounds-to-convergence for scale probes / ops
+    // dashboards (session-local conf, overwritten per call)
+    half.sparkSession.conf.set("graft.diag.ccRounds", iter.toString)
     require(done, s"connectedComponents did not converge in $maxIter rounds — " +
       "the pair graph has a path-like component longer than 2^maxIter hops; " +
       "raise maxIter (rounds are logarithmic in diameter, so small raises go far)")
@@ -787,16 +830,24 @@ object Dedup {
     * fingerprint); unchanged docs are omitted (at 100 TB the diff is
     * the small output, the snapshots are the big inputs). One hash
     * shuffle per side on the id; text reduces to its md5 fingerprint
-    * before the join, so payloads never cross the wire. */
+    * before the join, so payloads never cross the wire.
+    *
+    * Membership is carried by explicit per-side presence markers, NOT
+    * inferred from fingerprint nullness: elsewhere in the repo null
+    * text flows through operators, so a row that EXISTS with null text
+    * must read as present (null→null compares unchanged, null→'x'
+    * compares changed) rather than being misreported as added/removed.
+    * Fingerprints compare null-safely (`<=>`) for the same reason. */
   def corpusDiff(before: DataFrame, after: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    def fp(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol), fingerprint(col(textCol)).as(out))
-    fp(before, "__fb").join(fp(after, "__fa"), Seq(idCol), "full_outer")
+    def fp(df: DataFrame, out: String, mark: String): DataFrame =
+      df.select(col(idCol), fingerprint(col(textCol)).as(out), lit(true).as(mark))
+    fp(before, "__fb", "__inb")
+      .join(fp(after, "__fa", "__ina"), Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__fb").isNull, "added")
-          .when(col("__fa").isNull, "removed")
-          .when(col("__fb") =!= col("__fa"), "changed"))
+        when(col("__inb").isNull, "added")
+          .when(col("__ina").isNull, "removed")
+          .when(!(col("__fb") <=> col("__fa")), "changed"))
       .where(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
@@ -811,14 +862,22 @@ object Dedup {
     *
     * Scale: the pair derivation is the banded LSH skeleton (never
     * all-pairs); the rollup joins only the narrow (id, group) columns
-    * onto the pair list and partial-aggregates over |groups|² keys. */
+    * onto the pair list and partial-aggregates over |groups|² keys.
+    *
+    * Docs with a NULL group label are bucketed under the explicit
+    * label "∅" (NOT silently mixed into a null-keyed cell or — worse —
+    * collapsed into their partner's label by null-skipping
+    * least/greatest): crawl metadata loses source tags, and an
+    * untagged doc overlapping a tagged one is exactly the audit signal
+    * this matrix exists to surface. */
   def groupOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
       groupCol: String, shingleK: Int = 5, bands: Int = 16,
       rowsPerBand: Int = 8, jaccardThreshold: Double = 0.8): DataFrame = {
     val input = graft.core.CacheScope.retainInput(df)
     val pairs = minHashLshPairs(input, textCol, idCol, shingleK, bands,
       rowsPerBand, jaccardThreshold)
-    val g = input.select(col(idCol), col(groupCol))
+    val g = input.select(col(idCol),
+      coalesce(col(groupCol).cast("string"), lit("∅")).as(groupCol))
     pairs
       .join(g.select(col(idCol).as("id_a"), col(groupCol).as("__ga")), Seq("id_a"))
       .join(g.select(col(idCol).as("id_b"), col(groupCol).as("__gb")), Seq("id_b"))

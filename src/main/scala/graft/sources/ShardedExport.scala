@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   * training side can checksum what it reads.
   *
   * Manifest columns: `shard, n_docs, n_tokens, n_bytes, content_hash` —
-  * the hash is a bit-XOR of per-doc [[portableHash]] values:
-  * order-free (XOR commutes, so it is partitioning-invariant), 64-bit,
-  * and engine-portable (DuckDB replays it with `bit_xor` over the same
-  * md5-derived hashes — gate query q_shard_manifest).
+  * the hash is a bit-XOR of per-doc [[portableHash]] values over
+  * `id || ':' || text` (NOT text alone: pure-content hashes cancel in
+  * pairs under XOR, so dropping or duplicating two equal-text docs —
+  * or swapping them between shards — would leave a text-only checksum
+  * unchanged; mixing the unique id in makes every per-doc contribution
+  * distinct, so any such mutation flips the XOR). Still order-free
+  * (XOR commutes, so it is partitioning-invariant), 64-bit, and
+  * engine-portable (DuckDB replays it with `bit_xor` over the same
+  * md5-derived hashes — gate query q_shard_manifest). A null text
+  * contributes null (skipped by XOR), matching the repo's null-flows-
+  * through contract: `||` and `concat` both propagate null.
   *
   * Scale shape: the rank comes from the two-phase prefix-sum shuffle
   * (no single-partition window); the manifest is one partial-aggregated
@@ -41,7 +48,8 @@ object ShardedExport {
   def manifest(df: DataFrame, textCol: String, idCol: String, nShards: Int,
       seed: Long = 42L): DataFrame =
     withShard(df, idCol, nShards, seed)
-      .withColumn("__ph", portableHash(col(textCol)))
+      .withColumn("__ph",
+        portableHash(concat(col(idCol).cast("string"), lit(":"), col(textCol))))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -63,7 +71,8 @@ object ShardedExport {
       .sortWithinPartitions(col("shard"), col("shuffle_rank"))
       .write.mode("overwrite").partitionBy("shard").json(dir)
     sharded
-      .withColumn("__ph", portableHash(col(textCol)))
+      .withColumn("__ph",
+        portableHash(concat(col(idCol).cast("string"), lit(":"), col(textCol))))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -59,6 +59,42 @@ object CurationStream {
     graft.operators.Dedup.decontaminate(unique, evalSet, textCol, idCol, decontamN)
   }
 
+  /** The v2 screen: [[screen]]'s gates + near-dup stage, then the
+    * incremental ExactSubstr span scrub
+    * ([[graft.operators.Dedup.duplicateSpanScrubAgainst]] — every
+    * n-token passage already present in the frozen corpus is CUT from
+    * the arriving doc, not just flagged), then decontamination over the
+    * SCRUBBED text — mirroring the batch curation-v2 chain
+    * (q_curation_pipeline2) stage for stage. Every stage is stateless
+    * per probe doc given the frozen corpus (the span scrub's
+    * foreachBatch-distributivity is spec-proven, StreamingSpec), so the
+    * union of per-batch admissions equals the one-shot batch screen.
+    *
+    * Output: (idCol, textCol, n_tokens_removed) — the text is the
+    * scrubbed rewrite, so downstream sees what training would see. */
+  def screenV2(probe: DataFrame, corpus: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5,
+      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions._
+    val gated = probe.where(
+      qualityScore(col(textCol)) >= minQuality &&
+        langId(col(textCol)) === lang &&
+        tokenCount(col(textCol)).between(minTokens, maxTokens))
+    val nearDups = graft.operators.Dedup
+      .nearDupAgainst(gated, corpus, textCol, idCol,
+        bands = bands, rowsPerBand = rowsPerBand,
+        jaccardThreshold = jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    val scrubbed = graft.operators.Dedup
+      .duplicateSpanScrubAgainst(unique, corpus, textCol, idCol, spanN)
+      .withColumnRenamed("text", textCol)
+    graft.operators.Dedup.decontaminate(scrubbed, evalSet, textCol, idCol, decontamN)
+  }
+
   /** Run [[screen]] over a streaming document source, appending admitted
     * documents per micro-batch through `sink`. The corpus/eval frames
     * are static; their band/gram structures materialize on the first
@@ -71,6 +107,21 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screen(batch, corpus, evalSet, textCol, idCol))
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[startScreen]] with the v2 chain: admitted docs arrive at `sink`
+    * span-scrubbed against the frozen corpus. Same foreachBatch shape;
+    * the corpus gram set reduces once and serves every batch. */
+  def startScreenV2(stream: DataFrame, corpus: DataFrame, evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id", spanN: Int = 8,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenV2(batch, corpus, evalSet, textCol, idCol, spanN = spanN))
       }
       .trigger(trigger)
       .start()

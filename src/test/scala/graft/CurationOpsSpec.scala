@@ -59,6 +59,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("corpusDiff: null text is a present row, not a membership change") {
+    val before = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option("a")), (4L, Option("gone"))).toDF("doc_id", "text")
+    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("a")), (5L, Option("new"))).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(before, after, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 exists in BOTH snapshots; text 'x' → NULL is a content change,
+    // not a removal — the presence markers, not fingerprint nullness, decide
+    assert(out.get(1L).contains("changed"))
+    // null → null compares unchanged (null-safe fingerprint compare)
+    assert(!out.contains(2L) && !out.contains(3L))
+    assert(out.get(4L).contains("removed") && out.get(5L).contains("added"))
+  }
+
+  test("groupOverlapMatrix: null group labels bucket under ∅, not their partner's label") {
+    val t = "the quick brown fox jumps over the lazy dog in the warm afternoon sun"
+    val docs = Seq((1L, t, Option("web")), (2L, t, Option.empty[String]),
+      (3L, "completely unrelated text about database planning", Option("web")))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.groupOverlapMatrix(docs, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("web", "∅") -> 1L) || out == Map(("∅", "web") -> 1L),
+      s"null-group doc must surface as its own ∅ bucket, got $out")
+  }
+
   test("weightedReservoir: exact k, deterministic, weight-monotone inclusion") {
     val n = 2000
     // two weight classes: heavy (100) vs light (1)

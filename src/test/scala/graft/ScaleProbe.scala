@@ -44,7 +44,9 @@ object ScaleProbe {
       "q_asof_forward", "q_asof_nearest", "q_skew_join", "q_dedup_spans",
       "q_dedup_spans_incremental", "q_source_overlap",
       "q_url_normalize", "q_shard_manifest", "q_curation_pipeline2",
-      "q_corpus_diff")
+      "q_corpus_diff",
+      "q_dedup_spans_incremental_bloom", "q_decontaminate_bloom",
+      "q_url_dedup", "q_url_domain_psl", "q_dedup_cluster_forcedcc")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -173,6 +175,17 @@ object ScaleProbe {
               sum(when(col("l_returnflag") === "N", 1).otherwise(0)).cast("double").as("rf_n"),
               sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("double").as("rf_r"))
             .where(col("rf_a") + col("rf_n") + col("rf_r") >= 38))
+      case "q_dedup_cluster_forcedcc" =>
+        // distributedCC's forced path: every bench corpus sits far under
+        // the 1M-edge driver cap, so the propagation loop has parity
+        // specs but no scale measurement — force it (maxDriverEdges=0)
+        // over the real LSH pair graph and report rounds-to-convergence
+        val cc = operators.Dedup.connectedComponents(
+          operators.Dedup.minHashLshPairs(
+            Tables.documents(spark, dir), "text", "doc_id"),
+          "id_a", "id_b", maxDriverEdges = 0L)
+        println(s"  [forcedcc rounds=${spark.conf.get("graft.diag.ccRounds", "?")}]")
+        cc
       case _ => SparkEntry.queries(n)(spark, dir)
     }
 

@@ -27,13 +27,26 @@ class ShardedExportSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col("text"))).as("n_tokens"),
         sum(length(encode(col("text"), "UTF-8")).cast("long")).as("n_bytes"),
-        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))").as("content_hash"))
+        expr("bit_xor(cast(conv(substring(md5(concat(cast(doc_id as string), ':', text)), 1, 15), 16, 10) as bigint))").as("content_hash"))
       .collect()
       .map(r => r.getAs[Long]("shard") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
           r.getAs[Long]("n_bytes"), r.getAs[Long]("content_hash")))
       .toMap
     assert(re == manifest)
+  }
+
+  test("checksum detects losing an equal-text pair (id mixed into the per-doc hash)") {
+    import spark.implicits._
+    // two identical-text docs: a pure-content XOR would cancel them, so
+    // dropping the pair would leave a text-only checksum unchanged
+    val full = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val pairDropped = full.where(col("doc_id") === 3)
+    def ck(df: org.apache.spark.sql.DataFrame): Long =
+      graft.sources.ShardedExport.manifest(df, "text", "doc_id", nShards = 1)
+        .collect().head.getAs[Long]("content_hash")
+    assert(ck(full) != ck(pairDropped))
   }
 
   test("manifest is partitioning-invariant (XOR checksum commutes)") {

@@ -183,6 +183,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("v2 streaming screen (span scrub in the chain): multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+
+    // spanN = 5 matches the proven-distributivity setting; the one-shot
+    // reference must actually scrub something for the test to bite
+    val oneShot = graft.streaming.CurationStream
+      .screenV2(probe, corpus, evalSet, spanN = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(oneShot.nonEmpty, "fixture must admit some documents")
+    assert(oneShot.exists(_._3 > 0), "fixture must scrub spans from an admitted doc")
+
+    val dir = java.nio.file.Files.createTempDirectory("curation2_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation2_ck").toString
+    val q = graft.streaming.CurationStream.startScreenV2(
+      stream, corpus, evalSet, spanN = 5,
+      sink = out => {
+        batches += 1
+        out.collect().foreach(r => admitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, batch ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch result") {
     // batch reference
     val batch = EventStream.attributedPurchases(events)
