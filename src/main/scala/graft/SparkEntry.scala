@@ -739,6 +739,21 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id")
     }),
 
+    // ---- the build-once/serve-many form of the incremental screen:
+    //      persistable MinHash-LSH index over the frozen corpus, probed
+    //      by the arriving split — gated against the SAME oracle as
+    //      q_dedup_incremental (probe must be bit-identical to the
+    //      ad-hoc nearDupAgainst derivation). The save→load→probe
+    //      round-trip and append==rebuild laws are DedupSpec-pinned. ----
+    "q_lsh_index" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      graft.operators.LshIndex.build(corpus, "text", "doc_id")
+        .probe(probe, "text", "doc_id")
+        .orderBy("probe_id", "corpus_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir), "text", "doc_id")
         .orderBy("fingerprint")),
@@ -1749,7 +1764,11 @@ object SparkEntry {
       // equality at fpp 1e-8 (DedupSpec proves it on this corpus), so
       // any divergence is a seeding/hashing/sizing defect
       "q_decontaminate_bloom" -> base("q_decontaminate"),
-      "q_dedup_spans_incremental_bloom" -> base("q_dedup_spans_incremental"))
+      "q_dedup_spans_incremental_bloom" -> base("q_dedup_spans_incremental"),
+      // the persistable index is gated against the ad-hoc screen's
+      // oracle verbatim: probe(build(corpus)) must be bit-identical to
+      // nearDupAgainst over the same split (DedupSpec pins the same)
+      "q_lsh_index" -> base("q_dedup_incremental"))
   }
 
   private val oracleSqlBase: Map[String, String] = Map(
@@ -2851,7 +2870,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
         |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
-        |  bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || text), 1, 15)) AS BIGINT)) AS content_hash
+        |  bit_xor(CAST(('0x' || substring(md5(strlen(doc_id::VARCHAR)::VARCHAR || ':' || doc_id::VARCHAR || ':' || text), 1, 15)) AS BIGINT)) AS content_hash
         |FROM r
         |GROUP BY 1
         |ORDER BY shard""".stripMargin,

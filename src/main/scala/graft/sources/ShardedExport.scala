@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   *
   * Manifest columns: `shard, n_docs, n_tokens, n_bytes, content_hash` —
   * the hash is a bit-XOR of per-doc [[portableHash]] values over
-  * `id || ':' || text` (NOT text alone: pure-content hashes cancel in
-  * pairs under XOR, so dropping or duplicating two equal-text docs —
-  * or swapping them between shards — would leave a text-only checksum
-  * unchanged; mixing the unique id in makes every per-doc contribution
-  * distinct, so any such mutation flips the XOR). Still order-free
+  * `len(id) || ':' || id || ':' || text` (NOT text alone: pure-content
+  * hashes cancel in pairs under XOR, so dropping or duplicating two
+  * equal-text docs — or swapping them between shards — would leave a
+  * text-only checksum unchanged; mixing the unique id in makes every
+  * per-doc contribution distinct, so any such mutation flips the XOR;
+  * and the LENGTH PREFIX makes the encoding unambiguous for string ids
+  * containing ':' — without it, id '1' + text '2:x' and id '1:2' +
+  * text 'x' encode identically and such colliding pairs could still
+  * XOR-cancel). Still order-free
   * (XOR commutes, so it is partitioning-invariant), 64-bit, and
   * engine-portable (DuckDB replays it with `bit_xor` over the same
   * md5-derived hashes — gate query q_shard_manifest). A null text
@@ -43,13 +47,19 @@ object ShardedExport {
       .withColumn("shard", (col("shuffle_rank") - 1) % nShards)
   }
 
+  /** Per-doc checksum contribution: [[portableHash]] of the prefix-free
+    * `len(id) ':' id ':' text` encoding (see object doc). */
+  private def docHash(idCol: String, textCol: String) =
+    portableHash(concat(
+      length(col(idCol).cast("string")).cast("string"), lit(":"),
+      col(idCol).cast("string"), lit(":"), col(textCol)))
+
   /** Per-shard manifest (no filesystem dependency — composes with
     * [[write]] or with any external writer). */
   def manifest(df: DataFrame, textCol: String, idCol: String, nShards: Int,
       seed: Long = 42L): DataFrame =
     withShard(df, idCol, nShards, seed)
-      .withColumn("__ph",
-        portableHash(concat(col(idCol).cast("string"), lit(":"), col(textCol))))
+      .withColumn("__ph", docHash(idCol, textCol))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -71,8 +81,7 @@ object ShardedExport {
       .sortWithinPartitions(col("shard"), col("shuffle_rank"))
       .write.mode("overwrite").partitionBy("shard").json(dir)
     sharded
-      .withColumn("__ph",
-        portableHash(concat(col(idCol).cast("string"), lit(":"), col(textCol))))
+      .withColumn("__ph", docHash(idCol, textCol))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),

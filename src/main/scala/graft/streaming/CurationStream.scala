@@ -45,15 +45,47 @@ object CurationStream {
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, decontamN: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    import graft.functions.TextFunctions._
-    val gated = probe.where(
-      qualityScore(col(textCol)) >= minQuality &&
-        langId(col(textCol)) === lang &&
-        tokenCount(col(textCol)).between(minTokens, maxTokens))
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
         bands = bands, rowsPerBand = rowsPerBand,
         jaccardThreshold = jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    graft.operators.Dedup.decontaminate(unique, evalSet, textCol, idCol, decontamN)
+  }
+
+  /** The shared quality/language/length admission gates — stateless
+    * per-doc expressions, so every screen variant distributes over
+    * batch splits. */
+  private def gate(probe: DataFrame, textCol: String, minQuality: Double,
+      lang: String, minTokens: Int, maxTokens: Int): DataFrame = {
+    import graft.functions.TextFunctions._
+    probe.where(
+      qualityScore(col(textCol)) >= minQuality &&
+        langId(col(textCol)) === lang &&
+        tokenCount(col(textCol)).between(minTokens, maxTokens))
+  }
+
+  /** [[screen]] served by a PREBUILT [[graft.operators.LshIndex]] over
+    * the frozen corpus — the build-once/serve-many form: a production
+    * ingestion screen builds (or [[graft.operators.LshIndex.load]]s)
+    * the corpus band/shingle structures once and every arriving batch
+    * probes them, instead of re-deriving the corpus side per call. The
+    * banding geometry rides in the index (no bands/rowsPerBand knobs
+    * here — a mismatched geometry cannot be expressed), and
+    * `jaccardThreshold` must be matched to it per the S-curve rule on
+    * [[screen]]. Equivalent to [[screen]] over the indexed corpus
+    * (DedupSpec pins probe == nearDupAgainst; StreamingSpec pins the
+    * multi-batch union == one-shot law on this path). */
+  def screenIndexed(probe: DataFrame, index: graft.operators.LshIndex.LshIndex,
+      evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8, decontamN: Int = 5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
+    val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
     graft.operators.Dedup.decontaminate(unique, evalSet, textCol, idCol, decontamN)
@@ -78,15 +110,33 @@ object CurationStream {
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    import graft.functions.TextFunctions._
-    val gated = probe.where(
-      qualityScore(col(textCol)) >= minQuality &&
-        langId(col(textCol)) === lang &&
-        tokenCount(col(textCol)).between(minTokens, maxTokens))
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
         bands = bands, rowsPerBand = rowsPerBand,
         jaccardThreshold = jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    val scrubbed = graft.operators.Dedup
+      .duplicateSpanScrubAgainst(unique, corpus, textCol, idCol, spanN)
+      .withColumnRenamed("text", textCol)
+    graft.operators.Dedup.decontaminate(scrubbed, evalSet, textCol, idCol, decontamN)
+  }
+
+  /** [[screenV2]] with the near-dup stage served by a PREBUILT
+    * [[graft.operators.LshIndex]] (see [[screenIndexed]]). `corpus` is
+    * still taken for the span-scrub gram set and the decontamination —
+    * those index different structures (n-gram sets, not LSH bands) —
+    * and MUST be the corpus the index was built over, or the near-dup
+    * and span stages screen against different frozen states. */
+  def screenV2Indexed(probe: DataFrame, index: graft.operators.LshIndex.LshIndex,
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
+    val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
     val scrubbed = graft.operators.Dedup
@@ -122,6 +172,23 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenV2(batch, corpus, evalSet, textCol, idCol, spanN = spanN))
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[startScreen]] served by a prebuilt index ([[screenIndexed]] per
+    * micro-batch): the corpus bands/shingles are the index's frames —
+    * already materialized once — so NO batch re-derives them; each
+    * batch's plan is gates + two joins against the cached index. */
+  def startScreenIndexed(stream: DataFrame,
+      index: graft.operators.LshIndex.LshIndex, evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id",
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenIndexed(batch, index, evalSet, textCol, idCol))
       }
       .trigger(trigger)
       .start()

@@ -269,4 +269,54 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(run(corpus.repartition(7)) == run(corpus.coalesce(1)))
   }
+
+  test("LshIndex: probe == nearDupAgainst bit-identically on the gate corpus") {
+    import graft.operators.LshIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id"))
+    assert(direct.nonEmpty, "fixture must contain cross-split near-dups")
+    val idx = LshIndex.build(corpus, "text", "doc_id")
+    assert(pairs(idx.probe(probe, "text", "doc_id")) == direct)
+  }
+
+  test("LshIndex.append(A,B) == build(A∪B): identical frames, identical probe") {
+    import graft.operators.LshIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val a = corpus.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b = corpus.where(pmod(col("doc_id"), lit(2)) === 1)
+    val appended = LshIndex.build(a, "text", "doc_id").append(b, "text")
+    val rebuilt = LshIndex.build(corpus, "text", "doc_id")
+    // the index CONTENTS agree row-for-row, not just the probe answers
+    assert(appended.bands.collect().toSet == rebuilt.bands.collect().toSet)
+    assert(appended.shingles.collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1))).toSet ==
+      rebuilt.shingles.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(appended.probe(probe, "text", "doc_id")) ==
+      pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")))
+  }
+
+  test("LshIndex save → load → probe round-trip preserves banding geometry") {
+    import graft.operators.LshIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val idx = LshIndex.build(corpus, "text", "doc_id",
+      shingleK = 5, bands = 16, rowsPerBand = 8)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    idx.save(dir)
+    val re = LshIndex.load(spark, dir)
+    assert((re.shingleK, re.nBands, re.rowsPerBand, re.idCol) == (5, 16, 8, "doc_id"))
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(re.probe(probe, "text", "doc_id")) ==
+      pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")))
+  }
 }

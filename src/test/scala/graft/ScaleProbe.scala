@@ -180,11 +180,11 @@ object ScaleProbe {
         // the 1M-edge driver cap, so the propagation loop has parity
         // specs but no scale measurement — force it (maxDriverEdges=0)
         // over the real LSH pair graph and report rounds-to-convergence
-        val cc = operators.Dedup.connectedComponents(
+        val (cc, rounds) = operators.Dedup.connectedComponentsWithRounds(
           operators.Dedup.minHashLshPairs(
             Tables.documents(spark, dir), "text", "doc_id"),
           "id_a", "id_b", maxDriverEdges = 0L)
-        println(s"  [forcedcc rounds=${spark.conf.get("graft.diag.ccRounds", "?")}]")
+        println(s"  [forcedcc rounds=$rounds]")
         cc
       case _ => SparkEntry.queries(n)(spark, dir)
     }

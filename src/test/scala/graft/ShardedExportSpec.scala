@@ -27,7 +27,7 @@ class ShardedExportSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col("text"))).as("n_tokens"),
         sum(length(encode(col("text"), "UTF-8")).cast("long")).as("n_bytes"),
-        expr("bit_xor(cast(conv(substring(md5(concat(cast(doc_id as string), ':', text)), 1, 15), 16, 10) as bigint))").as("content_hash"))
+        expr("bit_xor(cast(conv(substring(md5(concat(cast(length(cast(doc_id as string)) as string), ':', cast(doc_id as string), ':', text)), 1, 15), 16, 10) as bigint))").as("content_hash"))
       .collect()
       .map(r => r.getAs[Long]("shard") ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
@@ -47,6 +47,19 @@ class ShardedExportSpec extends SparkSpec {
       graft.sources.ShardedExport.manifest(df, "text", "doc_id", nShards = 1)
         .collect().head.getAs[Long]("content_hash")
     assert(ck(full) != ck(pairDropped))
+  }
+
+  test("checksum encoding is prefix-free for string ids containing ':'") {
+    import spark.implicits._
+    // 'id 1, text 2:x' vs 'id 1:2, text x' concatenate identically
+    // without the length prefix — the XOR of such a colliding pair
+    // cancels, so swapping both docs for different ones with the same
+    // ambiguous encoding would go undetected
+    def ck(rows: Seq[(String, String)]): Long =
+      graft.sources.ShardedExport.manifest(
+        rows.toDF("doc_id", "text"), "text", "doc_id", nShards = 1)
+        .collect().head.getAs[Long]("content_hash")
+    assert(ck(Seq(("1", "2:x"))) != ck(Seq(("1:2", "x"))))
   }
 
   test("manifest is partitioning-invariant (XOR checksum commutes)") {

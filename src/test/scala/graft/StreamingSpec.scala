@@ -183,6 +183,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexed streaming screen (prebuilt LshIndex): equals the ad-hoc screen; multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val index = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+
+    // the index path admits exactly what the ad-hoc corpus path admits
+    val adHoc = graft.streaming.CurationStream
+      .screen(probe, corpus, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = graft.streaming.CurationStream
+      .screenIndexed(probe, index, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oneShot == adHoc)
+    assert(oneShot.nonEmpty && oneShot.size < probe.count())
+
+    // and the v2 indexed chain equals the ad-hoc v2 chain
+    val v2AdHoc = graft.streaming.CurationStream
+      .screenV2(probe, corpus, evalSet, spanN = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    val v2Indexed = graft.streaming.CurationStream
+      .screenV2Indexed(probe, index, corpus, evalSet, spanN = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(v2Indexed == v2AdHoc)
+
+    // streamed per-batch probing of the SAME prebuilt index unions to
+    // the one-shot admission set
+    val dir = java.nio.file.Files.createTempDirectory("curationidx_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curationidx_ck").toString
+    val q = graft.streaming.CurationStream.startScreenIndexed(
+      stream, index, evalSet,
+      sink = out => {
+        batches += 1
+        out.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("v2 streaming screen (span scrub in the chain): multi-batch union equals one-shot") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

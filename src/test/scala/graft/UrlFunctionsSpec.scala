@@ -102,4 +102,18 @@ class UrlFunctionsSpec extends SparkSpec {
       .select(registrableDomainWith(col("h"), psl)).collect()
     assert(nulls.head.isNullAt(0))
   }
+
+  test("urlDedup: canonical-equal variants collapse to min id; null URLs all pass through") {
+    val docs = Seq(
+      (1L, Some("https://example.com/p/1?utm_source=a")),
+      (2L, Some("HTTPS://u@EXAMPLE.com:443/p//1/#frag")), // same page as 1
+      (3L, Some("https://example.com/p/2")),
+      (4L, None), (5L, None), (6L, None) // no URL: nothing to collapse on
+    ).toDF("doc_id", "url")
+    val kept = graft.operators.Dedup.urlDedup(docs, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 collapses onto 1 (min id per canonical URL); EVERY null-URL row
+    // survives — a shared null key would silently mass-drop them
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+  }
 }
