@@ -1347,6 +1347,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the same PSL walk at REALISTIC list scale: a 10,000-rule
+    //      synthetic suffix list (9000 plain + 500 wildcard + 500
+    //      exception rules, generated by id arithmetic so the oracle
+    //      derives every expected domain independently) — exercises the
+    //      broadcast hash-set build and the per-row walk at the size of
+    //      the real publicsuffix.org file (~9.5k rules). ----
+    "q_url_domain_psl10k" -> ((s, dir) => {
+      val k = col("id")
+      val psl = s.range(10000).select(
+        when(k < 9000, concat(lit("t"), k.cast("string"), lit(".zz")))
+          .when(k < 9500, concat(lit("*.w"), (k - 9000).cast("string"), lit(".zz")))
+          .otherwise(concat(lit("!x.w"), (k - 9500).cast("string"), lit(".zz")))
+          .as("rule"))
+      val d = col("doc_id").cast("string")
+      val m = pmod(col("doc_id"), lit(4))
+      val t = pmod(col("doc_id"), lit(9000)).cast("string")
+      val w = pmod(col("doc_id"), lit(500)).cast("string")
+      val host = when(m === 0, concat(lit("a.b.t"), t, lit(".zz")))
+        .when(m === 1, concat(lit("a.y.w"), w, lit(".zz")))
+        .when(m === 2, concat(lit("deep.x.w"), w, lit(".zz")))
+        .otherwise(concat(lit("foo.bar"), d, lit(".qq")))
+      documents(s, dir).select(col("doc_id"), host.as("host"))
+        .withColumn("domain",
+          graft.functions.UrlFunctions.registrableDomainWith(col("host"), psl))
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence packing: greedy fixed-budget layout of documents
     //      into training sequences (8 streams dealt by doc_id mod 8,
     //      id-order greedy fill, 256-token budget). One narrow shuffle +
@@ -1356,6 +1383,31 @@ object SparkEntry {
       graft.operators.Packing.packSequences(documents(s, dir), "text", "doc_id",
         budgetTokens = 256, streams = 8)
         .orderBy("doc_id")),
+
+    // ---- BPE-token-denominated packing: the same greedy layout with
+    //      budgets counted in REAL subword tokens (Bpe.tokenCount under
+    //      the corpus-fit model) instead of whitespace tokens — what a
+    //      training run actually packs against. The oracle replays the
+    //      full BPE apply (recursive-CTE merge replay over the emitted
+    //      merge table) to re-derive every per-doc count, then the
+    //      packing recurrence on those counts. ----
+    "q_pack_bpe" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      // 40 merges (vs q_bpe_tokens' 200): the synthetic corpus has a
+      // ~31-word vocabulary that 200 merges fully merges back to one
+      // token per word — identical to whitespace counts, so the BPE
+      // denomination would not bite; at 40 merges words stay subword-
+      // split and budgets genuinely repack
+      val model = graft.functions.Bpe.fit(docs, "text", numMerges = 40)
+      import s.implicits._
+      writeOracleSide(model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b"),
+        dir, "bpe_merges_pack")
+      graft.operators.Packing.packSequencesBy(docs,
+        graft.functions.Bpe.tokenCount(col("text"), model), "doc_id",
+        budgetTokens = 256, streams = 8)
+        .orderBy("doc_id")
+    }),
 
     // ---- context-window chunking: split each doc's canonical token
     //      stream into ≤32-token windows overlapping by 8 — the
@@ -3040,6 +3092,30 @@ object SparkEntry {
         |    ELSE 'site' || n || '.org' END AS domain
         |FROM u ORDER BY doc_id""".stripMargin,
 
+    // 10k-rule PSL: every expected domain derived by the same id
+    // arithmetic that generated the rules — plain t<k>.zz gives
+    // suffix+1, wildcard *.w<k>.zz makes y.w<k>.zz a public suffix
+    // (whole 4-label host registrable), !x.w<k>.zz carves the
+    // exception back out, and unlisted .qq falls back to the built-in
+    // last-two-labels answer.
+    "q_url_domain_psl10k" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, doc_id::VARCHAR AS n,
+        |    (doc_id % 9000)::VARCHAR AS t, (doc_id % 500)::VARCHAR AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN 'a.b.t' || t || '.zz'
+        |    WHEN 1 THEN 'a.y.w' || w || '.zz'
+        |    WHEN 2 THEN 'deep.x.w' || w || '.zz'
+        |    ELSE 'foo.bar' || n || '.qq' END AS host,
+        |  CASE m
+        |    WHEN 0 THEN 'b.t' || t || '.zz'
+        |    WHEN 1 THEN 'a.y.w' || w || '.zz'
+        |    WHEN 2 THEN 'x.w' || w || '.zz'
+        |    ELSE 'bar' || n || '.qq' END AS domain
+        |FROM u ORDER BY doc_id""".stripMargin,
+
     // Replay of the greedy packing recurrence, one recursive-CTE step
     // per document rank within its stream (all 8 streams advance
     // set-wise per iteration).
@@ -3063,6 +3139,68 @@ object SparkEntry {
         |  SELECT * FROM r)
         |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
         |FROM rec
+        |ORDER BY doc_id""".stripMargin,
+
+    // BPE counts re-derived by the q_bpe_tokens merge-replay CTEs, then
+    // the identical packing recurrence over those counts.
+    "q_pack_bpe" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS nw
+        |  FROM documents),
+        |words AS (SELECT DISTINCT unnest(nw) AS w FROM docs),
+        |ml AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mlist
+        |  FROM read_parquet('${oracleSidePath("bpe_merges_pack")}')),
+        |init AS (
+        |  SELECT w, list_concat(
+        |     list_transform(range(1, length(w)), i -> w[i]),
+        |     [w[length(w)] || '${graft.functions.Bpe.Eow}']) AS toks
+        |  FROM words),
+        |brec AS (
+        |  WITH RECURSIVE r1(w, toks, it) AS (
+        |    SELECT w, toks, 0 FROM init
+        |    UNION ALL
+        |    SELECT w,
+        |      toks[1:att-1] || [toks[att] || toks[att+1]] || toks[att+2:],
+        |      it + 1
+        |    FROM (
+        |      SELECT w, toks, it, list_position(rs, list_min(rs)) AS att,
+        |        list_min(rs) AS minr
+        |      FROM (
+        |        SELECT w, toks, it,
+        |          list_transform(range(1, len(toks)),
+        |            i -> coalesce(nullif(list_position(mlist, toks[i] || chr(1) || toks[i+1]), 0), 1000000)) AS rs
+        |        FROM r1, ml
+        |        WHERE len(toks) >= 2))
+        |    WHERE minr < 1000000)
+        |  SELECT * FROM r1),
+        |fin AS (
+        |  SELECT w, toks FROM (
+        |    SELECT w, toks, it, max(it) OVER (PARTITION BY w) AS mx FROM brec)
+        |  WHERE it = mx),
+        |counts AS (SELECT w, len(toks) AS k FROM fin),
+        |ex AS (SELECT doc_id, unnest(nw) AS w FROM docs),
+        |agg AS (SELECT ex.doc_id, SUM(c.k) AS nb
+        |  FROM ex JOIN counts c USING (w) GROUP BY ex.doc_id),
+        |t AS (
+        |  SELECT d.doc_id, d.doc_id % 8 AS stream,
+        |    CAST(COALESCE(a.nb, 0) AS BIGINT) AS ntok
+        |  FROM docs d LEFT JOIN agg a USING (doc_id)),
+        |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn FROM t),
+        |prec AS (
+        |  WITH RECURSIVE r2(stream, rn, doc_id, ntok, pack, ofs) AS (
+        |    SELECT stream, rn, doc_id, ntok, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |    FROM o WHERE rn = 1
+        |    UNION ALL
+        |    SELECT o.stream, o.rn, o.doc_id, o.ntok,
+        |      CASE WHEN r2.ofs + r2.ntok > 0 AND r2.ofs + r2.ntok + o.ntok > 256
+        |           THEN r2.pack + 1 ELSE r2.pack END,
+        |      CASE WHEN r2.ofs + r2.ntok > 0 AND r2.ofs + r2.ntok + o.ntok > 256
+        |           THEN CAST(0 AS BIGINT) ELSE r2.ofs + r2.ntok END
+        |    FROM r2 JOIN o ON o.stream = r2.stream AND o.rn = r2.rn + 1)
+        |  SELECT * FROM r2)
+        |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
+        |FROM prec
         |ORDER BY doc_id""".stripMargin,
 
     // Same integer cut points (Sampling.splitThresholds embeds the exact

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for training-data assembly: lay curated documents
@@ -33,21 +33,34 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   def packSequences(df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Int, streams: Int = 32): DataFrame =
+    packSequencesBy(df,
+      graft.functions.TextFunctions.tokenCount(col(textCol)),
+      idCol, budgetTokens, streams)
+
+  /** [[packSequences]] with a CALLER-SUPPLIED token-count column — the
+    * budget-denominated form: pass `Bpe.tokenCount(col, model)` and
+    * sequence budgets count real subword tokens instead of whitespace
+    * tokens (what a training run actually packs against; whitespace
+    * counts under-fill budgets by the subword inflation factor, ~1.3×
+    * on English prose). Same layout semantics and scale shape — the
+    * count expression evaluates map-side before the narrow shuffle, so
+    * even a UDF-backed tokenizer never moves text across the wire. */
+  def packSequencesBy(df: DataFrame, nTokens: Column, idCol: String,
       budgetTokens: Int, streams: Int = 32): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(streams > 0, "streams must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val budget = budgetTokens.toLong
-    // total on degenerate rows: a null text packs as 0 tokens; a null id
-    // has no identity to lay out or join back on and is dropped
+    // total on degenerate rows: a null count packs as 0 tokens; a null
+    // id has no identity to lay out or join back on and is dropped
     val narrow = df
       .where(col(idCol).isNotNull)
       .select(
         col(idCol).cast("long").as("id"),
         pmod(col(idCol).cast("long"), lit(streams.toLong)).as("stream"),
-        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"),
-          lit(0L)).as("ntok"))
+        coalesce(nTokens.cast("long"), lit(0L)).as("ntok"))
     narrow
       .repartition(col("stream"))
       .sortWithinPartitions("stream", "id")

@@ -58,6 +58,29 @@ class PackingSpec extends SparkSpec {
     a.foreach { case (id, stream, _, _, _) => assert(stream == id % 4) }
   }
 
+  test("packSequencesBy: custom token denomination — parity with default, BPE budgets bite") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def layout(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // whitespace denomination through the By-form is the SAME layout
+    val viaBy = layout(Packing.packSequencesBy(docs,
+      graft.functions.TextFunctions.tokenCount(col("text")), "doc_id", 256, 8))
+    assert(viaBy == layout(Packing.packSequences(docs, "text", "doc_id", 256, 8)))
+    // BPE denomination at 40 merges (200 fully merges this synthetic
+    // corpus' ~31-word vocab back to one token per word): per-doc
+    // counts inflate vs whitespace, so the layout genuinely re-packs —
+    // and every multi-doc pack still fits the budget in BPE tokens
+    val model = graft.functions.Bpe.fit(docs, "text", numMerges = 40)
+    val bpe = layout(Packing.packSequencesBy(docs,
+      graft.functions.Bpe.tokenCount(col("text"), model), "doc_id", 256, 8))
+    assert(bpe != viaBy, "BPE counts must change the layout for the gate to bite")
+    bpe.groupBy(t => (t._2, t._3)).foreach { case ((stream, pack), docsIn) =>
+      val total = docsIn.toSeq.map(_._5).sum
+      assert(docsIn.size == 1 || total <= 256,
+        s"multi-doc pack over BPE budget: stream=$stream pack=$pack total=$total")
+    }
+  }
+
   private def numbered(id: Long, words: Int) =
     (id, (1 to words).map(i => s"t$i").mkString(" "))
 

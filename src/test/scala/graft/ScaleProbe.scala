@@ -46,7 +46,8 @@ object ScaleProbe {
       "q_url_normalize", "q_shard_manifest", "q_curation_pipeline2",
       "q_corpus_diff",
       "q_dedup_spans_incremental_bloom", "q_decontaminate_bloom",
-      "q_url_dedup", "q_url_domain_psl", "q_dedup_cluster_forcedcc")
+      "q_url_dedup", "q_url_domain_psl", "q_dedup_cluster_forcedcc",
+      "q_lsh_index", "q_url_domain_psl10k", "q_pack_bpe")
 
     val spark = SparkSession.builder()
       .master("local[32]")
