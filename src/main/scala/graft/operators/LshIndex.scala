@@ -28,9 +28,11 @@ import scala.util.chaining._
   * shingles for verification. [[LshIndex#append]] is append-only: the
   * increment pays its own shingle/band pass and the frames union —
   * existing rows are never recomputed (DedupSpec pins append(A,B) ==
-  * build(A∪B) and probe(index) == nearDupAgainst). `save` lays both
-  * frames out partitioned by `band`, so a saved index reopens with
-  * band-pruned reads where a probe restricts bands.
+  * build(A∪B) and probe(index) == nearDupAgainst, plus the
+  * save→load→probe round-trip). `save` lays the band rows out
+  * partitioned by `band` — a saved index reopens with band-pruned
+  * reads where a probe restricts bands — while the shingle frame,
+  * which carries no band, lands unpartitioned.
   */
 object LshIndex {
 

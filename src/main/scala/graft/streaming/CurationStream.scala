@@ -192,4 +192,22 @@ object CurationStream {
       }
       .trigger(trigger)
       .start()
+
+  /** [[startScreenV2]] with the near-dup stage served by a prebuilt
+    * index ([[screenV2Indexed]] per micro-batch); `corpus` still feeds
+    * the span-scrub gram set and must be what the index was built over. */
+  def startScreenV2Indexed(stream: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      corpus: DataFrame, evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id", spanN: Int = 8,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenV2Indexed(batch, index, corpus, evalSet, textCol, idCol,
+          spanN = spanN))
+      }
+      .trigger(trigger)
+      .start()
 }
