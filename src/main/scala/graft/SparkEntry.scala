@@ -1436,6 +1436,34 @@ object SparkEntry {
         Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
         .orderBy("doc_id")),
 
+    // ---- LEAKAGE-SAFE split: hashSplit keyed by near-dup family (min
+    //      member id), so a near-duplicate pair can never straddle the
+    //      train/eval boundary. Oracle: exact all-pairs Jaccard →
+    //      recursive-CTE components (the q_dedup_cluster pattern, LSH ≡
+    //      exact at this corpus/banding) → the same md5 walk against
+    //      the same embedded integer thresholds as q_split_hash. ----
+    "q_split_leakage" -> ((s, dir) =>
+      graft.operators.Sampling.leakageSafeSplit(
+        documents(s, dir).select("doc_id", "text"), "text", "doc_id",
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // ---- per-domain caps (the C4 crawl rule "at most N pages per
+    //      registrable domain"): pay-level-domain extraction composed
+    //      with the exact per-group quota — hosts synthesized by id
+    //      arithmetic over a multi-part TLD so the oracle derives both
+    //      the domain and the survivors independently. ----
+    "q_domain_quota" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val host = concat(lit("sub"), d, lit(".site"),
+        pmod(col("doc_id"), lit(3)).cast("string"), lit(".co.uk"))
+      val withDomain = documents(s, dir).select(col("doc_id"))
+        .withColumn("domain", graft.functions.UrlFunctions.registrableDomain(host))
+      graft.operators.Sampling.quotaPerGroup(withDomain, "domain", "doc_id",
+        quota = 40)
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram-LM perplexity scoring (the CCNet quality-filter step):
     //      fit an add-one-smoothed bigram model on the English slice,
     //      score every doc's cross-entropy. Every model count is an
@@ -3424,6 +3452,57 @@ object SparkEntry {
         |FROM h
         |ORDER BY doc_id""".stripMargin
     },
+
+    // Family labels re-derived exactly (all-pairs Jaccard + recursive
+    // components), then the identical hash/threshold walk keyed by
+    // COALESCE(family, doc_id).
+    "q_split_leakage" -> {
+      val cuts = graft.operators.Sampling.splitThresholds(
+        Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1)))
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ${DedupOracle.jaccardExpr} AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+        |ee AS (SELECT id_a AS u, id_b AS v FROM e
+        |       UNION SELECT id_b, id_a FROM e),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT u, u FROM ee
+        |    UNION
+        |    SELECT ee.v, r.rep FROM r JOIN ee ON ee.u = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node),
+        |k AS (
+        |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS sk
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(sk::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) AS hh
+        |  FROM k)
+        |SELECT doc_id,
+        |  CASE WHEN hh < ${cuts(0)._2} THEN 'train'
+        |       WHEN hh < ${cuts(1)._2} THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM h
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // Domain derived by the same id arithmetic (multi-part .co.uk TLD →
+    // pay-level = site<m>.co.uk), survivors by the q_sample_quota rank
+    // replay per domain.
+    "q_domain_quota" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'site' || (doc_id % 3)::VARCHAR || '.co.uk' AS domain,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, domain FROM r WHERE rk <= 40
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_ngrams" ->
       s"""WITH n AS (

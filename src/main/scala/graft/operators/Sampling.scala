@@ -103,6 +103,34 @@ object Sampling {
     df.withColumn("split", caseExpr)
   }
 
+  /** Leakage-safe train/valid/test split: [[hashSplit]] keyed by the
+    * near-dup FAMILY instead of the document, so every member of a
+    * connected near-dup family lands on the SAME side and near-dup
+    * leakage across the train/eval boundary — the contamination mode
+    * Lee et al. 2022 measure (an eval doc whose near-duplicate sits in
+    * train memorizes its own answer) — is impossible by construction.
+    * Key = the family's min member id
+    * ([[graft.operators.Dedup.nearDupClusters]] label); singletons key
+    * by their own id, so on an already-deduplicated corpus this is
+    * exactly [[hashSplit]] (same hash, same thresholds, same seed).
+    *
+    * Scale shape: the extra cost over [[hashSplit]] is the LSH pair
+    * graph + components (pair-sized, orders of magnitude below the
+    * corpus) plus one id-keyed join of the narrow label frame back
+    * onto the corpus; the split itself stays the map-side portable
+    * hash against integer thresholds. */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 42L,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(df)
+    val clusters = Dedup.nearDupClusters(input, textCol, idCol,
+      shingleK, bands, rowsPerBand, jaccardThreshold)
+    val keyed = input.join(clusters, Seq(idCol), "left")
+      .withColumn("__sk", coalesce(col("cluster"), col(idCol)))
+    hashSplit(keyed, "__sk", fractions, seed).drop("__sk", "cluster")
+  }
+
   /** Temperature-based corpus mixing (the multilingual-LM sampling rule,
     * p_s ∝ n_s^alpha): thin each group so the OUTPUT composition follows
     * the temperature-flattened distribution, keeping the corpus as large

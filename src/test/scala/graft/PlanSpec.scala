@@ -171,4 +171,21 @@ class PlanSpec extends SparkSpec {
         s"url-normalize scan not pruned: $r")
     }
   }
+
+  test("LshIndex.probe serves the corpus side from cached index frames") {
+    // the index's whole reason to exist: a probe must join the PREBUILT
+    // band/shingle caches, never re-derive the corpus side — if the
+    // retain calls are ever dropped, every micro-batch would pay the
+    // full corpus shingle+signature pass again
+    graft.core.CacheScope.releaseAll()
+    val d = Tables.documents(spark, dir)
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val idx = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+    val p = idx.probe(probe, "text", "doc_id")
+      .queryExecution.executedPlan.toString()
+    val n = "InMemoryTableScan".r.findAllIn(p).size
+    assert(n >= 2,
+      s"probe plan must scan cached corpus bands+shingles, found $n InMemoryTableScan nodes:\n${p.take(1500)}")
+  }
 }

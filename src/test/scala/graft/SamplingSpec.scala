@@ -261,4 +261,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(ids, "doc_id", Seq.empty)
     }
   }
+
+  test("leakageSafeSplit: families never straddle the boundary; singletons == hashSplit") {
+    val d = docs.select("doc_id", "text")
+    val fr = Seq(("train", 0.8), ("valid", 0.1), ("test", 0.1))
+    val split = Sampling.leakageSafeSplit(d, "text", "doc_id", fr)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(split.size == d.count())
+    val fams = graft.operators.Dedup.nearDupClusters(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fams.nonEmpty, "fixture must contain near-dup families")
+    // the whole point: every member of a family gets the same side
+    fams.groupBy(_._2).foreach { case (c, ms) =>
+      val sides = ms.map(m => split(m._1)).toSet
+      assert(sides.size == 1, s"family $c straddles the boundary: $sides")
+    }
+    // and the family side is the MIN MEMBER's hashSplit side, so docs
+    // outside any family split exactly as plain hashSplit
+    val plain = Sampling.hashSplit(d.select("doc_id"), "doc_id", fr)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("split"))).toMap
+    val inFam = fams.map(_._1).toSet
+    split.foreach { case (id, s) =>
+      if (!inFam(id)) assert(plain(id) == s, s"singleton $id diverged")
+    }
+    fams.groupBy(_._2).foreach { case (c, ms) =>
+      assert(split(ms.head._1) == plain(c), s"family $c not keyed by min member")
+    }
+  }
 }
