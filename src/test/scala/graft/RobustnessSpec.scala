@@ -287,4 +287,49 @@ class RobustnessSpec extends SparkSpec {
     assert(counts(2L) == 0, "null text → zero tokens")
     assert(counts(1L) == 3, "unmerged chars: c a t·")
   }
+
+  test("LshIndex degenerate inputs: empty probe, empty corpus, null text") {
+    val docs = Seq((1L, "spark query engines shuffle partition data across executors"),
+      (2L, Option.empty[String].orNull)).toDF("doc_id", "text")
+    val none = docs.where(lit(false))
+    // empty corpus: probing an empty index yields no pairs, no error
+    val emptyIdx = graft.operators.LshIndex.build(none, "text", "doc_id")
+    assert(emptyIdx.probe(docs, "text", "doc_id").count() == 0)
+    // empty probe against a real index; null-text corpus rows (no
+    // shingles) simply never collide
+    val idx = graft.operators.LshIndex.build(docs, "text", "doc_id")
+    assert(idx.probe(none, "text", "doc_id").count() == 0)
+    assert(idx.probe(docs.where(col("doc_id") === 2), "text", "doc_id").count() == 0)
+  }
+
+  test("leakageSafeSplit degenerate inputs: empty frame, null text, all-duplicates corpus") {
+    val fr = Seq(("train", 0.5), ("test", 0.5))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.operators.Sampling.leakageSafeSplit(empty, "text", "doc_id", fr)
+    assert(out.columns.contains("split") && out.count() == 0)
+    // null text rows are singletons (no shingles, no family) and still split
+    val docs = Seq((1L, "aaaa bbbb cccc dddd eeee"), (2L, Option.empty[String].orNull),
+      (3L, "aaaa bbbb cccc dddd eeee")).toDF("doc_id", "text")
+    val split = graft.operators.Sampling.leakageSafeSplit(docs, "text", "doc_id", fr)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split.size == 3)
+    assert(split(1L) == split(3L), "exact-dup family must co-locate")
+  }
+
+  test("packSequencesBy degenerate counts: null and negative-free arbitrary columns") {
+    val docs = Seq((0L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("doc_id", "text")
+    // a count column with nulls: null packs as 0 tokens (doc still placed)
+    val cnt = when(col("doc_id") === 1, lit(null).cast("int"))
+      .otherwise((col("doc_id") * 3 + 1).cast("int"))
+    val out = graft.operators.Packing
+      .packSequencesBy(docs, cnt, "doc_id", budgetTokens = 8, streams = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 4)
+    assert(out(1L)._3 == 0, "null count placed as zero-width")
+    // layout tiles: every offset = running sum within its pack
+    assert(out(0L) == ((0L, 0L, 1L)))
+    assert(out(1L) == ((0L, 1L, 0L)))
+    assert(out(2L) == ((0L, 1L, 7L)))   // 1+0+7 = 8 fits exactly
+    assert(out(3L) == ((1L, 0L, 10L)))  // 10 > 8 opens pack 1, oversize alone
+  }
 }
