@@ -116,4 +116,22 @@ object LshIndex {
       spark.read.parquet(s"$dir/shingles"),
       meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getString(3))
   }
+
+  /** [[load]] restricted to a subset of bands — the recall/cost dial
+    * the band-partitioned layout exists for: probing k of n bands reads
+    * only those partitions (parquet partition pruning, verified in
+    * PlanSpec) and collides on any of the k bands, so candidate recall
+    * follows the S-curve with k in place of n (1 − (1−J^r)^k) while
+    * corpus-side read and join volume drop to k/n. The probe side still
+    * derives all n bands (its signature is one pass either way); the
+    * verification join is unchanged, so every SURVIVING pair is still
+    * exact-Jaccard-verified — band restriction can only lose pairs,
+    * never admit false ones. */
+  def loadBands(spark: SparkSession, dir: String, bands: Seq[Int]): LshIndex = {
+    require(bands.nonEmpty, "need at least one band")
+    val full = load(spark, dir)
+    require(bands.forall(b => b >= 0 && b < full.nBands),
+      s"bands must be in [0, ${full.nBands}), got $bands")
+    full.copy(bands = full.bands.where(col("band").isin(bands.map(Integer.valueOf): _*)))
+  }
 }

@@ -303,6 +303,35 @@ class DedupSpec extends SparkSpec {
       pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")))
   }
 
+  test("LshIndex.loadBands: restricted probe is a verified subset; partitions prune") {
+    import graft.operators.LshIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx_bands").toString
+    LshIndex.build(corpus, "text", "doc_id").save(dir)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(LshIndex.load(spark, dir).probe(probe, "text", "doc_id"))
+    assert(full.nonEmpty)
+    // every band == the full index
+    assert(pairs(LshIndex.loadBands(spark, dir, 0 until 16)
+      .probe(probe, "text", "doc_id")) == full)
+    // k of n bands: survivors are exact-verified, so a SUBSET — band
+    // restriction can lose pairs, never admit false ones
+    val sub = pairs(LshIndex.loadBands(spark, dir, Seq(0, 1, 2, 3))
+      .probe(probe, "text", "doc_id"))
+    assert(sub.subsetOf(full), "restricted probe admitted a pair the full probe lacks")
+    // the restriction reaches the parquet scan as a partition filter
+    val plan = LshIndex.loadBands(spark, dir, Seq(0, 1, 2, 3))
+      .bands.queryExecution.executedPlan.toString()
+    val pf = "PartitionFilters: \\[[^\\]]*band[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"band restriction not pushed to partition pruning:\n${plan.take(1200)}")
+    intercept[IllegalArgumentException] {
+      LshIndex.loadBands(spark, dir, Seq(16))
+    }
+  }
+
   test("LshIndex save → load → probe round-trip preserves banding geometry") {
     import graft.operators.LshIndex
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
