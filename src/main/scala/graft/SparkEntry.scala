@@ -1464,6 +1464,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- blocklist gates (the C4 "bad words" page filter + the
+    //      "never ingest these sites" domain rule): token blocklist
+    //      over the canonical token stream, domain blocklist at the
+    //      pay-level domain so subdomains block with their site. Both
+    //      codegen'd scalar predicates; hosts and survivors derived
+    //      independently by id arithmetic in the oracle. ----
+    "q_blocklist_filter" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val host = concat(lit("h"), d, lit(".site"),
+        pmod(col("doc_id"), lit(4)).cast("string"), lit(".co.uk"))
+      documents(s, dir).select(col("doc_id"), col("text"), host.as("host"))
+        .where(graft.functions.TextFunctions.noBlocklistedToken(col("text"),
+            Seq("agg", "scan")) &&
+          graft.functions.UrlFunctions.domainNotBlocklisted(col("host"),
+            Seq("site0.co.uk", "site2.co.uk")))
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram-LM perplexity scoring (the CCNet quality-filter step):
     //      fit an add-one-smoothed bigram model on the English slice,
     //      score every doc's cross-entropy. Every model count is an
@@ -3487,6 +3506,21 @@ object SparkEntry {
         |FROM h
         |ORDER BY doc_id""".stripMargin
     },
+
+    // Survivors derived independently: token hit via list_has_any over
+    // the same canonical tokens, domain hit by the id arithmetic that
+    // synthesized the host (m in {0,2} blocked).
+    "q_blocklist_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'h' || doc_id::VARCHAR || '.site' || (doc_id % 4)::VARCHAR || '.co.uk' AS host
+        |FROM t
+        |WHERE NOT list_has_any(toks, ['agg', 'scan'])
+        |  AND (doc_id % 4) IN (1, 3)
+        |ORDER BY doc_id""".stripMargin,
 
     // Domain derived by the same id arithmetic (multi-part .co.uk TLD →
     // pay-level = site<m>.co.uk), survivors by the q_sample_quota rank

@@ -250,6 +250,25 @@ object TextFunctions {
             lit(minAlphaRatio) * length(l).cast("double"))),
       "\n")
 
+  /** Token-blocklist gate (the C4 "bad words" page filter: a page is
+    * dropped if it contains ANY blocklisted word): TRUE iff the
+    * normalized token stream contains no listed word. Words are
+    * matched on the canonical token stream (lowercased, punctuation
+    * stripped — so "Agg!" hits a listed "agg"), and the list is
+    * normalized the same way at plan build.
+    *
+    * The list rides as a literal array into a codegen'd
+    * `arrays_overlap` — the right shape for word lists in the 10²–10⁴
+    * range (C4's published list is ~400 entries); a list that rivals
+    * the corpus vocabulary belongs in a broadcast join, not a scalar
+    * predicate. Null text yields null (dropped by `where`, like every
+    * other quality gate). */
+  def noBlocklistedToken(c: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty blocklist — drop the gate instead")
+    !arrays_overlap(tokens(normalizeText(c)),
+      array(words.map(w => lit(w.trim.toLowerCase)): _*))
+  }
+
   /** Corpus-level n-gram frequency: occurrence counts of every word
     * n-gram across the corpus (docs shorter than n tokens contribute
     * nothing). The boilerplate census behind quality rules like "drop

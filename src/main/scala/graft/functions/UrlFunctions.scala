@@ -148,6 +148,21 @@ object UrlFunctions {
     * join, no shuffle). A UDF is justified here like the span-scrub
     * kernel: the walk is an imperative loop over a broadcast structure
     * that no built-in expression reaches. */
+  /** Domain-blocklist gate (the crawl-curation "never ingest these
+    * sites" rule): TRUE iff the host's registrable domain is NOT on
+    * the list. Matches at the PAY-LEVEL domain ([[registrableDomain]]),
+    * so every subdomain of a listed site is blocked with it —
+    * blocklists name sites, not hosts. List entries are lowercased at
+    * plan build; the comparison is a codegen'd `isin` over the literal
+    * list (site blocklists are 10³–10⁵ entries; beyond that, use a
+    * broadcast anti-join). Null host yields null (dropped by `where`,
+    * the gate convention). */
+  def domainNotBlocklisted(host: Column, domains: Seq[String]): Column = {
+    require(domains.nonEmpty, "empty blocklist — drop the gate instead")
+    // registrableDomain preserves the host's case; fold both sides
+    !lower(registrableDomain(host)).isin(domains.map(_.trim.toLowerCase): _*)
+  }
+
   def registrableDomainWith(host: Column, psl: DataFrame): Column = {
     val ruleCol = psl.columns.head
     val raw = psl.select(col(ruleCol).cast("string")).na.drop()

@@ -146,4 +146,24 @@ class TextFunctionsSpec extends SparkSpec {
       .select(repetitionStats(col("text"), 2).as("r")).collect()(0).getSeq[Double](0)
     assert(e == Seq(1.0, 0.0))
   }
+
+  test("noBlocklistedToken: canonical-token matching, null text drops, list normalized") {
+    val docs = Seq(
+      (1L, Some("a clean sentence here")),
+      (2L, Some("contains the Bad! word")),   // punctuation/case-insensitive hit
+      (3L, Some("badge is not bad-ge")),      // substring must NOT match ("badge" != "bad"; "bad-ge" splits to bad + ge -> hit)
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val kept = docs.where(noBlocklistedToken(col("text"), Seq(" BAD ")))
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 is dropped: "bad-ge" normalizes to tokens (bad, ge); doc 4's
+    // null gate-drops like every quality gate
+    assert(kept == Set(1L))
+    val kept2 = docs.where(noBlocklistedToken(col("text"), Seq("ge")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L), "whole-token matching: 'badge' must not match 'ge'")
+    intercept[IllegalArgumentException] {
+      docs.where(noBlocklistedToken(col("text"), Seq.empty)).count()
+    }
+  }
 }

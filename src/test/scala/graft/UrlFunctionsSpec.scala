@@ -103,6 +103,22 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("domainNotBlocklisted: pay-level matching blocks subdomains; null host drops") {
+    val hosts = Seq(
+      (1L, Some("www.ok.example.net")),
+      (2L, Some("deep.sub.Blocked.co.uk")), // subdomain of a listed site
+      (3L, Some("blocked.co.uk")),
+      (4L, Some("notblocked.co.uk")),
+      (5L, Option.empty[String])
+    ).toDF("id", "host")
+    val kept = hosts.where(domainNotBlocklisted(col("host"), Seq("BLOCKED.co.uk")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      hosts.where(domainNotBlocklisted(col("host"), Seq.empty)).count()
+    }
+  }
+
   test("urlDedup: canonical-equal variants collapse to min id; null URLs all pass through") {
     val docs = Seq(
       (1L, Some("https://example.com/p/1?utm_source=a")),
