@@ -1470,6 +1470,25 @@ object SparkEntry {
     //      pay-level domain so subdomains block with their site. Both
     //      codegen'd scalar predicates; hosts and survivors derived
     //      independently by id arithmetic in the oracle. ----
+    // ---- model-based quality filtering (the FineWeb-Edu/DCLM
+    //      classifier stage): ridge-IRLS logistic regression over
+    //      three engine-replayable features, fit DISTRIBUTED but
+    //      deterministic (exact-decimal Gram aggregates, fixed
+    //      iteration count), scored map-side. The gate compares the
+    //      LINEAR score η and the decision (η ≥ 0 ⇔ p ≥ ½) so the
+    //      oracle replays pure arithmetic — no cross-engine exp. ----
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val labeled = docs.withColumn("label",
+        (graft.functions.TextFunctions.tokenCount(col("text")) >= 40).cast("int"))
+      val model = graft.operators.QualityClassifier.fit(labeled, "text", "label")
+      writeOracleSide(model.toFrame(s), dir, "quality_clf")
+      docs.select(col("doc_id"),
+        (floor(model.linearScore(col("text")) * 1e4 + 0.5) / 1e4).as("eta"),
+        (model.linearScore(col("text")) >= 0).cast("int").as("pred"))
+        .orderBy("doc_id")
+    }),
+
     "q_blocklist_filter" -> ((s, dir) => {
       val d = col("doc_id").cast("string")
       val host = concat(lit("h"), d, lit(".site"),
@@ -3506,6 +3525,36 @@ object SparkEntry {
         |FROM h
         |ORDER BY doc_id""".stripMargin
     },
+
+    // Scoring replayed as PURE double arithmetic over the exported
+    // model row and bit-identical integer-rational features (raw
+    // whitespace tokens, stopword fraction, mean token length) — the
+    // same IEEE operation sequence, so eta matches exactly, not just
+    // to rounding.
+    "q_quality_classifier" ->
+      s"""WITH m AS (SELECT feature, weight FROM read_parquet('${oracleSidePath("quality_clf")}')),
+        |w AS (SELECT
+        |  max(CASE WHEN feature = '__intercept' THEN weight END) AS b,
+        |  max(CASE WHEN feature = 'n_tokens' THEN weight END) AS w0,
+        |  max(CASE WHEN feature = 'stopword_ratio' THEN weight END) AS w1,
+        |  max(CASE WHEN feature = 'mean_token_len' THEN weight END) AS w2
+        | FROM m),
+        |f AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS f0,
+        |  CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE len(list_filter(string_split(lower(text), ' '),
+        |              x -> x <> '' AND list_contains([${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}], x)))::DOUBLE
+        |            / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |  END AS f1,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), t -> length(t)))::DOUBLE
+        |            / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |  END AS f2
+        | FROM documents),
+        |e AS (SELECT doc_id, b + w0 * f0 + w1 * f1 + w2 * f2 AS eta FROM f, w)
+        |SELECT doc_id, floor(eta * 1e4 + 0.5) / 1e4 AS eta,
+        |  CAST(eta >= 0 AS INT) AS pred
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // Survivors derived independently: token hit via list_has_any over
     // the same canonical tokens, domain hit by the id arithmetic that
