@@ -65,7 +65,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_split_hash and q_chunk_windows: map-side only (no exchange before the output sort)") {
-    Seq("q_split_hash", "q_chunk_windows").foreach { q =>
+    // q_quality_classifier rides along: its FIT runs eagerly at query
+    // build (iteration aggregates), but the returned SCORING plan must
+    // be pure map-side — w·x+b as a project over the scan
+    Seq("q_split_hash", "q_chunk_windows", "q_quality_classifier").foreach { q =>
       val p = plan(q)
       // the gate query orders its output for the deterministic dump; a
       // single range-partitioning exchange for that sort is the ONLY
