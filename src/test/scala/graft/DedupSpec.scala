@@ -116,6 +116,15 @@ class DedupSpec extends SparkSpec {
       assert(Seq(100L, 102L, 104L).forall(comp(_) == 100L), s"cap=$cap triangle: $comp")
       assert(comp.size == 12)
     }
+    // the per-call rounds diagnostic: 0 on the driver path (not
+    // iterative); ≥ 2 on the forced distributed path for a 9-hop chain
+    // (log-diameter with per-round compression)
+    val (_, r0) = Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b",
+      maxIter = 6, maxDriverEdges = Long.MaxValue)
+    assert(r0 == 0)
+    val (_, rD) = Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b",
+      maxIter = 6, maxDriverEdges = 0L)
+    assert(rD >= 2 && rD <= 6, s"unexpected distributed round count $rD")
   }
 
   test("connectedComponents: driver and distributed paths agree on random graphs") {

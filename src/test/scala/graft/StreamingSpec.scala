@@ -240,6 +240,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("v2 indexed streaming screen: multi-batch union equals the one-shot v2 screen") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val index = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+
+    val oneShot = graft.streaming.CurationStream
+      .screenV2(probe, corpus, evalSet, spanN = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(oneShot.nonEmpty && oneShot.exists(_._3 > 0))
+
+    val dir = java.nio.file.Files.createTempDirectory("curation2idx_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation2idx_ck").toString
+    val q = graft.streaming.CurationStream.startScreenV2Indexed(
+      stream, index, corpus, evalSet, spanN = 5,
+      sink = out => {
+        batches += 1
+        out.collect().foreach(r => admitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("v2 streaming screen (span scrub in the chain): multi-batch union equals one-shot") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
