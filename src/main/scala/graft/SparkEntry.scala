@@ -1384,6 +1384,15 @@ object SparkEntry {
         budgetTokens = 256, streams = 8)
         .orderBy("doc_id")),
 
+    // ---- packing-efficiency audit: per-stream pack count, carried
+    //      tokens, and utilization (padding-waste complement) over the
+    //      q_pack_sequences layout — the oracle extends the same
+    //      recursive-CTE replay with a rollup. ----
+    "q_pack_stats" -> ((s, dir) =>
+      graft.operators.Packing.packingStats(documents(s, dir), "text", "doc_id",
+        budgetTokens = 256, streams = 8)
+        .orderBy("stream")),
+
     // ---- BPE-token-denominated packing: the same greedy layout with
     //      budgets counted in REAL subword tokens (Bpe.tokenCount under
     //      the corpus-fit model) instead of whitespace tokens — what a
@@ -3206,6 +3215,35 @@ object SparkEntry {
         |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
         |FROM rec
         |ORDER BY doc_id""".stripMargin,
+
+    // The q_pack_sequences recurrence rolled up per stream; long/long
+    // division through DOUBLE with the floor canonicalization on both
+    // sides.
+    "q_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS stream,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn FROM t),
+        |rec AS (
+        |  WITH RECURSIVE r(stream, rn, doc_id, ntok, pack, ofs) AS (
+        |    SELECT stream, rn, doc_id, ntok, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |    FROM o WHERE rn = 1
+        |    UNION ALL
+        |    SELECT o.stream, o.rn, o.doc_id, o.ntok,
+        |      CASE WHEN r.ofs + r.ntok > 0 AND r.ofs + r.ntok + o.ntok > 256
+        |           THEN r.pack + 1 ELSE r.pack END,
+        |      CASE WHEN r.ofs + r.ntok > 0 AND r.ofs + r.ntok + o.ntok > 256
+        |           THEN CAST(0 AS BIGINT) ELSE r.ofs + r.ntok END
+        |    FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1)
+        |  SELECT * FROM r)
+        |SELECT stream,
+        |  CAST(max(pack) + 1 AS BIGINT) AS n_packs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  floor(sum(ntok)::DOUBLE / ((max(pack) + 1) * 256) * 1e4 + 0.5) / 1e4 AS utilization
+        |FROM rec
+        |GROUP BY stream
+        |ORDER BY stream""".stripMargin,
 
     // BPE counts re-derived by the q_bpe_tokens merge-replay CTEs, then
     // the identical packing recurrence over those counts.

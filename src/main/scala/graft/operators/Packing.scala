@@ -83,6 +83,25 @@ object Packing {
       .toDF(idCol, "stream", "pack", "offset", "n_tokens")
   }
 
+  /** Packing-efficiency audit — the capacity-planning rollup over a
+    * [[packSequences]] layout: per stream, how many packs were opened,
+    * how many tokens they carry, and the utilization
+    * `n_tokens / (n_packs × budget)` (the padding-waste complement a
+    * training run pays for). Utilization can exceed 1 only through
+    * oversize documents (longer than the whole budget, placed alone);
+    * the 4-decimal floor canonicalization keeps the k/N rational
+    * engine-portable. Streams that received no documents emit no row.
+    * One extra `streams`-key aggregate over the layout's narrow
+    * output — nothing beyond [[packSequences]]'s own cost. */
+  def packingStats(df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Int, streams: Int = 32): DataFrame =
+    packSequences(df, textCol, idCol, budgetTokens, streams)
+      .groupBy("stream")
+      .agg((max(col("pack")) + 1).as("n_packs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("utilization",
+        floor(col("n_tokens") / (col("n_packs") * budgetTokens) * 1e4 + 0.5) / 1e4)
+
   /** Context-window chunking — the complement of [[packSequences]] for
     * documents LONGER than the model context: split each document's
     * canonical token stream ([[graft.functions.TextFunctions.tokens]] of

@@ -81,6 +81,20 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packingStats: hand-checked utilization; oversize docs can exceed 1") {
+    // stream 0: docs of 3,4,5,2 tokens at budget 8 → packs (3+4),(5+2):
+    // 2 packs, 14 tokens, utilization 14/16 = 0.875
+    val docs = Seq(doc(0, 3), doc(2, 4), doc(4, 5), doc(6, 2)).toDF("doc_id", "text")
+    val row = Packing.packingStats(docs, "text", "doc_id", budgetTokens = 8, streams = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(row.toSeq == Seq((0L, 2L, 14L, 0.875)))
+    // an oversize doc alone in its pack pushes utilization past 1
+    val over = Seq(doc(1, 20)).toDF("doc_id", "text")
+    val o = Packing.packingStats(over, "text", "doc_id", budgetTokens = 8, streams = 1)
+      .collect().head
+    assert(o.getLong(1) == 1L && o.getDouble(3) == 2.5)
+  }
+
   private def numbered(id: Long, words: Int) =
     (id, (1 to words).map(i => s"t$i").mkString(" "))
 
