@@ -109,12 +109,21 @@ object Bench {
     // a throwing query must NOT be silently timed as near-zero (a broken
     // query would read as a perf win): record it, report it, exit nonzero
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
-    for (_ <- 1 to sweeps; name <- names if !failures.contains(name)) {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
-      } catch { case t: Throwable => failures(name) = t }
+    // loadavg stamped per SWEEP, not just at the run boundaries: r9's
+    // official artifact had 2 of 3 sweeps contention-polluted, the medians
+    // recorded phantom 6-8x "regressions", and only a judge re-run could
+    // adjudicate it. With per-sweep stamps (and the min-of-sweeps field
+    // below) a reader rejects polluted sweeps from the artifact alone.
+    val sweepLoads = scala.collection.mutable.ListBuffer.empty[Double]
+    for (_ <- 1 to sweeps) {
+      sweepLoads += loadAvg
+      for (name <- names if !failures.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable => failures(name) = t }
+      }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -128,14 +137,24 @@ object Bench {
     val qs = names.map { k =>
       "\"" + k + "\":" + (if (failures.contains(k)) "null" else median(runs(k)).toString)
     }.mkString("{", ",", "}")
+    // min-of-sweeps rides beside the median: a contention spike can only
+    // INFLATE a sweep, so the min is the most pollution-resistant point
+    // estimate the artifact can carry (r9's phantom 8x medians all had
+    // clean mins), while the median stays the headline for comparability
+    val mins = names.map { k =>
+      "\"" + k + "\":" + (if (failures.contains(k)) "null" else runs(k).min.toString)
+    }.mkString("{", ",", "}")
     val raw = names.map { k =>
       "\"" + k + "\":" + runs(k).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = names.collect { case k if !failures.contains(k) => median(runs(k)) }.sum
+    val minTotal = names.collect { case k if !failures.contains(k) => runs(k).min }.sum
     val failedJson = failures.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadsJson = sweepLoads.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""sweeps":$sweeps,"runs":$raw,""" +
+        s""""sweeps":$sweeps,"runs":$raw,"min":$mins,"min_total":$minTotal,""" +
+        s""""sweep_loads":$loadsJson,""" +
         s""""failed":$failedJson,"load_start":$loadStart,"load_end":$loadAvg}"""
     println(json)
     // also persist to a file: the driver captures stdout's tail, and a

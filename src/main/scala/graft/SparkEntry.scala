@@ -920,6 +920,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- persistable span-gram index: the build-once/serve-many form
+    //      of the incremental span scrub (SpanIndex = the corpus'
+    //      distinct gram-hash set + gram width). Gated against the
+    //      q_dedup_spans_incremental oracle VERBATIM: scrub over the
+    //      built index must be bit-identical to the ad-hoc operator
+    //      over the same corpus split. ----
+    "q_span_index" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val idx = graft.operators.SpanIndex.build(
+        d.where(pmod(col("doc_id"), lit(7)) =!= 0), "text", n = 8)
+      idx.scrub(d.where(pmod(col("doc_id"), lit(7)) === 0), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -1095,6 +1109,43 @@ object SparkEntry {
           col("audio_meta.sample_rate").as("sample_rate"),
           col("audio_meta.n_samples").as("n_samples"),
           col("audio_meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- real-world video container metadata: synthesize a spec-shaped
+    //      ISO-BMFF (MP4) file per doc with id-derived brand-independent
+    //      parameters (dims, movie timescale/duration, optional audio
+    //      track; durations past u32 force the version-1 64-bit box
+    //      layout), parse it back through the box-walking codec — the
+    //      oracle recomputes every field arithmetically, so a box
+    //      layout, fixed-point, or v0/v1 offset bug breaks the hash ----
+    "q_mp4_meta" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"),
+        ((pmod(col("doc_id"), lit(7)) + 1) * 16).cast("int").as("w"),
+        ((pmod(col("doc_id"), lit(5)) + 1) * 16).cast("int").as("h"),
+        (lit(600) + pmod(col("doc_id"), lit(5)) * 100).cast("long").as("ts"),
+        ((pmod(col("doc_id"), lit(50)) + 1) * 300 +
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(4294967296L))
+            .otherwise(lit(0L))).cast("long").as("dur"),
+        (pmod(col("doc_id"), lit(3)) === 0).as("with_audio"))
+      val synth = Multimodal.deriveMany(d, Seq("payload" -> BinaryType)) { row =>
+        Seq(Multimodal.Mp4Codec.synthMp4(row.getAs[Int]("w"), row.getAs[Int]("h"),
+          row.getAs[Long]("ts"), row.getAs[Long]("dur"),
+          row.getAs[Boolean]("with_audio"),
+          payloadBytes = 64, seed = row.getAs[Long]("doc_id")))
+      }
+      val parsed = Multimodal.deriveMany(synth,
+        Seq("mp4_meta" -> Multimodal.Mp4Codec.Mp4MetaSchema)) { row =>
+        Seq(Multimodal.Mp4Codec.parseMetaRow(row.getAs[Array[Byte]]("payload")))
+      }
+      parsed.select(col("doc_id"),
+        col("mp4_meta.brand").as("brand"),
+        col("mp4_meta.timescale").as("timescale"),
+        col("mp4_meta.duration").as("duration"),
+        col("mp4_meta.n_tracks").as("n_tracks"),
+        col("mp4_meta.width").as("width"),
+        col("mp4_meta.height").as("height"),
+        col("mp4_meta.handlers").as("handlers"))
         .orderBy("doc_id")
     }),
 
@@ -1498,6 +1549,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the classifier FIT itself oracled (companion to
+    //      q_quality_classifier, which gates the scoring from exported
+    //      weights): ONE ridge-IRLS Newton step from w = 0 is
+    //      transcendental-free (η ≡ 0 ⇒ p = ½ exactly, s = ¼,
+    //      g = y − ½ — all exact rationals), so the oracle re-derives
+    //      the WEIGHTS themselves with no side table: the same
+    //      decimal(38,6) Gram/gradient sums, then the same 4×4
+    //      partially-pivoted Gaussian elimination unrolled in SQL —
+    //      the identical IEEE operation sequence, so the weights match
+    //      bit for bit. (The full 8-step fit crosses exp per
+    //      iteration, whose last-ulp behavior is engine-specific — the
+    //      same reason every gate here compares η, not σ(η); the
+    //      8-step fit stays pinned by QualityClassifierSpec.) ----
+    "q_quality_fit1" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val labeled = docs.withColumn("label",
+        (graft.functions.TextFunctions.tokenCount(col("text")) >= 40).cast("int"))
+      graft.operators.QualityClassifier.fit(labeled, "text", "label", iters = 1)
+        .toFrame(s).orderBy("feature")
+    }),
+
     "q_blocklist_filter" -> ((s, dir) => {
       val d = col("doc_id").cast("string")
       val host = concat(lit("h"), d, lit(".site"),
@@ -1895,7 +1967,11 @@ object SparkEntry {
       // the persistable index is gated against the ad-hoc screen's
       // oracle verbatim: probe(build(corpus)) must be bit-identical to
       // nearDupAgainst over the same split (DedupSpec pins the same)
-      "q_lsh_index" -> base("q_dedup_incremental"))
+      "q_lsh_index" -> base("q_dedup_incremental"),
+      // same pattern for the persistable span-gram index:
+      // scrub(build(corpus)) must be bit-identical to
+      // duplicateSpanScrubAgainst over the same split
+      "q_span_index" -> base("q_dedup_spans_incremental"))
   }
 
   private val oracleSqlBase: Map[String, String] = Map(
@@ -2756,6 +2832,22 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // Every ISO-BMFF field the codec parses back, re-derived by the id
+    // arithmetic that synthesized it (brand/handlers are container
+    // constants; the duration arm past u32 pins the version-1 64-bit
+    // box layout).
+    "q_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 50 + 1) * 300
+        |    + CASE WHEN doc_id % 4 = 0 THEN 4294967296 ELSE 0 END AS BIGINT) AS duration,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+        |  CAST((doc_id % 7 + 1) * 16 AS INTEGER) AS width,
+        |  CAST((doc_id % 5 + 1) * 16 AS INTEGER) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'vide,soun' ELSE 'vide' END AS handlers
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "q_similarity_ivf_exact" -> // nprobe = nlist ⇒ identical to brute force
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -3593,6 +3685,113 @@ object SparkEntry {
         |SELECT doc_id, floor(eta * 1e4 + 0.5) / 1e4 AS eta,
         |  CAST(eta >= 0 AS INT) AS pred
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // The FIT replayed end-to-end with NO side table: one Newton step
+    // from w=0 is exp-free (p = 1/2, s = 1/4, g = y - 1/2 exactly), so
+    // the oracle recomputes the decimal(38,6) Gram/gradient sums from
+    // the raw features, applies the ridge, and unrolls the SAME
+    // partially-pivoted 4x4 Gaussian elimination + back-substitution
+    // (matrix as (i,j,v) rows, pivot = max |v| with smallest-i
+    // tie-break, augmented column j=4) — plain IEEE +,-,*,/ in the
+    // identical order, so the weights are bit-identical, not just close.
+    "q_quality_fit1" ->
+      s"""WITH f AS (SELECT
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS f0r,
+        |  CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE len(list_filter(string_split(lower(text), ' '),
+        |              x -> x <> '' AND list_contains([${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}], x)))::DOUBLE
+        |            / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |  END AS f1r,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), t -> length(t)))::DOUBLE
+        |            / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |  END AS f2r
+        | FROM documents),
+        |lab AS (SELECT
+        |  CASE WHEN f0r >= 40 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+        |  COALESCE(f0r, 0.0) AS f0, COALESCE(f1r, 0.0) AS f1, COALESCE(f2r, 0.0) AS f2
+        | FROM f WHERE f0r IS NOT NULL),
+        |agg AS MATERIALIZED (SELECT
+        |  CAST(SUM(CAST(0.25 * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS a00,
+        |  CAST(SUM(CAST(0.25 * 1.0 * f0 AS DECIMAL(38,6))) AS DOUBLE) AS a01,
+        |  CAST(SUM(CAST(0.25 * 1.0 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a02,
+        |  CAST(SUM(CAST(0.25 * 1.0 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a03,
+        |  CAST(SUM(CAST(0.25 * f0 * f0 AS DECIMAL(38,6))) AS DOUBLE) AS a11,
+        |  CAST(SUM(CAST(0.25 * f0 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a12,
+        |  CAST(SUM(CAST(0.25 * f0 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a13,
+        |  CAST(SUM(CAST(0.25 * f1 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a22,
+        |  CAST(SUM(CAST(0.25 * f1 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a23,
+        |  CAST(SUM(CAST(0.25 * f2 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a33,
+        |  CAST(SUM(CAST((y - 0.5) * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS g0,
+        |  CAST(SUM(CAST((y - 0.5) * f0 AS DECIMAL(38,6))) AS DOUBLE) AS g1,
+        |  CAST(SUM(CAST((y - 0.5) * f1 AS DECIMAL(38,6))) AS DOUBLE) AS g2,
+        |  CAST(SUM(CAST((y - 0.5) * f2 AS DECIMAL(38,6))) AS DOUBLE) AS g3
+        | FROM lab),
+        |rdg AS (SELECT a00, a01, a02, a03,
+        |  a11 + CAST(0.1 AS DOUBLE) AS a11, a12, a13,
+        |  a22 + CAST(0.1 AS DOUBLE) AS a22, a23,
+        |  a33 + CAST(0.1 AS DOUBLE) AS a33,
+        |  g0, g1, g2, g3 FROM agg),
+        |mat AS MATERIALIZED (
+        |  SELECT 0 AS i, 0 AS j, a00 AS v FROM rdg UNION ALL
+        |  SELECT 0, 1, a01 FROM rdg UNION ALL SELECT 0, 2, a02 FROM rdg UNION ALL
+        |  SELECT 0, 3, a03 FROM rdg UNION ALL SELECT 0, 4, g0 FROM rdg UNION ALL
+        |  SELECT 1, 0, a01 FROM rdg UNION ALL SELECT 1, 1, a11 FROM rdg UNION ALL
+        |  SELECT 1, 2, a12 FROM rdg UNION ALL SELECT 1, 3, a13 FROM rdg UNION ALL
+        |  SELECT 1, 4, g1 FROM rdg UNION ALL
+        |  SELECT 2, 0, a02 FROM rdg UNION ALL SELECT 2, 1, a12 FROM rdg UNION ALL
+        |  SELECT 2, 2, a22 FROM rdg UNION ALL SELECT 2, 3, a23 FROM rdg UNION ALL
+        |  SELECT 2, 4, g2 FROM rdg UNION ALL
+        |  SELECT 3, 0, a03 FROM rdg UNION ALL SELECT 3, 1, a13 FROM rdg UNION ALL
+        |  SELECT 3, 2, a23 FROM rdg UNION ALL SELECT 3, 3, a33 FROM rdg UNION ALL
+        |  SELECT 3, 4, g3 FROM rdg),
+        |p0 AS (SELECT i AS piv FROM mat WHERE j = 0 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s0 AS (SELECT CASE WHEN m.i = 0 THEN p0.piv WHEN m.i = p0.piv THEN 0 ELSE m.i END AS i,
+        |              m.j, m.v FROM mat m, p0),
+        |e0 AS MATERIALIZED (SELECT r.i, r.j,
+        |         CASE WHEN r.i > 0 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
+        |       FROM s0 r
+        |       JOIN s0 pv ON pv.i = 0 AND pv.j = r.j
+        |       JOIN s0 fv ON fv.i = r.i AND fv.j = 0
+        |       JOIN s0 dv ON dv.i = 0 AND dv.j = 0),
+        |p1 AS (SELECT i AS piv FROM e0 WHERE j = 1 AND i >= 1 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s1 AS (SELECT CASE WHEN e.i = 1 THEN p1.piv WHEN e.i = p1.piv THEN 1 ELSE e.i END AS i,
+        |              e.j, e.v FROM e0 e, p1),
+        |e1 AS MATERIALIZED (SELECT r.i, r.j,
+        |         CASE WHEN r.i > 1 AND r.j >= 1 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
+        |       FROM s1 r
+        |       JOIN s1 pv ON pv.i = 1 AND pv.j = r.j
+        |       JOIN s1 fv ON fv.i = r.i AND fv.j = 1
+        |       JOIN s1 dv ON dv.i = 1 AND dv.j = 1),
+        |p2 AS (SELECT i AS piv FROM e1 WHERE j = 2 AND i >= 2 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s2 AS (SELECT CASE WHEN e.i = 2 THEN p2.piv WHEN e.i = p2.piv THEN 2 ELSE e.i END AS i,
+        |              e.j, e.v FROM e1 e, p2),
+        |e2 AS MATERIALIZED (SELECT r.i, r.j,
+        |         CASE WHEN r.i > 2 AND r.j >= 2 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
+        |       FROM s2 r
+        |       JOIN s2 pv ON pv.i = 2 AND pv.j = r.j
+        |       JOIN s2 fv ON fv.i = r.i AND fv.j = 2
+        |       JOIN s2 dv ON dv.i = 2 AND dv.j = 2),
+        |x3 AS (SELECT (SELECT v FROM e2 WHERE i = 3 AND j = 4)
+        |            / (SELECT v FROM e2 WHERE i = 3 AND j = 3) AS w),
+        |x2 AS (SELECT ((SELECT v FROM e2 WHERE i = 2 AND j = 4)
+        |             - (SELECT v FROM e2 WHERE i = 2 AND j = 3) * (SELECT w FROM x3))
+        |            / (SELECT v FROM e2 WHERE i = 2 AND j = 2) AS w),
+        |x1 AS (SELECT (((SELECT v FROM e2 WHERE i = 1 AND j = 4)
+        |              - (SELECT v FROM e2 WHERE i = 1 AND j = 2) * (SELECT w FROM x2))
+        |              - (SELECT v FROM e2 WHERE i = 1 AND j = 3) * (SELECT w FROM x3))
+        |            / (SELECT v FROM e2 WHERE i = 1 AND j = 1) AS w),
+        |x0 AS (SELECT ((((SELECT v FROM e2 WHERE i = 0 AND j = 4)
+        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 1) * (SELECT w FROM x1))
+        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 2) * (SELECT w FROM x2))
+        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 3) * (SELECT w FROM x3))
+        |            / (SELECT v FROM e2 WHERE i = 0 AND j = 0) AS w)
+        |SELECT * FROM (
+        |  SELECT '__intercept' AS feature, (SELECT w FROM x0) AS weight
+        |  UNION ALL SELECT 'n_tokens', (SELECT w FROM x1)
+        |  UNION ALL SELECT 'stopword_ratio', (SELECT w FROM x2)
+        |  UNION ALL SELECT 'mean_token_len', (SELECT w FROM x3))
+        |ORDER BY feature""".stripMargin,
 
     // Survivors derived independently: token hit via list_has_any over
     // the same canonical tokens, domain hit by the id arithmetic that

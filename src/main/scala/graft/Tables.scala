@@ -62,4 +62,13 @@ object Tables {
 
   /** Exact decimal cast used inside product expressions. */
   def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  /** [[dsum]] at maximum decimal width (38 digits): for terms that can
+    * carry quadratic feature products (e.g. the IRLS Gram sums over
+    * token-count²), where 12 integer digits would overflow — and under
+    * ANSI-off semantics an overflowing cast yields NULL, silently
+    * DROPPING that row from the aggregate rather than failing loudly.
+    * Oracle SQL must mirror the width: `cast(x as decimal(38,s))`. */
+  def dsumWide(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
 }

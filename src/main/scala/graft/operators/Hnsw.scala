@@ -213,25 +213,89 @@ object Hnsw {
 
   /** Persisted sharded-HNSW index — the build-once / serve-many shape
     * (the [[Similarity.IvfIndex]] analog for graph ANN): one row per
-    * shard carrying the java-serialized [[Graph]] and the node→id map.
-    * Query cost per batch is shards × (descend + beam) with NO graph
-    * rebuild; `save`/`load` round-trip the shard frame through parquet
-    * (graph blobs are a binary column — a 5k-vector/64-dim shard is a
-    * few MB). */
-  final case class HnswIndex private[operators] (shards: DataFrame) {
+    * shard carrying the shard id, the java-serialized [[Graph]] and the
+    * node→id map. Query cost per batch is shards × (descend + beam)
+    * with NO graph rebuild; `save`/`load` round-trip the shard frame +
+    * a one-row meta through parquet (graph blobs are a binary column —
+    * a 5k-vector/64-dim shard is a few MB). The build geometry
+    * (numShards, m, efConstruction, seed) rides in the index so
+    * [[append]] can route an increment to the SAME shard a rebuild
+    * would and grow previously-empty shards with consistent graphs. */
+  final case class HnswIndex private[operators] (shards: DataFrame,
+      numShards: Int, m: Int, efConstruction: Int, seed: Long) {
 
     /** Same output contract as [[Hnsw.topK]]. */
     def topK(queries: DataFrame, vecCol: String, idCol: String, k: Int,
         efSearch: Int = 64): DataFrame =
       searchShards(shards, collectQueries(queries, vecCol, idCol), k, efSearch)
 
-    def save(dir: String): Unit =
-      shards.write.mode("overwrite").parquet(dir)
+    /** Insert an increment into the sharded graphs — the growing-corpus
+      * path the other indexes (Bm25/Ivf/Lsh) already have, adapted to
+      * graph-ANN's approximate semantics: new vectors route to shards
+      * by the SAME partition function the build used
+      * (`pmod(murmur3_hash(id), numShards)` ≡ `repartition(n, id)` —
+      * per-shard id membership after append is EXACTLY what a rebuild
+      * over the union would produce, spec-pinned), and each shard's
+      * graph takes the new vectors through the normal insert path
+      * (deterministic: increment sorted by id, level stream keyed by
+      * insertion index). The per-shard graph is still exact HNSW over
+      * the shard's full vector set, so the scatter-gather merge
+      * contract is unchanged; the graph EDGES differ from a rebuild's
+      * (insertion order differs — that is the approximate part), with
+      * recall on the union spec-pinned to the gate band. */
+    def append(increment: DataFrame, vecCol: String, idCol: String): HnswIndex = {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      val inc = Similarity.withUnitVec(increment, vecCol, "__cv")
+        .select(col(idCol).as("id"), col("__cv").as("v"),
+          pmod(hash(col(idCol)), lit(numShards)).cast("int").as("shard"))
+        .as[(Long, Seq[Double], Int)]
+      val (mm, efC, sd) = (m, efConstruction, seed)
+      val updated = shards
+        .select(col("shard").cast("int"), col("graph"), col("ids"))
+        .as[(Int, Array[Byte], Seq[Long])].groupByKey(_._1)
+        .cogroup(inc.groupByKey(_._3)) { (shard, oldIt, newIt) =>
+          val olds = oldIt.toArray
+          val news = newIt.toArray.sortBy(_._1)
+          if (news.isEmpty) {
+            olds.iterator.map { case (_, blob, ids) => (shard, blob, ids) }
+          } else {
+            val (g, ids0) =
+              if (olds.isEmpty)
+                (new Graph(news.head._2.length, mm, efC, sd), Seq.empty[Long])
+              else {
+                val in = new java.io.ObjectInputStream(
+                  new java.io.ByteArrayInputStream(olds.head._2))
+                (try in.readObject().asInstanceOf[Graph] finally in.close(),
+                  olds.head._3)
+              }
+            news.foreach { case (_, v, _) => g.insert(v.toArray) }
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new java.io.ObjectOutputStream(bos)
+            out.writeObject(g); out.close()
+            Iterator((shard, bos.toByteArray, ids0 ++ news.map(_._1)))
+          }
+        }.toDF("shard", "graph", "ids")
+      copy(shards = updated)
+    }
+
+    /** Persist under `dir`: shards/ + meta/ (one row of the build
+      * geometry). */
+    def save(dir: String): Unit = {
+      val spark = shards.sparkSession
+      import spark.implicits._
+      shards.write.mode("overwrite").parquet(s"$dir/shards")
+      Seq((numShards, m, efConstruction, seed))
+        .toDF("num_shards", "m", "ef_construction", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   object HnswIndex {
     /** One graph per hash shard, built inside mapPartitions and
-      * serialized into the shard row. */
+      * serialized into the shard row (shard id = the partition index,
+      * which for `repartition(n, id)` is `pmod(murmur3_hash(id), n)` —
+      * the routing [[HnswIndex#append]] replays). */
     def build(corpus: DataFrame, vecCol: String, idCol: String,
         m: Int = 16, efConstruction: Int = 200, shards: Int = 32,
         seed: Long = 42L): HnswIndex = {
@@ -245,6 +309,7 @@ object Hnsw {
         .mapPartitions { it =>
           if (!it.hasNext) Iterator.empty
           else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
             val rows = it.toArray
             // dimension comes from the shard's own (homogeneous) rows —
             // probing it with a driver-side head() would execute the
@@ -254,15 +319,32 @@ object Hnsw {
             val bos = new java.io.ByteArrayOutputStream()
             val out = new java.io.ObjectOutputStream(bos)
             out.writeObject(g); out.close()
-            Iterator((bos.toByteArray, rows.map(_._1).toSeq))
+            Iterator((pid, bos.toByteArray, rows.map(_._1).toSeq))
           }
-        }.toDF("graph", "ids")
-      HnswIndex(shardDf)
+        }.toDF("shard", "graph", "ids")
+      HnswIndex(shardDf, shards, m, efConstruction, seed)
     }
 
-    /** Restore a built-then-saved index. */
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): HnswIndex =
-      HnswIndex(spark.read.parquet(dir).select("graph", "ids"))
+    /** Restore a built-then-saved index. Meta read BY NAME and
+      * validated loudly — a mutated/truncated meta fails here naming
+      * the field, not later as a mis-routed append. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): HnswIndex = {
+      val metaDf = spark.read.parquet(s"$dir/meta")
+      val required = Seq("num_shards", "m", "ef_construction", "seed")
+      val missing = required.filterNot(metaDf.columns.contains)
+      require(missing.isEmpty,
+        s"HnswIndex.load: $dir/meta is missing field(s) ${missing.mkString(", ")} — " +
+          s"not a saved HnswIndex (have: ${metaDf.columns.mkString(", ")})")
+      val meta = metaDf.head
+      def pos(name: String): Int = {
+        val v = meta.getAs[Int](name)
+        require(v > 0, s"HnswIndex.load: $dir/meta has non-positive $name = $v — corrupt meta")
+        v
+      }
+      HnswIndex(spark.read.parquet(s"$dir/shards").select("shard", "graph", "ids"),
+        pos("num_shards"), pos("m"), pos("ef_construction"),
+        meta.getAs[Long]("seed"))
+    }
   }
 
   private def collectQueries(queries: DataFrame, vecCol: String, idCol: String)

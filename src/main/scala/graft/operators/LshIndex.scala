@@ -109,12 +109,30 @@ object LshIndex {
     LshIndex(banded, sh, shingleK, bands, rowsPerBand, idCol)
   }
 
-  /** Restore a [[build]]-then-[[LshIndex#save]]d index. */
+  /** Restore a [[build]]-then-[[LshIndex#save]]d index. Meta fields are
+    * read BY NAME (a schema evolution cannot silently shift ordinals)
+    * and validated loudly: a mutated/truncated meta must fail here with
+    * a message naming the field, not later as a wrong-geometry probe
+    * that silently loses the S-curve guarantee. */
   def load(spark: SparkSession, dir: String): LshIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val required = Seq("shingle_k", "n_bands", "rows_per_band", "id_col")
+    val missing = required.filterNot(metaDf.columns.contains)
+    require(missing.isEmpty,
+      s"LshIndex.load: $dir/meta is missing field(s) ${missing.mkString(", ")} — " +
+        s"not a saved LshIndex (have: ${metaDf.columns.mkString(", ")})")
+    val meta = metaDf.head
+    def pos(name: String): Int = {
+      val v = meta.getAs[Int](name)
+      require(v > 0, s"LshIndex.load: $dir/meta has non-positive $name = $v — corrupt meta")
+      v
+    }
+    val idCol = meta.getAs[String]("id_col")
+    require(idCol != null && idCol.nonEmpty,
+      s"LshIndex.load: $dir/meta has empty id_col — corrupt meta")
     LshIndex(spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/shingles"),
-      meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getString(3))
+      pos("shingle_k"), pos("n_bands"), pos("rows_per_band"), idCol)
   }
 
   /** [[load]] restricted to a subset of bands — the recall/cost dial

@@ -371,6 +371,209 @@ object Multimodal {
     }
   }
 
+  /** ISO base media file format (ISO/IEC 14496-12 — the MP4/MOV box
+    * structure): a REAL-WORLD container metadata codec with zero
+    * external dependencies, the production counterpart of the synthetic
+    * [[VideoCodec]] container. [[Mp4Codec.parseMeta]] walks the box
+    * tree (u32 size + 4cc type headers; size==1 → u64 largesize;
+    * size==0 → to end of file), reads `ftyp`'s major brand, `moov`/
+    * `mvhd`'s movie timescale and duration (versions 0 AND 1 — v1
+    * carries 64-bit times), counts `trak` boxes, pulls the video
+    * track's `tkhd` pixel dimensions (16.16 fixed point) and each
+    * track's `mdia`/`hdlr` handler 4cc. Sample DATA (`mdat`) stays
+    * opaque — compressed codec payloads (H.264/AAC) are exactly the
+    * part that needs a native library — while every pipeline-side
+    * concern (schema, partitioned parse, totality on corrupt or
+    * truncated bytes) is real. [[Mp4Codec.synthMp4]] writes the same
+    * boxes from the spec (mvhd/tkhd/mdhd auto-upgrade to version 1
+    * when a time field exceeds u32), so gate queries round-trip
+    * id-derived parameters through a spec-shaped file.
+    * Box layouts: ISO/IEC 14496-12 §4.2 (box header), §8.2.2 (mvhd),
+    * §8.3.2 (tkhd), §8.4.2 (mdhd), §8.4.3 (hdlr). */
+  object Mp4Codec extends Serializable {
+
+    /** parse contract: ("unknown", -1, -1, -1, -1, -1, "") on anything
+      * that is not a parseable ISO-BMFF stream */
+    val Mp4MetaSchema: StructType = StructType(Seq(
+      StructField("brand", StringType),
+      StructField("timescale", LongType),
+      StructField("duration", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("handlers", StringType)))
+
+    private def u16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+
+    private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      u32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    }
+
+    /** identity transform matrix (§8.2.2.3): 16.16 fixed except the
+      * 2.30 w-component */
+    private val UnityMatrix: Array[Byte] =
+      Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .flatMap(u32).toArray
+
+    /** Deterministic spec-shaped MP4: ftyp + moov(mvhd, video trak
+      * [, audio trak]) + mdat of `payloadBytes` pseudo-random bytes.
+      * Time boxes write version 1 (64-bit times) whenever
+      * `duration` or `timescale` exceeds u32 — exercising the v1 parse
+      * path with replayable arithmetic. */
+    def synthMp4(width: Int, height: Int, timescale: Long, duration: Long,
+        withAudio: Boolean, payloadBytes: Int, seed: Long): Array[Byte] = {
+      val v1 = duration > 0xffffffffL || timescale > 0xffffffffL
+      def times(ts: Long, dur: Long): Array[Byte] =
+        if (v1) u64(0L) ++ u64(0L) ++ u32(ts) ++ u64(dur)
+        else u32(0L) ++ u32(0L) ++ u32(ts) ++ u32(dur)
+      val mvhd = box("mvhd",
+        Array[Byte](if (v1) 1 else 0, 0, 0, 0), // version + flags
+        times(timescale, duration),
+        u32(0x00010000L), u16(0x0100), u16(0), u32(0L), u32(0L), // rate, volume, reserved
+        UnityMatrix,
+        u32(0L), u32(0L), u32(0L), u32(0L), u32(0L), u32(0L), // pre_defined
+        u32(if (withAudio) 3L else 2L)) // next_track_ID
+      def tkhd(trackId: Long, w: Int, h: Int, volume: Int): Array[Byte] = box("tkhd",
+        Array[Byte](if (v1) 1 else 0, 0, 0, 3), // flags: enabled | in_movie
+        (if (v1) u64(0L) ++ u64(0L) ++ u32(trackId) ++ u32(0L) ++ u64(duration)
+         else u32(0L) ++ u32(0L) ++ u32(trackId) ++ u32(0L) ++ u32(duration)),
+        u32(0L), u32(0L), // reserved
+        u16(0), u16(0), u16(volume), u16(0), // layer, alternate_group, volume
+        UnityMatrix,
+        u32(w.toLong << 16), u32(h.toLong << 16)) // 16.16 fixed point
+      def mdia(handler: String, name: String): Array[Byte] = box("mdia",
+        box("mdhd",
+          Array[Byte](if (v1) 1 else 0, 0, 0, 0),
+          times(timescale, duration),
+          u16(0x55c4), u16(0)), // language 'und' packed ISO-639-2
+        box("hdlr",
+          Array[Byte](0, 0, 0, 0), u32(0L),
+          handler.getBytes("US-ASCII"),
+          u32(0L), u32(0L), u32(0L),
+          (name + " ").getBytes("US-ASCII")))
+      val videoTrak = box("trak", tkhd(1L, width, height, 0), mdia("vide", "VideoHandler"))
+      val audioTrak =
+        if (!withAudio) Array.empty[Byte]
+        else box("trak", tkhd(2L, 0, 0, 0x0100), mdia("soun", "SoundHandler"))
+      val moov = box("moov", mvhd, videoTrak, audioTrak)
+      val rnd = new scala.util.Random(seed)
+      val payload = new Array[Byte](math.max(0, payloadBytes))
+      rnd.nextBytes(payload)
+      box("ftyp", "isom".getBytes("US-ASCII"), u32(0x200L),
+        "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII")) ++
+        moov ++ box("mdat", payload)
+    }
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+
+    /** Walk the boxes in [from, to): calls f(type, payloadStart,
+      * boxEnd) per box. Total: stops on truncation, non-advancing or
+      * overflowing sizes. Payload start skips a largesize when
+      * size==1. */
+    private def walk(b: Array[Byte], from: Long, to: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size0 = be32(b, pos.toInt)
+        val tpe = new String(b, pos.toInt + 4, 4, "US-ASCII")
+        val (size, hdr) =
+          if (size0 == 1L) {
+            if (pos + 16 > to) return
+            (be64(b, pos.toInt + 8), 16L)
+          } else if (size0 == 0L) (to - pos, 8L)
+          else (size0, 8L)
+        if (size < hdr || pos + size > to) return
+        f(tpe, pos + hdr, pos + size)
+        pos += size
+      }
+    }
+
+    /** (brand, timescale, duration, n_tracks, video width, video
+      * height, handler 4ccs in file order comma-joined); the unknown
+      * tuple on undecodable bytes. */
+    def parseMeta(bytes: Array[Byte]): (String, Long, Long, Int, Int, Int, String) = {
+      val unknown = ("unknown", -1L, -1L, -1, -1, -1, "")
+      if (bytes == null || bytes.length < 8) return unknown
+      try {
+        var brand: String = null
+        var timescale = -1L; var duration = -1L
+        var nTracks = 0; var width = -1; var height = -1
+        val handlers = Seq.newBuilder[String]
+        var sawMoov = false
+        walk(bytes, 0L, bytes.length.toLong) { (tpe, p, end) =>
+          tpe match {
+            case "ftyp" if end - p >= 4 =>
+              brand = new String(bytes, p.toInt, 4, "US-ASCII")
+            case "moov" =>
+              sawMoov = true
+              walk(bytes, p, end) { (t2, p2, end2) =>
+                t2 match {
+                  case "mvhd" if end2 - p2 >= 4 =>
+                    val v = bytes(p2.toInt) & 0xff
+                    if (v == 1 && end2 - p2 >= 32) {
+                      timescale = be32(bytes, p2.toInt + 20)
+                      duration = be64(bytes, p2.toInt + 24)
+                    } else if (v == 0 && end2 - p2 >= 24) {
+                      timescale = be32(bytes, p2.toInt + 12)
+                      duration = be32(bytes, p2.toInt + 16)
+                    }
+                  case "trak" =>
+                    nTracks += 1
+                    var w = -1; var h = -1; var handler: String = null
+                    walk(bytes, p2, end2) { (t3, p3, end3) =>
+                      t3 match {
+                        case "tkhd" if end3 - p3 >= 4 =>
+                          val v = bytes(p3.toInt) & 0xff
+                          // §8.3.2: matrix ends 8 bytes before the box
+                          // end in both versions — width/height are the
+                          // LAST two u32 fields, version-independent
+                          // when read from the tail
+                          if ((v == 0 && end3 - p3 >= 84) || (v == 1 && end3 - p3 >= 96)) {
+                            w = (be32(bytes, end3.toInt - 8) >>> 16).toInt
+                            h = (be32(bytes, end3.toInt - 4) >>> 16).toInt
+                          }
+                        case "mdia" =>
+                          walk(bytes, p3, end3) { (t4, p4, end4) =>
+                            if (t4 == "hdlr" && end4 - p4 >= 12)
+                              handler = new String(bytes, p4.toInt + 8, 4, "US-ASCII")
+                          }
+                        case _ =>
+                      }
+                    }
+                    if (handler != null) handlers += handler
+                    if (handler == "vide" && width < 0) { width = w; height = h }
+                  case _ =>
+                }
+              }
+            case _ =>
+          }
+        }
+        if (brand == null && !sawMoov) unknown
+        else (if (brand == null) "unknown" else brand,
+          timescale, duration, nTracks, width, height,
+          handlers.result().mkString(","))
+      } catch { case _: Exception => unknown }
+    }
+
+    /** [[parseMeta]] as a [[Mp4MetaSchema]] row for `deriveMany`. */
+    def parseMetaRow(bytes: Array[Byte]): Row = {
+      val (b, ts, d, n, w, h, hs) = parseMeta(bytes)
+      Row(b, ts, d, n, w, h, hs)
+    }
+  }
+
   /** Explode a video column into sampled decoded frames: one output row
     * per sampled frame with (frame_idx, frame meta struct) — container
     * split, frame decode, and the explode all happen in ONE

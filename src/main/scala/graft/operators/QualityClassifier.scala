@@ -87,6 +87,10 @@ object QualityClassifier {
       df.where(col(labelCol).isNotNull)
         .select((col(labelCol).cast("double").as("y") +:
           fcols.zipWithIndex.map { case (f, i) => coalesce(f, lit(0.0)).as(s"f$i") }): _*))
+    // an all-null-label frame would otherwise surface as null aggregate
+    // cells → 0.0 → the misleading "singular IRLS system" error
+    require(input.head(1).nonEmpty,
+      s"QualityClassifier.fit: no labeled rows ($labelCol is null everywhere)")
     val x: Seq[Column] = lit(1.0) +: FeatureNames.indices.map(i => col(s"f$i"))
 
     val w = Array.fill(d)(0.0)
@@ -97,11 +101,14 @@ object QualityClassifier {
       val s = p * (lit(1.0) - p)
       val g = col("y") - p
       // upper triangle of XᵀSX + the gradient, one combined aggregate;
-      // decimal terms (scale 6) make the sums order-independent
+      // decimal terms (scale 6) make the sums order-independent. Width
+      // 38, not 18: a quadratic term (s·n_tokens²) on a multi-million-
+      // token document exceeds 12 integer digits, and an overflowing
+      // cast under ANSI-off yields NULL — silently dropping the row
       val aggs =
         (for { i <- 0 until d; j <- i until d }
-          yield graft.Tables.dsum(s * x(i) * x(j), 6).as(s"a_${i}_$j")) ++
-        (0 until d).map(i => graft.Tables.dsum(g * x(i), 6).as(s"g_$i"))
+          yield graft.Tables.dsumWide(s * x(i) * x(j), 6).as(s"a_${i}_$j")) ++
+        (0 until d).map(i => graft.Tables.dsumWide(g * x(i), 6).as(s"g_$i"))
       val row = input.agg(aggs.head, aggs.tail: _*).head()
       val a = Array.ofDim[Double](d, d)
       for { i <- 0 until d; j <- i until d } {

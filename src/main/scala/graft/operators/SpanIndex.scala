@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable corpus gram-set index for the incremental duplicate-span
+  * scrub — the build-once/serve-many form of the corpus side of
+  * [[Dedup.duplicateSpanScrubAgainst]] (north-star extension, SURVEY.md
+  * §2.13), completing the index family ([[LshIndex]],
+  * [[Similarity.IvfIndex]], `Bm25.Bm25Index`, [[Hnsw.HnswIndex]]): a
+  * production v2 ingestion screen reduces the frozen corpus to its
+  * distinct n-token gram hashes ONCE, persists them, and every arriving
+  * batch scrubs against the loaded frame — instead of re-deriving the
+  * gram set from the raw corpus per session, which is what
+  * `duplicateSpanScrubAgainst` does when no caller holds its caches
+  * across sessions.
+  *
+  * Contents are exactly the frame the ad-hoc scrub derives:
+  * [[Dedup.spanGramSet]] — one `gram` column of portable 64-bit hashes,
+  * so [[SpanIndex#scrub]] is BIT-IDENTICAL to the ad-hoc operator over
+  * the same corpus (spec-pinned, and gate query q_span_index runs
+  * against the q_dedup_spans_incremental oracle SQL verbatim). The gram
+  * width `n` rides in the meta so a probe cannot silently run a
+  * mismatched geometry (an n=8 index scrubbing n=4 probes would cut
+  * wrong spans).
+  *
+  * Scale shape: [[SpanIndex.build]] pays one corpus scan + one hash
+  * shuffle of bare longs (the global distinct); [[SpanIndex#scrub]] is
+  * stateless on the probe side (streaming-capable — it is the
+  * `screenV2Indexed` span stage) and either hash-joins the probe's gram
+  * occurrences against the loaded frame (exact, `bloomFpp = 0`) or
+  * probes a Bloom filter map-side (no join; over-scrubs at ≤ fpp per
+  * gram, never under-scrubs — the right trade at 100 TB where the
+  * corpus gram set dwarfs any broadcast). [[SpanIndex#append]] unions
+  * an increment's gram set and re-distincts — grams carry no doc ids,
+  * so append needs no id-disjointness contract and
+  * append(A,B) == build(A ∪ B) EXACTLY (distinct-of-union ≡
+  * union-of-distincts; spec-pinned as frame equality, not just probe
+  * equality). */
+object SpanIndex {
+
+  final case class SpanIndex(grams: DataFrame, n: Int) {
+
+    /** Cut from probe docs every n-token passage present in the indexed
+      * corpus — bit-identical to
+      * [[Dedup.duplicateSpanScrubAgainst]] over the corpus this index
+      * was built from (spec-pinned). Output:
+      * (idCol, text, n_tokens_removed), empty rewrites dropped. */
+    def scrub(probe: DataFrame, textCol: String, idCol: String,
+        bloomFpp: Double = 0.0): DataFrame =
+      Dedup.spanScrubAgainstGrams(probe, grams, textCol, idCol, n, bloomFpp)
+
+    /** Fold an increment's grams in: the increment pays its own
+      * gram-set reduction, the union re-distincts (one shuffle of bare
+      * longs). No id contract — grams are anonymous hashes, so
+      * append(A,B) == build(A ∪ B) exactly. */
+    def append(increment: DataFrame, textCol: String): SpanIndex =
+      copy(grams = grams
+        .unionByName(Dedup.spanGramSet(increment, textCol, n))
+        .distinct())
+
+    /** Persist under `dir`: grams/ (bare longs, parquet), meta/ one row
+      * of the gram width. */
+    def save(dir: String): Unit = {
+      val spark = grams.sparkSession
+      grams.write.mode("overwrite").parquet(s"$dir/grams")
+      import spark.implicits._
+      Seq(n).toDF("span_n").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Reduce the corpus to its distinct gram-hash set once — exactly the
+    * frame the ad-hoc scrub derives per call. */
+  def build(corpus: DataFrame, textCol: String, n: Int = 8): SpanIndex =
+    SpanIndex(Dedup.spanGramSet(corpus, textCol, n), n)
+
+  /** Restore a [[build]]-then-[[SpanIndex#save]]d index. Meta read BY
+    * NAME and validated loudly — a mutated/truncated meta fails here
+    * naming the field, not later as a wrong-width scrub. */
+  def load(spark: SparkSession, dir: String): SpanIndex = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    require(metaDf.columns.contains("span_n"),
+      s"SpanIndex.load: $dir/meta is missing field span_n — not a saved " +
+        s"SpanIndex (have: ${metaDf.columns.mkString(", ")})")
+    val n = metaDf.head.getAs[Int]("span_n")
+    require(n >= 2,
+      s"SpanIndex.load: $dir/meta has invalid span_n = $n — corrupt meta")
+    val grams = spark.read.parquet(s"$dir/grams")
+    require(grams.columns.contains("gram"),
+      s"SpanIndex.load: $dir/grams has no gram column " +
+        s"(have: ${grams.columns.mkString(", ")})")
+    SpanIndex(grams.select("gram"), n)
+  }
+}

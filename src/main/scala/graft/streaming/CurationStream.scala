@@ -44,8 +44,11 @@ object CurationStream {
       minQuality: Double = 0.5, lang: String = "en",
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, decontamN: Int = 5,
-      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
+      bands: Int = 16, rowsPerBand: Int = 8,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore)
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
         bands = bands, rowsPerBand = rowsPerBand,
@@ -57,14 +60,23 @@ object CurationStream {
 
   /** The shared quality/language/length admission gates — stateless
     * per-doc expressions, so every screen variant distributes over
-    * batch splits. */
+    * batch splits. When a fitted [[graft.operators.QualityClassifier.Model]]
+    * is supplied, its sigmoid score joins the gate conjunction (the
+    * FineWeb/DCLM-style classifier stage belongs in ingestion, not just
+    * batch curation) — scoring is a codegen'd map-side expression, so
+    * the distributivity that makes the streaming form correct is
+    * untouched (StreamingSpec pins union == one-shot with the model
+    * gate active). */
   private def gate(probe: DataFrame, textCol: String, minQuality: Double,
-      lang: String, minTokens: Int, maxTokens: Int): DataFrame = {
+      lang: String, minTokens: Int, maxTokens: Int,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions._
-    probe.where(
+    val base = probe.where(
       qualityScore(col(textCol)) >= minQuality &&
         langId(col(textCol)) === lang &&
         tokenCount(col(textCol)).between(minTokens, maxTokens))
+    model.fold(base)(m => base.where(m.score(col(textCol)) >= minModelScore))
   }
 
   /** [[screen]] served by a PREBUILT [[graft.operators.LshIndex]] over
@@ -83,8 +95,11 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, lang: String = "en",
       minTokens: Int = 10, maxTokens: Int = 1000,
-      jaccardThreshold: Double = 0.8, decontamN: Int = 5): DataFrame = {
-    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
+      jaccardThreshold: Double = 0.8, decontamN: Int = 5,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore)
     val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
@@ -109,8 +124,11 @@ object CurationStream {
       minQuality: Double = 0.5, lang: String = "en",
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5,
-      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
+      bands: Int = 16, rowsPerBand: Int = 8,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore)
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
         bands = bands, rowsPerBand = rowsPerBand,
@@ -134,13 +152,46 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, lang: String = "en",
       minTokens: Int = 10, maxTokens: Int = 1000,
-      jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5): DataFrame = {
-    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens)
+      jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore)
     val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
     val scrubbed = graft.operators.Dedup
       .duplicateSpanScrubAgainst(unique, corpus, textCol, idCol, spanN)
+      .withColumnRenamed("text", textCol)
+    graft.operators.Dedup.decontaminate(scrubbed, evalSet, textCol, idCol, decontamN)
+  }
+
+  /** [[screenV2]] with BOTH frozen-corpus stages served by prebuilt
+    * indexes — the near-dup stage by an [[graft.operators.LshIndex]]
+    * and the span scrub by a [[graft.operators.SpanIndex]] — so the v2
+    * ingestion screen needs NO raw corpus frame at all: every
+    * per-session corpus derivation (bands, shingles, gram set) is
+    * build-once/serve-many. Both indexes MUST be built over the same
+    * frozen corpus, or the near-dup and span stages screen against
+    * different states; the span width rides in the SpanIndex (a
+    * mismatched `spanN` cannot be expressed). Equivalent to [[screenV2]]
+    * over the indexed corpus and distributes over batch splits
+    * (StreamingSpec pins both laws). */
+  def screenV2FullyIndexed(probe: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      spanIndex: graft.operators.SpanIndex.SpanIndex, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8, decontamN: Int = 5,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore)
+    val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    val scrubbed = spanIndex.scrub(unique, textCol, idCol)
       .withColumnRenamed("text", textCol)
     graft.operators.Dedup.decontaminate(scrubbed, evalSet, textCol, idCol, decontamN)
   }
@@ -152,11 +203,14 @@ object CurationStream {
   def startScreen(stream: DataFrame, corpus: DataFrame, evalSet: DataFrame,
       sink: DataFrame => Unit,
       textCol: String = "text", idCol: String = "doc_id",
-      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(screen(batch, corpus, evalSet, textCol, idCol))
+        sink(screen(batch, corpus, evalSet, textCol, idCol,
+          model = model, minModelScore = minModelScore))
       }
       .trigger(trigger)
       .start()
@@ -167,11 +221,14 @@ object CurationStream {
   def startScreenV2(stream: DataFrame, corpus: DataFrame, evalSet: DataFrame,
       sink: DataFrame => Unit,
       textCol: String = "text", idCol: String = "doc_id", spanN: Int = 8,
-      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(screenV2(batch, corpus, evalSet, textCol, idCol, spanN = spanN))
+        sink(screenV2(batch, corpus, evalSet, textCol, idCol, spanN = spanN,
+          model = model, minModelScore = minModelScore))
       }
       .trigger(trigger)
       .start()
@@ -184,11 +241,14 @@ object CurationStream {
       index: graft.operators.LshIndex.LshIndex, evalSet: DataFrame,
       sink: DataFrame => Unit,
       textCol: String = "text", idCol: String = "doc_id",
-      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(screenIndexed(batch, index, evalSet, textCol, idCol))
+        sink(screenIndexed(batch, index, evalSet, textCol, idCol,
+          model = model, minModelScore = minModelScore))
       }
       .trigger(trigger)
       .start()
@@ -201,12 +261,35 @@ object CurationStream {
       corpus: DataFrame, evalSet: DataFrame,
       sink: DataFrame => Unit,
       textCol: String = "text", idCol: String = "doc_id", spanN: Int = 8,
-      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenV2Indexed(batch, index, corpus, evalSet, textCol, idCol,
-          spanN = spanN))
+          spanN = spanN, model = model, minModelScore = minModelScore))
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[startScreenV2Indexed]] with the span stage ALSO index-served
+    * ([[screenV2FullyIndexed]] per micro-batch): no batch touches a raw
+    * corpus frame — each batch's plan is gates + joins against the two
+    * prebuilt indexes' cached frames. */
+  def startScreenV2FullyIndexed(stream: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      spanIndex: graft.operators.SpanIndex.SpanIndex, evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id",
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenV2FullyIndexed(batch, index, spanIndex, evalSet, textCol, idCol,
+          model = model, minModelScore = minModelScore))
       }
       .trigger(trigger)
       .start()

@@ -357,4 +357,82 @@ class DedupSpec extends SparkSpec {
     assert(pairs(re.probe(probe, "text", "doc_id")) ==
       pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")))
   }
+
+  test("SpanIndex: scrub == duplicateSpanScrubAgainst bit-identically (exact + Bloom)") {
+    import graft.operators.SpanIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    val idx = SpanIndex.build(corpus, "text", n = 8)
+    val adHoc = rows(Dedup.duplicateSpanScrubAgainst(probe, corpus, "text", "doc_id", n = 8))
+    assert(rows(idx.scrub(probe, "text", "doc_id")) == adHoc)
+    // Bloom path: at fpp 1e-8 the expected false-positive count on this
+    // corpus is ~1e-4, so index-Bloom == exact (same law the ad-hoc
+    // Bloom branch is pinned by)
+    assert(rows(idx.scrub(probe, "text", "doc_id", bloomFpp = 1e-8)) == adHoc)
+  }
+
+  test("SpanIndex.append(A,B) == build(A∪B): identical gram FRAMES, identical scrub") {
+    import graft.operators.SpanIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val a = corpus.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b = corpus.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val appended = SpanIndex.build(a, "text", n = 8).append(b, "text")
+    val rebuilt = SpanIndex.build(corpus, "text", n = 8)
+    // grams carry no doc ids, so the law is EXACT frame equality
+    // (distinct-of-union == union-of-distincts), not just probe parity —
+    // and no id-disjointness contract is needed (a and b overlap freely)
+    def grams(ix: SpanIndex.SpanIndex) =
+      ix.grams.collect().map(_.getLong(0)).toSet
+    assert(grams(appended) == grams(rebuilt))
+    assert(appended.n == rebuilt.n)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(rows(appended.scrub(probe, "text", "doc_id")) ==
+      rows(rebuilt.scrub(probe, "text", "doc_id")))
+  }
+
+  test("SpanIndex save → load → scrub round-trip; mutated meta fails loudly") {
+    import graft.operators.SpanIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val idx = SpanIndex.build(corpus, "text", n = 8)
+    val dir = java.nio.file.Files.createTempDirectory("spanidx").toString
+    idx.save(dir)
+    val re = SpanIndex.load(spark, dir)
+    assert(re.n == 8)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(rows(re.scrub(probe, "text", "doc_id")) ==
+      rows(Dedup.duplicateSpanScrubAgainst(probe, corpus, "text", "doc_id", n = 8)))
+    // meta mutation: a schema evolution that renames/drops span_n must
+    // fail at load naming the field (not read a stale ordinal)
+    import spark.implicits._
+    Seq(8).toDF("renamed_n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] { SpanIndex.load(spark, dir) }
+    assert(e.getMessage.contains("span_n"))
+  }
+
+  test("LshIndex.load: a mutated meta fails loudly, naming the missing field") {
+    import graft.operators.LshIndex
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(32)
+    val dir = java.nio.file.Files.createTempDirectory("lshidxmut").toString
+    LshIndex.build(corpus, "text", "doc_id").save(dir)
+    // simulate a schema evolution / corruption: rewrite meta without n_bands
+    import spark.implicits._
+    Seq((5, 8, "doc_id")).toDF("shingle_k", "rows_per_band", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] { LshIndex.load(spark, dir) }
+    assert(e.getMessage.contains("n_bands"))
+    assert(e.getMessage.contains("meta"))
+  }
 }

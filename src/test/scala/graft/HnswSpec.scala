@@ -63,6 +63,83 @@ class HnswSpec extends SparkSpec {
       s"index served ${served.size} rows, direct ${direct.size}")
   }
 
+  test("HnswIndex.append: shard membership == rebuild-over-union; recall in the gate band; deterministic") {
+    val a = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val b = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val appended = Hnsw.HnswIndex.build(a, "embedding", "vec_id")
+      .append(b, "embedding", "vec_id")
+    val rebuilt = Hnsw.HnswIndex.build(emb, "embedding", "vec_id")
+    // routing parity: append's pmod(murmur3_hash(id), n) is the same
+    // partition function repartition(n, id) used at build, so per-shard
+    // id membership after append is EXACTLY a rebuild's — the exact
+    // part of the law (graph edges may differ; that's the approximate
+    // part, bounded by the recall assertion below)
+    def membership(ix: Hnsw.HnswIndex) = ix.shards
+      .select(col("shard"), explode(col("ids")).as("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(membership(appended) == membership(rebuilt))
+    // the appended union is searchable at the q_ann_recall gate band
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def served(ix: Hnsw.HnswIndex) = ix.topK(queries, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = served(appended)
+    val recall = (exact & hits).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 after append = $recall")
+    // determinism: the same append replays to identical results
+    assert(served(Hnsw.HnswIndex.build(a, "embedding", "vec_id")
+      .append(b, "embedding", "vec_id")) == hits)
+  }
+
+  test("HnswIndex.append routes to previously-EMPTY shards with a fresh graph") {
+    import spark.implicits._
+    // 3 vectors into 16 shards -> most shards empty; the appended vector
+    // lands alone in its own shard and must still be servable
+    val base = (0L until 3L).map(i =>
+      (i, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val idx = Hnsw.HnswIndex.build(base, "embedding", "vec_id", shards = 16)
+    val extra = Seq((100L, Array.tabulate(8)(d => if (d == 3) 1.0f else 0.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val appended = idx.append(extra, "embedding", "vec_id")
+    val rebuilt = Hnsw.HnswIndex.build(
+      base.unionByName(extra), "embedding", "vec_id", shards = 16)
+    def membership(ix: Hnsw.HnswIndex) = ix.shards
+      .select(col("shard"), explode(col("ids")).as("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(membership(appended) == membership(rebuilt))
+    // a query AT the new vector must find it first
+    val q = extra.withColumn("vec_id", lit(999L))
+    val top = appended.topK(q, "embedding", "vec_id", k = 1).collect()
+    assert(top.length == 1 && top.head.getLong(1) == 100L)
+  }
+
+  test("HnswIndex: append -> save -> load round-trip; mutated meta fails loudly") {
+    val a = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val b = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val queries = emb.filter(col("vec_id") < 8)
+    val appended = Hnsw.HnswIndex.build(a, "embedding", "vec_id")
+      .append(b, "embedding", "vec_id")
+    val direct = appended.topK(queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-app-idx").toString
+    appended.save(dir)
+    val loaded = Hnsw.HnswIndex.load(spark, dir)
+    assert(loaded.numShards == appended.numShards && loaded.m == appended.m)
+    val served = loaded.topK(queries, "embedding", "vec_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == direct)
+    // meta mutation: dropping num_shards must fail at load naming the field
+    import spark.implicits._
+    Seq((16, 200, 42L)).toDF("m", "ef_construction", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] { Hnsw.HnswIndex.load(spark, dir) }
+    assert(e.getMessage.contains("num_shards"))
+  }
+
   test("empty and tiny shards do not break the distributed merge") {
     import spark.implicits._
     val tiny = (0L until 5L).map(i =>

@@ -59,5 +59,13 @@ class QualityClassifierSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       QualityClassifier.fit(const, "text", "label", iters = 2, ridge = 0.0)
     }
+    // zero labeled rows must name the real cause, not surface as the
+    // misleading "singular IRLS system" from null→0.0 aggregate cells
+    val unlabeled = Seq((1L, "some text", Option.empty[Integer]),
+      (2L, "more text", Option.empty[Integer])).toDF("doc_id", "text", "label")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.fit(unlabeled, "text", "label", iters = 2)
+    }
+    assert(e.getMessage.contains("no labeled rows"))
   }
 }

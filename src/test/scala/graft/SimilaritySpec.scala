@@ -280,6 +280,49 @@ class SimilaritySpec extends SparkSpec {
     assert(f2 == "wav" && n2 == 16) // clamped to the real payload
   }
 
+  test("mp4: ISO-BMFF synth → box-walking parse round-trips v0, v1, largesize and corrupt payloads") {
+    import graft.operators.Multimodal.Mp4Codec
+    // v0 layout (all times fit u32), video-only
+    val v0 = Mp4Codec.synthMp4(width = 640, height = 360, timescale = 600,
+      duration = 9000, withAudio = false, payloadBytes = 32, seed = 7)
+    assert(Mp4Codec.parseMeta(v0) == ("isom", 600L, 9000L, 1, 640, 360, "vide"))
+    // v1 layout forced by a duration past u32; audio track present
+    val v1 = Mp4Codec.synthMp4(width = 1920, height = 1080, timescale = 90000,
+      duration = 4294967296L + 450000L, withAudio = true, payloadBytes = 32, seed = 8)
+    assert(Mp4Codec.parseMeta(v1) ==
+      ("isom", 90000L, 4294967296L + 450000L, 2, 1920, 1080, "vide,soun"))
+    // determinism
+    assert(java.util.Arrays.equals(v0, Mp4Codec.synthMp4(640, 360, 600, 9000,
+      withAudio = false, payloadBytes = 32, seed = 7)))
+
+    // size==1 → u64 largesize header on a top-level box (spec §4.2):
+    // rewrite mdat with a largesize header; the walk must still land on
+    // the box boundaries (metadata unchanged)
+    val mdatStart = v0.length - (8 + 32)
+    val big = v0.take(mdatStart) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, (16 + 32).toByte) ++
+      v0.drop(mdatStart + 8)
+    assert(Mp4Codec.parseMeta(big) == ("isom", 600L, 9000L, 1, 640, 360, "vide"))
+    // size==0 → to end of file on the last box
+    val toEof = v0.clone()
+    toEof(mdatStart) = 0; toEof(mdatStart + 1) = 0
+    toEof(mdatStart + 2) = 0; toEof(mdatStart + 3) = 0
+    assert(Mp4Codec.parseMeta(toEof) == ("isom", 600L, 9000L, 1, 640, 360, "vide"))
+
+    // corrupt payloads fall back, never throw
+    assert(Mp4Codec.parseMeta(null)._1 == "unknown")
+    assert(Mp4Codec.parseMeta("not a movie at all".getBytes)._1 == "unknown")
+    assert(Mp4Codec.parseMeta(Array.fill(64)(0x41.toByte))._1 == "unknown")
+    // truncation inside moov: ftyp still reads, the walker stops clean
+    val trunc = v0.take(40)
+    assert(Mp4Codec.parseMeta(trunc)._1 == "isom")
+    // a box claiming a size past the buffer must not read out of bounds
+    val evil = v0.clone()
+    evil(0) = 0x7f.toByte
+    assert(Mp4Codec.parseMeta(evil)._1 == "unknown")
+  }
+
   test("frame sampling explodes deterministic frame indices") {
     val d = Seq((1L)).toDF("doc_id")
     val frames = Multimodal.sampleFrames(d, "doc_id", nFrames = 4, every = 10)

@@ -281,6 +281,114 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FULLY-indexed v2 screen (LshIndex + SpanIndex, no raw corpus): equals screenV2; multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val index = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+    // the span stage served by a SAVED-then-LOADED SpanIndex: the
+    // fully-indexed screen touches no raw corpus frame at all
+    val spanDir = java.nio.file.Files.createTempDirectory("curation2span_idx").toString
+    graft.operators.SpanIndex.build(corpus, "text", n = 5).save(spanDir)
+    val spanIndex = graft.operators.SpanIndex.load(spark, spanDir)
+
+    val oneShot = graft.streaming.CurationStream
+      .screenV2(probe, corpus, evalSet, spanN = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(oneShot.nonEmpty && oneShot.exists(_._3 > 0))
+    val fullyIndexed = graft.streaming.CurationStream
+      .screenV2FullyIndexed(probe, index, spanIndex, evalSet)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(fullyIndexed == oneShot)
+
+    val dir = java.nio.file.Files.createTempDirectory("curation2full_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation2full_ck").toString
+    val q = graft.streaming.CurationStream.startScreenV2FullyIndexed(
+      stream, index, spanIndex, evalSet,
+      sink = out => {
+        batches += 1
+        out.collect().foreach(r => admitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
+  test("model-based quality gate in the screen chain: multi-batch union equals one-shot; gate actually prunes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val index = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+    val spanIndex = graft.operators.SpanIndex.build(corpus, "text", n = 5)
+    // fit the FineWeb-style classifier stage on the frozen corpus
+    val model = graft.operators.QualityClassifier.fit(
+      corpus.withColumn("label",
+        (graft.functions.TextFunctions.tokenCount(col("text")) >= 40).cast("int")),
+      "text", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+
+    val without = rows(graft.streaming.CurationStream
+      .screenV2FullyIndexed(probe, index, spanIndex, evalSet))
+    val oneShot = rows(graft.streaming.CurationStream
+      .screenV2FullyIndexed(probe, index, spanIndex, evalSet,
+        model = Some(model), minModelScore = 0.5))
+    // the model gate must do real work on this corpus (a vacuous gate
+    // would make the distributivity assertion below prove nothing) and
+    // only ever prune
+    assert(oneShot.nonEmpty && oneShot.size < without.size,
+      s"model gate pruned ${without.size} -> ${oneShot.size}")
+    assert(oneShot.subsetOf(without))
+
+    val dir = java.nio.file.Files.createTempDirectory("curation_mq_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation_mq_ck").toString
+    val q = graft.streaming.CurationStream.startScreenV2FullyIndexed(
+      stream, index, spanIndex, evalSet,
+      sink = out => {
+        batches += 1
+        out.collect().foreach(r => admitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      model = Some(model), minModelScore = 0.5)
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("v2 streaming screen (span scrub in the chain): multi-batch union equals one-shot") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -132,4 +132,17 @@ class UrlFunctionsSpec extends SparkSpec {
     // survives — a shared null key would silently mass-drop them
     assert(kept == Set(1L, 3L, 4L, 5L, 6L))
   }
+
+  test("urlDedup: rows with BOTH url and id null all survive (ordinal fallback)") {
+    // the r9 fallback keyed null-url rows on the id — which made
+    // concat(sentinel, null id) null again, collapsing every
+    // null-url/null-id row onto one shared null partition
+    val docs = Seq[(Option[java.lang.Long], Option[String])](
+      (Some(1L), Some("https://example.com/p/1")),
+      (None, None), (None, None), (None, None)
+    ).toDF("doc_id", "url")
+    val out = graft.operators.Dedup.urlDedup(docs, "url", "doc_id")
+    assert(out.count() == 4L) // 1 real page + all three undocumented rows
+    assert(out.columns.toSet == Set("doc_id", "url")) // helper key dropped
+  }
 }
