@@ -934,6 +934,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the same index serving its Bloom branch (map-side filter
+    //      probe, no gram join): gated against the SAME exact-path
+    //      oracle at fpp 1e-8 — the q_dedup_spans_incremental_bloom
+    //      pattern (expected false-positive count ~1e-4 on this gram
+    //      set, so Bloom == exact; the PERSISTED filter is additionally
+    //      spec-pinned identical in DedupSpec). ----
+    "q_span_index_bloom" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val idx = graft.operators.SpanIndex.build(
+        d.where(pmod(col("doc_id"), lit(7)) =!= 0), "text", n = 8)
+      idx.scrub(d.where(pmod(col("doc_id"), lit(7)) === 0), "text", "doc_id",
+        bloomFpp = 1e-8)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -1971,7 +1986,9 @@ object SparkEntry {
       // same pattern for the persistable span-gram index:
       // scrub(build(corpus)) must be bit-identical to
       // duplicateSpanScrubAgainst over the same split
-      "q_span_index" -> base("q_dedup_spans_incremental"))
+      "q_span_index" -> base("q_dedup_spans_incremental"),
+      // the index's Bloom branch at fpp 1e-8 == the exact path
+      "q_span_index_bloom" -> base("q_dedup_spans_incremental"))
   }
 
   private val oracleSqlBase: Map[String, String] = Map(

@@ -251,10 +251,28 @@ object Bm25 {
 
     /** Restore a [[build]]-then-[[Bm25Index#save]]d index. */
     def load(spark: SparkSession, dir: String): Bm25Index = {
-      val meta = spark.read.parquet(s"$dir/meta").head
+      // meta BY NAME and validated loudly (the LshIndex.load
+      // discipline): a schema evolution cannot silently shift ordinals,
+      // and a mutated/truncated meta fails here naming the field — not
+      // later as wrong idf statistics
+      val metaDf = spark.read.parquet(s"$dir/meta")
+      val required = Seq("n_docs", "sum_dl", "id_col")
+      val missing = required.filterNot(metaDf.columns.contains)
+      require(missing.isEmpty,
+        s"Bm25Index.load: $dir/meta is missing field(s) ${missing.mkString(", ")} — " +
+          s"not a saved Bm25Index (have: ${metaDf.columns.mkString(", ")})")
+      val meta = metaDf.head
+      def pos(name: String): Long = {
+        val v = meta.getAs[Long](name)
+        require(v > 0L, s"Bm25Index.load: $dir/meta has non-positive $name = $v — corrupt meta")
+        v
+      }
+      val idCol = meta.getAs[String]("id_col")
+      require(idCol != null && idCol.nonEmpty,
+        s"Bm25Index.load: $dir/meta has empty id_col — corrupt meta")
       Bm25Index(spark.read.parquet(s"$dir/postings"),
         spark.read.parquet(s"$dir/df"),
-        meta.getLong(0), meta.getLong(1), meta.getString(2))
+        pos("n_docs"), pos("sum_dl"), idCol)
     }
   }
 }

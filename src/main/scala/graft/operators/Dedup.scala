@@ -667,7 +667,8 @@ object Dedup {
     * index). */
   private[operators] def spanScrubAgainstGrams(probe: DataFrame,
       corpusGrams: DataFrame, textCol: String, idCol: String, n: Int = 8,
-      bloomFpp: Double = 0.0, gramsSmallHint: Option[Boolean] = None): DataFrame = {
+      bloomFpp: Double = 0.0, gramsSmallHint: Option[Boolean] = None,
+      prebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     val shuffleP = probe.sparkSession.sessionState.conf.numShufflePartitions
     val small =
@@ -685,8 +686,12 @@ object Dedup {
       .toDF(idCol, "start", "gram")
     val hits =
       if (bloomFpp > 0.0) {
-        val cached = graft.core.CacheScope.retain(corpusGrams)
-        val bf = cached.stat.bloomFilter("gram", math.max(cached.count(), 1L), bloomFpp)
+        // a PREBUILT filter (a persisted SpanIndex's) skips the
+        // aggregate entirely — the build-once/serve-many Bloom form
+        val bf = prebuiltBloom.getOrElse {
+          val cached = graft.core.CacheScope.retain(corpusGrams)
+          cached.stat.bloomFilter("gram", math.max(cached.count(), 1L), bloomFpp)
+        }
         val bcBf = probe.sparkSession.sparkContext.broadcast(bf)
         val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
         probeOcc.where(mightContain(col("gram")))

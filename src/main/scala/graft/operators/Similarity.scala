@@ -310,9 +310,19 @@ object Similarity {
     /** Restore a [[IvfIndex.build]]-then-[[IvfIndex#save]]d index without
       * any quantizer fit. */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      // centroid table BY NAME and validated loudly (the LshIndex.load
+      // discipline): a reordered or extended schema cannot silently
+      // swap cell ids for coordinates
+      val centDf = spark.read.parquet(s"$dir/centroids")
+      val missing = Seq("cell", "centroid").filterNot(centDf.columns.contains)
+      require(missing.isEmpty,
+        s"IvfIndex.load: $dir/centroids is missing field(s) ${missing.mkString(", ")} — " +
+          s"not a saved IvfIndex (have: ${centDf.columns.mkString(", ")})")
+      val cents = centDf
+        .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Double]]("centroid").toArray)
         .sortBy(_._1).map(_._2)
+      require(cents.nonEmpty,
+        s"IvfIndex.load: $dir/centroids is empty — corrupt index")
       IvfIndex(cents, spark.read.parquet(s"$dir/cells"))
     }
   }

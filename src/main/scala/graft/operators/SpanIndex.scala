@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Persistable corpus gram-set index for the incremental duplicate-span
   * scrub — the build-once/serve-many form of the corpus side of
@@ -31,41 +32,68 @@ import org.apache.spark.sql.functions._
   * occurrences against the loaded frame (exact, `bloomFpp = 0`) or
   * probes a Bloom filter map-side (no join; over-scrubs at ≤ fpp per
   * gram, never under-scrubs — the right trade at 100 TB where the
-  * corpus gram set dwarfs any broadcast). [[SpanIndex#append]] unions
-  * an increment's gram set and re-distincts — grams carry no doc ids,
-  * so append needs no id-disjointness contract and
+  * corpus gram set dwarfs any broadcast). The Bloom form persists too:
+  * [[SpanIndex#save]] with `bloomFpp > 0` aggregates the filter ONCE
+  * and writes its bytes beside the grams, so a loaded index serves
+  * Bloom scrubs with NO per-session aggregate at all (Spark's sketch
+  * filter is deterministic: fixed hash seeds, bit-OR merge — the saved
+  * bytes are a pure function of the gram set and fpp). [[SpanIndex#append]]
+  * unions an increment's gram set and re-distincts — grams carry no doc
+  * ids, so append needs no id-disjointness contract and
   * append(A,B) == build(A ∪ B) EXACTLY (distinct-of-union ≡
   * union-of-distincts; spec-pinned as frame equality, not just probe
-  * equality). */
+  * equality). An append DROPS a carried Bloom (the filter describes the
+  * old gram set; re-save to rebuild it). */
 object SpanIndex {
 
-  final case class SpanIndex(grams: DataFrame, n: Int) {
+  final case class SpanIndex(grams: DataFrame, n: Int,
+      bloom: Option[(Double, BloomFilter)] = None) {
 
     /** Cut from probe docs every n-token passage present in the indexed
       * corpus — bit-identical to
       * [[Dedup.duplicateSpanScrubAgainst]] over the corpus this index
       * was built from (spec-pinned). Output:
-      * (idCol, text, n_tokens_removed), empty rewrites dropped. */
+      * (idCol, text, n_tokens_removed), empty rewrites dropped.
+      * With `bloomFpp > 0` and a PERSISTED filter present, the saved
+      * filter serves the probe directly (its recorded fpp wins — it is
+      * already sized, and serving it costs nothing); otherwise the
+      * filter aggregates from the gram frame per session. */
     def scrub(probe: DataFrame, textCol: String, idCol: String,
         bloomFpp: Double = 0.0): DataFrame =
-      Dedup.spanScrubAgainstGrams(probe, grams, textCol, idCol, n, bloomFpp)
+      Dedup.spanScrubAgainstGrams(probe, grams, textCol, idCol, n, bloomFpp,
+        prebuiltBloom = if (bloomFpp > 0.0) bloom.map(_._2) else None)
 
     /** Fold an increment's grams in: the increment pays its own
       * gram-set reduction, the union re-distincts (one shuffle of bare
       * longs). No id contract — grams are anonymous hashes, so
-      * append(A,B) == build(A ∪ B) exactly. */
+      * append(A,B) == build(A ∪ B) exactly. Any carried Bloom filter is
+      * DROPPED (it describes the pre-append gram set; save with
+      * `bloomFpp > 0` to rebuild). */
     def append(increment: DataFrame, textCol: String): SpanIndex =
-      copy(grams = grams
+      SpanIndex(grams
         .unionByName(Dedup.spanGramSet(increment, textCol, n))
-        .distinct())
+        .distinct(), n)
 
     /** Persist under `dir`: grams/ (bare longs, parquet), meta/ one row
-      * of the gram width. */
-    def save(dir: String): Unit = {
+      * of the gram width + Bloom fpp, and — when `bloomFpp > 0` —
+      * bloom/filter.bin: the gram set aggregated into a Bloom filter
+      * ONCE, so every later [[load]]+[[scrub]] session probes map-side
+      * with no aggregate. Written through the Hadoop FS API, so the dir
+      * may live on any cluster filesystem. */
+    def save(dir: String, bloomFpp: Double = 0.0): Unit = {
       val spark = grams.sparkSession
       grams.write.mode("overwrite").parquet(s"$dir/grams")
       import spark.implicits._
-      Seq(n).toDF("span_n").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      Seq((n, bloomFpp)).toDF("span_n", "bloom_fpp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      if (bloomFpp > 0.0) {
+        val saved = spark.read.parquet(s"$dir/grams")
+        val bf = saved.stat.bloomFilter("gram", math.max(saved.count(), 1L), bloomFpp)
+        val path = new org.apache.hadoop.fs.Path(s"$dir/bloom/filter.bin")
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(path, true)
+        try bf.writeTo(out) finally out.close()
+      }
     }
   }
 
@@ -76,19 +104,36 @@ object SpanIndex {
 
   /** Restore a [[build]]-then-[[SpanIndex#save]]d index. Meta read BY
     * NAME and validated loudly — a mutated/truncated meta fails here
-    * naming the field, not later as a wrong-width scrub. */
+    * naming the field, not later as a wrong-width scrub. A persisted
+    * Bloom filter (saved with `bloomFpp > 0`) loads with the index and
+    * serves every Bloom scrub aggregate-free. */
   def load(spark: SparkSession, dir: String): SpanIndex = {
     val metaDf = spark.read.parquet(s"$dir/meta")
     require(metaDf.columns.contains("span_n"),
       s"SpanIndex.load: $dir/meta is missing field span_n — not a saved " +
         s"SpanIndex (have: ${metaDf.columns.mkString(", ")})")
-    val n = metaDf.head.getAs[Int]("span_n")
+    val meta = metaDf.head
+    val n = meta.getAs[Int]("span_n")
     require(n >= 2,
       s"SpanIndex.load: $dir/meta has invalid span_n = $n — corrupt meta")
     val grams = spark.read.parquet(s"$dir/grams")
     require(grams.columns.contains("gram"),
       s"SpanIndex.load: $dir/grams has no gram column " +
         s"(have: ${grams.columns.mkString(", ")})")
-    SpanIndex(grams.select("gram"), n)
+    // bloom_fpp is absent from pre-Bloom saves — treat as no filter
+    val fpp =
+      if (metaDf.columns.contains("bloom_fpp")) meta.getAs[Double]("bloom_fpp") else 0.0
+    val bloom =
+      if (fpp <= 0.0) None
+      else {
+        val path = new org.apache.hadoop.fs.Path(s"$dir/bloom/filter.bin")
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(path),
+          s"SpanIndex.load: $dir/meta records bloom_fpp = $fpp but " +
+            s"$dir/bloom/filter.bin is missing — corrupt index")
+        val in = fs.open(path)
+        try Some((fpp, BloomFilter.readFrom(in))) finally in.close()
+      }
+    SpanIndex(grams.select("gram"), n, bloom)
   }
 }

@@ -93,6 +93,13 @@ class Bm25Spec extends SparkSpec {
     val loaded = Bm25.Bm25Index.load(spark, dir)
     assert(loaded.idCol == "doc_id")
     assert(norm(loaded.topK(qs, "query_id", "qtext", k = 10)) == adhoc)
+    // meta mutation (the LshIndex.load discipline): dropping a field
+    // must fail at load naming it, not serve wrong idf statistics
+    import spark.implicits._
+    Seq((loaded.nDocs, "doc_id")).toDF("n_docs", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] { Bm25.Bm25Index.load(spark, dir) }
+    assert(e.getMessage.contains("sum_dl"))
   }
 
   test("append(A, B) equals build(A ∪ B): stats, df table, and scores") {

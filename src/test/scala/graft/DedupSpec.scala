@@ -422,6 +422,42 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("span_n"))
   }
 
+  test("SpanIndex persisted Bloom: save(fpp) -> load serves the filter aggregate-free and scrubs identically") {
+    import graft.operators.SpanIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val idx = SpanIndex.build(corpus, "text", n = 8)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    val exact = rows(idx.scrub(probe, "text", "doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("spanidx_bloom").toString
+    idx.save(dir, bloomFpp = 1e-8)
+    val re = SpanIndex.load(spark, dir)
+    // the filter rides the index: Bloom scrubs serve from the SAVED
+    // bytes (no per-session aggregate), and at fpp 1e-8 the result
+    // equals the exact join (same law the ad-hoc Bloom branch is
+    // pinned by)
+    assert(re.bloom.exists(_._1 == 1e-8))
+    assert(rows(re.scrub(probe, "text", "doc_id", bloomFpp = 1e-3)) == exact)
+    // a bloomless save loads with no filter and still Bloom-scrubs by
+    // building the filter per session
+    val dir2 = java.nio.file.Files.createTempDirectory("spanidx_nobloom").toString
+    idx.save(dir2)
+    val re2 = SpanIndex.load(spark, dir2)
+    assert(re2.bloom.isEmpty)
+    assert(rows(re2.scrub(probe, "text", "doc_id", bloomFpp = 1e-8)) == exact)
+    // append drops the carried filter (it describes the old gram set)
+    assert(re.append(probe, "text").bloom.isEmpty)
+    // a meta recording a filter whose bytes are gone must fail loudly
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bloom"), true)
+    val e = intercept[IllegalArgumentException] { SpanIndex.load(spark, dir) }
+    assert(e.getMessage.contains("bloom"))
+  }
+
   test("LshIndex.load: a mutated meta fails loudly, naming the missing field") {
     import graft.operators.LshIndex
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(32)

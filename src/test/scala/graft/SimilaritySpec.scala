@@ -109,6 +109,13 @@ class SimilaritySpec extends SparkSpec {
     assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
     assert(res(loaded.topK(batch1, "embedding", "vec_id", k = 10, nprobe = 4)) ==
       res(idx.topK(batch1, "embedding", "vec_id", k = 10, nprobe = 4)))
+    // centroid-table mutation (the LshIndex.load discipline): a renamed
+    // field must fail at load naming it, not swap cell ids for coords
+    import spark.implicits._
+    Seq((0, Seq(0.0))).toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val e = intercept[IllegalArgumentException] { IvfIndex.load(spark, dir) }
+    assert(e.getMessage.contains("cell"))
   }
 
   test("IvfIndex.append: frozen-quantizer growth; exact at nprobe = nlist") {
