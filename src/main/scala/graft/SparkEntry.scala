@@ -81,6 +81,14 @@ object SparkEntry {
   private def oracleSidePath(name: String): String =
     s"/root/repo/data/oracle_side/sf0.01/$name/*.parquet"
 
+  /** q_mixture_select's target composition (50/20/20/10 en/es/de/fr;
+    * zh deliberately unweighted → dropped, exercising the "a mix is a
+    * contract" semantics). The oracle SQL embeds these same literals
+    * and re-derives every threshold from the observed counts, so the
+    * weights live here once, next to the SQL that mirrors them. */
+  private val MixtureWeights: Map[String, Double] =
+    Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1-family vertical aggregation over a scan (S1/P1) ----
@@ -1585,6 +1593,23 @@ object SparkEntry {
         .toFrame(s).orderBy("feature")
     }),
 
+    // ---- model-stage FILTERING end-to-end, zero side tables: fit the
+    //      one-step model on the corpus split, score EVERY doc with the
+    //      codegen'd linear score, keep η ≥ 0 — the full FineWeb-style
+    //      classifier filter whose model the oracle derives itself
+    //      (weights bit-identical via the fit1 replay, scoring the same
+    //      IEEE sequence, null text → null η → dropped like every
+    //      null-drop gate). ----
+    "q_quality_filter1" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val train = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("label",
+          (graft.functions.TextFunctions.tokenCount(col("text")) >= 40).cast("int"))
+      val m = graft.operators.QualityClassifier.fit(train, "text", "label", iters = 1)
+      docs.where(m.linearScore(col("text")) >= 0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "q_blocklist_filter" -> ((s, dir) => {
       val d = col("doc_id").cast("string")
       val host = concat(lit("h"), d, lit(".site"),
@@ -1683,6 +1708,42 @@ object SparkEntry {
         alpha = 0.5)
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+
+    // ---- EXPLICIT-target corpus mixing (The Pile / DoReMi static
+    //      reweighting: the caller dictates the composition): thin to
+    //      50/20/20/10 en/es/de/fr, binding group whole, zh unweighted
+    //      → dropped. FULL-replay oracle — unlike temperatureMix's
+    //      embedded thresholds, every threshold re-derives in SQL from
+    //      the observed counts and the weight literals (pinned IEEE
+    //      order: z in sorted-key order, ratio n/(w/z), binding by
+    //      (v, g) min, floor(r·2^60) exact because ·2^60 only shifts
+    //      the exponent). ----
+    "q_mixture_select" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSelect(
+        documents(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        MixtureWeights)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ---- the Gopher rule-set page filter (Rae et al. 2021 appendix
+    //      A1.1.1): word count, mean word length, symbol-to-word
+    //      ratios, bullet/ellipsis line shares, alphabetic-word ratio,
+    //      stop-word presence — ALL ratio rules cross-multiplied into
+    //      integer comparisons, so the decision is float-free and the
+    //      oracle replays it exactly. minWords/stop list tuned to the
+    //      synthetic corpus shape (30 words; {the, a} both required)
+    //      so the gate actually splits; every other threshold is the
+    //      published default. ----
+    "q_gopher_filter" -> ((s, dir) => {
+      val stop = Seq("the", "a")
+      documents(s, dir)
+        .where(graft.functions.TextFunctions.gopherRules(col("text"),
+          minWords = 30, stopWords = stop, minStopHits = 2))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherStats(col("text"), stop)
+            .getField("n_words").as("n_words"))
+        .orderBy("doc_id")
+    }),
 
     // ---- real BPE subword tokenization (Sennrich/GPT-2 recipe): fit
     //      merges on the corpus' bounded word-frequency table (driver
@@ -1990,6 +2051,106 @@ object SparkEntry {
       // the index's Bloom branch at fpp 1e-8 == the exact path
       "q_span_index_bloom" -> base("q_dedup_spans_incremental"))
   }
+
+  /** The one-Newton-step fit replay as a WITH-clause body (f → lab →
+    * agg → ridge → (i,j,v) matrix → partially-pivoted elimination →
+    * back-substituted x0..x3), parameterized by the training-rows
+    * predicate — shared by q_quality_fit1 (weights output) and
+    * q_quality_filter1 (scoring + filter output). The CTE chain is the
+    * SAME IEEE operation sequence the Spark fit runs, so x0..x3 are
+    * bit-identical to Model(intercept, weights). */
+  private def fit1OracleCtes(trainWhere: String): String =
+    s"""WITH f AS (SELECT
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS f0r,
+        |  CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE len(list_filter(string_split(lower(text), ' '),
+        |              x -> x <> '' AND list_contains([${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}], x)))::DOUBLE
+        |            / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |  END AS f1r,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), t -> length(t)))::DOUBLE
+        |            / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |  END AS f2r
+        | FROM documents$trainWhere),
+        |lab AS (SELECT
+        |  CASE WHEN f0r >= 40 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+        |  COALESCE(f0r, 0.0) AS f0, COALESCE(f1r, 0.0) AS f1, COALESCE(f2r, 0.0) AS f2
+        | FROM f WHERE f0r IS NOT NULL),
+        |agg AS MATERIALIZED (SELECT
+        |  CAST(SUM(CAST(0.25 * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS a00,
+        |  CAST(SUM(CAST(0.25 * 1.0 * f0 AS DECIMAL(38,6))) AS DOUBLE) AS a01,
+        |  CAST(SUM(CAST(0.25 * 1.0 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a02,
+        |  CAST(SUM(CAST(0.25 * 1.0 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a03,
+        |  CAST(SUM(CAST(0.25 * f0 * f0 AS DECIMAL(38,6))) AS DOUBLE) AS a11,
+        |  CAST(SUM(CAST(0.25 * f0 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a12,
+        |  CAST(SUM(CAST(0.25 * f0 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a13,
+        |  CAST(SUM(CAST(0.25 * f1 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a22,
+        |  CAST(SUM(CAST(0.25 * f1 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a23,
+        |  CAST(SUM(CAST(0.25 * f2 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a33,
+        |  CAST(SUM(CAST((y - 0.5) * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS g0,
+        |  CAST(SUM(CAST((y - 0.5) * f0 AS DECIMAL(38,6))) AS DOUBLE) AS g1,
+        |  CAST(SUM(CAST((y - 0.5) * f1 AS DECIMAL(38,6))) AS DOUBLE) AS g2,
+        |  CAST(SUM(CAST((y - 0.5) * f2 AS DECIMAL(38,6))) AS DOUBLE) AS g3
+        | FROM lab),
+        |rdg AS (SELECT a00, a01, a02, a03,
+        |  a11 + CAST(0.1 AS DOUBLE) AS a11, a12, a13,
+        |  a22 + CAST(0.1 AS DOUBLE) AS a22, a23,
+        |  a33 + CAST(0.1 AS DOUBLE) AS a33,
+        |  g0, g1, g2, g3 FROM agg),
+        |mat AS MATERIALIZED (
+        |  SELECT 0 AS i, 0 AS j, a00 AS v FROM rdg UNION ALL
+        |  SELECT 0, 1, a01 FROM rdg UNION ALL SELECT 0, 2, a02 FROM rdg UNION ALL
+        |  SELECT 0, 3, a03 FROM rdg UNION ALL SELECT 0, 4, g0 FROM rdg UNION ALL
+        |  SELECT 1, 0, a01 FROM rdg UNION ALL SELECT 1, 1, a11 FROM rdg UNION ALL
+        |  SELECT 1, 2, a12 FROM rdg UNION ALL SELECT 1, 3, a13 FROM rdg UNION ALL
+        |  SELECT 1, 4, g1 FROM rdg UNION ALL
+        |  SELECT 2, 0, a02 FROM rdg UNION ALL SELECT 2, 1, a12 FROM rdg UNION ALL
+        |  SELECT 2, 2, a22 FROM rdg UNION ALL SELECT 2, 3, a23 FROM rdg UNION ALL
+        |  SELECT 2, 4, g2 FROM rdg UNION ALL
+        |  SELECT 3, 0, a03 FROM rdg UNION ALL SELECT 3, 1, a13 FROM rdg UNION ALL
+        |  SELECT 3, 2, a23 FROM rdg UNION ALL SELECT 3, 3, a33 FROM rdg UNION ALL
+        |  SELECT 3, 4, g3 FROM rdg),
+        |p0 AS (SELECT i AS piv FROM mat WHERE j = 0 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s0 AS (SELECT CASE WHEN m.i = 0 THEN p0.piv WHEN m.i = p0.piv THEN 0 ELSE m.i END AS i,
+        |              m.j, m.v FROM mat m, p0),
+        |e0 AS MATERIALIZED (SELECT r.i, r.j,
+        |         CASE WHEN r.i > 0 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
+        |       FROM s0 r
+        |       JOIN s0 pv ON pv.i = 0 AND pv.j = r.j
+        |       JOIN s0 fv ON fv.i = r.i AND fv.j = 0
+        |       JOIN s0 dv ON dv.i = 0 AND dv.j = 0),
+        |p1 AS (SELECT i AS piv FROM e0 WHERE j = 1 AND i >= 1 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s1 AS (SELECT CASE WHEN e.i = 1 THEN p1.piv WHEN e.i = p1.piv THEN 1 ELSE e.i END AS i,
+        |              e.j, e.v FROM e0 e, p1),
+        |e1 AS MATERIALIZED (SELECT r.i, r.j,
+        |         CASE WHEN r.i > 1 AND r.j >= 1 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
+        |       FROM s1 r
+        |       JOIN s1 pv ON pv.i = 1 AND pv.j = r.j
+        |       JOIN s1 fv ON fv.i = r.i AND fv.j = 1
+        |       JOIN s1 dv ON dv.i = 1 AND dv.j = 1),
+        |p2 AS (SELECT i AS piv FROM e1 WHERE j = 2 AND i >= 2 ORDER BY abs(v) DESC, i LIMIT 1),
+        |s2 AS (SELECT CASE WHEN e.i = 2 THEN p2.piv WHEN e.i = p2.piv THEN 2 ELSE e.i END AS i,
+        |              e.j, e.v FROM e1 e, p2),
+        |e2 AS MATERIALIZED (SELECT r.i, r.j,
+        |         CASE WHEN r.i > 2 AND r.j >= 2 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
+        |       FROM s2 r
+        |       JOIN s2 pv ON pv.i = 2 AND pv.j = r.j
+        |       JOIN s2 fv ON fv.i = r.i AND fv.j = 2
+        |       JOIN s2 dv ON dv.i = 2 AND dv.j = 2),
+        |x3 AS (SELECT (SELECT v FROM e2 WHERE i = 3 AND j = 4)
+        |            / (SELECT v FROM e2 WHERE i = 3 AND j = 3) AS w),
+        |x2 AS (SELECT ((SELECT v FROM e2 WHERE i = 2 AND j = 4)
+        |             - (SELECT v FROM e2 WHERE i = 2 AND j = 3) * (SELECT w FROM x3))
+        |            / (SELECT v FROM e2 WHERE i = 2 AND j = 2) AS w),
+        |x1 AS (SELECT (((SELECT v FROM e2 WHERE i = 1 AND j = 4)
+        |              - (SELECT v FROM e2 WHERE i = 1 AND j = 2) * (SELECT w FROM x2))
+        |              - (SELECT v FROM e2 WHERE i = 1 AND j = 3) * (SELECT w FROM x3))
+        |            / (SELECT v FROM e2 WHERE i = 1 AND j = 1) AS w),
+        |x0 AS (SELECT ((((SELECT v FROM e2 WHERE i = 0 AND j = 4)
+        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 1) * (SELECT w FROM x1))
+        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 2) * (SELECT w FROM x2))
+        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 3) * (SELECT w FROM x3))
+        |            / (SELECT v FROM e2 WHERE i = 0 AND j = 0) AS w)""".stripMargin
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -3527,6 +3688,72 @@ object SparkEntry {
         |  WHEN 'zh' THEN 1065023265662834428 END
         |ORDER BY doc_id""".stripMargin,
 
+    // FULL-replay mixture oracle: every per-group threshold re-derives
+    // in SQL from the observed counts and the weight literals in the
+    // SAME IEEE sequence mixtureThresholds runs — z as the left-assoc
+    // double sum in sorted-key order, ratio n/(w/z), binding by
+    // (ratio, group) min, keep rate (m*(w/z))/n, floor(r*2^60) exact in
+    // double (power-of-two scaling only shifts the exponent; floor of
+    // any double is exactly representable). zh carries no weight, so
+    // the inner threshold join drops it — "a mix is a contract".
+    "q_mixture_select" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |wts AS (SELECT * FROM (VALUES
+        |    ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+        |    ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))) AS t(lang, wt)),
+        |zz AS (SELECT ((CAST(0.2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |               + CAST(0.2 AS DOUBLE)) + CAST(0.1 AS DOUBLE) AS z),
+        |rat AS (SELECT c.lang, c.n, w.wt,
+        |    CAST(c.n AS DOUBLE) / (w.wt / zz.z) AS ratio
+        |  FROM cnt c JOIN wts w USING (lang), zz),
+        |b AS (SELECT lang AS bg, ratio AS m FROM rat ORDER BY ratio, lang LIMIT 1),
+        |th AS (SELECT r.lang,
+        |    CASE WHEN r.lang = b.bg THEN CAST(1152921504606846976 AS BIGINT)
+        |         ELSE CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |                b.m * (r.wt / zz.z) / CAST(r.n AS DOUBLE))
+        |              * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT) END AS t
+        |  FROM rat r, b, zz),
+        |h AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h JOIN th USING (lang) WHERE hh < th.t
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gopher rule replay: every count is exact integer arithmetic over
+    // the same tokenization (split on ' ', empties dropped; lines on
+    // chr(10)) and every ratio rule is the same cross-multiplied
+    // integer comparison — no floating point anywhere in the decision,
+    // so the survivor set matches bit-for-bit. The '...' count divides
+    // exactly by 3 (each left-to-right match removes 3 chars, and
+    // plain replace scans left-to-right like the regexp engine).
+    "q_gopher_filter" ->
+      """WITH st AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS lowtoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS word_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |        l -> list_contains(['-', '*', '•'], substring(ltrim(l), 1, 1)))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the', 'a'], w -> list_contains(lowtoks, w))) AS BIGINT) AS n_stop_hits
+        |  FROM st)
+        |SELECT doc_id, n_words FROM c
+        |WHERE n_words >= 30 AND n_words <= 100000
+        |  AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        |  AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+        |  AND n_bullet_lines * 10 <= n_lines * 9
+        |  AND n_ellipsis_lines * 10 <= n_lines * 3
+        |  AND n_alpha_words * 5 >= n_words * 4
+        |  AND n_stop_hits >= 2
+        |ORDER BY doc_id""".stripMargin,
+
     // Partial oracle (fitted side table, the q_deseq2_wald pattern):
     // the ranked merge list is read back and the FULL apply path
     // replays — normalize + word split, then the greedy per-word BPE
@@ -3712,103 +3939,36 @@ object SparkEntry {
     // tie-break, augmented column j=4) — plain IEEE +,-,*,/ in the
     // identical order, so the weights are bit-identical, not just close.
     "q_quality_fit1" ->
-      s"""WITH f AS (SELECT
-        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS f0r,
-        |  CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) = 0 THEN 0.0
-        |       ELSE len(list_filter(string_split(lower(text), ' '),
-        |              x -> x <> '' AND list_contains([${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}], x)))::DOUBLE
-        |            / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-        |  END AS f1r,
-        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
-        |       ELSE list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), t -> length(t)))::DOUBLE
-        |            / len(list_filter(string_split(text, ' '), x -> x <> ''))
-        |  END AS f2r
-        | FROM documents),
-        |lab AS (SELECT
-        |  CASE WHEN f0r >= 40 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
-        |  COALESCE(f0r, 0.0) AS f0, COALESCE(f1r, 0.0) AS f1, COALESCE(f2r, 0.0) AS f2
-        | FROM f WHERE f0r IS NOT NULL),
-        |agg AS MATERIALIZED (SELECT
-        |  CAST(SUM(CAST(0.25 * 1.0 * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS a00,
-        |  CAST(SUM(CAST(0.25 * 1.0 * f0 AS DECIMAL(38,6))) AS DOUBLE) AS a01,
-        |  CAST(SUM(CAST(0.25 * 1.0 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a02,
-        |  CAST(SUM(CAST(0.25 * 1.0 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a03,
-        |  CAST(SUM(CAST(0.25 * f0 * f0 AS DECIMAL(38,6))) AS DOUBLE) AS a11,
-        |  CAST(SUM(CAST(0.25 * f0 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a12,
-        |  CAST(SUM(CAST(0.25 * f0 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a13,
-        |  CAST(SUM(CAST(0.25 * f1 * f1 AS DECIMAL(38,6))) AS DOUBLE) AS a22,
-        |  CAST(SUM(CAST(0.25 * f1 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a23,
-        |  CAST(SUM(CAST(0.25 * f2 * f2 AS DECIMAL(38,6))) AS DOUBLE) AS a33,
-        |  CAST(SUM(CAST((y - 0.5) * 1.0 AS DECIMAL(38,6))) AS DOUBLE) AS g0,
-        |  CAST(SUM(CAST((y - 0.5) * f0 AS DECIMAL(38,6))) AS DOUBLE) AS g1,
-        |  CAST(SUM(CAST((y - 0.5) * f1 AS DECIMAL(38,6))) AS DOUBLE) AS g2,
-        |  CAST(SUM(CAST((y - 0.5) * f2 AS DECIMAL(38,6))) AS DOUBLE) AS g3
-        | FROM lab),
-        |rdg AS (SELECT a00, a01, a02, a03,
-        |  a11 + CAST(0.1 AS DOUBLE) AS a11, a12, a13,
-        |  a22 + CAST(0.1 AS DOUBLE) AS a22, a23,
-        |  a33 + CAST(0.1 AS DOUBLE) AS a33,
-        |  g0, g1, g2, g3 FROM agg),
-        |mat AS MATERIALIZED (
-        |  SELECT 0 AS i, 0 AS j, a00 AS v FROM rdg UNION ALL
-        |  SELECT 0, 1, a01 FROM rdg UNION ALL SELECT 0, 2, a02 FROM rdg UNION ALL
-        |  SELECT 0, 3, a03 FROM rdg UNION ALL SELECT 0, 4, g0 FROM rdg UNION ALL
-        |  SELECT 1, 0, a01 FROM rdg UNION ALL SELECT 1, 1, a11 FROM rdg UNION ALL
-        |  SELECT 1, 2, a12 FROM rdg UNION ALL SELECT 1, 3, a13 FROM rdg UNION ALL
-        |  SELECT 1, 4, g1 FROM rdg UNION ALL
-        |  SELECT 2, 0, a02 FROM rdg UNION ALL SELECT 2, 1, a12 FROM rdg UNION ALL
-        |  SELECT 2, 2, a22 FROM rdg UNION ALL SELECT 2, 3, a23 FROM rdg UNION ALL
-        |  SELECT 2, 4, g2 FROM rdg UNION ALL
-        |  SELECT 3, 0, a03 FROM rdg UNION ALL SELECT 3, 1, a13 FROM rdg UNION ALL
-        |  SELECT 3, 2, a23 FROM rdg UNION ALL SELECT 3, 3, a33 FROM rdg UNION ALL
-        |  SELECT 3, 4, g3 FROM rdg),
-        |p0 AS (SELECT i AS piv FROM mat WHERE j = 0 ORDER BY abs(v) DESC, i LIMIT 1),
-        |s0 AS (SELECT CASE WHEN m.i = 0 THEN p0.piv WHEN m.i = p0.piv THEN 0 ELSE m.i END AS i,
-        |              m.j, m.v FROM mat m, p0),
-        |e0 AS MATERIALIZED (SELECT r.i, r.j,
-        |         CASE WHEN r.i > 0 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
-        |       FROM s0 r
-        |       JOIN s0 pv ON pv.i = 0 AND pv.j = r.j
-        |       JOIN s0 fv ON fv.i = r.i AND fv.j = 0
-        |       JOIN s0 dv ON dv.i = 0 AND dv.j = 0),
-        |p1 AS (SELECT i AS piv FROM e0 WHERE j = 1 AND i >= 1 ORDER BY abs(v) DESC, i LIMIT 1),
-        |s1 AS (SELECT CASE WHEN e.i = 1 THEN p1.piv WHEN e.i = p1.piv THEN 1 ELSE e.i END AS i,
-        |              e.j, e.v FROM e0 e, p1),
-        |e1 AS MATERIALIZED (SELECT r.i, r.j,
-        |         CASE WHEN r.i > 1 AND r.j >= 1 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
-        |       FROM s1 r
-        |       JOIN s1 pv ON pv.i = 1 AND pv.j = r.j
-        |       JOIN s1 fv ON fv.i = r.i AND fv.j = 1
-        |       JOIN s1 dv ON dv.i = 1 AND dv.j = 1),
-        |p2 AS (SELECT i AS piv FROM e1 WHERE j = 2 AND i >= 2 ORDER BY abs(v) DESC, i LIMIT 1),
-        |s2 AS (SELECT CASE WHEN e.i = 2 THEN p2.piv WHEN e.i = p2.piv THEN 2 ELSE e.i END AS i,
-        |              e.j, e.v FROM e1 e, p2),
-        |e2 AS MATERIALIZED (SELECT r.i, r.j,
-        |         CASE WHEN r.i > 2 AND r.j >= 2 THEN r.v - (fv.v / dv.v) * pv.v ELSE r.v END AS v
-        |       FROM s2 r
-        |       JOIN s2 pv ON pv.i = 2 AND pv.j = r.j
-        |       JOIN s2 fv ON fv.i = r.i AND fv.j = 2
-        |       JOIN s2 dv ON dv.i = 2 AND dv.j = 2),
-        |x3 AS (SELECT (SELECT v FROM e2 WHERE i = 3 AND j = 4)
-        |            / (SELECT v FROM e2 WHERE i = 3 AND j = 3) AS w),
-        |x2 AS (SELECT ((SELECT v FROM e2 WHERE i = 2 AND j = 4)
-        |             - (SELECT v FROM e2 WHERE i = 2 AND j = 3) * (SELECT w FROM x3))
-        |            / (SELECT v FROM e2 WHERE i = 2 AND j = 2) AS w),
-        |x1 AS (SELECT (((SELECT v FROM e2 WHERE i = 1 AND j = 4)
-        |              - (SELECT v FROM e2 WHERE i = 1 AND j = 2) * (SELECT w FROM x2))
-        |              - (SELECT v FROM e2 WHERE i = 1 AND j = 3) * (SELECT w FROM x3))
-        |            / (SELECT v FROM e2 WHERE i = 1 AND j = 1) AS w),
-        |x0 AS (SELECT ((((SELECT v FROM e2 WHERE i = 0 AND j = 4)
-        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 1) * (SELECT w FROM x1))
-        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 2) * (SELECT w FROM x2))
-        |               - (SELECT v FROM e2 WHERE i = 0 AND j = 3) * (SELECT w FROM x3))
-        |            / (SELECT v FROM e2 WHERE i = 0 AND j = 0) AS w)
+      (fit1OracleCtes("") + """
         |SELECT * FROM (
         |  SELECT '__intercept' AS feature, (SELECT w FROM x0) AS weight
         |  UNION ALL SELECT 'n_tokens', (SELECT w FROM x1)
         |  UNION ALL SELECT 'stopword_ratio', (SELECT w FROM x2)
         |  UNION ALL SELECT 'mean_token_len', (SELECT w FROM x3))
-        |ORDER BY feature""".stripMargin,
+        |ORDER BY feature""".stripMargin),
+
+    // Model-stage FILTERING end-to-end with zero side tables: the model
+    // fits (one replayable Newton step) on the corpus split, every doc
+    // scores through the same IEEE sequence (b + w0*f0 + w1*f1 + w2*f2,
+    // null text -> null eta -> dropped, like the engine's null-drop
+    // gates), and only eta >= 0 survives.
+    "q_quality_filter1" ->
+      (fit1OracleCtes(" WHERE doc_id % 7 <> 0") + s""",
+        |sc AS (SELECT doc_id,
+        |  (SELECT w FROM x0)
+        |    + (SELECT w FROM x1) * len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+        |    + (SELECT w FROM x2) * (CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(lower(text), ' '),
+        |                x -> x <> '' AND list_contains([${graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")}], x)))::DOUBLE
+        |              / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |         END)
+        |    + (SELECT w FROM x3) * (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), t -> length(t)))::DOUBLE
+        |              / len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |         END) AS eta
+        | FROM documents)
+        |SELECT doc_id FROM sc WHERE eta >= 0
+        |ORDER BY doc_id""".stripMargin),
 
     // Survivors derived independently: token hit via list_has_any over
     // the same canonical tokens, domain hit by the id arithmetic that

@@ -269,6 +269,154 @@ object TextFunctions {
       array(words.map(w => lit(w.trim.toLowerCase)): _*))
   }
 
+  /** The Gopher quality-rule stop words (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1.1 MassiveWeb filters): a page must contain
+    * at least two of these to pass the stop-word rule. */
+  val GopherStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The raw per-document counts behind [[gopherRules]], as one struct
+    * (single codegen'd pass — callers project fields for audit
+    * dashboards without re-running the tokenizer):
+    * n_words / word_chars (whitespace words, total characters),
+    * n_hash / n_ellipsis (occurrences of `#` and `...`),
+    * n_lines / n_bullet_lines / n_ellipsis_lines (newline-split lines;
+    * a bullet line starts with `-`, `*` or `•` after left-trim; an
+    * ellipsis line ends with `...` after right-trim),
+    * n_alpha_words (words containing at least one ASCII letter),
+    * n_stop_hits (how many DISTINCT words of `stopWords` appear in the
+    * lowercased word stream).
+    *
+    * Every count is exact integer arithmetic (no division anywhere), so
+    * an external engine reproduces the rule decisions bit-for-bit —
+    * the oracle story. Null text yields a null struct. */
+  def gopherStats(c: Column,
+      stopWords: Seq[String] = GopherStopwords): Column = {
+    val toks = tokens(c)
+    val lowToks = tokens(lower(c))
+    val lines = split(c, "\n")
+    // struct() of null fields is a NON-null struct — guard explicitly
+    // so null text gate-drops as one null value, not nine
+    when(c.isNotNull, struct(
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .as("word_chars"),
+      (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
+        .as("n_hash"),
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", "")))
+        .cast("long") / lit(3L)).cast("long").as("n_ellipsis"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+        .as("n_bullet_lines"),
+      size(filter(lines, l => endswith(rtrim(l), lit("...")))).cast("long")
+        .as("n_ellipsis_lines"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      size(filter(array(stopWords.map(lit): _*),
+        w => array_contains(lowToks, w))).cast("long").as("n_stop_hits")))
+  }
+
+  /** The Gopher rule-set page filter (Rae et al. 2021 appendix
+    * A1.1.1), faithful to the published thresholds (the defaults) but
+    * parameterizable: TRUE iff
+    *   - word count ∈ [minWords, maxWords]           (default 50–100,000)
+    *   - mean word length ∈ [minMeanWordLen, maxMeanWordLen] (3–10 chars)
+    *   - symbol-to-word ratio ≤ 0.1 for `#` AND for `...`
+    *   - ≤ 90% of lines start with a bullet point
+    *   - ≤ 30% of lines end with an ellipsis
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ `minStopHits` distinct stop words appear   (default 2)
+    *
+    * All ratio rules are cross-multiplied into integer comparisons
+    * (`n_hash·10 ≤ n_words`, `word_chars ≥ 3·n_words`, …) so the
+    * decision involves NO floating point at all — exact at any scale
+    * and byte-reproducible by any engine. Pure codegen'd predicate;
+    * null text yields null (dropped by `where`, like every gate). */
+  def gopherRules(c: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10,
+      stopWords: Seq[String] = GopherStopwords,
+      minStopHits: Int = 2): Column = {
+    val st = gopherStats(c, stopWords)
+    val w = st.getField("n_words")
+    val chars = st.getField("word_chars")
+    val nl = st.getField("n_lines")
+    (w >= minWords) && (w <= maxWords) &&
+      (chars >= lit(minMeanWordLen.toLong) * w) &&
+      (chars <= lit(maxMeanWordLen.toLong) * w) &&
+      (st.getField("n_hash") * 10 <= w) &&
+      (st.getField("n_ellipsis") * 10 <= w) &&
+      (st.getField("n_bullet_lines") * 10 <= nl * 9) &&
+      (st.getField("n_ellipsis_lines") * 10 <= nl * 3) &&
+      (st.getField("n_alpha_words") * 5 >= w * 4) &&
+      (st.getField("n_stop_hits") >= minStopHits)
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2 heuristics — the line-scoped subset): a line survives iff
+    *   - it ends in a terminal punctuation mark (`.` `!` `?` `"`)
+    *     after right-trim,
+    *   - it has at least `minLineWords` whitespace words (paper: 3),
+    *   - it contains none of `dropMarkers` case-insensitively
+    *     (paper: the word "javascript" — cookie/JS boilerplate).
+    * Surviving lines rejoin with their original newlines; a fully
+    * boilerplate page becomes the empty string (compose
+    * [[c4PageRules]], which rejects it). Pure codegen'd split →
+    * filter → array_join over exact string ops — the DuckDB oracle
+    * replays it byte-for-byte. Null text stays null. */
+  def c4CleanLines(c: Column, minLineWords: Int = 3,
+      dropMarkers: Seq[String] = Seq("javascript")): Column =
+    array_join(
+      filter(split(c, "\n"), l =>
+        dropMarkers.foldLeft(
+          (endswith(rtrim(l), lit(".")) || endswith(rtrim(l), lit("!")) ||
+            endswith(rtrim(l), lit("?")) || endswith(rtrim(l), lit("\""))) &&
+            (size(filter(split(l, " "), w => w =!= "")) >= minLineWords)
+        )((acc, m) => acc && !contains(lower(l), lit(m.toLowerCase)))),
+      "\n")
+
+  /** The C4 page-scoped rules (Raffel et al. 2020 §2.2) over an
+    * already-line-cleaned page: TRUE iff
+    *   - the page does NOT contain "lorem ipsum" (case-insensitive),
+    *   - the page does NOT contain a curly bracket `{` (code, not prose),
+    *   - the CLEANED page retains at least `minSentences` sentences
+    *     (paper: 5), counted as occurrences of `.` `!` `?` in the
+    *     cleaned text — every surviving line ends in one, so the count
+    *     lower-bounds lines and adds intra-line sentence breaks.
+    * `raw` is the original text (the lorem-ipsum/brace probes read the
+    * page as crawled — a brace stripped by line cleaning still marks
+    * the page as code-like); `cleaned` is [[c4CleanLines]]' output.
+    * Integer comparisons only — byte-replayable. Null raw yields null
+    * (gate-dropped). */
+  def c4PageRules(raw: Column, cleaned: Column,
+      minSentences: Int = 5): Column = {
+    val sentences =
+      (length(cleaned) - length(regexp_replace(cleaned, "[.!?]", "")))
+        .cast("long")
+    !contains(lower(raw), lit("lorem ipsum")) &&
+      !contains(raw, lit("{")) &&
+      (sentences >= minSentences)
+  }
+
+  /** Intra-document repeated-line scrub: keep the FIRST occurrence of
+    * each exact line within a document, preserving order (the
+    * within-page half of line dedup — crawlers duplicate nav blocks,
+    * headers, and cookie banners inside one page; the cross-corpus
+    * half is `Dedup.paragraphDedup`). Quadratic in the LINE count of
+    * one document (each line scans its predecessors) — lines per page
+    * are bounded small, and the expression stays codegen'd with zero
+    * shuffle, which beats an explode + window at any corpus size.
+    * Null text stays null; blank lines dedup like any other line. */
+  def dedupLinesWithin(c: Column): Column = {
+    val lines = split(c, "\n")
+    array_join(
+      filter(lines, (l, i) => not(array_contains(slice(lines, lit(1), i), l))),
+      "\n")
+  }
+
   /** Corpus-level n-gram frequency: occurrence counts of every word
     * n-gram across the corpus (docs shorter than n tokens contribute
     * nothing). The boilerplate census behind quality rules like "drop

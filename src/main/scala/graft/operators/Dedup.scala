@@ -958,4 +958,64 @@ object Dedup {
       .select(idCol)
     input.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** [[clusterDedup]] with a QUALITY-RANKED representative: keep, per
+    * near-dup family, the member with the HIGHEST `rankCol` value (ties
+    * → min id; null ranks lose to any non-null, tie-break again min
+    * id) instead of the min id. Real pipelines keep the best version
+    * of a duplicated page — the longest crawl, the highest quality
+    * score, the newest snapshot — not an arbitrary one; min-id is a
+    * determinism convention, rankCol is the curation policy.
+    *
+    * Scale shape: the family graph and the per-family argmax are both
+    * PAIR-sized (near-dup families only); the corpus-sized work is the
+    * same LSH banding [[clusterDedup]] pays plus one anti-join. The
+    * argmax is one partial-aggregated `max_by` over (rank, −id) — no
+    * window, no sort. Deterministic for any rankCol type with a total
+    * Catalyst ordering (numeric, string, timestamp). */
+  def clusterDedupBy(df: DataFrame, textCol: String, idCol: String,
+      rankCol: String, shingleK: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 8, jaccardThreshold: Double = 0.8): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(df)
+    val members = nearDupClusters(input, textCol, idCol, shingleK, bands,
+      rowsPerBand, jaccardThreshold)
+      .join(input.select(col(idCol), col(rankCol)), Seq(idCol))
+    // (rank IS NOT NULL, rank, −id) makes nulls lose under max_by's
+    // struct ordering without naming the rank type
+    val best = members.groupBy("cluster")
+      .agg(max_by(col(idCol), struct(col(rankCol).isNotNull,
+        col(rankCol), negate(col(idCol)))).as("__keep"))
+    val losers = members.join(best, Seq("cluster"))
+      .where(col(idCol) =!= col("__keep"))
+      .select(idCol)
+    input.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Contamination AUDIT report — the measurement half of
+    * [[decontaminate]] (which silently drops): per contaminated corpus
+    * doc, how many DISTINCT n-grams it shares with the benchmark
+    * (`n_hit_grams`) and how many DISTINCT benchmark docs those grams
+    * touch (`n_eval_docs`). The numbers a data card publishes and a
+    * release review reads — "dropped 1,204 docs, 9 eval items affected,
+    * worst doc overlapped 37 grams" — where a bare drop count hides
+    * whether contamination was one pasted question or wholesale leak.
+    *
+    * Shape: same broadcast discipline as [[contaminatedDocs]], but the
+    * eval side keeps (bench_id, gram) pairs — still eval-set-sized —
+    * so one gram hitting k eval docs counts k toward `n_eval_docs`
+    * via count-distinct. Clean docs are omitted (output is
+    * contamination-sized, not corpus-sized). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(array_distinct(
+            wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
+    val bench = grams(benchmark, "bench_id").distinct()
+    grams(corpus, idCol)
+      .join(broadcast(bench), Seq("__g"))
+      .groupBy(idCol).agg(
+        countDistinct(col("__g")).as("n_hit_grams"),
+        countDistinct(col("bench_id")).as("n_eval_docs"))
+  }
 }

@@ -212,6 +212,187 @@ object Sampling {
     }
   }
 
+  /** EXPLICIT-target corpus mixing ("make the mix 50% en, 20% es, 20%
+    * de, 10% fr"): thin each group so the output composition matches
+    * the caller's target weights in expectation, keeping the BINDING
+    * group — the one the targets exhaust first — whole, which yields
+    * the LARGEST corpus the target composition admits. The static-
+    * reweighting counterpart (The Pile / DoReMi-style fixed mixture
+    * weights) of [[temperatureMix]]'s power-law flattening: there the
+    * target shares derive from the observed counts (p_s ∝ n_s^α), here
+    * the caller dictates them outright.
+    *
+    * Groups absent from `weights` (or weighted 0) are DROPPED — a mix
+    * is a contract, not a suggestion; a weighted group absent from the
+    * data fails loud (the target composition is unattainable without
+    * it). Selection is the same engine-portable deterministic hash
+    * walk as [[temperatureMix]] against per-group integer thresholds
+    * (membership a pure function of (id, seed)); the keep filter is
+    * MAP-SIDE — one broadcast threshold join plus a comparison, no
+    * shuffle of the corpus, so the plan scales to any corpus size.
+    * Thinning is Bernoulli (expected counts, not exact) — compose
+    * [[quotaPerGroup]] when exact per-group counts matter.
+    *
+    * Every number in [[mixtureThresholds]] is plain IEEE arithmetic in
+    * a pinned evaluation order (z summed in sorted-key order, ratio
+    * n/(w/z), binding by (ratio, group) min, keep rate m·(w/z)/n,
+    * threshold floor(r·2⁶⁰) — exact because scaling a double by 2⁶⁰
+    * only shifts its exponent), so an external engine re-derives the
+    * thresholds from the observed counts and the weight literals alone
+    * — no fitted side table, full replay. */
+  def mixtureSelect(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val input = graft.core.CacheScope.retainInput(df)
+    val counts = input.groupBy(groupCol).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+    require(!counts.contains(null),
+      s"mixtureSelect: null values in group column '$groupCol' — coalesce them first")
+    require(counts.keys.map(_.toString).toSet.size == counts.size,
+      s"mixtureSelect: distinct '$groupCol' values collide on toString")
+    val ts = mixtureThresholds(
+      counts.map { case (g, n) => (g.toString, n) }, weights)
+    val spark = df.sparkSession
+    val gField = input.schema(groupCol)
+    import scala.jdk.CollectionConverters._
+    // only weighted groups ride in the threshold table; the inner join
+    // below drops unweighted groups with zero per-row work
+    val keep = counts.keys.filter(g => ts.contains(g.toString)).toSeq
+    val tdf = spark.createDataFrame(
+      keep.map(g => org.apache.spark.sql.Row(g, ts(g.toString))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        gField.copy(nullable = false),
+        org.apache.spark.sql.types.StructField("__t",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val h = graft.functions.TextFunctions.portableHash(
+      concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    input.join(broadcast(tdf), Seq(groupCol))
+      .where(h < col("__t"))
+      .drop("__t")
+  }
+
+  /** The per-group integer hash thresholds backing [[mixtureSelect]]:
+    * target share p_s = w_s/Σw (Σ in sorted-key order), output size
+    * M = min_s n_s/p_s (the largest corpus the composition admits,
+    * min by (value, group)), keep rate r_s = min(1, M·p_s/n_s) mapped
+    * to floor(r_s·2⁶⁰); the binding group's threshold is exactly 2⁶⁰
+    * (kept whole). Zero-weight groups are omitted (dropped rows);
+    * weighted groups missing from `counts` fail loud. */
+  def mixtureThresholds(counts: Map[String, Long],
+      weights: Map[String, Double]): Map[String, Long] = {
+    require(weights.nonEmpty, "need at least one target weight")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
+      "weights must be finite and non-negative")
+    val wpos = weights.filter(_._2 > 0)
+    require(wpos.nonEmpty, "need at least one positive target weight")
+    val missing = wpos.keySet.diff(counts.keySet)
+    require(missing.isEmpty,
+      s"mixtureSelect: weighted groups absent from the data " +
+        s"(target composition unattainable): ${missing.toSeq.sorted.mkString(", ")}")
+    require(counts.values.forall(_ > 0), "group counts must be positive")
+    val z = wpos.toSeq.sortBy(_._1).map(_._2).sum
+    val ratios = wpos.map { case (g, w) =>
+      (g, counts(g).toDouble / (w / z))
+    }
+    val binding = ratios.minBy { case (g, v) => (v, g) }._1
+    val m = ratios(binding)
+    val span = BigDecimal(2).pow(60)
+    wpos.map { case (g, w) =>
+      val r = if (g == binding) 1.0
+        else math.min(1.0, m * (w / z) / counts(g).toDouble)
+      (g, (BigDecimal(r) * span).setScale(0, BigDecimal.RoundingMode.FLOOR)
+        .toLong)
+    }
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): pick the `k` raw documents
+    * whose hashed-unigram distribution best resembles a TARGET corpus.
+    * The published recipe — hash every token into one of `buckets`
+    * buckets, fit Laplace-smoothed bucket distributions p (target) and
+    * q (raw), score each raw doc by its importance log-weight
+    * Σ_tokens log(p_b/q_b), keep the top-k — with the selection made
+    * deterministic (rank by weight, ties by id) rather than
+    * Gumbel-perturbed, so reruns and engines agree.
+    *
+    * The fitted model is the integer table [[dsirLogRatios]] returns:
+    * per-bucket log-ratios QUANTIZED to dyadic rationals
+    * m_b = floor(2²⁰·(ln p_b − ln q_b)), so a document's log-weight is
+    * the EXACT integer Σ m_{b(t)} (scaled by 2⁻²⁰ — a power of two, so
+    * the double `log_weight` column is exact too). Scoring is one
+    * codegen'd map-side fold per doc against a 64-entry literal map —
+    * no shuffle, no join; ranking is TakeOrdered (per-partition heap).
+    * The fit is two single-pass aggregates that reduce to ≤ `buckets`
+    * rows each. Nothing here grows with corpus size except the scans.
+    *
+    * Null-text docs score null and are excluded from the ranking (the
+    * null-drop convention of every quality gate). Output: the selected
+    * raw rows plus `log_weight`, ordered by (weight desc, id). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, k: Int, buckets: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m = dsirLogRatios(raw, target, textCol, buckets)
+    dsirScore(raw, textCol, m)
+      .where(col("__wnum").isNotNull)
+      .orderBy(col("__wnum").desc, col(idCol))
+      .limit(k)
+      .withColumn("log_weight",
+        col("__wnum").cast("double") / lit(1048576.0d))
+      .drop("__wnum")
+  }
+
+  /** The fitted DSIR model: for each of `buckets` hashed-token buckets,
+    * the quantized log-ratio m_b = floor(2²⁰·(ln((t_b+1)/(T+B)) −
+    * ln((r_b+1)/(R+B)))) of Laplace-smoothed target vs raw unigram
+    * probabilities. Tokens are the canonical normalized stream
+    * (lowercase, punctuation collapsed) hashed by the engine-portable
+    * md5 walk, so an external engine reproduces every bucket count;
+    * the ln calls are the ONE non-replayable step (last-ulp
+    * engine-specific), which the quantization freezes into plain
+    * integers — the same embed-the-fit oracle boundary as
+    * temperatureMix's pow. Every bucket gets an entry (smoothing covers
+    * empty ones), so scoring lookups never miss. */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 64): Map[Int, Long] = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalizeText(col(textCol)))).as("__t"))
+        .select(pmod(graft.functions.TextFunctions.portableHash(col("__t")),
+          lit(buckets.toLong)).cast("int").as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val rc = bucketCounts(raw)
+    val tc = bucketCounts(target)
+    val rTot = rc.values.sum.toDouble + buckets
+    val tTot = tc.values.sum.toDouble + buckets
+    (0 until buckets).map { b =>
+      val lr = math.log((tc.getOrElse(b, 0L) + 1L).toDouble / tTot) -
+        math.log((rc.getOrElse(b, 0L) + 1L).toDouble / rTot)
+      (b, math.floor(lr * 1048576.0d).toLong)
+    }.toMap
+  }
+
+  /** Map-side DSIR scoring: appends `__wnum` = Σ_tokens m_{bucket(t)}
+    * (exact integer; null text → null) against a literal bucket→m map.
+    * Exposed separately so a fitted model can score fresh batches
+    * (streaming ingestion) without refitting. */
+  def dsirScore(df: DataFrame, textCol: String,
+      logRatios: Map[Int, Long]): DataFrame = {
+    require(logRatios.nonEmpty, "empty model")
+    val buckets = logRatios.size
+    require((0 until buckets).forall(logRatios.contains),
+      s"model must cover buckets 0 until $buckets")
+    val mcol = map_from_arrays(
+      array((0 until buckets).map(b => lit(b)): _*),
+      array((0 until buckets).map(b => lit(logRatios(b))): _*))
+    val toks = graft.functions.TextFunctions.tokens(
+      graft.functions.TextFunctions.normalizeText(col(textCol)))
+    df.withColumn("__wnum",
+      aggregate(toks, lit(0L), (acc, t) => acc +
+        element_at(mcol, pmod(graft.functions.TextFunctions.portableHash(t),
+          lit(buckets.toLong)).cast("int"))))
+  }
+
   /** Deterministic weighted sample without replacement of exactly
     * min(k, n) rows (Efraimidis–Spirakis A-ES): each row draws
     * u = (portableHash(id:seed) + 1) / (2⁶⁰ + 1) ∈ (0, 1] and ranks by

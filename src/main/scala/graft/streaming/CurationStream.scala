@@ -185,13 +185,16 @@ object CurationStream {
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, decontamN: Int = 5,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): DataFrame = {
+      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0): DataFrame = {
     val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
       model, minModelScore)
     val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
-    val scrubbed = spanIndex.scrub(unique, textCol, idCol)
+    // spanBloomFpp > 0 takes the map-side Bloom branch; with a
+    // SpanIndex saved under a persisted filter it is aggregate-free
+    // (over-scrubs at <= fpp per gram, never under-scrubs)
+    val scrubbed = spanIndex.scrub(unique, textCol, idCol, spanBloomFpp)
       .withColumnRenamed("text", textCol)
     graft.operators.Dedup.decontaminate(scrubbed, evalSet, textCol, idCol, decontamN)
   }
@@ -284,12 +287,13 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id",
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): StreamingQuery =
+      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenV2FullyIndexed(batch, index, spanIndex, evalSet, textCol, idCol,
-          model = model, minModelScore = minModelScore))
+          model = model, minModelScore = minModelScore,
+          spanBloomFpp = spanBloomFpp))
       }
       .trigger(trigger)
       .start()

@@ -173,6 +173,62 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(2L, 3L), s"got $kept")
   }
 
+  test("clusterDedupBy: highest-rank member survives; ties and nulls fall back to min id") {
+    val docs = Seq(
+      (5L, "identical family text shared across documents", 10L),
+      (2L, "identical family text shared across documents", 30L),
+      (8L, "identical family text shared across documents", 30L),
+      (3L, "a singleton document that stays", 1L)).toDF("doc_id", "text", "n")
+    // rank 30 tie between 2 and 8 → min id 2 wins; singleton untouched
+    val kept = Dedup.clusterDedupBy(docs, "text", "doc_id", "n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"got $kept")
+    // a strictly larger rank beats a smaller id
+    val docs2 = docs.withColumn("n",
+      when(col("doc_id") === 8L, 99L).otherwise(col("n")))
+    val kept2 = Dedup.clusterDedupBy(docs2, "text", "doc_id", "n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 == Seq(3L, 8L), s"got $kept2")
+    // null ranks lose to any non-null; all-null family → min id
+    val docs3 = docs.withColumn("n",
+      when(col("doc_id") === 2L, lit(null).cast("long")).otherwise(col("n")))
+    val kept3 = Dedup.clusterDedupBy(docs3, "text", "doc_id", "n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept3 == Seq(3L, 8L), s"got $kept3") // 8 ranks 30, 5 ranks 10, 2 null
+    val docs4 = docs.withColumn("n", lit(null).cast("long"))
+    val kept4 = Dedup.clusterDedupBy(docs4, "text", "doc_id", "n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept4 == Seq(2L, 3L), s"got $kept4")
+    // partitioning invariance (the aggregate replaces a window)
+    val kept5 = Dedup.clusterDedupBy(docs2.repartition(7), "text", "doc_id", "n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept5 == kept2)
+  }
+
+  test("contaminationReport: per-doc gram and eval-doc counts; clean docs omitted") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),        // hits eval 100 (grams a..e, b..f? see below)
+      (2L, "alpha beta gamma delta epsilon eta"),         // hits eval 100 on one gram
+      (3L, "totally unrelated text with no overlap")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"),
+      (200L, "alpha beta gamma delta epsilon something else")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, eval, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 grams: [a b g d e], [b g d e z]; first hits BOTH eval docs,
+    // second hits eval 100 only
+    assert(rep(1L) == (2L, 2L), s"got ${rep.get(1L)}")
+    // doc 2 grams: [a b g d e] (both evals), [b g d e eta] (neither —
+    // eval 100's 5-grams are [a b g d e],[b g d e z],[g d e z eta])
+    assert(rep(2L) == (1L, 2L), s"got ${rep.get(2L)}")
+    assert(!rep.contains(3L), "clean docs must be omitted")
+    // consistency with the drop path: flagged ids == contaminatedDocs ids
+    val flagged = Dedup.contaminatedDocs(corpus, eval, "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep.keySet == flagged)
+  }
+
   test("determinism: same pairs regardless of partitioning") {
     val p1 = Dedup.minHashLshPairs(docs.repartition(7), "text", "doc_id", jaccardThreshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -122,6 +122,98 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureThresholds: binding whole, rates from the target shares, loud errors") {
+    val counts = Map("big" -> 1000L, "small" -> 50L)
+    val ts = Sampling.mixtureThresholds(counts, Map("big" -> 0.5, "small" -> 0.5))
+    // ratio big = 1000/0.5 = 2000, small = 50/0.5 = 100 → small binds (whole)
+    assert(ts("small") == BigDecimal(2).pow(60).toLong)
+    // big keep rate = M·p/n = 100·0.5/1000 = 0.05 exactly
+    assert(ts("big") == (BigDecimal(0.05) * BigDecimal(2).pow(60))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    // zero-weight groups drop out of the threshold table entirely
+    val dropped = Sampling.mixtureThresholds(counts,
+      Map("big" -> 1.0, "small" -> 0.0))
+    assert(!dropped.contains("small") && dropped("big") == BigDecimal(2).pow(60).toLong)
+    // a weighted group the data lacks makes the composition unattainable
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureThresholds(counts, Map("big" -> 0.5, "ghost" -> 0.5))
+    }
+    assert(e.getMessage.contains("ghost"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureThresholds(counts, Map("big" -> -0.1, "small" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureThresholds(counts, Map("big" -> 0.0, "small" -> 0.0))
+    }
+  }
+
+  test("mixtureSelect: composition honored, unweighted groups dropped, deterministic") {
+    // skewed synthetic: 1000 'big', 50 'small', 200 'other' (unweighted)
+    val rows = spark.range(1250).select(col("id").as("doc_id"),
+      when(col("id") < 1000, "big")
+        .when(col("id") < 1050, "small").otherwise("other").as("lang"))
+    val kept = Sampling.mixtureSelect(rows, "lang", "doc_id",
+      Map("big" -> 0.5, "small" -> 0.5))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("other"), "a mix is a contract — unweighted groups drop")
+    assert(kept("small") == 50, "binding group rides whole")
+    // binomial(1000, 0.05): σ ≈ 6.9 → ±5σ around 50
+    assert(math.abs(kept("big") - 50) < 35, s"kept=$kept")
+    // determinism + subset-of-input
+    def ids() = Sampling.mixtureSelect(rows, "lang", "doc_id",
+      Map("big" -> 0.5, "small" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(); val b = ids()
+    assert(a == b && a.forall(_ < 1050))
+    // null group values fail loud
+    val withNull = rows.withColumn("lang",
+      when(col("doc_id") === 0, null).otherwise(col("lang")))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSelect(withNull, "lang", "doc_id", Map("big" -> 1.0))
+    }
+  }
+
+  test("dsir: target-resembling docs outrank the rest; exact dyadic weights; null text excluded") {
+    // target: fruit vocabulary; raw: half fruit-ish, half machinery
+    val target = Seq.tabulate(20)(i =>
+      (1000L + i, "apple banana cherry date apple banana cherry"))
+      .toDF("doc_id", "text")
+    val raw = (Seq.tabulate(10)(i =>
+        (i.toLong, Some("apple banana cherry date fig grape"))) ++
+      Seq.tabulate(10)(i =>
+        (100L + i, Some("gearbox piston flange torque manifold crankshaft"))) ++
+      Seq((999L, Option.empty[String]))).toDF("doc_id", "text")
+    val sel = Sampling.dsirSelect(raw, target, "text", "doc_id", k = 10)
+      .collect()
+    val ids = sel.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.toSet == (0 until 10).map(_.toLong).toSet,
+      s"fruit docs must win: $ids")
+    // log_weight is the dyadic integer / 2^20 exactly
+    val m = Sampling.dsirLogRatios(raw, target, "text")
+    val scored = Sampling.dsirScore(raw, "text", m)
+      .where(col("__wnum").isNotNull)
+      .select(col("doc_id"), col("__wnum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sel.foreach { r =>
+      val w = r.getAs[Double]("log_weight")
+      assert(w == scored(r.getAs[Long]("doc_id")).toDouble / 1048576.0d)
+    }
+    // fruit docs strictly outweigh machinery docs
+    assert((0 until 10).map(i => scored(i.toLong)).min >
+      (0 until 10).map(i => scored(100L + i)).max)
+    // null text never enters the ranking
+    assert(!scored.contains(999L) && !ids.contains(999L))
+    // model covers every bucket; determinism across partitionings
+    assert(m.keySet == (0 until 64).toSet)
+    assert(Sampling.dsirLogRatios(raw.repartition(7), target.coalesce(1), "text") == m)
+    // ties break by id: k larger than the distinct-weight classes
+    val sel15 = Sampling.dsirSelect(raw, target, "text", "doc_id", k = 15)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sel15 == ((0L until 10L) ++ (100L until 105L)),
+      s"weight-desc then id-asc: $sel15")
+  }
+
   test("deterministicShuffle: dense 1..n ranks equal to the hash sort order") {
     val out = Sampling.deterministicShuffle(docs, "doc_id", seed = 42L)
       .select("doc_id", "shuffle_rank").collect()

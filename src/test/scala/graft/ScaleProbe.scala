@@ -50,7 +50,8 @@ object ScaleProbe {
       "q_lsh_index", "q_url_domain_psl10k", "q_pack_bpe",
       "q_split_leakage", "q_domain_quota", "q_blocklist_filter",
       "q_quality_classifier", "q_pack_stats",
-      "q_span_index", "q_span_index_bloom", "q_quality_fit1", "q_mp4_meta")
+      "q_span_index", "q_span_index_bloom", "q_quality_fit1", "q_quality_filter1",
+      "q_mp4_meta", "q_mixture_select", "q_gopher_filter")
 
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -305,6 +305,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
         r.getAs[Int]("n_tokens_removed"))).toSet
     assert(fullyIndexed == oneShot)
+    // the aggregate-free span stage: a SpanIndex saved WITH a persisted
+    // Bloom filter serves the screen's Bloom branch from the saved
+    // bytes; at fpp 1e-8 the admissions equal the exact path
+    val bloomDir = java.nio.file.Files.createTempDirectory("curation2span_bloom").toString
+    graft.operators.SpanIndex.build(corpus, "text", n = 5).save(bloomDir, bloomFpp = 1e-8)
+    val bloomIndex = graft.operators.SpanIndex.load(spark, bloomDir)
+    assert(bloomIndex.bloom.nonEmpty)
+    val viaBloom = graft.streaming.CurationStream
+      .screenV2FullyIndexed(probe, index, bloomIndex, evalSet, spanBloomFpp = 1e-8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(viaBloom == oneShot)
 
     val dir = java.nio.file.Files.createTempDirectory("curation2full_probe").toString
     probe.repartition(4).write.mode("overwrite").parquet(dir)

@@ -147,6 +147,68 @@ class TextFunctionsSpec extends SparkSpec {
     assert(e == Seq(1.0, 0.0))
   }
 
+  test("gopherStats: exact integer counts per rule input") {
+    val text = "the cat sat on a mat with a dog and a hat ok\n" +
+      "- bullet line one\n" +
+      "* bullet line two\n" +
+      "trailing ellipsis line...\n" +
+      "## markdown #tags and more... text 42 99"
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val st = d.select(gopherStats(col("text"), Seq("the", "a")).as("s"))
+      .select("s.*").collect()(0)
+    // words split on ' ' ONLY (the oracle-parity tokenizer), so
+    // newline-adjacent pieces fuse: "ok\n-", "one\n*", "two\ntrailing",
+    // "line...\n##" are single words → 28, not the \s+ count
+    assert(st.getAs[Long]("n_words") == 28)
+    assert(st.getAs[Long]("n_hash") == 3)      // "##" + "#tags"
+    assert(st.getAs[Long]("n_ellipsis") == 2)  // "line..." + "more..."
+    assert(st.getAs[Long]("n_lines") == 5)
+    assert(st.getAs[Long]("n_bullet_lines") == 2)
+    assert(st.getAs[Long]("n_ellipsis_lines") == 1)
+    // only "42" and "99" carry no letter
+    assert(st.getAs[Long]("n_alpha_words") == 26)
+    assert(st.getAs[Long]("n_stop_hits") == 2) // DISTINCT: the + a, not 5
+    // null text → null struct (gate-drops like every quality rule)
+    val n = Seq((2L, Option.empty[String])).toDF("doc_id", "text")
+      .select(gopherStats(col("text")).as("s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("gopherRules: each published rule fires independently") {
+    val stop = Seq("the", "a")
+    def passes(t: String): Boolean =
+      Seq((1L, t)).toDF("doc_id", "text")
+        .where(gopherRules(col("text"), minWords = 5, stopWords = stop))
+        .count() == 1
+    // 13 words, 45 word-chars (mean 3.46 ∈ [3,10]), both stops, all
+    // alphabetic, no symbols/bullets/ellipses — every rule green
+    val good = "the cat sat upon a mat and the dog sprinted far away home"
+    assert(passes(good))
+    assert(!passes("the a cat"), "word-count floor")
+    assert(!passes("a b c d e f g h i j k l m the on"), "mean word length < 3")
+    assert(!passes(good + " " + "antidisestablishmentarianism " * 30),
+      "mean word length > 10")
+    assert(!passes("the # cat # sat # upon # a # mat # and # dog #"),
+      "symbol-to-word ratio for #")
+    assert(!passes("- the cat\n- a dog sat\n- on a mat\n- and ran\n- far away"),
+      "over 90% bullet lines")
+    // two 15-word lines both ending "..." — the '...' SYMBOL ratio
+    // passes (2 per 29 words) so only the line-share rule fires
+    assert(!passes(Seq.fill(2)(good + " again today...").mkString("\n")),
+      "over 30% ellipsis lines")
+    assert(!passes("the 111 222 333 444 555 666 777 888 a 999 1010 1111 1212 1313"),
+      "under 80% alphabetic words")
+    assert(!passes("the cat sat upon top rugs its mat and then ran off"),
+      "needs 2 distinct stop hits ('a' absent)")
+    // ratio rules are integer cross-multiplications (no float anywhere):
+    // 1 bullet line of 10 passes the 90% share, numerals stay under the
+    // 20% non-alphabetic budget
+    val tenLines = (1 to 10)
+      .map(i => (if (i == 1) "- " else "") + s"line $i with a file about the cats")
+      .mkString("\n")
+    assert(passes(tenLines))
+  }
+
   test("noBlocklistedToken: canonical-token matching, null text drops, list normalized") {
     val docs = Seq(
       (1L, Some("a clean sentence here")),
@@ -165,5 +227,55 @@ class TextFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       docs.where(noBlocklistedToken(col("text"), Seq.empty)).count()
     }
+  }
+
+  test("c4CleanLines: terminal punct, three words, javascript marker; null stays null") {
+    val text = Seq(
+      "This line survives the filter.",      // keeps: punct + 3 words
+      "Too short.",                          // drops: 2 words
+      "No terminal punctuation here",        // drops: no . ! ? "
+      "Enable JavaScript to view comments.", // drops: marker, case-insensitive
+      "Does it survive a question mark?",    // keeps
+      "He said \"stop right there.\"",       // keeps: ends in a quote
+      "Ends with a bang!  ").mkString("\n")  // keeps: rtrim before the check
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(c4CleanLines(col("text")).as("t")).collect()(0).getString(0)
+    assert(out == Seq(
+      "This line survives the filter.",
+      "Does it survive a question mark?",
+      "He said \"stop right there.\"",
+      "Ends with a bang!  ").mkString("\n"), s"got:\n$out")
+    // fully boilerplate page → empty string; null text → null
+    val empty = Seq((2L, "nav menu\nhome about contact")).toDF("doc_id", "text")
+      .select(c4CleanLines(col("text")).as("t")).collect()(0).getString(0)
+    assert(empty == "")
+    val n = Seq((3L, Option.empty[String])).toDF("doc_id", "text")
+      .select(c4CleanLines(col("text")).as("t")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("c4PageRules: lorem ipsum and braces read the RAW page, sentences the cleaned one") {
+    def passes(raw: String): Boolean = {
+      val d = Seq((1L, raw)).toDF("doc_id", "text")
+      d.where(c4PageRules(col("text"), c4CleanLines(col("text")))).count() == 1
+    }
+    val five = (1 to 5).map(i => s"This is sentence number $i today.").mkString("\n")
+    assert(passes(five))
+    assert(!passes(five + "\nSome Lorem Ipsum filler text."), "lorem ipsum page-drops")
+    assert(!passes(five + "\nif (x) { return; }"), "brace page-drops even when line cleaning strips it")
+    assert(!passes((1 to 4).map(i => s"This is sentence number $i today.").mkString("\n")),
+      "fewer than 5 sentences")
+    // intra-line sentence breaks count toward the floor
+    assert(passes("One here. Two here. Three here. Four here. And a fifth one."))
+  }
+
+  test("dedupLinesWithin: first occurrence survives, order preserved, blanks dedup") {
+    val text = "header\nbody one\nheader\nbody two\n\nbody one\n\ntail"
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(dedupLinesWithin(col("text")).as("t")).collect()(0).getString(0)
+    assert(out == "header\nbody one\nbody two\n\ntail", s"got:\n$out")
+    val n = Seq((2L, Option.empty[String])).toDF("doc_id", "text")
+      .select(dedupLinesWithin(col("text")).as("t")).collect()(0)
+    assert(n.isNullAt(0))
   }
 }
