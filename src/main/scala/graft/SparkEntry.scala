@@ -762,6 +762,60 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id")
     }),
 
+    // ---- index REMOVAL (takedown/opt-out support): forget id%5 docs
+    //      from the built index; a probe afterwards must equal the
+    //      ad-hoc screen against the SURVIVING corpus — the oracle is
+    //      the q_dedup_incremental derivation with the removed ids
+    //      excluded from the corpus side. remove == build-on-difference
+    //      frame-for-frame is DedupSpec-pinned. ----
+    "q_lsh_index_remove" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      graft.operators.LshIndex.build(corpus, "text", "doc_id")
+        .remove(corpus.where(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"))
+        .probe(probe, "text", "doc_id")
+        .orderBy("probe_id", "corpus_id")
+    }),
+
+    // ---- Bm25Index removal law as a gate: append synthetic takedown
+    //      docs, remove them, and the index must answer EXACTLY as the
+    //      never-appended build — the q_bm25_index oracle verbatim
+    //      (integer stats subtract, df terms reaching 0 drop). ----
+    "q_bm25_index_remove" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark hash join"), (1L, "window sort merge"),
+        (2L, "table scan filter"), (3L, "fast batch value"))
+        .toDF("query_id", "qtext")
+      val d = documents(s, dir)
+      val extra = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", col("text"), lit("takedown fodder tokens")).as("text"))
+      graft.operators.Bm25.Bm25Index.build(d, "text", "doc_id")
+        .append(extra, "text")
+        .remove(extra, "text")
+        .topK(qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IvfIndex removal law as a gate: append negated-vector
+    //      takedown rows, remove them, query in EXACT mode (nprobe =
+    //      nlist ⇒ brute force regardless of centroids) — must equal
+    //      the q_similarity_ivf_exact oracle verbatim. ----
+    "q_ivf_index_remove" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val extra = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      graft.operators.Similarity.IvfIndex
+        .build(e, "embedding", "vec_id", nlist = 16)
+        .append(extra, "embedding", "vec_id")
+        .remove(extra.select("vec_id"))
+        .topK(e.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 10, nprobe = 16)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir), "text", "doc_id")
         .orderBy("fingerprint")),
@@ -1745,6 +1799,170 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C4 line+page cleaning (Raffel et al. 2020 §2.2) over pages
+    //      SYNTHESIZED from the corpus by id arithmetic (the flat word
+    //      streams carry no lines/punctuation — the q_blocklist
+    //      pattern): each page mixes a surviving sentence, a too-short
+    //      line, a javascript-marked line on id%3, an unpunctuated
+    //      line, and lorem-ipsum / curly-brace page poisons on
+    //      id%17 / id%19. Survivors = pages whose CLEANED text keeps
+    //      ≥4 sentences and whose RAW page carries no poison — the
+    //      oracle rebuilds page, cleaning, and rules from the same
+    //      exact string ops. ----
+    "q_c4_clean" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val page = concat_ws("\n",
+        concat(array_join(slice(toks, 1, 6), " "), lit(".")),
+        lit("Too short."),
+        concat(array_join(slice(toks, 7, 6), " "),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" pages need JavaScript enabled.")).otherwise(lit("?"))),
+        array_join(slice(toks, 13, 4), " "),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("Generated from lorem ipsum filler."))
+          .otherwise(lit("A closing remark for the page.")),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          lit("template { placeholder } here."))
+          .otherwise(lit("Another fine sentence here.")))
+      documents(s, dir).where(col("text").isNotNull)
+        .withColumn("__page", page)
+        .withColumn("__clean",
+          graft.functions.TextFunctions.c4CleanLines(col("__page")))
+        .where(graft.functions.TextFunctions.c4PageRules(
+          col("__page"), col("__clean"), minSentences = 4))
+        .select(col("doc_id"), col("__clean").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Gopher REPETITION rule set (Rae et al. 2021 A1.1.2 — the
+    //      companion of q_gopher_filter's composition rules): pages
+    //      synthesized with a duplicated line on id%4 and a paragraph
+    //      break; the 31-word corpus vocabulary makes top/dup-gram
+    //      coverage vary naturally (89/500 pass at the published
+    //      thresholds). Every stat is an exact integer and every rule a
+    //      cross-multiplied comparison, replayed gram-for-gram in SQL. ----
+    "q_gopher_repetition" -> ((s, dir) => {
+      val toksRaw = graft.functions.TextFunctions.tokens(col("text"))
+      val l1 = array_join(slice(toksRaw, 1, 8), " ")
+      val page = concat_ws("\n", l1,
+        array_join(slice(toksRaw, 9, 8), " "),
+        when(pmod(col("doc_id"), lit(4)) === 0, l1)
+          .otherwise(array_join(slice(toksRaw, 17, 8), " ")),
+        lit(""),
+        array_join(slice(toksRaw, 25, 6), " "))
+      val st = graft.functions.TextFunctions.gopherRepetitionStats(col("__page"))
+      documents(s, dir).where(col("text").isNotNull)
+        .withColumn("__page", page)
+        .where(graft.functions.TextFunctions.gopherRepetitionRules(col("__page")))
+        .select(col("doc_id"),
+          st.getField("top2_chars").as("top2_chars"),
+          st.getField("dup5_chars").as("dup5_chars"),
+          st.getField("tok_chars").as("tok_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- intra-document repeated-line scrub (crawlers duplicate nav
+    //      blocks inside one page): pages synthesized with lines
+    //      1,2,1,3,2,1 — the scrub must return 1,2,3 (first
+    //      occurrences, order kept), replayed in SQL by the identical
+    //      predecessor-scan fold. ----
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val l1 = array_join(slice(toks, 1, 5), " ")
+      val l2 = array_join(slice(toks, 6, 5), " ")
+      val l3 = array_join(slice(toks, 11, 5), " ")
+      val page = concat_ws("\n", l1, l2, l1, l3, l2, l1)
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.dedupLinesWithin(page).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality-ranked family representative: per near-dup family
+    //      keep the member with the most content (n_chars desc, tie min
+    //      id) instead of the min id — the curation policy real
+    //      pipelines want. Oracle re-derives families via the
+    //      q_dedup_cluster recursive-CTE walk, then the same argmax. ----
+    "q_dedup_cluster_best" -> ((s, dir) =>
+      graft.operators.Dedup.clusterDedupBy(
+        documents(s, dir), "text", "doc_id", "n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- contamination AUDIT report (the measurement half of
+    //      q_decontaminate, same id-arithmetic benchmark split): per
+    //      contaminated doc, distinct shared grams AND distinct eval
+    //      docs touched — the numbers a data card publishes. ----
+    "q_contamination_report" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val benchmark = d.where(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+      graft.operators.Dedup.contaminationReport(
+        corpus, benchmark, "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR data selection (Xie et al. 2023): top-120 raw docs by
+    //      hashed-unigram importance against the 'en' slice as the
+    //      target domain. The fitted model is 64 QUANTIZED integer
+    //      log-ratios (floor(2^20·Δln)) — embedded in the oracle (the
+    //      temperatureMix pow boundary; refreshed by OracleFitProbe),
+    //      which then re-derives every per-doc weight EXACTLY: the
+    //      same md5 bucket walk, integer Σ m_b, /2^20 dyadic double. ----
+    "q_dsir_select" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.Sampling.dsirSelect(
+        d, d.where(col("lang") === "en"), "text", "doc_id", k = 120)
+        .select("doc_id", "log_weight")
+    }),
+
+    // ---- curation pipeline v3 — the ROUND-10 stage chain end-to-end:
+    //      C4 line+page cleaning → intra-doc line dedup → Gopher
+    //      repetition rules (top-gram thresholds tuned to the short
+    //      synthesized pages; every other threshold published) →
+    //      explicit-target mixture (zh dropped) → DSIR importance gate
+    //      on the SOURCE text (select en-like docs, deliver the cleaned
+    //      rewrite). Funnel at the gate: 500 → 445 → 293 → 216 → 61 —
+    //      every stage does real work. The oracle replays all five
+    //      stages (mixture thresholds re-derived from the stage-3
+    //      survivor counts; DSIR via the shared embedded model). ----
+    "q_curation_pipeline3" -> ((s, dir) => {
+      val T = graft.functions.TextFunctions
+      val toks = T.tokens(col("text"))
+      val page = concat_ws("\n",
+        concat(array_join(slice(toks, 1, 6), " "), lit(".")),
+        lit("Too short."),
+        concat(array_join(slice(toks, 7, 6), " "),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" pages need JavaScript enabled.")).otherwise(lit("?"))),
+        array_join(slice(toks, 13, 4), " "),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("Generated from lorem ipsum filler."))
+          .otherwise(lit("A closing remark for the page.")),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          lit("template { placeholder } here."))
+          .otherwise(lit("Another fine sentence here.")),
+        lit("Another fine sentence here."))
+      val d = documents(s, dir)
+      val s2 = d.where(col("text").isNotNull)
+        .withColumn("__page", page)
+        .withColumn("__clean", T.c4CleanLines(col("__page")))
+        .where(T.c4PageRules(col("__page"), col("__clean"), minSentences = 4))
+      val s4 = s2.withColumn("__text", T.dedupLinesWithin(col("__clean")))
+        .where(T.gopherRepetitionRules(col("__text"),
+          maxTopGramFrac100 = Seq(30, 28, 26)))
+      val s5 = graft.operators.Sampling.mixtureSelect(
+        s4.select("doc_id", "lang", "text", "__text"), "lang", "doc_id",
+        MixtureWeights)
+      val m = graft.operators.Sampling.dsirLogRatios(
+        d, d.where(col("lang") === "en"), "text")
+      graft.operators.Sampling.dsirScore(s5, "text", m)
+        .where(col("__wnum") >= 0)
+        .select(col("doc_id"), col("lang"), col("__text").as("text"),
+          (col("__wnum").cast("double") / lit(1048576.0d)).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // ---- real BPE subword tokenization (Sennrich/GPT-2 recipe): fit
     //      merges on the corpus' bounded word-frequency table (driver
     //      loop over exact integer counts — deterministic), apply
@@ -2049,7 +2267,12 @@ object SparkEntry {
       // duplicateSpanScrubAgainst over the same split
       "q_span_index" -> base("q_dedup_spans_incremental"),
       // the index's Bloom branch at fpp 1e-8 == the exact path
-      "q_span_index_bloom" -> base("q_dedup_spans_incremental"))
+      "q_span_index_bloom" -> base("q_dedup_spans_incremental"),
+      // removal laws gated as exact equalities: append(extra) then
+      // remove(extra) must return the ORIGINAL index bit-for-bit, so
+      // the original gates' oracles apply verbatim
+      "q_bm25_index_remove" -> base("q_bm25_index"),
+      "q_ivf_index_remove" -> base("q_similarity_ivf_exact"))
   }
 
   /** The one-Newton-step fit replay as a WITH-clause body (f → lab →
@@ -2152,7 +2375,210 @@ object SparkEntry {
         |               - (SELECT v FROM e2 WHERE i = 0 AND j = 3) * (SELECT w FROM x3))
         |            / (SELECT v FROM e2 WHERE i = 0 AND j = 0) AS w)""".stripMargin
 
+  /** The q_gopher_repetition replay, its nine per-n gram blocks
+    * generated by the same loop bounds the operator uses (n = 2..10):
+    * page synthesis, line/paragraph occurrence counting, gram
+    * count×char-length coverage (top = max-count × longest among
+    * max-count ties; dup = Σ c·len over c ≥ 2 counting every
+    * occurrence), then every published threshold as the identical
+    * cross-multiplied integer comparison. */
+  /** The quantized DSIR model at the sf0.01 gate (floor(2²⁰·Δln) bucket
+    * log-ratios, target = the 'en' slice, raw = full documents, 64
+    * buckets) — OracleFitProbe-printed, shared by q_dsir_select and
+    * q_curation_pipeline3. The quantization is the ln replay boundary:
+    * everything downstream of these integers is exact on both engines. */
+  private val DsirModelValuesSql: String =
+    """m(b, v) AS (SELECT * FROM (VALUES
+      |  (0,-26531), (1,874937), (2,874937), (3,874937), (4,-74709),
+      |  (5,874937), (6,874937), (7,-55640), (8,874937), (9,-10915),
+      |  (10,-33228), (11,874937), (12,874937), (13,874937), (14,874937),
+      |  (15,874937), (16,874937), (17,-33417), (18,-36575), (19,874937),
+      |  (20,874937), (21,874937), (22,874937), (23,64188), (24,90276),
+      |  (25,-12358), (26,874937), (27,874937), (28,874937), (29,-9824),
+      |  (30,-66623), (31,874937), (32,874937), (33,-53762), (34,-37165),
+      |  (35,874937), (36,-1124), (37,874937), (38,874937), (39,874937),
+      |  (40,874937), (41,21977), (42,50085), (43,874937), (44,-7003),
+      |  (45,-41315), (46,-60436), (47,874937), (48,874937), (49,874937),
+      |  (50,874937), (51,-18302), (52,61886), (53,874937), (54,874937),
+      |  (55,874937), (56,874937), (57,874937), (58,-29601), (59,874937),
+      |  (60,874937), (61,874937), (62,874937), (63,83515)))""".stripMargin
+
+  /** The lns..dup10 CTE chain computing the repetition stats over
+    * `$src`(doc_id, `$pageCol`) — shared by q_gopher_repetition (over
+    * its synthesized pages) and q_curation_pipeline3 (over the
+    * line-deduped cleaned text). */
+  private def gopherRepStatCtes(src: String, pageCol: String): String = {
+    val gramBlocks = (2 to 10).map { n =>
+      s"""g$n AS (SELECT doc_id, gram, count(*) AS c, length(gram) - ${n - 1} AS l
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(ntoks) - ${n - 1}),
+         |      i -> array_to_string(ntoks[i:i+${n - 1}], ' '))) AS gram
+         |    FROM tk WHERE len(ntoks) >= $n)
+         |  GROUP BY doc_id, gram)""".stripMargin
+    }.mkString(",\n")
+    val topBlocks = (2 to 4).map { n =>
+      s"""m$n AS (SELECT doc_id, MAX(c) AS mc FROM g$n GROUP BY doc_id),
+         |top$n AS (SELECT g.doc_id, m.mc * MAX(g.l) AS cover
+         |  FROM g$n g JOIN m$n m ON m.doc_id = g.doc_id AND g.c = m.mc
+         |  GROUP BY g.doc_id, m.mc)""".stripMargin
+    }.mkString(",\n")
+    val dupBlocks = (5 to 10).map { n =>
+      s"""dup$n AS (SELECT doc_id,
+         |    COALESCE(SUM(c * l) FILTER (WHERE c >= 2), 0) AS cover
+         |  FROM g$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""lns AS (SELECT doc_id, unnest(string_split($pageCol, chr(10))) AS u FROM $src),
+       |lnc AS (SELECT doc_id, u, count(*) AS c, length(u) AS len
+       |  FROM lns GROUP BY doc_id, u),
+       |ln AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS n_dup,
+       |    SUM(c * len) AS chars, SUM((c - 1) * len) AS dup_chars
+       |  FROM lnc GROUP BY doc_id),
+       |prs AS (SELECT doc_id, unnest(string_split($pageCol, chr(10) || chr(10))) AS u FROM $src),
+       |prc AS (SELECT doc_id, u, count(*) AS c, length(u) AS len
+       |  FROM prs GROUP BY doc_id, u),
+       |pr AS (SELECT doc_id, SUM(c) AS n_paras, SUM(c - 1) AS n_dup,
+       |    SUM(c * len) AS chars, SUM((c - 1) * len) AS dup_chars
+       |  FROM prc GROUP BY doc_id),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(lower($pageCol), '[^a-z0-9]+', ' ', 'g')), ' '),
+       |      x -> x <> '') AS ntoks
+       |  FROM $src),
+       |tc AS (SELECT doc_id,
+       |    COALESCE(list_sum(list_transform(ntoks, x -> length(x))), 0) AS tok_chars
+       |  FROM tk),
+       |$gramBlocks,
+       |$topBlocks,
+       |$dupBlocks""".stripMargin
+  }
+
+  /** LEFT JOINs binding every repetition-stat CTE to `$anchor.doc_id`. */
+  private def gopherRepJoins(anchor: String): String =
+    (Seq(s"JOIN ln ON ln.doc_id = $anchor.doc_id",
+      s"JOIN pr ON pr.doc_id = $anchor.doc_id",
+      s"JOIN tc ON tc.doc_id = $anchor.doc_id") ++
+      (2 to 4).map(n => s"LEFT JOIN top$n ON top$n.doc_id = $anchor.doc_id") ++
+      (5 to 10).map(n => s"LEFT JOIN dup$n ON dup$n.doc_id = $anchor.doc_id"))
+      .mkString("\n")
+
+  /** Every repetition rule as the cross-multiplied integer comparison,
+    * top-gram thresholds parameterized (percent ×100). */
+  private def gopherRepWhere(tops: Seq[Int]): String = {
+    val topRules = (2 to 4).map(n => s"COALESCE(top$n.cover, 0)").zip(tops)
+      .map { case (c, t) => s"$c * 100 <= tc.tok_chars * $t" }
+    val dupRules = (5 to 10).map(n => s"COALESCE(dup$n.cover, 0)")
+      .zip(Seq(15, 14, 13, 12, 11, 10))
+      .map { case (c, t) => s"$c * 100 <= tc.tok_chars * $t" }
+    s"""ln.n_dup * 100 <= ln.n_lines * 30
+       |  AND ln.dup_chars * 100 <= ln.chars * 20
+       |  AND pr.n_dup * 100 <= pr.n_paras * 30
+       |  AND pr.dup_chars * 100 <= pr.chars * 20
+       |  AND ${(topRules ++ dupRules).mkString("\n  AND ")}""".stripMargin
+  }
+
+  private def gopherRepetitionOracleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |t0 AS (SELECT doc_id,
+       |    COALESCE(array_to_string(toks[1:8], ' '), '') || chr(10) ||
+       |    COALESCE(array_to_string(toks[9:16], ' '), '') || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN COALESCE(array_to_string(toks[1:8], ' '), '')
+       |         ELSE COALESCE(array_to_string(toks[17:24], ' '), '') END ||
+       |    chr(10) || chr(10) ||
+       |    COALESCE(array_to_string(toks[25:30], ' '), '') AS page
+       |  FROM t),
+       |${gopherRepStatCtes("t0", "page")}
+       |SELECT t0.doc_id,
+       |  COALESCE(top2.cover, 0) AS top2_chars,
+       |  COALESCE(dup5.cover, 0) AS dup5_chars,
+       |  tc.tok_chars AS tok_chars
+       |FROM t0
+       |${gopherRepJoins("t0")}
+       |WHERE ${gopherRepWhere(Seq(20, 18, 16))}
+       |ORDER BY t0.doc_id""".stripMargin
+
+  /** The q_curation_pipeline3 replay — all five stages: page synthesis
+    * (with the deliberately duplicated closing line), C4 cleaning +
+    * page rules, the predecessor-scan line dedup, the repetition rules
+    * over the DEDUPED text (shared CTE builders, tuned top thresholds),
+    * mixture thresholds re-derived from the stage-3 survivor counts in
+    * the pinned IEEE order, and the DSIR gate on the SOURCE text via
+    * the shared embedded model. */
+  private def curationPipeline3OracleSql: String =
+    s"""WITH $DsirModelValuesSql,
+       |t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |pg AS (SELECT doc_id,
+       |    COALESCE(array_to_string(toks[1:6], ' '), '') || '.' || chr(10) ||
+       |    'Too short.' || chr(10) ||
+       |    COALESCE(array_to_string(toks[7:12], ' '), '') ||
+       |      CASE WHEN doc_id % 3 = 0 THEN ' pages need JavaScript enabled.'
+       |           ELSE '?' END || chr(10) ||
+       |    COALESCE(array_to_string(toks[13:16], ' '), '') || chr(10) ||
+       |    CASE WHEN doc_id % 17 = 0 THEN 'Generated from lorem ipsum filler.'
+       |         ELSE 'A closing remark for the page.' END || chr(10) ||
+       |    CASE WHEN doc_id % 19 = 0 THEN 'template { placeholder } here.'
+       |         ELSE 'Another fine sentence here.' END || chr(10) ||
+       |    'Another fine sentence here.' AS page
+       |  FROM t),
+       |cl AS (SELECT doc_id, page,
+       |    array_to_string(list_filter(string_split(page, chr(10)),
+       |      l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+       |            OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+       |        AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+       |        AND NOT contains(lower(l), 'javascript')), chr(10)) AS ctext
+       |  FROM pg),
+       |s2 AS (SELECT doc_id, ctext FROM cl
+       |  WHERE NOT contains(lower(page), 'lorem ipsum')
+       |    AND NOT contains(page, '{')
+       |    AND length(ctext) - length(regexp_replace(ctext, '[.!?]', '', 'g')) >= 4),
+       |ld AS (SELECT doc_id,
+       |    array_to_string(list_filter(string_split(ctext, chr(10)),
+       |      (x, i) -> NOT list_contains(string_split(ctext, chr(10))[1:i-1], x)),
+       |      chr(10)) AS dtext
+       |  FROM s2),
+       |${gopherRepStatCtes("ld", "dtext")},
+       |s4 AS (SELECT ld.doc_id, ld.dtext FROM ld
+       |${gopherRepJoins("ld")}
+       |WHERE ${gopherRepWhere(Seq(30, 28, 26))}),
+       |s4l AS (SELECT s4.doc_id, s4.dtext, d.lang, d.text
+       |  FROM s4 JOIN documents d ON d.doc_id = s4.doc_id),
+       |cnt AS (SELECT lang, COUNT(*) AS n FROM s4l GROUP BY lang),
+       |wts AS (SELECT * FROM (VALUES
+       |    ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+       |    ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))) AS t(lang, wt)),
+       |zz AS (SELECT ((CAST(0.2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |               + CAST(0.2 AS DOUBLE)) + CAST(0.1 AS DOUBLE) AS z),
+       |rat AS (SELECT c.lang, c.n, w.wt,
+       |    CAST(c.n AS DOUBLE) / (w.wt / zz.z) AS ratio
+       |  FROM cnt c JOIN wts w USING (lang), zz),
+       |bnd AS (SELECT lang AS bg, ratio AS mr FROM rat ORDER BY ratio, lang LIMIT 1),
+       |th AS (SELECT r.lang,
+       |    CASE WHEN r.lang = bnd.bg THEN CAST(1152921504606846976 AS BIGINT)
+       |         ELSE CAST(floor(least(CAST(1.0 AS DOUBLE),
+       |                bnd.mr * (r.wt / zz.z) / CAST(r.n AS DOUBLE))
+       |              * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT) END AS t
+       |  FROM rat r, bnd, zz),
+       |s5 AS (SELECT s4l.* FROM s4l JOIN th ON th.lang = s4l.lang
+       |  WHERE CAST(('0x' || substring(md5(s4l.doc_id::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) < th.t),
+       |x AS (SELECT doc_id,
+       |    CAST(('0x' || substring(md5(unnest(
+       |      list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+       |        y -> y <> ''))), 1, 15)) AS BIGINT) % 64 AS bk
+       |  FROM s5),
+       |w AS (SELECT x.doc_id, SUM(CAST(m.v AS BIGINT)) AS wnum
+       |  FROM x JOIN m ON m.b = x.bk GROUP BY x.doc_id),
+       |res AS (SELECT s5.doc_id, s5.lang, s5.dtext, COALESCE(w.wnum, 0) AS wnum
+       |  FROM s5 LEFT JOIN w ON w.doc_id = s5.doc_id)
+       |SELECT doc_id, lang, dtext AS text,
+       |  CAST(wnum AS DOUBLE) / 1048576.0 AS log_weight
+       |FROM res WHERE wnum >= 0
+       |ORDER BY doc_id""".stripMargin
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q_gopher_repetition" -> gopherRepetitionOracleSql,
+    "q_curation_pipeline3" -> curationPipeline3OracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2822,6 +3248,19 @@ object SparkEntry {
         |SELECT probe_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY probe_id, corpus_id""".stripMargin,
 
+    // The incremental-screen derivation with the removed ids excluded
+    // from the corpus side: an index that forgot id%5 must answer as if
+    // those docs were never indexed.
+    "q_lsh_index_remove" ->
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+        |    ${DedupOracle.jaccardExpr} AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 AND b.doc_id % 5 <> 0)
+        |SELECT probe_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY probe_id, corpus_id""".stripMargin,
+
     // Independent derivation by the same id arithmetic — no diff run.
     "q_corpus_diff" ->
       """SELECT doc_id,
@@ -3355,6 +3794,88 @@ object SparkEntry {
         |SELECT node AS doc_id, rep AS cluster FROM comp
         |ORDER BY doc_id""".stripMargin,
 
+    // Quality-ranked representative: the q_dedup_cluster family walk,
+    // then per family keep the (n_chars DESC, doc_id ASC) argmax; every
+    // other family member drops, everything outside a family survives.
+    "q_dedup_cluster_best" ->
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ${DedupOracle.jaccardExpr} AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+        |ee AS (SELECT id_a AS u, id_b AS v FROM e
+        |       UNION SELECT id_b, id_a FROM e),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT u, u FROM ee
+        |    UNION
+        |    SELECT ee.v, r.rep FROM r JOIN ee ON ee.u = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node),
+        |best AS (
+        |  SELECT rep, node AS keep FROM (
+        |    SELECT c.rep, c.node,
+        |      row_number() OVER (PARTITION BY c.rep
+        |        ORDER BY d.n_chars DESC, c.node) AS rn
+        |    FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |  WHERE rn = 1),
+        |losers AS (
+        |  SELECT c.node FROM comp c JOIN best b ON b.rep = c.rep
+        |  WHERE c.node <> b.keep)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The q_decontaminate gram walk with the audit rollup: per
+    // contaminated corpus doc, DISTINCT shared grams and DISTINCT
+    // benchmark docs those grams touch.
+    "q_contamination_report" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+        |  FROM n),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM t),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 31 = 0)
+        |SELECT g.doc_id,
+        |  count(DISTINCT g.gram) AS n_hit_grams,
+        |  count(DISTINCT bg.bench_id) AS n_eval_docs
+        |FROM g JOIN bg USING (gram)
+        |WHERE g.doc_id % 31 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: the embedded table is the QUANTIZED fit
+    // (floor(2^20·Δln) integers — the ln boundary, same as
+    // temperatureMix's pow; refresh via OracleFitProbe); everything
+    // downstream is exact — the md5 bucket walk, the integer Σ m_b per
+    // doc (docs with zero tokens keep the empty-sum 0, like the Spark
+    // fold's init), the /2^20 dyadic double, the (weight DESC, id)
+    // top-120.
+    "q_dsir_select" ->
+      s"""WITH $DsirModelValuesSql,
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(toks)), 1, 15)) AS BIGINT) % 64 AS bk
+        |  FROM t),
+        |w AS (SELECT x.doc_id, SUM(CAST(m.v AS BIGINT)) AS wnum
+        |  FROM x JOIN m ON m.b = x.bk GROUP BY x.doc_id),
+        |all_w AS (SELECT t.doc_id, COALESCE(w.wnum, 0) AS wnum
+        |  FROM t LEFT JOIN w ON w.doc_id = t.doc_id)
+        |SELECT doc_id, CAST(wnum AS DOUBLE) / 1048576.0 AS log_weight
+        |FROM all_w
+        |ORDER BY wnum DESC, doc_id
+        |LIMIT 120""".stripMargin,
+
     // The same regexp_replace chain; patterns are RE2/java.util.regex
     // portable by construction (see TextFunctions.redactPii scaladoc).
     "q_pii_redact" ->
@@ -3753,6 +4274,60 @@ object SparkEntry {
         |  AND n_alpha_words * 5 >= n_words * 4
         |  AND n_stop_hits >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // C4 replay: the same synthesized page (list slices + poison lines
+    // by id arithmetic), the same line filter (terminal punct after
+    // rtrim, >= 3 space-words, no 'javascript'), the same page rules
+    // (raw-page lorem/brace probes, >= 4 [.!?] in the CLEANED text) —
+    // exact string ops end to end, so survivors and their rewritten
+    // text hash-match byte-for-byte.
+    "q_c4_clean" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |pg AS (SELECT doc_id,
+        |    COALESCE(array_to_string(toks[1:6], ' '), '') || '.' || chr(10) ||
+        |    'Too short.' || chr(10) ||
+        |    COALESCE(array_to_string(toks[7:12], ' '), '') ||
+        |      CASE WHEN doc_id % 3 = 0 THEN ' pages need JavaScript enabled.'
+        |           ELSE '?' END || chr(10) ||
+        |    COALESCE(array_to_string(toks[13:16], ' '), '') || chr(10) ||
+        |    CASE WHEN doc_id % 17 = 0 THEN 'Generated from lorem ipsum filler.'
+        |         ELSE 'A closing remark for the page.' END || chr(10) ||
+        |    CASE WHEN doc_id % 19 = 0 THEN 'template { placeholder } here.'
+        |         ELSE 'Another fine sentence here.' END AS page
+        |  FROM t),
+        |cl AS (SELECT doc_id, page,
+        |    array_to_string(list_filter(string_split(page, chr(10)),
+        |      l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+        |            OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+        |        AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+        |        AND NOT contains(lower(l), 'javascript')), chr(10)) AS text
+        |  FROM pg)
+        |SELECT doc_id, text FROM cl
+        |WHERE NOT contains(lower(page), 'lorem ipsum')
+        |  AND NOT contains(page, '{')
+        |  AND length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) >= 4
+        |ORDER BY doc_id""".stripMargin,
+
+    // The identical predecessor-scan fold: line i survives iff it does
+    // not appear among lines 1..i-1 (DuckDB lambdas index 1-based;
+    // Spark's filter index is 0-based with slice(lines, 1, i) — the
+    // same predecessor set).
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |pg AS (SELECT doc_id,
+        |    [COALESCE(array_to_string(toks[1:5], ' '), ''), COALESCE(array_to_string(toks[6:10], ' '), ''),
+        |     COALESCE(array_to_string(toks[1:5], ' '), ''), COALESCE(array_to_string(toks[11:15], ' '), ''),
+        |     COALESCE(array_to_string(toks[6:10], ' '), ''), COALESCE(array_to_string(toks[1:5], ' '), '')]
+        |    AS lines
+        |  FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(lines,
+        |    (x, i) -> NOT list_contains(lines[1:i-1], x)), chr(10)) AS text
+        |FROM pg ORDER BY doc_id""".stripMargin,
 
     // Partial oracle (fitted side table, the q_deseq2_wald pattern):
     // the ranked merge list is read back and the FULL apply path

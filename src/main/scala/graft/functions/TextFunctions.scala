@@ -354,6 +354,125 @@ object TextFunctions {
       (st.getField("n_stop_hits") >= minStopHits)
   }
 
+  /** The exact integer counts behind [[gopherRepetitionRules]] (Rae et
+    * al. 2021 appendix A1.1.2, the MassiveWeb repetition filters), one
+    * kernel pass per document:
+    *   - lines (split `\n`, trailing empties kept) and paragraphs
+    *     (split `\n\n`): total / beyond-first-occurrence counts and the
+    *     same pair over their character lengths;
+    *   - word n-grams over the canonical normalized token stream:
+    *     `topN_chars` (n = 2..4) = top-count × gram char length (among
+    *     max-count grams the longest, a deterministic tie rule),
+    *     `dupN_chars` (n = 5..10) = Σ count·len over grams occurring
+    *     ≥ 2×, counting every occurrence (the overlap-naive published
+    *     implementation convention); gram char length counts token
+    *     characters only (no separators); `tok_chars` = Σ token chars.
+    * All plain longs, so every ratio rule cross-multiplies to integer
+    * comparisons an external engine replays exactly. Null text → null
+    * struct. One O(Σ n·tokens) hash-count UDF per doc (the
+    * [[repetitionStats]] precedent — a pure-expression form would need
+    * a per-element group-by); the pass is map-side with zero shuffle. */
+  def gopherRepetitionStats(c: Column): Column =
+    gopherRepUdf(c, tokens(normalizeText(c)))
+
+  // public: the UDF's result encoder generates accessor calls in
+  // Janino-compiled code, which cannot see a private class's methods
+  // (codegen would fall back to interpreter mode)
+  case class GopherRepStats(
+      n_lines: Long, n_dup_lines: Long, line_chars: Long, dup_line_chars: Long,
+      n_paras: Long, n_dup_paras: Long, para_chars: Long, dup_para_chars: Long,
+      top2_chars: Long, top3_chars: Long, top4_chars: Long,
+      dup5_chars: Long, dup6_chars: Long, dup7_chars: Long,
+      dup8_chars: Long, dup9_chars: Long, dup10_chars: Long,
+      tok_chars: Long)
+
+  private val gopherRepUdf = udf { (text: String, toks: Seq[String]) =>
+    if (text == null) null
+    else {
+      def unitStats(units: Array[String]): (Long, Long, Long, Long) = {
+        val counts = new java.util.HashMap[String, Int]()
+        var dups = 0L; var chars = 0L; var dupChars = 0L
+        units.foreach { u =>
+          val c = counts.merge(u, 1, (a, b) => a + b)
+          chars += u.length
+          if (c > 1) { dups += 1; dupChars += u.length }
+        }
+        (units.length.toLong, dups, chars, dupChars)
+      }
+      val (nl, dl, lc, dlc) = unitStats(text.split("\n", -1))
+      val (np, dp, pc, dpc) = unitStats(text.split("\n\n", -1))
+      val ts = if (toks == null) Seq.empty[String] else toks
+      val tokChars = ts.foldLeft(0L)(_ + _.length)
+      // per n: gram -> (count, token-char length); grams keyed by the
+      // space-joined form (tokens carry no spaces, so keys are unique)
+      def gramStats(n: Int): (Long, Long) = {
+        if (ts.length < n) return (0L, 0L)
+        val counts = new java.util.HashMap[String, Array[Long]]()
+        var i = 0
+        while (i <= ts.length - n) {
+          var len = 0L; var j = i
+          while (j < i + n) { len += ts(j).length; j += 1 }
+          val key = ts.slice(i, i + n).mkString(" ")
+          val e = counts.computeIfAbsent(key, _ => Array(0L, len))
+          e(0) += 1
+          i += 1
+        }
+        var maxC = 0L; var maxLen = 0L; var dupCover = 0L
+        counts.values.forEach { e =>
+          if (e(0) > maxC) { maxC = e(0); maxLen = e(1) }
+          else if (e(0) == maxC && e(1) > maxLen) maxLen = e(1)
+          if (e(0) >= 2) dupCover += e(0) * e(1)
+        }
+        (maxC * maxLen, dupCover)
+      }
+      val top = (2 to 4).map(gramStats)
+      val dup = (5 to 10).map(gramStats)
+      GopherRepStats(nl, dl, lc, dlc, np, dp, pc, dpc,
+        top(0)._1, top(1)._1, top(2)._1,
+        dup(0)._2, dup(1)._2, dup(2)._2, dup(3)._2, dup(4)._2, dup(5)._2,
+        tokChars)
+    }
+  }
+
+  /** The Gopher repetition rule-set page filter (Rae et al. 2021
+    * appendix A1.1.2), published thresholds as defaults: TRUE iff
+    *   - duplicate line / paragraph fraction ≤ 0.30,
+    *   - duplicate line / paragraph CHARACTER fraction ≤ 0.20,
+    *   - top 2/3/4-gram character fraction ≤ 0.20 / 0.18 / 0.16,
+    *   - duplicate 5..10-gram character fraction ≤
+    *     0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10.
+    * Thresholds are rational `num/100`, so every rule is the integer
+    * comparison `stat·100 ≤ num·denominator` — float-free and
+    * byte-replayable like [[gopherRules]] (its within-document
+    * companion: that one gates on composition, this one on
+    * repetition). An empty document passes trivially (0 ≤ 0). Null
+    * text yields null (gate-dropped). */
+  def gopherRepetitionRules(c: Column,
+      maxDupLineFrac100: Int = 30, maxDupCharFrac100: Int = 20,
+      maxTopGramFrac100: Seq[Int] = Seq(20, 18, 16),
+      maxDupGramFrac100: Seq[Int] = Seq(15, 14, 13, 12, 11, 10)): Column = {
+    require(maxTopGramFrac100.length == 3 && maxDupGramFrac100.length == 6,
+      "thresholds are per n: top 2..4 (3 values), dup 5..10 (6 values)")
+    val st = gopherRepetitionStats(c)
+    def f(name: String) = st.getField(name)
+    val tc = f("tok_chars")
+    val lineRules =
+      (f("n_dup_lines") * 100 <= f("n_lines") * maxDupLineFrac100) &&
+        (f("dup_line_chars") * 100 <= f("line_chars") * maxDupCharFrac100) &&
+        (f("n_dup_paras") * 100 <= f("n_paras") * maxDupLineFrac100) &&
+        (f("dup_para_chars") * 100 <= f("para_chars") * maxDupCharFrac100)
+    val topRules = Seq("top2_chars", "top3_chars", "top4_chars")
+      .zip(maxTopGramFrac100)
+      .map { case (n, t) => f(n) * 100 <= tc * t }
+      .reduce(_ && _)
+    val dupRules = Seq("dup5_chars", "dup6_chars", "dup7_chars",
+      "dup8_chars", "dup9_chars", "dup10_chars")
+      .zip(maxDupGramFrac100)
+      .map { case (n, t) => f(n) * 100 <= tc * t }
+      .reduce(_ && _)
+    lineRules && topRules && dupRules
+  }
+
   /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits
     * of Transfer Learning with a Unified Text-to-Text Transformer",
     * §2.2 heuristics — the line-scoped subset): a line survives iff

@@ -193,6 +193,31 @@ object Bm25 {
         nDocs, avgdl, queryIdCol, idCol, k, k1, b)
     }
 
+    /** Forget documents — takedown/opt-out support, [[append]]'s exact
+      * inverse: `removedDocs` must be the removed documents AS INDEXED
+      * (same id and text — the removal re-derives their postings and
+      * length stats to subtract them; a drifted text under-removes).
+      * Integer arithmetic end to end, so
+      * remove(build(A∪B), B) == build(A) EXACTLY: postings anti-join
+      * away, per-term df subtracts (terms reaching 0 drop), and
+      * (nDocs, sumDl) subtract — which is why the stats are stored
+      * un-divided. Bm25Spec pins frame and topK equality. */
+    def remove(removedDocs: DataFrame, textCol: String): Bm25Index = {
+      val input = graft.core.CacheScope.retainInput(removedDocs)
+      val (n2, sum2) = Bm25Index.corpusStats(input, textCol)
+      require(n2 < nDocs,
+        "remove would empty the index (avgdl undefined) — rebuild instead")
+      val ids = input.select(col(idCol)).distinct()
+      val df2 = Bm25.postings(input, textCol, idCol, None)
+        .groupBy("term").agg(count(lit(1)).as("__rm"))
+      val newDf = dfTab.join(broadcast(df2), Seq("term"), "left")
+        .withColumn("df", col("df") - coalesce(col("__rm"), lit(0L)))
+        .drop("__rm")
+        .where(col("df") > 0)
+      Bm25Index(postings.join(broadcast(ids), Seq(idCol), "left_anti"),
+        newDf, nDocs - n2, sumDl - sum2, idCol)
+    }
+
     /** Persist under `dir`: postings/ and df/ partitioned by term
       * bucket, meta/ a single row (nDocs, sumDl, idCol). */
     def save(dir: String): Unit = {

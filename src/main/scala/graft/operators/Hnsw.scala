@@ -279,6 +279,17 @@ object Hnsw {
       copy(shards = updated)
     }
 
+    /** Deliberately NO `remove` (the one index-family member without
+      * it): HNSW graph edges reference neighbors by insertion index, so
+      * deleting a node either tombstones it (searches still route
+      * through it — the per-shard exact-top-k merge contract breaks
+      * silently) or requires repairing every edge that points at it (a
+      * per-shard rebuild in disguise). Takedowns here = rebuild the
+      * affected shards' corpus subset with [[HnswIndex.build]]; the
+      * pmod id routing means only shards containing removed ids need
+      * their vectors re-fed. The filter-only removes live on the exact
+      * indexes (Lsh/Bm25/Ivf), where membership is per-row. */
+
     /** Persist under `dir`: shards/ + meta/ (one row of the build
       * geometry). */
     def save(dir: String): Unit = {

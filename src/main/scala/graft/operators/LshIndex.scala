@@ -81,6 +81,22 @@ object LshIndex {
       copy(bands = bands.unionByName(bands2), shingles = shingles.unionByName(sh2))
     }
 
+    /** Forget documents — takedown/opt-out support, the index-family
+      * counterpart of [[append]]: drop every band and shingle row of
+      * the given ids (one column, any name). EXACT, because the
+      * band/shingle derivation is strictly per-document:
+      * remove(build(A∪B), ids(B)) == build(A) frame-for-frame, and a
+      * probe afterwards can never return a removed id (DedupSpec pins
+      * both). One anti-join per frame — takedown lists are small, so
+      * the filter broadcasts; ids absent from the index are no-ops. */
+    def remove(removedIds: DataFrame): LshIndex = {
+      val ids = removedIds
+        .select(col(removedIds.columns.head).as(idCol)).distinct()
+        .pipe(graft.core.CacheScope.retain)
+      copy(bands = bands.join(broadcast(ids), Seq(idCol), "left_anti"),
+        shingles = shingles.join(broadcast(ids), Seq(idCol), "left_anti"))
+    }
+
     /** Persist under `dir`: bands/ and shingles/ partitioned by band
       * (band-restricted probes reopen with partition pruning; shingles
       * carry no band, so they land unpartitioned), meta/ one row of the

@@ -278,6 +278,23 @@ object Similarity {
       IvfIndex(centroids, cells.unionByName(mu))
     }
 
+    /** Forget documents — takedown/opt-out support: drop the removed
+      * rows from the cells (ids in the first column of `removedIds`,
+      * any name). The quantizer stays FROZEN, same contract as
+      * [[append]]: cell assignment is per-row, so
+      * remove(append(build(A), B), ids(B)) == build(A) exactly
+      * (centroids and cells both), and after any remove a search can
+      * never return a removed id while remaining results equal topK
+      * over the surviving cells (SimilaritySpec pins both). Rebuild
+      * when removals materially shift the data distribution — the same
+      * drift rule append documents. */
+    def remove(removedIds: DataFrame): IvfIndex = {
+      val ids = removedIds
+        .select(col(removedIds.columns.head).as("neighbor_id")).distinct()
+      IvfIndex(centroids,
+        cells.join(broadcast(ids), Seq("neighbor_id"), "left_anti"))
+    }
+
     /** Persist the index: `dir/cells` = assigned corpus partitioned by
       * cell id (partition pruning serves each probe from its own files),
       * `dir/centroids` = the quantizer table. */

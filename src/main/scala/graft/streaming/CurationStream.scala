@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -46,9 +46,10 @@ object CurationStream {
       jaccardThreshold: Double = 0.8, decontamN: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 8,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): DataFrame = {
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): DataFrame = {
     val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
-      model, minModelScore)
+      model, minModelScore, extraGate)
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
         bands = bands, rowsPerBand = rowsPerBand,
@@ -70,13 +71,19 @@ object CurationStream {
   private def gate(probe: DataFrame, textCol: String, minQuality: Double,
       lang: String, minTokens: Int, maxTokens: Int,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): DataFrame = {
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): DataFrame = {
     import graft.functions.TextFunctions._
     val base = probe.where(
       qualityScore(col(textCol)) >= minQuality &&
         langId(col(textCol)) === lang &&
         tokenCount(col(textCol)).between(minTokens, maxTokens))
-    model.fold(base)(m => base.where(m.score(col(textCol)) >= minModelScore))
+    val scored =
+      model.fold(base)(m => base.where(m.score(col(textCol)) >= minModelScore))
+    // an arbitrary extra stateless predicate over the probe's columns
+    // (Gopher rules, C4 page rules, a DSIR score threshold, ...);
+    // applied per row, so screen distributivity is untouched
+    extraGate.fold(scored)(g => scored.where(g))
   }
 
   /** [[screen]] served by a PREBUILT [[graft.operators.LshIndex]] over
@@ -97,9 +104,10 @@ object CurationStream {
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, decontamN: Int = 5,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): DataFrame = {
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): DataFrame = {
     val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
-      model, minModelScore)
+      model, minModelScore, extraGate)
     val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
@@ -126,9 +134,10 @@ object CurationStream {
       jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5,
       bands: Int = 16, rowsPerBand: Int = 8,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): DataFrame = {
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): DataFrame = {
     val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
-      model, minModelScore)
+      model, minModelScore, extraGate)
     val nearDups = graft.operators.Dedup
       .nearDupAgainst(gated, corpus, textCol, idCol,
         bands = bands, rowsPerBand = rowsPerBand,
@@ -154,9 +163,10 @@ object CurationStream {
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, spanN: Int = 8, decontamN: Int = 5,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): DataFrame = {
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): DataFrame = {
     val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
-      model, minModelScore)
+      model, minModelScore, extraGate)
     val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
@@ -185,9 +195,10 @@ object CurationStream {
       minTokens: Int = 10, maxTokens: Int = 1000,
       jaccardThreshold: Double = 0.8, decontamN: Int = 5,
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0): DataFrame = {
+      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0,
+      extraGate: Option[Column] = None): DataFrame = {
     val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
-      model, minModelScore)
+      model, minModelScore, extraGate)
     val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
       .select(col("probe_id").as(idCol)).distinct()
     val unique = gated.join(nearDups, Seq(idCol), "left_anti")
@@ -208,12 +219,13 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id",
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): StreamingQuery =
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screen(batch, corpus, evalSet, textCol, idCol,
-          model = model, minModelScore = minModelScore))
+          model = model, minModelScore = minModelScore, extraGate = extraGate))
       }
       .trigger(trigger)
       .start()
@@ -226,12 +238,13 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id", spanN: Int = 8,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): StreamingQuery =
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenV2(batch, corpus, evalSet, textCol, idCol, spanN = spanN,
-          model = model, minModelScore = minModelScore))
+          model = model, minModelScore = minModelScore, extraGate = extraGate))
       }
       .trigger(trigger)
       .start()
@@ -246,12 +259,13 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id",
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): StreamingQuery =
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenIndexed(batch, index, evalSet, textCol, idCol,
-          model = model, minModelScore = minModelScore))
+          model = model, minModelScore = minModelScore, extraGate = extraGate))
       }
       .trigger(trigger)
       .start()
@@ -266,12 +280,13 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id", spanN: Int = 8,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5): StreamingQuery =
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenV2Indexed(batch, index, corpus, evalSet, textCol, idCol,
-          spanN = spanN, model = model, minModelScore = minModelScore))
+          spanN = spanN, model = model, minModelScore = minModelScore, extraGate = extraGate))
       }
       .trigger(trigger)
       .start()
@@ -287,13 +302,14 @@ object CurationStream {
       textCol: String = "text", idCol: String = "doc_id",
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       model: Option[graft.operators.QualityClassifier.Model] = None,
-      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0): StreamingQuery =
+      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0,
+      extraGate: Option[Column] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(screenV2FullyIndexed(batch, index, spanIndex, evalSet, textCol, idCol,
           model = model, minModelScore = minModelScore,
-          spanBloomFpp = spanBloomFpp))
+          spanBloomFpp = spanBloomFpp, extraGate = extraGate))
       }
       .trigger(trigger)
       .start()

@@ -126,6 +126,33 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("remove(build(A∪B), B) equals build(A): stats, df table, postings, scores") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val removed = Bm25.Bm25Index.build(docs, "text", "doc_id").remove(b, "text")
+    val rebuilt = Bm25.Bm25Index.build(a, "text", "doc_id")
+    assert(removed.nDocs == rebuilt.nDocs && removed.sumDl == rebuilt.sumDl)
+    def dfSet(i: Bm25.Bm25Index) = i.dfTab
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Int]("__bucket"))).toSet
+    assert(dfSet(removed) == dfSet(rebuilt))
+    def postSet(i: Bm25.Bm25Index) = i.postings
+      .select("doc_id", "term", "tf", "__dl")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(postSet(removed) == postSet(rebuilt))
+    val qs = queriesDf((0L, "spark hash join"), (1L, "window sort merge"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(norm(removed.topK(qs, "query_id", "qtext", k = 10))
+      == norm(rebuilt.topK(qs, "query_id", "qtext", k = 10)))
+    // removing everything is refused (avgdl undefined)
+    intercept[IllegalArgumentException] {
+      Bm25.Bm25Index.build(docs, "text", "doc_id").remove(docs, "text")
+    }
+  }
+
   test("driver-side term bucket matches the engine-side bucket column") {
     val terms = Seq("spark", "hash", "join", "the", "zz9", "merge", "a1b2")
     val engine = terms.toDF("term")

@@ -368,6 +368,33 @@ class DedupSpec extends SparkSpec {
       pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id")))
   }
 
+  test("LshIndex.remove(build(A∪B), ids(B)) == build(A): frames, probe, and no removed ids") {
+    import graft.operators.LshIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = d.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val keepSide = corpus.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val dropSide = corpus.where(pmod(col("doc_id"), lit(5)) === 0)
+    val removed = LshIndex.build(corpus, "text", "doc_id")
+      .remove(dropSide.select("doc_id"))
+    val rebuilt = LshIndex.build(keepSide, "text", "doc_id")
+    assert(removed.bands.collect().toSet == rebuilt.bands.collect().toSet)
+    assert(removed.shingles.collect().map(r =>
+        (r.getLong(0), r.getSeq[Long](1))).toSet ==
+      rebuilt.shingles.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p = pairs(removed.probe(probe, "text", "doc_id"))
+    assert(p == pairs(Dedup.nearDupAgainst(probe, keepSide, "text", "doc_id")))
+    assert(p.forall(_._2 % 5 != 0), "a removed id surfaced from the index")
+    // removing unknown ids is a no-op
+    val spark2 = d.sparkSession
+    import spark2.implicits._
+    val noop = LshIndex.build(corpus, "text", "doc_id")
+      .remove(Seq(999999L).toDF("doc_id"))
+    assert(noop.bands.count() == LshIndex.build(corpus, "text", "doc_id").bands.count())
+  }
+
   test("LshIndex.loadBands: restricted probe is a verified subset; partitions prune") {
     import graft.operators.LshIndex
     val d = Tables.documents(spark, "/root/testdata/sf0.001")

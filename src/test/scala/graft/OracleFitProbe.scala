@@ -277,6 +277,15 @@ object OracleFitProbe {
       }.sum
       println(f"TEMPMIX expected kept total=$kept%.1f of ${counts.values.sum}")
     }
+
+    // ---- DSIR quantized bucket log-ratios (q_dsir_select embeds them;
+    //      target = the 'en' slice, raw = full corpus, 64 buckets) ----
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val m = graft.operators.Sampling.dsirLogRatios(
+        docs, docs.where(col("lang") === "en"), "text")
+      println("DSIR m=" + (0 until 64).map(b => s"($b,${m(b)})").mkString(", "))
+    }
     spark.stop()
   }
 }

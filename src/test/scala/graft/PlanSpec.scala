@@ -79,6 +79,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("new text gates are map-side (no exchange before the output sort)") {
+    // c4 cleaning, line dedup, gopher composition+repetition rules, and
+    // DSIR SCORING are all per-row transforms/predicates: the only
+    // shuffle any of them may show is the deterministic output sort
+    // (the DSIR fit, like the classifier fit, runs eagerly at build)
+    Seq("q_c4_clean", "q_line_dedup", "q_gopher_filter",
+      "q_gopher_repetition").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q shuffles beyond the output sort: $exchanges")
+    }
+  }
+
+  test("q_dsir_select: map-side scoring into a TakeOrdered — no full sort, no join") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.isEmpty,
+      s"scoring must not shuffle the corpus (top-k is a per-partition heap): $exchanges")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the 64-entry model rides as a literal map, not a join")
+  }
+
+  test("q_mixture_select: map-side keep filter (broadcast thresholds, no operator shuffle)") {
+    val p = plan("q_mixture_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"thinning must not shuffle the corpus: $exchanges")
+  }
+
+  test("q_contamination_report: eval gram pairs broadcast; no cartesian") {
+    val p = plan("q_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_bm25: query-term and df joins broadcast; corpus never sort-merges") {
     val p = plan("q_bm25")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -51,7 +51,10 @@ object ScaleProbe {
       "q_split_leakage", "q_domain_quota", "q_blocklist_filter",
       "q_quality_classifier", "q_pack_stats",
       "q_span_index", "q_span_index_bloom", "q_quality_fit1", "q_quality_filter1",
-      "q_mp4_meta", "q_mixture_select", "q_gopher_filter")
+      "q_mp4_meta", "q_mixture_select", "q_gopher_filter",
+      "q_c4_clean", "q_line_dedup", "q_dedup_cluster_best",
+      "q_contamination_report", "q_dsir_select", "q_gopher_repetition",
+      "q_curation_pipeline3")
 
     val spark = SparkSession.builder()
       .master("local[32]")

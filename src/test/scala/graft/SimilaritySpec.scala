@@ -141,6 +141,33 @@ class SimilaritySpec extends SparkSpec {
     assert(someNew, "appended vectors must appear in probe results")
   }
 
+  test("IvfIndex.remove: append's exact inverse; searches never return removed ids") {
+    import graft.operators.Similarity.IvfIndex
+    val a = embeddings.filter(col("vec_id") % 3 =!= 0)
+    val b = embeddings.filter(col("vec_id") % 3 === 0)
+    val base = IvfIndex.build(a, "embedding", "vec_id", nlist = 8, seed = 42L)
+    val roundTrip = base.append(b, "embedding", "vec_id")
+      .remove(b.select("vec_id"))
+    // centroids untouched, cells exactly the pre-append frame
+    assert(roundTrip.centroids.map(_.toSeq).toSeq == base.centroids.map(_.toSeq).toSeq)
+    def cellSet(i: IvfIndex) = i.cells
+      .select("neighbor_id", "__cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSet(roundTrip) == cellSet(base))
+    // a full-corpus index after remove: results equal brute force over
+    // the survivors at nprobe = nlist, and no removed id ever surfaces
+    val removed = IvfIndex.build(embeddings, "embedding", "vec_id",
+      nlist = 8, seed = 42L).remove(b.select("vec_id"))
+    val q = embeddings.filter(col("vec_id") < 4)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val got = res(removed.topK(q, "embedding", "vec_id", k = 10, nprobe = 8))
+    assert(got.forall { case (_, n, _) => n % 3 != 0 },
+      "a removed id surfaced from the index")
+    assert(got == res(Similarity.bruteForceTopK(a, q, "embedding", "vec_id", 10)))
+  }
+
   test("near-dup pairs symmetric-free and thresholded") {
     val pairs = Similarity.embeddingNearDupPairs(embeddings, "embedding", "vec_id", 0.4)
       .collect()

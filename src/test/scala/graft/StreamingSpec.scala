@@ -401,6 +401,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("extraGate in the screen chain (Gopher rules): prunes and only prunes; multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val index = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+    val spanIndex = graft.operators.SpanIndex.build(corpus, "text", n = 5)
+    // an arbitrary stateless rule rides the gate conjunction — here the
+    // Gopher composition rules tuned so they split this corpus
+    val gate = graft.functions.TextFunctions.gopherRules(col("text"),
+      minWords = 40, stopWords = Seq("the", "a"), minStopHits = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    val without = rows(graft.streaming.CurationStream
+      .screenV2FullyIndexed(probe, index, spanIndex, evalSet))
+    val oneShot = rows(graft.streaming.CurationStream
+      .screenV2FullyIndexed(probe, index, spanIndex, evalSet,
+        extraGate = Some(gate)))
+    assert(oneShot.nonEmpty && oneShot.size < without.size,
+      s"extra gate pruned ${without.size} -> ${oneShot.size}")
+    assert(oneShot.subsetOf(without))
+
+    val dir = java.nio.file.Files.createTempDirectory("curation_xg_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation_xg_ck").toString
+    val q = graft.streaming.CurationStream.startScreenV2FullyIndexed(
+      stream, index, spanIndex, evalSet,
+      sink = out => {
+        batches += 1
+        out.collect().foreach(r => admitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      extraGate = Some(gate))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("v2 streaming screen (span scrub in the chain): multi-batch union equals one-shot") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -229,6 +229,57 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("gopherRepetitionStats: exact counts for lines, paragraphs, and gram coverage") {
+    // toks = [x,y,x,y,x,y,x,y,z,w] after normalization
+    val text = "x y x y\nx y x y\nz w"
+    val st = Seq((1L, text)).toDF("doc_id", "text")
+      .select(gopherRepetitionStats(col("text")).as("s"))
+      .select("s.*").collect()(0)
+    assert(st.getAs[Long]("n_lines") == 3)
+    assert(st.getAs[Long]("n_dup_lines") == 1)
+    assert(st.getAs[Long]("line_chars") == 17)
+    assert(st.getAs[Long]("dup_line_chars") == 7)
+    assert(st.getAs[Long]("n_paras") == 1)
+    assert(st.getAs[Long]("n_dup_paras") == 0)
+    assert(st.getAs[Long]("para_chars") == 19)
+    assert(st.getAs[Long]("dup_para_chars") == 0)
+    assert(st.getAs[Long]("tok_chars") == 10)
+    // 2-grams: "x y"×4 dominates → 4·2; 3-grams: xyx/yxy both ×3 → 3·3;
+    // 4-grams: xyxy×3 → 3·4
+    assert(st.getAs[Long]("top2_chars") == 8)
+    assert(st.getAs[Long]("top3_chars") == 9)
+    assert(st.getAs[Long]("top4_chars") == 12)
+    // 5-grams: xyxyx×2 + yxyxy×2 → 20; 6-grams: xyxyxy×2 → 12; 7+ distinct
+    assert(st.getAs[Long]("dup5_chars") == 20)
+    assert(st.getAs[Long]("dup6_chars") == 12)
+    assert(st.getAs[Long]("dup7_chars") == 0)
+    assert(st.getAs[Long]("dup10_chars") == 0)
+    // null text → null struct
+    val n = Seq((2L, Option.empty[String])).toDF("doc_id", "text")
+      .select(gopherRepetitionStats(col("text")).as("s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("gopherRepetitionRules: repetitive pages drop, diverse prose passes") {
+    def passes(t: String): Boolean =
+      Seq((1L, t)).toDF("doc_id", "text")
+        .where(gopherRepetitionRules(col("text"))).count() == 1
+    // a page-sized diverse doc (the published thresholds assume ≥50-word
+    // pages: with all-distinct grams top-gram coverage is one gram's
+    // length, a small fraction only of a LONG page)
+    val diverse = ((1 to 40).map(i => f"w$i%02d").mkString(" ") + "\n" +
+      (41 to 50).map(i => f"w$i%02d").mkString(" "))
+    assert(passes(diverse))
+    // "x y" holds 80% of 2-gram coverage → top2 rule fires
+    assert(!passes("x y x y\nx y x y\nz w"))
+    // duplicated LINES with diverse grams: line rules fire, gram rules do not
+    val dupLines = Seq("alpha beta gamma one", "alpha beta gamma one",
+      "alpha beta gamma one", "delta epsilon zeta").mkString("\n")
+    assert(!passes(dupLines))
+    // empty text passes trivially (0 <= 0 everywhere)
+    assert(passes(""))
+  }
+
   test("c4CleanLines: terminal punct, three words, javascript marker; null stays null") {
     val text = Seq(
       "This line survives the filter.",      // keeps: punct + 3 words
