@@ -1011,6 +1011,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- persistable EVAL gram index (build-once/serve-many
+    //      decontamination — the last screen input without an index
+    //      form): flagging through the index must equal the ad-hoc
+    //      contaminatedDocs walk, so the q_decontaminate oracle applies
+    //      verbatim. Save/load round-trip, append == build-on-union,
+    //      and mutated-meta loudness are DedupSpec-pinned. ----
+    "q_eval_index" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.EvalIndex
+        .build(d.where(pmod(col("doc_id"), lit(31)) === 0), "text", n = 5)
+        .contaminated(d.where(pmod(col("doc_id"), lit(31)) =!= 0),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- the same index serving its Bloom branch (map-side filter
+    //      probe, no gram join) at fpp 1e-8 == the exact path on this
+    //      gram set (expected FP count ~1e-4); the PERSISTED-filter
+    //      form is additionally spec-pinned identical in DedupSpec. ----
+    "q_eval_index_bloom" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.EvalIndex
+        .build(d.where(pmod(col("doc_id"), lit(31)) === 0), "text", n = 5)
+        .contaminated(d.where(pmod(col("doc_id"), lit(31)) =!= 0),
+          "text", "doc_id", bloomFpp = 1e-8)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -2272,7 +2300,11 @@ object SparkEntry {
       // remove(extra) must return the ORIGINAL index bit-for-bit, so
       // the original gates' oracles apply verbatim
       "q_bm25_index_remove" -> base("q_bm25_index"),
-      "q_ivf_index_remove" -> base("q_similarity_ivf_exact"))
+      "q_ivf_index_remove" -> base("q_similarity_ivf_exact"),
+      // EvalIndex flagging == the ad-hoc contamination walk (exact
+      // path verbatim; Bloom at fpp 1e-8 collapses to it)
+      "q_eval_index" -> base("q_decontaminate"),
+      "q_eval_index_bloom" -> base("q_decontaminate"))
   }
 
   /** The one-Newton-step fit replay as a WITH-clause body (f → lab →

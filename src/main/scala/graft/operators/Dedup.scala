@@ -291,15 +291,50 @@ object Dedup {
     * broadcast-hash-join pass over the corpus grams. Output: one row
     * per contaminated corpus doc with its hit count. */
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 13): DataFrame = {
-    def grams(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol).as(out),
-          explode(array_distinct(
-            wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
-    val bench = grams(benchmark, "bench_id").select("__g").distinct()
-    grams(corpus, idCol)
-      .join(broadcast(bench), Seq("__g"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+      textCol: String, idCol: String, n: Int = 13): DataFrame =
+    contaminatedAgainstGrams(corpus,
+      evalGramSet(benchmark, textCol, n), textCol, idCol, n)
+
+  /** Reduce an eval set to its distinct word-n-gram table — exactly the
+    * benchmark-side frame [[contaminatedDocs]] derives per call, and the
+    * persistable content of [[EvalIndex]]. Grams are the RAW normalized
+    * strings (not hashes): the exact flag path joins on them, and the
+    * Bloom path derives its xxhash64 longs from them, so one stored
+    * frame serves both. */
+  def evalGramSet(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark.select(explode(array_distinct(
+        wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("gram"))
+      .distinct()
+
+  /** The corpus-side contamination walk against a prebuilt eval gram
+    * table ([[evalGramSet]] ad-hoc, or an [[EvalIndex]]'s loaded frame):
+    * `bloomFpp = 0` broadcast-joins the gram strings (exact);
+    * `bloomFpp > 0` probes a Bloom filter over their xxhash64 longs
+    * map-side (no join — a prebuilt filter, e.g. a persisted index's,
+    * skips even the one-time aggregate). Identical arithmetic to the
+    * ad-hoc operators by construction — [[contaminatedDocs]] and
+    * [[contaminatedDocsBloom]] both delegate here. */
+  private[operators] def contaminatedAgainstGrams(corpus: DataFrame,
+      benchGrams: DataFrame, textCol: String, idCol: String, n: Int,
+      bloomFpp: Double = 0.0,
+      prebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(
+        wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
+    val hits =
+      if (bloomFpp > 0.0) {
+        val bf = prebuiltBloom.getOrElse {
+          val bench = benchGrams.select(xxhash64(col("gram")).as("__h"))
+            .distinct().pipe(graft.core.CacheScope.retain)
+          bench.stat.bloomFilter("__h", math.max(bench.count(), 1L), bloomFpp)
+        }
+        val bcBf = corpus.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
+        corpusGrams.where(mightContain(xxhash64(col("__g"))))
+      } else
+        corpusGrams.join(
+          broadcast(benchGrams.withColumnRenamed("gram", "__g")), Seq("__g"))
+    hits.groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
   /** Decontaminated corpus: drop every document [[contaminatedDocs]]
@@ -340,25 +375,13 @@ object Dedup {
     * and makes the probe cheaper than hashing UTF-8 bytes per gram. */
   def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13,
-      fpp: Double = 0.001): DataFrame = {
-    def grams(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol).as(out),
-          explode(array_distinct(
-            wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
-    val bench = grams(benchmark, "bench_id")
-      .select(xxhash64(col("__g")).as("__h")).distinct()
-      .pipe(graft.core.CacheScope.retain)
+      fpp: Double = 0.001): DataFrame =
     // sizing needs the true cardinality; one count on the (cached,
     // small-by-definition) eval side beats a guessed capacity that
-    // either wastes executor memory or blows the fpp contract
-    val nGrams = math.max(bench.count(), 1L)
-    val bf = bench.stat.bloomFilter("__h", nGrams, fpp)
-    val bcBf = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
-    grams(corpus, idCol)
-      .where(mightContain(xxhash64(col("__g"))))
-      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
-  }
+    // either wastes executor memory or blows the fpp contract —
+    // contaminatedAgainstGrams counts the distinct-hash frame
+    contaminatedAgainstGrams(corpus,
+      evalGramSet(benchmark, textCol, n), textCol, idCol, n, fpp)
 
   /** [[decontaminate]] with the Bloom screen: conservative (may drop a
     * false-positive doc at ≤ fpp per gram) but never leaks — the flag

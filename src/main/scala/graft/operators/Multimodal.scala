@@ -456,7 +456,7 @@ object Multimodal {
           Array[Byte](0, 0, 0, 0), u32(0L),
           handler.getBytes("US-ASCII"),
           u32(0L), u32(0L), u32(0L),
-          (name + " ").getBytes("US-ASCII")))
+          (name + "\u0000").getBytes("US-ASCII")))
       val videoTrak = box("trak", tkhd(1L, width, height, 0), mdia("vide", "VideoHandler"))
       val audioTrak =
         if (!withAudio) Array.empty[Byte]

@@ -313,4 +313,112 @@ object CurationStream {
       }
       .trigger(trigger)
       .start()
+
+  /** [[screenIndexed]] with the eval set ALSO index-served: the v1
+    * screen with EVERY corpus-shaped input a prebuilt index — near-dup
+    * by [[graft.operators.LshIndex]], decontamination by
+    * [[graft.operators.EvalIndex]] (its gram width rides in the index;
+    * a mismatched `decontamN` cannot be expressed). `evalBloomFpp > 0`
+    * takes the map-side Bloom flag branch — aggregate-free when the
+    * EvalIndex carries a persisted filter; over-flags at ≤ fpp per
+    * gram, never under-flags. Equivalent to [[screen]] over the indexed
+    * frames and distributes over batch splits (StreamingSpec pins
+    * both). */
+  def screenAllIndexed(probe: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      evalIndex: graft.operators.EvalIndex.EvalIndex,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5, evalBloomFpp: Double = 0.0,
+      extraGate: Option[Column] = None): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore, extraGate)
+    val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    evalIndex.decontaminate(unique, textCol, idCol, evalBloomFpp)
+  }
+
+  /** [[screenV2FullyIndexed]] with the eval set ALSO index-served — the
+    * COMPLETE build-once/serve-many v2 ingestion screen: near-dup by
+    * [[graft.operators.LshIndex]], span scrub by
+    * [[graft.operators.SpanIndex]], decontamination by
+    * [[graft.operators.EvalIndex]]. No raw corpus OR eval frame in any
+    * batch plan; all three indexes must describe the same frozen state
+    * (both gram widths ride in their indexes). With persisted Bloom
+    * filters on the span and eval indexes, a batch plan runs zero
+    * corpus-sized aggregates. Equivalent to [[screenV2]] over the
+    * indexed frames and distributes over batch splits (StreamingSpec
+    * pins both laws). */
+  def screenV2AllIndexed(probe: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      spanIndex: graft.operators.SpanIndex.SpanIndex,
+      evalIndex: graft.operators.EvalIndex.EvalIndex,
+      textCol: String = "text", idCol: String = "doc_id",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0,
+      evalBloomFpp: Double = 0.0,
+      extraGate: Option[Column] = None): DataFrame = {
+    val gated = gate(probe, textCol, minQuality, lang, minTokens, maxTokens,
+      model, minModelScore, extraGate)
+    val nearDups = index.probe(gated, textCol, idCol, jaccardThreshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    val unique = gated.join(nearDups, Seq(idCol), "left_anti")
+    val scrubbed = spanIndex.scrub(unique, textCol, idCol, spanBloomFpp)
+      .withColumnRenamed("text", textCol)
+    evalIndex.decontaminate(scrubbed, textCol, idCol, evalBloomFpp)
+  }
+
+  /** [[startScreenIndexed]] with the eval set index-served
+    * ([[screenAllIndexed]] per micro-batch). */
+  def startScreenAllIndexed(stream: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      evalIndex: graft.operators.EvalIndex.EvalIndex,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id",
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5, evalBloomFpp: Double = 0.0,
+      extraGate: Option[Column] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenAllIndexed(batch, index, evalIndex, textCol, idCol,
+          model = model, minModelScore = minModelScore,
+          evalBloomFpp = evalBloomFpp, extraGate = extraGate))
+      }
+      .trigger(trigger)
+      .start()
+
+  /** [[startScreenV2FullyIndexed]] with the eval set index-served
+    * ([[screenV2AllIndexed]] per micro-batch): the production v2
+    * ingestion entry point — every batch plan is gates + joins/probes
+    * against three prebuilt indexes' cached frames and filters. */
+  def startScreenV2AllIndexed(stream: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      spanIndex: graft.operators.SpanIndex.SpanIndex,
+      evalIndex: graft.operators.EvalIndex.EvalIndex,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id",
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5, spanBloomFpp: Double = 0.0,
+      evalBloomFpp: Double = 0.0,
+      extraGate: Option[Column] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenV2AllIndexed(batch, index, spanIndex, evalIndex,
+          textCol, idCol, model = model, minModelScore = minModelScore,
+          spanBloomFpp = spanBloomFpp, evalBloomFpp = evalBloomFpp,
+          extraGate = extraGate))
+      }
+      .trigger(trigger)
+      .start()
 }

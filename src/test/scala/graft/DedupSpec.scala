@@ -541,6 +541,65 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("bloom"))
   }
 
+  test("EvalIndex: contaminated/decontaminate == the ad-hoc operators bit-identically (exact + Bloom)") {
+    import graft.operators.EvalIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = d.where(pmod(col("doc_id"), lit(31)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    def flags(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toSet
+    val idx = EvalIndex.build(bench, "text", n = 5)
+    val adHoc = flags(Dedup.contaminatedDocs(corpus, bench, "text", "doc_id", n = 5))
+    assert(flags(idx.contaminated(corpus, "text", "doc_id")) == adHoc)
+    // Bloom path at fpp 1e-8: expected FP count ~1e-4 on this gram set,
+    // so index-Bloom == exact (the q_decontaminate_bloom law)
+    assert(flags(idx.contaminated(corpus, "text", "doc_id", bloomFpp = 1e-8)) == adHoc)
+    // the survivor side too
+    def ids(df: DataFrame) = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(idx.decontaminate(corpus, "text", "doc_id")) ==
+      ids(Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 5)))
+    // at a COARSE fpp the Bloom flags are a superset (never under-flag)
+    val coarse = flags(idx.contaminated(corpus, "text", "doc_id", bloomFpp = 0.2))
+    assert(adHoc.map(_._1).subsetOf(coarse.map(_._1)))
+  }
+
+  test("EvalIndex.append(A,B) == build(A∪B): identical gram FRAMES; save → load round-trip; mutated meta fails loudly") {
+    import graft.operators.EvalIndex
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = d.where(pmod(col("doc_id"), lit(31)) === 0)
+    val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val a = bench.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b = bench.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    // grams carry no doc ids: the law is EXACT frame equality
+    // (distinct-of-union == union-of-distincts), no id contract
+    def grams(ix: EvalIndex.EvalIndex) =
+      ix.grams.collect().map(_.getString(0)).toSet
+    val appended = EvalIndex.build(a, "text", n = 5).append(b, "text")
+    val rebuilt = EvalIndex.build(bench, "text", n = 5)
+    assert(grams(appended) == grams(rebuilt))
+    assert(appended.n == rebuilt.n)
+    // round-trip: save → load flags identically; the persisted Bloom
+    // serves aggregate-free and equals exact at fpp 1e-8
+    def flags(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"))).toSet
+    val exact = flags(rebuilt.contaminated(corpus, "text", "doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("evalidx").toString
+    rebuilt.save(dir, bloomFpp = 1e-8)
+    val re = EvalIndex.load(spark, dir)
+    assert(re.n == 5)
+    assert(re.bloom.exists(_._1 == 1e-8))
+    assert(flags(re.contaminated(corpus, "text", "doc_id")) == exact)
+    assert(flags(re.contaminated(corpus, "text", "doc_id", bloomFpp = 1e-3)) == exact)
+    // append drops the carried filter (it describes the old gram set)
+    assert(re.append(b, "text").bloom.isEmpty)
+    // meta mutation fails at load naming the field
+    import spark.implicits._
+    Seq(5).toDF("renamed_n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] { EvalIndex.load(spark, dir) }
+    assert(e.getMessage.contains("decontam_n"))
+  }
+
   test("LshIndex.load: a mutated meta fails loudly, naming the missing field") {
     import graft.operators.LshIndex
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001").limit(32)

@@ -344,6 +344,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ALL-indexed screens (LshIndex + SpanIndex + EvalIndex, no raw corpus OR eval frame): equal raw forms; multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val index = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+    val spanIndex = graft.operators.SpanIndex.build(corpus, "text", n = 5)
+    // the eval stage served by a SAVED-then-LOADED EvalIndex with a
+    // persisted Bloom filter: no raw eval frame in any plan, and the
+    // Bloom branch runs aggregate-free from the saved bytes
+    val evalDir = java.nio.file.Files.createTempDirectory("curation_evalidx").toString
+    graft.operators.EvalIndex.build(evalSet, "text", n = 5).save(evalDir, bloomFpp = 1e-8)
+    val evalIndex = graft.operators.EvalIndex.load(spark, evalDir)
+    assert(evalIndex.bloom.nonEmpty)
+
+    // v1: screenAllIndexed == screen
+    val v1 = graft.streaming.CurationStream.screen(probe, corpus, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(v1.nonEmpty)
+    assert(graft.streaming.CurationStream
+      .screenAllIndexed(probe, index, evalIndex)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == v1)
+
+    // v2: screenV2AllIndexed == screenV2, exact and Bloom-served eval
+    val oneShot = graft.streaming.CurationStream
+      .screenV2(probe, corpus, evalSet, spanN = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(oneShot.nonEmpty)
+    val allIndexed = graft.streaming.CurationStream
+      .screenV2AllIndexed(probe, index, spanIndex, evalIndex)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(allIndexed == oneShot)
+    val viaBloom = graft.streaming.CurationStream
+      .screenV2AllIndexed(probe, index, spanIndex, evalIndex,
+        evalBloomFpp = 1e-8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tokens_removed"))).toSet
+    assert(viaBloom == oneShot)
+
+    val dir = java.nio.file.Files.createTempDirectory("curation_allidx_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("curation_allidx_ck").toString
+    val q = graft.streaming.CurationStream.startScreenV2AllIndexed(
+      stream, index, spanIndex, evalIndex,
+      sink = out => {
+        batches += 1
+        out.collect().foreach(r => admitted.add((r.getAs[Long]("doc_id"),
+          r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))))
+      },
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("model-based quality gate in the screen chain: multi-batch union equals one-shot; gate actually prunes") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
