@@ -1423,6 +1423,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Unicode text hygiene (the CCNet pre-hashing contract): NFC
+    //      normalization (native codegen'd expression over the JDK
+    //      normalizer) + invisible-character scrub. The fixture text is
+    //      ASCII, so the query appends a deterministic dirty tail —
+    //      decomposed e+U+0301 (→ é), zero-widths, a BEL, a CRLF, and
+    //      Å spelled COMPOSED on odd ids / DECOMPOSED on even ids (both
+    //      must emerge identical). The oracle replays via DuckDB's
+    //      utf8proc nfc_normalize + the same RE2-portable strip class —
+    //      two independent UAX #15 implementations agreeing byte-for-
+    //      byte. ----
+    "q_unicode_clean" -> ((s, dir) => {
+      // every non-ASCII/control char spelled as a \u escape so the
+      // source stays plain text under grep/diff (the r9 ADVICE lesson)
+      val dirty = concat(col("text"),
+        lit(" cafe\u0301 \u200Bzero\u200Dwidth \u0007bell\r\nnext"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" A\u030A"))
+          .otherwise(lit(" \u00C5")))
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.cleanUnicode(dirty).as("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- URL canonicalization + registrable domain (the C4/CCNet
     //      url-dedup primitives). The documents table has no URL
     //      column, so the query synthesizes five deterministic messy
@@ -1807,6 +1830,21 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- EPOCH-aware mixing (the UPSAMPLING counterpart: GPT-3 runs
+    //      Wikipedia 3.4 epochs while CC sees 0.44): en×2.5, fr×1.25,
+    //      de×1.0 — es/zh unlisted → dropped. Every row emits its full
+    //      copies plus a fractional copy kept by the deterministic
+    //      id:epoch:seed hash walk. The fractional thresholds are
+    //      floor(frac·2⁶⁰) with frac ∈ {0.5, 0.25, 0} — exact
+    //      powers-of-two literals (2⁵⁹, 2⁵⁸, 0) the oracle writes down
+    //      directly. ----
+    "q_epoch_mix" -> ((s, dir) =>
+      graft.operators.Sampling.epochMix(
+        documents(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 2.5, "fr" -> 1.25, "de" -> 1.0))
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")),
+
     // ---- the Gopher rule-set page filter (Rae et al. 2021 appendix
     //      A1.1.1): word count, mean word length, symbol-to-word
     //      ratios, bullet/ellipsis line shares, alphabetic-word ratio,
@@ -1926,6 +1964,21 @@ object SparkEntry {
       val benchmark = d.where(pmod(col("doc_id"), lit(31)) === 0)
       val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
       graft.operators.Dedup.contaminationReport(
+        corpus, benchmark, "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-EVAL-ITEM contamination fraction (the PaLM §9 /
+    //      Chinchilla direction, same id-arithmetic split): an eval doc
+    //      is burned when ≥ 7/10 of its distinct 5-grams appear in the
+    //      corpus. All-integer cross-multiplied flag; the oracle
+    //      replays the gram walk with the eval/corpus roles of
+    //      q_decontaminate swapped and the rollup per eval doc. ----
+    "q_eval_contamination" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val benchmark = d.where(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(31)) =!= 0)
+      graft.operators.Dedup.evalContamination(
         corpus, benchmark, "text", "doc_id", n = 5)
         .orderBy("doc_id")
     }),
@@ -3271,6 +3324,30 @@ object SparkEntry {
         |GROUP BY g.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // The q_decontaminate gram walk with the roles swapped: rollup per
+    // EVAL doc over a LEFT join against the corpus' distinct gram set,
+    // flag by the same cross-multiplied integer comparison.
+    "q_eval_contamination" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+        |  FROM n),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(toks[i:i+4], ' '))
+        |    END)) AS gram
+        |  FROM t),
+        |eg AS (SELECT doc_id, gram FROM g WHERE doc_id % 31 = 0),
+        |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 <> 0)
+        |SELECT eg.doc_id, count(*) AS n_grams, count(cg.gram) AS n_matched,
+        |  CAST(count(cg.gram) * 10 >= count(*) * 7 AS INT) AS contaminated
+        |FROM eg LEFT JOIN cg ON eg.gram = cg.gram
+        |GROUP BY eg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_incremental" ->
       s"""${DedupOracle.charShingleCtes("documents")},
         |p AS (
@@ -3925,6 +4002,27 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // Cross-implementation check, not a replay: Spark normalizes via
+    // the JDK (ICU-lineage) normalizer, the oracle via DuckDB's
+    // utf8proc nfc_normalize — two independent UAX #15 implementations
+    // must agree byte-for-byte on the composed output; the strip class
+    // is the same \x{...} RE2-portable literal on both sides.
+    "q_unicode_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(8203) || 'zero' ||
+        |    chr(8205) || 'width ' || chr(7) || 'bell' || chr(13) || chr(10) ||
+        |    'next' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' A' || chr(778) ELSE ' ' || chr(197) END
+        |    AS dirty
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    replace(replace(nfc_normalize(dirty), chr(13)||chr(10), chr(10)),
+        |            chr(13), chr(10)),
+        |    '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}\x{AD}\x{200B}-\x{200D}\x{FEFF}]',
+        |    '', 'g') AS text
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // INDEPENDENT derivation, not a replay: the expected canonical
     // form / host / registrable domain of each synthesized URL shape is
     // written down directly by doc_id arithmetic, so the hash compare
@@ -4271,6 +4369,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang FROM h JOIN th USING (lang) WHERE hh < th.t
         |ORDER BY doc_id""".stripMargin,
+
+    // Epoch-mix replay: full copies via generate_series(0, floor(e)),
+    // the fractional copy kept by the id:epoch:seed hash against
+    // floor(frac(e)·2^60) — frac ∈ {0.5, 0.25, 0} makes the thresholds
+    // the exact literals 2^59, 2^58, 0. es/zh carry no epoch target and
+    // drop with the IN filter ("a mix is a contract").
+    "q_epoch_mix" ->
+      """WITH e AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 ELSE 1 END AS fullc,
+        |    CASE lang WHEN 'en' THEN CAST(576460752303423488 AS BIGINT)
+        |              WHEN 'fr' THEN CAST(288230376151711744 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS t
+        |  FROM documents WHERE lang IN ('en', 'fr', 'de')),
+        |x AS (SELECT doc_id, lang, fullc, t,
+        |    unnest(generate_series(0, fullc)) AS epoch FROM e)
+        |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM x
+        |WHERE epoch < fullc
+        |   OR CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' ||
+        |        epoch::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) < t
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // Gopher rule replay: every count is exact integer arithmetic over
     // the same tokenization (split on ' ', empties dropped; lines on

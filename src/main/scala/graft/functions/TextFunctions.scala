@@ -16,6 +16,39 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
+  /** Unicode normalization (UAX #15) — `form` ∈ NFC|NFD|NFKC|NFKD. NFC is
+    * the pre-hashing contract (CCNet): byte equality only means glyph
+    * equality once composed/decomposed spellings of the same text agree.
+    * A native codegen'd expression with an `isNormalized` fast path —
+    * see [[graft.plans.UnicodeNormalizeExpr]]. NFKC additionally folds
+    * compatibility forms (ﬁ→fi, fullwidth Ａ→A, ²→2) — the aggressive
+    * variant search pipelines use. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.UnicodeNormalizeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), form))
+
+  /** Strip the invisible characters crawled text accumulates: CRLF/CR →
+    * LF first, then remove C0 controls except \n and \t, DEL + C1
+    * controls, the soft hyphen, zero-width space/non-joiner/joiner, and
+    * the BOM/zero-width-no-break-space. The character class is written
+    * with `\x{...}` escapes, valid in BOTH java.util.regex and RE2, so a
+    * DuckDB oracle replays it verbatim. Pure builtin `regexp_replace`
+    * chain — codegen'd, map-side. */
+  def stripControlChars(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, "\r\n", "\n"), "\r", "\n"),
+      "[\\x{00}-\\x{08}\\x{0B}-\\x{1F}\\x{7F}-\\x{9F}\\x{AD}\\x{200B}-\\x{200D}\\x{FEFF}]",
+      "")
+
+  /** The standard ingestion text-hygiene pass: Unicode-normalize, then
+    * strip invisibles (normalization never produces control characters,
+    * so the order is safe). Run this BEFORE any fingerprint/shingle/
+    * n-gram step so dedup keys agree across spellings of the same
+    * glyphs. */
+  def cleanUnicode(c: Column, form: String = "NFC"): Column =
+    stripControlChars(unicodeNormalize(c, form))
+
   /** Whitespace tokens (empty strings dropped). */
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")

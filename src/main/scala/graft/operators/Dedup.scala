@@ -1041,4 +1041,50 @@ object Dedup {
         countDistinct(col("__g")).as("n_hit_grams"),
         countDistinct(col("bench_id")).as("n_eval_docs"))
   }
+
+  /** Per-EVAL-ITEM contamination fraction — the reverse direction of
+    * [[contaminatedDocs]], and the published definition of "this eval
+    * item is burned": an eval document counts as contaminated when at
+    * least `minFracNum/minFracDen` of its distinct word n-grams appear
+    * anywhere in the training corpus (PaLM flags eval items with ≥ 70%
+    * 8-gram overlap; Chowdhery et al. 2022 §9, Hoffmann et al. 2022
+    * use the same shape). [[contaminatedDocs]] answers "which TRAINING
+    * docs must I drop before training"; this answers "which EVAL ITEMS
+    * must I discard or annotate when the corpus ships as-is" — the two
+    * halves of an eval-hygiene audit.
+    *
+    * Output: one row per eval doc with text — `n_grams` (its distinct
+    * gram count), `n_matched` (how many were found in the corpus), and
+    * the threshold flag. The fraction test is cross-multiplied
+    * (`n_matched·den ≥ n_grams·num`), all-integer — float-free and
+    * byte-replayable, the [[graft.functions.TextFunctions.gopherRules]]
+    * discipline. An ANY-overlap screen is `minFracNum = 0` with the flag
+    * read as `n_matched > 0`; the default 7/10 mirrors PaLM.
+    *
+    * Shape at 100 TB: the eval gram set (small by definition)
+    * broadcasts into the corpus gram explode, so the corpus side never
+    * shuffles; only MATCHED grams (≤ the eval gram count, regardless of
+    * corpus size) survive to the distinct and the eval-sized rollup. */
+  def evalContamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      minFracNum: Int = 7, minFracDen: Int = 10): DataFrame = {
+    require(minFracDen > 0 && minFracNum >= 0 && minFracNum <= minFracDen,
+      s"evalContamination: threshold must be a fraction in [0,1], " +
+        s"got $minFracNum/$minFracDen")
+    val evalGrams = benchmark.select(col(idCol),
+      explode(array_distinct(
+        wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
+    val matched = corpus.select(explode(array_distinct(
+        wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
+      .join(broadcast(evalGrams.select("__g").distinct()), Seq("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    evalGrams.join(broadcast(matched), Seq("__g"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_matched"))
+      .withColumn("contaminated",
+        (col("n_matched") * minFracDen >= col("n_grams") * minFracNum)
+          .cast("int"))
+  }
 }

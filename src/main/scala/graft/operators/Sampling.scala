@@ -270,6 +270,80 @@ object Sampling {
       .drop("__t")
   }
 
+  /** Epoch-aware corpus mixing — the UPSAMPLING counterpart of
+    * [[mixtureSelect]]. A static mix that only thins cannot express the
+    * published LLM recipes: GPT-3 (Brown et al. 2020, table 2.2) runs
+    * Wikipedia for 3.4 epochs while Common Crawl sees 0.44; repeating
+    * small high-quality sources is the standard lever, bounded in value
+    * around ~4 epochs (Muennighoff et al. 2023). Here each group `g`
+    * with target `e_g` epochs emits `floor(e_g)` full copies of every
+    * row plus one further copy kept per-row with probability
+    * `frac(e_g)` — so the group's expected output mass is exactly
+    * `e_g · n_g`. Groups absent from `epochs` are DROPPED (a mix is a
+    * contract — the [[mixtureSelect]] rule); targeted groups absent
+    * from the data fail loud.
+    *
+    * The output gains `epochCol` (0-based copy index), making
+    * `(id, epoch)` the unique row key downstream (packing,
+    * [[deterministicShuffle]] — seed the shuffle key with BOTH so
+    * repeated copies land apart in training order). The fractional
+    * copy is the engine-portable deterministic hash walk over
+    * `id:epoch:seed` against `floor(frac·2⁶⁰)` ([[temperatureMix]]
+    * discipline) — membership is a pure function of (id, epoch, seed),
+    * replayable in SQL with no fitted side table.
+    *
+    * Shape at 100 TB: one broadcast join of a groups-sized table, one
+    * map-side `explode(sequence(0, full))` (row multiplication
+    * proportional to the requested epochs — the intended output size),
+    * one codegen'd hash comparison. No shuffle of the corpus. */
+  def epochMix(df: DataFrame, groupCol: String, idCol: String,
+      epochs: Map[String, Double], seed: Long = 42L,
+      epochCol: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty, "epochMix: need at least one epoch target")
+    require(epochs.values.forall(e => e > 0 && !e.isNaN && !e.isInfinite),
+      s"epochMix: epochs must be finite and positive, got $epochs")
+    require(!df.columns.contains(epochCol),
+      s"epochMix: output column '$epochCol' already exists in the input")
+    val input = graft.core.CacheScope.retainInput(df)
+    val present = input.select(groupCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    require(!present.contains(null),
+      s"epochMix: null values in group column '$groupCol' — coalesce them first")
+    require(present.map(_.toString).toSet.size == present.size,
+      s"epochMix: distinct '$groupCol' values collide on toString")
+    val missing = epochs.keySet.diff(present.map(_.toString).toSet)
+    require(missing.isEmpty,
+      s"epochMix: targeted groups absent from the data: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    val span = BigDecimal(2).pow(60)
+    val spark = df.sparkSession
+    val gField = input.schema(groupCol)
+    import scala.jdk.CollectionConverters._
+    val tdf = spark.createDataFrame(
+      present.filter(g => epochs.contains(g.toString)).map { g =>
+        val e = epochs(g.toString)
+        val full = math.floor(e).toLong
+        // frac in pinned IEEE order (e - floor(e)); threshold exact —
+        // scaling a double by 2^60 only shifts its exponent
+        val t = (BigDecimal(e - full) * span)
+          .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        org.apache.spark.sql.Row(g, full, t)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        gField.copy(nullable = false),
+        org.apache.spark.sql.types.StructField("__full",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__t",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val h = graft.functions.TextFunctions.portableHash(
+      concat_ws(":", col(idCol).cast("string"),
+        col(epochCol).cast("string"), lit(seed.toString)))
+    input.join(broadcast(tdf), Seq(groupCol))
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__full"))))
+      .where(col(epochCol) < col("__full") || h < col("__t"))
+      .drop("__full", "__t")
+  }
+
   /** The per-group integer hash thresholds backing [[mixtureSelect]]:
     * target share p_s = w_s/Σw (Σ in sorted-key order), output size
     * M = min_s n_s/p_s (the largest corpus the composition admits,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 /** Native Catalyst expression for cosine similarity of two double-array
   * columns — the custom-Expression tier of the extension ladder
@@ -378,6 +378,66 @@ case class NearestCellsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Unicode normalization (UAX #15) of a string column through the JDK's
+  * `java.text.Normalizer` — the canonical-form contract every hash-keyed
+  * curation step silently assumes (CCNet normalizes before hashing; a
+  * decomposed `e`+U+0301 and a composed `é` are different bytes, so the
+  * same sentence fingerprints, shingles, and dedups differently until
+  * NFC makes byte equality mean glyph equality). No Spark built-in
+  * expresses it, and a Scala UDF crosses the UTF8String↔String boundary
+  * OUTSIDE codegen per row; this expression stays inside whole-stage
+  * codegen and takes the `isNormalized` fast path first — real web text
+  * is overwhelmingly already NFC, and the quick-check scan then skips
+  * the normalize allocation entirely, returning the input UTF8String
+  * untouched.
+  *
+  * `form` ∈ NFC | NFD | NFKC | NFKD, validated at analysis time and
+  * baked into the generated code as a constant. */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!UnicodeNormalizeExpr.Forms.contains(form))
+      TypeCheckResult.TypeCheckFailure(
+        s"unicode_norm form must be one of ${UnicodeNormalizeExpr.Forms.mkString("/")}, got '$form'")
+    else child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"unicode_norm needs a string arg, got ${other.simpleString}")
+    }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "unicode_norm"
+
+  @transient private lazy val normForm = java.text.Normalizer.Form.valueOf(form)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, normForm)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, normForm))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val s = ctx.freshName("s")
+      s"""
+         |java.lang.String $s = $v.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.$form)
+         |  ? $v
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.$form));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalizeExpr =
+    copy(child = newChild)
+}
+
+object UnicodeNormalizeExpr {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+}
+
 /** `SparkSessionExtensions` entry point: registers graft's native
   * expressions. Install with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
@@ -387,6 +447,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.jaccardSortedDescriptor)
     ext.injectFunction(GraftExtensions.dotArrDescriptor)
+    ext.injectFunction(GraftExtensions.unicodeNormDescriptor)
   }
 }
 
@@ -415,6 +476,21 @@ object GraftExtensions {
       JaccardSortedExpr(children.head, children(1))
     })
 
+  private[graft] val unicodeNormDescriptor = (
+    FunctionIdentifier("unicode_norm"),
+    new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "unicode_norm"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "unicode_norm(s[, form]) takes a string column and an optional literal form")
+      val form = children.lift(1).map {
+        case lit if lit.foldable && lit.dataType.isInstanceOf[StringType] =>
+          String.valueOf(lit.eval(null))
+        case other => throw new IllegalArgumentException(
+          s"unicode_norm form must be a string literal, got $other")
+      }.getOrElse("NFC")
+      UnicodeNormalizeExpr(children.head, form)
+    })
+
   /** Column-level accessors — resolve through the function registry, so
     * `register(spark)` (or the extensions config) must have run. */
   def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -426,7 +502,8 @@ object GraftExtensions {
 
   /** Register on an already-built session (local/test convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSimDescriptor, jaccardSortedDescriptor, dotArrDescriptor).foreach { d =>
+    Seq(cosineSimDescriptor, jaccardSortedDescriptor, dotArrDescriptor,
+        unicodeNormDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

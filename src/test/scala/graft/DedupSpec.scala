@@ -229,6 +229,42 @@ class DedupSpec extends SparkSpec {
     assert(rep.keySet == flagged)
   }
 
+  test("evalContamination: per-eval-item fraction, >= boundary, null text excluded") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated text with no overlap")).toDF("doc_id", "text")
+    val eval = Seq(
+      // grams [a b g d e], [b g d e z] — both in corpus doc 1 → 2/2
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      // grams [a b g d e] (hit), [b g d e other] (miss) → 1/2, below 7/10
+      (200L, "alpha beta gamma delta epsilon other"),
+      // no gram in the corpus → 0/2
+      (300L, "six distinct words never seen anywhere"),
+      (400L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.evalContamination(corpus, eval, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out(100L) == (2L, 2L, 1), s"got ${out.get(100L)}")
+    assert(out(200L) == (2L, 1L, 0), s"got ${out.get(200L)}")
+    assert(out(300L) == (2L, 0L, 0), s"got ${out.get(300L)}")
+    assert(!out.contains(400L), "null-text eval docs carry no grams")
+    // the >= boundary: 1/2 matched at threshold 1/2 IS contaminated
+    val half = Dedup.evalContamination(corpus, eval, "text", "doc_id", n = 5,
+      minFracNum = 1, minFracDen = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(half(200L) == 1, "exact-fraction boundary must flag (>=)")
+    // partitioning invariance
+    val out2 = Dedup.evalContamination(corpus.repartition(5), eval.repartition(3),
+      "text", "doc_id", n = 5).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out2 == out)
+    // threshold validation fails loud
+    intercept[IllegalArgumentException] {
+      Dedup.evalContamination(corpus, eval, "text", "doc_id", minFracNum = 3,
+        minFracDen = 2)
+    }
+  }
+
   test("determinism: same pairs regardless of partitioning") {
     val p1 = Dedup.minHashLshPairs(docs.repartition(7), "text", "doc_id", jaccardThreshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -174,6 +174,54 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epochMix: full copies exact, fractional copy deterministic, unlisted dropped") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "small" else "big")).toDF("doc_id", "lang")
+    val out = Sampling.epochMix(df, "lang", "doc_id",
+      Map("small" -> 2.5, "big" -> 1.0))
+    val rows = out.select("doc_id", "lang", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // (id, epoch) unique
+    assert(rows.map(r => (r._1, r._3)).distinct.length == rows.length)
+    // big: exactly one copy (epoch 0) per row — e=1.0 has no fractional arm
+    val big = rows.filter(_._2 == "big")
+    assert(big.length == 300 && big.forall(_._3 == 0L))
+    // small: every id has epochs 0 and 1; epoch 2 is the Bernoulli(0.5) arm
+    val small = rows.filter(_._2 == "small").groupBy(_._1)
+    assert(small.forall { case (_, rs) =>
+      val es = rs.map(_._3).sorted.toSeq
+      es.startsWith(Seq(0L, 1L)) && es.length <= 3
+    })
+    val frac = small.values.count(_.exists(_._3 == 2L))
+    assert(frac > 25 && frac < 75, s"expected ~50 of 100 third copies, got $frac")
+    // deterministic and layout-invariant
+    val out2 = Sampling.epochMix(df.repartition(7), "lang", "doc_id",
+      Map("small" -> 2.5, "big" -> 1.0))
+      .select("doc_id", "lang", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2.sorted.toSeq == rows.sorted.toSeq)
+    // a different seed moves the fractional arm, not the full copies
+    val out3 = Sampling.epochMix(df, "lang", "doc_id",
+      Map("small" -> 2.5, "big" -> 1.0), seed = 7L)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.filter(_._3 < 2).map(r => (r._1, r._3)).toSet.subsetOf(out3))
+    // unlisted groups dropped; targeted-but-absent and bad epochs fail loud
+    val noSmall = Sampling.epochMix(df, "lang", "doc_id", Map("big" -> 1.0))
+    assert(noSmall.where(col("lang") === "small").count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(df, "lang", "doc_id", Map("missing" -> 2.0)).count()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(df, "lang", "doc_id", Map("big" -> 0.0)).count()
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(df.withColumn("epoch", lit(1)), "lang", "doc_id",
+        Map("big" -> 1.0)).count()
+    }
+  }
+
   test("dsir: target-resembling docs outrank the rest; exact dyadic weights; null text excluded") {
     // target: fruit vocabulary; raw: half fruit-ish, half machinery
     val target = Seq.tabulate(20)(i =>

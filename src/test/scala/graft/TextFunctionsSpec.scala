@@ -17,6 +17,55 @@ class TextFunctionsSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column, id: Long): T =
     df.filter($"id" === id).select(c.as("v")).collect()(0).getAs[T]("v")
 
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility forms, null passes") {
+    // every non-ASCII char spelled as a \u escape: the composed-vs-
+    // decomposed distinction IS the fixture, and must survive editors
+    val in0 = Seq(
+      (1L, "cafe\u0301"),     // decomposed -> composed
+      (2L, "caf\u00E9"),      // already NFC: fast path
+      // fi-ligature, fullwidth Abc, superscript 2, circled 1
+      (3L, "\uFB01le \uFF21\uFF42\uFF43\u00B2 \u2460"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val nfc = in0.select($"id", unicodeNormalize($"t").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == "caf\u00E9")
+    assert(nfc(2L) == "caf\u00E9")
+    assert(nfc(3L) == "\uFB01le \uFF21\uFF42\uFF43\u00B2 \u2460",
+      "NFC must NOT touch compatibility forms")
+    assert(nfc(4L) == null)
+    val nfkc = in0.select($"id", unicodeNormalize($"t", "NFKC").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfkc(3L) == "file Abc2 1", s"got '${nfkc(3L)}'")
+    assert(nfkc(1L) == "caf\u00E9") // decomposed + NFKC still composes
+    // invalid form fails loud at analysis
+    val e = intercept[Exception] {
+      in0.select(unicodeNormalize($"t", "NFX")).collect()
+    }
+    assert(e.getMessage.contains("NFC"), s"got ${e.getMessage}")
+  }
+
+  test("stripControlChars: CRLF->LF, controls/zero-widths dropped, tab+LF kept") {
+    // ZWSP, soft hyphen, BOM, BEL -- all as escapes, never raw bytes
+    val in0 = Seq((1L,
+      "ab\r\nc\rd\te\nf\u200Bg\u00ADh\uFEFF\u0007ij")).toDF("id", "t")
+    val out = in0.select(stripControlChars($"t")).collect()(0).getString(0)
+    assert(out == "ab\nc\nd\te\nfghij", s"got ${out.map(_.toInt).mkString(",")}")
+    // idempotent on its own output
+    val twice = in0.select(stripControlChars(stripControlChars($"t")))
+      .collect()(0).getString(0)
+    assert(twice == out)
+  }
+
+  test("cleanUnicode: dedup keys agree across spellings of the same glyphs") {
+    val in0 = Seq(
+      (1L, "Caf\u00E9 du Nord"),
+      (2L, "Cafe\u0301\u200B du Nord")).toDF("id", "t")
+    val keys = in0.select($"id", fingerprint(cleanUnicode($"t")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) == keys(2L),
+      "composed and decomposed+ZWSP spellings must fingerprint identically")
+  }
+
   test("redactPii: emails, dotted quads, long digit runs — in that order") {
     val cases = Seq(
       ("mail me: first.last+tag@sub.example.co today", "mail me: <EMAIL> today"),
