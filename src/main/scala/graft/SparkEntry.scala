@@ -1313,6 +1313,36 @@ object SparkEntry {
         nShards = 8, seed = 42L)
         .orderBy("shard")),
 
+    // ---- pre-tokenized BINARY export (Megatron-style .bin/.idx): the
+    //      corpus is tokenized, id-encoded against its own sorted-
+    //      distinct vocabulary, written as little-endian u16 shards,
+    //      and READ BACK from the bytes — doc ids, shard deal, within-
+    //      shard training order, and the exact id sequence must all
+    //      survive the byte round-trip. The oracle derives everything
+    //      from parquet alone: vocabulary = row_number−1 over sorted
+    //      distinct tokens, shard/ordinal = the q_shard_manifest md5
+    //      deal, ids re-joined in token order. The write runs at
+    //      query-construction time (the sink IS the operator under
+    //      test, so Bench times write + read-back together). ----
+    "q_tokenized_export" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalizeText(col("text"))).as("toks"))
+      val vocab = graft.sources.TokenizedExport.vocabulary(d, "toks")
+      val enc = graft.sources.TokenizedExport.encodeIds(d, "toks", vocab)
+        .select("doc_id", "token_ids")
+      val out = new java.io.File(
+        s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/tokbin")
+      graft.sources.TokenizedExport.write(enc, "doc_id", "token_ids",
+        out.getPath, nShards = 4, vocabSize = vocab.count().toInt)
+      graft.sources.TokenizedExport.read(s, out.getPath)
+        .select(col("doc_id"), col("shard"),
+          col("ordinal").cast("long").as("ordinal"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic token-budget mix selection: keep documents in
     //      shuffle order while the running char total fits the budget.
     //      Distributed prefix sums (range partition + broadcast
@@ -3819,6 +3849,43 @@ object SparkEntry {
         |FROM r
         |GROUP BY 1
         |ORDER BY shard""".stripMargin,
+
+    // Full parquet-side re-derivation of the binary export's read-back:
+    // vocabulary ids from row_number−1 over sorted distinct tokens, ids
+    // re-joined in token order (unnest zipped with generate_subscripts),
+    // shard/ordinal from the q_shard_manifest md5 deal. The Spark side
+    // answered from DECODED BYTES, so agreement proves the .bin/.idx
+    // layout round-trips content, deal, and training order.
+    "q_tokenized_export" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT) AS id
+        |  FROM (SELECT DISTINCT unnest(toks) AS token FROM t)),
+        |x AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM t),
+        |e AS (
+        |  SELECT x.doc_id,
+        |    array_to_string(list(v.id::VARCHAR ORDER BY x.pos), ' ') AS ids,
+        |    count(*) AS n_tokens
+        |  FROM x JOIN v USING (token) GROUP BY x.doc_id),
+        |r AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY md5(doc_id::VARCHAR || ':' || '42'), doc_id) AS rk
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, (rk - 1) % 4 AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY (rk - 1) % 4 ORDER BY rk) - 1 AS ordinal
+        |  FROM r)
+        |SELECT t.doc_id, CAST(s.shard AS BIGINT) AS shard,
+        |  CAST(s.ordinal AS BIGINT) AS ordinal,
+        |  CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(e.ids, '') AS ids
+        |FROM t JOIN s USING (doc_id) LEFT JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // One windowed integer SUM over the same md5 walk order replays the
     // distributed two-phase prefix sum exactly.
