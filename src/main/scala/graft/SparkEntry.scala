@@ -1773,6 +1773,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    //      2020 §4.3): rank every doc by its entropy under the 'en'
+    //      reference model WITHIN its language, cut at the cumulative
+    //      1/3 and 2/3 of each language's size — integer cross-
+    //      multiplied cuts, (entropy_bits, doc_id) tie order, so the
+    //      oracle replays rank and bucket exactly on top of the
+    //      q_lm_perplexity score chain. ----
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.operators.QualityLm.fit(
+        docs.where(col("lang") === "en"), "text", vocabSize = 256)
+      graft.operators.QualityLm.perplexityBuckets(
+        docs, "text", "doc_id", "lang", model)
+        .select("doc_id", "lang", "entropy_bits", "ppl_rank", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // ---- BM25 lexical retrieval: keyword search over the corpus for a
     //      small query set — retrieval-side decontamination / corpus
     //      audit. Map-side tf (no postings shuffle), query terms
@@ -1874,6 +1891,38 @@ object SparkEntry {
         Map("en" -> 2.5, "fr" -> 1.25, "de" -> 1.0))
         .select("doc_id", "lang", "epoch")
         .orderBy("doc_id", "epoch")),
+
+    // ---- END-TO-END training-run export (pipeline v4's last mile):
+    //      epoch-aware mix (en×2.5/fr×1.25/de×1.0) → per-copy key
+    //      k = doc_id·8 + epoch → corpus vocabulary → id encoding →
+    //      BINARY .bin/.idx shards → decoded read-back. Every repeated
+    //      copy ships as its own training doc with its own position in
+    //      the deterministic deal; the id sequence of every copy of one
+    //      doc is identical. The oracle composes the q_epoch_mix and
+    //      q_tokenized_export replays over the k arithmetic — parquet
+    //      in, bytes out, nothing trusted in between. ----
+    "q_training_export" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+      val mixed = graft.operators.Sampling.epochMix(
+        d.select("doc_id", "lang", "text"), "lang", "doc_id",
+        Map("en" -> 2.5, "fr" -> 1.25, "de" -> 1.0))
+        .withColumn("k", col("doc_id") * 8 + col("epoch"))
+      val toks = mixed.select(col("k"), graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.normalizeText(col("text"))).as("toks"))
+      val vocab = graft.sources.TokenizedExport.vocabulary(toks, "toks")
+      val enc = graft.sources.TokenizedExport.encodeIds(toks, "toks", vocab)
+        .select("k", "token_ids")
+      val out = new java.io.File(
+        s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/trainbin")
+      graft.sources.TokenizedExport.write(enc, "k", "token_ids",
+        out.getPath, nShards = 4, vocabSize = vocab.count().toInt)
+      graft.sources.TokenizedExport.read(s, out.getPath)
+        .select(col("doc_id").as("k"), col("shard"),
+          col("ordinal").cast("long").as("ordinal"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(col("token_ids").cast("array<string>"), " ").as("ids"))
+        .orderBy("k")
+    }),
 
     // ---- the Gopher rule-set page filter (Rae et al. 2021 appendix
     //      A1.1.1): word count, mean word length, symbol-to-word
@@ -4457,6 +4506,55 @@ object SparkEntry {
         |        epoch::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) < t
         |ORDER BY doc_id, epoch""".stripMargin,
 
+    // The q_epoch_mix replay composed with the q_tokenized_export
+    // replay over the per-copy key k = doc_id·8 + epoch: copies of one
+    // doc share its id sequence; the shard deal walks k.
+    "q_training_export" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |em AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 ELSE 1 END AS fullc,
+        |    CASE lang WHEN 'en' THEN CAST(576460752303423488 AS BIGINT)
+        |              WHEN 'fr' THEN CAST(288230376151711744 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS thr
+        |  FROM t WHERE lang IN ('en', 'fr', 'de')),
+        |mx AS (
+        |  SELECT doc_id, doc_id * 8 + epoch AS k
+        |  FROM (SELECT doc_id, fullc, thr,
+        |          unnest(generate_series(0, fullc)) AS epoch FROM em)
+        |  WHERE epoch < fullc
+        |     OR CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' ||
+        |          epoch::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) < thr),
+        |v AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT) AS id
+        |  FROM (SELECT DISTINCT unnest(toks) AS token FROM t
+        |        WHERE lang IN ('en', 'fr', 'de'))),
+        |x AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM t WHERE lang IN ('en', 'fr', 'de')),
+        |e AS (
+        |  SELECT x.doc_id,
+        |    array_to_string(list(v.id::VARCHAR ORDER BY x.pos), ' ') AS ids,
+        |    count(*) AS n_tokens
+        |  FROM x JOIN v USING (token) GROUP BY x.doc_id),
+        |r AS (
+        |  SELECT k, ROW_NUMBER() OVER (
+        |    ORDER BY md5(k::VARCHAR || ':' || '42'), k) AS rk
+        |  FROM mx),
+        |s AS (
+        |  SELECT k, (rk - 1) % 4 AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY (rk - 1) % 4 ORDER BY rk) - 1 AS ordinal
+        |  FROM r)
+        |SELECT mx.k, CAST(s.shard AS BIGINT) AS shard,
+        |  CAST(s.ordinal AS BIGINT) AS ordinal,
+        |  CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(e.ids, '') AS ids
+        |FROM mx JOIN s USING (k) LEFT JOIN e USING (doc_id)
+        |ORDER BY k""".stripMargin,
+
     // Gopher rule replay: every count is exact integer arithmetic over
     // the same tokenization (split on ' ', empties dropped; lines on
     // chr(10)) and every ratio rule is the same cross-multiplied
@@ -4603,43 +4701,31 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_lm_perplexity" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |uni AS (
-        |  SELECT u.token, count(*) AS cnt
-        |  FROM toks, unnest(toks.toks) AS u(token)
-        |  WHERE lang = 'en'
-        |  GROUP BY 1),
-        |vocab AS (SELECT token FROM uni ORDER BY cnt DESC, token LIMIT 256),
-        |pairs AS (
-        |  SELECT t.doc_id, t.lang, t.toks[g.i] AS rw1, t.toks[g.i + 1] AS rw2
-        |  FROM toks t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)),
-        |mapped AS (
-        |  SELECT p.doc_id, p.lang,
-        |    CASE WHEN v1.token IS NULL THEN '<unk>' ELSE p.rw1 END AS w1,
-        |    CASE WHEN v2.token IS NULL THEN '<unk>' ELSE p.rw2 END AS w2
-        |  FROM pairs p
-        |  LEFT JOIN vocab v1 ON p.rw1 = v1.token
-        |  LEFT JOIN vocab v2 ON p.rw2 = v2.token),
-        |big AS (
-        |  SELECT w1, w2, count(*) AS c2 FROM mapped
-        |  WHERE lang = 'en' GROUP BY 1, 2),
-        |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
-        |scored AS (
-        |  SELECT m.doc_id,
-        |    count(*) AS n_bigrams,
-        |    CAST(sum(CAST(-log2(
-        |      CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE) /
-        |      CAST(COALESCE(c.c1, 0) + (SELECT count(*) FROM vocab) + 1 AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS hsum
-        |  FROM mapped m
-        |  LEFT JOIN big b ON m.w1 = b.w1 AND m.w2 = b.w2
-        |  LEFT JOIN ctx c ON m.w1 = c.w1
-        |  GROUP BY 1)
-        |SELECT doc_id, n_bigrams,
-        |  floor(hsum / n_bigrams * 1e4 + 0.5) / 1e4 AS entropy_bits
-        |FROM scored
+      s"""${DedupOracle.lmScoreCtes}
+        |SELECT doc_id, n_bigrams, entropy_bits
+        |FROM e
+        |ORDER BY doc_id""".stripMargin,
+
+    // The same score chain, then rank-within-language on the canonical
+    // (entropy_bits, doc_id) total order and the integer-cross-multiplied
+    // cumulative 1/3, 2/3 cuts.
+    "q_ccnet_buckets" ->
+      s"""${DedupOracle.lmScoreCtes},
+        |j AS (
+        |  SELECT e.doc_id, d.lang, e.entropy_bits
+        |  FROM e JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, lang, entropy_bits,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY entropy_bits, doc_id) AS ppl_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM j)
+        |SELECT doc_id, lang, entropy_bits,
+        |  CAST(ppl_rank AS BIGINT) AS ppl_rank,
+        |  CASE WHEN ppl_rank * 3 <= n * 1 THEN 'head'
+        |       WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "q_split_hash" -> {
@@ -5397,6 +5483,51 @@ object SparkEntry {
     * tokens). Jaccard division is (double)|∩| / |∪| in both engines. */
   private object DedupOracle {
     val normExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+    /** CTE chain ending in e(doc_id, n_bigrams, entropy_bits): the full
+      * bigram-LM fit + score replay (vocab 256 on the 'en' slice, add-one
+      * smoothing, exact-decimal log2 sums, 4-decimal canonicalization) —
+      * shared by q_lm_perplexity and q_ccnet_buckets so the bucket gate
+      * pins rank/cut logic on top of the SAME score derivation. */
+    val lmScoreCtes: String =
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split($normExpr, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.token, count(*) AS cnt
+        |  FROM toks, unnest(toks.toks) AS u(token)
+        |  WHERE lang = 'en'
+        |  GROUP BY 1),
+        |vocab AS (SELECT token FROM uni ORDER BY cnt DESC, token LIMIT 256),
+        |pairs AS (
+        |  SELECT t.doc_id, t.lang, t.toks[g.i] AS rw1, t.toks[g.i + 1] AS rw2
+        |  FROM toks t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)),
+        |mapped AS (
+        |  SELECT p.doc_id, p.lang,
+        |    CASE WHEN v1.token IS NULL THEN '<unk>' ELSE p.rw1 END AS w1,
+        |    CASE WHEN v2.token IS NULL THEN '<unk>' ELSE p.rw2 END AS w2
+        |  FROM pairs p
+        |  LEFT JOIN vocab v1 ON p.rw1 = v1.token
+        |  LEFT JOIN vocab v2 ON p.rw2 = v2.token),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM mapped
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY 1),
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    count(*) AS n_bigrams,
+        |    CAST(sum(CAST(-log2(
+        |      CAST(COALESCE(b.c2, 0) + 1 AS DOUBLE) /
+        |      CAST(COALESCE(c.c1, 0) + (SELECT count(*) FROM vocab) + 1 AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS hsum
+        |  FROM mapped m
+        |  LEFT JOIN big b ON m.w1 = b.w1 AND m.w2 = b.w2
+        |  LEFT JOIN ctx c ON m.w1 = c.w1
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id, n_bigrams,
+        |    floor(hsum / n_bigrams * 1e4 + 0.5) / 1e4 AS entropy_bits
+        |  FROM scored)""".stripMargin
 
     /** CTE chain ending in sh(doc_id, s): distinct 5-char shingle sets. */
     def charShingleCtes(src: String): String =

@@ -122,4 +122,84 @@ object QualityLm {
         (floor(col("hsum") / col("n_bigrams") * 1e4 + 0.5) / 1e4)
           .as("entropy_bits"))
   }
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3): within each group (CCNet buckets per language), rank
+    * documents by LM cross-entropy ascending — best-looking first — and
+    * cut at cumulative fractions of the group size. `head` = ranks with
+    * r·headDen ≤ n·headNum, `middle` = the rest with r·midDen ≤ n·midNum
+    * (CUMULATIVE — the default 1/3, 2/3 gives equal thirds), `tail` =
+    * everything beyond. The cuts are integer cross-multiplications and
+    * the rank's tie order is (entropy_bits, id) — a total order — so
+    * bucket membership is byte-replayable in any engine from the same
+    * scores. Docs [[score]] drops (fewer than 2 tokens: no transitions
+    * to score) are absent here too; gate them upstream by length.
+    *
+    * Scale shape: scoring is the [[score]] broadcast chain; the rank is
+    * a GROUPED two-phase prefix rank (range partition by (group, score,
+    * id) → per-partition windows + broadcast per-(slice, group) offsets
+    * — the [[graft.operators.Sampling.tokenBudgetPerGroup]] discipline),
+    * so no group ever sorts in one task; group sizes ride the same
+    * one-row-per-(partition, group) aggregate. Output stays narrow —
+    * text never shuffles. */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, model: LmModel,
+      headNum: Int = 1, headDen: Int = 3,
+      midNum: Int = 2, midDen: Int = 3,
+      numPartitions: Int = 0): DataFrame = {
+    require(headDen > 0 && midDen > 0 && headNum >= 0 && midNum >= 0,
+      "perplexityBuckets: fractions must be non-negative with positive denominators")
+    require(headNum * midDen <= midNum * headDen,
+      s"perplexityBuckets: cuts must be cumulative (head ≤ mid), " +
+        s"got $headNum/$headDen > $midNum/$midDen")
+    require(midNum <= midDen,
+      s"perplexityBuckets: mid cut must be ≤ 1, got $midNum/$midDen")
+    val scored = score(docs, textCol, idCol, model)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val spark = docs.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = scored
+      .repartitionByRange(n, col(groupCol), col("entropy_bits"), col(idCol))
+      .sortWithinPartitions(col(groupCol), col("entropy_bits"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.core.CacheScope.retain(ranged)
+    val counts = cached
+      .groupBy(col("__pid"), col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    require(!counts.exists(_._2 == null),
+      s"perplexityBuckets: null values in group column '$groupCol' — coalesce them first")
+    val offsets: Seq[((Int, String), Long)] = counts.groupBy(_._2).toSeq
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val off = acc; acc += c; (pid, g) -> off
+        }
+      }
+    val sizes: Map[String, Long] =
+      counts.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._3).sum }
+    val sep = "\u0001" // unit separator: cannot appear in a decimal pid
+    val keyCol = concat_ws(sep, col("__pid").cast("string"),
+      col(groupCol).cast("string"))
+    val offCol = coalesce(
+      element_at(
+        map(offsets.flatMap { case ((p, g), o) =>
+          Seq(lit(s"$p$sep$g"), lit(o)) }: _*),
+        keyCol),
+      lit(0L))
+    val sizeCol = element_at(
+      map(sizes.toSeq.flatMap { case (g, s) => Seq(lit(g), lit(s)) }: _*),
+      col(groupCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col("entropy_bits"), col(idCol))
+    cached
+      .withColumn("ppl_rank", row_number().over(w).cast("long") + offCol)
+      .withColumn("bucket",
+        when(col("ppl_rank") * headDen <= sizeCol * headNum, "head")
+          .when(col("ppl_rank") * midDen <= sizeCol * midNum, "middle")
+          .otherwise("tail"))
+      .drop("__pid")
+  }
 }

@@ -78,4 +78,55 @@ class QualityLmSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run(probe) == run(probe.repartition(7)))
   }
+
+  test("perplexityBuckets: equal thirds per group on the (entropy, id) order") {
+    val model = QualityLm.fit(refDocs, "text", vocabSize = 16)
+    // 9 docs per group with strictly increasing garbledness so the
+    // entropy order is stable; ids interleaved across groups
+    val probe = (0L until 18L).map { i =>
+      val junk = (0L to i / 2).map(j => s"zx${i}q$j").mkString(" ")
+      (i, if (i % 2 == 0) "g1" else "g2", s"the cat sat $junk")
+    }.toDF("doc_id", "grp", "text")
+    val out = QualityLm.perplexityBuckets(probe, "text", "doc_id", "grp", model)
+    val rows = out.select("doc_id", "grp", "entropy_bits", "ppl_rank", "bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(rows.length == 18)
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      // rank is 1..n and ascending in (entropy, id)
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      assert(sorted.map(_._4).toSeq == (1L to rs.length).toSeq, s"group $g ranks")
+      // equal thirds: 9 docs -> 3/3/3
+      val byBucket = rs.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(byBucket == Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"group $g: $byBucket")
+      // head has the LOWEST entropies
+      assert(sorted.take(3).forall(_._5 == "head"), s"group $g head order")
+      assert(sorted.slice(3, 6).forall(_._5 == "middle"))
+      assert(sorted.drop(6).forall(_._5 == "tail"))
+    }
+  }
+
+  test("perplexityBuckets: partitioning-invariant; cumulative-cut and null-group contracts") {
+    val model = QualityLm.fit(refDocs, "text", vocabSize = 16)
+    val probe = (0L until 20L).map { i =>
+      (i, if (i % 3 == 0) "a" else "b", s"the cat sat on mat $i then ran x$i")
+    }.toDF("doc_id", "grp", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      QualityLm.perplexityBuckets(df, "text", "doc_id", "grp", model)
+        .select("doc_id", "ppl_rank", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(run(probe) == run(probe.repartition(7)))
+    // head fraction > mid fraction is rejected (cuts must be cumulative)
+    val ex = intercept[IllegalArgumentException] {
+      QualityLm.perplexityBuckets(probe, "text", "doc_id", "grp", model,
+        headNum = 3, headDen = 4, midNum = 1, midDen = 2)
+    }
+    assert(ex.getMessage.contains("cumulative"))
+    val nullG = Seq((1L, null.asInstanceOf[String], "two tokens here ok"))
+      .toDF("doc_id", "grp", "text")
+    val ex2 = intercept[IllegalArgumentException] {
+      QualityLm.perplexityBuckets(nullG, "text", "doc_id", "grp", model).collect()
+    }
+    assert(ex2.getMessage.contains("null values in group column"))
+  }
 }
