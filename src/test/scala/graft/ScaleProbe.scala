@@ -54,7 +54,9 @@ object ScaleProbe {
       "q_mp4_meta", "q_mixture_select", "q_gopher_filter",
       "q_c4_clean", "q_line_dedup", "q_dedup_cluster_best",
       "q_contamination_report", "q_dsir_select", "q_gopher_repetition",
-      "q_curation_pipeline3", "q_eval_index", "q_eval_index_bloom")
+      "q_curation_pipeline3", "q_eval_index", "q_eval_index_bloom",
+      "q_unicode_clean", "q_epoch_mix", "q_eval_contamination",
+      "q_tokenized_export", "q_ccnet_buckets", "q_training_export")
 
     val spark = SparkSession.builder()
       .master("local[32]")
