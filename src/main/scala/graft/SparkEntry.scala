@@ -1377,6 +1377,61 @@ object SparkEntry {
         k = 100)
         .orderBy("doc_id")),
 
+    // ---- HTML → text extraction (the step BEFORE every text gate
+    //      when the source is raw crawl markup): each doc is wrapped in
+    //      a deterministic page — head with style+script payloads, a
+    //      comment, a heading, the prose in <p>, an entity sampler
+    //      (incl. the &amp;lt; double-decode trap), and per-parity
+    //      either a <br> line pair or a <ul> list. Both engines extract
+    //      the SAME page through the SAME RE2-portable chain — payload
+    //      removal, block-closer newlines, tag strip, pinned-order
+    //      entity decode, whitespace collapse. ----
+    "q_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">body { margin: 0 }</style>" +
+          "<script>var a = \"<p>hidden</p>\";</script></head>" +
+          "<body><!-- nav\nblock --><h1>Heading "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;\"ok&quot;</div>" +
+          "<p>Literal: &amp;lt; stays</p>"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("alpha<br>beta"))
+          .otherwise(lit("<ul><li>one</li><li>two</li></ul>")),
+        lit("</body></html>"))
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.htmlToText(page).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- RFC 9309 robots.txt gate ("may I even ingest this page"):
+    //      five deterministic robots/URL shapes by doc_id arithmetic —
+    //      agent-group override beats *, path-prefix disallow, longest-
+    //      match allow-over-disallow, wildcard+anchor block, the anchor
+    //      NOT matching, and the no-robots default. The oracle derives
+    //      the expected verdicts INDEPENDENTLY by id arithmetic — never
+    //      by evaluating robots rules. ----
+    "q_robots_filter" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(6))
+      val robots = when(m === 0, lit(
+          "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nAllow: /\n"))
+        .when(m === 1, lit("User-agent: *\nDisallow: /private\n"))
+        .when(m === 2, lit("User-agent: *\nAllow: /page\nDisallow: /\n"))
+        .when(m.isin(3, 4), lit("User-agent: *\nDisallow: /*.gif$\n"))
+        .otherwise(lit(""))
+      val url = when(m === 0, lit("https://ex.com/anything"))
+        .when(m === 1, lit("https://ex.com/private/p1"))
+        .when(m === 2, lit("https://ex.com/page"))
+        .when(m === 3, lit("https://ex.com/img/a.gif"))
+        .when(m === 4, lit("https://ex.com/img/a.gifx"))
+        .otherwise(lit("https://ex.com/open"))
+      documents(s, dir).select(col("doc_id"),
+          graft.functions.UrlFunctions.robotsAllowed(robots,
+            graft.functions.UrlFunctions.urlPathQuery(url))
+            .cast("int").as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- line-level boilerplate strip (CCNet/Dolma header-footer
     //      pass): the fixture text is single-line prose, so the query
     //      wraps each doc in deterministic nav/footer chrome (menu,
@@ -3983,6 +4038,54 @@ object SparkEntry {
         |  SELECT doc_id, n_chars FROM h
         |  ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id
         |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The identical RE2 chain over the identical synthesized page:
+    // payload removal (lazy (?is) spans), block-closer newlines, tag
+    // strip, pinned-order entity decode (amp LAST so &amp;lt; comes out
+    // as the literal text &lt;), whitespace collapse and edge trim.
+    "q_html_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css">body { margin: 0 }</style>' ||
+        |    '<script>var a = "<p>hidden</p>";</script></head>' ||
+        |    '<body><!-- nav' || chr(10) || 'block --><h1>Heading ' || doc_id ||
+        |    '</h1><p>' || text ||
+        |    '</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;"ok&quot;</div>' ||
+        |    '<p>Literal: &amp;lt; stays</p>' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'alpha<br>beta'
+        |         ELSE '<ul><li>one</li><li>two</li></ul>' END ||
+        |    '</body></html>' AS page
+        |  FROM documents WHERE text IS NOT NULL),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)\s*>',
+        |    chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s3)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[ \t]*\n[ \t]*', chr(10), 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '^[ \n]+|[ \n]+$', '', 'g') AS text
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // Expected verdicts derived INDEPENDENTLY by id arithmetic (never
+    // by evaluating robots rules): shapes 0/2/4/5 allow (agent-group
+    // override, longest-match allow, unanchored .gifx, no robots),
+    // 1/3 block (path prefix, wildcard+anchor).
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 6) IN (0, 2, 4, 5) AS INT) AS allowed
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // Same composite document (nav + prose + footer chrome), same

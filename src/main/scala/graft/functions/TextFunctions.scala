@@ -283,6 +283,46 @@ object TextFunctions {
             lit(minAlphaRatio) * length(l).cast("double"))),
       "\n")
 
+  /** HTML → text extraction (the ingestion step BEFORE every text
+    * gate when the source is raw crawl markup rather than pre-extracted
+    * text): drop `<script>`/`<style>`/`<!-- -->` WITH their contents
+    * (executable/styling payloads are not prose, and a tag-only strip
+    * would leak them into the text), turn the remaining tags into
+    * separators — block-level closers (`</p> </div> </li> </h1..6>
+    * </tr> </table> </ul> </ol> </blockquote>`) and `<br>` become
+    * newlines so line-based gates ([[stripBoilerplate]],
+    * [[c4CleanLines]]) see real line structure, every other tag a
+    * space — then decode the six ubiquitous named entities in a PINNED
+    * order (`&lt; &gt; &quot; &#39; &nbsp;` first, `&amp;` LAST so
+    * `&amp;lt;` decodes to the literal text `&lt;`, not `<` — the
+    * single-pass decode order every correct extractor uses), and
+    * collapse runs of spaces/tabs around the kept newlines.
+    *
+    * Deliberately a fixed `regexp_replace`/`replace` chain (codegen'd,
+    * map-side, RE2-portable — `(?is)` inline flags and lazy `.*?` parse
+    * identically in java.util.regex and RE2) so an external engine
+    * replays the extraction byte-for-byte. This is the deterministic
+    * 80% of readability extraction; DOM-aware main-content scoring
+    * (trafilatura-style) is a different, non-replayable tier. */
+  def htmlToText(c: Column): Column = {
+    val noPayload = regexp_replace(regexp_replace(regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noPayload,
+      "(?i)<(?:br\\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)\\s*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+        "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+    regexp_replace(
+      regexp_replace(regexp_replace(decoded,
+        "[ \\t]*\\n[ \\t]*", "\n"), "[ \\t]+", " "),
+      "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** Token-blocklist gate (the C4 "bad words" page filter: a page is
     * dropped if it contains ANY blocklisted word): TRUE iff the
     * normalized token stream contains no listed word. Words are

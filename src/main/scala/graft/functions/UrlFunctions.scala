@@ -205,4 +205,31 @@ object UrlFunctions {
       .when(r === "", lit(null).cast("string"))
       .otherwise(r)
   }
+
+  /** Path + query of an absolute URL, the octets RFC 9309 rules match
+    * against (fragments are client-side; robots patterns see
+    * `/path?query`). "" path → "/" (a bare `https://h` fetch is the
+    * root); non-absolute inputs yield "/" too rather than matching
+    * garbage against site rules. */
+  def urlPathQuery(c: Column): Column = {
+    val rest = regexp_extract(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(rest === "" , "/")
+      .when(substring(rest, 1, 1) === "?", concat(lit("/"), rest))
+      .otherwise(rest)
+  }
+
+  /** RFC 9309 robots.txt gate (see [[graft.functions.Robots]] for the
+    * exact semantics): TRUE iff `agent` may fetch the page whose
+    * path+query is `path`, under `robotsTxt` (the site's robots file,
+    * joined onto the frame per registrable domain — one broadcast-sized
+    * robots snapshot serves any corpus). Null robots/path → null
+    * (coalesce the robots column to '' for "no robots file = allowed").
+    * Native codegen'd expression; the agent token is baked in at plan
+    * build. */
+  def robotsAllowed(robotsTxt: Column, path: Column,
+      agent: String = "graftbot"): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.RobotsAllowedExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(robotsTxt),
+        org.apache.spark.sql.GraftColumnBridge.expression(path), agent))
 }

@@ -438,6 +438,50 @@ object UnicodeNormalizeExpr {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 }
 
+/** RFC 9309 robots.txt gate as a native expression:
+  * `robots_allowed(robotsTxt, path)` for the crawler product token
+  * `agent` (an analysis-time constant baked into the generated code —
+  * one pipeline crawls as one agent). The parse/group-select/
+  * longest-match walk lives in [[graft.functions.Robots.allowed]]
+  * (pure JDK, no regex) and is invoked directly from whole-stage
+  * codegen — a Scala UDF would re-cross the UTF8String boundary
+  * outside codegen per row. Null robots or null path follow the
+  * null-in-null-out contract (a crawl frame with no robots snapshot
+  * should coalesce to '' — the protocol is opt-out, so empty means
+  * allowed). */
+case class RobotsAllowedExpr(left: Expression, right: Expression,
+    agent: String) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!agent.matches("[A-Za-z0-9_./-]+"))
+      TypeCheckResult.TypeCheckFailure(
+        s"robots_allowed agent must be a product token ([A-Za-z0-9_./-]+), got '$agent'")
+    else (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"robots_allowed needs (string robotsTxt, string path), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "robots_allowed"
+
+  override protected def nullSafeEval(robots: Any, path: Any): Any =
+    graft.functions.Robots.allowed(robots.toString, path.toString, agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, p) => {
+      // the agent charset is validated at analysis; it contains no
+      // characters needing Java string escaping
+      s"""${ev.value} = graft.functions.Robots.allowed(
+         |  $r.toString(), $p.toString(), "$agent");
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsAllowedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `SparkSessionExtensions` entry point: registers graft's native
   * expressions. Install with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`

@@ -378,4 +378,39 @@ class TextFunctionsSpec extends SparkSpec {
       .select(dedupLinesWithin(col("text")).as("t")).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("htmlToText: payload tags removed with contents; block closers become lines; entities decode in the pinned order") {
+    val html = "<html><head><title>T</title>" +
+      "<style type=\"text/css\">body { color: red }</style>" +
+      "<script>var x = \"<p>not text</p>\";</script></head>" +
+      "<body><!-- nav\nblock --><h1>Big News</h1>" +
+      "<p>First  para with <b>bold</b> &amp; &quot;quotes&quot;.</p>" +
+      "<div>5 &lt; 6 &gt; 4, it&#39;s&nbsp;fine</div>" +
+      "<p>Literal: &amp;lt; stays</p>" +
+      "line one<br>line two</body></html>"
+    val out = Seq((1L, html)).toDF("doc_id", "text")
+      .select(htmlToText(col("text")).as("t")).collect()(0).getString(0)
+    val expected = "T Big News\n" +
+      "First para with bold & \"quotes\".\n" +
+      "5 < 6 > 4, it's fine\n" +
+      "Literal: &lt; stays\n" +
+      "line one\nline two"
+    assert(out == expected, s"got:\n$out")
+    // script CONTENT is gone (a tag-only strip would leak 'not text')
+    assert(!out.contains("color: red") && !out.contains("var x"))
+    // null in, null out
+    val n = Seq((2L, Option.empty[String])).toDF("doc_id", "text")
+      .select(htmlToText(col("text")).as("t")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("htmlToText feeds line-based gates: stripBoilerplate sees real lines") {
+    val html = "<p>This is a long enough real sentence of prose.</p>" +
+      "<div>(c) 2026</div><p>Another real sentence with many words here.</p>"
+    val out = Seq((1L, html)).toDF("doc_id", "text")
+      .select(stripBoilerplate(htmlToText(col("text"))).as("t"))
+      .collect()(0).getString(0)
+    assert(out == "This is a long enough real sentence of prose.\n" +
+      "Another real sentence with many words here.", s"got:\n$out")
+  }
 }
