@@ -148,6 +148,59 @@ object TokenizedExport {
         expr("bit_xor(__ph)").as("content_hash"))
   }
 
+  /** Append an increment to an existing export: the new docs are dealt
+    * by the SAME deterministic shuffle over their own ids into
+    * `nShards` NEW shard files numbered after the existing maximum —
+    * existing bytes are immutable (trainers mmap them; rewriting a
+    * live shard under a reader is the one unforgivable sink bug), so
+    * growth is append-only at the file level, the
+    * [[graft.operators.LshIndex]]/[[graft.operators.Bm25.Bm25Index]]
+    * append discipline adapted to a sink: append(A,B) yields the same
+    * BYTES as write(A) plus write(B) renumbered, and a reader of the
+    * union sees every doc exactly once. The dtype must match the
+    * existing export (meta is the `.idx` header's dtype byte — read
+    * from shard-0, validated loud): a u16 corpus cannot silently
+    * receive u32 ids. Returns the increment's manifest. */
+  def append(df: DataFrame, idCol: String, idsCol: String, dir: String,
+      nShards: Int, vocabSize: Int, seed: Long = 42L): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val existing = fs.listStatus(base).map(_.getPath.getName)
+      .collect { case n if n.startsWith("shard-") && n.endsWith(".idx") =>
+        n.stripPrefix("shard-").stripSuffix(".idx").toLong }
+    require(existing.nonEmpty,
+      s"TokenizedExport.append: no existing export under $dir — use write")
+    val in = fs.open(new org.apache.hadoop.fs.Path(base, "shard-0.idx"))
+    val head = new Array[Byte](Magic.length + 1)
+    try in.readFully(0, head) finally in.close()
+    require(java.util.Arrays.equals(head.take(Magic.length), Magic),
+      s"TokenizedExport.append: $dir/shard-0.idx has no GRFTIDX1 magic")
+    val existingWide = head(Magic.length) == 4.toByte
+    val wide = vocabSize > 65536
+    require(existingWide == wide,
+      s"TokenizedExport.append: dtype mismatch — existing export is " +
+        s"${if (existingWide) "u32" else "u16"} but vocabSize $vocabSize " +
+        s"implies ${if (wide) "u32" else "u16"}; rebuild instead")
+    val offset = existing.max + 1
+    val inc = write(df, idCol, idsCol,
+      new org.apache.hadoop.fs.Path(base, "__inc").toString,
+      nShards, vocabSize, seed)
+    // renumber the increment's files after the existing maximum: a pure
+    // filesystem move, no byte rewrite
+    (0L until nShards.toLong).foreach { k =>
+      Seq("bin", "idx").foreach { ext =>
+        val from = new org.apache.hadoop.fs.Path(base, s"__inc/shard-$k.$ext")
+        val to = new org.apache.hadoop.fs.Path(base, s"shard-${offset + k}.$ext")
+        require(fs.rename(from, to),
+          s"TokenizedExport.append: rename $from -> $to failed")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(base, "__inc"), true)
+    inc.withColumn("shard", col("shard") + lit(offset))
+  }
+
   private def idxHeader(wide: Boolean, nDocs: Int): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(Magic.length + 1 + 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

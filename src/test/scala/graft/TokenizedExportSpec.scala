@@ -135,4 +135,53 @@ class TokenizedExportSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toSeq).toMap
     assert(got == Map(1L -> Seq(7, 8), 2L -> Seq.empty[Int]))
   }
+
+  test("append: new shards after the existing max, bytes of A untouched, union reads back exactly once") {
+    val a = Seq((1L, Seq(1, 2)), (2L, Seq(3)), (3L, Seq(4, 5, 6))).toDF("doc_id", "token_ids")
+    val b = Seq((10L, Seq(7)), (11L, Seq(8, 9))).toDF("doc_id", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("tokapp").toString
+    TokenizedExport.write(a, "doc_id", "token_ids", dir, nShards = 2, vocabSize = 16)
+    val beforeBytes = (0 until 2).map { k =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, s"shard-$k.bin")).toSeq
+    }
+    val incManifest = TokenizedExport.append(b, "doc_id", "token_ids", dir,
+      nShards = 2, vocabSize = 16)
+    // increment manifest reports the RENUMBERED shards
+    assert(incManifest.select("shard").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // existing bytes immutable
+    (0 until 2).foreach { k =>
+      val now = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, s"shard-$k.bin")).toSeq
+      assert(now == beforeBytes(k), s"shard $k bytes changed under append")
+    }
+    // the union reads back exactly once, doc for doc
+    val got = TokenizedExport.read(spark, dir)
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toSeq).toMap
+    assert(got == Map(1L -> Seq(1, 2), 2L -> Seq(3), 3L -> Seq(4, 5, 6),
+      10L -> Seq(7), 11L -> Seq(8, 9)))
+    // append == write(B) renumbered: the increment's shard files carry
+    // the same deal write(B) alone would produce
+    val solo = java.nio.file.Files.createTempDirectory("tokappS").toString
+    TokenizedExport.write(b, "doc_id", "token_ids", solo, nShards = 2, vocabSize = 16)
+    (0 until 2).foreach { k =>
+      val ap = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, s"shard-${k + 2}.bin")).toSeq
+      val wr = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(solo, s"shard-$k.bin")).toSeq
+      assert(ap == wr, s"increment shard $k bytes differ from a solo write")
+    }
+  }
+
+  test("append: dtype mismatch and missing export fail loud") {
+    val a = Seq((1L, Seq(1))).toDF("doc_id", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("tokappE").toString
+    TokenizedExport.write(a, "doc_id", "token_ids", dir, nShards = 1, vocabSize = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      TokenizedExport.append(a, "doc_id", "token_ids", dir, 1, vocabSize = 70000)
+    }
+    assert(e1.getMessage.contains("dtype mismatch"))
+    val empty = java.nio.file.Files.createTempDirectory("tokappE2").toString
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizedExport.append(a, "doc_id", "token_ids", empty, 1, vocabSize = 16)
+    }
+    assert(e2.getMessage.contains("no existing export"))
+  }
 }
