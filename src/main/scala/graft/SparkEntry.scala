@@ -1432,6 +1432,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CRAWL-INGESTION pipeline (raw markup → curated text — the
+    //      front half every web corpus pays before the q_curation_*
+    //      chains): robots gate (drop disallowed pages) → HTML → text
+    //      extraction → Unicode hygiene (the prose line carries a
+    //      dirty NFC/zero-width/BEL tail) → boilerplate line strip
+    //      (the extraction's heading/entity debris lines die here) →
+    //      character length gate. Stage-for-stage oracle: the
+    //      q_robots_filter id arithmetic, the q_html_extract RE2
+    //      chain, the q_unicode_clean normalize+strip, the
+    //      q_boilerplate list_filter, one integer length compare. ----
+    "q_crawl_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      import graft.functions.UrlFunctions._
+      val m = pmod(col("doc_id"), lit(6))
+      val robots = when(m === 0, lit(
+          "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nAllow: /\n"))
+        .when(m === 1, lit("User-agent: *\nDisallow: /private\n"))
+        .when(m === 2, lit("User-agent: *\nAllow: /page\nDisallow: /\n"))
+        .when(m.isin(3, 4), lit("User-agent: *\nDisallow: /*.gif$\n"))
+        .otherwise(lit(""))
+      val url = when(m === 0, lit("https://ex.com/anything"))
+        .when(m === 1, lit("https://ex.com/private/p1"))
+        .when(m === 2, lit("https://ex.com/page"))
+        .when(m === 3, lit("https://ex.com/img/a.gif"))
+        .when(m === 4, lit("https://ex.com/img/a.gifx"))
+        .otherwise(lit("https://ex.com/open"))
+      // the dirty tail rides the PROSE line so the hygiene stage's work
+      // survives the boilerplate strip; the CRLF opens a short debris
+      // line that dies there (everything \u-escaped: plain-text source)
+      val dirty = concat(col("text"),
+        lit(" cafe\u0301 \u200Bzero\u200Dwidth \u0007bell"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" A\u030A"))
+          .otherwise(lit(" \u00C5")),
+        lit("\r\nshort tail"))
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">body { margin: 0 }</style>" +
+          "<script>var a = \"<p>hidden</p>\";</script></head>" +
+          "<body><!-- nav\nblock --><h1>Heading "), col("doc_id"),
+        lit("</h1><p>"), dirty,
+        lit("</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;\"ok&quot;</div>" +
+          "</body></html>"))
+      documents(s, dir).where(col("text").isNotNull)
+        .where(robotsAllowed(robots, urlPathQuery(url)))
+        .select(col("doc_id"),
+          stripBoilerplate(cleanUnicode(htmlToText(page))).as("clean"))
+        .where(length(col("clean")) >= 100)
+        .orderBy("doc_id")
+    }),
+
     // ---- line-level boilerplate strip (CCNet/Dolma header-footer
     //      pass): the fixture text is single-line prose, so the query
     //      wraps each doc in deterministic nav/footer chrome (menu,
@@ -4086,6 +4136,64 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST((doc_id % 6) IN (0, 2, 4, 5) AS INT) AS allowed
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Stage-for-stage composition: the q_robots_filter id arithmetic
+    // gates the input, the q_html_extract RE2 chain extracts, the
+    // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
+    // the operator order of the Spark side), the q_boilerplate
+    // list_filter strips debris lines, one integer length compare.
+    "q_crawl_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND (doc_id % 6) IN (0, 2, 4, 5)),
+        |d AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css">body { margin: 0 }</style>' ||
+        |    '<script>var a = "<p>hidden</p>";</script></head>' ||
+        |    '<body><!-- nav' || chr(10) || 'block --><h1>Heading ' || doc_id ||
+        |    '</h1><p>' || text || ' cafe' || chr(769) || ' ' || chr(8203) ||
+        |    'zero' || chr(8205) || 'width ' || chr(7) || 'bell' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' A' || chr(778) ELSE ' ' || chr(197) END ||
+        |    chr(13) || chr(10) || 'short tail' ||
+        |    '</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;"ok&quot;</div>' ||
+        |    '</body></html>' AS page
+        |  FROM base),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)\s*>',
+        |    chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s3),
+        |x AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[ \t]*\n[ \t]*', chr(10), 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |      '^[ \n]+|[ \n]+$', '', 'g') AS t
+        |  FROM s4),
+        |u AS (SELECT doc_id,
+        |    regexp_replace(
+        |      replace(replace(nfc_normalize(t), chr(13)||chr(10), chr(10)),
+        |              chr(13), chr(10)),
+        |      '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}\x{AD}\x{200B}-\x{200D}\x{FEFF}]',
+        |      '', 'g') AS t
+        |  FROM x),
+        |b AS (SELECT doc_id,
+        |    array_to_string(list_filter(string_split(t, chr(10)),
+        |      l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
+        |        AND CAST(length(regexp_replace(l, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |            >= 0.6 * CAST(length(l) AS DOUBLE)), chr(10)) AS clean
+        |  FROM u)
+        |SELECT doc_id, clean FROM b
+        |WHERE length(clean) >= 100
         |ORDER BY doc_id""".stripMargin,
 
     // Same composite document (nav + prose + footer chrome), same
