@@ -56,7 +56,8 @@ object ScaleProbe {
       "q_contamination_report", "q_dsir_select", "q_gopher_repetition",
       "q_curation_pipeline3", "q_eval_index", "q_eval_index_bloom",
       "q_unicode_clean", "q_epoch_mix", "q_eval_contamination",
-      "q_tokenized_export", "q_ccnet_buckets", "q_training_export")
+      "q_tokenized_export", "q_ccnet_buckets", "q_training_export",
+      "q_html_extract", "q_robots_filter", "q_crawl_pipeline")
 
     val spark = SparkSession.builder()
       .master("local[32]")
