@@ -1482,6 +1482,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- span-duplication audit (the data-card number behind the
+    //      ExactSubstr scrub): per language, how many tokens sit inside
+    //      duplicated ≥8-token windows. Fully-scrubbed docs count all
+    //      tokens removed; zero-token docs contribute zero. The oracle
+    //      reuses the q_dedup_spans window replay and rolls it up. ----
+    "q_span_stats" -> ((s, dir) =>
+      graft.operators.Dedup.spanDuplicationStats(
+        documents(s, dir), "text", "doc_id", "lang")
+        .orderBy("lang")),
+
     // ---- line-level boilerplate strip (CCNet/Dolma header-footer
     //      pass): the fixture text is single-line prose, so the query
     //      wraps each doc in deterministic nav/footer chrome (menu,
@@ -4137,6 +4147,51 @@ object SparkEntry {
         |  CAST((doc_id % 6) IN (0, 2, 4, 5) AS INT) AS allowed
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // The q_dedup_spans window replay rolled up per language: per-doc
+    // (total, removed) token counts from the same coverage walk —
+    // fully-covered docs carry rem == tot (no HAVING filter here),
+    // zero-token docs fall out of the token explode and coalesce to 0.
+    "q_span_stats" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT doc_id, g.i - 1 AS s,
+        |    CAST(('0x' || substring(md5(array_to_string(toks[g.i:g.i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+        |  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (
+        |  SELECT doc_id, s,
+        |    count(*) OVER (PARTITION BY gram) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+        |  FROM o),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, g.ix AS ix
+        |  FROM d, unnest(generate_series(s, s + 7)) AS g(ix)
+        |  WHERE cnt >= 2 AND rn >= 2),
+        |tok AS (
+        |  SELECT doc_id, g.i - 1 AS ix
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) >= 1),
+        |j AS (
+        |  SELECT tok.doc_id, cov.ix IS NOT NULL AS rm
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ix = cov.ix),
+        |per AS (
+        |  SELECT doc_id, count(*) AS tot,
+        |    count(*) FILTER (WHERE rm) AS rem
+        |  FROM j GROUP BY doc_id)
+        |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(per.tot, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(per.rem, 0)) AS BIGINT) AS n_tokens_removed,
+        |  CASE WHEN sum(coalesce(per.tot, 0)) = 0 THEN 0.0
+        |       ELSE floor(sum(coalesce(per.rem, 0)) * 1.0 /
+        |                  sum(coalesce(per.tot, 0)) * 1e4 + 0.5) / 1e4
+        |  END AS dup_share
+        |FROM t LEFT JOIN per USING (doc_id)
+        |GROUP BY t.lang
+        |ORDER BY t.lang""".stripMargin,
 
     // Stage-for-stage composition: the q_robots_filter id arithmetic
     // gates the input, the q_html_extract RE2 chain extracts, the

@@ -1087,4 +1087,68 @@ object Dedup {
         (col("n_matched") * minFracDen >= col("n_grams") * minFracNum)
           .cast("int"))
   }
+
+  /** Choose an LSH banding (bands × rowsPerBand, bands·rows ≤ nHashes)
+    * for a target Jaccard threshold: the S-curve
+    * P(candidate | J) = 1 − (1 − J^r)^b crosses ½ near
+    * J* = (1/b)^(1/r); among r = 1..nHashes with b = ⌊nHashes/r⌋ pick
+    * the pair whose J* lands closest to the target, ties to MORE bands
+    * (recall-leaning: extra bands only add candidates, and every
+    * candidate is exact-verified downstream, so false positives cost
+    * compute while false negatives cost recall). Driver-side integer
+    * enumeration — the ops answer to "I have 128 hashes and want 0.7
+    * dedup, what banding?" instead of hand-tuning the
+    * [[minHashLshPairs]] defaults. */
+  def lshGeometry(threshold: Double, nHashes: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshGeometry: threshold must be in (0,1), got $threshold")
+    require(nHashes >= 2, s"lshGeometry: need at least 2 hashes, got $nHashes")
+    (1 to nHashes).map { r =>
+      val b = nHashes / r
+      (b, r)
+    }.filter(_._1 >= 1).minBy { case (b, r) =>
+      val jstar = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(jstar - threshold), -b)
+    }
+  }
+
+  /** The [[lshGeometry]] S-curve midpoint for a chosen banding —
+    * exposed so deployments can record the effective threshold their
+    * geometry actually implements. */
+  def lshThreshold(bands: Int, rowsPerBand: Int): Double = {
+    require(bands >= 1 && rowsPerBand >= 1, "lshThreshold: positive geometry")
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+  }
+
+  /** Span-duplication audit — the data-card number behind
+    * [[duplicateSpanScrub]]: per group (source/language/snapshot), how
+    * many of the corpus' tokens sit inside duplicated ≥n-token windows
+    * (i.e. WOULD be cut by the scrub). The number that decides whether
+    * a feed pays the scrub at all, and the denominator of "we removed
+    * X% boilerplate" claims. Fully-scrubbed docs (every token inside a
+    * repeated window — the scrub output omits them) count all their
+    * tokens as removed; zero-token docs contribute zero. `dup_share`
+    * is the 4-decimal floor canonicalization of removed/total (0 for
+    * an all-empty group). Costs exactly one [[duplicateSpanScrub]]
+    * pass plus a groups-sized rollup. */
+  def spanDuplicationStats(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, n: Int = 8): DataFrame = {
+    val scrubbed = duplicateSpanScrub(df, textCol, idCol, n)
+      .select(col(idCol), col("n_tokens_removed"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        size(tokens(normalizeText(col(textCol)))).cast("long").as("__n"))
+      .join(scrubbed, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        // absent from the scrub output = fully removed (or zero-token)
+        sum(coalesce(col("n_tokens_removed").cast("long"), col("__n")))
+          .as("n_tokens_removed"))
+      .withColumn("dup_share",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          floor(col("n_tokens_removed").cast("double") /
+            col("n_tokens").cast("double") * 1e4 + 0.5) / 1e4))
+  }
 }

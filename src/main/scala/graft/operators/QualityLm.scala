@@ -147,6 +147,48 @@ object QualityLm {
       headNum: Int = 1, headDen: Int = 3,
       midNum: Int = 2, midDen: Int = 3,
       numPartitions: Int = 0): DataFrame = {
+    validateCuts(headNum, headDen, midNum, midDen)
+    val scored = score(docs, textCol, idCol, model)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    bucketScored(scored, idCol, groupCol,
+      headNum, headDen, midNum, midDen, numPartitions)
+  }
+
+  /** [[perplexityBuckets]] with PER-GROUP models — the full CCNet
+    * recipe: each language is scored under ITS OWN reference LM (a
+    * French page's fluency is meaningless under an English model), then
+    * ranked and cut within its group as before. Groups without a model
+    * are DROPPED (they cannot be scored — the [[graft.operators.Sampling.mixtureSelect]]
+    * "a mix is a contract" rule); modeled groups absent from the data
+    * fail loud. With every group mapped to the SAME model this is
+    * exactly [[perplexityBuckets]] (spec-pinned). Scoring stays the
+    * per-model broadcast chain — one pass per model over that group's
+    * slice; the rank is the same grouped two-phase prefix rank over the
+    * union. */
+  def perplexityBucketsBy(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, models: Map[String, LmModel],
+      headNum: Int = 1, headDen: Int = 3,
+      midNum: Int = 2, midDen: Int = 3,
+      numPartitions: Int = 0): DataFrame = {
+    require(models.nonEmpty, "perplexityBucketsBy: need at least one model")
+    validateCuts(headNum, headDen, midNum, midDen)
+    val input = graft.core.CacheScope.retainInput(docs)
+    val present = input.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = models.keySet.diff(present)
+    require(missing.isEmpty,
+      s"perplexityBucketsBy: modeled groups absent from the data: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    val scored = models.toSeq.sortBy(_._1).map { case (g, m) =>
+      score(input.where(col(groupCol).cast("string") === g), textCol, idCol, m)
+        .withColumn(groupCol, lit(g))
+    }.reduce(_ unionByName _)
+    bucketScored(scored, idCol, groupCol,
+      headNum, headDen, midNum, midDen, numPartitions)
+  }
+
+  private def validateCuts(headNum: Int, headDen: Int,
+      midNum: Int, midDen: Int): Unit = {
     require(headDen > 0 && midDen > 0 && headNum >= 0 && midNum >= 0,
       "perplexityBuckets: fractions must be non-negative with positive denominators")
     require(headNum * midDen <= midNum * headDen,
@@ -154,9 +196,14 @@ object QualityLm {
         s"got $headNum/$headDen > $midNum/$midDen")
     require(midNum <= midDen,
       s"perplexityBuckets: mid cut must be ≤ 1, got $midNum/$midDen")
-    val scored = score(docs, textCol, idCol, model)
-      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
-    val spark = docs.sparkSession
+  }
+
+  /** The grouped two-phase prefix rank + cumulative integer cuts over a
+    * scored frame (idCol, n_bigrams, entropy_bits, groupCol). */
+  private def bucketScored(scored: DataFrame, idCol: String,
+      groupCol: String, headNum: Int, headDen: Int,
+      midNum: Int, midDen: Int, numPartitions: Int): DataFrame = {
+    val spark = scored.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = scored

@@ -649,4 +649,45 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("n_bands"))
     assert(e.getMessage.contains("meta"))
   }
+
+  test("lshGeometry: closest S-curve midpoint under the hash budget, recall-leaning ties") {
+    val (b, r) = Dedup.lshGeometry(0.8, 128)
+    assert(b * r <= 128 && b >= 1 && r >= 1)
+    // minimality: no other (floor-budget) banding lands closer
+    val all = (1 to 128).map(rr => (128 / rr, rr)).filter(_._1 >= 1)
+    val d0 = math.abs(Dedup.lshThreshold(b, r) - 0.8)
+    assert(all.forall { case (bb, rr) =>
+      math.abs(Dedup.lshThreshold(bb, rr) - 0.8) >= d0 - 1e-12 })
+    // ties prefer MORE bands: any equally-close banding has bands <= b
+    assert(all.forall { case (bb, rr) =>
+      math.abs(Dedup.lshThreshold(bb, rr) - 0.8) > d0 + 1e-12 || bb <= b })
+    // the shipped 16x8 default documents its ~0.707 midpoint
+    assert(math.abs(Dedup.lshThreshold(16, 8) - math.pow(1.0 / 16, 1.0 / 8)) == 0.0)
+    assert(math.abs(Dedup.lshThreshold(16, 8) - 0.707) < 0.01)
+    // monotone in the target
+    val lo = (Dedup.lshGeometry(0.4, 128) match { case (bb, rr) => Dedup.lshThreshold(bb, rr) })
+    val hi = (Dedup.lshGeometry(0.9, 128) match { case (bb, rr) => Dedup.lshThreshold(bb, rr) })
+    assert(lo < hi)
+    intercept[IllegalArgumentException] { Dedup.lshGeometry(0.0) }
+    intercept[IllegalArgumentException] { Dedup.lshGeometry(0.5, 1) }
+  }
+
+  test("spanDuplicationStats: per-group removed-token shares, fully-scrubbed and zero-token docs") {
+    import spark.implicits._
+    val ten = "a b c d e f g h i j"          // 10 tokens, 3 windows of 8
+    val uniq = "k l m n o p q r s t"         // 10 unique tokens
+    val df = Seq(
+      (1L, "g1", uniq),                       // nothing duplicated
+      (2L, "g1", "!!! ???"),                  // zero tokens after normalize
+      (3L, "g2", ten),                        // canonical first occurrence
+      (4L, "g2", ten),                        // exact copy: fully scrubbed
+      (5L, "g2", null.asInstanceOf[String])   // null text: not counted
+    ).toDF("doc_id", "grp", "text")
+    val out = Dedup.spanDuplicationStats(df, "text", "doc_id", "grp")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("g1") == ((2L, 10L, 0L, 0.0)))
+    // g2: 20 tokens, doc 4's 10 all removed -> share 0.5
+    assert(out("g2") == ((2L, 20L, 10L, 0.5)))
+  }
 }

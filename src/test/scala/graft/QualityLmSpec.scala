@@ -129,4 +129,47 @@ class QualityLmSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("null values in group column"))
   }
+
+  test("perplexityBucketsBy: per-group models; same-model map == single-model bucketing; contracts") {
+    val modelA = QualityLm.fit(refDocs, "text", vocabSize = 16)
+    // a second reference with a disjoint vocabulary
+    val refB = Seq((1L, "zork blat quux zork blat"), (2L, "quux zork blat quux"))
+      .toDF("doc_id", "text")
+    val modelB = QualityLm.fit(refB, "text", vocabSize = 16)
+    val probe = (0L until 12L).map { i =>
+      (i, if (i % 2 == 0) "en" else "zz",
+        if (i % 2 == 0) s"the cat sat on mat $i" else s"zork blat quux run $i")
+    }.toDF("doc_id", "grp", "text")
+    // same model for every group == the single-model operator
+    val uni = QualityLm.perplexityBuckets(probe, "text", "doc_id", "grp", modelA)
+      .select("doc_id", "ppl_rank", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val mapped = QualityLm.perplexityBucketsBy(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA, "zz" -> modelA))
+      .select("doc_id", "ppl_rank", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(mapped == uni)
+    // per-group models: the zz docs score LOWER under their own model
+    // than under the English one
+    val own = QualityLm.perplexityBucketsBy(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA, "zz" -> modelB))
+      .select("doc_id", "grp", "entropy_bits").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val under = QualityLm.perplexityBucketsBy(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA, "zz" -> modelA))
+      .select("doc_id", "entropy_bits").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val zzIds = (1L until 12L by 2)
+    assert(zzIds.forall(i => own(i) < under(i)),
+      s"own-model entropies should beat wrong-model: ${zzIds.map(i => (own(i), under(i)))}")
+    // unmodeled groups are DROPPED; modeled-but-absent groups fail loud
+    val dropped = QualityLm.perplexityBucketsBy(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA))
+    assert(dropped.select("grp").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    val ex = intercept[IllegalArgumentException] {
+      QualityLm.perplexityBucketsBy(probe, "text", "doc_id", "grp",
+        Map("en" -> modelA, "nope" -> modelB))
+    }
+    assert(ex.getMessage.contains("absent from the data"))
+  }
 }
