@@ -239,6 +239,8 @@ object TokenizedExport {
           fs.create(new org.apache.hadoop.fs.Path(base, s"shard-$s.bin"), true),
           1 << 16))
       }
+      require(!r.isNullAt(r.fieldIndex("__id")),
+        "TokenizedExport: null doc id — getLong would silently write id 0")
       val id = r.getLong(r.fieldIndex("__id"))
       val ids = r.getAs[scala.collection.Seq[Int]]("__ids")
       require(ids != null,
@@ -303,9 +305,11 @@ object TokenizedExport {
           val ids = new Array[Int](len)
           var j = 0
           while (j < len) {
+            // multiply in LONG first: (o+j).toInt*width overflows for
+            // shards past 2^31/width tokens and reads silent garbage
             ids(j) =
-              if (width == 4) bb.getInt((o + j).toInt * 4)
-              else bb.getShort((o + j).toInt * 2) & 0xFFFF
+              if (width == 4) bb.getInt(((o + j) * 4L).toInt)
+              else bb.getShort(((o + j) * 2L).toInt) & 0xFFFF
             j += 1
           }
           Row(k, i, id, ids.toSeq)
@@ -316,10 +320,17 @@ object TokenizedExport {
 
   private def readAll(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    // the one-task-per-shard reader buffers a whole shard: writers at
+    // scale must size nShards so shards stay under 2 GB (see PERF.md's
+    // ShardedExport knob: 0.5-4 GB shards — here the byte form caps at
+    // the JVM array bound, loud rather than truncated)
+    require(len <= Int.MaxValue,
+      s"TokenizedExport: $p is $len bytes — exceeds the 2 GB per-shard " +
+        "read buffer; rebuild with more shards")
     val in = fs.open(p)
     try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

@@ -184,4 +184,21 @@ class TokenizedExportSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no existing export"))
   }
+
+  test("null doc ids fail loud at write (getLong would silently write 0)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("token_ids", ArrayType(IntegerType))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(java.lang.Long.valueOf(1L), Seq(1)),
+      org.apache.spark.sql.Row(null, Seq(2)))
+    val df = spark.createDataFrame(rows, schema)
+    val dir = java.nio.file.Files.createTempDirectory("tokbinN").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.TokenizedExport.write(df, "doc_id", "token_ids", dir, 1, vocabSize = 5)
+    }
+    assert(e.getMessage.contains("null doc id")
+      || Option(e.getCause).exists(_.getMessage.contains("null doc id")))
+  }
 }
