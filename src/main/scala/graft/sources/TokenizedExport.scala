@@ -46,12 +46,18 @@ object TokenizedExport {
   /** Sorted-distinct token vocabulary of an `array<string>` column:
     * `(token, id)` with ids 0..V−1 in lexicographic token order —
     * deterministic, engine-replayable (`row_number() − 1` over the
-    * sorted distinct tokens in SQL). The single-partition window is
-    * vocab-sized, not corpus-sized. */
+    * sorted distinct tokens in SQL). Ids come from a range-partitioned
+    * sort + zipWithIndex, NOT a single-partition window — tokens are
+    * distinct, so the index is the rank with no tie ambiguity, and no
+    * task ever holds the whole vocabulary. */
   def vocabulary(df: DataFrame, tokensCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
-    df.select(explode(col(tokensCol)).as("token")).distinct()
-      .withColumn("id", (row_number().over(w) - 1).cast("int"))
+    val spark = df.sparkSession
+    val rdd = df.select(explode(col(tokensCol)).as("token")).distinct()
+      .orderBy("token").rdd
+      .zipWithIndex.map { case (r, i) => Row(r.getString(0), i.toInt) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("id", IntegerType, nullable = false))))
   }
 
   /** Map an `array<string>` token column to `array<int>` ids against a
@@ -199,6 +205,38 @@ object TokenizedExport {
     }
     fs.delete(new org.apache.hadoop.fs.Path(base, "__inc"), true)
     inc.withColumn("shard", col("shard") + lit(offset))
+  }
+
+  /** Integrity check of an export directory against an expected
+    * [[manifest]] (the training side's pre-flight): re-reads every
+    * shard, recounts docs/tokens, re-derives the order-free content
+    * hash from the decoded bytes, and returns ONE ROW PER MISMATCHED
+    * SHARD with both sides' numbers (`*_expected` vs `*_found`) —
+    * empty result = clean bill. Shards present on disk but absent from
+    * the manifest (or vice versa) mismatch on null counts rather than
+    * silently passing. Cost: the distributed [[read]] plus a
+    * shards-sized join. */
+  def verify(spark: SparkSession, dir: String,
+      expected: DataFrame): DataFrame = {
+    val found = read(spark, dir)
+      .withColumn("__ph", portableHash(concat(
+        length(col("doc_id").cast("string")).cast("string"), lit(":"),
+        col("doc_id").cast("string"), lit(":"),
+        array_join(col("token_ids"), " "))))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs_found"),
+        sum(size(col("token_ids")).cast("long")).as("n_tokens_found"),
+        expr("bit_xor(__ph)").as("content_hash_found"))
+    expected.select(col("shard"),
+        col("n_docs").as("n_docs_expected"),
+        col("n_tokens").as("n_tokens_expected"),
+        col("content_hash").as("content_hash_expected"))
+      .join(found, Seq("shard"), "full_outer")
+      .where(
+        !(col("n_docs_expected") <=> col("n_docs_found")) ||
+        !(col("n_tokens_expected") <=> col("n_tokens_found")) ||
+        !(col("content_hash_expected") <=> col("content_hash_found")))
   }
 
   private def idxHeader(wide: Boolean, nDocs: Int): Array[Byte] = {
