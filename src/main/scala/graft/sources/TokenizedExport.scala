@@ -111,12 +111,15 @@ object TokenizedExport {
     * probe pass. Every shard file exists even when empty (data-parallel
     * readers open all n). */
   def write(df: DataFrame, idCol: String, idsCol: String, dir: String,
-      nShards: Int, vocabSize: Int, seed: Long = 42L): DataFrame = {
+      nShards: Int, vocabSize: Int, seed: Long = 42L,
+      shardOffset: Long = 0L): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(shardOffset >= 0, s"shardOffset must be >= 0, got $shardOffset")
     val wide = vocabSize > 65536
     val sharded = graft.core.CacheScope.retain(
       withShard(df, idCol, nShards, seed)
-        .select(col(idCol).cast("long").as("__id"), col("shard"),
+        .select(col(idCol).cast("long").as("__id"),
+          (col("shard") + lit(shardOffset)).as("shard"),
           col("shuffle_rank"), col(idsCol).as("__ids")))
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -132,7 +135,7 @@ object TokenizedExport {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), confSer.value)
     val base = new org.apache.hadoop.fs.Path(dir)
-    (0L until nShards.toLong).foreach { k =>
+    (shardOffset until shardOffset + nShards).foreach { k =>
       val idx = new org.apache.hadoop.fs.Path(base, s"shard-$k.idx")
       if (!fs.exists(idx)) {
         val out = fs.create(idx, true)
@@ -162,10 +165,11 @@ object TokenizedExport {
     * growth is append-only at the file level, the
     * [[graft.operators.LshIndex]]/[[graft.operators.Bm25.Bm25Index]]
     * append discipline adapted to a sink: append(A,B) yields the same
-    * BYTES as write(A) plus write(B) renumbered, and a reader of the
-    * union sees every doc exactly once. The dtype must match the
-    * existing export (meta is the `.idx` header's dtype byte — read
-    * from shard-0, validated loud): a u16 corpus cannot silently
+    * BYTES as write(A) plus write(B) renumbered (it IS write at
+    * `shardOffset` = existing max + 1), and a reader of the union sees
+    * every doc exactly once. The dtype must match the existing export
+    * (meta is the `.idx` header's dtype byte — read from the lowest
+    * existing shard, validated loud): a u16 corpus cannot silently
     * receive u32 ids. Returns the increment's manifest. */
   def append(df: DataFrame, idCol: String, idsCol: String, dir: String,
       nShards: Int, vocabSize: Int, seed: Long = 42L): DataFrame = {
@@ -178,33 +182,20 @@ object TokenizedExport {
         n.stripPrefix("shard-").stripSuffix(".idx").toLong }
     require(existing.nonEmpty,
       s"TokenizedExport.append: no existing export under $dir — use write")
-    val in = fs.open(new org.apache.hadoop.fs.Path(base, "shard-0.idx"))
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(base, s"shard-${existing.min}.idx"))
     val head = new Array[Byte](Magic.length + 1)
     try in.readFully(0, head) finally in.close()
     require(java.util.Arrays.equals(head.take(Magic.length), Magic),
-      s"TokenizedExport.append: $dir/shard-0.idx has no GRFTIDX1 magic")
+      s"TokenizedExport.append: $dir/shard-${existing.min}.idx has no GRFTIDX1 magic")
     val existingWide = head(Magic.length) == 4.toByte
     val wide = vocabSize > 65536
     require(existingWide == wide,
       s"TokenizedExport.append: dtype mismatch — existing export is " +
         s"${if (existingWide) "u32" else "u16"} but vocabSize $vocabSize " +
         s"implies ${if (wide) "u32" else "u16"}; rebuild instead")
-    val offset = existing.max + 1
-    val inc = write(df, idCol, idsCol,
-      new org.apache.hadoop.fs.Path(base, "__inc").toString,
-      nShards, vocabSize, seed)
-    // renumber the increment's files after the existing maximum: a pure
-    // filesystem move, no byte rewrite
-    (0L until nShards.toLong).foreach { k =>
-      Seq("bin", "idx").foreach { ext =>
-        val from = new org.apache.hadoop.fs.Path(base, s"__inc/shard-$k.$ext")
-        val to = new org.apache.hadoop.fs.Path(base, s"shard-${offset + k}.$ext")
-        require(fs.rename(from, to),
-          s"TokenizedExport.append: rename $from -> $to failed")
-      }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(base, "__inc"), true)
-    inc.withColumn("shard", col("shard") + lit(offset))
+    write(df, idCol, idsCol, dir, nShards, vocabSize, seed,
+      shardOffset = existing.max + 1)
   }
 
   /** Integrity check of an export directory against an expected

@@ -421,4 +421,33 @@ object CurationStream {
       }
       .trigger(trigger)
       .start()
+
+  /** Streaming BINARY-export sink — the last mile of a streaming
+    * ingestion pipeline: each micro-batch's (id, token-id array) rows
+    * land as `.bin`/`.idx` shards numbered `batchId·shardsPerBatch + k`
+    * — a PURE FUNCTION of the batch id, so a replayed batch
+    * (foreachBatch is at-least-once on failure) rewrites exactly its
+    * own files and the sink is idempotent with no commit protocol; a
+    * batch never touches another batch's bytes, preserving the
+    * append-only contract live trainers rely on. Batch-id gaps (empty
+    * batches write nothing) are fine — [[graft.sources.TokenizedExport.read]]
+    * lists shards by name, not by contiguity. All batches must share
+    * one `vocabSize` (the dtype is part of the format). */
+  def startTokenizedExport(stream: DataFrame, dir: String, vocabSize: Int,
+      idCol: String = "doc_id", idsCol: String = "token_ids",
+      shardsPerBatch: Int = 4,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.TokenizedExport.write(
+            batch, idCol, idsCol, dir, shardsPerBatch, vocabSize,
+            shardOffset = batchId * shardsPerBatch).count()
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
 }

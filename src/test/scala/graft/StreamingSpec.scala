@@ -610,4 +610,54 @@ class StreamingSpec extends SparkSpec {
       assert(streamedRows.subsetOf(batchRows), "streamed closed windows must equal batch values")
     } finally q.stop()
   }
+
+  test("startTokenizedExport: multi-batch binary export reads back every doc exactly once; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Int])]
+    val dir = java.nio.file.Files.createTempDirectory("tokstream").toString
+    val ck = java.nio.file.Files.createTempDirectory("tokstream_ck").toString
+    // AvailableNow snapshots availability at START: data must be added
+    // BEFORE each query starts for it to land in that query's batches
+    ms.addData((1L, Seq(1, 2)), (2L, Seq(3)))
+    val q = graft.streaming.CurationStream.startTokenizedExport(
+      ms.toDF().toDF("doc_id", "token_ids"), dir, vocabSize = 64,
+      shardsPerBatch = 2, checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+    ms.addData((10L, Seq(7, 8)), (11L, Seq(9)))
+    val q2 = graft.streaming.CurationStream.startTokenizedExport(
+      ms.toDF().toDF("doc_id", "token_ids"), dir, vocabSize = 64,
+      shardsPerBatch = 2, checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+    val got = graft.sources.TokenizedExport.read(spark, dir)
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toSeq).toMap
+    assert(got == Map(1L -> Seq(1, 2), 2L -> Seq(3), 10L -> Seq(7, 8), 11L -> Seq(9)))
+    // shard numbers are batchId-deterministic: batch b owns [2b, 2b+2)
+    val byDoc = graft.sources.TokenizedExport.read(spark, dir)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L).forall(byDoc(_) < 2), byDoc.toString)
+    assert(Seq(10L, 11L).forall(d => byDoc(d) >= 2 && byDoc(d) < 4), byDoc.toString)
+    // a REPLAYED batch (same batchId -> same shardOffset) rewrites its
+    // own files byte-identically: simulate by re-writing batch 0's rows
+    // at its offset and comparing bytes
+    val before = (0 until 2).map { k =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, s"shard-$k.bin")).toSeq
+    }
+    (0 until 2).foreach { k =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, s".shard-$k.bin.crc"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, s".shard-$k.idx.crc"))
+    }
+    graft.sources.TokenizedExport.write(
+      Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("doc_id", "token_ids"),
+      "doc_id", "token_ids", dir, 2, 64, shardOffset = 0L).count()
+    val after = (0 until 2).map { k =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, s"shard-$k.bin")).toSeq
+    }
+    assert(after == before, "replaying a batch at its own offset must be byte-idempotent")
+  }
 }
