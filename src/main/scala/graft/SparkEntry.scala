@@ -1591,6 +1591,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- mojibake repair (the ftfy core case): five deterministic
+    //      encoding-damage shapes appended by id arithmetic — Latin-1
+    //      double-encode, cp1252 punctuation triples, an undefined-byte
+    //      closing quote, TRUE Latin-1 prose (must stay), mixed
+    //      CJK+mojibake (repair would destroy the CJK, must stay). The
+    //      oracle writes the expected repaired text directly by the
+    //      same arithmetic — never by running a repair. ----
+    "q_mojibake" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val tail = when(m === 0, lit(" caf\u00C3\u00A9"))
+        .when(m === 1, lit(" it\u00E2\u20AC\u2122s fine"))
+        .when(m === 2, lit(" \u00E2\u20AC\u0153q\u00E2\u20AC\u009D"))
+        .when(m === 3, lit(" na\u00EFve r\u00E9sum\u00E9"))
+        .otherwise(lit(" \u4E2D\u6587 caf\u00C3\u00A9"))
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.fixMojibake(concat(col("text"), tail))
+            .as("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- URL canonicalization + registrable domain (the C4/CCNet
     //      url-dedup primitives). The documents table has no URL
     //      column, so the query synthesizes five deterministic messy
@@ -4404,6 +4425,21 @@ object SparkEntry {
         |    '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}\x{AD}\x{200B}-\x{200D}\x{FEFF}]',
         |    '', 'g') AS text
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Expected repaired text written directly by the same id
+    // arithmetic (chr() codepoints): repaired forms for the three
+    // damage shapes, the inputs VERBATIM for the two must-stay shapes.
+    "q_mojibake" ->
+      """SELECT doc_id,
+        |  text || CASE doc_id % 5
+        |    WHEN 0 THEN ' caf' || chr(233)
+        |    WHEN 1 THEN ' it' || chr(8217) || 's fine'
+        |    WHEN 2 THEN ' ' || chr(8220) || 'q' || chr(8221)
+        |    WHEN 3 THEN ' na' || chr(239) || 've r' || chr(233) || 'sum' || chr(233)
+        |    ELSE ' ' || chr(20013) || chr(25991) || ' caf' || chr(195) || chr(169)
+        |  END AS text
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // INDEPENDENT derivation, not a replay: the expected canonical
     // form / host / registrable domain of each synthesized URL shape is

@@ -323,6 +323,46 @@ object TextFunctions {
       "^[ \\n]+|[ \\n]+$", "")
   }
 
+  /** The cp1252-specific codepoints (left) and the 0x80–0x9F bytes they
+    * occupy in that encoding (right) — mojibake produced by reading
+    * UTF-8 bytes as windows-1252 shows THESE characters where Latin-1
+    * would show C1 controls; translating them back to their byte values
+    * reduces cp1252 mojibake to the Latin-1 case a charset round-trip
+    * can repair. A fixed bijection (ftfy's "sloppy windows-1252"). */
+  private val Cp1252Chars =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160\u2039" +
+    "\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014\u02DC\u2122" +
+    "\u0161\u203A\u0153\u017E\u0178"
+  private val Cp1252Bytes =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B" +
+    "\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099" +
+    "\u009A\u009B\u009C\u009E\u009F"
+
+  /** Mojibake repair (the ftfy core case): text whose UTF-8 bytes were
+    * once decoded as Latin-1/windows-1252 shows `A-tilde + copyright`
+    * for `e-acute` and `a-circ + euro + tm` for a right single quote.
+    * The repair is the inverse round-trip — map the cp1252-specific
+    * punctuation back to its byte values, re-encode the chars as
+    * Latin-1 bytes, decode those bytes as UTF-8 — applied ONLY when it
+    * is provably safe: the text carries the mojibake signature
+    * (U+00C2/U+00C3/U+00E2 followed by a continuation-range char —
+    * natural prose never does), every char fits a Latin-1 byte after
+    * the cp1252 fold (so the re-encode is lossless; mixed CJK+mojibake
+    * text is left untouched rather than destroyed), and the UTF-8
+    * decode produced no replacement char (true Latin-1 prose like
+    * `na\u00EFve` fails the signature and stays). Everything is
+    * built-in `translate`/`encode`/`decode`/`rlike` — codegen'd,
+    * map-side, and the decision is engine-replayable. Run BEFORE
+    * [[cleanUnicode]]: repair bytes first, then normalize glyphs. */
+  def fixMojibake(c: Column): Column = {
+    val folded = translate(c, Cp1252Chars, Cp1252Bytes)
+    val signature = folded.rlike("[\u00C2\u00C3\u00E2][\u0080-\u00BF]")
+    val latin1Safe = folded.rlike("^[\u0000-\u00FF]*$")
+    val repaired = decode(encode(folded, "ISO-8859-1"), "UTF-8")
+    when(signature && latin1Safe && !repaired.rlike("\uFFFD"), repaired)
+      .otherwise(c)
+  }
+
   /** Token-blocklist gate (the C4 "bad words" page filter: a page is
     * dropped if it contains ANY blocklisted word): TRUE iff the
     * normalized token stream contains no listed word. Words are

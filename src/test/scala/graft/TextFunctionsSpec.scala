@@ -413,4 +413,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == "This is a long enough real sentence of prose.\n" +
       "Another real sentence with many words here.", s"got:\n$out")
   }
+
+  test("fixMojibake: repairs UTF-8-as-Latin-1/cp1252 damage, never touches healthy text") {
+    val cases = Seq(
+      // e-acute double-encoded: C3 A9 read as latin1
+      (1L, "caf\u00C3\u00A9", "caf\u00E9"),
+      // right single quote through cp1252: E2 80 99 -> a-circ,euro,tm
+      (2L, "it\u00E2\u20AC\u2122s fine", "it\u2019s fine"),
+      // double quotes; closing 9D byte is undefined in cp1252 and
+      // arrives as the raw control char
+      (3L, "\u00E2\u20AC\u0153q\u00E2\u20AC\u009D", "\u201Cq\u201D"),
+      // TRUE latin-1 prose: no signature, stays
+      (4L, "na\u00EFve r\u00E9sum\u00E9", "na\u00EFve r\u00E9sum\u00E9"),
+      // mixed CJK + mojibake: repair would destroy the CJK, so stay
+      (5L, "\u4E2D\u6587 caf\u00C3\u00A9", "\u4E2D\u6587 caf\u00C3\u00A9"),
+      // plain ascii: no signature, stays
+      (6L, "plain ascii text.", "plain ascii text."))
+    val out = cases.map { case (i, in, _) => (i, in) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), fixMojibake(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, in, want) =>
+      assert(out(i) == want, s"case $i: '$in' -> '${out(i)}' wanted '$want'")
+    }
+    val n = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+      .select(fixMojibake(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
