@@ -54,7 +54,7 @@ object ScaleProbe {
       "q_mp4_meta", "q_mixture_select", "q_gopher_filter",
       "q_c4_clean", "q_line_dedup", "q_dedup_cluster_best",
       "q_contamination_report", "q_dsir_select", "q_gopher_repetition",
-      "q_curation_pipeline3", "q_eval_index", "q_eval_index_bloom",
+      "q_curation_pipeline3", "q_eval_index", "q_eval_index_bloom", "q_mojibake", "q_span_stats",
       "q_unicode_clean", "q_epoch_mix", "q_eval_contamination",
       "q_tokenized_export", "q_ccnet_buckets", "q_training_export",
       "q_html_extract", "q_robots_filter", "q_crawl_pipeline")
