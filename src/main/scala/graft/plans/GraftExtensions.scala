@@ -492,6 +492,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jaccardSortedDescriptor)
     ext.injectFunction(GraftExtensions.dotArrDescriptor)
     ext.injectFunction(GraftExtensions.unicodeNormDescriptor)
+    ext.injectFunction(GraftExtensions.robotsAllowedDescriptor)
   }
 }
 
@@ -535,6 +536,22 @@ object GraftExtensions {
       UnicodeNormalizeExpr(children.head, form)
     })
 
+  private[graft] val robotsAllowedDescriptor = (
+    FunctionIdentifier("robots_allowed"),
+    new ExpressionInfo(classOf[RobotsAllowedExpr].getName, "robots_allowed"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "robots_allowed(robotsTxt, path[, agent]) takes two string columns " +
+          "and an optional literal agent token")
+      val agent = children.lift(2).map {
+        case lit if lit.foldable && lit.dataType.isInstanceOf[StringType] =>
+          String.valueOf(lit.eval(null))
+        case other => throw new IllegalArgumentException(
+          s"robots_allowed agent must be a string literal, got $other")
+      }.getOrElse("graftbot")
+      RobotsAllowedExpr(children.head, children(1), agent)
+    })
+
   /** Column-level accessors — resolve through the function registry, so
     * `register(spark)` (or the extensions config) must have run. */
   def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -547,7 +564,7 @@ object GraftExtensions {
   /** Register on an already-built session (local/test convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(cosineSimDescriptor, jaccardSortedDescriptor, dotArrDescriptor,
-        unicodeNormDescriptor).foreach { d =>
+        unicodeNormDescriptor, robotsAllowedDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -120,4 +120,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(NearestCellsExpr(childE, cents.map(_.toVector).toVector, 3) ==
       NearestCellsExpr(childE, cents, 3))
   }
+
+  test("robots_allowed resolves through the SQL registry; agent defaults and literal form") {
+    GraftExtensions.register(spark)
+    val robots = "User-agent: *\nAllow: /pub\nDisallow: /\n"
+    Seq((1L, robots, "/pub/a"), (2L, robots, "/secret"))
+      .toDF("id", "r", "p").createOrReplaceTempView("robots_probe")
+    val got = spark.sql(
+      "SELECT id, robots_allowed(r, p) AS d, robots_allowed(r, p, 'foobot') AS f " +
+      "FROM robots_probe ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, true, true), (2L, false, false)))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT robots_allowed(r, p, id) FROM robots_probe").collect()
+    }
+    assert(ex.getMessage.contains("string literal"))
+  }
 }
