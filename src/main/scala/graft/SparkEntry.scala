@@ -2060,6 +2060,20 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ---- mix audit report (the data-card numbers next to "we
+    //      reweighted X"): before/after per-language composition of the
+    //      q_epoch_mix stage — counts, 4-decimal shares on both sides,
+    //      keep ratio (≈2.5 for en, 0 for the dropped es/zh). Oracle:
+    //      the epoch-mix replay + two rollups + the same share/ratio
+    //      arithmetic. ----
+    "q_mix_report" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "lang")
+      val mixed = graft.operators.Sampling.epochMix(docs, "lang", "doc_id",
+        Map("en" -> 2.5, "fr" -> 1.25, "de" -> 1.0))
+      graft.operators.Sampling.mixReport(docs, mixed, "lang")
+        .orderBy("lang")
+    }),
+
     // ---- the Gopher rule-set page filter (Rae et al. 2021 appendix
     //      A1.1.1): word count, mean word length, symbol-to-word
     //      ratios, bullet/ellipsis line shares, alphabetic-word ratio,
@@ -4856,6 +4870,41 @@ object SparkEntry {
         |  COALESCE(e.ids, '') AS ids
         |FROM mx JOIN s USING (k) LEFT JOIN e USING (doc_id)
         |ORDER BY k""".stripMargin,
+
+    // The epoch-mix replay rolled up on both sides, full-outer joined,
+    // with the identical 4-decimal share/ratio arithmetic.
+    "q_mix_report" ->
+      """WITH em AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 ELSE 1 END AS fullc,
+        |    CASE lang WHEN 'en' THEN CAST(576460752303423488 AS BIGINT)
+        |              WHEN 'fr' THEN CAST(288230376151711744 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS thr
+        |  FROM documents WHERE lang IN ('en', 'fr', 'de')),
+        |mx AS (
+        |  SELECT doc_id, lang
+        |  FROM (SELECT doc_id, lang, fullc, thr,
+        |          unnest(generate_series(0, fullc)) AS epoch FROM em)
+        |  WHERE epoch < fullc
+        |     OR CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' ||
+        |          epoch::VARCHAR || ':' || '42'), 1, 15)) AS BIGINT) < thr),
+        |b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1),
+        |a AS (SELECT lang, count(*) AS n_after FROM mx GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b.lang, a.lang) AS lang,
+        |    coalesce(n_before, 0) AS n_before,
+        |    coalesce(n_after, 0) AS n_after
+        |  FROM b FULL OUTER JOIN a ON b.lang = a.lang),
+        |t AS (SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM j)
+        |SELECT lang, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after,
+        |  CASE WHEN tb = 0 THEN 0.0
+        |       ELSE floor(n_before * 1.0 / tb * 1e4 + 0.5) / 1e4 END AS share_before,
+        |  CASE WHEN ta = 0 THEN 0.0
+        |       ELSE floor(n_after * 1.0 / ta * 1e4 + 0.5) / 1e4 END AS share_after,
+        |  CASE WHEN n_before = 0 THEN NULL
+        |       ELSE floor(n_after * 1.0 / n_before * 1e4 + 0.5) / 1e4 END AS keep_ratio
+        |FROM j, t
+        |ORDER BY lang""".stripMargin,
 
     // Gopher rule replay: every count is exact integer arithmetic over
     // the same tokenization (split on ' ', empties dropped; lines on

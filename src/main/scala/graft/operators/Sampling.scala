@@ -667,6 +667,50 @@ object Sampling {
       .drop("__h", "__pid")
   }
 
+  /** Mix audit — the before/after composition report for ANY mixing or
+    * sampling stage ([[mixtureSelect]], [[temperatureMix]],
+    * [[epochMix]], [[quotaPerGroup]], token budgets, …): one row per
+    * group present in EITHER frame with doc counts, optional token
+    * sums, 4-decimal corpus shares on each side, and the count ratio —
+    * the numbers a data card publishes next to "we reweighted X".
+    * Groups the stage dropped show `n_after = 0`; groups it
+    * synthesized (epoch copies change nothing here — same group) show
+    * `n_before = 0`. Shares divide by the full frame totals (0 when a
+    * side is empty), everything else exact integers. Two partial-
+    * aggregated rollups + a groups-sized outer join — nothing corpus-
+    * sized survives the aggregates. */
+  def mixReport(before: DataFrame, after: DataFrame, groupCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    def rollup(df: DataFrame, suffix: String): DataFrame = {
+      val base = df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as(s"n_$suffix"))
+      weightCol.fold(base) { w =>
+        df.groupBy(col(groupCol))
+          .agg(count(lit(1)).as(s"n_$suffix"),
+            sum(col(w).cast("long")).as(s"${w}_$suffix"))
+      }
+    }
+    val b = rollup(before, "before")
+    val a = rollup(after, "after")
+    val joined = b.join(a, Seq(groupCol), "full_outer")
+    val totalB = sum(coalesce(col("n_before"), lit(0L)))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val totalA = sum(coalesce(col("n_after"), lit(0L)))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    def share(n: Column, total: Column): Column =
+      when(total === 0, lit(0.0)).otherwise(
+        floor(n.cast("double") / total.cast("double") * 1e4 + 0.5) / 1e4)
+    joined
+      .withColumn("n_before", coalesce(col("n_before"), lit(0L)))
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("share_before", share(col("n_before"), totalB))
+      .withColumn("share_after", share(col("n_after"), totalA))
+      .withColumn("keep_ratio",
+        when(col("n_before") === 0, lit(null).cast("double")).otherwise(
+          floor(col("n_after").cast("double") /
+            col("n_before").cast("double") * 1e4 + 0.5) / 1e4))
+  }
+
   /** The integer cut points backing [[hashSplit]] — exposed so an
     * external verifier can embed the EXACT same literals. */
   def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {

@@ -429,4 +429,37 @@ class SamplingSpec extends SparkSpec {
       assert(split(ms.head._1) == plain(c), s"family $c not keyed by min member")
     }
   }
+
+  test("mixReport: dropped/synthesized groups, weight sums, shares and ratios") {
+    val before = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L)
+    ).toDF("doc_id", "grp", "w")
+    // stage dropped c, duplicated doc 1 (epoch-style), added group d
+    val after = Seq(
+      (1L, "a", 10L), (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L),
+      (9L, "d", 3L)
+    ).toDF("doc_id", "grp", "w")
+    val out = Sampling.mixReport(before, after, "grp", weightCol = Some("w"))
+      .collect().map { r =>
+        r.getString(r.fieldIndex("grp")) -> (
+          r.getLong(r.fieldIndex("n_before")), r.getLong(r.fieldIndex("n_after")),
+          r.getDouble(r.fieldIndex("share_before")), r.getDouble(r.fieldIndex("share_after")),
+          if (r.isNullAt(r.fieldIndex("keep_ratio"))) None
+          else Some(r.getDouble(r.fieldIndex("keep_ratio"))))
+      }.toMap
+    assert(out("a") == ((2L, 3L, 0.5, 0.6, Some(1.5))))
+    assert(out("b") == ((1L, 1L, 0.25, 0.2, Some(1.0))))
+    assert(out("c") == ((1L, 0L, 0.25, 0.0, Some(0.0))))
+    assert(out("d") == ((0L, 1L, 0.0, 0.2, None)))
+    // weight sums ride along per side; absent side stays null
+    val ws = Sampling.mixReport(before, after, "grp", weightCol = Some("w"))
+      .collect().map { r =>
+        r.getString(r.fieldIndex("grp")) -> (
+          if (r.isNullAt(r.fieldIndex("w_before"))) None else Some(r.getLong(r.fieldIndex("w_before"))),
+          if (r.isNullAt(r.fieldIndex("w_after"))) None else Some(r.getLong(r.fieldIndex("w_after"))))
+      }.toMap
+    assert(ws("a") == ((Some(30L), Some(40L))))
+    assert(ws("c") == ((Some(7L), None)))
+    assert(ws("d") == ((None, Some(3L))))
+  }
 }
