@@ -941,6 +941,26 @@ object SparkEntry {
         "doc_id", "chunk_ix", "chunk_text", delim = " ")
         .orderBy("doc_id")),
 
+    // ---- SENTENCE-level exact dedup (the Dolma unit-dedup recipe at
+    //      its natural grain): every doc gains two boilerplate
+    //      sentences — one shared corpus-wide, one shared by its
+    //      doc_id%7 cohort — and each distinct sentence survives only
+    //      at its globally-first (doc, pos). The splitter is the
+    //      regex-portable sentinel mark-and-split (terminal marks stay
+    //      with their sentence); the oracle replays split, first-
+    //      occurrence window, and ordered reassembly. ----
+    "q_sentence_dedup" -> ((s, dir) => {
+      val boiler = concat(col("text"),
+        lit(" Subscribe to our newsletter today. Thanks for reading issue "),
+        pmod(col("doc_id"), lit(7)), lit("."))
+      val units = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.sentenceSplit(boiler)))
+        .toDF("doc_id", "pos", "unit")
+      Dedup.unitExactDedup(units, "doc_id", "pos", "unit", delim = " ")
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus-wide duplicate-SPAN scrub (Lee et al. 2022 ExactSubstr
     //      over 8-token grams): repeated passages at arbitrary offsets
     //      are cut, keeping only the globally-first occurrence. FULL
@@ -3455,6 +3475,34 @@ object SparkEntry {
         |    ORDER BY doc_id, chunk_ix) AS rn
         |  FROM u)
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_ix) AS text
+        |FROM f WHERE rn = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same sentinel mark-and-split (RE2 \1 backreference), gapped
+    // positions (relative order is all the first-occurrence rule and
+    // the reassembly sort read), ROW_NUMBER first-occurrence, ordered
+    // string_agg.
+    "q_sentence_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' Subscribe to our newsletter today. Thanks for reading issue '
+        |         || (doc_id % 7) || '.' AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '([.!?]+)[ \t]+', '\1' || chr(1), 'g') AS t
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(1))) AS unit,
+        |    generate_subscripts(string_split(t, chr(1)), 1) AS pos
+        |  FROM m),
+        |u AS (SELECT doc_id, pos, unit FROM x WHERE unit <> ''),
+        |f AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY unit
+        |    ORDER BY doc_id, pos) AS rn
+        |  FROM u)
+        |SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS text
         |FROM f WHERE rn = 1
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -49,6 +49,23 @@ object TextFunctions {
   def cleanUnicode(c: Column, form: String = "NFC"): Column =
     stripControlChars(unicodeNormalize(c, form))
 
+  /** Sentence segmentation — the unit for Dolma-style sentence-level
+    * dedup and per-sentence decontamination: a boundary is one or more
+    * terminal marks ([.!?]) followed by horizontal whitespace; the
+    * terminal marks STAY with their sentence, so reassembly is
+    * byte-faithful. Deliberately regex-portable: implemented by marking
+    * boundaries with a sentinel via backreference substitution (`$1` in
+    * Java, `\\1` in RE2 — both engines support group refs even though
+    * RE2 lacks the lookbehind a direct split would need) and splitting
+    * on the sentinel. Heuristic by design: abbreviations ("Dr. Smith")
+    * split — acceptable for dedup keys, where both sides of the
+    * comparison segment identically. Empty segments drop; text with no
+    * boundary is one sentence. */
+  def sentenceSplit(c: Column): Column =
+    filter(
+      split(regexp_replace(c, "([.!?]+)[ \t]+", "$1\u0001"), "\u0001"),
+      s => s =!= "")
+
   /** Whitespace tokens (empty strings dropped). */
   def tokens(c: Column): Column =
     filter(split(c, " "), t => t =!= "")

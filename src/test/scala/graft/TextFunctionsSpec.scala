@@ -440,4 +440,19 @@ class TextFunctionsSpec extends SparkSpec {
       .select(fixMojibake(col("text"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("sentenceSplit: terminal marks stay, multi-mark boundaries, no-boundary text, empties drop") {
+    val got = Seq(
+      (1L, "First one. Second two!  Third?! Fourth"),
+      (2L, "no terminal punctuation here"),
+      (3L, "Trailing dot."),
+      (4L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), sentenceSplit(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]](1).toSeq).toMap
+    assert(got(1L) == Seq("First one.", "Second two!", "Third?!", "Fourth"))
+    assert(got(2L) == Seq("no terminal punctuation here"))
+    assert(got(3L) == Seq("Trailing dot."))
+    assert(got(4L) == Seq.empty)
+  }
 }
