@@ -1112,6 +1112,23 @@ object Dedup {
     }
   }
 
+  /** [[nearDupAgainst]] with the banding CHOSEN FOR the threshold by
+    * [[lshGeometry]] instead of hand-tuned: the recall trap the knob
+    * table documents (probing J=0.6 through the default 16×8 geometry,
+    * whose S-curve sits at ≈0.707, silently loses ~3/4 of true pairs)
+    * cannot be expressed through this entry point — geometry and
+    * threshold travel together. Same output and cost shape as the
+    * explicit call with lshGeometry's banding. */
+  def nearDupAgainstTuned(probe: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, nHashes: Int = 128,
+      shingleK: Int = 5, dedupePairs: Boolean = true): DataFrame = {
+    val (b, r) = lshGeometry(jaccardThreshold, nHashes)
+    nearDupAgainst(probe, corpus, textCol, idCol, shingleK,
+      bands = b, rowsPerBand = r,
+      jaccardThreshold = jaccardThreshold, dedupePairs = dedupePairs)
+  }
+
   /** The [[lshGeometry]] S-curve midpoint for a chosen banding —
     * exposed so deployments can record the effective threshold their
     * geometry actually implements. */

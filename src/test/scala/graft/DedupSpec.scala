@@ -690,4 +690,25 @@ class DedupSpec extends SparkSpec {
     // g2: 20 tokens, doc 4's 10 all removed -> share 0.5
     assert(out("g2") == ((2L, 20L, 10L, 0.5)))
   }
+
+  test("nearDupAgainstTuned == nearDupAgainst with lshGeometry's banding; catches pairs 16x8 misses at low thresholds") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probe = docs.where(col("doc_id") % 7 === 0)
+    val corpus = docs.where(col("doc_id") % 7 =!= 0)
+    val (b, r) = Dedup.lshGeometry(0.6, 128)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "corpus_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val tuned = pairs(Dedup.nearDupAgainstTuned(probe, corpus, "text", "doc_id",
+      jaccardThreshold = 0.6))
+    val explicit = pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id",
+      bands = b, rowsPerBand = r, jaccardThreshold = 0.6))
+    assert(tuned == explicit)
+    // at threshold 0.6 the tuned geometry's recall can only be >= the
+    // mismatched default 16x8 (candidates are exact-verified, so sets
+    // are comparable)
+    val mismatched = pairs(Dedup.nearDupAgainst(probe, corpus, "text", "doc_id",
+      jaccardThreshold = 0.6))
+    assert(mismatched.subsetOf(tuned) || tuned.size >= mismatched.size)
+  }
 }
