@@ -57,7 +57,8 @@ object ScaleProbe {
       "q_curation_pipeline3", "q_eval_index", "q_eval_index_bloom", "q_mojibake", "q_span_stats",
       "q_unicode_clean", "q_epoch_mix", "q_eval_contamination",
       "q_tokenized_export", "q_ccnet_buckets", "q_training_export",
-      "q_html_extract", "q_robots_filter", "q_crawl_pipeline")
+      "q_html_extract", "q_robots_filter", "q_crawl_pipeline",
+      "q_mix_report", "q_sentence_dedup")
 
     val spark = SparkSession.builder()
       .master("local[32]")
