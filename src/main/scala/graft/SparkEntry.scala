@@ -1122,6 +1122,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Product quantization ADC top-k: the corpus serves from 16
+    //      one-byte codes per row (16× under float32 at dim 64) and each
+    //      pair scores with 16 table lookups instead of 64 multiplies —
+    //      the ANN memory story at 100 TB. PARTIAL oracle (the
+    //      q_similarity_ivf embedded-constants pattern): the
+    //      deterministic per-subspace codebooks are literals; the SQL
+    //      replays unit-normalize, encode argmin (first-cell-wins ties),
+    //      the query LUT, the subspace-order ADC sum and the (adist, id)
+    //      ranking. PqOracleProbe margins at the gate: encode 3.3e-6,
+    //      ADC rank 3.3e-4, refine rank 5.4e-6, zero exact ties — all
+    //      ≥ 10 orders above cross-engine ulp disagreement. ----
+    "q_similarity_pq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Pq.topK(e, e.filter(col("vec_id") < 8), "embedding",
+        "vec_id", k = 10, m = 16, ksub = 16)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- PQ + exact re-rank of the top-64 ADC shortlist (IVFADC's "R"
+    //      step): measured recall@10 0.9125 vs 0.4125 ADC-only at the
+    //      gate — the compressed scan finds the neighborhood, 64 true
+    //      vectors per query repair the order. ----
+    "q_similarity_pq_refine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Pq.topK(e, e.filter(col("vec_id") < 8), "embedding",
+        "vec_id", k = 10, m = 16, ksub = 16, refine = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ANN recall artifact: measured recall@10 of each approximate
     //      path (lsh / ivf / hnsw, at the gate queries' own parameters)
     //      against the brute-force exact top-10 — makes the approximate
@@ -1148,7 +1179,13 @@ object SparkEntry {
         // here — measured and recorded, which is exactly what this
         // artifact is for
         "lsh" -> Similarity.lshTopK(e, q, "embedding", "vec_id",
-          k = 10, dim = 64, bits = 6, tables = 24))
+          k = 10, dim = 64, bits = 6, tables = 24),
+        // compressed-domain ADC scan and its refine-repaired form (the
+        // two PQ serving modes; see q_similarity_pq)
+        "pq" -> graft.operators.Pq.topK(e, q, "embedding", "vec_id",
+          k = 10, m = 16, ksub = 16),
+        "pq_refine" -> graft.operators.Pq.topK(e, q, "embedding", "vec_id",
+          k = 10, m = 16, ksub = 16, refine = 64))
       methods.map { case (m, df) =>
         val hits = df.select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"))
@@ -3873,7 +3910,9 @@ object SparkEntry {
       val hits = Seq(
         ("hnsw", Seq(10, 10, 10, 10, 10, 10, 10, 10)),
         ("ivf", Seq(6, 7, 9, 5, 8, 8, 9, 10)),
-        ("lsh", Seq(4, 6, 7, 6, 5, 8, 4, 7)))
+        ("lsh", Seq(4, 6, 7, 6, 5, 8, 4, 7)),
+        ("pq", Seq(4, 4, 3, 5, 5, 3, 3, 6)),
+        ("pq_refine", Seq(10, 9, 9, 9, 9, 10, 7, 10)))
       val rows = for ((m, hs) <- hits; (h, q) <- hs.zipWithIndex)
         yield s"('$m', $q, $h)"
       s"""WITH v(method, query_id, n_hits) AS (VALUES ${rows.mkString(", ")})
@@ -3999,6 +4038,589 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // PARTIAL oracle (the q_similarity_ivf embedded-constants pattern):
+    // the 16x16 per-subspace PQ codebooks are constants of the
+    // deterministic, layout-invariant Pq.fit (PqOracleProbe prints them
+    // at the sf0.01 gate - refresh after any testdata regeneration); the
+    // SQL replays everything downstream of the fit exactly: unit
+    // normalization, per-subspace argmin encode (index-order squared-L2
+    // sums, first-cell ties), the query LUT, the subspace-order ADC sum
+    // and the (adist, id) ranking. Probe-checked margins at the gate:
+    // encode argmin 3.3e-6, ADC rank boundary 3.3e-4, zero exact ties -
+    // each >= 10 orders above cross-engine ulp disagreement.
+    "q_similarity_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |cb(s, cell, ctr) AS (VALUES
+        |  (0, 0, [-0.13610586106763312, 0.039118060600433290, -0.022962199820180034, 0.17174565250703275]::DOUBLE[]),
+        |  (0, 1, [-0.019466110915790705, 0.028206636520855432, -0.048462577229604770, 0.010645203710871298]::DOUBLE[]),
+        |  (0, 2, [0.027222375058049763, 0.13815839032310356, -0.10988835380941009, -0.12433033175038456]::DOUBLE[]),
+        |  (0, 3, [0.21768871512900350, -0.036947077397927320, 0.10981679714007980, -0.047450429536651280]::DOUBLE[]),
+        |  (0, 4, [0.10700452438421953, -0.12280707935894074, -0.094580119004003540, -0.047208264414167170]::DOUBLE[]),
+        |  (0, 5, [-0.19226679252528940, 0.043292933560848240, 0.061147992511911230, -0.0016844055758454420]::DOUBLE[]),
+        |  (0, 6, [0.020866403283964732, 0.014594889881664743, 0.13641056469873200, 0.089202433338707450]::DOUBLE[]),
+        |  (0, 7, [0.11736627318944645, 0.018826927304429843, 0.022461362436438070, -0.14347243217916947]::DOUBLE[]),
+        |  (0, 8, [-0.018945463660768585, 0.18776079767029835, 0.11496019565079368, -0.046879022838273415]::DOUBLE[]),
+        |  (0, 9, [-0.043979433753324255, -0.20223327753816092, 0.045629699090889854, 0.042478386235347090]::DOUBLE[]),
+        |  (0, 10, [-0.046638257598192570, -0.039893516842072470, 0.23696091282178056, -0.058474396089753494]::DOUBLE[]),
+        |  (0, 11, [0.10518875392743285, -0.055722156304101180, -0.0097033910980379860, 0.13229491745153310]::DOUBLE[]),
+        |  (0, 12, [0.027597356212321870, -0.0066780771468689860, -0.19254125829932675, 0.10925991853707784]::DOUBLE[]),
+        |  (0, 13, [-0.15222656557436862, -0.059831908341600910, -0.16103720282839457, -0.078482457827697350]::DOUBLE[]),
+        |  (0, 14, [0.13739652563581528, 0.15019066426794890, -0.061121480460260870, 0.10121707294136302]::DOUBLE[]),
+        |  (0, 15, [-0.078758548899238300, -0.060874805417737876, 0.034234734928308770, -0.14911375442285557]::DOUBLE[]),
+        |  (1, 0, [-0.11196469286419344, 0.17587524357433648, -0.020115250739304674, -0.014440258251488550]::DOUBLE[]),
+        |  (1, 1, [-0.24875634246523900, -0.047856566556752090, -0.043069356825672410, 0.024119215250173890]::DOUBLE[]),
+        |  (1, 2, [0.030047104315032536, -0.0016916511809903605, -0.052602143182208620, 0.0072902733526942235]::DOUBLE[]),
+        |  (1, 3, [0.090839920752016950, 0.045410812763950335, 0.080462787942599440, -0.14657632148148975]::DOUBLE[]),
+        |  (1, 4, [-0.077018806856632500, -0.017118845730793830, 0.081796328163236550, 0.14279085154481586]::DOUBLE[]),
+        |  (1, 5, [-0.016299550111460490, -0.11105602804342468, 0.25791983480859860, 0.020915326564511505]::DOUBLE[]),
+        |  (1, 6, [0.0042325487744036220, 0.021331027180024154, -0.15912017371862913, -0.18686867598651870]::DOUBLE[]),
+        |  (1, 7, [0.034315493023515080, 0.12089693535486767, -0.044736488701724905, 0.19339321642604648]::DOUBLE[]),
+        |  (1, 8, [-0.082655259724086190, -0.20427076891564927, -0.010109389015834398, -0.065206140003184240]::DOUBLE[]),
+        |  (1, 9, [0.13384242287177142, -0.11613633550517098, 0.071867321817697450, 0.089493896295244180]::DOUBLE[]),
+        |  (1, 10, [0.041745918904119130, -0.16570428529430917, -0.10339364535748657, 0.12641492882619810]::DOUBLE[]),
+        |  (1, 11, [-0.071072749053790920, 0.038148406428153140, -0.19364322222642508, 0.067047687626663900]::DOUBLE[]),
+        |  (1, 12, [0.12687585577590205, 0.14661304070014680, 0.13235967279480170, 0.055448768187461875]::DOUBLE[]),
+        |  (1, 13, [0.20518658030911635, -0.076634682357159400, -0.13233351710807040, 0.019871066690781203]::DOUBLE[]),
+        |  (1, 14, [0.14505297418865190, 0.15643993514334878, -0.14775571803392104, -0.0040407449478260760]::DOUBLE[]),
+        |  (1, 15, [-0.084875393386553090, -0.00081533838660088500, 0.052421841500518346, -0.071482829202461730]::DOUBLE[]),
+        |  (2, 0, [0.024284390244406418, -0.051540845363074130, -0.20271865829724553, 0.078880297707060870]::DOUBLE[]),
+        |  (2, 1, [0.0093060982900150500, 0.014804782328551827, 0.13930086537543726, 0.19876194941335298]::DOUBLE[]),
+        |  (2, 2, [0.13873162466636540, -0.064793670409947820, -0.019328888948956867, -0.023140019864559585]::DOUBLE[]),
+        |  (2, 3, [-0.15054255147040077, -0.036441266245989444, 0.10978950449445248, 0.010821853851473860]::DOUBLE[]),
+        |  (2, 4, [-0.097161866820290820, 0.16119451826952005, -0.071585631814750300, 0.15728701492975714]::DOUBLE[]),
+        |  (2, 5, [0.010242959849427623, 0.070537392293424050, -0.020828618254035685, -0.29931893880894234]::DOUBLE[]),
+        |  (2, 6, [0.075799035390444520, 0.20127434834139720, 0.064961066339022240, -0.012501373038926783]::DOUBLE[]),
+        |  (2, 7, [-0.14988500182939285, 0.13230220617543867, 0.047857893147875606, -0.037139592776258620]::DOUBLE[]),
+        |  (2, 8, [0.15066919405551177, 0.11005947620799825, -0.10226225564706666, 0.067550214358371730]::DOUBLE[]),
+        |  (2, 9, [-0.066055514456246550, 0.058300899093001060, -0.091074690005915860, -0.093458839808208970]::DOUBLE[]),
+        |  (2, 10, [-0.0070446642220540695, -0.14963112871587247, 0.13493207799898652, -0.020770842997066250]::DOUBLE[]),
+        |  (2, 11, [0.015948235173972213, 0.043302998745583810, 0.15609971277210297, -0.098566693054443460]::DOUBLE[]),
+        |  (2, 12, [-0.014065685833279681, -0.053860578021577364, -0.039010797392503130, 0.087429470727785230]::DOUBLE[]),
+        |  (2, 13, [-0.059749297763295410, -0.12880251465338188, -0.088925024856633240, -0.12656614795376900]::DOUBLE[]),
+        |  (2, 14, [0.10284400248775603, -0.18980679873921627, 0.091838158336284880, -0.17808018670246392]::DOUBLE[]),
+        |  (2, 15, [-0.15115393933884720, -0.20403277242178000, -0.041735921970266690, 0.099853742591528450]::DOUBLE[]),
+        |  (3, 0, [-0.11136265808334231, 0.0088435105026642960, -0.18004092701999010, 0.14699474123678916]::DOUBLE[]),
+        |  (3, 1, [0.062757907111591600, -0.018748297095815422, -0.049911918466170550, 0.22664225109870317]::DOUBLE[]),
+        |  (3, 2, [0.038704187558854776, -0.13388549660738850, -0.11237781657091016, 0.068098783654797660]::DOUBLE[]),
+        |  (3, 3, [-0.047636015433851445, -0.022946786036450560, 0.042071685216775430, 0.081371850315897320]::DOUBLE[]),
+        |  (3, 4, [0.17811439242556876, 0.15239227572834760, 0.017733344368171568, 0.078650890815229940]::DOUBLE[]),
+        |  (3, 5, [0.036968128677704640, 0.086654444124000500, -0.17284755641875420, -0.036870811956073175]::DOUBLE[]),
+        |  (3, 6, [-0.0010966763224230448, -0.021599879096391366, 0.080683884830900330, -0.20802065703403044]::DOUBLE[]),
+        |  (3, 7, [0.015919473882920834, -0.17245070538801843, 0.057993927866434400, -0.078415723537320320]::DOUBLE[]),
+        |  (3, 8, [-0.057736774911233746, 0.19233523841915810, 0.039908072004513980, -0.072078356465009010]::DOUBLE[]),
+        |  (3, 9, [0.11717342918976476, -0.050096707847709970, 0.13699302780248160, 0.029698623007351963]::DOUBLE[]),
+        |  (3, 10, [-0.034035098552878125, 0.12956385149052457, -0.052197313631472814, 0.097968375427719630]::DOUBLE[]),
+        |  (3, 11, [-0.16195929587902483, -0.065672223565877970, -0.088906213376687730, -0.10423641592355974]::DOUBLE[]),
+        |  (3, 12, [0.022313864330771170, -0.27343136539153370, 0.085058616201422190, 0.050570312463124900]::DOUBLE[]),
+        |  (3, 13, [-0.032836717360924660, 0.15448803858692450, 0.17624361057127460, 0.12833372430508772]::DOUBLE[]),
+        |  (3, 14, [-0.14953024065425732, -0.030953995092363792, 0.16119828152616040, -0.042840072531550910]::DOUBLE[]),
+        |  (3, 15, [0.10678801302494258, 0.0023442598170814494, -0.025286180486377006, -0.10082394103548215]::DOUBLE[]),
+        |  (4, 0, [0.0093616090178639800, -0.11520721851055206, 0.13595053999958148, 0.0018688488226003560]::DOUBLE[]),
+        |  (4, 1, [0.042837035298847740, 0.11632141701815615, -0.060084977853753450, 0.13851743052548762]::DOUBLE[]),
+        |  (4, 2, [-0.028349400787295965, 0.026961711197932895, -0.16062689236010988, 0.030910695755593420]::DOUBLE[]),
+        |  (4, 3, [0.044468181927736630, 0.072713825306856090, 0.11936117707679207, -0.085643276004944450]::DOUBLE[]),
+        |  (4, 4, [-0.092934338826987720, 0.28137896429644120, -0.053420473087978050, -0.068666940787227060]::DOUBLE[]),
+        |  (4, 5, [-0.19563790378466803, -0.13015955374763333, -0.17884165244859687, 0.0067608301729845030]::DOUBLE[]),
+        |  (4, 6, [0.22000340216382644, -0.035188671837805130, 0.057726847133692800, 0.11885765330973674]::DOUBLE[]),
+        |  (4, 7, [-0.043927946820322050, 0.037590709490441720, 0.047536693535171020, -0.20107507399212202]::DOUBLE[]),
+        |  (4, 8, [0.062924862832647210, -0.12156379446971832, -0.12989569564980680, 0.077711979574129470]::DOUBLE[]),
+        |  (4, 9, [-0.14022966452329944, 0.13739906787400957, 0.060119190828817120, 0.019591295030863850]::DOUBLE[]),
+        |  (4, 10, [0.017612268767359714, 0.025122087326071237, 0.17535952887828218, 0.14064811996261892]::DOUBLE[]),
+        |  (4, 11, [-0.12593915304800557, -0.061436937215429685, 0.020667709438804853, 0.082108490227696440]::DOUBLE[]),
+        |  (4, 12, [-0.046748567358535940, -0.18759240044806105, -0.043367510691708216, -0.11051679930677626]::DOUBLE[]),
+        |  (4, 13, [0.17749275435577280, -0.022614204021586728, -0.025145070781173970, -0.095720516596370610]::DOUBLE[]),
+        |  (4, 14, [-0.048834020436063190, 0.074459858154966140, -0.10993217098133386, -0.15442716127920583]::DOUBLE[]),
+        |  (4, 15, [0.080768360147450340, 0.17538488286874804, 0.014840098275395106, -0.033360634391070516]::DOUBLE[]),
+        |  (5, 0, [-0.099744390972739130, 0.18748053331555680, -0.044221513185595000, 0.085344240568135120]::DOUBLE[]),
+        |  (5, 1, [-0.12770726756730008, -0.044617392203491670, -0.091571765511826600, -0.083446870543562650]::DOUBLE[]),
+        |  (5, 2, [0.030768134566240078, 0.028939171271910816, 0.0031128353679765680, -0.0051745811771046160]::DOUBLE[]),
+        |  (5, 3, [0.073511139594057150, -0.023383295690852770, -0.066000175088841860, 0.24353958045177030]::DOUBLE[]),
+        |  (5, 4, [0.046313354735904530, -0.11646802034183218, 0.098768991641765770, 0.076049741555295910]::DOUBLE[]),
+        |  (5, 5, [0.19824462285619465, 0.00081306422667835050, 0.10418106412508703, -0.0065952663428641030]::DOUBLE[]),
+        |  (5, 6, [0.028779561551811265, -0.13201704584935878, -0.11201788579086157, 0.029189666625717240]::DOUBLE[]),
+        |  (5, 7, [0.10164370438550546, -0.034080024611857350, 0.058363510678189770, -0.24996266969435474]::DOUBLE[]),
+        |  (5, 8, [0.026377826187557303, 0.11639873928509717, 0.099777838073214220, 0.22607551987024710]::DOUBLE[]),
+        |  (5, 9, [-0.054762864339424136, -0.14411233518425484, 0.10277018529080240, -0.10215139691192814]::DOUBLE[]),
+        |  (5, 10, [-0.16010711773222736, -0.084201697089387020, -0.022967576415698920, 0.17925033246590574]::DOUBLE[]),
+        |  (5, 11, [0.069726686425208960, 0.15161411181860185, 0.11259611472338414, -0.048783190874136630]::DOUBLE[]),
+        |  (5, 12, [0.051482253735918660, 0.063384974544980970, -0.20383295072641314, 0.043762997522379090]::DOUBLE[]),
+        |  (5, 13, [0.17894468529318633, 0.011552126934017554, -0.10974835048311159, -0.022357880286600407]::DOUBLE[]),
+        |  (5, 14, [-0.12827554030336670, 0.043235898542775730, 0.11514925250964280, 0.060499203531293550]::DOUBLE[]),
+        |  (5, 15, [-0.079987943267454470, 0.10472907869686504, 0.023470146403075706, -0.18446889976100800]::DOUBLE[]),
+        |  (6, 0, [-0.090577594823267550, 0.043386064699175800, 0.21902788903032194, -0.042429757296101205]::DOUBLE[]),
+        |  (6, 1, [0.011686368779188806, -0.0088984553487631410, -0.14411877556796365, -0.11790553252314809]::DOUBLE[]),
+        |  (6, 2, [0.074019235235724030, 0.072895679502441830, -0.054626232462053496, 0.020725614395582770]::DOUBLE[]),
+        |  (6, 3, [0.17001975707886471, -0.099425281414182900, -0.041508825855342920, -0.015767242368086480]::DOUBLE[]),
+        |  (6, 4, [0.10828765881934050, 0.13487461442159054, 0.10036553552593670, -0.10435606693713194]::DOUBLE[]),
+        |  (6, 5, [-0.078135753013758040, 0.014714375710858185, 0.080164218336626510, 0.22384188760916907]::DOUBLE[]),
+        |  (6, 6, [0.15361693801848342, 0.071678746496906980, 0.14258609796980110, 0.069610401309007600]::DOUBLE[]),
+        |  (6, 7, [0.0082173338223566880, 0.24848938774941048, 0.011052175673293970, 0.031167338447443987]::DOUBLE[]),
+        |  (6, 8, [-0.059733966346151590, -0.17797816187914950, -0.10039382171261386, 0.054540691612570690]::DOUBLE[]),
+        |  (6, 9, [0.024531609837859340, -0.16139406464029704, 0.10424894173361873, -9.6403848385253600e-05]::DOUBLE[]),
+        |  (6, 10, [-0.059738692753138930, 0.027886782093978320, -0.16556297625532385, 0.083406634237906240]::DOUBLE[]),
+        |  (6, 11, [-0.19454701497103652, 0.13763155078293550, -0.11246036356223271, 0.013094994616579788]::DOUBLE[]),
+        |  (6, 12, [0.16332670910585678, 0.16242585315745553, -0.081624762410505100, -0.16415199505198133]::DOUBLE[]),
+        |  (6, 13, [-0.099378011696177550, -0.013984872763243722, 0.041642701147306796, 0.041320611320664410]::DOUBLE[]),
+        |  (6, 14, [0.11654263315811150, 0.023883639145311110, -0.075355758210943310, 0.18467199666942263]::DOUBLE[]),
+        |  (6, 15, [-0.12015747418053924, -0.041481173222787285, -0.013320435171923056, -0.17303907464843900]::DOUBLE[]),
+        |  (7, 0, [-0.098362578856394850, -0.079407807967538050, 0.12131417112098478, 0.092231945293779720]::DOUBLE[]),
+        |  (7, 1, [0.018873479643433236, -0.20339321640561353, 0.0043320162882370890, 0.14629365625221544]::DOUBLE[]),
+        |  (7, 2, [0.075164333110365120, -0.0072709632520199440, 0.0098080440735796950, -0.22682927454491470]::DOUBLE[]),
+        |  (7, 3, [0.14242364901777850, 0.079144495381127080, -0.050540552093176280, -0.042805456187065556]::DOUBLE[]),
+        |  (7, 4, [-0.051618402098019565, -0.037850722108728520, -0.11140097697460732, 0.19762202789450400]::DOUBLE[]),
+        |  (7, 5, [0.020492441645449652, 0.078576737545918530, 0.21139466373777366, -0.0016224577824282260]::DOUBLE[]),
+        |  (7, 6, [2.6432362889437616e-05, 0.22749739610390010, -0.040600687833742835, 0.10827882947137876]::DOUBLE[]),
+        |  (7, 7, [-0.018521901391430820, -0.17930664279329644, 0.10836500943615404, -0.12289732557442423]::DOUBLE[]),
+        |  (7, 8, [0.13626574687454054, -0.069202885782523220, 0.088186503144776800, 0.00033973985223540473]::DOUBLE[]),
+        |  (7, 9, [-0.043339138966272770, 0.19012845969961070, 0.028245457624328300, -0.10854399280608007]::DOUBLE[]),
+        |  (7, 10, [-0.16746950461359444, -0.029606375584137540, -0.12300955701909826, -0.065621942534803720]::DOUBLE[]),
+        |  (7, 11, [-0.010473546342504816, 0.10252605167283615, -0.17946951754552246, 0.010174989450228660]::DOUBLE[]),
+        |  (7, 12, [-0.033723000552488710, 0.011308096149477462, -0.0047368796241346860, 0.044315396064941226]::DOUBLE[]),
+        |  (7, 13, [0.12000976430709882, 0.079525880315023180, 0.061503490224827740, 0.15614606893358232]::DOUBLE[]),
+        |  (7, 14, [-0.18103607482363385, 0.014666772242447330, 0.11260657493035627, -0.094872171135723190]::DOUBLE[]),
+        |  (7, 15, [0.082976147309514870, -0.15344769647354833, -0.12836530792259493, -0.036793017676053280]::DOUBLE[]),
+        |  (8, 0, [0.012494348602294070, -0.056428358585105220, -0.013952261017852010, 0.24895329998103027]::DOUBLE[]),
+        |  (8, 1, [0.15980338130314184, 0.061867531011239380, -0.065529166052407080, 0.10276169646644039]::DOUBLE[]),
+        |  (8, 2, [0.012367008168901765, -0.18378436647942273, -0.068902670497858340, 0.043575910056112284]::DOUBLE[]),
+        |  (8, 3, [0.16613800535135437, -0.097774928734899850, 0.038367381848455850, -0.12454551267628379]::DOUBLE[]),
+        |  (8, 4, [-0.17123974863074218, 0.078194058040846160, 0.0053744065244062070, -0.067086629413817890]::DOUBLE[]),
+        |  (8, 5, [-0.036884247583861860, 0.076964857548382340, -0.15395917950148000, 0.069784572540186690]::DOUBLE[]),
+        |  (8, 6, [0.077305800436976140, 0.23719888406747372, 0.069345018284117490, 0.00074379620420690230]::DOUBLE[]),
+        |  (8, 7, [-0.0079499107163532540, 0.011632519427768521, 0.20631656107336070, -0.14391455620649835]::DOUBLE[]),
+        |  (8, 8, [0.039253996387160386, -0.11434577226400700, -0.17721453599088927, -0.070381640018850940]::DOUBLE[]),
+        |  (8, 9, [0.054388068464380520, 0.086695658918709800, -0.033256124775882720, -0.086459094379202560]::DOUBLE[]),
+        |  (8, 10, [0.018512870904664636, -0.099305313170217650, 0.042583122858241104, -0.0070435094930043490]::DOUBLE[]),
+        |  (8, 11, [-0.24746536113587586, -0.11495277702307527, 0.013620041264711029, 0.057548733493997210]::DOUBLE[]),
+        |  (8, 12, [-0.091341916407488730, -0.069318419520226700, -0.011025028455270959, -0.19353273428969750]::DOUBLE[]),
+        |  (8, 13, [0.17298762596501880, 0.039476239965151790, 0.095222650104938450, 0.014639425978295149]::DOUBLE[]),
+        |  (8, 14, [0.0072811172823506700, -0.0064162427781880250, 0.20895285584473586, 0.096308004101941070]::DOUBLE[]),
+        |  (8, 15, [-0.066559305938359330, 0.024051811932884240, 0.018139225873376570, 0.11484069745189053]::DOUBLE[]),
+        |  (9, 0, [-0.24042617056209695, 0.088583711346765750, -0.028258149975847704, 0.0080069881532742450]::DOUBLE[]),
+        |  (9, 1, [0.090757967793752860, -0.12652582240628707, -0.23345035120376964, 0.060354187752071194]::DOUBLE[]),
+        |  (9, 2, [-0.20107281488917642, -0.056360740907832970, 0.17813119226793675, -0.022861426973931220]::DOUBLE[]),
+        |  (9, 3, [-0.10976630484532236, -0.17874562461655652, 0.038799916617701560, 0.090473811458049610]::DOUBLE[]),
+        |  (9, 4, [-0.082703780150365450, 0.19295351342877580, 0.024981691625951482, 0.13250303329417004]::DOUBLE[]),
+        |  (9, 5, [0.014168045326956320, -0.062392873866228780, 0.097841733922744800, -0.16061515300456990]::DOUBLE[]),
+        |  (9, 6, [-0.0086112138816294200, 0.018847171913634160, 0.15926649282975880, 0.029372061670523954]::DOUBLE[]),
+        |  (9, 7, [-0.021255980600058900, -0.087124334551099940, -0.10321874431210162, -0.10736941858493708]::DOUBLE[]),
+        |  (9, 8, [-0.049582504676675375, -0.017240411636814760, -0.10446192132737163, 0.17564526161395270]::DOUBLE[]),
+        |  (9, 9, [-0.068626842025512090, 0.11937370683792707, 0.028529732806540545, -0.17491484990950137]::DOUBLE[]),
+        |  (9, 10, [0.10123999255438985, 0.15213197762314748, -0.16732513583517666, -0.019946833730088880]::DOUBLE[]),
+        |  (9, 11, [0.17370027026540608, 0.062369188511733155, 0.055496718821636940, -0.014052654521248362]::DOUBLE[]),
+        |  (9, 12, [0.046083728792263405, 0.063814370418664460, 0.13683782023696436, 0.23105107319874318]::DOUBLE[]),
+        |  (9, 13, [0.10631192381267514, -0.17084042152079523, 0.0043015319677085010, -0.010381698169772106]::DOUBLE[]),
+        |  (9, 14, [-0.072490529693462330, 0.11151108360476190, -0.10310160877104517, -0.022235886282386400]::DOUBLE[]),
+        |  (9, 15, [0.070535709030221920, -0.011779049453403766, -0.016334416092424135, 0.090294463764466050]::DOUBLE[]),
+        |  (10, 0, [-0.043431463537625545, -0.18251618472504808, 0.031975649639154890, -0.051769035775248890]::DOUBLE[]),
+        |  (10, 1, [-0.053438394739075204, -0.021742073239935330, -0.12578688204679087, -0.0016940509528820856]::DOUBLE[]),
+        |  (10, 2, [0.23906669575720418, 0.061350990870829084, -0.083405923574059720, -0.11783700095499478]::DOUBLE[]),
+        |  (10, 3, [0.12136989881766216, 0.080514391124287970, -0.058426562950227930, 0.10194109011126569]::DOUBLE[]),
+        |  (10, 4, [-0.052858734808640600, 0.16084730135391853, -0.048148254761688940, -0.13138488811808050]::DOUBLE[]),
+        |  (10, 5, [-0.069643493188273860, 0.039372534608815670, 0.21778051172283150, 0.0025512590737660840]::DOUBLE[]),
+        |  (10, 6, [0.16196269462659530, -0.12107917082241387, 0.036260651130720925, -0.095740573624342630]::DOUBLE[]),
+        |  (10, 7, [0.013966799959997367, -0.022414686177569780, -0.069461657749110990, -0.21955579248093290]::DOUBLE[]),
+        |  (10, 8, [-0.19042974504538987, 0.0031258953890241355, -0.021876065220571096, -0.0048088511321231980]::DOUBLE[]),
+        |  (10, 9, [-0.10981449124343583, -0.12779307486099814, 0.15757092015418683, 0.094307743950153480]::DOUBLE[]),
+        |  (10, 10, [-0.077429844251552330, -0.12698712081294217, -0.068815812233666670, 0.16482774384251567]::DOUBLE[]),
+        |  (10, 11, [0.083100507015867580, 0.033887501965906760, 0.16610585524925980, -0.077679733448847110]::DOUBLE[]),
+        |  (10, 12, [-0.039162302233517830, 0.13541332892235370, -0.16996015349420193, 0.056665460211564090]::DOUBLE[]),
+        |  (10, 13, [0.087589910179580600, -0.042710162326762220, 0.068953365205177340, 0.13902398703875254]::DOUBLE[]),
+        |  (10, 14, [-0.014756400101862846, 0.17885310493450463, 0.043840589725100600, 0.034573202301061830]::DOUBLE[]),
+        |  (10, 15, [0.10205838846548068, -0.16711947770193855, -0.14637055462109874, 0.040626961775782870]::DOUBLE[]),
+        |  (11, 0, [-0.036484241358074410, 0.061312762117646170, -0.13623318632582782, 0.010677041987001179]::DOUBLE[]),
+        |  (11, 1, [0.010606065135559410, -0.15708530718311560, -0.015728494345545670, -0.064323612002487530]::DOUBLE[]),
+        |  (11, 2, [-0.11866404771488870, 0.087609035512011320, 0.16150544585461007, -0.18000614949030955]::DOUBLE[]),
+        |  (11, 3, [0.15708427285289422, -0.095750508114927300, 0.044567281110781640, -0.099274653119783830]::DOUBLE[]),
+        |  (11, 4, [0.097188889028104500, 0.15887374739713594, 0.053706895916829846, -0.052607490734396520]::DOUBLE[]),
+        |  (11, 5, [0.13410268713756404, 0.084296929495521940, -0.11167317103095804, 0.076871293675939170]::DOUBLE[]),
+        |  (11, 6, [-0.13112488784344203, -0.11306972096518360, 0.038183961314916190, -0.092811486233467370]::DOUBLE[]),
+        |  (11, 7, [-0.13520118986779114, 0.014008852410119530, 0.10604857175142005, 0.076727282672715540]::DOUBLE[]),
+        |  (11, 8, [0.076275588829146160, -0.034639301322299636, 0.19118073626694113, -0.032413813908432410]::DOUBLE[]),
+        |  (11, 9, [-0.20574640261550672, -0.034218788173002860, -0.15368666516719695, -0.060362895962848450]::DOUBLE[]),
+        |  (11, 10, [0.045654433549277670, -0.039126208816051215, 0.058758078957484580, 0.21486964483896970]::DOUBLE[]),
+        |  (11, 11, [0.070113175400815050, -0.14252882418485327, -0.15705125835765340, 0.25830183770912500]::DOUBLE[]),
+        |  (11, 12, [-0.17491533268189682, 0.14431927661109414, -0.041787455702481054, 0.011199994968244018]::DOUBLE[]),
+        |  (11, 13, [-0.036849272174505590, 0.10138387029877087, -0.073419734773418440, -0.21034553588926794]::DOUBLE[]),
+        |  (11, 14, [-0.040436458095501590, -0.090365469807026280, -0.13196539952678993, 0.099455068362506590]::DOUBLE[]),
+        |  (11, 15, [0.040181790107052000, 0.042153837401675900, 0.043838897708548220, 0.075032054945387570]::DOUBLE[]),
+        |  (12, 0, [-0.13301545846788270, -0.19101599767346280, 0.13860722536538870, 0.0064080055959152400]::DOUBLE[]),
+        |  (12, 1, [-0.14798589715485050, -0.028205290138896517, -0.082794836534879550, -0.097826106990596810]::DOUBLE[]),
+        |  (12, 2, [-0.18472448672108277, 0.038687263608523000, 0.060194978972363320, 0.060480784265495590]::DOUBLE[]),
+        |  (12, 3, [-0.068278973835264380, -0.20253001425447253, -0.12196054437598608, 0.0086347464365563470]::DOUBLE[]),
+        |  (12, 4, [0.17992931991220740, 0.045995446533317066, -0.14273820148869454, 0.029880029349615780]::DOUBLE[]),
+        |  (12, 5, [0.0047795989830098480, 0.077067668260138240, 0.023175559798822280, 0.14877547960078194]::DOUBLE[]),
+        |  (12, 6, [-0.014078009804150984, -0.078758149216573480, 0.037520992467711390, 0.019933011140354570]::DOUBLE[]),
+        |  (12, 7, [-0.056730915360434404, 0.076668975023625460, 0.13022269193990824, -0.16631149129067177]::DOUBLE[]),
+        |  (12, 8, [-0.081492833508604620, -0.053851013796222036, -0.10966435795820285, 0.19322962693235146]::DOUBLE[]),
+        |  (12, 9, [0.071901437686891280, -0.17165679825511430, 0.046753254014368265, -0.13336822299152240]::DOUBLE[]),
+        |  (12, 10, [0.054225061642809270, 0.035889345462483150, -0.067836146962860030, -0.21824028997726622]::DOUBLE[]),
+        |  (12, 11, [-0.025505964976329544, 0.055378266528448790, -0.12656817760464306, -0.016214965500483236]::DOUBLE[]),
+        |  (12, 12, [0.024452645301719240, 0.19016778616756025, 0.097944018699425180, -0.0077151692957999835]::DOUBLE[]),
+        |  (12, 13, [0.17038703621599094, -0.20299405201562026, -0.0020850201078329313, 0.094568346881214560]::DOUBLE[]),
+        |  (12, 14, [0.036295983269848430, -0.048471133226719240, 0.19566061837697923, 0.041440215906153634]::DOUBLE[]),
+        |  (12, 15, [0.15484462658639153, 0.031319796804338135, 0.052927088454916780, -0.057875761957973810]::DOUBLE[]),
+        |  (13, 0, [-0.0088308552000840490, -0.098955842082641630, -0.077583450182384660, -0.13469396789827745]::DOUBLE[]),
+        |  (13, 1, [0.27394119941724410, -0.26237936495131650, -0.12211797337228121, 0.11972938240549445]::DOUBLE[]),
+        |  (13, 2, [-0.23113078915503120, 0.082090688682518080, 0.010901174674342335, -0.018276833774819708]::DOUBLE[]),
+        |  (13, 3, [-0.12959326592031942, -0.062982830545748420, 0.17576384755666140, -0.039124636083064310]::DOUBLE[]),
+        |  (13, 4, [0.15737874829491966, 0.016723045292320850, -0.061587107873549160, -0.059368835587455170]::DOUBLE[]),
+        |  (13, 5, [-0.070175725591430880, 0.098815970357272500, -0.17200423403904003, -0.10777963285472232]::DOUBLE[]),
+        |  (13, 6, [0.022264000552326650, 0.13009844130365655, 0.092443435222684220, -0.026507902999736103]::DOUBLE[]),
+        |  (13, 7, [-0.070111833554022480, -0.19665427555387593, -0.10544849458078775, -0.0087993548955093980]::DOUBLE[]),
+        |  (13, 8, [0.17485809620452590, -0.050879513435419050, -0.16074267467847556, 0.084887811598610680]::DOUBLE[]),
+        |  (13, 9, [0.077553504276429960, -0.11865536748815485, 0.067994061178624440, -0.051533459250946750]::DOUBLE[]),
+        |  (13, 10, [0.067731824437626900, -0.054928569796286300, 0.059634363162134510, 0.17452534692311966]::DOUBLE[]),
+        |  (13, 11, [0.071572588144107230, 0.11851968168366893, -0.069087089695192280, 0.10485340141895082]::DOUBLE[]),
+        |  (13, 12, [0.18339372566178597, -0.018675648607661890, 0.12976826770784033, 0.026052801849638207]::DOUBLE[]),
+        |  (13, 13, [-0.035831397527153120, 0.049571478686404075, 0.00033666270551011870, -0.21646045594237820]::DOUBLE[]),
+        |  (13, 14, [-0.10912405737924400, 0.020994388444665897, 0.058061777094466790, 0.11961104567573767]::DOUBLE[]),
+        |  (13, 15, [-0.040948690028250570, -0.028098536331474170, -0.13402989004578897, 0.11014083894200400]::DOUBLE[]),
+        |  (14, 0, [-0.11531394048449800, 0.043249552257515124, 0.077820101260322630, -0.083695372889408880]::DOUBLE[]),
+        |  (14, 1, [-0.013964035643937840, 0.018720251968577430, -0.070528972359674800, 0.16058730576302058]::DOUBLE[]),
+        |  (14, 2, [0.12374426172496956, 0.040214909148484114, -0.20463889909433366, -0.076559685737060360]::DOUBLE[]),
+        |  (14, 3, [-0.10375132541504446, -0.081504857685559680, -0.12739504455701420, -0.088936986701123860]::DOUBLE[]),
+        |  (14, 4, [-0.13457959474955983, 0.044694904536370365, 0.015020152839753127, 0.098886884815817440]::DOUBLE[]),
+        |  (14, 5, [0.15658815932985312, -0.019899399324289360, -0.0066247503984569490, 0.040928270386981276]::DOUBLE[]),
+        |  (14, 6, [0.023358308703220053, 0.14762849042198550, 0.24215096127732832, -0.16448860316527464]::DOUBLE[]),
+        |  (14, 7, [-0.076654944696293930, 0.20024657208188860, -0.13523441054914356, -0.022580164388836543]::DOUBLE[]),
+        |  (14, 8, [0.097222114686648500, 0.14741273248300416, 0.064578997810429570, -0.010234116164297242]::DOUBLE[]),
+        |  (14, 9, [0.11914161813887462, -0.13582703135970490, 0.017715005655482202, -0.077274695562047120]::DOUBLE[]),
+        |  (14, 10, [-0.010653723770142504, -0.018385087636858657, 0.20620946107904733, 0.092668195012612340]::DOUBLE[]),
+        |  (14, 11, [-0.048521128778383160, -0.15759846682716400, 0.033914533895433786, -0.020005536256491624]::DOUBLE[]),
+        |  (14, 12, [0.013331534712222745, -0.12140607231078682, 0.12210790194570560, -0.15229203111479228]::DOUBLE[]),
+        |  (14, 13, [0.024768687617816480, 0.030337386403016240, -0.045346180533527200, -0.20713051078502800]::DOUBLE[]),
+        |  (14, 14, [0.12507681082431715, -0.10722876229835855, 0.038893079536012140, 0.16437904827838176]::DOUBLE[]),
+        |  (14, 15, [-0.0059577796262183045, -0.095043025352176850, -0.20635107319205231, 0.055056844767208644]::DOUBLE[]),
+        |  (15, 0, [0.044541309818839180, -0.047777760938160960, 0.067740235652361850, -0.23662816710512120]::DOUBLE[]),
+        |  (15, 1, [0.034562858070391720, -0.023418216430107254, 0.22479056214494697, -0.024533587973640213]::DOUBLE[]),
+        |  (15, 2, [0.086566946891005180, 0.049429787780741995, 0.047223200498655960, 0.12695705973811594]::DOUBLE[]),
+        |  (15, 3, [0.11254615746964343, 0.0054072676852465850, -0.15083757064614142, -0.046405624519808200]::DOUBLE[]),
+        |  (15, 4, [0.033703727461765350, 0.18773194960031217, -0.015742911402701645, -0.057028476945551520]::DOUBLE[]),
+        |  (15, 5, [-0.094658665611314180, 0.080343945202390870, -0.13282095613671974, 0.065489457086376160]::DOUBLE[]),
+        |  (15, 6, [-0.035737563893410410, -0.17932063001436438, 0.10420586646376497, 0.019862181645681053]::DOUBLE[]),
+        |  (15, 7, [0.19202328600666770, 0.00037901314761113610, 0.020114875206362254, -0.042599240904449140]::DOUBLE[]),
+        |  (15, 8, [-0.00031758324349454460, 0.082662175434226660, -0.13807603919554073, -0.16943806572962347]::DOUBLE[]),
+        |  (15, 9, [-0.17568636070581112, -0.069866993428408140, -0.022683645911974720, -0.074753938170063230]::DOUBLE[]),
+        |  (15, 10, [0.069981430681766530, -0.10508259285273666, -0.083953196174169080, 0.14511782773091270]::DOUBLE[]),
+        |  (15, 11, [0.054616067898839264, -0.19404301693347240, -0.059236291374967600, -0.10645015819988077]::DOUBLE[]),
+        |  (15, 12, [-0.054612783512553420, -2.0676759019758476e-05, 0.042431607106240140, -0.019343641744002560]::DOUBLE[]),
+        |  (15, 13, [0.050382408347137815, 0.19392563232958446, 0.13968235820327238, 0.052097330250745776]::DOUBLE[]),
+        |  (15, 14, [-0.10902858187370935, 0.024360910065041040, 0.061014556068524850, 0.17740660095432340]::DOUBLE[]),
+        |  (15, 15, [-0.18407303605425765, 0.14435401549709980, -0.032545658209738390, -0.091806386184413420]::DOUBLE[])),
+        |d AS (SELECT u.vec_id, cb.s, cb.cell,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      j -> (uv[cb.s * 4 + j] - ctr[j]) * (uv[cb.s * 4 + j] - ctr[j]))) AS d2
+        |  FROM u CROSS JOIN cb),
+        |enc AS (SELECT vec_id, s, cell AS code FROM (
+        |    SELECT vec_id, s, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |pair AS (SELECT dq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+        |    SUM(dq.d2) AS adist
+        |  FROM enc ec JOIN d dq ON dq.s = ec.s AND dq.cell = ec.code
+        |  WHERE dq.vec_id < 8 AND ec.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM pair)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // The ADC replay above + exact-cosine re-rank of each query's
+    // top-64 shortlist (refine rank margin probed at 5.4e-6).
+    "q_similarity_pq_refine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |cb(s, cell, ctr) AS (VALUES
+        |  (0, 0, [-0.13610586106763312, 0.039118060600433290, -0.022962199820180034, 0.17174565250703275]::DOUBLE[]),
+        |  (0, 1, [-0.019466110915790705, 0.028206636520855432, -0.048462577229604770, 0.010645203710871298]::DOUBLE[]),
+        |  (0, 2, [0.027222375058049763, 0.13815839032310356, -0.10988835380941009, -0.12433033175038456]::DOUBLE[]),
+        |  (0, 3, [0.21768871512900350, -0.036947077397927320, 0.10981679714007980, -0.047450429536651280]::DOUBLE[]),
+        |  (0, 4, [0.10700452438421953, -0.12280707935894074, -0.094580119004003540, -0.047208264414167170]::DOUBLE[]),
+        |  (0, 5, [-0.19226679252528940, 0.043292933560848240, 0.061147992511911230, -0.0016844055758454420]::DOUBLE[]),
+        |  (0, 6, [0.020866403283964732, 0.014594889881664743, 0.13641056469873200, 0.089202433338707450]::DOUBLE[]),
+        |  (0, 7, [0.11736627318944645, 0.018826927304429843, 0.022461362436438070, -0.14347243217916947]::DOUBLE[]),
+        |  (0, 8, [-0.018945463660768585, 0.18776079767029835, 0.11496019565079368, -0.046879022838273415]::DOUBLE[]),
+        |  (0, 9, [-0.043979433753324255, -0.20223327753816092, 0.045629699090889854, 0.042478386235347090]::DOUBLE[]),
+        |  (0, 10, [-0.046638257598192570, -0.039893516842072470, 0.23696091282178056, -0.058474396089753494]::DOUBLE[]),
+        |  (0, 11, [0.10518875392743285, -0.055722156304101180, -0.0097033910980379860, 0.13229491745153310]::DOUBLE[]),
+        |  (0, 12, [0.027597356212321870, -0.0066780771468689860, -0.19254125829932675, 0.10925991853707784]::DOUBLE[]),
+        |  (0, 13, [-0.15222656557436862, -0.059831908341600910, -0.16103720282839457, -0.078482457827697350]::DOUBLE[]),
+        |  (0, 14, [0.13739652563581528, 0.15019066426794890, -0.061121480460260870, 0.10121707294136302]::DOUBLE[]),
+        |  (0, 15, [-0.078758548899238300, -0.060874805417737876, 0.034234734928308770, -0.14911375442285557]::DOUBLE[]),
+        |  (1, 0, [-0.11196469286419344, 0.17587524357433648, -0.020115250739304674, -0.014440258251488550]::DOUBLE[]),
+        |  (1, 1, [-0.24875634246523900, -0.047856566556752090, -0.043069356825672410, 0.024119215250173890]::DOUBLE[]),
+        |  (1, 2, [0.030047104315032536, -0.0016916511809903605, -0.052602143182208620, 0.0072902733526942235]::DOUBLE[]),
+        |  (1, 3, [0.090839920752016950, 0.045410812763950335, 0.080462787942599440, -0.14657632148148975]::DOUBLE[]),
+        |  (1, 4, [-0.077018806856632500, -0.017118845730793830, 0.081796328163236550, 0.14279085154481586]::DOUBLE[]),
+        |  (1, 5, [-0.016299550111460490, -0.11105602804342468, 0.25791983480859860, 0.020915326564511505]::DOUBLE[]),
+        |  (1, 6, [0.0042325487744036220, 0.021331027180024154, -0.15912017371862913, -0.18686867598651870]::DOUBLE[]),
+        |  (1, 7, [0.034315493023515080, 0.12089693535486767, -0.044736488701724905, 0.19339321642604648]::DOUBLE[]),
+        |  (1, 8, [-0.082655259724086190, -0.20427076891564927, -0.010109389015834398, -0.065206140003184240]::DOUBLE[]),
+        |  (1, 9, [0.13384242287177142, -0.11613633550517098, 0.071867321817697450, 0.089493896295244180]::DOUBLE[]),
+        |  (1, 10, [0.041745918904119130, -0.16570428529430917, -0.10339364535748657, 0.12641492882619810]::DOUBLE[]),
+        |  (1, 11, [-0.071072749053790920, 0.038148406428153140, -0.19364322222642508, 0.067047687626663900]::DOUBLE[]),
+        |  (1, 12, [0.12687585577590205, 0.14661304070014680, 0.13235967279480170, 0.055448768187461875]::DOUBLE[]),
+        |  (1, 13, [0.20518658030911635, -0.076634682357159400, -0.13233351710807040, 0.019871066690781203]::DOUBLE[]),
+        |  (1, 14, [0.14505297418865190, 0.15643993514334878, -0.14775571803392104, -0.0040407449478260760]::DOUBLE[]),
+        |  (1, 15, [-0.084875393386553090, -0.00081533838660088500, 0.052421841500518346, -0.071482829202461730]::DOUBLE[]),
+        |  (2, 0, [0.024284390244406418, -0.051540845363074130, -0.20271865829724553, 0.078880297707060870]::DOUBLE[]),
+        |  (2, 1, [0.0093060982900150500, 0.014804782328551827, 0.13930086537543726, 0.19876194941335298]::DOUBLE[]),
+        |  (2, 2, [0.13873162466636540, -0.064793670409947820, -0.019328888948956867, -0.023140019864559585]::DOUBLE[]),
+        |  (2, 3, [-0.15054255147040077, -0.036441266245989444, 0.10978950449445248, 0.010821853851473860]::DOUBLE[]),
+        |  (2, 4, [-0.097161866820290820, 0.16119451826952005, -0.071585631814750300, 0.15728701492975714]::DOUBLE[]),
+        |  (2, 5, [0.010242959849427623, 0.070537392293424050, -0.020828618254035685, -0.29931893880894234]::DOUBLE[]),
+        |  (2, 6, [0.075799035390444520, 0.20127434834139720, 0.064961066339022240, -0.012501373038926783]::DOUBLE[]),
+        |  (2, 7, [-0.14988500182939285, 0.13230220617543867, 0.047857893147875606, -0.037139592776258620]::DOUBLE[]),
+        |  (2, 8, [0.15066919405551177, 0.11005947620799825, -0.10226225564706666, 0.067550214358371730]::DOUBLE[]),
+        |  (2, 9, [-0.066055514456246550, 0.058300899093001060, -0.091074690005915860, -0.093458839808208970]::DOUBLE[]),
+        |  (2, 10, [-0.0070446642220540695, -0.14963112871587247, 0.13493207799898652, -0.020770842997066250]::DOUBLE[]),
+        |  (2, 11, [0.015948235173972213, 0.043302998745583810, 0.15609971277210297, -0.098566693054443460]::DOUBLE[]),
+        |  (2, 12, [-0.014065685833279681, -0.053860578021577364, -0.039010797392503130, 0.087429470727785230]::DOUBLE[]),
+        |  (2, 13, [-0.059749297763295410, -0.12880251465338188, -0.088925024856633240, -0.12656614795376900]::DOUBLE[]),
+        |  (2, 14, [0.10284400248775603, -0.18980679873921627, 0.091838158336284880, -0.17808018670246392]::DOUBLE[]),
+        |  (2, 15, [-0.15115393933884720, -0.20403277242178000, -0.041735921970266690, 0.099853742591528450]::DOUBLE[]),
+        |  (3, 0, [-0.11136265808334231, 0.0088435105026642960, -0.18004092701999010, 0.14699474123678916]::DOUBLE[]),
+        |  (3, 1, [0.062757907111591600, -0.018748297095815422, -0.049911918466170550, 0.22664225109870317]::DOUBLE[]),
+        |  (3, 2, [0.038704187558854776, -0.13388549660738850, -0.11237781657091016, 0.068098783654797660]::DOUBLE[]),
+        |  (3, 3, [-0.047636015433851445, -0.022946786036450560, 0.042071685216775430, 0.081371850315897320]::DOUBLE[]),
+        |  (3, 4, [0.17811439242556876, 0.15239227572834760, 0.017733344368171568, 0.078650890815229940]::DOUBLE[]),
+        |  (3, 5, [0.036968128677704640, 0.086654444124000500, -0.17284755641875420, -0.036870811956073175]::DOUBLE[]),
+        |  (3, 6, [-0.0010966763224230448, -0.021599879096391366, 0.080683884830900330, -0.20802065703403044]::DOUBLE[]),
+        |  (3, 7, [0.015919473882920834, -0.17245070538801843, 0.057993927866434400, -0.078415723537320320]::DOUBLE[]),
+        |  (3, 8, [-0.057736774911233746, 0.19233523841915810, 0.039908072004513980, -0.072078356465009010]::DOUBLE[]),
+        |  (3, 9, [0.11717342918976476, -0.050096707847709970, 0.13699302780248160, 0.029698623007351963]::DOUBLE[]),
+        |  (3, 10, [-0.034035098552878125, 0.12956385149052457, -0.052197313631472814, 0.097968375427719630]::DOUBLE[]),
+        |  (3, 11, [-0.16195929587902483, -0.065672223565877970, -0.088906213376687730, -0.10423641592355974]::DOUBLE[]),
+        |  (3, 12, [0.022313864330771170, -0.27343136539153370, 0.085058616201422190, 0.050570312463124900]::DOUBLE[]),
+        |  (3, 13, [-0.032836717360924660, 0.15448803858692450, 0.17624361057127460, 0.12833372430508772]::DOUBLE[]),
+        |  (3, 14, [-0.14953024065425732, -0.030953995092363792, 0.16119828152616040, -0.042840072531550910]::DOUBLE[]),
+        |  (3, 15, [0.10678801302494258, 0.0023442598170814494, -0.025286180486377006, -0.10082394103548215]::DOUBLE[]),
+        |  (4, 0, [0.0093616090178639800, -0.11520721851055206, 0.13595053999958148, 0.0018688488226003560]::DOUBLE[]),
+        |  (4, 1, [0.042837035298847740, 0.11632141701815615, -0.060084977853753450, 0.13851743052548762]::DOUBLE[]),
+        |  (4, 2, [-0.028349400787295965, 0.026961711197932895, -0.16062689236010988, 0.030910695755593420]::DOUBLE[]),
+        |  (4, 3, [0.044468181927736630, 0.072713825306856090, 0.11936117707679207, -0.085643276004944450]::DOUBLE[]),
+        |  (4, 4, [-0.092934338826987720, 0.28137896429644120, -0.053420473087978050, -0.068666940787227060]::DOUBLE[]),
+        |  (4, 5, [-0.19563790378466803, -0.13015955374763333, -0.17884165244859687, 0.0067608301729845030]::DOUBLE[]),
+        |  (4, 6, [0.22000340216382644, -0.035188671837805130, 0.057726847133692800, 0.11885765330973674]::DOUBLE[]),
+        |  (4, 7, [-0.043927946820322050, 0.037590709490441720, 0.047536693535171020, -0.20107507399212202]::DOUBLE[]),
+        |  (4, 8, [0.062924862832647210, -0.12156379446971832, -0.12989569564980680, 0.077711979574129470]::DOUBLE[]),
+        |  (4, 9, [-0.14022966452329944, 0.13739906787400957, 0.060119190828817120, 0.019591295030863850]::DOUBLE[]),
+        |  (4, 10, [0.017612268767359714, 0.025122087326071237, 0.17535952887828218, 0.14064811996261892]::DOUBLE[]),
+        |  (4, 11, [-0.12593915304800557, -0.061436937215429685, 0.020667709438804853, 0.082108490227696440]::DOUBLE[]),
+        |  (4, 12, [-0.046748567358535940, -0.18759240044806105, -0.043367510691708216, -0.11051679930677626]::DOUBLE[]),
+        |  (4, 13, [0.17749275435577280, -0.022614204021586728, -0.025145070781173970, -0.095720516596370610]::DOUBLE[]),
+        |  (4, 14, [-0.048834020436063190, 0.074459858154966140, -0.10993217098133386, -0.15442716127920583]::DOUBLE[]),
+        |  (4, 15, [0.080768360147450340, 0.17538488286874804, 0.014840098275395106, -0.033360634391070516]::DOUBLE[]),
+        |  (5, 0, [-0.099744390972739130, 0.18748053331555680, -0.044221513185595000, 0.085344240568135120]::DOUBLE[]),
+        |  (5, 1, [-0.12770726756730008, -0.044617392203491670, -0.091571765511826600, -0.083446870543562650]::DOUBLE[]),
+        |  (5, 2, [0.030768134566240078, 0.028939171271910816, 0.0031128353679765680, -0.0051745811771046160]::DOUBLE[]),
+        |  (5, 3, [0.073511139594057150, -0.023383295690852770, -0.066000175088841860, 0.24353958045177030]::DOUBLE[]),
+        |  (5, 4, [0.046313354735904530, -0.11646802034183218, 0.098768991641765770, 0.076049741555295910]::DOUBLE[]),
+        |  (5, 5, [0.19824462285619465, 0.00081306422667835050, 0.10418106412508703, -0.0065952663428641030]::DOUBLE[]),
+        |  (5, 6, [0.028779561551811265, -0.13201704584935878, -0.11201788579086157, 0.029189666625717240]::DOUBLE[]),
+        |  (5, 7, [0.10164370438550546, -0.034080024611857350, 0.058363510678189770, -0.24996266969435474]::DOUBLE[]),
+        |  (5, 8, [0.026377826187557303, 0.11639873928509717, 0.099777838073214220, 0.22607551987024710]::DOUBLE[]),
+        |  (5, 9, [-0.054762864339424136, -0.14411233518425484, 0.10277018529080240, -0.10215139691192814]::DOUBLE[]),
+        |  (5, 10, [-0.16010711773222736, -0.084201697089387020, -0.022967576415698920, 0.17925033246590574]::DOUBLE[]),
+        |  (5, 11, [0.069726686425208960, 0.15161411181860185, 0.11259611472338414, -0.048783190874136630]::DOUBLE[]),
+        |  (5, 12, [0.051482253735918660, 0.063384974544980970, -0.20383295072641314, 0.043762997522379090]::DOUBLE[]),
+        |  (5, 13, [0.17894468529318633, 0.011552126934017554, -0.10974835048311159, -0.022357880286600407]::DOUBLE[]),
+        |  (5, 14, [-0.12827554030336670, 0.043235898542775730, 0.11514925250964280, 0.060499203531293550]::DOUBLE[]),
+        |  (5, 15, [-0.079987943267454470, 0.10472907869686504, 0.023470146403075706, -0.18446889976100800]::DOUBLE[]),
+        |  (6, 0, [-0.090577594823267550, 0.043386064699175800, 0.21902788903032194, -0.042429757296101205]::DOUBLE[]),
+        |  (6, 1, [0.011686368779188806, -0.0088984553487631410, -0.14411877556796365, -0.11790553252314809]::DOUBLE[]),
+        |  (6, 2, [0.074019235235724030, 0.072895679502441830, -0.054626232462053496, 0.020725614395582770]::DOUBLE[]),
+        |  (6, 3, [0.17001975707886471, -0.099425281414182900, -0.041508825855342920, -0.015767242368086480]::DOUBLE[]),
+        |  (6, 4, [0.10828765881934050, 0.13487461442159054, 0.10036553552593670, -0.10435606693713194]::DOUBLE[]),
+        |  (6, 5, [-0.078135753013758040, 0.014714375710858185, 0.080164218336626510, 0.22384188760916907]::DOUBLE[]),
+        |  (6, 6, [0.15361693801848342, 0.071678746496906980, 0.14258609796980110, 0.069610401309007600]::DOUBLE[]),
+        |  (6, 7, [0.0082173338223566880, 0.24848938774941048, 0.011052175673293970, 0.031167338447443987]::DOUBLE[]),
+        |  (6, 8, [-0.059733966346151590, -0.17797816187914950, -0.10039382171261386, 0.054540691612570690]::DOUBLE[]),
+        |  (6, 9, [0.024531609837859340, -0.16139406464029704, 0.10424894173361873, -9.6403848385253600e-05]::DOUBLE[]),
+        |  (6, 10, [-0.059738692753138930, 0.027886782093978320, -0.16556297625532385, 0.083406634237906240]::DOUBLE[]),
+        |  (6, 11, [-0.19454701497103652, 0.13763155078293550, -0.11246036356223271, 0.013094994616579788]::DOUBLE[]),
+        |  (6, 12, [0.16332670910585678, 0.16242585315745553, -0.081624762410505100, -0.16415199505198133]::DOUBLE[]),
+        |  (6, 13, [-0.099378011696177550, -0.013984872763243722, 0.041642701147306796, 0.041320611320664410]::DOUBLE[]),
+        |  (6, 14, [0.11654263315811150, 0.023883639145311110, -0.075355758210943310, 0.18467199666942263]::DOUBLE[]),
+        |  (6, 15, [-0.12015747418053924, -0.041481173222787285, -0.013320435171923056, -0.17303907464843900]::DOUBLE[]),
+        |  (7, 0, [-0.098362578856394850, -0.079407807967538050, 0.12131417112098478, 0.092231945293779720]::DOUBLE[]),
+        |  (7, 1, [0.018873479643433236, -0.20339321640561353, 0.0043320162882370890, 0.14629365625221544]::DOUBLE[]),
+        |  (7, 2, [0.075164333110365120, -0.0072709632520199440, 0.0098080440735796950, -0.22682927454491470]::DOUBLE[]),
+        |  (7, 3, [0.14242364901777850, 0.079144495381127080, -0.050540552093176280, -0.042805456187065556]::DOUBLE[]),
+        |  (7, 4, [-0.051618402098019565, -0.037850722108728520, -0.11140097697460732, 0.19762202789450400]::DOUBLE[]),
+        |  (7, 5, [0.020492441645449652, 0.078576737545918530, 0.21139466373777366, -0.0016224577824282260]::DOUBLE[]),
+        |  (7, 6, [2.6432362889437616e-05, 0.22749739610390010, -0.040600687833742835, 0.10827882947137876]::DOUBLE[]),
+        |  (7, 7, [-0.018521901391430820, -0.17930664279329644, 0.10836500943615404, -0.12289732557442423]::DOUBLE[]),
+        |  (7, 8, [0.13626574687454054, -0.069202885782523220, 0.088186503144776800, 0.00033973985223540473]::DOUBLE[]),
+        |  (7, 9, [-0.043339138966272770, 0.19012845969961070, 0.028245457624328300, -0.10854399280608007]::DOUBLE[]),
+        |  (7, 10, [-0.16746950461359444, -0.029606375584137540, -0.12300955701909826, -0.065621942534803720]::DOUBLE[]),
+        |  (7, 11, [-0.010473546342504816, 0.10252605167283615, -0.17946951754552246, 0.010174989450228660]::DOUBLE[]),
+        |  (7, 12, [-0.033723000552488710, 0.011308096149477462, -0.0047368796241346860, 0.044315396064941226]::DOUBLE[]),
+        |  (7, 13, [0.12000976430709882, 0.079525880315023180, 0.061503490224827740, 0.15614606893358232]::DOUBLE[]),
+        |  (7, 14, [-0.18103607482363385, 0.014666772242447330, 0.11260657493035627, -0.094872171135723190]::DOUBLE[]),
+        |  (7, 15, [0.082976147309514870, -0.15344769647354833, -0.12836530792259493, -0.036793017676053280]::DOUBLE[]),
+        |  (8, 0, [0.012494348602294070, -0.056428358585105220, -0.013952261017852010, 0.24895329998103027]::DOUBLE[]),
+        |  (8, 1, [0.15980338130314184, 0.061867531011239380, -0.065529166052407080, 0.10276169646644039]::DOUBLE[]),
+        |  (8, 2, [0.012367008168901765, -0.18378436647942273, -0.068902670497858340, 0.043575910056112284]::DOUBLE[]),
+        |  (8, 3, [0.16613800535135437, -0.097774928734899850, 0.038367381848455850, -0.12454551267628379]::DOUBLE[]),
+        |  (8, 4, [-0.17123974863074218, 0.078194058040846160, 0.0053744065244062070, -0.067086629413817890]::DOUBLE[]),
+        |  (8, 5, [-0.036884247583861860, 0.076964857548382340, -0.15395917950148000, 0.069784572540186690]::DOUBLE[]),
+        |  (8, 6, [0.077305800436976140, 0.23719888406747372, 0.069345018284117490, 0.00074379620420690230]::DOUBLE[]),
+        |  (8, 7, [-0.0079499107163532540, 0.011632519427768521, 0.20631656107336070, -0.14391455620649835]::DOUBLE[]),
+        |  (8, 8, [0.039253996387160386, -0.11434577226400700, -0.17721453599088927, -0.070381640018850940]::DOUBLE[]),
+        |  (8, 9, [0.054388068464380520, 0.086695658918709800, -0.033256124775882720, -0.086459094379202560]::DOUBLE[]),
+        |  (8, 10, [0.018512870904664636, -0.099305313170217650, 0.042583122858241104, -0.0070435094930043490]::DOUBLE[]),
+        |  (8, 11, [-0.24746536113587586, -0.11495277702307527, 0.013620041264711029, 0.057548733493997210]::DOUBLE[]),
+        |  (8, 12, [-0.091341916407488730, -0.069318419520226700, -0.011025028455270959, -0.19353273428969750]::DOUBLE[]),
+        |  (8, 13, [0.17298762596501880, 0.039476239965151790, 0.095222650104938450, 0.014639425978295149]::DOUBLE[]),
+        |  (8, 14, [0.0072811172823506700, -0.0064162427781880250, 0.20895285584473586, 0.096308004101941070]::DOUBLE[]),
+        |  (8, 15, [-0.066559305938359330, 0.024051811932884240, 0.018139225873376570, 0.11484069745189053]::DOUBLE[]),
+        |  (9, 0, [-0.24042617056209695, 0.088583711346765750, -0.028258149975847704, 0.0080069881532742450]::DOUBLE[]),
+        |  (9, 1, [0.090757967793752860, -0.12652582240628707, -0.23345035120376964, 0.060354187752071194]::DOUBLE[]),
+        |  (9, 2, [-0.20107281488917642, -0.056360740907832970, 0.17813119226793675, -0.022861426973931220]::DOUBLE[]),
+        |  (9, 3, [-0.10976630484532236, -0.17874562461655652, 0.038799916617701560, 0.090473811458049610]::DOUBLE[]),
+        |  (9, 4, [-0.082703780150365450, 0.19295351342877580, 0.024981691625951482, 0.13250303329417004]::DOUBLE[]),
+        |  (9, 5, [0.014168045326956320, -0.062392873866228780, 0.097841733922744800, -0.16061515300456990]::DOUBLE[]),
+        |  (9, 6, [-0.0086112138816294200, 0.018847171913634160, 0.15926649282975880, 0.029372061670523954]::DOUBLE[]),
+        |  (9, 7, [-0.021255980600058900, -0.087124334551099940, -0.10321874431210162, -0.10736941858493708]::DOUBLE[]),
+        |  (9, 8, [-0.049582504676675375, -0.017240411636814760, -0.10446192132737163, 0.17564526161395270]::DOUBLE[]),
+        |  (9, 9, [-0.068626842025512090, 0.11937370683792707, 0.028529732806540545, -0.17491484990950137]::DOUBLE[]),
+        |  (9, 10, [0.10123999255438985, 0.15213197762314748, -0.16732513583517666, -0.019946833730088880]::DOUBLE[]),
+        |  (9, 11, [0.17370027026540608, 0.062369188511733155, 0.055496718821636940, -0.014052654521248362]::DOUBLE[]),
+        |  (9, 12, [0.046083728792263405, 0.063814370418664460, 0.13683782023696436, 0.23105107319874318]::DOUBLE[]),
+        |  (9, 13, [0.10631192381267514, -0.17084042152079523, 0.0043015319677085010, -0.010381698169772106]::DOUBLE[]),
+        |  (9, 14, [-0.072490529693462330, 0.11151108360476190, -0.10310160877104517, -0.022235886282386400]::DOUBLE[]),
+        |  (9, 15, [0.070535709030221920, -0.011779049453403766, -0.016334416092424135, 0.090294463764466050]::DOUBLE[]),
+        |  (10, 0, [-0.043431463537625545, -0.18251618472504808, 0.031975649639154890, -0.051769035775248890]::DOUBLE[]),
+        |  (10, 1, [-0.053438394739075204, -0.021742073239935330, -0.12578688204679087, -0.0016940509528820856]::DOUBLE[]),
+        |  (10, 2, [0.23906669575720418, 0.061350990870829084, -0.083405923574059720, -0.11783700095499478]::DOUBLE[]),
+        |  (10, 3, [0.12136989881766216, 0.080514391124287970, -0.058426562950227930, 0.10194109011126569]::DOUBLE[]),
+        |  (10, 4, [-0.052858734808640600, 0.16084730135391853, -0.048148254761688940, -0.13138488811808050]::DOUBLE[]),
+        |  (10, 5, [-0.069643493188273860, 0.039372534608815670, 0.21778051172283150, 0.0025512590737660840]::DOUBLE[]),
+        |  (10, 6, [0.16196269462659530, -0.12107917082241387, 0.036260651130720925, -0.095740573624342630]::DOUBLE[]),
+        |  (10, 7, [0.013966799959997367, -0.022414686177569780, -0.069461657749110990, -0.21955579248093290]::DOUBLE[]),
+        |  (10, 8, [-0.19042974504538987, 0.0031258953890241355, -0.021876065220571096, -0.0048088511321231980]::DOUBLE[]),
+        |  (10, 9, [-0.10981449124343583, -0.12779307486099814, 0.15757092015418683, 0.094307743950153480]::DOUBLE[]),
+        |  (10, 10, [-0.077429844251552330, -0.12698712081294217, -0.068815812233666670, 0.16482774384251567]::DOUBLE[]),
+        |  (10, 11, [0.083100507015867580, 0.033887501965906760, 0.16610585524925980, -0.077679733448847110]::DOUBLE[]),
+        |  (10, 12, [-0.039162302233517830, 0.13541332892235370, -0.16996015349420193, 0.056665460211564090]::DOUBLE[]),
+        |  (10, 13, [0.087589910179580600, -0.042710162326762220, 0.068953365205177340, 0.13902398703875254]::DOUBLE[]),
+        |  (10, 14, [-0.014756400101862846, 0.17885310493450463, 0.043840589725100600, 0.034573202301061830]::DOUBLE[]),
+        |  (10, 15, [0.10205838846548068, -0.16711947770193855, -0.14637055462109874, 0.040626961775782870]::DOUBLE[]),
+        |  (11, 0, [-0.036484241358074410, 0.061312762117646170, -0.13623318632582782, 0.010677041987001179]::DOUBLE[]),
+        |  (11, 1, [0.010606065135559410, -0.15708530718311560, -0.015728494345545670, -0.064323612002487530]::DOUBLE[]),
+        |  (11, 2, [-0.11866404771488870, 0.087609035512011320, 0.16150544585461007, -0.18000614949030955]::DOUBLE[]),
+        |  (11, 3, [0.15708427285289422, -0.095750508114927300, 0.044567281110781640, -0.099274653119783830]::DOUBLE[]),
+        |  (11, 4, [0.097188889028104500, 0.15887374739713594, 0.053706895916829846, -0.052607490734396520]::DOUBLE[]),
+        |  (11, 5, [0.13410268713756404, 0.084296929495521940, -0.11167317103095804, 0.076871293675939170]::DOUBLE[]),
+        |  (11, 6, [-0.13112488784344203, -0.11306972096518360, 0.038183961314916190, -0.092811486233467370]::DOUBLE[]),
+        |  (11, 7, [-0.13520118986779114, 0.014008852410119530, 0.10604857175142005, 0.076727282672715540]::DOUBLE[]),
+        |  (11, 8, [0.076275588829146160, -0.034639301322299636, 0.19118073626694113, -0.032413813908432410]::DOUBLE[]),
+        |  (11, 9, [-0.20574640261550672, -0.034218788173002860, -0.15368666516719695, -0.060362895962848450]::DOUBLE[]),
+        |  (11, 10, [0.045654433549277670, -0.039126208816051215, 0.058758078957484580, 0.21486964483896970]::DOUBLE[]),
+        |  (11, 11, [0.070113175400815050, -0.14252882418485327, -0.15705125835765340, 0.25830183770912500]::DOUBLE[]),
+        |  (11, 12, [-0.17491533268189682, 0.14431927661109414, -0.041787455702481054, 0.011199994968244018]::DOUBLE[]),
+        |  (11, 13, [-0.036849272174505590, 0.10138387029877087, -0.073419734773418440, -0.21034553588926794]::DOUBLE[]),
+        |  (11, 14, [-0.040436458095501590, -0.090365469807026280, -0.13196539952678993, 0.099455068362506590]::DOUBLE[]),
+        |  (11, 15, [0.040181790107052000, 0.042153837401675900, 0.043838897708548220, 0.075032054945387570]::DOUBLE[]),
+        |  (12, 0, [-0.13301545846788270, -0.19101599767346280, 0.13860722536538870, 0.0064080055959152400]::DOUBLE[]),
+        |  (12, 1, [-0.14798589715485050, -0.028205290138896517, -0.082794836534879550, -0.097826106990596810]::DOUBLE[]),
+        |  (12, 2, [-0.18472448672108277, 0.038687263608523000, 0.060194978972363320, 0.060480784265495590]::DOUBLE[]),
+        |  (12, 3, [-0.068278973835264380, -0.20253001425447253, -0.12196054437598608, 0.0086347464365563470]::DOUBLE[]),
+        |  (12, 4, [0.17992931991220740, 0.045995446533317066, -0.14273820148869454, 0.029880029349615780]::DOUBLE[]),
+        |  (12, 5, [0.0047795989830098480, 0.077067668260138240, 0.023175559798822280, 0.14877547960078194]::DOUBLE[]),
+        |  (12, 6, [-0.014078009804150984, -0.078758149216573480, 0.037520992467711390, 0.019933011140354570]::DOUBLE[]),
+        |  (12, 7, [-0.056730915360434404, 0.076668975023625460, 0.13022269193990824, -0.16631149129067177]::DOUBLE[]),
+        |  (12, 8, [-0.081492833508604620, -0.053851013796222036, -0.10966435795820285, 0.19322962693235146]::DOUBLE[]),
+        |  (12, 9, [0.071901437686891280, -0.17165679825511430, 0.046753254014368265, -0.13336822299152240]::DOUBLE[]),
+        |  (12, 10, [0.054225061642809270, 0.035889345462483150, -0.067836146962860030, -0.21824028997726622]::DOUBLE[]),
+        |  (12, 11, [-0.025505964976329544, 0.055378266528448790, -0.12656817760464306, -0.016214965500483236]::DOUBLE[]),
+        |  (12, 12, [0.024452645301719240, 0.19016778616756025, 0.097944018699425180, -0.0077151692957999835]::DOUBLE[]),
+        |  (12, 13, [0.17038703621599094, -0.20299405201562026, -0.0020850201078329313, 0.094568346881214560]::DOUBLE[]),
+        |  (12, 14, [0.036295983269848430, -0.048471133226719240, 0.19566061837697923, 0.041440215906153634]::DOUBLE[]),
+        |  (12, 15, [0.15484462658639153, 0.031319796804338135, 0.052927088454916780, -0.057875761957973810]::DOUBLE[]),
+        |  (13, 0, [-0.0088308552000840490, -0.098955842082641630, -0.077583450182384660, -0.13469396789827745]::DOUBLE[]),
+        |  (13, 1, [0.27394119941724410, -0.26237936495131650, -0.12211797337228121, 0.11972938240549445]::DOUBLE[]),
+        |  (13, 2, [-0.23113078915503120, 0.082090688682518080, 0.010901174674342335, -0.018276833774819708]::DOUBLE[]),
+        |  (13, 3, [-0.12959326592031942, -0.062982830545748420, 0.17576384755666140, -0.039124636083064310]::DOUBLE[]),
+        |  (13, 4, [0.15737874829491966, 0.016723045292320850, -0.061587107873549160, -0.059368835587455170]::DOUBLE[]),
+        |  (13, 5, [-0.070175725591430880, 0.098815970357272500, -0.17200423403904003, -0.10777963285472232]::DOUBLE[]),
+        |  (13, 6, [0.022264000552326650, 0.13009844130365655, 0.092443435222684220, -0.026507902999736103]::DOUBLE[]),
+        |  (13, 7, [-0.070111833554022480, -0.19665427555387593, -0.10544849458078775, -0.0087993548955093980]::DOUBLE[]),
+        |  (13, 8, [0.17485809620452590, -0.050879513435419050, -0.16074267467847556, 0.084887811598610680]::DOUBLE[]),
+        |  (13, 9, [0.077553504276429960, -0.11865536748815485, 0.067994061178624440, -0.051533459250946750]::DOUBLE[]),
+        |  (13, 10, [0.067731824437626900, -0.054928569796286300, 0.059634363162134510, 0.17452534692311966]::DOUBLE[]),
+        |  (13, 11, [0.071572588144107230, 0.11851968168366893, -0.069087089695192280, 0.10485340141895082]::DOUBLE[]),
+        |  (13, 12, [0.18339372566178597, -0.018675648607661890, 0.12976826770784033, 0.026052801849638207]::DOUBLE[]),
+        |  (13, 13, [-0.035831397527153120, 0.049571478686404075, 0.00033666270551011870, -0.21646045594237820]::DOUBLE[]),
+        |  (13, 14, [-0.10912405737924400, 0.020994388444665897, 0.058061777094466790, 0.11961104567573767]::DOUBLE[]),
+        |  (13, 15, [-0.040948690028250570, -0.028098536331474170, -0.13402989004578897, 0.11014083894200400]::DOUBLE[]),
+        |  (14, 0, [-0.11531394048449800, 0.043249552257515124, 0.077820101260322630, -0.083695372889408880]::DOUBLE[]),
+        |  (14, 1, [-0.013964035643937840, 0.018720251968577430, -0.070528972359674800, 0.16058730576302058]::DOUBLE[]),
+        |  (14, 2, [0.12374426172496956, 0.040214909148484114, -0.20463889909433366, -0.076559685737060360]::DOUBLE[]),
+        |  (14, 3, [-0.10375132541504446, -0.081504857685559680, -0.12739504455701420, -0.088936986701123860]::DOUBLE[]),
+        |  (14, 4, [-0.13457959474955983, 0.044694904536370365, 0.015020152839753127, 0.098886884815817440]::DOUBLE[]),
+        |  (14, 5, [0.15658815932985312, -0.019899399324289360, -0.0066247503984569490, 0.040928270386981276]::DOUBLE[]),
+        |  (14, 6, [0.023358308703220053, 0.14762849042198550, 0.24215096127732832, -0.16448860316527464]::DOUBLE[]),
+        |  (14, 7, [-0.076654944696293930, 0.20024657208188860, -0.13523441054914356, -0.022580164388836543]::DOUBLE[]),
+        |  (14, 8, [0.097222114686648500, 0.14741273248300416, 0.064578997810429570, -0.010234116164297242]::DOUBLE[]),
+        |  (14, 9, [0.11914161813887462, -0.13582703135970490, 0.017715005655482202, -0.077274695562047120]::DOUBLE[]),
+        |  (14, 10, [-0.010653723770142504, -0.018385087636858657, 0.20620946107904733, 0.092668195012612340]::DOUBLE[]),
+        |  (14, 11, [-0.048521128778383160, -0.15759846682716400, 0.033914533895433786, -0.020005536256491624]::DOUBLE[]),
+        |  (14, 12, [0.013331534712222745, -0.12140607231078682, 0.12210790194570560, -0.15229203111479228]::DOUBLE[]),
+        |  (14, 13, [0.024768687617816480, 0.030337386403016240, -0.045346180533527200, -0.20713051078502800]::DOUBLE[]),
+        |  (14, 14, [0.12507681082431715, -0.10722876229835855, 0.038893079536012140, 0.16437904827838176]::DOUBLE[]),
+        |  (14, 15, [-0.0059577796262183045, -0.095043025352176850, -0.20635107319205231, 0.055056844767208644]::DOUBLE[]),
+        |  (15, 0, [0.044541309818839180, -0.047777760938160960, 0.067740235652361850, -0.23662816710512120]::DOUBLE[]),
+        |  (15, 1, [0.034562858070391720, -0.023418216430107254, 0.22479056214494697, -0.024533587973640213]::DOUBLE[]),
+        |  (15, 2, [0.086566946891005180, 0.049429787780741995, 0.047223200498655960, 0.12695705973811594]::DOUBLE[]),
+        |  (15, 3, [0.11254615746964343, 0.0054072676852465850, -0.15083757064614142, -0.046405624519808200]::DOUBLE[]),
+        |  (15, 4, [0.033703727461765350, 0.18773194960031217, -0.015742911402701645, -0.057028476945551520]::DOUBLE[]),
+        |  (15, 5, [-0.094658665611314180, 0.080343945202390870, -0.13282095613671974, 0.065489457086376160]::DOUBLE[]),
+        |  (15, 6, [-0.035737563893410410, -0.17932063001436438, 0.10420586646376497, 0.019862181645681053]::DOUBLE[]),
+        |  (15, 7, [0.19202328600666770, 0.00037901314761113610, 0.020114875206362254, -0.042599240904449140]::DOUBLE[]),
+        |  (15, 8, [-0.00031758324349454460, 0.082662175434226660, -0.13807603919554073, -0.16943806572962347]::DOUBLE[]),
+        |  (15, 9, [-0.17568636070581112, -0.069866993428408140, -0.022683645911974720, -0.074753938170063230]::DOUBLE[]),
+        |  (15, 10, [0.069981430681766530, -0.10508259285273666, -0.083953196174169080, 0.14511782773091270]::DOUBLE[]),
+        |  (15, 11, [0.054616067898839264, -0.19404301693347240, -0.059236291374967600, -0.10645015819988077]::DOUBLE[]),
+        |  (15, 12, [-0.054612783512553420, -2.0676759019758476e-05, 0.042431607106240140, -0.019343641744002560]::DOUBLE[]),
+        |  (15, 13, [0.050382408347137815, 0.19392563232958446, 0.13968235820327238, 0.052097330250745776]::DOUBLE[]),
+        |  (15, 14, [-0.10902858187370935, 0.024360910065041040, 0.061014556068524850, 0.17740660095432340]::DOUBLE[]),
+        |  (15, 15, [-0.18407303605425765, 0.14435401549709980, -0.032545658209738390, -0.091806386184413420]::DOUBLE[])),
+        |d AS (SELECT u.vec_id, cb.s, cb.cell,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      j -> (uv[cb.s * 4 + j] - ctr[j]) * (uv[cb.s * 4 + j] - ctr[j]))) AS d2
+        |  FROM u CROSS JOIN cb),
+        |enc AS (SELECT vec_id, s, cell AS code FROM (
+        |    SELECT vec_id, s, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |pair AS (SELECT dq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+        |    SUM(dq.d2) AS adist
+        |  FROM enc ec JOIN d dq ON dq.s = ec.s AND dq.cell = ec.code
+        |  WHERE dq.vec_id < 8 AND ec.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM pair),
+        |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 64),
+        |scored AS (SELECT sh.query_id, sh.neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM short sh
+        |  JOIN e qe ON qe.vec_id = sh.query_id
+        |  JOIN e ne ON ne.vec_id = sh.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     "q_similarity_topk" ->

@@ -164,18 +164,31 @@ object Similarity {
     * NearDupProbe profiler — one place for the quantizer recipe. */
   private[graft] def fitQuantizer(u: DataFrame, vecCol: String, nlist: Int,
       seed: Long, maxIter: Int): Array[Array[Double]] = {
-    val cap = 20000
-    // deterministic sample: top-`cap` rows by content hash (TakeOrdered —
-    // no shuffle of the full corpus); the hash cap bounds the fit for any n.
-    val sample: Array[Array[Double]] = u
-      .select(col(vecCol).cast("array<double>").as("__v"))
+    val sample = hashSample(u, vecCol, seed)
+    require(sample.nonEmpty, "fitQuantizer: empty input")
+    lloyd(sample, math.min(nlist, sample.length), seed, maxIter)
+  }
+
+  /** The bounded deterministic fit sample shared by every quantizer fit
+    * ([[fitQuantizer]] and [[Pq.fit]]): top-`cap` rows by content hash
+    * (TakeOrdered — no shuffle of the full corpus); the hash cap bounds
+    * the fit cost for any n, and hash order makes the sample invariant
+    * to partitioning, parallelism, and row order. */
+  private[graft] def hashSample(u: DataFrame, vecCol: String, seed: Long,
+      cap: Int = 20000): Array[Array[Double]] =
+    u.select(col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
       .orderBy(col("__h"), col("__v"))
       .limit(cap)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "fitQuantizer: empty input")
-    val k = math.min(nlist, sample.length)
+
+  /** Sequential driver-side Lloyd over a bounded sample (deterministic:
+    * seeded shuffle init, fixed accumulation order — the exact op
+    * sequence [[fitQuantizer]] always ran, factored out so [[Pq.fit]]
+    * can run it per subspace). */
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
     val dim = sample(0).length
     val rnd = new scala.util.Random(seed)
     val centroids = rnd.shuffle(sample.indices.toVector).take(k)

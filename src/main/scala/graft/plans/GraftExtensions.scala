@@ -378,6 +378,227 @@ case class NearestCellsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: argmin code per subspace (Jégou, Douze,
+  * Schmid 2011, "Product quantization for nearest neighbor search",
+  * IEEE TPAMI). Subspace s covers dims [s·dsub, (s+1)·dsub); output is
+  * the m-code array. Same first-index-wins tie rule and index-order
+  * squared-L2 accumulation as [[NearestCellsExpr]] — the q_similarity_pq
+  * oracle replays both choices exactly. `books` is Seq-shaped (not
+  * Array) so equal-codebook expressions compare equal for CSE. */
+case class PqEncodeExpr(child: Expression,
+    books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val bs = bookArr
+    val out = new Array[Int](bs.length)
+    var s = 0
+    while (s < bs.length) {
+      val book = bs(s)
+      val off = s * book(0).length
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < book.length) {
+        val ctr = book(c); var d = 0.0; var i = 0
+        val m = math.min(ctr.length, math.max(0, v.numElements() - off))
+        while (i < m) { val t = v.getDouble(off + i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bs = ctx.addReferenceObj("books", bookArr, "double[][][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val book = ctx.freshName("book")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val ctr = ctx.freshName("ctr")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val t = ctx.freshName("t")
+      s"""
+         |int[] $out = new int[$bs.length];
+         |for (int $s = 0; $s < $bs.length; $s++) {
+         |  double[][] $book = $bs[$s];
+         |  int $off = $s * $book[0].length;
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $ctr = $book[$c];
+         |    double $d = 0.0;
+         |    int $m = java.lang.Math.min($ctr.length,
+         |      java.lang.Math.max(0, $v.numElements() - $off));
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      double $t = $v.getDouble($off + $i) - $ctr[$i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Query-side PQ distance table (the "asymmetric distance computation"
+  * LUT): squared L2 from each query subvector to every codebook entry,
+  * flattened as lut[s·ksub + c]. Computed ONCE per query row (queries ≪
+  * corpus); every corpus pair then scores with m lookups via
+  * [[PqAdcExpr]] instead of dim multiplies. */
+case class PqLutExpr(child: Expression,
+    books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut needs array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val bs = bookArr
+    val ksub = bs(0).length
+    val out = new Array[Double](bs.length * ksub)
+    var s = 0
+    while (s < bs.length) {
+      val book = bs(s)
+      val off = s * book(0).length
+      var c = 0
+      while (c < book.length) {
+        val ctr = book(c); var d = 0.0; var i = 0
+        val m = math.min(ctr.length, math.max(0, v.numElements() - off))
+        while (i < m) { val t = v.getDouble(off + i) - ctr(i); d += t * t; i += 1 }
+        out(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bs = ctx.addReferenceObj("books", bookArr, "double[][][]")
+      val out = ctx.freshName("out")
+      val ksub = ctx.freshName("ksub")
+      val s = ctx.freshName("s")
+      val book = ctx.freshName("book")
+      val off = ctx.freshName("off")
+      val c = ctx.freshName("c")
+      val ctr = ctx.freshName("ctr")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val t = ctx.freshName("t")
+      s"""
+         |int $ksub = $bs[0].length;
+         |double[] $out = new double[$bs.length * $ksub];
+         |for (int $s = 0; $s < $bs.length; $s++) {
+         |  double[][] $book = $bs[$s];
+         |  int $off = $s * $book[0].length;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    double[] $ctr = $book[$c];
+         |    double $d = 0.0;
+         |    int $m = java.lang.Math.min($ctr.length,
+         |      java.lang.Math.max(0, $v.numElements() - $off));
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      double $t = $v.getDouble($off + $i) - $ctr[$i];
+         |      $d += $t * $t;
+         |    }
+         |    $out[$s * $ksub + $c] = $d;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** Per-pair asymmetric PQ distance: Σ_s lut[s·ksub + codes[s]] — the hot
+  * loop of a compressed-domain scan (m lookups per pair; summation in
+  * subspace order, matching [[PqLutExpr]]'s layout, so two rows with
+  * equal codes score bit-identically). */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc needs (array<int> codes, array<double> lut), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    var d = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      val idx = s * ksub + codes.getInt(s)
+      if (idx < lut.numElements()) d += lut.getDouble(idx)
+      s += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      s"""
+         |double $d = 0.0;
+         |for (int $s = 0; $s < $a.numElements(); $s++) {
+         |  int $idx = $s * $ksub + $a.getInt($s);
+         |  if ($idx < $b.numElements()) $d += $b.getDouble($idx);
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode normalization (UAX #15) of a string column through the JDK's
   * `java.text.Normalizer` — the canonical-form contract every hash-keyed
   * curation step silently assumes (CCNet normalizes before hashing; a
