@@ -1966,6 +1966,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- interpolated Kneser–Ney bigram scoring (the smoothing KenLM —
+    //      and therefore the real CCNet filter — uses): same fit slice
+    //      and output contract as q_lm_perplexity, but absolute
+    //      discounting interpolated with the continuation probability
+    //      n1r/(T+V+1). Every model quantity is an integer count plus
+    //      the constant D=0.75, so the oracle re-derives the FULL model
+    //      (vocab, c2/c1, the two N1+ tables, T) and replays the scoring
+    //      arithmetic term-for-term in the same IEEE order. ----
+    "q_lm_kneser_ney" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.operators.QualityLm.fitKn(
+        docs.where(col("lang") === "en"), "text", vocabSize = 256)
+      graft.operators.QualityLm.scoreKn(docs, "text", "doc_id", model)
+        .orderBy("doc_id")
+    }),
+
     // ---- CCNet head/middle/tail perplexity bucketing (Wenzek et al.
     //      2020 §4.3): rank every doc by its entropy under the 'en'
     //      reference model WITHIN its language, cut at the cumulative
@@ -5727,6 +5743,15 @@ object SparkEntry {
         |FROM e
         |ORDER BY doc_id""".stripMargin,
 
+    // FULL oracle: the interpolated-KN model (vocab, c2/c1, both N1+
+    // tables, T) re-derived from scratch; scoring arithmetic replayed
+    // term-for-term in the same IEEE order as QualityLm.scoreKn.
+    "q_lm_kneser_ney" ->
+      s"""${DedupOracle.lmKnScoreCtes}
+        |SELECT doc_id, n_bigrams, entropy_bits
+        |FROM e
+        |ORDER BY doc_id""".stripMargin,
+
     // The same score chain, then rank-within-language on the canonical
     // (entropy_bits, doc_id) total order and the integer-cross-multiplied
     // cumulative 1/3, 2/3 cuts.
@@ -6544,6 +6569,61 @@ object SparkEntry {
         |  FROM mapped m
         |  LEFT JOIN big b ON m.w1 = b.w1 AND m.w2 = b.w2
         |  LEFT JOIN ctx c ON m.w1 = c.w1
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id, n_bigrams,
+        |    floor(hsum / n_bigrams * 1e4 + 0.5) / 1e4 AS entropy_bits
+        |  FROM scored)""".stripMargin
+
+    /** The q_lm_perplexity chain with interpolated-KN smoothing: same
+      * toks/vocab/mapped/big CTEs, plus the two N1+ tables and T; the
+      * scoring CASE mirrors QualityLm.scoreKn term-for-term (same IEEE
+      * op order, so the decimal-summed entropies are bit-identical). */
+    val lmKnScoreCtes: String =
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split($normExpr, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.token, count(*) AS cnt
+        |  FROM toks, unnest(toks.toks) AS u(token)
+        |  WHERE lang = 'en'
+        |  GROUP BY 1),
+        |vocab AS (SELECT token FROM uni ORDER BY cnt DESC, token LIMIT 256),
+        |pairs AS (
+        |  SELECT t.doc_id, t.lang, t.toks[g.i] AS rw1, t.toks[g.i + 1] AS rw2
+        |  FROM toks t, unnest(generate_series(1, len(t.toks) - 1)) AS g(i)),
+        |mapped AS (
+        |  SELECT p.doc_id, p.lang,
+        |    CASE WHEN v1.token IS NULL THEN '<unk>' ELSE p.rw1 END AS w1,
+        |    CASE WHEN v2.token IS NULL THEN '<unk>' ELSE p.rw2 END AS w2
+        |  FROM pairs p
+        |  LEFT JOIN vocab v1 ON p.rw1 = v1.token
+        |  LEFT JOIN vocab v2 ON p.rw2 = v2.token),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM mapped
+        |  WHERE lang = 'en' GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1c FROM big GROUP BY 1),
+        |rgt AS (SELECT w2, count(*) AS n1r FROM big GROUP BY 1),
+        |tv AS (SELECT (SELECT count(*) FROM big) +
+        |              (SELECT count(*) FROM vocab) + 1 AS tv1),
+        |scored AS (
+        |  SELECT m.doc_id,
+        |    count(*) AS n_bigrams,
+        |    CAST(sum(CAST(-log2(
+        |      CASE WHEN COALESCE(c.c1, 0) > 0 THEN
+        |        greatest(CAST(COALESCE(b.c2, 0) AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(c.c1 AS DOUBLE)
+        |        + 0.75 * CAST(c.n1c AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+        |          * (CAST(COALESCE(r.n1r, 0) + 1 AS DOUBLE)
+        |             / CAST((SELECT tv1 FROM tv) AS DOUBLE))
+        |      ELSE CAST(COALESCE(r.n1r, 0) + 1 AS DOUBLE)
+        |           / CAST((SELECT tv1 FROM tv) AS DOUBLE)
+        |      END) AS DECIMAL(18,12))) AS DOUBLE) AS hsum
+        |  FROM mapped m
+        |  LEFT JOIN big b ON m.w1 = b.w1 AND m.w2 = b.w2
+        |  LEFT JOIN ctx c ON m.w1 = c.w1
+        |  LEFT JOIN rgt r ON m.w2 = r.w2
         |  GROUP BY 1),
         |e AS (
         |  SELECT doc_id, n_bigrams,

@@ -123,6 +123,90 @@ object QualityLm {
           .as("entropy_bits"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * smoothing KenLM — and therefore the actual CCNet filter — uses,
+    * here at bigram order with a fixed discount). Every quantity is an
+    * integer count except the constant discount, so the q_lm_kneser_ney
+    * oracle re-derives the FULL model in SQL:
+    *  - c2(w1,w2), c1(w1)=Σc2 as in [[LmModel]]
+    *  - n1c(w1) = |{w2 : c2>0}| (distinct continuations — how "open"
+    *    the context is, sizing its interpolation weight)
+    *  - n1r(w2) = |{w1 : c2>0}| (distinct left-contexts — the
+    *    continuation probability's numerator: "how many contexts does
+    *    w2 complete", the KN insight that downweights frequent-but-
+    *    context-bound tokens)
+    *  - T = distinct bigram count
+    *
+    *   p(w2|w1) = max(c2−D,0)/c1 + D·n1c(w1)/c1 · pCont(w2)   if c1>0
+    *            = pCont(w2)                                    otherwise
+    *   pCont(w2) = (n1r(w2)+1) / (T+V+1)
+    *
+    * (pCont is add-one-shifted so a token never seen as a continuation
+    * — `<unk>` on a clean reference — keeps nonzero mass; the slack vs
+    * the textbook normalization is irrelevant for a ranking filter and
+    * keeps every probability a ratio of integers plus D.) */
+  final case class KnModel(vocab: Seq[String], bigrams: DataFrame,
+      contexts: DataFrame, rights: DataFrame, distinctBigrams: Long,
+      discount: Double) {
+    def vocabSize: Int = vocab.size
+  }
+
+  /** Fit the interpolated-KN bigram model on a bounded reference slice
+    * (same scale shape as [[fit]]: driver vocab, broadcast count
+    * frames; the three count frames and T all derive from one bigram
+    * aggregate). */
+  def fitKn(ref: DataFrame, textCol: String, vocabSize: Int = 512,
+      discount: Double = 0.75): KnModel = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val base = fit(ref, textCol, vocabSize)
+    val contexts = base.bigrams.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1c"))
+    val rights = base.bigrams.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    KnModel(base.vocab, base.bigrams,
+      graft.core.CacheScope.retain(contexts),
+      graft.core.CacheScope.retain(rights),
+      base.bigrams.count(), discount)
+  }
+
+  /** [[score]] under the KN model — same output contract
+    * (idCol, n_bigrams, entropy_bits), same exact-decimal summation and
+    * 4-decimal canonicalization; the per-pair probability is three
+    * broadcast joins and fixed-order IEEE arithmetic (term order matches
+    * the oracle SQL token-for-token, so scores are bit-identical). */
+  def scoreKn(docs: DataFrame, textCol: String, idCol: String,
+      model: KnModel): DataFrame = {
+    val pairs = docs
+      .select(col(idCol),
+        bigramPairs(mappedTokens(col(textCol), model.vocab)).as("pairs"))
+      .where(size(col("pairs")) >= 1)
+      .select(col(idCol), explode(col("pairs")).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val d = model.discount
+    // T + V + 1 collapses to one long literal (same integer the oracle
+    // computes from its own CTEs before casting)
+    val tv1 = lit(model.distinctBigrams + model.vocabSize.toLong + 1L)
+      .cast("double")
+    val pcont = (coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double") / tv1
+    val c1d = col("c1").cast("double")
+    val p = when(coalesce(col("c1"), lit(0L)) > 0,
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(d), lit(0.0)) / c1d
+        + lit(d) * col("n1c").cast("double") / c1d * pcont)
+      .otherwise(pcont)
+    val scored = pairs
+      .join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.contexts), Seq("w1"), "left")
+      .join(broadcast(model.rights), Seq("w2"), "left")
+      .withColumn("logp", log2(p))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Tables.dsum(-col("logp"), 12).as("hsum"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("hsum") / col("n_bigrams") * 1e4 + 0.5) / 1e4)
+          .as("entropy_bits"))
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3): within each group (CCNet buckets per language), rank
     * documents by LM cross-entropy ascending — best-looking first — and

@@ -53,6 +53,63 @@ class QualityLmSpec extends SparkSpec {
     assert(row.getDouble(2) == expected)
   }
 
+  test("Kneser–Ney: hand-computed probabilities (seen, discount floor, unseen context)") {
+    // ref docs "a b", "a b", "b c": vocab {a, b, c} (V=3);
+    // bigrams (a,b)=2, (b,c)=1; ctx a:(c1=2,n1c=1), b:(c1=1,n1c=1);
+    // rights b:1, c:1; T=2; pCont denominator T+V+1 = 6.
+    //   p(b|a) = (2−.75)/2 + (.75·1/2)·(1+1)/6 = 0.625 + 0.125 = 0.75
+    //   p(c|b) = (1−.75)/1 + (.75·1/1)·(1+1)/6 = 0.25  + 0.25  = 0.5
+    //   p(a|c): context c unseen (c1=0) → pCont(a) = (0+1)/6
+    val model = QualityLm.fitKn(
+      Seq((1L, "a b"), (2L, "a b"), (3L, "b c")).toDF("doc_id", "text"),
+      "text", vocabSize = 16)
+    assert(model.vocabSize == 3 && model.distinctBigrams == 2L)
+    val Array(row) = QualityLm.scoreKn(
+      Seq((5L, "a b c a")).toDF("doc_id", "text"), "text", "doc_id", model)
+      .collect()
+    assert(row.getLong(1) == 3L)
+    val h = -(math.log(0.75) + math.log(0.5) + math.log(1.0 / 6.0)) /
+      math.log(2.0) / 3.0
+    assert(row.getDouble(2) == math.floor(h * 1e4 + 0.5) / 1e4)
+  }
+
+  test("Kneser–Ney downweights frequent-but-context-bound continuations") {
+    // "francisco" appears often but ONLY after "san"; "road" appears the
+    // same number of times after many different contexts. KN's
+    // continuation probability ranks road above francisco in a NOVEL
+    // context, where raw-frequency add-one smoothing cannot tell them
+    // apart — the defining property of the smoothing.
+    val ref = Seq(
+      (1L, "san francisco san francisco san francisco san francisco"),
+      (2L, "main road old road new road long road")
+    ).toDF("doc_id", "text")
+    val model = QualityLm.fitKn(ref, "text", vocabSize = 32)
+    // OOV context (<unk>, unseen: c1=0) isolates pCont: francisco's
+    // continuation count is 1 (it only ever follows 'san') while road's
+    // is 4 (main/old/new/long) — despite equal raw frequency (4 each).
+    val probe = Seq((10L, "qqq francisco"), (11L, "qqq road"))
+      .toDF("doc_id", "text")
+    val out = QualityLm.scoreKn(probe, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(11L) < out(10L),
+      s"high-continuation token must score better in a novel context: $out")
+  }
+
+  test("Kneser–Ney contracts: discount range, short docs dropped, partitioning-independent") {
+    intercept[IllegalArgumentException] {
+      QualityLm.fitKn(refDocs, "text", vocabSize = 16, discount = 1.5)
+    }
+    val model = QualityLm.fitKn(refDocs, "text", vocabSize = 16)
+    val probe = Seq((1L, "single"), (2L, "the cat sat"), (3L, "the dog ate the fish"))
+      .toDF("doc_id", "text")
+    val a = QualityLm.scoreKn(probe, "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.map(_._1).sameElements(Array(2L, 3L))) // 1-token doc dropped
+    val b = QualityLm.scoreKn(probe.repartition(7), "text", "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("degenerate inputs: short docs dropped, empty ref still scores") {
     val model = QualityLm.fit(refDocs, "text", vocabSize = 16)
     val probe = Seq((1L, "single"), (2L, ""), (3L, "two tokens"))
