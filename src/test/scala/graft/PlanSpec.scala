@@ -56,6 +56,27 @@ class PlanSpec extends SparkSpec {
       "expected partial + final hash aggregation")
   }
 
+  test("q_lm_kneser_ney: all three count joins broadcast; no cartesian product") {
+    val p = plan("q_lm_kneser_ney")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "bigram/context/continuation model joins must broadcast, not shuffle-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_similarity_pq: query side broadcast into the ADC scan; codegen'd pq expressions; corpus never shuffles before scoring") {
+    val p = plan("q_similarity_pq")
+    // the queries×corpus scan is a broadcast nested loop over the TINY
+    // broadcast query side (8 rows) — the corpus streams map-side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "ADC scan must broadcast the query side, not materialize a cartesian")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      "native PQ expressions must be in the plan")
+  }
+
   test("q_lm_perplexity: model joins broadcast; no cartesian product") {
     val p = plan("q_lm_perplexity")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
