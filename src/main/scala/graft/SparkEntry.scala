@@ -1153,6 +1153,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVFADC (Jégou et al. 2011 §IV — the FAISS billion-scale
+    //      layout): coarse cells prune the SCAN (nprobe of nlist cells
+    //      per query), residual PQ codes prune the MEMORY (cell id + 16
+    //      bytes-ish per row); ADC over the probed cells' residual
+    //      codes. PARTIAL oracle: both fitted tables embedded (one
+    //      shared layout-invariant sample), assignment / residual /
+    //      encode / probing / LUT / rank replayed. IvfPqOracleProbe
+    //      margins: assign 5.5e-4, probe 1.8e-3, residual encode
+    //      1.2e-5, ADC rank 5.5e-4, zero exact ties. ----
+    "q_similarity_ivfpq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.IvfPq.topK(e, e.filter(col("vec_id") < 8), "embedding",
+        "vec_id", k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 16)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVFADC + exact re-rank of the top-64 ADC shortlist (recall
+    //      0.74 vs 0.43 ADC-only at the gate — capped by the nprobe=6
+    //      cell pruning, the measured recall/scan-cost trade) ----
+    "q_similarity_ivfpq_refine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.IvfPq.topK(e, e.filter(col("vec_id") < 8), "embedding",
+        "vec_id", k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 16,
+        refine = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- ANN recall artifact: measured recall@10 of each approximate
     //      path (lsh / ivf / hnsw, at the gate queries' own parameters)
     //      against the brute-force exact top-10 — makes the approximate
@@ -1185,7 +1214,14 @@ object SparkEntry {
         "pq" -> graft.operators.Pq.topK(e, q, "embedding", "vec_id",
           k = 10, m = 16, ksub = 16),
         "pq_refine" -> graft.operators.Pq.topK(e, q, "embedding", "vec_id",
-          k = 10, m = 16, ksub = 16, refine = 64))
+          k = 10, m = 16, ksub = 16, refine = 64),
+        // IVFADC: cell-pruned scan over residual codes, and its
+        // refine-repaired form (see q_similarity_ivfpq)
+        "ivfpq" -> graft.operators.IvfPq.topK(e, q, "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 16),
+        "ivfpq_refine" -> graft.operators.IvfPq.topK(e, q, "embedding",
+          "vec_id", k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 16,
+          refine = 64))
       methods.map { case (m, df) =>
         val hits = df.select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"))
@@ -3927,6 +3963,8 @@ object SparkEntry {
         ("hnsw", Seq(10, 10, 10, 10, 10, 10, 10, 10)),
         ("ivf", Seq(6, 7, 9, 5, 8, 8, 9, 10)),
         ("lsh", Seq(4, 6, 7, 6, 5, 8, 4, 7)),
+        ("ivfpq", Seq(1, 4, 6, 3, 6, 6, 3, 5)),
+        ("ivfpq_refine", Seq(5, 7, 9, 5, 8, 7, 8, 10)),
         ("pq", Seq(4, 4, 3, 5, 5, 3, 3, 6)),
         ("pq_refine", Seq(10, 9, 9, 9, 9, 10, 7, 10)))
       val rows = for ((m, hs) <- hits; (h, q) <- hs.zipWithIndex)
@@ -4623,6 +4661,652 @@ object SparkEntry {
         |    SUM(dq.d2) AS adist
         |  FROM enc ec JOIN d dq ON dq.s = ec.s AND dq.cell = ec.code
         |  WHERE dq.vec_id < 8 AND ec.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM pair),
+        |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 64),
+        |scored AS (SELECT sh.query_id, sh.neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM short sh
+        |  JOIN e qe ON qe.vec_id = sh.query_id
+        |  JOIN e ne ON ne.vec_id = sh.neighbor_id),
+        |rr AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // PARTIAL oracle: the coarse centroids and the residual codebooks
+    // are constants of the shared-sample layout-invariant IvfPq.fit
+    // (IvfPqOracleProbe prints them at the sf0.01 gate); the SQL replays
+    // everything downstream - unit normalization, cell assignment and
+    // the 6-cell probe set (the q_similarity_ivf idiom), per-row
+    // residuals, per-subspace argmin encode, the per-(query, cell)
+    // residual LUT and the subspace-order ADC sum, (adist, id) ranking.
+    // Probe-checked margins: assign 5.5e-4, probe boundary 1.8e-3,
+    // residual encode 1.2e-5, ADC rank 5.5e-4, zero exact ties.
+    "q_similarity_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |cc(cell, ctr) AS (VALUES
+        |  (0, [-0.029647921449040663, 0.022591227551941012, -0.050224233735827774, 0.0055495760947127840, -0.050814233870624816, -0.013243826454324092, -0.0071346718342410790, -0.017274321288120000, -0.020772087994589960, -0.062697202571580570, -0.0064932233768894060, -0.018087499542542100, -0.059497491152962400, -0.029687898488398975, -0.022437686597278565, -0.081902440554351640, -0.023731325996745380, -0.027826328729332610, 0.030134769504679866, 0.015747920830698054, 0.0043024920691457030, -0.016344941810941958, 0.013196314564122100, 0.046448886277278480, 0.066773044348591810, 0.043898425273959820, 0.0067018738058201230, -0.034687889739340440, -0.011286857837536354, -0.029509170565637280, 0.028575274565815900, -0.018900227691767020, 0.035379471687558520, -0.028058580459595597, 0.0026966828163923380, -0.051661442105554890, -0.050542393068864900, -0.042527695021781920, -0.028587060551814043, -0.0055173898794267020, 0.013850163982505643, 0.041055198182015230, 0.055036903249102945, -0.055877073762119000, 0.015629877567566546, 0.044605501452065310, 0.031566478411684265, -0.030437544781449870, 0.041316395696013190, 0.034950055404657225, -0.024182471431135187, 0.019539490863702574, 0.0030935182119666014, -0.048513667771627980, -0.096124355437398680, -0.046742681998915010, 0.048917838609353820, -0.016760238452586380, 0.033743963581947325, 0.041385525918040740, -0.039100627085925730, 0.046587574325254980, -0.014625397492380584, 0.0037834268155730287]::DOUBLE[]),
+        |  (1, [0.0054231678316132800, -0.012822579107721268, -0.014747213630607213, -0.031923099879736815, 8.0432442389326590e-05, 0.067592237645187780, 0.016396934983612124, 0.030838371748530810, 0.075361344200407880, 0.080659890181341880, 0.048821852745847480, 0.062278146948031535, 0.013235118283479388, 0.011429049805778742, 0.065062234833440500, 0.0086893483445106520, 0.020376929749953903, 0.015109134280399497, -0.0083652732767849940, -0.033347706914911894, -0.025354957572507462, -0.010845123709754163, -0.024288328386401707, -0.0061390724443633160, -0.018854902532577760, 0.019975619653851244, -0.0096266853365283080, 0.027424432521539626, -0.023367495195376658, -0.058220004076280000, 0.033533418596506444, 0.025518577112393366, 0.053767058872124520, -0.034418508693379360, 0.00039382966917350166, 0.0057262249707925520, -0.035497676130010060, -0.035055086909587430, 0.028936789092844972, 0.014132208045499890, -0.035238182010071990, -0.025320181739921604, -0.015431616739789360, 0.044590869871341130, 0.011206350233669098, -0.067704006969619980, 0.024611843397624414, 0.095469723530261440, -0.027502840741476140, -0.0018147861279036333, 0.023673562281596335, -0.026095478934510714, 0.035281200998325900, -0.027726475385818200, 0.017603131922574563, 0.048547140996394500, -0.046947582065863570, -0.070945555798730520, -0.026765056155018736, -0.11021608239954304, 0.024546649215412340, -0.028222573702781847, -0.066392437045600450, -0.058018802145837550]::DOUBLE[]),
+        |  (2, [0.016026937748226392, 0.11885779860784836, -0.024600073906639420, -0.016969727135985463, 0.028987539733133845, 0.0020067465049765387, -0.054888524931464476, 0.066727486357963920, 0.037942958663525360, -0.035881977564606950, -0.045032640843027860, -0.029062966830274126, 0.025244743016908100, 0.0037832451463821115, 0.016455155043517410, 0.066037101043715190, 0.050197752722338720, -0.024471147404454730, -0.018487761373744110, -0.083056028085455670, 0.034250319851192550, 0.0097828571422694970, 0.021619418216388752, -0.034428292271698090, 0.0060676468677977960, -0.018685974293042090, -0.020985567924280715, -0.013414951055419249, -0.021280163980557567, -0.050584243815445950, -0.0014949167834283558, -0.024739391345246470, -0.056812757826272130, -0.034053060722700150, -0.060205535111676194, -0.031710001866574250, 0.039472247959387300, 0.030215655639544068, -0.012982718994981424, -0.031149158577262090, 0.018401382422348500, -0.022457406994424868, -0.038989029362457010, -0.068587187117613230, 0.013767843213098246, -0.036016391534208096, 0.0012251035053926138, 0.066563844387474650, -0.015854493159863557, -0.040221975141589130, -0.040108742980548354, -0.041752452527614630, -0.032263272009916896, -0.0035566268689654324, 0.058352550732959606, -0.010139969530158091, -0.017256656556860397, 0.024253817924616193, -0.052976757654168210, -0.025670816270391313, -0.042127811478261340, -0.097757371362353250, 0.077746087847268840, -0.039227993564877330]::DOUBLE[]),
+        |  (3, [0.024066221323009986, -0.051222032993315520, 0.032110780072197200, 0.014941746624570052, 0.0047441633826229790, -0.017957552711141904, -0.049423191550667220, 0.028013323946302744, -0.023302000759014892, -0.029385742763576354, 0.0073434189294371740, 0.012634488735335354, -0.0011325097252666760, -0.057028822624577630, -0.0045422801134861490, -0.020196014302048890, -0.035502672566887890, -0.053608428636152120, 0.019643112056689510, 0.010199397273827302, -0.096405433184596950, 0.010331904982119538, -0.0018491701162578213, 0.034657790683657760, 0.059274671371593260, 0.059267135819457240, 0.058582365787323840, -0.0026300112390851573, 0.075930340874064210, 0.063694642337216010, -0.019695278511459628, 0.10423876718128344, -0.031258231954605390, -0.017892090245514056, 0.020230218167148675, 0.027075234420588307, -0.061881705120894800, 0.054498482389234690, -0.064423683412074770, 0.0094440202829588410, 0.013838095088450303, -0.024290946636017816, -0.0010631209213067590, 0.026832047428885272, -0.044171191844455480, 0.013502732245244820, 0.019626776642200520, -0.0040154521584611580, -0.11029863416947377, 0.013100210575778372, -0.0024926674443572546, 0.014324542184407100, -0.034572067348135394, -0.032527352503555590, -0.026860494781597362, 0.044021055109130840, 0.0094611377350574070, 0.016231864496930353, -0.14271770367012895, -0.026461555275173870, 0.026849700709156835, -0.035561341107701455, 0.021146720562926755, 0.036472843498674770]::DOUBLE[]),
+        |  (4, [0.024599188748134777, -0.013862250208097641, 0.016765254557215944, -0.030377661866195012, 0.052957828333253874, 0.042435372160211810, -0.0048678819346133450, -0.066685740718145270, 0.030947012119295220, -0.019288729391777115, -0.028509245672330890, 0.068592799005237150, 0.051106576412291520, 0.053262458019114440, -0.0033097883421820260, 0.033415019109204684, -0.063072231892630990, 0.097805785301323460, -0.054755372137170870, 0.014325436300942620, 0.0087297952503493370, -0.0095927314178518160, -0.035207218946875890, -0.050066260797743180, -0.027209490029287155, 0.041234673100209290, -0.029381374615592783, -0.024582348317585236, -0.040735672783522330, 0.027616022561399868, -0.0017813529193596478, -0.057429572943155700, 0.024290230775312747, 0.046992166661200690, -0.043115660023178090, 0.010273373588522941, -0.041518692458881054, 0.048448260835114950, -0.042806126281460330, 0.021279251100444617, 0.0042626815595332420, -0.093579858699786100, -0.0033557721217184985, 0.0064116226236358970, 0.0080682138525903190, 0.021165008162770310, 0.010581490364369527, -0.042280340262928234, 0.012534006119257882, -0.095978866822702530, -0.0071824173096687490, 0.021735117439400188, 0.019421415541498035, 0.038703931099193820, 0.0010206628975074844, 0.0077266036670802210, 0.019855608914224936, -0.0055470777372517330, 0.061857027939684680, -0.021003104131154342, 0.057589801746460830, -0.048391242882534290, 0.025950152111320970, -0.0074239614519610800]::DOUBLE[]),
+        |  (5, [-0.040680154103034920, 0.0071982399645772145, 0.065609393159147270, 0.023041778635976548, 0.0035501449061990102, -0.017372875243193950, -0.021398409536361710, 0.061189066797611160, -0.020494287020027934, 0.050096131911192290, -0.050810854012198470, 0.059731211662609660, 0.041046781810642086, 0.0021306949407077875, 0.10256833391079642, 0.019861740542696262, -0.016214974179037382, -0.049434488505653150, -0.030542765994539170, 0.026220603090256044, -0.0094308055653408820, -0.017416274354215864, -0.051558158435323680, -0.0016133758856317660, 0.050807755133629420, -0.0010356048822724561, -0.039118332835787320, -0.011974980798342734, -0.028498165687556400, -0.0015776812863416690, 0.035238023034880920, -0.024204746091519810, 0.060992852662452954, 0.057884974705589700, 0.015542797604581346, 0.0039285668717522560, 0.046383839788625780, -0.056561685697926620, -0.092376647738401300, -0.072870459907452630, 0.0064005518129155030, -0.020127399676568684, 0.061980828626759770, 0.063805165414902620, -0.078095069717318100, -0.012359194836946313, -0.11438991180822816, -0.022833124218714880, -0.038838901575979065, -0.035239702346503870, 0.047873304066916830, 0.059273215657329490, 0.019907520102290910, 0.023476002765084060, 0.057477299670094810, -0.0099030792597622120, 0.016270180598207923, -0.0035471138628046478, -0.0024813492306441480, 0.062976181518618030, -0.0024684196379151104, -0.030504884587890448, 0.024987463181290373, -0.047695002267489380]::DOUBLE[]),
+        |  (6, [-0.016150379121137820, -0.022181088341993248, 0.018657419861759904, -0.0010348074766146518, -0.0073421869011213120, -0.087077678281333400, -0.012366895795408818, 0.063134535195725600, -0.022993312516387050, 0.12778470399996790, 0.024826824773652610, 0.052515286200219390, -0.011454065823686220, -0.0038735678064575370, -0.022614183589106650, -0.039664332161028540, -0.040978163185238656, 0.033501290758353106, 0.0072294790956160640, 0.073671880188968100, -0.015020320130657374, -0.010071753913877617, 0.0054873290534171205, -0.043809767814102760, -0.047477471391255610, 0.0065740251169083540, -0.067236454791169900, 0.070513631172606760, 0.00092069168759027550, 0.053585918474301610, 0.014174332833754270, 0.0071641143633621770, 0.016468235864214020, 0.026981774954528020, -0.054234452648460090, 0.019224917354825847, -0.0014065247995390757, -0.011471646764319030, 0.050150990767214920, -0.039054448468627316, -0.020197719554895452, 0.058293698616498810, -0.089795880579929180, -0.046945049808920856, -0.099467818898730960, 0.0080373413697255400, 0.021169870454243920, 0.020836193883364440, -0.018565548773961292, -0.048193372318944500, 0.072577836489263250, -0.025720219154338128, 0.063859929481016100, 0.0093906315899931950, -0.029839888648539266, -0.0025004114498934082, -0.024495841348177710, -0.065370304518500510, -0.025811279745031920, -0.049471829225265160, -0.0048594974516119850, 0.10597487381243947, -0.031470070616537880, -0.035321488575535400]::DOUBLE[]),
+        |  (7, [0.075020265306635110, -0.028149156132891690, -0.0070110073355056570, -0.029590936921644564, 0.070398196303734620, 0.038867739705319640, -0.016359628997025973, -0.023064399047101200, -0.029434386745500540, -0.033186137794295925, 0.0062815192311112605, -0.0038046820039956800, -0.031167185325709120, 0.035286242926226466, 0.0040083952261175730, -0.11395456684777285, 0.033335665187503490, 0.016826080706716214, -0.00015004375012113590, -0.0040046635928051450, 0.027443457563569080, -0.029895894952773037, 0.0029143314859150418, -0.097418247550884640, 0.010624135546298572, 0.058163391165996720, 0.15773768739221708, 0.018702401180714284, -0.015062846647886066, 0.063387659222131460, -0.038593072157996630, -0.035034044827741770, 0.0020430034737115580, -0.010414024975320737, -0.019398110863045135, -0.024122136855847480, -0.0064627568746709840, 0.019810282155871734, 0.077433490680303200, 0.044685175996174970, -0.029919289237588020, -0.0064024724704928480, 0.00071323518684585380, 0.065040981430178170, 0.010029337731497967, 0.0092447116655512990, -0.030515037117816154, -0.018604779698814870, -0.0042352751639103140, 0.048761482283500704, -0.012896034760580022, -0.096306283593568880, -0.055291541011708790, -0.0033884367661456295, 0.015089111247272125, -0.073134562197213320, 0.047513044498984636, -0.016688682118443890, 0.020243099025728212, 0.029756521567586150, 0.058730618052240640, -0.0049592926340754255, 0.041923616424076784, -0.049075754975514516]::DOUBLE[]),
+        |  (8, [-0.013813278191274207, 0.056771851356674870, -0.037945141224553060, -0.066992657104304740, -0.090357006648479100, 0.085719759253411780, 0.026154220868051702, 0.013619246982586050, 0.011301971480920600, -0.079925780662271460, -0.039218559338125770, 0.032303875902017580, -0.016513321978382680, -0.032389271036815240, -0.042471408182409735, 0.042169660396714645, 0.014770138800861660, -0.015502595442174557, 0.063017672897811420, 0.071165113645376500, 0.043034990183437455, 0.022737063337339890, 0.036986359935287800, -0.011334529228894538, 0.061518594419707500, -0.012242501526996801, 0.044354029885564020, 0.059478941909536200, -0.0063496906293164860, 0.015004703304107770, -0.033836040681542810, 0.094034712252749550, -0.020887809605628527, -0.014199448224258048, -0.0063720710488178940, 0.099450704413487620, 0.049477933589769840, -0.028869936934276967, 0.037383093951171730, -0.012494534132055254, -0.040595343752532030, 0.013303538175630365, 0.039156594285296430, 0.0028911986054030647, -0.078890134557041820, 0.082984950453431420, 0.030292932549296454, -0.060753113756042330, 0.039101913418314815, 0.014286207323255700, -0.035950945265708490, -0.038399472289196795, 0.017550163215133180, -0.040472659820987400, 0.016203360631147720, -0.037768509996098580, 0.046507693072565144, -0.0048493165352720840, -0.047174032781255110, -0.060976110303827165, -0.021865098380869890, 0.038509347327049887, 0.019400078463300312, 0.0066344468092996160]::DOUBLE[]),
+        |  (9, [-0.022744507003192888, -0.039213958777919740, 0.090388703014147130, -0.023527872937832660, 0.010821683798960391, -0.026210751004607030, 0.10197501475370864, 0.031256625401627804, -0.016329702538479820, 0.019053302758436468, 0.068541452723204100, -0.13292115183921932, -0.028525003399970123, -0.018121245442772200, -0.049676602286373016, 0.044821843335013550, 0.085309549148482490, 0.020229031163967360, 0.0046299094846144240, 0.054088819767823730, 0.010222190598216750, -0.027326344811889197, 0.022083233818967433, 0.064330076813007130, -0.050253980505777580, 0.030573465060176580, -0.011083886024347935, 0.048021094401100440, 0.038632988206006220, 0.047483463143081224, 0.063874779532086580, -0.061651329202243420, -0.0033026298107032477, 0.088104450839935220, 0.054243562461029377, -0.021376735622784150, -0.019295656233879393, -0.025491060089876440, -0.022384551957889710, 0.042565469955258820, -0.065146075975159170, 0.033592940058441710, -0.054792268356662780, -0.037799478629562490, 0.016884021400785692, -0.042083462924338420, -0.048803715870267810, -0.010539615762420866, 0.029729328058089370, 0.027063568483125550, 0.012430238332327764, 0.021336810819667595, -0.0011075075059132970, 0.041635598245252690, 0.093032267437129150, 0.00097544810935701990, 0.040355395186824660, -0.054594702461347185, -0.0024916437525869240, 0.012982561253224023, 0.0082429111636323270, -0.012808246184114185, 0.030602848211564688, -0.074116968069564570]::DOUBLE[]),
+        |  (10, [0.020215710400967823, -0.062444726227382220, -0.0015334836034316599, -0.0088631034444366290, 0.011183601864211353, -0.031343252079185420, -0.033994773865096486, -0.048962562883023635, -0.025029191581833043, -0.095135053072361540, -0.018237368186193797, -0.055410724517307955, -0.051778406684264075, 0.079077657507807260, -0.051561009768075410, 0.039830934447027490, -0.0078420432806458090, 0.060198778531416580, -0.013450699305434398, 0.014540041667523875, 0.0096895371248144880, 0.11065221707028093, 0.019678941777822048, -0.0071479710874513230, -0.018459871293812487, -0.047952670708988274, -0.017937847233449804, -0.021695789986130774, 0.033459366652525760, 0.015935847239982967, -0.052349627688343926, -0.026571247563192930, -0.082294259991841650, 0.0056915165366595740, 0.047337106752031520, 0.047615525682782220, 0.068275585444189630, 0.057420871398290510, -0.0011205696213072158, -0.00039891310304798663, 0.015673141035302186, -0.041907306225868954, -0.027124868857313080, -0.027247993573501016, 0.052940790614128880, -0.0060456089580613950, -0.010412023669055791, 0.060797236040316760, 0.057077341740181545, 0.041842026988036530, -0.022019887384370173, -0.025164135078529503, 0.060167954584881640, -0.064282907241178040, 0.056330876758225590, 0.053600844202914140, -0.0033721130048704560, -0.022948602581109392, 0.020582368141608530, 0.046754283647467254, -0.022742143448576942, 0.086175126838417000, -0.021373415742153505, -0.017403386278469782]::DOUBLE[]),
+        |  (11, [0.038526522379143930, -0.034678532567121510, 0.048746777462743314, 0.027789072386627485, 0.042713822174712826, -0.031672654862959450, 0.0050138868508539820, 0.033463966040552800, -0.0025298068805542397, 0.073961315306474750, -0.0069121645897835050, -0.00095322312438272590, 0.045231683490653720, -0.093384064568272720, 0.038466783158830730, -0.016166173781780250, 0.032856485843784096, 0.028746571619129954, 0.035398582472102230, 0.094766261245226750, 0.038942211651662250, 0.015804182935164498, -0.031880255757615654, 0.061667453744087136, -0.010921094034870168, 0.033156683246164394, -0.0055871868403364250, -0.0022410361061343420, -0.050610550131262200, -0.056703070427634124, -0.052284463342266110, -0.016377304596255398, 0.075291103710709320, -0.023198228349778773, 0.023943939740761016, -0.051449416855007570, 0.014503698608989065, -0.032740241606333810, 0.032597363432853130, -0.029659008593728440, 0.037295698256885286, -0.069179277754062200, -0.038411202827509570, -0.041440781071147334, 0.077751374886389630, -0.00046476612283898710, 0.034391009625173520, 0.0019308546075856839, -0.0074806183305274920, -0.053894336001029740, 0.050749458633737470, 0.018525730007267534, -0.045129016462472755, 0.0027017699152220073, -0.024906686832313785, -0.033324088214170470, 0.059924041058580690, 0.077405624278494680, 0.097073090355139890, -0.069603908958767280, 0.028537775231850738, 0.041880277594575950, -0.10348594357517843, -0.030283229508292334]::DOUBLE[]),
+        |  (12, [-0.051432218222805755, -0.0063084465744073750, -0.049623535417360210, 0.018470060915206046, 0.0093304031666605770, 0.051962979717026870, -0.094126072854497020, 0.0064207272646925620, -0.0055855715427632355, -0.0049388667476212905, 0.092416347913036050, -0.033004602155608534, 0.033411900848702050, -0.039431326725653030, -0.0059843155587437490, 0.011192389498479808, 0.025720125180027902, 0.084533560680899480, 0.042898495428095180, -0.085233964472048100, -0.010400756767327525, -0.066784852339005870, 0.076217856830907630, -0.061936763612190560, 0.015883282010014863, -0.011643040484928986, -0.014122837639592252, 0.051067103792119620, -0.032405440706997704, 0.0012521143572688247, -0.048165406500324920, 0.017556348613610558, 0.062429300264583605, -0.046376877649843204, -0.014347241947155547, 0.012092476250616652, 0.031477969018811900, 0.066036140544343080, -0.0049728131022920500, 0.032658733356909615, 0.010877515067991905, 0.0071472608193255670, -0.046948505000909960, 0.0010429796878455504, -0.0078052037709203540, 0.016379733848255074, -0.022686252880172750, 0.0023389467496237226, 0.079298778606828090, -0.027860021932181223, 0.010237812750619246, 0.024232820602677264, -0.025651566777716097, 0.054294101241185010, -0.017536654024287180, 0.020878541717453460, -0.066560566676426830, 0.087093088541764400, -0.071987979577025350, 0.046227775261975110, 0.037307282106521705, 0.010377810860503923, -0.019602333863259530, 0.088936317708231930]::DOUBLE[]),
+        |  (13, [-0.10986620818271321, 0.011289771794831701, -0.034135608427023680, 0.027400302861584410, 0.068065674367560470, 0.010884165097258853, 0.016913971718346212, -0.018320240935899484, 0.032279423335441246, 0.078387086804381580, 0.081142696703233600, -0.019816826791137450, -0.061204409806565475, 0.047210347230748975, 0.00064492015014774710, -0.049442690259119370, 0.075090445406747900, -0.028733012535398044, -0.043321836058809515, -0.030406536441330893, -0.036282733558361036, 0.056826125677106930, -0.021672266864470546, -0.020767085609367648, -0.078661813276679000, -0.015448378578836814, -0.020992027769284344, 0.046747656002308200, 0.043545527741538796, -0.0046015797360079500, 0.0038197303358083017, -0.067634985060103820, 0.064048578684468070, -0.047740192807437570, 0.0075563598413310290, 0.052280178714652500, 0.047158168414474070, 0.0082767117209324500, -0.012013682826709947, 0.037568444703006500, 0.053045792403980545, 0.031533492283880170, 0.018353508786390270, -0.0054188611791818360, -0.040765884893122405, -0.056645286172989070, 0.022036963018847920, -0.056072804820244286, -0.055800897849662530, 0.024019805089791537, 0.013817128234716090, -0.010599238982223163, 0.062995473352407420, -0.030381654472269207, 0.011413567657759405, -0.026020751374097126, -0.082215382869093050, 0.033747912004874744, 0.023457498572788334, -0.023671820014005175, 0.010530055485716257, 0.066600320231463090, -0.028361357997634257, -0.011391453600714035]::DOUBLE[]),
+        |  (14, [0.089949138033958970, 0.030048516780037900, 0.0048900381022430744, 0.015559563329468593, -0.0065428693733370830, -0.017542139490150700, -0.028444150413880473, 0.080650083009552450, -0.072083078330212700, -0.047939956098268420, 0.010713035995169743, -0.019288504829302933, 0.0064174063525455000, 0.014976435785417982, -0.029649081412913820, 0.070946870666186430, -0.038997735593473554, 0.024856835537844420, -0.017786150918862393, -0.070812936709526100, -0.0041585328860195870, 0.011081656322513697, 0.056450930060534970, -0.017860366452281680, -0.042977924136330926, 0.0071011704971063970, -0.037965445658892990, 0.043267176887004460, 0.0012221258948740350, 0.0024781072869718890, 0.080903937888546590, -0.00088106210401770460, -0.046722748672557400, -0.0046055808904852434, 0.068292248309208780, 0.029857866033370010, -0.10315799730090800, -0.022380731902212233, 0.036952426699581370, 0.010221133801944608, 0.029214818996267230, -0.075528306015866620, 0.069338501570946000, 0.019846004850465090, -0.038368099025675350, 0.060734403474573560, 0.012038840543255817, 0.053689441865531270, -0.0060052293594489260, -0.053867235699913820, 0.047346079130057050, 0.057129271378819240, -0.034703678578425210, 0.00037356312290779694, 0.0015867490325133546, -0.014622506131395041, 0.048758758373446800, -0.019287263919296990, 0.00037942842141819994, 0.024121672225445770, -0.046313655931025330, -0.032420729126402300, -0.0069897203679073360, -0.011064867987229991]::DOUBLE[]),
+        |  (15, [0.020865100343680363, -0.072383130272662410, 0.044607680995797885, 0.0046139588440696500, 0.056249447556719845, 0.035275712113886900, -0.12992670341625823, -0.090315479825634290, -0.00045106448659551290, 0.0098828298888998470, -0.022021968059940084, 0.022849236382110640, -0.0010630862071391670, 0.047297825515218760, -0.027300994844051600, 0.083103204458058450, 0.00030658045249274687, -0.088187723566006650, -0.013366792959576015, -0.010227536165564965, -0.023039185026220887, -0.0056862202963805980, -0.013263745291499407, 0.011664375759847254, -0.052761087173234904, 0.00028683767469290443, -0.0032587910940899380, -0.056968655311477774, 0.038385486971012360, -0.054394811054392210, 0.045537658426413836, -0.032890890889111915, -0.036172866996183155, -0.062037509538504670, 0.036384377528703340, -0.12400365552433712, -0.0083257866985067520, -0.036659740074444650, 0.038892202782032490, -0.036961527705272050, -0.052544955098899020, 0.034466625467643740, 0.0061147975890754784, 0.014413015124732195, 0.0043680933761700960, 0.0054251802320669550, -0.0026680365992975525, 0.022363420601956226, -0.039722208254682350, -0.0047596179305261940, 0.029005909779163428, -0.030739383386174435, 0.062691840339983110, 0.049193121636208405, -0.017615711007502876, 0.0041063408208569890, -0.026887660985977408, 0.036661804226275414, 0.044256674807480170, -0.025092613037758327, -0.068064896862766620, 0.0054355040227955070, 0.047443888024180880, 0.022033281580192472]::DOUBLE[])),
+        |cb(s, bc, bctr) AS (VALUES
+        |  (0, 0, [-0.046933751421323040, -0.14180979294090856, 0.10996852162655384, 0.087701178175621810]::DOUBLE[]),
+        |  (0, 1, [-0.10246180324070712, 0.052720484634418270, -0.018844324713375120, 0.043710971654120294]::DOUBLE[]),
+        |  (0, 2, [0.0051307584550162270, 0.081825432095323460, -0.087313027749635870, -0.14072084914103122]::DOUBLE[]),
+        |  (0, 3, [0.090668492885435210, 0.0058465755919292890, 0.14245232704420044, -0.091216310184613580]::DOUBLE[]),
+        |  (0, 4, [0.10654583481196088, 0.0015549617650304370, -0.097086695139540140, -0.042835775969147206]::DOUBLE[]),
+        |  (0, 5, [-0.21786785690276470, -0.10538665619282670, 0.024134284892330698, -0.030604263222698942]::DOUBLE[]),
+        |  (0, 6, [0.12081490928216232, 0.0085064183419437820, 0.038047397734711476, 0.12288887652813870]::DOUBLE[]),
+        |  (0, 7, [0.21333060566747644, -0.039483060963153870, 0.032170621999743305, -0.054127618829523920]::DOUBLE[]),
+        |  (0, 8, [-0.032920143216223450, 0.18789880381056700, 0.11104591983476472, -0.031299980835693130]::DOUBLE[]),
+        |  (0, 9, [0.051515360794447095, -0.17500344703955384, -0.033822815145546510, 0.0039167649524191640]::DOUBLE[]),
+        |  (0, 10, [-0.067310102192967430, 0.033636942774473820, 0.18551486163174040, 0.028425086257628816]::DOUBLE[]),
+        |  (0, 11, [0.040036335977399355, 0.046814877475602014, -0.16805636408330550, 0.10813432164951389]::DOUBLE[]),
+        |  (0, 12, [-0.061518658295845075, -0.050633101043703330, -0.041083641429695145, 0.20052025471525117]::DOUBLE[]),
+        |  (0, 13, [-0.11186319047421485, -0.089083595941958330, -0.14076864665604522, -0.067412921449085030]::DOUBLE[]),
+        |  (0, 14, [-0.0027562912181403070, 0.20914139282869712, -0.031015687775955100, 0.12211165505928073]::DOUBLE[]),
+        |  (0, 15, [-0.064074612768650410, -0.0069940184101128270, 0.052021202874725620, -0.14253929007203087]::DOUBLE[]),
+        |  (1, 0, [-0.093196849177814050, 0.15817724241832030, 0.033840706016138470, -0.058889417341903866]::DOUBLE[]),
+        |  (1, 1, [-0.15015608412711565, -0.17308033020606245, -0.015500413574998624, 0.072989554759129300]::DOUBLE[]),
+        |  (1, 2, [0.024761492305258707, -0.042152354890642674, -0.0033660160915932303, -0.034754865793466090]::DOUBLE[]),
+        |  (1, 3, [0.13140994384559450, 0.058834438626071500, 0.087066028023528320, -0.13776137110288283]::DOUBLE[]),
+        |  (1, 4, [-0.032981495902521810, -0.0045108503577067310, 0.10085018374545751, 0.14522365043858210]::DOUBLE[]),
+        |  (1, 5, [-0.022291757821722620, -0.064409520044255200, 0.24302542477000388, -0.056884024029799064]::DOUBLE[]),
+        |  (1, 6, [0.00024392506738456283, 0.012047446529736104, -0.094658578298052310, -0.18934164057113880]::DOUBLE[]),
+        |  (1, 7, [0.034689382741247800, 0.090988256985795350, -0.063184222353346000, 0.16386988162206154]::DOUBLE[]),
+        |  (1, 8, [-0.036151785665862704, -0.19598989416944582, -0.013324420459005356, -0.12160216498878190]::DOUBLE[]),
+        |  (1, 9, [0.16813529941572702, 0.0095149610761967000, 0.097558242995690000, 0.053535105759745870]::DOUBLE[]),
+        |  (1, 10, [0.090568355940930480, -0.19034841754232978, -0.033918682060214080, 0.13638500834053760]::DOUBLE[]),
+        |  (1, 11, [-0.084618375298675390, 0.037975834260401970, -0.12759860642847187, 0.030223792789574370]::DOUBLE[]),
+        |  (1, 12, [0.055127116128001180, 0.17301844636250002, 0.11256260589379345, 0.057003086565360700]::DOUBLE[]),
+        |  (1, 13, [0.18889277782779450, -0.076574989474215620, -0.099605869121329280, 0.034834309414769020]::DOUBLE[]),
+        |  (1, 14, [0.13383439785764340, 0.11640198363637416, -0.16216079842184822, -0.00098427936822497800]::DOUBLE[]),
+        |  (1, 15, [-0.15082259255271374, -0.031069554726034390, 0.060568953096691600, -0.051855185002434810]::DOUBLE[]),
+        |  (2, 0, [0.023191552236803168, 0.036976365226925274, -0.13258712436288778, 0.13498561742879550]::DOUBLE[]),
+        |  (2, 1, [0.013860460096058848, -0.0060722805191136030, 0.11421771312958985, 0.17753390785877812]::DOUBLE[]),
+        |  (2, 2, [0.091674532518797050, -0.16986642742259092, 0.024788096138837916, -0.021381700197437934]::DOUBLE[]),
+        |  (2, 3, [-0.095668321596935670, 0.078896618933827900, 0.12545921348750083, 0.025633673020914214]::DOUBLE[]),
+        |  (2, 4, [-0.11479646005321052, 0.18938025214031662, -0.053023551755891185, 0.15759067974001176]::DOUBLE[]),
+        |  (2, 5, [-0.079556763456245020, 0.079845515898705460, 0.0042706309366237710, -0.20566047387384520]::DOUBLE[]),
+        |  (2, 6, [0.13267825224676474, 0.16213508269466617, 0.012562163611891240, -0.053503406028610326]::DOUBLE[]),
+        |  (2, 7, [-0.11585547635231311, 0.041499290295682556, -0.018466455967254942, 0.013296902463186011]::DOUBLE[]),
+        |  (2, 8, [0.15386565752594916, -0.039488045374374700, -0.083491923623497510, 0.042415341430681040]::DOUBLE[]),
+        |  (2, 9, [-0.029754130200801334, 0.14229327400448905, -0.14633658822575177, -0.064947755662108230]::DOUBLE[]),
+        |  (2, 10, [-0.10225959586862882, -0.092744292873647880, 0.12770520980198097, -0.096440492922449130]::DOUBLE[]),
+        |  (2, 11, [0.048049147387647060, 0.040111806376272055, 0.043149653601926060, -0.044701385204921215]::DOUBLE[]),
+        |  (2, 12, [-0.048467711877366560, -0.082518137742304150, -0.14292452509606193, -0.015695489318558988]::DOUBLE[]),
+        |  (2, 13, [0.097971294034073660, -0.078564829139122100, -0.062537550816920610, -0.15564964082026508]::DOUBLE[]),
+        |  (2, 14, [0.12248970500986335, -0.063028197464737270, 0.22427555094130275, -0.088811142254514530]::DOUBLE[]),
+        |  (2, 15, [-0.10713937617571631, -0.14786735276694113, 0.00086377231981613330, 0.10834622304733960]::DOUBLE[]),
+        |  (3, 0, [-0.085604131265762880, -0.028349994068427890, -0.14738501014942917, 0.15690917381633280]::DOUBLE[]),
+        |  (3, 1, [0.070477297235850970, 0.031546302985888265, 0.074700352297204080, 0.20560916231360635]::DOUBLE[]),
+        |  (3, 2, [-0.0083484628452300100, -0.099183319621970980, 0.022736658139570074, 0.090501565713596130]::DOUBLE[]),
+        |  (3, 3, [-0.18988103233618040, -0.046598526600895960, 0.026186532042345032, 0.0079419982537882900]::DOUBLE[]),
+        |  (3, 4, [0.16864350675467218, 0.13789140722855453, 0.080306210020260030, 0.0064736961938594340]::DOUBLE[]),
+        |  (3, 5, [0.074200916522950310, 0.16532829938483326, -0.090803965194475370, -0.096073161318639090]::DOUBLE[]),
+        |  (3, 6, [-0.10013421312959318, -0.066980381526766690, 0.055957973467423190, -0.13303317857557326]::DOUBLE[]),
+        |  (3, 7, [0.074603778648868630, -0.16393423394373420, 0.093032022218837680, -0.022350271773985655]::DOUBLE[]),
+        |  (3, 8, [-0.085240696525761220, 0.21047299613013350, -0.013884249876213945, -0.0092584729287312880]::DOUBLE[]),
+        |  (3, 9, [0.14932258071667423, -0.0087474087338296080, -0.10846240806950712, 0.071075318903285850]::DOUBLE[]),
+        |  (3, 10, [0.0085809726155567210, 0.10998386434103287, -0.054633283891204940, 0.081311825262117720]::DOUBLE[]),
+        |  (3, 11, [-0.093150536420862030, -0.026102652956441052, -0.16008697787061443, -0.079160400011259180]::DOUBLE[]),
+        |  (3, 12, [0.035962349407064730, -0.16636904452656800, -0.094848421439906110, -0.031318815173860260]::DOUBLE[]),
+        |  (3, 13, [-0.085605276452256860, 0.13208082886653447, 0.14361209503411299, 0.0056080051984073160]::DOUBLE[]),
+        |  (3, 14, [0.014551780117394960, -0.0087003000642653960, 0.16946539540117692, 0.021926403447402577]::DOUBLE[]),
+        |  (3, 15, [0.061461451689512960, -0.0046989712039147485, 0.049007922309064730, -0.14847093926531790]::DOUBLE[]),
+        |  (4, 0, [0.011172741738474806, -0.088337824050705230, 0.095170431251888830, -0.088386552908501700]::DOUBLE[]),
+        |  (4, 1, [0.033896099683397890, 0.034955472932280726, -0.028058668688130340, 0.14950942032187847]::DOUBLE[]),
+        |  (4, 2, [0.035854503575852490, -0.0046139028533964320, -0.19984793411615215, 0.027086546130624695]::DOUBLE[]),
+        |  (4, 3, [0.078614370515819580, 0.10004040040262813, 0.13692339161954625, 0.020078492028701773]::DOUBLE[]),
+        |  (4, 4, [-0.0013984355591102257, 0.21101191476187800, -0.092964520732465180, -0.0069414946230297080]::DOUBLE[]),
+        |  (4, 5, [-0.16548196098476134, -0.16256191876732864, -0.10657196165893348, -0.019861212804569983]::DOUBLE[]),
+        |  (4, 6, [0.17130617338497340, -0.093041353097672970, 0.0055605099533859440, 0.0048559789699106580]::DOUBLE[]),
+        |  (4, 7, [-0.0021848416375255175, 0.054401470202008737, -0.014194226896621780, -0.051979976603436740]::DOUBLE[]),
+        |  (4, 8, [0.022877431070336160, -0.15310153866851892, -0.10885708144371477, 0.12210094040663316]::DOUBLE[]),
+        |  (4, 9, [-0.10007768168571826, 0.13059281937407030, 0.016109229601739335, 0.040705035608599914]::DOUBLE[]),
+        |  (4, 10, [0.0053163228119884560, -0.044205555153831205, 0.22394680399355146, 0.044613661761269324]::DOUBLE[]),
+        |  (4, 11, [-0.14313726860779460, -0.045727890543853365, 0.064454677099711840, 0.053124227791295706]::DOUBLE[]),
+        |  (4, 12, [-0.037718356870835040, -0.053774880372820610, -0.044169291418447450, -0.14485944193372868]::DOUBLE[]),
+        |  (4, 13, [0.17234035527310018, 0.042541009200146356, -0.054049584891188240, -0.086773510884966130]::DOUBLE[]),
+        |  (4, 14, [-0.040387969302110220, 0.060361089130821060, -0.22567552880745168, -0.29478508665731440]::DOUBLE[]),
+        |  (4, 15, [-0.042563719494194140, 0.18435690963824160, 0.11046220817012384, -0.14730374258331938]::DOUBLE[]),
+        |  (5, 0, [-0.083269020339994390, 0.22393113756956468, 0.019703821513221507, -0.00020649629995287422]::DOUBLE[]),
+        |  (5, 1, [-0.18723075942252446, -0.023986311911180270, -0.056427179161154200, -0.087716108506230130]::DOUBLE[]),
+        |  (5, 2, [0.035047099952372740, 0.068383929651344890, 0.071415165379275500, 0.042987998272714050]::DOUBLE[]),
+        |  (5, 3, [0.050752351400759760, -0.13936793630030667, 0.0017326417536570576, 0.10924751313155230]::DOUBLE[]),
+        |  (5, 4, [-0.11049295630438621, 0.0068021223396815830, 0.14612708494116713, 0.011906499602788289]::DOUBLE[]),
+        |  (5, 5, [0.11907799128763029, -0.072146033078775390, 0.15290246211813946, 0.072081587101530330]::DOUBLE[]),
+        |  (5, 6, [-0.029163344399308913, -0.10085282781496561, -0.12053883680676808, -0.026311177855146858]::DOUBLE[]),
+        |  (5, 7, [0.095083620980237720, 0.020739466655092593, 0.13670351264736902, -0.16555570896010535]::DOUBLE[]),
+        |  (5, 8, [-0.015168419683874643, 0.10947864637124541, 0.078332108492704720, 0.24880776836045365]::DOUBLE[]),
+        |  (5, 9, [-0.031935886341734360, -0.14124428181788157, 0.075471515364087470, -0.071759021387931530]::DOUBLE[]),
+        |  (5, 10, [-0.17939748399113095, -0.072928471981149710, 0.0017198550731451253, 0.20439038746270036]::DOUBLE[]),
+        |  (5, 11, [0.14348548683079300, 0.12362688997565369, -0.047849457668996100, -0.058907611066450406]::DOUBLE[]),
+        |  (5, 12, [0.063907019176263850, 0.052318619716597510, -0.16984380409043630, 0.076909081134026300]::DOUBLE[]),
+        |  (5, 13, [0.17357774881759985, -0.050097458774918890, -0.070717383265393970, 0.030169254393999017]::DOUBLE[]),
+        |  (5, 14, [-0.076550280407649570, 0.079099788467447350, -0.061076247095972940, 0.080060259632864210]::DOUBLE[]),
+        |  (5, 15, [-0.013283682081333386, 0.043049841032649380, -0.0087763606864258970, -0.16458248172923223]::DOUBLE[]),
+        |  (6, 0, [-0.040250257148373006, 0.14957128878474601, 0.19218273958214538, -0.082080339334786980]::DOUBLE[]),
+        |  (6, 1, [0.047338949263319510, 0.16949139708632740, -0.10066692806460985, -0.067161307854801010]::DOUBLE[]),
+        |  (6, 2, [0.0076670016374355745, 0.060611127212651536, 0.042593088811908180, -0.0074378114401042060]::DOUBLE[]),
+        |  (6, 3, [0.15303840664296625, -0.0042034261444464320, -0.060690782604804070, 0.039668329920337184]::DOUBLE[]),
+        |  (6, 4, [-0.016618479134765295, -0.12938371085281790, 0.11115331372704688, -0.11866323677366886]::DOUBLE[]),
+        |  (6, 5, [-0.067717598528923450, 0.019888205182918330, 0.12159643665239318, 0.18498834085249424]::DOUBLE[]),
+        |  (6, 6, [0.15096542055677967, 0.095124213056860200, 0.11210789171363283, 0.039641893093825660]::DOUBLE[]),
+        |  (6, 7, [-0.042440725975031590, 0.24066212129676157, 0.014494359266799800, 0.067442178809231630]::DOUBLE[]),
+        |  (6, 8, [0.0078663984055296720, -0.17901025234598314, -0.11348957452027243, 0.0079670371015535070]::DOUBLE[]),
+        |  (6, 9, [0.076930556336607280, -0.16299336464698436, 0.079038510696788050, 0.087497615201034270]::DOUBLE[]),
+        |  (6, 10, [-0.040815151151236760, -0.0065221209887663700, -0.11386386661782200, 0.0043445368777288070]::DOUBLE[]),
+        |  (6, 11, [-0.20532997367146370, 0.072206302991530070, -0.087641278613720830, 0.015902704716637583]::DOUBLE[]),
+        |  (6, 12, [0.14997175886033150, 0.012612245780404107, 0.0056655884937343140, -0.15976636808829955]::DOUBLE[]),
+        |  (6, 13, [-0.13762932392400415, -0.091752110691422720, 0.062051963166812475, 0.0061140647219930770]::DOUBLE[]),
+        |  (6, 14, [0.076267794119251540, 0.0096049186983126630, -0.12489669699461810, 0.17948280849915096]::DOUBLE[]),
+        |  (6, 15, [-0.096061902586669430, 0.0094098682746585200, -0.052222812586687280, -0.19459610836111250]::DOUBLE[]),
+        |  (7, 0, [-0.14132077441330146, -0.075733474155958400, 0.071023877949926660, 0.12312903702561079]::DOUBLE[]),
+        |  (7, 1, [0.021284438695039046, -0.21791186259152703, -0.015695375863283186, 0.037815626533085490]::DOUBLE[]),
+        |  (7, 2, [-0.064785460348363330, -0.084220247734685060, 0.0080710628496109650, -0.098599852659207760]::DOUBLE[]),
+        |  (7, 3, [0.14200461414698512, 0.044827156417749654, -0.0087301951408918670, -0.098678760633060700]::DOUBLE[]),
+        |  (7, 4, [-0.018767598783432038, -0.025307242414522268, -0.12257475952773286, 0.15012543488370753]::DOUBLE[]),
+        |  (7, 5, [-0.0050450153630827470, 0.10526293952990799, 0.18919608111935285, -0.0059589127853443960]::DOUBLE[]),
+        |  (7, 6, [-0.043179207540292750, 0.18406412744314887, 0.013843362687615810, 0.14106833528340650]::DOUBLE[]),
+        |  (7, 7, [0.051703315234262616, -0.13358416692641242, 0.14246421783038900, -0.15724316099439656]::DOUBLE[]),
+        |  (7, 8, [0.10804908324687412, -0.059505350809911220, 0.091712402801818930, 0.056797186358818204]::DOUBLE[]),
+        |  (7, 9, [0.035602383807395270, 0.18242806901657760, -0.066870814447705000, -0.036238481031710484]::DOUBLE[]),
+        |  (7, 10, [-0.13529568026346525, 0.0042561764631390070, -0.19480626067984289, -0.022917855708772507]::DOUBLE[]),
+        |  (7, 11, [0.047097976646536810, 0.033655712315483054, -0.15384406717166180, -0.23859377728188670]::DOUBLE[]),
+        |  (7, 12, [-0.056306638305873014, 0.017760071265626863, 0.023970590515591507, -0.0037538837176325790]::DOUBLE[]),
+        |  (7, 13, [0.10359422940478948, 0.070634223634133990, 0.0037947591972172260, 0.12326275125968465]::DOUBLE[]),
+        |  (7, 14, [-0.18222692474781466, 0.095925672729833780, 0.075751581370230680, -0.11826888636428588]::DOUBLE[]),
+        |  (7, 15, [0.13199741503641937, -0.11649687749472312, -0.13762068221445495, -0.034063516211071330]::DOUBLE[]),
+        |  (8, 0, [-0.075214318785014200, 0.051322358141738036, 0.0068780679852228210, 0.16688089051284810]::DOUBLE[]),
+        |  (8, 1, [0.11523067625631620, -0.020270693663303384, -0.048993420098525545, 0.16165776209862350]::DOUBLE[]),
+        |  (8, 2, [-0.0086146892662251700, -0.16316351054459566, -0.11905204178737154, -0.030508766516134390]::DOUBLE[]),
+        |  (8, 3, [0.095800686236840700, -0.12778764706675128, 0.093323072234740400, -0.036610489388620236]::DOUBLE[]),
+        |  (8, 4, [-0.076680903276459380, 0.069718471417359150, -0.038847980747118870, -0.075531449642775360]::DOUBLE[]),
+        |  (8, 5, [-0.044627401308570410, 0.057093648235508890, -0.15291358722695725, 0.063422292889850370]::DOUBLE[]),
+        |  (8, 6, [0.061441262119298370, 0.13466049984885012, 0.17070856037048818, -0.081922627852899580]::DOUBLE[]),
+        |  (8, 7, [-0.069905094007383320, 0.0034132842898061740, 0.14247093427901195, -0.17321489151363662]::DOUBLE[]),
+        |  (8, 8, [0.028918511879703564, -0.051384448167957910, -0.076220685961671020, -0.19342000215019028]::DOUBLE[]),
+        |  (8, 9, [0.12468584974578037, 0.077574752049544960, -0.035832367472703845, -0.063968412820814900]::DOUBLE[]),
+        |  (8, 10, [0.016447665385911636, -0.036147696688513230, 0.0063210090123687880, -0.00028198971544810827]::DOUBLE[]),
+        |  (8, 11, [-0.095683691838627610, -0.13589312062137440, 0.088412426561331830, 0.12183013728240316]::DOUBLE[]),
+        |  (8, 12, [-0.21521637100776586, 0.066205363276835850, 0.0098162837579344480, -0.071994584767182730]::DOUBLE[]),
+        |  (8, 13, [0.074812063713057510, 0.25085581316812500, 0.0012698154455775012, 0.033466448080734240]::DOUBLE[]),
+        |  (8, 14, [0.042821426382126700, 0.021478331018856045, 0.16547071258628070, 0.067163619239091740]::DOUBLE[]),
+        |  (8, 15, [-0.18536899288547784, -0.11400965670621793, -0.061061235818835600, 0.017226708905727150]::DOUBLE[]),
+        |  (9, 0, [-0.15094970170647656, 0.10011102790456737, -0.091190019879046580, -0.034938894304155886]::DOUBLE[]),
+        |  (9, 1, [0.064350281497126960, -0.14016281316054904, -0.20429804078972824, 0.066129371399389440]::DOUBLE[]),
+        |  (9, 2, [-0.12376419513055514, 0.098318513908617950, 0.077758053183894420, -0.097216241301539300]::DOUBLE[]),
+        |  (9, 3, [-0.062538424574353140, -0.12005336362736851, 0.094753750837215950, 0.052286071855076034]::DOUBLE[]),
+        |  (9, 4, [-0.065565242727427090, 0.17243544654614595, 0.034449553611131490, 0.16468238791099607]::DOUBLE[]),
+        |  (9, 5, [-0.071915301999367020, -0.058654354790962660, 0.17085029661809126, -0.10964758986730565]::DOUBLE[]),
+        |  (9, 6, [0.14335704089216542, 0.00091605894366085900, 0.080615865047613560, -0.012481362179615482]::DOUBLE[]),
+        |  (9, 7, [-0.039556162953638070, -0.065324152511601420, -0.094714208772891230, -0.12864684841797980]::DOUBLE[]),
+        |  (9, 8, [-0.16829891714083970, -0.10886450646121341, -0.052811125646383156, 0.15847035615333135]::DOUBLE[]),
+        |  (9, 9, [0.085933212131408200, 0.037028799745303494, 0.047711516302724036, -0.17289409064335506]::DOUBLE[]),
+        |  (9, 10, [0.071243059733193630, 0.16876947591906227, -0.15531211389640460, -0.0077774936189914500]::DOUBLE[]),
+        |  (9, 11, [-0.015709590612076156, -0.0081655791916276000, -0.031891310298799290, 0.067265991797725240]::DOUBLE[]),
+        |  (9, 12, [0.043250775863259480, 0.074286564021873240, 0.20208307413160062, 0.096637214139111970]::DOUBLE[]),
+        |  (9, 13, [0.11592808900429158, -0.12756699460761406, -0.033008758912266796, -0.026108170742293903]::DOUBLE[]),
+        |  (9, 14, [0.012382561440764700, 0.11987197517188271, 0.011833153284798208, 0.0042996215407710890]::DOUBLE[]),
+        |  (9, 15, [0.10026395770732503, -0.040485406330724526, -0.0088572223399913940, 0.18434514721351064]::DOUBLE[]),
+        |  (10, 0, [-0.066774817008684780, -0.19241967993910497, 0.020030712551588167, -0.013279941134526569]::DOUBLE[]),
+        |  (10, 1, [0.035696771848000430, 0.061160791153137610, -0.082660795846609290, -0.13282387304123447]::DOUBLE[]),
+        |  (10, 2, [0.10835734470237261, -0.13953645566002576, -0.093263467293365950, -0.012161799808253989]::DOUBLE[]),
+        |  (10, 3, [0.13944678407462710, 0.10986229014174550, -0.016186070908075250, 0.016988212076661728]::DOUBLE[]),
+        |  (10, 4, [-0.11290365999235503, 0.12823973563236770, -0.00032234206844737650, -0.082452424368112310]::DOUBLE[]),
+        |  (10, 5, [-0.11744710266041754, 0.054824705194365955, 0.22048391229032502, 0.047647116305537814]::DOUBLE[]),
+        |  (10, 6, [0.12472092207616688, -0.052967014010796454, 0.012036676376776984, -0.16952295439426850]::DOUBLE[]),
+        |  (10, 7, [-0.17250930207824655, -0.043763367990981655, -0.086174073282794930, -0.10736405997886646]::DOUBLE[]),
+        |  (10, 8, [-0.12314647273108463, -0.027994168405425760, 0.014530934429598538, 0.044435591379614670]::DOUBLE[]),
+        |  (10, 9, [0.029810308498286562, -0.11235538170602029, 0.16370458300613377, -0.048075504710483774]::DOUBLE[]),
+        |  (10, 10, [-0.045619035377537170, -0.11221536669190396, -0.046942460544159630, 0.17936762612895957]::DOUBLE[]),
+        |  (10, 11, [0.060308694438858210, 0.084459489425037460, 0.15756220431020523, -0.055361840391148845]::DOUBLE[]),
+        |  (10, 12, [-0.0069673158404278300, 0.12787706068374197, -0.17944825302008433, 0.011385636594127734]::DOUBLE[]),
+        |  (10, 13, [0.11226431600488143, -0.022928270488058920, 0.049939013106451935, 0.14823977489461680]::DOUBLE[]),
+        |  (10, 14, [-0.039350050279082670, 0.18685777948632962, 0.032478746447052405, 0.075054348203872120]::DOUBLE[]),
+        |  (10, 15, [-0.026997568793913403, -0.021671908284481390, -0.16322118455609100, 0.11119836427049969]::DOUBLE[]),
+        |  (11, 0, [-0.073291708806333370, 0.11151238042456095, 0.12092445805539828, 0.0048468489278072130]::DOUBLE[]),
+        |  (11, 1, [0.15078613714184180, -0.041480805847772875, 0.014795496615292423, 0.080485897978073100]::DOUBLE[]),
+        |  (11, 2, [0.029146961497155566, 0.028519947810318542, 0.17814565071439425, -0.15583822318946988]::DOUBLE[]),
+        |  (11, 3, [0.060379326275639500, -0.095780817423115050, 0.022190632432926957, -0.16095154717014454]::DOUBLE[]),
+        |  (11, 4, [0.11093283998162412, 0.14921491870762152, 0.023884065578743015, -0.047650891588801605]::DOUBLE[]),
+        |  (11, 5, [0.14659083040763626, 0.042334218268813550, -0.14030007996021235, 0.046393028825965250]::DOUBLE[]),
+        |  (11, 6, [-0.10787717452488989, -0.096283525428932200, 0.076889833211228540, -0.041300383522577650]::DOUBLE[]),
+        |  (11, 7, [-0.13376960280266740, -0.016319303430590536, 0.074650720745613240, 0.14595465184862280]::DOUBLE[]),
+        |  (11, 8, [0.11895531280263723, -0.098006626160968830, 0.13728747392196400, 0.031413809900694100]::DOUBLE[]),
+        |  (11, 9, [-0.20609131884412020, 0.054827207629595680, -0.087585263028359530, -0.014964019542226860]::DOUBLE[]),
+        |  (11, 10, [0.055398510913763800, 0.068065826566092530, 0.11303449484944263, 0.11373507003619238]::DOUBLE[]),
+        |  (11, 11, [0.0024481741794959012, -0.14012333410056993, -0.065221817942820120, 0.17221784853057830]::DOUBLE[]),
+        |  (11, 12, [-0.046005552040781640, 0.12229406422430718, -0.10248711188933220, 0.11033605896727935]::DOUBLE[]),
+        |  (11, 13, [-0.051363723193825095, 0.081600721246064740, -0.068449626224661980, -0.15906362820601855]::DOUBLE[]),
+        |  (11, 14, [-0.032097354887062950, -0.18094483169811512, -0.10602595663844928, -0.039100742124070435]::DOUBLE[]),
+        |  (11, 15, [-0.023364586574018156, -0.0031583263040321306, -0.054442487139975600, 0.016479967027317965]::DOUBLE[]),
+        |  (12, 0, [-0.10491661866539793, -0.18656137931152508, 0.066214468551982200, -0.026096600913893540]::DOUBLE[]),
+        |  (12, 1, [-0.12735918376762112, -0.058533488761754840, -0.092797805150802520, -0.0022240574739178280]::DOUBLE[]),
+        |  (12, 2, [-0.16373879987412465, 0.010211129634524089, 0.10311984963736702, 0.050502125915590790]::DOUBLE[]),
+        |  (12, 3, [-0.047759133017237530, -0.16035185299288920, -0.16074613780875980, -0.13709358940392890]::DOUBLE[]),
+        |  (12, 4, [0.16510785454330157, 0.077521168964023860, -0.15450723995787766, 0.10548096091495356]::DOUBLE[]),
+        |  (12, 5, [-0.030580278754981594, 0.077009208457808940, 0.030309758711106676, 0.13082973204403833]::DOUBLE[]),
+        |  (12, 6, [0.063800101336273510, -0.11951648213627930, -0.080421224872841830, -0.019962224976167765]::DOUBLE[]),
+        |  (12, 7, [0.044519374261615210, -0.038019682119948724, 0.12743165926959402, 0.0085823281912071580]::DOUBLE[]),
+        |  (12, 8, [-0.096780364088336980, -0.028034633918517640, -0.13613992445320988, 0.16789503154254565]::DOUBLE[]),
+        |  (12, 9, [0.16265561553018446, -0.18106491431070890, 0.076971998509335990, -0.084134184647793350]::DOUBLE[]),
+        |  (12, 10, [0.089686413088156700, 0.010990101860622036, -0.071329762889330130, -0.14564991854171322]::DOUBLE[]),
+        |  (12, 11, [-0.045287558543445630, 0.071892641577842880, -0.13442034426867097, -0.021086213411769427]::DOUBLE[]),
+        |  (12, 12, [-0.0023506838698365137, 0.17969220753516962, 0.090485028383544430, -0.029032214245020414]::DOUBLE[]),
+        |  (12, 13, [0.056507142652517675, -0.12581082437721358, 0.063535061471062930, 0.17364302350093214]::DOUBLE[]),
+        |  (12, 14, [-0.036118156634409350, 0.027430315018909638, 0.037139220760460950, -0.17317976570398935]::DOUBLE[]),
+        |  (12, 15, [0.17170216989460100, 0.092848331245452750, 0.053694076443290560, -0.036345726291855940]::DOUBLE[]),
+        |  (13, 0, [0.043617303387941994, -0.020813634513538123, -0.051235003829965690, -0.067480888828337220]::DOUBLE[]),
+        |  (13, 1, [0.11424479065725611, -0.099034172205030500, 0.047933362228607550, 0.14047302900820957]::DOUBLE[]),
+        |  (13, 2, [-0.16020498774418263, 0.12270885244155928, 0.016404587633552715, 0.072580480961761710]::DOUBLE[]),
+        |  (13, 3, [-0.089717994876940380, -0.00091141035467764360, 0.20983292828700656, 0.078216335646910580]::DOUBLE[]),
+        |  (13, 4, [0.13175126063115030, -0.077363879269383050, 0.051474699917208630, -0.17549475648445978]::DOUBLE[]),
+        |  (13, 5, [-0.072611810818382110, 0.085745853842990850, -0.13700516532544876, -0.11685874058884847]::DOUBLE[]),
+        |  (13, 6, [0.025082416794900086, 0.16867044811906906, 0.056663969271667860, 0.049527538183159360]::DOUBLE[]),
+        |  (13, 7, [-0.072955817329173860, -0.16925510061435864, -0.050659025525778170, -0.074684065964833640]::DOUBLE[]),
+        |  (13, 8, [0.12107364765893185, -0.13833918596040531, -0.18478667134734936, 0.031270142676498190]::DOUBLE[]),
+        |  (13, 9, [0.066155382896168370, -0.096514340785101610, 0.087110373349191500, 0.0081711470091828420]::DOUBLE[]),
+        |  (13, 10, [-0.060285427878144480, -0.058868779671611020, -0.16091890706415704, 0.13783903683024004]::DOUBLE[]),
+        |  (13, 11, [0.16708934157314492, 0.050583554136961015, -0.11651975912992911, -0.0072812327030349604]::DOUBLE[]),
+        |  (13, 12, [0.12492248777633072, 0.067628011528085720, 0.11186358402095652, -0.059487325965016255]::DOUBLE[]),
+        |  (13, 13, [-0.062853754846832950, 0.071015497592805290, 0.085153029226400970, -0.15799310943969797]::DOUBLE[]),
+        |  (13, 14, [-0.15646085681696986, -0.057878282150599660, 0.034031450210863456, 0.034100143003839005]::DOUBLE[]),
+        |  (13, 15, [0.030980208460199592, 0.036501878869190320, -0.039847568530997066, 0.13776258923630286]::DOUBLE[]),
+        |  (14, 0, [-0.16647847047062436, -0.0038348872188705696, 0.069846930350400570, -0.085277543762399490]::DOUBLE[]),
+        |  (14, 1, [-0.066875902676461360, -0.083988490968678660, 0.12513784091118190, 0.14462607511781522]::DOUBLE[]),
+        |  (14, 2, [0.12707272219440288, 0.038919734650971524, -0.15230211595799592, -0.12423898266650610]::DOUBLE[]),
+        |  (14, 3, [-0.093085515760479210, -0.069559723339445360, -0.14296412754102028, -0.057986759855092820]::DOUBLE[]),
+        |  (14, 4, [-0.16664622597064450, 0.087382602549391050, -0.078460941205401500, 0.085670751997465220]::DOUBLE[]),
+        |  (14, 5, [0.10686471802481402, -0.073531117108204040, -0.10462687961252869, 0.087140083169555600]::DOUBLE[]),
+        |  (14, 6, [0.0098726728637826450, 0.046395580665237200, 0.25558526370065770, -0.018566231874865193]::DOUBLE[]),
+        |  (14, 7, [-0.0095178783527023680, 0.076042267560648700, -0.069960462391466610, -0.0081231869334256540]::DOUBLE[]),
+        |  (14, 8, [0.12084588440957585, 0.14700759650500410, 0.052387995290435294, 0.026201214994253208]::DOUBLE[]),
+        |  (14, 9, [0.16446938226718540, -0.064425592728217820, 0.022076549744510864, -0.058895578529819520]::DOUBLE[]),
+        |  (14, 10, [-0.074235157895309860, 0.10074598088437786, 0.093728458669311070, 0.074131834994833920]::DOUBLE[]),
+        |  (14, 11, [0.0025506875716955458, -0.19748920390975858, -0.010427546858137252, -0.045520158112854654]::DOUBLE[]),
+        |  (14, 12, [-0.014565756086075975, -0.047924847309119200, 0.072475890298013530, -0.083100409875592130]::DOUBLE[]),
+        |  (14, 13, [-0.0028136861902614504, 0.12168864346848039, -0.011313122298501888, -0.18680937205765620]::DOUBLE[]),
+        |  (14, 14, [0.10083736419254051, -0.047435712561119510, 0.074181166337496130, 0.12760124686243632]::DOUBLE[]),
+        |  (14, 15, [-0.051834148665982740, -0.026543354080314392, -0.10443830370339403, 0.14448416425801047]::DOUBLE[]),
+        |  (15, 0, [-0.0022032604384075263, -0.062625650854178100, 0.050072127056267860, -0.26740974758772235]::DOUBLE[]),
+        |  (15, 1, [0.0085789357801904190, -0.014226968237876754, 0.21484606286947142, -0.039560143464345050]::DOUBLE[]),
+        |  (15, 2, [0.030384419551390110, 0.13046888760930770, 0.050582818635626690, 0.058785746802472120]::DOUBLE[]),
+        |  (15, 3, [0.10609357851686275, -0.018901880830659846, -0.098760278503039690, 0.0071901611201707480]::DOUBLE[]),
+        |  (15, 4, [-0.0025907714936471330, 0.17175866374108745, 0.046489297826390470, -0.10987583914672859]::DOUBLE[]),
+        |  (15, 5, [-0.014367148800965566, 0.13648254121030940, -0.14569693976838644, -0.0059532252544110760]::DOUBLE[]),
+        |  (15, 6, [-0.044533440978763180, -0.083966408617101040, 0.10503404172151772, 0.049275832071775970]::DOUBLE[]),
+        |  (15, 7, [0.18185056719350848, 0.043233144260807314, 0.025186212872889740, -0.044896934276864990]::DOUBLE[]),
+        |  (15, 8, [-0.0083316159364945820, 0.032853674591891674, -0.14362051782910792, -0.16790920090054350]::DOUBLE[]),
+        |  (15, 9, [-0.035638849116387226, -0.0017693904778554417, -0.016368904833746230, -0.099671343944030600]::DOUBLE[]),
+        |  (15, 10, [0.071904325075698450, -0.088290345154604950, -0.091221090328239120, 0.17935323050031313]::DOUBLE[]),
+        |  (15, 11, [0.064065875261293510, -0.18620854101617834, -0.010276670485616854, -0.057797737414419140]::DOUBLE[]),
+        |  (15, 12, [-0.12734891826160363, -0.078007875565152790, -0.10133337676677996, 0.028148171334978923]::DOUBLE[]),
+        |  (15, 13, [0.088193017258828280, 0.029766686851726124, 0.11181781229204571, 0.14801187823602124]::DOUBLE[]),
+        |  (15, 14, [-0.092935176326641870, 0.015977220546199614, 0.015571409335128896, 0.17672161673350403]::DOUBLE[]),
+        |  (15, 15, [-0.20078788029954225, 0.024300206720834830, 0.022911973499683807, -0.054796262418478380]::DOUBLE[])),
+        |a AS (SELECT u.vec_id, cc.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY u.vec_id
+        |      ORDER BY list_distance(uv, ctr), cc.cell) AS rnk
+        |  FROM u CROSS JOIN cc),
+        |cells AS (SELECT vec_id, cell FROM a WHERE rnk = 1),
+        |res AS (SELECT u.vec_id, cl.cell,
+        |    list_transform(generate_series(1, 64), i -> u.uv[i] - c2.ctr[i]) AS r
+        |  FROM u JOIN cells cl USING (vec_id) JOIN cc c2 ON c2.cell = cl.cell),
+        |encd AS (SELECT res.vec_id, res.cell, cb.s, cb.bc,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      j -> (r[cb.s * 4 + j] - bctr[j]) * (r[cb.s * 4 + j] - bctr[j]))) AS d2
+        |  FROM res CROSS JOIN cb),
+        |enc AS (SELECT vec_id, cell, s, bc AS code FROM (
+        |    SELECT vec_id, cell, s, bc,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, bc) AS rnk
+        |    FROM encd) WHERE rnk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM a WHERE vec_id < 8 AND rnk <= 6),
+        |qres AS (SELECT p.query_id, p.cell,
+        |    list_transform(generate_series(1, 64), i -> u.uv[i] - c2.ctr[i]) AS r
+        |  FROM probes p JOIN u ON u.vec_id = p.query_id JOIN cc c2 ON c2.cell = p.cell),
+        |qlut AS (SELECT q.query_id, q.cell, cb.s, cb.bc,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      j -> (q.r[cb.s * 4 + j] - bctr[j]) * (q.r[cb.s * 4 + j] - bctr[j]))) AS d2
+        |  FROM qres q CROSS JOIN cb),
+        |pair AS (SELECT l.query_id, ec.vec_id AS neighbor_id, SUM(l.d2) AS adist
+        |  FROM enc ec JOIN qlut l ON l.cell = ec.cell AND l.s = ec.s AND l.bc = ec.code
+        |  WHERE ec.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+        |  FROM pair)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // The IVFADC replay above + exact-cosine re-rank of each query's
+    // top-64 ADC shortlist.
+    "q_similarity_ivfpq_refine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |cc(cell, ctr) AS (VALUES
+        |  (0, [-0.029647921449040663, 0.022591227551941012, -0.050224233735827774, 0.0055495760947127840, -0.050814233870624816, -0.013243826454324092, -0.0071346718342410790, -0.017274321288120000, -0.020772087994589960, -0.062697202571580570, -0.0064932233768894060, -0.018087499542542100, -0.059497491152962400, -0.029687898488398975, -0.022437686597278565, -0.081902440554351640, -0.023731325996745380, -0.027826328729332610, 0.030134769504679866, 0.015747920830698054, 0.0043024920691457030, -0.016344941810941958, 0.013196314564122100, 0.046448886277278480, 0.066773044348591810, 0.043898425273959820, 0.0067018738058201230, -0.034687889739340440, -0.011286857837536354, -0.029509170565637280, 0.028575274565815900, -0.018900227691767020, 0.035379471687558520, -0.028058580459595597, 0.0026966828163923380, -0.051661442105554890, -0.050542393068864900, -0.042527695021781920, -0.028587060551814043, -0.0055173898794267020, 0.013850163982505643, 0.041055198182015230, 0.055036903249102945, -0.055877073762119000, 0.015629877567566546, 0.044605501452065310, 0.031566478411684265, -0.030437544781449870, 0.041316395696013190, 0.034950055404657225, -0.024182471431135187, 0.019539490863702574, 0.0030935182119666014, -0.048513667771627980, -0.096124355437398680, -0.046742681998915010, 0.048917838609353820, -0.016760238452586380, 0.033743963581947325, 0.041385525918040740, -0.039100627085925730, 0.046587574325254980, -0.014625397492380584, 0.0037834268155730287]::DOUBLE[]),
+        |  (1, [0.0054231678316132800, -0.012822579107721268, -0.014747213630607213, -0.031923099879736815, 8.0432442389326590e-05, 0.067592237645187780, 0.016396934983612124, 0.030838371748530810, 0.075361344200407880, 0.080659890181341880, 0.048821852745847480, 0.062278146948031535, 0.013235118283479388, 0.011429049805778742, 0.065062234833440500, 0.0086893483445106520, 0.020376929749953903, 0.015109134280399497, -0.0083652732767849940, -0.033347706914911894, -0.025354957572507462, -0.010845123709754163, -0.024288328386401707, -0.0061390724443633160, -0.018854902532577760, 0.019975619653851244, -0.0096266853365283080, 0.027424432521539626, -0.023367495195376658, -0.058220004076280000, 0.033533418596506444, 0.025518577112393366, 0.053767058872124520, -0.034418508693379360, 0.00039382966917350166, 0.0057262249707925520, -0.035497676130010060, -0.035055086909587430, 0.028936789092844972, 0.014132208045499890, -0.035238182010071990, -0.025320181739921604, -0.015431616739789360, 0.044590869871341130, 0.011206350233669098, -0.067704006969619980, 0.024611843397624414, 0.095469723530261440, -0.027502840741476140, -0.0018147861279036333, 0.023673562281596335, -0.026095478934510714, 0.035281200998325900, -0.027726475385818200, 0.017603131922574563, 0.048547140996394500, -0.046947582065863570, -0.070945555798730520, -0.026765056155018736, -0.11021608239954304, 0.024546649215412340, -0.028222573702781847, -0.066392437045600450, -0.058018802145837550]::DOUBLE[]),
+        |  (2, [0.016026937748226392, 0.11885779860784836, -0.024600073906639420, -0.016969727135985463, 0.028987539733133845, 0.0020067465049765387, -0.054888524931464476, 0.066727486357963920, 0.037942958663525360, -0.035881977564606950, -0.045032640843027860, -0.029062966830274126, 0.025244743016908100, 0.0037832451463821115, 0.016455155043517410, 0.066037101043715190, 0.050197752722338720, -0.024471147404454730, -0.018487761373744110, -0.083056028085455670, 0.034250319851192550, 0.0097828571422694970, 0.021619418216388752, -0.034428292271698090, 0.0060676468677977960, -0.018685974293042090, -0.020985567924280715, -0.013414951055419249, -0.021280163980557567, -0.050584243815445950, -0.0014949167834283558, -0.024739391345246470, -0.056812757826272130, -0.034053060722700150, -0.060205535111676194, -0.031710001866574250, 0.039472247959387300, 0.030215655639544068, -0.012982718994981424, -0.031149158577262090, 0.018401382422348500, -0.022457406994424868, -0.038989029362457010, -0.068587187117613230, 0.013767843213098246, -0.036016391534208096, 0.0012251035053926138, 0.066563844387474650, -0.015854493159863557, -0.040221975141589130, -0.040108742980548354, -0.041752452527614630, -0.032263272009916896, -0.0035566268689654324, 0.058352550732959606, -0.010139969530158091, -0.017256656556860397, 0.024253817924616193, -0.052976757654168210, -0.025670816270391313, -0.042127811478261340, -0.097757371362353250, 0.077746087847268840, -0.039227993564877330]::DOUBLE[]),
+        |  (3, [0.024066221323009986, -0.051222032993315520, 0.032110780072197200, 0.014941746624570052, 0.0047441633826229790, -0.017957552711141904, -0.049423191550667220, 0.028013323946302744, -0.023302000759014892, -0.029385742763576354, 0.0073434189294371740, 0.012634488735335354, -0.0011325097252666760, -0.057028822624577630, -0.0045422801134861490, -0.020196014302048890, -0.035502672566887890, -0.053608428636152120, 0.019643112056689510, 0.010199397273827302, -0.096405433184596950, 0.010331904982119538, -0.0018491701162578213, 0.034657790683657760, 0.059274671371593260, 0.059267135819457240, 0.058582365787323840, -0.0026300112390851573, 0.075930340874064210, 0.063694642337216010, -0.019695278511459628, 0.10423876718128344, -0.031258231954605390, -0.017892090245514056, 0.020230218167148675, 0.027075234420588307, -0.061881705120894800, 0.054498482389234690, -0.064423683412074770, 0.0094440202829588410, 0.013838095088450303, -0.024290946636017816, -0.0010631209213067590, 0.026832047428885272, -0.044171191844455480, 0.013502732245244820, 0.019626776642200520, -0.0040154521584611580, -0.11029863416947377, 0.013100210575778372, -0.0024926674443572546, 0.014324542184407100, -0.034572067348135394, -0.032527352503555590, -0.026860494781597362, 0.044021055109130840, 0.0094611377350574070, 0.016231864496930353, -0.14271770367012895, -0.026461555275173870, 0.026849700709156835, -0.035561341107701455, 0.021146720562926755, 0.036472843498674770]::DOUBLE[]),
+        |  (4, [0.024599188748134777, -0.013862250208097641, 0.016765254557215944, -0.030377661866195012, 0.052957828333253874, 0.042435372160211810, -0.0048678819346133450, -0.066685740718145270, 0.030947012119295220, -0.019288729391777115, -0.028509245672330890, 0.068592799005237150, 0.051106576412291520, 0.053262458019114440, -0.0033097883421820260, 0.033415019109204684, -0.063072231892630990, 0.097805785301323460, -0.054755372137170870, 0.014325436300942620, 0.0087297952503493370, -0.0095927314178518160, -0.035207218946875890, -0.050066260797743180, -0.027209490029287155, 0.041234673100209290, -0.029381374615592783, -0.024582348317585236, -0.040735672783522330, 0.027616022561399868, -0.0017813529193596478, -0.057429572943155700, 0.024290230775312747, 0.046992166661200690, -0.043115660023178090, 0.010273373588522941, -0.041518692458881054, 0.048448260835114950, -0.042806126281460330, 0.021279251100444617, 0.0042626815595332420, -0.093579858699786100, -0.0033557721217184985, 0.0064116226236358970, 0.0080682138525903190, 0.021165008162770310, 0.010581490364369527, -0.042280340262928234, 0.012534006119257882, -0.095978866822702530, -0.0071824173096687490, 0.021735117439400188, 0.019421415541498035, 0.038703931099193820, 0.0010206628975074844, 0.0077266036670802210, 0.019855608914224936, -0.0055470777372517330, 0.061857027939684680, -0.021003104131154342, 0.057589801746460830, -0.048391242882534290, 0.025950152111320970, -0.0074239614519610800]::DOUBLE[]),
+        |  (5, [-0.040680154103034920, 0.0071982399645772145, 0.065609393159147270, 0.023041778635976548, 0.0035501449061990102, -0.017372875243193950, -0.021398409536361710, 0.061189066797611160, -0.020494287020027934, 0.050096131911192290, -0.050810854012198470, 0.059731211662609660, 0.041046781810642086, 0.0021306949407077875, 0.10256833391079642, 0.019861740542696262, -0.016214974179037382, -0.049434488505653150, -0.030542765994539170, 0.026220603090256044, -0.0094308055653408820, -0.017416274354215864, -0.051558158435323680, -0.0016133758856317660, 0.050807755133629420, -0.0010356048822724561, -0.039118332835787320, -0.011974980798342734, -0.028498165687556400, -0.0015776812863416690, 0.035238023034880920, -0.024204746091519810, 0.060992852662452954, 0.057884974705589700, 0.015542797604581346, 0.0039285668717522560, 0.046383839788625780, -0.056561685697926620, -0.092376647738401300, -0.072870459907452630, 0.0064005518129155030, -0.020127399676568684, 0.061980828626759770, 0.063805165414902620, -0.078095069717318100, -0.012359194836946313, -0.11438991180822816, -0.022833124218714880, -0.038838901575979065, -0.035239702346503870, 0.047873304066916830, 0.059273215657329490, 0.019907520102290910, 0.023476002765084060, 0.057477299670094810, -0.0099030792597622120, 0.016270180598207923, -0.0035471138628046478, -0.0024813492306441480, 0.062976181518618030, -0.0024684196379151104, -0.030504884587890448, 0.024987463181290373, -0.047695002267489380]::DOUBLE[]),
+        |  (6, [-0.016150379121137820, -0.022181088341993248, 0.018657419861759904, -0.0010348074766146518, -0.0073421869011213120, -0.087077678281333400, -0.012366895795408818, 0.063134535195725600, -0.022993312516387050, 0.12778470399996790, 0.024826824773652610, 0.052515286200219390, -0.011454065823686220, -0.0038735678064575370, -0.022614183589106650, -0.039664332161028540, -0.040978163185238656, 0.033501290758353106, 0.0072294790956160640, 0.073671880188968100, -0.015020320130657374, -0.010071753913877617, 0.0054873290534171205, -0.043809767814102760, -0.047477471391255610, 0.0065740251169083540, -0.067236454791169900, 0.070513631172606760, 0.00092069168759027550, 0.053585918474301610, 0.014174332833754270, 0.0071641143633621770, 0.016468235864214020, 0.026981774954528020, -0.054234452648460090, 0.019224917354825847, -0.0014065247995390757, -0.011471646764319030, 0.050150990767214920, -0.039054448468627316, -0.020197719554895452, 0.058293698616498810, -0.089795880579929180, -0.046945049808920856, -0.099467818898730960, 0.0080373413697255400, 0.021169870454243920, 0.020836193883364440, -0.018565548773961292, -0.048193372318944500, 0.072577836489263250, -0.025720219154338128, 0.063859929481016100, 0.0093906315899931950, -0.029839888648539266, -0.0025004114498934082, -0.024495841348177710, -0.065370304518500510, -0.025811279745031920, -0.049471829225265160, -0.0048594974516119850, 0.10597487381243947, -0.031470070616537880, -0.035321488575535400]::DOUBLE[]),
+        |  (7, [0.075020265306635110, -0.028149156132891690, -0.0070110073355056570, -0.029590936921644564, 0.070398196303734620, 0.038867739705319640, -0.016359628997025973, -0.023064399047101200, -0.029434386745500540, -0.033186137794295925, 0.0062815192311112605, -0.0038046820039956800, -0.031167185325709120, 0.035286242926226466, 0.0040083952261175730, -0.11395456684777285, 0.033335665187503490, 0.016826080706716214, -0.00015004375012113590, -0.0040046635928051450, 0.027443457563569080, -0.029895894952773037, 0.0029143314859150418, -0.097418247550884640, 0.010624135546298572, 0.058163391165996720, 0.15773768739221708, 0.018702401180714284, -0.015062846647886066, 0.063387659222131460, -0.038593072157996630, -0.035034044827741770, 0.0020430034737115580, -0.010414024975320737, -0.019398110863045135, -0.024122136855847480, -0.0064627568746709840, 0.019810282155871734, 0.077433490680303200, 0.044685175996174970, -0.029919289237588020, -0.0064024724704928480, 0.00071323518684585380, 0.065040981430178170, 0.010029337731497967, 0.0092447116655512990, -0.030515037117816154, -0.018604779698814870, -0.0042352751639103140, 0.048761482283500704, -0.012896034760580022, -0.096306283593568880, -0.055291541011708790, -0.0033884367661456295, 0.015089111247272125, -0.073134562197213320, 0.047513044498984636, -0.016688682118443890, 0.020243099025728212, 0.029756521567586150, 0.058730618052240640, -0.0049592926340754255, 0.041923616424076784, -0.049075754975514516]::DOUBLE[]),
+        |  (8, [-0.013813278191274207, 0.056771851356674870, -0.037945141224553060, -0.066992657104304740, -0.090357006648479100, 0.085719759253411780, 0.026154220868051702, 0.013619246982586050, 0.011301971480920600, -0.079925780662271460, -0.039218559338125770, 0.032303875902017580, -0.016513321978382680, -0.032389271036815240, -0.042471408182409735, 0.042169660396714645, 0.014770138800861660, -0.015502595442174557, 0.063017672897811420, 0.071165113645376500, 0.043034990183437455, 0.022737063337339890, 0.036986359935287800, -0.011334529228894538, 0.061518594419707500, -0.012242501526996801, 0.044354029885564020, 0.059478941909536200, -0.0063496906293164860, 0.015004703304107770, -0.033836040681542810, 0.094034712252749550, -0.020887809605628527, -0.014199448224258048, -0.0063720710488178940, 0.099450704413487620, 0.049477933589769840, -0.028869936934276967, 0.037383093951171730, -0.012494534132055254, -0.040595343752532030, 0.013303538175630365, 0.039156594285296430, 0.0028911986054030647, -0.078890134557041820, 0.082984950453431420, 0.030292932549296454, -0.060753113756042330, 0.039101913418314815, 0.014286207323255700, -0.035950945265708490, -0.038399472289196795, 0.017550163215133180, -0.040472659820987400, 0.016203360631147720, -0.037768509996098580, 0.046507693072565144, -0.0048493165352720840, -0.047174032781255110, -0.060976110303827165, -0.021865098380869890, 0.038509347327049887, 0.019400078463300312, 0.0066344468092996160]::DOUBLE[]),
+        |  (9, [-0.022744507003192888, -0.039213958777919740, 0.090388703014147130, -0.023527872937832660, 0.010821683798960391, -0.026210751004607030, 0.10197501475370864, 0.031256625401627804, -0.016329702538479820, 0.019053302758436468, 0.068541452723204100, -0.13292115183921932, -0.028525003399970123, -0.018121245442772200, -0.049676602286373016, 0.044821843335013550, 0.085309549148482490, 0.020229031163967360, 0.0046299094846144240, 0.054088819767823730, 0.010222190598216750, -0.027326344811889197, 0.022083233818967433, 0.064330076813007130, -0.050253980505777580, 0.030573465060176580, -0.011083886024347935, 0.048021094401100440, 0.038632988206006220, 0.047483463143081224, 0.063874779532086580, -0.061651329202243420, -0.0033026298107032477, 0.088104450839935220, 0.054243562461029377, -0.021376735622784150, -0.019295656233879393, -0.025491060089876440, -0.022384551957889710, 0.042565469955258820, -0.065146075975159170, 0.033592940058441710, -0.054792268356662780, -0.037799478629562490, 0.016884021400785692, -0.042083462924338420, -0.048803715870267810, -0.010539615762420866, 0.029729328058089370, 0.027063568483125550, 0.012430238332327764, 0.021336810819667595, -0.0011075075059132970, 0.041635598245252690, 0.093032267437129150, 0.00097544810935701990, 0.040355395186824660, -0.054594702461347185, -0.0024916437525869240, 0.012982561253224023, 0.0082429111636323270, -0.012808246184114185, 0.030602848211564688, -0.074116968069564570]::DOUBLE[]),
+        |  (10, [0.020215710400967823, -0.062444726227382220, -0.0015334836034316599, -0.0088631034444366290, 0.011183601864211353, -0.031343252079185420, -0.033994773865096486, -0.048962562883023635, -0.025029191581833043, -0.095135053072361540, -0.018237368186193797, -0.055410724517307955, -0.051778406684264075, 0.079077657507807260, -0.051561009768075410, 0.039830934447027490, -0.0078420432806458090, 0.060198778531416580, -0.013450699305434398, 0.014540041667523875, 0.0096895371248144880, 0.11065221707028093, 0.019678941777822048, -0.0071479710874513230, -0.018459871293812487, -0.047952670708988274, -0.017937847233449804, -0.021695789986130774, 0.033459366652525760, 0.015935847239982967, -0.052349627688343926, -0.026571247563192930, -0.082294259991841650, 0.0056915165366595740, 0.047337106752031520, 0.047615525682782220, 0.068275585444189630, 0.057420871398290510, -0.0011205696213072158, -0.00039891310304798663, 0.015673141035302186, -0.041907306225868954, -0.027124868857313080, -0.027247993573501016, 0.052940790614128880, -0.0060456089580613950, -0.010412023669055791, 0.060797236040316760, 0.057077341740181545, 0.041842026988036530, -0.022019887384370173, -0.025164135078529503, 0.060167954584881640, -0.064282907241178040, 0.056330876758225590, 0.053600844202914140, -0.0033721130048704560, -0.022948602581109392, 0.020582368141608530, 0.046754283647467254, -0.022742143448576942, 0.086175126838417000, -0.021373415742153505, -0.017403386278469782]::DOUBLE[]),
+        |  (11, [0.038526522379143930, -0.034678532567121510, 0.048746777462743314, 0.027789072386627485, 0.042713822174712826, -0.031672654862959450, 0.0050138868508539820, 0.033463966040552800, -0.0025298068805542397, 0.073961315306474750, -0.0069121645897835050, -0.00095322312438272590, 0.045231683490653720, -0.093384064568272720, 0.038466783158830730, -0.016166173781780250, 0.032856485843784096, 0.028746571619129954, 0.035398582472102230, 0.094766261245226750, 0.038942211651662250, 0.015804182935164498, -0.031880255757615654, 0.061667453744087136, -0.010921094034870168, 0.033156683246164394, -0.0055871868403364250, -0.0022410361061343420, -0.050610550131262200, -0.056703070427634124, -0.052284463342266110, -0.016377304596255398, 0.075291103710709320, -0.023198228349778773, 0.023943939740761016, -0.051449416855007570, 0.014503698608989065, -0.032740241606333810, 0.032597363432853130, -0.029659008593728440, 0.037295698256885286, -0.069179277754062200, -0.038411202827509570, -0.041440781071147334, 0.077751374886389630, -0.00046476612283898710, 0.034391009625173520, 0.0019308546075856839, -0.0074806183305274920, -0.053894336001029740, 0.050749458633737470, 0.018525730007267534, -0.045129016462472755, 0.0027017699152220073, -0.024906686832313785, -0.033324088214170470, 0.059924041058580690, 0.077405624278494680, 0.097073090355139890, -0.069603908958767280, 0.028537775231850738, 0.041880277594575950, -0.10348594357517843, -0.030283229508292334]::DOUBLE[]),
+        |  (12, [-0.051432218222805755, -0.0063084465744073750, -0.049623535417360210, 0.018470060915206046, 0.0093304031666605770, 0.051962979717026870, -0.094126072854497020, 0.0064207272646925620, -0.0055855715427632355, -0.0049388667476212905, 0.092416347913036050, -0.033004602155608534, 0.033411900848702050, -0.039431326725653030, -0.0059843155587437490, 0.011192389498479808, 0.025720125180027902, 0.084533560680899480, 0.042898495428095180, -0.085233964472048100, -0.010400756767327525, -0.066784852339005870, 0.076217856830907630, -0.061936763612190560, 0.015883282010014863, -0.011643040484928986, -0.014122837639592252, 0.051067103792119620, -0.032405440706997704, 0.0012521143572688247, -0.048165406500324920, 0.017556348613610558, 0.062429300264583605, -0.046376877649843204, -0.014347241947155547, 0.012092476250616652, 0.031477969018811900, 0.066036140544343080, -0.0049728131022920500, 0.032658733356909615, 0.010877515067991905, 0.0071472608193255670, -0.046948505000909960, 0.0010429796878455504, -0.0078052037709203540, 0.016379733848255074, -0.022686252880172750, 0.0023389467496237226, 0.079298778606828090, -0.027860021932181223, 0.010237812750619246, 0.024232820602677264, -0.025651566777716097, 0.054294101241185010, -0.017536654024287180, 0.020878541717453460, -0.066560566676426830, 0.087093088541764400, -0.071987979577025350, 0.046227775261975110, 0.037307282106521705, 0.010377810860503923, -0.019602333863259530, 0.088936317708231930]::DOUBLE[]),
+        |  (13, [-0.10986620818271321, 0.011289771794831701, -0.034135608427023680, 0.027400302861584410, 0.068065674367560470, 0.010884165097258853, 0.016913971718346212, -0.018320240935899484, 0.032279423335441246, 0.078387086804381580, 0.081142696703233600, -0.019816826791137450, -0.061204409806565475, 0.047210347230748975, 0.00064492015014774710, -0.049442690259119370, 0.075090445406747900, -0.028733012535398044, -0.043321836058809515, -0.030406536441330893, -0.036282733558361036, 0.056826125677106930, -0.021672266864470546, -0.020767085609367648, -0.078661813276679000, -0.015448378578836814, -0.020992027769284344, 0.046747656002308200, 0.043545527741538796, -0.0046015797360079500, 0.0038197303358083017, -0.067634985060103820, 0.064048578684468070, -0.047740192807437570, 0.0075563598413310290, 0.052280178714652500, 0.047158168414474070, 0.0082767117209324500, -0.012013682826709947, 0.037568444703006500, 0.053045792403980545, 0.031533492283880170, 0.018353508786390270, -0.0054188611791818360, -0.040765884893122405, -0.056645286172989070, 0.022036963018847920, -0.056072804820244286, -0.055800897849662530, 0.024019805089791537, 0.013817128234716090, -0.010599238982223163, 0.062995473352407420, -0.030381654472269207, 0.011413567657759405, -0.026020751374097126, -0.082215382869093050, 0.033747912004874744, 0.023457498572788334, -0.023671820014005175, 0.010530055485716257, 0.066600320231463090, -0.028361357997634257, -0.011391453600714035]::DOUBLE[]),
+        |  (14, [0.089949138033958970, 0.030048516780037900, 0.0048900381022430744, 0.015559563329468593, -0.0065428693733370830, -0.017542139490150700, -0.028444150413880473, 0.080650083009552450, -0.072083078330212700, -0.047939956098268420, 0.010713035995169743, -0.019288504829302933, 0.0064174063525455000, 0.014976435785417982, -0.029649081412913820, 0.070946870666186430, -0.038997735593473554, 0.024856835537844420, -0.017786150918862393, -0.070812936709526100, -0.0041585328860195870, 0.011081656322513697, 0.056450930060534970, -0.017860366452281680, -0.042977924136330926, 0.0071011704971063970, -0.037965445658892990, 0.043267176887004460, 0.0012221258948740350, 0.0024781072869718890, 0.080903937888546590, -0.00088106210401770460, -0.046722748672557400, -0.0046055808904852434, 0.068292248309208780, 0.029857866033370010, -0.10315799730090800, -0.022380731902212233, 0.036952426699581370, 0.010221133801944608, 0.029214818996267230, -0.075528306015866620, 0.069338501570946000, 0.019846004850465090, -0.038368099025675350, 0.060734403474573560, 0.012038840543255817, 0.053689441865531270, -0.0060052293594489260, -0.053867235699913820, 0.047346079130057050, 0.057129271378819240, -0.034703678578425210, 0.00037356312290779694, 0.0015867490325133546, -0.014622506131395041, 0.048758758373446800, -0.019287263919296990, 0.00037942842141819994, 0.024121672225445770, -0.046313655931025330, -0.032420729126402300, -0.0069897203679073360, -0.011064867987229991]::DOUBLE[]),
+        |  (15, [0.020865100343680363, -0.072383130272662410, 0.044607680995797885, 0.0046139588440696500, 0.056249447556719845, 0.035275712113886900, -0.12992670341625823, -0.090315479825634290, -0.00045106448659551290, 0.0098828298888998470, -0.022021968059940084, 0.022849236382110640, -0.0010630862071391670, 0.047297825515218760, -0.027300994844051600, 0.083103204458058450, 0.00030658045249274687, -0.088187723566006650, -0.013366792959576015, -0.010227536165564965, -0.023039185026220887, -0.0056862202963805980, -0.013263745291499407, 0.011664375759847254, -0.052761087173234904, 0.00028683767469290443, -0.0032587910940899380, -0.056968655311477774, 0.038385486971012360, -0.054394811054392210, 0.045537658426413836, -0.032890890889111915, -0.036172866996183155, -0.062037509538504670, 0.036384377528703340, -0.12400365552433712, -0.0083257866985067520, -0.036659740074444650, 0.038892202782032490, -0.036961527705272050, -0.052544955098899020, 0.034466625467643740, 0.0061147975890754784, 0.014413015124732195, 0.0043680933761700960, 0.0054251802320669550, -0.0026680365992975525, 0.022363420601956226, -0.039722208254682350, -0.0047596179305261940, 0.029005909779163428, -0.030739383386174435, 0.062691840339983110, 0.049193121636208405, -0.017615711007502876, 0.0041063408208569890, -0.026887660985977408, 0.036661804226275414, 0.044256674807480170, -0.025092613037758327, -0.068064896862766620, 0.0054355040227955070, 0.047443888024180880, 0.022033281580192472]::DOUBLE[])),
+        |cb(s, bc, bctr) AS (VALUES
+        |  (0, 0, [-0.046933751421323040, -0.14180979294090856, 0.10996852162655384, 0.087701178175621810]::DOUBLE[]),
+        |  (0, 1, [-0.10246180324070712, 0.052720484634418270, -0.018844324713375120, 0.043710971654120294]::DOUBLE[]),
+        |  (0, 2, [0.0051307584550162270, 0.081825432095323460, -0.087313027749635870, -0.14072084914103122]::DOUBLE[]),
+        |  (0, 3, [0.090668492885435210, 0.0058465755919292890, 0.14245232704420044, -0.091216310184613580]::DOUBLE[]),
+        |  (0, 4, [0.10654583481196088, 0.0015549617650304370, -0.097086695139540140, -0.042835775969147206]::DOUBLE[]),
+        |  (0, 5, [-0.21786785690276470, -0.10538665619282670, 0.024134284892330698, -0.030604263222698942]::DOUBLE[]),
+        |  (0, 6, [0.12081490928216232, 0.0085064183419437820, 0.038047397734711476, 0.12288887652813870]::DOUBLE[]),
+        |  (0, 7, [0.21333060566747644, -0.039483060963153870, 0.032170621999743305, -0.054127618829523920]::DOUBLE[]),
+        |  (0, 8, [-0.032920143216223450, 0.18789880381056700, 0.11104591983476472, -0.031299980835693130]::DOUBLE[]),
+        |  (0, 9, [0.051515360794447095, -0.17500344703955384, -0.033822815145546510, 0.0039167649524191640]::DOUBLE[]),
+        |  (0, 10, [-0.067310102192967430, 0.033636942774473820, 0.18551486163174040, 0.028425086257628816]::DOUBLE[]),
+        |  (0, 11, [0.040036335977399355, 0.046814877475602014, -0.16805636408330550, 0.10813432164951389]::DOUBLE[]),
+        |  (0, 12, [-0.061518658295845075, -0.050633101043703330, -0.041083641429695145, 0.20052025471525117]::DOUBLE[]),
+        |  (0, 13, [-0.11186319047421485, -0.089083595941958330, -0.14076864665604522, -0.067412921449085030]::DOUBLE[]),
+        |  (0, 14, [-0.0027562912181403070, 0.20914139282869712, -0.031015687775955100, 0.12211165505928073]::DOUBLE[]),
+        |  (0, 15, [-0.064074612768650410, -0.0069940184101128270, 0.052021202874725620, -0.14253929007203087]::DOUBLE[]),
+        |  (1, 0, [-0.093196849177814050, 0.15817724241832030, 0.033840706016138470, -0.058889417341903866]::DOUBLE[]),
+        |  (1, 1, [-0.15015608412711565, -0.17308033020606245, -0.015500413574998624, 0.072989554759129300]::DOUBLE[]),
+        |  (1, 2, [0.024761492305258707, -0.042152354890642674, -0.0033660160915932303, -0.034754865793466090]::DOUBLE[]),
+        |  (1, 3, [0.13140994384559450, 0.058834438626071500, 0.087066028023528320, -0.13776137110288283]::DOUBLE[]),
+        |  (1, 4, [-0.032981495902521810, -0.0045108503577067310, 0.10085018374545751, 0.14522365043858210]::DOUBLE[]),
+        |  (1, 5, [-0.022291757821722620, -0.064409520044255200, 0.24302542477000388, -0.056884024029799064]::DOUBLE[]),
+        |  (1, 6, [0.00024392506738456283, 0.012047446529736104, -0.094658578298052310, -0.18934164057113880]::DOUBLE[]),
+        |  (1, 7, [0.034689382741247800, 0.090988256985795350, -0.063184222353346000, 0.16386988162206154]::DOUBLE[]),
+        |  (1, 8, [-0.036151785665862704, -0.19598989416944582, -0.013324420459005356, -0.12160216498878190]::DOUBLE[]),
+        |  (1, 9, [0.16813529941572702, 0.0095149610761967000, 0.097558242995690000, 0.053535105759745870]::DOUBLE[]),
+        |  (1, 10, [0.090568355940930480, -0.19034841754232978, -0.033918682060214080, 0.13638500834053760]::DOUBLE[]),
+        |  (1, 11, [-0.084618375298675390, 0.037975834260401970, -0.12759860642847187, 0.030223792789574370]::DOUBLE[]),
+        |  (1, 12, [0.055127116128001180, 0.17301844636250002, 0.11256260589379345, 0.057003086565360700]::DOUBLE[]),
+        |  (1, 13, [0.18889277782779450, -0.076574989474215620, -0.099605869121329280, 0.034834309414769020]::DOUBLE[]),
+        |  (1, 14, [0.13383439785764340, 0.11640198363637416, -0.16216079842184822, -0.00098427936822497800]::DOUBLE[]),
+        |  (1, 15, [-0.15082259255271374, -0.031069554726034390, 0.060568953096691600, -0.051855185002434810]::DOUBLE[]),
+        |  (2, 0, [0.023191552236803168, 0.036976365226925274, -0.13258712436288778, 0.13498561742879550]::DOUBLE[]),
+        |  (2, 1, [0.013860460096058848, -0.0060722805191136030, 0.11421771312958985, 0.17753390785877812]::DOUBLE[]),
+        |  (2, 2, [0.091674532518797050, -0.16986642742259092, 0.024788096138837916, -0.021381700197437934]::DOUBLE[]),
+        |  (2, 3, [-0.095668321596935670, 0.078896618933827900, 0.12545921348750083, 0.025633673020914214]::DOUBLE[]),
+        |  (2, 4, [-0.11479646005321052, 0.18938025214031662, -0.053023551755891185, 0.15759067974001176]::DOUBLE[]),
+        |  (2, 5, [-0.079556763456245020, 0.079845515898705460, 0.0042706309366237710, -0.20566047387384520]::DOUBLE[]),
+        |  (2, 6, [0.13267825224676474, 0.16213508269466617, 0.012562163611891240, -0.053503406028610326]::DOUBLE[]),
+        |  (2, 7, [-0.11585547635231311, 0.041499290295682556, -0.018466455967254942, 0.013296902463186011]::DOUBLE[]),
+        |  (2, 8, [0.15386565752594916, -0.039488045374374700, -0.083491923623497510, 0.042415341430681040]::DOUBLE[]),
+        |  (2, 9, [-0.029754130200801334, 0.14229327400448905, -0.14633658822575177, -0.064947755662108230]::DOUBLE[]),
+        |  (2, 10, [-0.10225959586862882, -0.092744292873647880, 0.12770520980198097, -0.096440492922449130]::DOUBLE[]),
+        |  (2, 11, [0.048049147387647060, 0.040111806376272055, 0.043149653601926060, -0.044701385204921215]::DOUBLE[]),
+        |  (2, 12, [-0.048467711877366560, -0.082518137742304150, -0.14292452509606193, -0.015695489318558988]::DOUBLE[]),
+        |  (2, 13, [0.097971294034073660, -0.078564829139122100, -0.062537550816920610, -0.15564964082026508]::DOUBLE[]),
+        |  (2, 14, [0.12248970500986335, -0.063028197464737270, 0.22427555094130275, -0.088811142254514530]::DOUBLE[]),
+        |  (2, 15, [-0.10713937617571631, -0.14786735276694113, 0.00086377231981613330, 0.10834622304733960]::DOUBLE[]),
+        |  (3, 0, [-0.085604131265762880, -0.028349994068427890, -0.14738501014942917, 0.15690917381633280]::DOUBLE[]),
+        |  (3, 1, [0.070477297235850970, 0.031546302985888265, 0.074700352297204080, 0.20560916231360635]::DOUBLE[]),
+        |  (3, 2, [-0.0083484628452300100, -0.099183319621970980, 0.022736658139570074, 0.090501565713596130]::DOUBLE[]),
+        |  (3, 3, [-0.18988103233618040, -0.046598526600895960, 0.026186532042345032, 0.0079419982537882900]::DOUBLE[]),
+        |  (3, 4, [0.16864350675467218, 0.13789140722855453, 0.080306210020260030, 0.0064736961938594340]::DOUBLE[]),
+        |  (3, 5, [0.074200916522950310, 0.16532829938483326, -0.090803965194475370, -0.096073161318639090]::DOUBLE[]),
+        |  (3, 6, [-0.10013421312959318, -0.066980381526766690, 0.055957973467423190, -0.13303317857557326]::DOUBLE[]),
+        |  (3, 7, [0.074603778648868630, -0.16393423394373420, 0.093032022218837680, -0.022350271773985655]::DOUBLE[]),
+        |  (3, 8, [-0.085240696525761220, 0.21047299613013350, -0.013884249876213945, -0.0092584729287312880]::DOUBLE[]),
+        |  (3, 9, [0.14932258071667423, -0.0087474087338296080, -0.10846240806950712, 0.071075318903285850]::DOUBLE[]),
+        |  (3, 10, [0.0085809726155567210, 0.10998386434103287, -0.054633283891204940, 0.081311825262117720]::DOUBLE[]),
+        |  (3, 11, [-0.093150536420862030, -0.026102652956441052, -0.16008697787061443, -0.079160400011259180]::DOUBLE[]),
+        |  (3, 12, [0.035962349407064730, -0.16636904452656800, -0.094848421439906110, -0.031318815173860260]::DOUBLE[]),
+        |  (3, 13, [-0.085605276452256860, 0.13208082886653447, 0.14361209503411299, 0.0056080051984073160]::DOUBLE[]),
+        |  (3, 14, [0.014551780117394960, -0.0087003000642653960, 0.16946539540117692, 0.021926403447402577]::DOUBLE[]),
+        |  (3, 15, [0.061461451689512960, -0.0046989712039147485, 0.049007922309064730, -0.14847093926531790]::DOUBLE[]),
+        |  (4, 0, [0.011172741738474806, -0.088337824050705230, 0.095170431251888830, -0.088386552908501700]::DOUBLE[]),
+        |  (4, 1, [0.033896099683397890, 0.034955472932280726, -0.028058668688130340, 0.14950942032187847]::DOUBLE[]),
+        |  (4, 2, [0.035854503575852490, -0.0046139028533964320, -0.19984793411615215, 0.027086546130624695]::DOUBLE[]),
+        |  (4, 3, [0.078614370515819580, 0.10004040040262813, 0.13692339161954625, 0.020078492028701773]::DOUBLE[]),
+        |  (4, 4, [-0.0013984355591102257, 0.21101191476187800, -0.092964520732465180, -0.0069414946230297080]::DOUBLE[]),
+        |  (4, 5, [-0.16548196098476134, -0.16256191876732864, -0.10657196165893348, -0.019861212804569983]::DOUBLE[]),
+        |  (4, 6, [0.17130617338497340, -0.093041353097672970, 0.0055605099533859440, 0.0048559789699106580]::DOUBLE[]),
+        |  (4, 7, [-0.0021848416375255175, 0.054401470202008737, -0.014194226896621780, -0.051979976603436740]::DOUBLE[]),
+        |  (4, 8, [0.022877431070336160, -0.15310153866851892, -0.10885708144371477, 0.12210094040663316]::DOUBLE[]),
+        |  (4, 9, [-0.10007768168571826, 0.13059281937407030, 0.016109229601739335, 0.040705035608599914]::DOUBLE[]),
+        |  (4, 10, [0.0053163228119884560, -0.044205555153831205, 0.22394680399355146, 0.044613661761269324]::DOUBLE[]),
+        |  (4, 11, [-0.14313726860779460, -0.045727890543853365, 0.064454677099711840, 0.053124227791295706]::DOUBLE[]),
+        |  (4, 12, [-0.037718356870835040, -0.053774880372820610, -0.044169291418447450, -0.14485944193372868]::DOUBLE[]),
+        |  (4, 13, [0.17234035527310018, 0.042541009200146356, -0.054049584891188240, -0.086773510884966130]::DOUBLE[]),
+        |  (4, 14, [-0.040387969302110220, 0.060361089130821060, -0.22567552880745168, -0.29478508665731440]::DOUBLE[]),
+        |  (4, 15, [-0.042563719494194140, 0.18435690963824160, 0.11046220817012384, -0.14730374258331938]::DOUBLE[]),
+        |  (5, 0, [-0.083269020339994390, 0.22393113756956468, 0.019703821513221507, -0.00020649629995287422]::DOUBLE[]),
+        |  (5, 1, [-0.18723075942252446, -0.023986311911180270, -0.056427179161154200, -0.087716108506230130]::DOUBLE[]),
+        |  (5, 2, [0.035047099952372740, 0.068383929651344890, 0.071415165379275500, 0.042987998272714050]::DOUBLE[]),
+        |  (5, 3, [0.050752351400759760, -0.13936793630030667, 0.0017326417536570576, 0.10924751313155230]::DOUBLE[]),
+        |  (5, 4, [-0.11049295630438621, 0.0068021223396815830, 0.14612708494116713, 0.011906499602788289]::DOUBLE[]),
+        |  (5, 5, [0.11907799128763029, -0.072146033078775390, 0.15290246211813946, 0.072081587101530330]::DOUBLE[]),
+        |  (5, 6, [-0.029163344399308913, -0.10085282781496561, -0.12053883680676808, -0.026311177855146858]::DOUBLE[]),
+        |  (5, 7, [0.095083620980237720, 0.020739466655092593, 0.13670351264736902, -0.16555570896010535]::DOUBLE[]),
+        |  (5, 8, [-0.015168419683874643, 0.10947864637124541, 0.078332108492704720, 0.24880776836045365]::DOUBLE[]),
+        |  (5, 9, [-0.031935886341734360, -0.14124428181788157, 0.075471515364087470, -0.071759021387931530]::DOUBLE[]),
+        |  (5, 10, [-0.17939748399113095, -0.072928471981149710, 0.0017198550731451253, 0.20439038746270036]::DOUBLE[]),
+        |  (5, 11, [0.14348548683079300, 0.12362688997565369, -0.047849457668996100, -0.058907611066450406]::DOUBLE[]),
+        |  (5, 12, [0.063907019176263850, 0.052318619716597510, -0.16984380409043630, 0.076909081134026300]::DOUBLE[]),
+        |  (5, 13, [0.17357774881759985, -0.050097458774918890, -0.070717383265393970, 0.030169254393999017]::DOUBLE[]),
+        |  (5, 14, [-0.076550280407649570, 0.079099788467447350, -0.061076247095972940, 0.080060259632864210]::DOUBLE[]),
+        |  (5, 15, [-0.013283682081333386, 0.043049841032649380, -0.0087763606864258970, -0.16458248172923223]::DOUBLE[]),
+        |  (6, 0, [-0.040250257148373006, 0.14957128878474601, 0.19218273958214538, -0.082080339334786980]::DOUBLE[]),
+        |  (6, 1, [0.047338949263319510, 0.16949139708632740, -0.10066692806460985, -0.067161307854801010]::DOUBLE[]),
+        |  (6, 2, [0.0076670016374355745, 0.060611127212651536, 0.042593088811908180, -0.0074378114401042060]::DOUBLE[]),
+        |  (6, 3, [0.15303840664296625, -0.0042034261444464320, -0.060690782604804070, 0.039668329920337184]::DOUBLE[]),
+        |  (6, 4, [-0.016618479134765295, -0.12938371085281790, 0.11115331372704688, -0.11866323677366886]::DOUBLE[]),
+        |  (6, 5, [-0.067717598528923450, 0.019888205182918330, 0.12159643665239318, 0.18498834085249424]::DOUBLE[]),
+        |  (6, 6, [0.15096542055677967, 0.095124213056860200, 0.11210789171363283, 0.039641893093825660]::DOUBLE[]),
+        |  (6, 7, [-0.042440725975031590, 0.24066212129676157, 0.014494359266799800, 0.067442178809231630]::DOUBLE[]),
+        |  (6, 8, [0.0078663984055296720, -0.17901025234598314, -0.11348957452027243, 0.0079670371015535070]::DOUBLE[]),
+        |  (6, 9, [0.076930556336607280, -0.16299336464698436, 0.079038510696788050, 0.087497615201034270]::DOUBLE[]),
+        |  (6, 10, [-0.040815151151236760, -0.0065221209887663700, -0.11386386661782200, 0.0043445368777288070]::DOUBLE[]),
+        |  (6, 11, [-0.20532997367146370, 0.072206302991530070, -0.087641278613720830, 0.015902704716637583]::DOUBLE[]),
+        |  (6, 12, [0.14997175886033150, 0.012612245780404107, 0.0056655884937343140, -0.15976636808829955]::DOUBLE[]),
+        |  (6, 13, [-0.13762932392400415, -0.091752110691422720, 0.062051963166812475, 0.0061140647219930770]::DOUBLE[]),
+        |  (6, 14, [0.076267794119251540, 0.0096049186983126630, -0.12489669699461810, 0.17948280849915096]::DOUBLE[]),
+        |  (6, 15, [-0.096061902586669430, 0.0094098682746585200, -0.052222812586687280, -0.19459610836111250]::DOUBLE[]),
+        |  (7, 0, [-0.14132077441330146, -0.075733474155958400, 0.071023877949926660, 0.12312903702561079]::DOUBLE[]),
+        |  (7, 1, [0.021284438695039046, -0.21791186259152703, -0.015695375863283186, 0.037815626533085490]::DOUBLE[]),
+        |  (7, 2, [-0.064785460348363330, -0.084220247734685060, 0.0080710628496109650, -0.098599852659207760]::DOUBLE[]),
+        |  (7, 3, [0.14200461414698512, 0.044827156417749654, -0.0087301951408918670, -0.098678760633060700]::DOUBLE[]),
+        |  (7, 4, [-0.018767598783432038, -0.025307242414522268, -0.12257475952773286, 0.15012543488370753]::DOUBLE[]),
+        |  (7, 5, [-0.0050450153630827470, 0.10526293952990799, 0.18919608111935285, -0.0059589127853443960]::DOUBLE[]),
+        |  (7, 6, [-0.043179207540292750, 0.18406412744314887, 0.013843362687615810, 0.14106833528340650]::DOUBLE[]),
+        |  (7, 7, [0.051703315234262616, -0.13358416692641242, 0.14246421783038900, -0.15724316099439656]::DOUBLE[]),
+        |  (7, 8, [0.10804908324687412, -0.059505350809911220, 0.091712402801818930, 0.056797186358818204]::DOUBLE[]),
+        |  (7, 9, [0.035602383807395270, 0.18242806901657760, -0.066870814447705000, -0.036238481031710484]::DOUBLE[]),
+        |  (7, 10, [-0.13529568026346525, 0.0042561764631390070, -0.19480626067984289, -0.022917855708772507]::DOUBLE[]),
+        |  (7, 11, [0.047097976646536810, 0.033655712315483054, -0.15384406717166180, -0.23859377728188670]::DOUBLE[]),
+        |  (7, 12, [-0.056306638305873014, 0.017760071265626863, 0.023970590515591507, -0.0037538837176325790]::DOUBLE[]),
+        |  (7, 13, [0.10359422940478948, 0.070634223634133990, 0.0037947591972172260, 0.12326275125968465]::DOUBLE[]),
+        |  (7, 14, [-0.18222692474781466, 0.095925672729833780, 0.075751581370230680, -0.11826888636428588]::DOUBLE[]),
+        |  (7, 15, [0.13199741503641937, -0.11649687749472312, -0.13762068221445495, -0.034063516211071330]::DOUBLE[]),
+        |  (8, 0, [-0.075214318785014200, 0.051322358141738036, 0.0068780679852228210, 0.16688089051284810]::DOUBLE[]),
+        |  (8, 1, [0.11523067625631620, -0.020270693663303384, -0.048993420098525545, 0.16165776209862350]::DOUBLE[]),
+        |  (8, 2, [-0.0086146892662251700, -0.16316351054459566, -0.11905204178737154, -0.030508766516134390]::DOUBLE[]),
+        |  (8, 3, [0.095800686236840700, -0.12778764706675128, 0.093323072234740400, -0.036610489388620236]::DOUBLE[]),
+        |  (8, 4, [-0.076680903276459380, 0.069718471417359150, -0.038847980747118870, -0.075531449642775360]::DOUBLE[]),
+        |  (8, 5, [-0.044627401308570410, 0.057093648235508890, -0.15291358722695725, 0.063422292889850370]::DOUBLE[]),
+        |  (8, 6, [0.061441262119298370, 0.13466049984885012, 0.17070856037048818, -0.081922627852899580]::DOUBLE[]),
+        |  (8, 7, [-0.069905094007383320, 0.0034132842898061740, 0.14247093427901195, -0.17321489151363662]::DOUBLE[]),
+        |  (8, 8, [0.028918511879703564, -0.051384448167957910, -0.076220685961671020, -0.19342000215019028]::DOUBLE[]),
+        |  (8, 9, [0.12468584974578037, 0.077574752049544960, -0.035832367472703845, -0.063968412820814900]::DOUBLE[]),
+        |  (8, 10, [0.016447665385911636, -0.036147696688513230, 0.0063210090123687880, -0.00028198971544810827]::DOUBLE[]),
+        |  (8, 11, [-0.095683691838627610, -0.13589312062137440, 0.088412426561331830, 0.12183013728240316]::DOUBLE[]),
+        |  (8, 12, [-0.21521637100776586, 0.066205363276835850, 0.0098162837579344480, -0.071994584767182730]::DOUBLE[]),
+        |  (8, 13, [0.074812063713057510, 0.25085581316812500, 0.0012698154455775012, 0.033466448080734240]::DOUBLE[]),
+        |  (8, 14, [0.042821426382126700, 0.021478331018856045, 0.16547071258628070, 0.067163619239091740]::DOUBLE[]),
+        |  (8, 15, [-0.18536899288547784, -0.11400965670621793, -0.061061235818835600, 0.017226708905727150]::DOUBLE[]),
+        |  (9, 0, [-0.15094970170647656, 0.10011102790456737, -0.091190019879046580, -0.034938894304155886]::DOUBLE[]),
+        |  (9, 1, [0.064350281497126960, -0.14016281316054904, -0.20429804078972824, 0.066129371399389440]::DOUBLE[]),
+        |  (9, 2, [-0.12376419513055514, 0.098318513908617950, 0.077758053183894420, -0.097216241301539300]::DOUBLE[]),
+        |  (9, 3, [-0.062538424574353140, -0.12005336362736851, 0.094753750837215950, 0.052286071855076034]::DOUBLE[]),
+        |  (9, 4, [-0.065565242727427090, 0.17243544654614595, 0.034449553611131490, 0.16468238791099607]::DOUBLE[]),
+        |  (9, 5, [-0.071915301999367020, -0.058654354790962660, 0.17085029661809126, -0.10964758986730565]::DOUBLE[]),
+        |  (9, 6, [0.14335704089216542, 0.00091605894366085900, 0.080615865047613560, -0.012481362179615482]::DOUBLE[]),
+        |  (9, 7, [-0.039556162953638070, -0.065324152511601420, -0.094714208772891230, -0.12864684841797980]::DOUBLE[]),
+        |  (9, 8, [-0.16829891714083970, -0.10886450646121341, -0.052811125646383156, 0.15847035615333135]::DOUBLE[]),
+        |  (9, 9, [0.085933212131408200, 0.037028799745303494, 0.047711516302724036, -0.17289409064335506]::DOUBLE[]),
+        |  (9, 10, [0.071243059733193630, 0.16876947591906227, -0.15531211389640460, -0.0077774936189914500]::DOUBLE[]),
+        |  (9, 11, [-0.015709590612076156, -0.0081655791916276000, -0.031891310298799290, 0.067265991797725240]::DOUBLE[]),
+        |  (9, 12, [0.043250775863259480, 0.074286564021873240, 0.20208307413160062, 0.096637214139111970]::DOUBLE[]),
+        |  (9, 13, [0.11592808900429158, -0.12756699460761406, -0.033008758912266796, -0.026108170742293903]::DOUBLE[]),
+        |  (9, 14, [0.012382561440764700, 0.11987197517188271, 0.011833153284798208, 0.0042996215407710890]::DOUBLE[]),
+        |  (9, 15, [0.10026395770732503, -0.040485406330724526, -0.0088572223399913940, 0.18434514721351064]::DOUBLE[]),
+        |  (10, 0, [-0.066774817008684780, -0.19241967993910497, 0.020030712551588167, -0.013279941134526569]::DOUBLE[]),
+        |  (10, 1, [0.035696771848000430, 0.061160791153137610, -0.082660795846609290, -0.13282387304123447]::DOUBLE[]),
+        |  (10, 2, [0.10835734470237261, -0.13953645566002576, -0.093263467293365950, -0.012161799808253989]::DOUBLE[]),
+        |  (10, 3, [0.13944678407462710, 0.10986229014174550, -0.016186070908075250, 0.016988212076661728]::DOUBLE[]),
+        |  (10, 4, [-0.11290365999235503, 0.12823973563236770, -0.00032234206844737650, -0.082452424368112310]::DOUBLE[]),
+        |  (10, 5, [-0.11744710266041754, 0.054824705194365955, 0.22048391229032502, 0.047647116305537814]::DOUBLE[]),
+        |  (10, 6, [0.12472092207616688, -0.052967014010796454, 0.012036676376776984, -0.16952295439426850]::DOUBLE[]),
+        |  (10, 7, [-0.17250930207824655, -0.043763367990981655, -0.086174073282794930, -0.10736405997886646]::DOUBLE[]),
+        |  (10, 8, [-0.12314647273108463, -0.027994168405425760, 0.014530934429598538, 0.044435591379614670]::DOUBLE[]),
+        |  (10, 9, [0.029810308498286562, -0.11235538170602029, 0.16370458300613377, -0.048075504710483774]::DOUBLE[]),
+        |  (10, 10, [-0.045619035377537170, -0.11221536669190396, -0.046942460544159630, 0.17936762612895957]::DOUBLE[]),
+        |  (10, 11, [0.060308694438858210, 0.084459489425037460, 0.15756220431020523, -0.055361840391148845]::DOUBLE[]),
+        |  (10, 12, [-0.0069673158404278300, 0.12787706068374197, -0.17944825302008433, 0.011385636594127734]::DOUBLE[]),
+        |  (10, 13, [0.11226431600488143, -0.022928270488058920, 0.049939013106451935, 0.14823977489461680]::DOUBLE[]),
+        |  (10, 14, [-0.039350050279082670, 0.18685777948632962, 0.032478746447052405, 0.075054348203872120]::DOUBLE[]),
+        |  (10, 15, [-0.026997568793913403, -0.021671908284481390, -0.16322118455609100, 0.11119836427049969]::DOUBLE[]),
+        |  (11, 0, [-0.073291708806333370, 0.11151238042456095, 0.12092445805539828, 0.0048468489278072130]::DOUBLE[]),
+        |  (11, 1, [0.15078613714184180, -0.041480805847772875, 0.014795496615292423, 0.080485897978073100]::DOUBLE[]),
+        |  (11, 2, [0.029146961497155566, 0.028519947810318542, 0.17814565071439425, -0.15583822318946988]::DOUBLE[]),
+        |  (11, 3, [0.060379326275639500, -0.095780817423115050, 0.022190632432926957, -0.16095154717014454]::DOUBLE[]),
+        |  (11, 4, [0.11093283998162412, 0.14921491870762152, 0.023884065578743015, -0.047650891588801605]::DOUBLE[]),
+        |  (11, 5, [0.14659083040763626, 0.042334218268813550, -0.14030007996021235, 0.046393028825965250]::DOUBLE[]),
+        |  (11, 6, [-0.10787717452488989, -0.096283525428932200, 0.076889833211228540, -0.041300383522577650]::DOUBLE[]),
+        |  (11, 7, [-0.13376960280266740, -0.016319303430590536, 0.074650720745613240, 0.14595465184862280]::DOUBLE[]),
+        |  (11, 8, [0.11895531280263723, -0.098006626160968830, 0.13728747392196400, 0.031413809900694100]::DOUBLE[]),
+        |  (11, 9, [-0.20609131884412020, 0.054827207629595680, -0.087585263028359530, -0.014964019542226860]::DOUBLE[]),
+        |  (11, 10, [0.055398510913763800, 0.068065826566092530, 0.11303449484944263, 0.11373507003619238]::DOUBLE[]),
+        |  (11, 11, [0.0024481741794959012, -0.14012333410056993, -0.065221817942820120, 0.17221784853057830]::DOUBLE[]),
+        |  (11, 12, [-0.046005552040781640, 0.12229406422430718, -0.10248711188933220, 0.11033605896727935]::DOUBLE[]),
+        |  (11, 13, [-0.051363723193825095, 0.081600721246064740, -0.068449626224661980, -0.15906362820601855]::DOUBLE[]),
+        |  (11, 14, [-0.032097354887062950, -0.18094483169811512, -0.10602595663844928, -0.039100742124070435]::DOUBLE[]),
+        |  (11, 15, [-0.023364586574018156, -0.0031583263040321306, -0.054442487139975600, 0.016479967027317965]::DOUBLE[]),
+        |  (12, 0, [-0.10491661866539793, -0.18656137931152508, 0.066214468551982200, -0.026096600913893540]::DOUBLE[]),
+        |  (12, 1, [-0.12735918376762112, -0.058533488761754840, -0.092797805150802520, -0.0022240574739178280]::DOUBLE[]),
+        |  (12, 2, [-0.16373879987412465, 0.010211129634524089, 0.10311984963736702, 0.050502125915590790]::DOUBLE[]),
+        |  (12, 3, [-0.047759133017237530, -0.16035185299288920, -0.16074613780875980, -0.13709358940392890]::DOUBLE[]),
+        |  (12, 4, [0.16510785454330157, 0.077521168964023860, -0.15450723995787766, 0.10548096091495356]::DOUBLE[]),
+        |  (12, 5, [-0.030580278754981594, 0.077009208457808940, 0.030309758711106676, 0.13082973204403833]::DOUBLE[]),
+        |  (12, 6, [0.063800101336273510, -0.11951648213627930, -0.080421224872841830, -0.019962224976167765]::DOUBLE[]),
+        |  (12, 7, [0.044519374261615210, -0.038019682119948724, 0.12743165926959402, 0.0085823281912071580]::DOUBLE[]),
+        |  (12, 8, [-0.096780364088336980, -0.028034633918517640, -0.13613992445320988, 0.16789503154254565]::DOUBLE[]),
+        |  (12, 9, [0.16265561553018446, -0.18106491431070890, 0.076971998509335990, -0.084134184647793350]::DOUBLE[]),
+        |  (12, 10, [0.089686413088156700, 0.010990101860622036, -0.071329762889330130, -0.14564991854171322]::DOUBLE[]),
+        |  (12, 11, [-0.045287558543445630, 0.071892641577842880, -0.13442034426867097, -0.021086213411769427]::DOUBLE[]),
+        |  (12, 12, [-0.0023506838698365137, 0.17969220753516962, 0.090485028383544430, -0.029032214245020414]::DOUBLE[]),
+        |  (12, 13, [0.056507142652517675, -0.12581082437721358, 0.063535061471062930, 0.17364302350093214]::DOUBLE[]),
+        |  (12, 14, [-0.036118156634409350, 0.027430315018909638, 0.037139220760460950, -0.17317976570398935]::DOUBLE[]),
+        |  (12, 15, [0.17170216989460100, 0.092848331245452750, 0.053694076443290560, -0.036345726291855940]::DOUBLE[]),
+        |  (13, 0, [0.043617303387941994, -0.020813634513538123, -0.051235003829965690, -0.067480888828337220]::DOUBLE[]),
+        |  (13, 1, [0.11424479065725611, -0.099034172205030500, 0.047933362228607550, 0.14047302900820957]::DOUBLE[]),
+        |  (13, 2, [-0.16020498774418263, 0.12270885244155928, 0.016404587633552715, 0.072580480961761710]::DOUBLE[]),
+        |  (13, 3, [-0.089717994876940380, -0.00091141035467764360, 0.20983292828700656, 0.078216335646910580]::DOUBLE[]),
+        |  (13, 4, [0.13175126063115030, -0.077363879269383050, 0.051474699917208630, -0.17549475648445978]::DOUBLE[]),
+        |  (13, 5, [-0.072611810818382110, 0.085745853842990850, -0.13700516532544876, -0.11685874058884847]::DOUBLE[]),
+        |  (13, 6, [0.025082416794900086, 0.16867044811906906, 0.056663969271667860, 0.049527538183159360]::DOUBLE[]),
+        |  (13, 7, [-0.072955817329173860, -0.16925510061435864, -0.050659025525778170, -0.074684065964833640]::DOUBLE[]),
+        |  (13, 8, [0.12107364765893185, -0.13833918596040531, -0.18478667134734936, 0.031270142676498190]::DOUBLE[]),
+        |  (13, 9, [0.066155382896168370, -0.096514340785101610, 0.087110373349191500, 0.0081711470091828420]::DOUBLE[]),
+        |  (13, 10, [-0.060285427878144480, -0.058868779671611020, -0.16091890706415704, 0.13783903683024004]::DOUBLE[]),
+        |  (13, 11, [0.16708934157314492, 0.050583554136961015, -0.11651975912992911, -0.0072812327030349604]::DOUBLE[]),
+        |  (13, 12, [0.12492248777633072, 0.067628011528085720, 0.11186358402095652, -0.059487325965016255]::DOUBLE[]),
+        |  (13, 13, [-0.062853754846832950, 0.071015497592805290, 0.085153029226400970, -0.15799310943969797]::DOUBLE[]),
+        |  (13, 14, [-0.15646085681696986, -0.057878282150599660, 0.034031450210863456, 0.034100143003839005]::DOUBLE[]),
+        |  (13, 15, [0.030980208460199592, 0.036501878869190320, -0.039847568530997066, 0.13776258923630286]::DOUBLE[]),
+        |  (14, 0, [-0.16647847047062436, -0.0038348872188705696, 0.069846930350400570, -0.085277543762399490]::DOUBLE[]),
+        |  (14, 1, [-0.066875902676461360, -0.083988490968678660, 0.12513784091118190, 0.14462607511781522]::DOUBLE[]),
+        |  (14, 2, [0.12707272219440288, 0.038919734650971524, -0.15230211595799592, -0.12423898266650610]::DOUBLE[]),
+        |  (14, 3, [-0.093085515760479210, -0.069559723339445360, -0.14296412754102028, -0.057986759855092820]::DOUBLE[]),
+        |  (14, 4, [-0.16664622597064450, 0.087382602549391050, -0.078460941205401500, 0.085670751997465220]::DOUBLE[]),
+        |  (14, 5, [0.10686471802481402, -0.073531117108204040, -0.10462687961252869, 0.087140083169555600]::DOUBLE[]),
+        |  (14, 6, [0.0098726728637826450, 0.046395580665237200, 0.25558526370065770, -0.018566231874865193]::DOUBLE[]),
+        |  (14, 7, [-0.0095178783527023680, 0.076042267560648700, -0.069960462391466610, -0.0081231869334256540]::DOUBLE[]),
+        |  (14, 8, [0.12084588440957585, 0.14700759650500410, 0.052387995290435294, 0.026201214994253208]::DOUBLE[]),
+        |  (14, 9, [0.16446938226718540, -0.064425592728217820, 0.022076549744510864, -0.058895578529819520]::DOUBLE[]),
+        |  (14, 10, [-0.074235157895309860, 0.10074598088437786, 0.093728458669311070, 0.074131834994833920]::DOUBLE[]),
+        |  (14, 11, [0.0025506875716955458, -0.19748920390975858, -0.010427546858137252, -0.045520158112854654]::DOUBLE[]),
+        |  (14, 12, [-0.014565756086075975, -0.047924847309119200, 0.072475890298013530, -0.083100409875592130]::DOUBLE[]),
+        |  (14, 13, [-0.0028136861902614504, 0.12168864346848039, -0.011313122298501888, -0.18680937205765620]::DOUBLE[]),
+        |  (14, 14, [0.10083736419254051, -0.047435712561119510, 0.074181166337496130, 0.12760124686243632]::DOUBLE[]),
+        |  (14, 15, [-0.051834148665982740, -0.026543354080314392, -0.10443830370339403, 0.14448416425801047]::DOUBLE[]),
+        |  (15, 0, [-0.0022032604384075263, -0.062625650854178100, 0.050072127056267860, -0.26740974758772235]::DOUBLE[]),
+        |  (15, 1, [0.0085789357801904190, -0.014226968237876754, 0.21484606286947142, -0.039560143464345050]::DOUBLE[]),
+        |  (15, 2, [0.030384419551390110, 0.13046888760930770, 0.050582818635626690, 0.058785746802472120]::DOUBLE[]),
+        |  (15, 3, [0.10609357851686275, -0.018901880830659846, -0.098760278503039690, 0.0071901611201707480]::DOUBLE[]),
+        |  (15, 4, [-0.0025907714936471330, 0.17175866374108745, 0.046489297826390470, -0.10987583914672859]::DOUBLE[]),
+        |  (15, 5, [-0.014367148800965566, 0.13648254121030940, -0.14569693976838644, -0.0059532252544110760]::DOUBLE[]),
+        |  (15, 6, [-0.044533440978763180, -0.083966408617101040, 0.10503404172151772, 0.049275832071775970]::DOUBLE[]),
+        |  (15, 7, [0.18185056719350848, 0.043233144260807314, 0.025186212872889740, -0.044896934276864990]::DOUBLE[]),
+        |  (15, 8, [-0.0083316159364945820, 0.032853674591891674, -0.14362051782910792, -0.16790920090054350]::DOUBLE[]),
+        |  (15, 9, [-0.035638849116387226, -0.0017693904778554417, -0.016368904833746230, -0.099671343944030600]::DOUBLE[]),
+        |  (15, 10, [0.071904325075698450, -0.088290345154604950, -0.091221090328239120, 0.17935323050031313]::DOUBLE[]),
+        |  (15, 11, [0.064065875261293510, -0.18620854101617834, -0.010276670485616854, -0.057797737414419140]::DOUBLE[]),
+        |  (15, 12, [-0.12734891826160363, -0.078007875565152790, -0.10133337676677996, 0.028148171334978923]::DOUBLE[]),
+        |  (15, 13, [0.088193017258828280, 0.029766686851726124, 0.11181781229204571, 0.14801187823602124]::DOUBLE[]),
+        |  (15, 14, [-0.092935176326641870, 0.015977220546199614, 0.015571409335128896, 0.17672161673350403]::DOUBLE[]),
+        |  (15, 15, [-0.20078788029954225, 0.024300206720834830, 0.022911973499683807, -0.054796262418478380]::DOUBLE[])),
+        |a AS (SELECT u.vec_id, cc.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY u.vec_id
+        |      ORDER BY list_distance(uv, ctr), cc.cell) AS rnk
+        |  FROM u CROSS JOIN cc),
+        |cells AS (SELECT vec_id, cell FROM a WHERE rnk = 1),
+        |res AS (SELECT u.vec_id, cl.cell,
+        |    list_transform(generate_series(1, 64), i -> u.uv[i] - c2.ctr[i]) AS r
+        |  FROM u JOIN cells cl USING (vec_id) JOIN cc c2 ON c2.cell = cl.cell),
+        |encd AS (SELECT res.vec_id, res.cell, cb.s, cb.bc,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      j -> (r[cb.s * 4 + j] - bctr[j]) * (r[cb.s * 4 + j] - bctr[j]))) AS d2
+        |  FROM res CROSS JOIN cb),
+        |enc AS (SELECT vec_id, cell, s, bc AS code FROM (
+        |    SELECT vec_id, cell, s, bc,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, bc) AS rnk
+        |    FROM encd) WHERE rnk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM a WHERE vec_id < 8 AND rnk <= 6),
+        |qres AS (SELECT p.query_id, p.cell,
+        |    list_transform(generate_series(1, 64), i -> u.uv[i] - c2.ctr[i]) AS r
+        |  FROM probes p JOIN u ON u.vec_id = p.query_id JOIN cc c2 ON c2.cell = p.cell),
+        |qlut AS (SELECT q.query_id, q.cell, cb.s, cb.bc,
+        |    list_sum(list_transform(generate_series(1, 4),
+        |      j -> (q.r[cb.s * 4 + j] - bctr[j]) * (q.r[cb.s * 4 + j] - bctr[j]))) AS d2
+        |  FROM qres q CROSS JOIN cb),
+        |pair AS (SELECT l.query_id, ec.vec_id AS neighbor_id, SUM(l.d2) AS adist
+        |  FROM enc ec JOIN qlut l ON l.cell = ec.cell AND l.s = ec.s AND l.bc = ec.code
+        |  WHERE ec.vec_id <> l.query_id
         |  GROUP BY 1, 2),
         |ranked AS (SELECT query_id, neighbor_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
