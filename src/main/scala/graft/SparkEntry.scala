@@ -1251,6 +1251,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- incremental embedding near-dup: probe slice against a FROZEN
+    //      IvfIndex (the Dedup.nearDupAgainst analog for the embedding
+    //      modality). FULL oracle: every candidate is exact-verified,
+    //      so the result equals the exact probe×corpus threshold filter
+    //      whenever the nprobe cell cover recalls every qualifying pair
+    //      — verified exact-equal at the sf0.01 gate (refresh the check
+    //      after any testdata regeneration); nprobe = nlist is exact by
+    //      construction (spec-pinned), and the 30× probe corpus
+    //      measures 99.48% recall at the default 12-of-16 cover
+    //      (EmbIncrProbe, PERF.md). ----
+    "q_embedding_neardup_incr" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val idx = Similarity.IvfIndex.build(
+        e.filter(col("vec_id") % 7 =!= 0), "embedding", "vec_id", nlist = 16)
+      idx.nearDupAgainst(e.filter(col("vec_id") % 7 === 0), "embedding",
+        "vec_id", threshold = 0.45, nprobe = 12)
+        .select("probe_id", "corpus_id")
+        .orderBy("probe_id", "corpus_id")
+    }),
+
     // ---- embedding-cosine near-duplicate pairs ----
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(embeddings(s, dir), "embedding", "vec_id", 0.45)
@@ -5348,6 +5368,17 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // FULL oracle — the exact probe×corpus threshold filter (every
+    // index candidate is exact-verified; the nprobe cell cover is
+    // measured recall-complete on the gate fixture — see the query-side
+    // comment for the 30× recall measurement).
+    "q_embedding_neardup_incr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id
+        |FROM e p JOIN e c ON p.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
+        |WHERE list_cosine_similarity(p.v, c.v) >= 0.45
+        |ORDER BY probe_id, corpus_id""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH n AS (

@@ -274,6 +274,36 @@ object Similarity {
         .select("query_id", "neighbor_id", "rank", "score")
     }
 
+    /** Incremental embedding near-dup: probe rows against the FROZEN
+      * corpus cells — the [[graft.operators.Dedup.nearDupAgainst]]
+      * analog for the embedding modality (ingestion screens: "is this
+      * new document's embedding already in the corpus?"). Stateless per
+      * probe row, so it composes into foreachBatch. Candidates = corpus
+      * rows in any of the probe's `nprobe` nearest cells, every
+      * candidate exact-verified by the codegen dot; recall is governed
+      * by nprobe exactly as in [[topK]] — nprobe = nlist probes every
+      * cell and is EXACT by construction (spec-pinned); at the default
+      * 12-of-16 cover the 30× probe corpus measures 99.48% pair recall
+      * (1313 of 251117 pairs missed, zero spurious — EmbIncrProbe).
+      * Unlike [[embeddingNearDupPairs]] the corpus side is a FROZEN
+      * single-assignment index, so the multi-assign recall repair is
+      * not available — widen nprobe instead. Each corpus row lives in
+      * ONE cell, so a pair surfaces at most once — no dedup pass.
+      * Output: (probe_id, corpus_id, cosine ≥ t). */
+    def nearDupAgainst(probe: DataFrame, vecCol: String, idCol: String,
+        threshold: Double, nprobe: Int = 12): DataFrame = {
+      val q = withUnitVec(probe, vecCol, "__qv")
+        .select(col(idCol).as("probe_id"), col("__qv"),
+          explode(nearestCellsUdf(centroids, nprobe)(col("__qv"))).as("__cell"))
+      // no broadcast hint: a micro-batch probe broadcasts via AQE on its
+      // own; a bulk probe (corpus-diff style) hash-joins on cell id
+      cells.join(q, Seq("__cell"))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("cosine", dot(cells.sparkSession)(col("__qv"), col("__cv")))
+        .where(col("cosine") >= threshold)
+        .select(col("probe_id"), col("neighbor_id").as("corpus_id"), col("cosine"))
+    }
+
     /** Incremental corpus growth without a quantizer refit (the
       * [[graft.operators.Bm25.Bm25Index.append]] analog): new rows are
       * assigned to the EXISTING centroids and unioned into the cells —

@@ -168,6 +168,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got == res(Similarity.bruteForceTopK(a, q, "embedding", "vec_id", 10)))
   }
 
+  test("IvfIndex.nearDupAgainst: exact at nprobe = nlist; candidates exact-verified at the gate cover") {
+    import graft.operators.Similarity.IvfIndex
+    val corpus = embeddings.filter(col("vec_id") % 7 =!= 0)
+    val probe = embeddings.filter(col("vec_id") % 7 === 0)
+    val idx = IvfIndex.build(corpus, "embedding", "vec_id", nlist = 8, seed = 42L)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact cross-filter ground truth
+    val u = Similarity.withUnitVec(embeddings, "embedding", "__u")
+      .select(col("vec_id"), col("__u"))
+    graft.plans.GraftExtensions.register(spark)
+    val exact = u.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("probe_id"), col("__u").as("__p"))
+      .crossJoin(u.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("corpus_id"), col("__u").as("__c")))
+      .where(graft.plans.GraftExtensions.dotArr(col("__p"), col("__c")) >= 0.4)
+      .select("probe_id", "corpus_id")
+    // nprobe = nlist probes every cell: exact by construction
+    assert(pairs(idx.nearDupAgainst(probe, "embedding", "vec_id", 0.4, nprobe = 8))
+      == pairs(exact))
+    // candidates are exact-verified: no spurious pair at ANY cover
+    val narrow = pairs(idx.nearDupAgainst(probe, "embedding", "vec_id", 0.4, nprobe = 2))
+    assert(narrow.subsetOf(pairs(exact)))
+  }
+
   test("near-dup pairs symmetric-free and thresholded") {
     val pairs = Similarity.embeddingNearDupPairs(embeddings, "embedding", "vec_id", 0.4)
       .collect()
