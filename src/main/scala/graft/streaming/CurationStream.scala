@@ -433,6 +433,67 @@ object CurationStream {
     * batches write nothing) are fine — [[graft.sources.TokenizedExport.read]]
     * lists shards by name, not by contiguity. All batches must share
     * one `vocabSize` (the dtype is part of the format). */
+  /** [[screenIndexed]] + a SEMANTIC near-dup gate served by a frozen
+    * [[graft.operators.Similarity.IvfIndex]]: after the lexical screen,
+    * a survivor is dropped when its EMBEDDING is near a frozen-corpus
+    * embedding (cosine ≥ `embThreshold`) — the SemDeDup-style semantic
+    * screen at ingestion, catching paraphrases and re-renderings the
+    * shingle LSH cannot see. Both corpus-shaped inputs are prebuilt
+    * indexes (bands/shingles lexical, cells semantic); the embedding
+    * probe is stateless per row
+    * ([[graft.operators.Similarity.IvfIndex.nearDupAgainst]]), so the
+    * multi-batch union == one-shot law extends to this screen
+    * (StreamingSpec). Semantic recall is dialed by `embNprobe`
+    * (= nlist ⇒ exact; 99.48% at the 12-of-16 gate cover on the 30×
+    * probe corpus). The probe frame must carry BOTH textCol and vecCol. */
+  def screenSemantic(probe: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      embIndex: graft.operators.Similarity.IvfIndex,
+      evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecCol: String = "embedding",
+      minQuality: Double = 0.5, lang: String = "en",
+      minTokens: Int = 10, maxTokens: Int = 1000,
+      jaccardThreshold: Double = 0.8, decontamN: Int = 5,
+      embThreshold: Double = 0.7, embNprobe: Int = 12,
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): DataFrame = {
+    val lexical = screenIndexed(probe, index, evalSet, textCol, idCol,
+      minQuality, lang, minTokens, maxTokens, jaccardThreshold, decontamN,
+      model, minModelScore, extraGate)
+    // semantic gate LAST: it probes only the lexical survivors (the
+    // cheapest place for the most expensive per-row signal)
+    val semDups = embIndex
+      .nearDupAgainst(lexical, vecCol, idCol, embThreshold, embNprobe)
+      .select(col("probe_id").as(idCol)).distinct()
+    lexical.join(semDups, Seq(idCol), "left_anti")
+  }
+
+  /** [[startScreenIndexed]] with the semantic gate active
+    * ([[screenSemantic]] per micro-batch). */
+  def startScreenSemantic(stream: DataFrame,
+      index: graft.operators.LshIndex.LshIndex,
+      embIndex: graft.operators.Similarity.IvfIndex,
+      evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecCol: String = "embedding",
+      embThreshold: Double = 0.7, embNprobe: Int = 12,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenSemantic(batch, index, embIndex, evalSet, textCol, idCol,
+          vecCol, embThreshold = embThreshold, embNprobe = embNprobe,
+          model = model, minModelScore = minModelScore, extraGate = extraGate))
+      }
+      .trigger(trigger)
+      .start()
+
   def startTokenizedExport(stream: DataFrame, dir: String, vocabSize: Int,
       idCol: String = "doc_id", idsCol: String = "token_ids",
       shardsPerBatch: Int = 4,

@@ -281,6 +281,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semantic screen (LshIndex + embedding IvfIndex): lexical minus exact embedding near-dups at full probe; multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // a probe/corpus that carries BOTH modalities
+    val multi = docs.join(embs, Seq("doc_id"))
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = multi.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val lshIdx = graft.operators.LshIndex.build(corpus, "text", "doc_id")
+    val embIdx = graft.operators.Similarity.IvfIndex.build(
+      corpus, "embedding", "doc_id", nlist = 8)
+
+    // embNprobe = nlist ⇒ the semantic stage is EXACT: admissions equal
+    // the lexical screen minus docs with any true cosine ≥ t in corpus
+    val lexical = graft.streaming.CurationStream
+      .screenIndexed(probe, lshIdx, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = graft.streaming.CurationStream
+      .screenSemantic(probe, lshIdx, embIdx, evalSet,
+        embThreshold = 0.4, embNprobe = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val u = graft.operators.Similarity.withUnitVec(multi, "embedding", "__u")
+      .select(col("doc_id"), col("__u"))
+    graft.plans.GraftExtensions.register(spark)
+    val semDup = u.filter(pmod(col("doc_id"), lit(31)) =!= 0 &&
+        pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("__u").as("__p"))
+      .crossJoin(u.filter(pmod(col("doc_id"), lit(31)) =!= 0 &&
+          pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("cid"), col("__u").as("__c")))
+      .where(graft.plans.GraftExtensions.dotArr(col("__p"), col("__c")) >= 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oneShot == lexical -- semDup,
+      s"semantic=${oneShot.size} lexical=${lexical.size} semDup=${semDup.size}")
+    assert((lexical -- oneShot).nonEmpty,
+      "fixture must exercise the semantic gate (no doc was dropped)")
+
+    // streamed multi-batch union == one-shot
+    val dir = java.nio.file.Files.createTempDirectory("semscreen_probe").toString
+    probe.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    var batches = 0
+    val ck = java.nio.file.Files.createTempDirectory("semscreen_ck").toString
+    val q = graft.streaming.CurationStream.startScreenSemantic(
+      stream, lshIdx, embIdx, evalSet,
+      sink = out => {
+        batches += 1
+        out.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+      },
+      embThreshold = 0.4, embNprobe = 8,
+      checkpointDir = ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches > 1, s"expected multiple micro-batches, got $batches")
+      assert(admitted.asScala.toSet == oneShot,
+        s"streamed ${admitted.size} admissions, one-shot ${oneShot.size}")
+    } finally q.stop()
+  }
+
   test("FULLY-indexed v2 screen (LshIndex + SpanIndex, no raw corpus): equals screenV2; multi-batch union equals one-shot") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
