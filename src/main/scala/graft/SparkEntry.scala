@@ -2055,6 +2055,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the same CCNet bucketing under the interpolated-KN model
+    //      (the smoothing CCNet actually uses — q_lm_kneser_ney's score
+    //      chain + the shared grouped rank and integer cuts, all
+    //      re-derived by the oracle). ----
+    "q_ccnet_buckets_kn" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.operators.QualityLm.fitKn(
+        docs.where(col("lang") === "en"), "text", vocabSize = 256)
+      graft.operators.QualityLm.perplexityBucketsKn(
+        docs, "text", "doc_id", "lang", model)
+        .select("doc_id", "lang", "entropy_bits", "ppl_rank", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // ---- BM25 lexical retrieval: keyword search over the corpus for a
     //      small query set — retrieval-side decontamination / corpus
     //      audit. Map-side tf (no postings shuffle), query terms
@@ -6465,6 +6479,26 @@ object SparkEntry {
       s"""${DedupOracle.lmKnScoreCtes}
         |SELECT doc_id, n_bigrams, entropy_bits
         |FROM e
+        |ORDER BY doc_id""".stripMargin,
+
+    // The KN score chain + the q_ccnet_buckets rank/cut replay.
+    "q_ccnet_buckets_kn" ->
+      s"""${DedupOracle.lmKnScoreCtes},
+        |j AS (
+        |  SELECT e.doc_id, d.lang, e.entropy_bits
+        |  FROM e JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, lang, entropy_bits,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY entropy_bits, doc_id) AS ppl_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM j)
+        |SELECT doc_id, lang, entropy_bits,
+        |  CAST(ppl_rank AS BIGINT) AS ppl_rank,
+        |  CASE WHEN ppl_rank * 3 <= n * 1 THEN 'head'
+        |       WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     // The same score chain, then rank-within-language on the canonical

@@ -238,6 +238,22 @@ object QualityLm {
       headNum, headDen, midNum, midDen, numPartitions)
   }
 
+  /** [[perplexityBuckets]] under the interpolated-KN model — the CCNet
+    * bucketing driven by the smoothing CCNet actually uses: [[scoreKn]]
+    * replaces [[score]], the grouped two-phase prefix rank and the
+    * cumulative integer cuts are shared unchanged. */
+  def perplexityBucketsKn(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, model: KnModel,
+      headNum: Int = 1, headDen: Int = 3,
+      midNum: Int = 2, midDen: Int = 3,
+      numPartitions: Int = 0): DataFrame = {
+    validateCuts(headNum, headDen, midNum, midDen)
+    val scored = scoreKn(docs, textCol, idCol, model)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    bucketScored(scored, idCol, groupCol,
+      headNum, headDen, midNum, midDen, numPartitions)
+  }
+
   /** [[perplexityBuckets]] with PER-GROUP models — the full CCNet
     * recipe: each language is scored under ITS OWN reference LM (a
     * French page's fluency is meaningless under an English model), then
