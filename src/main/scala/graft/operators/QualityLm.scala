@@ -287,6 +287,34 @@ object QualityLm {
       headNum, headDen, midNum, midDen, numPartitions)
   }
 
+  /** [[perplexityBucketsBy]] with PER-GROUP interpolated-KN models —
+    * the full CCNet recipe under the smoothing it actually uses. Same
+    * group contracts as [[perplexityBucketsBy]] (unmodeled groups
+    * dropped, modeled-but-absent groups loud); with every group mapped
+    * to the SAME model this is exactly [[perplexityBucketsKn]]
+    * (spec-pinned). */
+  def perplexityBucketsByKn(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, models: Map[String, KnModel],
+      headNum: Int = 1, headDen: Int = 3,
+      midNum: Int = 2, midDen: Int = 3,
+      numPartitions: Int = 0): DataFrame = {
+    require(models.nonEmpty, "perplexityBucketsByKn: need at least one model")
+    validateCuts(headNum, headDen, midNum, midDen)
+    val input = graft.core.CacheScope.retainInput(docs)
+    val present = input.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = models.keySet.diff(present)
+    require(missing.isEmpty,
+      s"perplexityBucketsByKn: modeled groups absent from the data: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    val scored = models.toSeq.sortBy(_._1).map { case (g, m) =>
+      scoreKn(input.where(col(groupCol).cast("string") === g), textCol, idCol, m)
+        .withColumn(groupCol, lit(g))
+    }.reduce(_ unionByName _)
+    bucketScored(scored, idCol, groupCol,
+      headNum, headDen, midNum, midDen, numPartitions)
+  }
+
   private def validateCuts(headNum: Int, headDen: Int,
       midNum: Int, midDen: Int): Unit = {
     require(headDen > 0 && midDen > 0 && headNum >= 0 && midNum >= 0,

@@ -77,6 +77,22 @@ class PlanSpec extends SparkSpec {
       "native PQ expressions must be in the plan")
   }
 
+  test("q_similarity_ivfpq: probe side broadcast into the cell hash join; no cartesian; corpus never sort-merges") {
+    val p = plan("q_similarity_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "the probe side must broadcast into the cell join, not shuffle-sort the codes")
+    assert(p.contains("pq_encode") && p.contains("pq_adc"))
+  }
+
+  test("q_embedding_neardup_incr: cell join, no cartesian, candidates scored in-join") {
+    val p = plan("q_embedding_neardup_incr")
+    assert(!p.contains("CartesianProduct"),
+      "the incremental embedding screen must join on cell id, not cross")
+    assert(p.contains("dot_arr"), "exact verification must be the native dot")
+  }
+
   test("q_lm_perplexity: model joins broadcast; no cartesian product") {
     val p = plan("q_lm_perplexity")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

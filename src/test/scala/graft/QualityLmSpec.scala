@@ -187,6 +187,40 @@ class QualityLmSpec extends SparkSpec {
     assert(ex2.getMessage.contains("null values in group column"))
   }
 
+  test("Kneser–Ney bucketing: same-model map == single-model; per-group KN models win on their own group") {
+    val modelA = QualityLm.fitKn(refDocs, "text", vocabSize = 16)
+    val refB = Seq((1L, "zork blat quux zork blat"), (2L, "quux zork blat quux"))
+      .toDF("doc_id", "text")
+    val modelB = QualityLm.fitKn(refB, "text", vocabSize = 16)
+    val probe = (0L until 12L).map { i =>
+      (i, if (i % 2 == 0) "en" else "zz",
+        if (i % 2 == 0) s"the cat sat on mat $i" else s"zork blat quux run $i")
+    }.toDF("doc_id", "grp", "text")
+    val uni = QualityLm.perplexityBucketsKn(probe, "text", "doc_id", "grp", modelA)
+      .select("doc_id", "ppl_rank", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val mapped = QualityLm.perplexityBucketsByKn(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA, "zz" -> modelA))
+      .select("doc_id", "ppl_rank", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(mapped == uni)
+    val own = QualityLm.perplexityBucketsByKn(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA, "zz" -> modelB))
+      .select("doc_id", "entropy_bits").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val under = QualityLm.perplexityBucketsByKn(probe, "text", "doc_id", "grp",
+      Map("en" -> modelA, "zz" -> modelA))
+      .select("doc_id", "entropy_bits").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val zzIds = (1L until 12L by 2)
+    assert(zzIds.forall(i => own(i) < under(i)),
+      s"own-model KN entropies should beat wrong-model: ${zzIds.map(i => (own(i), under(i)))}")
+    intercept[IllegalArgumentException] {
+      QualityLm.perplexityBucketsByKn(probe, "text", "doc_id", "grp",
+        Map("en" -> modelA, "fr" -> modelA))
+    }
+  }
+
   test("perplexityBucketsBy: per-group models; same-model map == single-model bucketing; contracts") {
     val modelA = QualityLm.fit(refDocs, "text", vocabSize = 16)
     // a second reference with a disjoint vocabulary
