@@ -198,7 +198,11 @@ object IvfPq {
         nlist: Int = 64, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
         maxIter: Int = 10): IvfPqIndex = {
       val (centroids, cb) = fit(corpus, vecCol, nlist, m, ksub, seed, maxIter)
-      IvfPqIndex(centroids, cb, encoded(corpus, vecCol, idCol, centroids, cb))
+      // serve-many: retain the assigned+encoded corpus (the
+      // LshIndex/IvfIndex build discipline) so query batches never
+      // re-encode
+      IvfPqIndex(centroids, cb, graft.core.CacheScope.retain(
+        encoded(corpus, vecCol, idCol, centroids, cb)))
     }
 
     /** Restore a saved index — by-name validated loads (the

@@ -198,7 +198,11 @@ object Pq {
         m: Int = 8, ksub: Int = 16, seed: Long = 42L,
         maxIter: Int = 10): PqIndex = {
       val cb = fit(corpus, vecCol, m, ksub, seed, maxIter)
-      PqIndex(cb, encoded(corpus, vecCol, idCol, cb))
+      // serve-many: every query batch scans the codes, so retain them
+      // (the LshIndex/IvfIndex build discipline) instead of re-encoding
+      // the corpus per batch
+      PqIndex(cb, graft.core.CacheScope.retain(
+        encoded(corpus, vecCol, idCol, cb)))
     }
 
     /** Restore a saved index — by-name validated loads (the
