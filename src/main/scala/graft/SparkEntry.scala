@@ -1153,6 +1153,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- binary (sign-bit) quantization: ONE long per 64-dim vector
+    //      (64× under float32), ranked by Hamming distance — pure
+    //      INTEGER arithmetic after the sign, so this is the only ANN
+    //      gate with a constant-free FULL oracle (packing, xor,
+    //      popcount and the (hamming, id) rank all replayed bit-exactly,
+    //      no margins needed). Recall + the refine repair are measured
+    //      in q_ann_recall like every other method. ----
+    "q_similarity_bq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.operators.Bq.topK(e, e.filter(col("vec_id") < 8), "embedding",
+        "vec_id", k = 10, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- IVFADC (Jégou et al. 2011 §IV — the FAISS billion-scale
     //      layout): coarse cells prune the SCAN (nprobe of nlist cells
     //      per query), residual PQ codes prune the MEMORY (cell id + 16
@@ -1221,7 +1237,13 @@ object SparkEntry {
           k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 16),
         "ivfpq_refine" -> graft.operators.IvfPq.topK(e, q, "embedding",
           "vec_id", k = 10, nlist = 16, nprobe = 6, m = 16, ksub = 16,
-          refine = 64))
+          refine = 64),
+        // binary quantization: 1 bit/dim Hamming scan + its refine form
+        // (see q_similarity_bq)
+        "bq" -> graft.operators.Bq.topK(e, q, "embedding", "vec_id",
+          k = 10, dim = 64),
+        "bq_refine" -> graft.operators.Bq.topK(e, q, "embedding", "vec_id",
+          k = 10, dim = 64, refine = 64))
       methods.map { case (m, df) =>
         val hits = df.select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"))
@@ -3994,6 +4016,8 @@ object SparkEntry {
     // parameter change). A recall regression breaks the hash compare.
     "q_ann_recall" -> {
       val hits = Seq(
+        ("bq", Seq(3, 5, 1, 3, 4, 3, 0, 2)),
+        ("bq_refine", Seq(8, 10, 4, 5, 10, 9, 5, 4)),
         ("hnsw", Seq(10, 10, 10, 10, 10, 10, 10, 10)),
         ("ivf", Seq(6, 7, 9, 5, 8, 8, 9, 10)),
         ("lsh", Seq(4, 6, 7, 6, 5, 8, 4, 7)),
@@ -5355,6 +5379,31 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // FULL oracle, zero fitted constants and zero float margins: sign
+    // packing (bit b of the unit vector's dim b; ±0 both pack set, so
+    // normalization underflow cannot flip a bit), xor, popcount and the
+    // (hamming, id) total order are all integer-exact replays.
+    "q_similarity_bq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS uv
+        |  FROM e),
+        |bits AS (SELECT vec_id,
+        |    list_aggregate(list_transform(generate_series(0, 63),
+        |      b -> CASE WHEN uv[b + 1] >= 0 THEN
+        |             CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT
+        |                  ELSE (1::BIGINT << b) END
+        |           ELSE 0::BIGINT END), 'bit_or') AS w0
+        |  FROM u),
+        |pair AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.w0, c.w0)) AS INTEGER) AS hamming
+        |  FROM bits q JOIN bits c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        |  FROM pair)
+        |SELECT query_id, neighbor_id, rank, hamming FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     "q_similarity_topk" ->

@@ -548,6 +548,55 @@ case class PqLutExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Sign-bit packing for binary quantization: bit b of word w is set iff
+  * vec[w·64 + b] ≥ 0 — a d-dim vector compresses to ⌈d/64⌉ longs (ONE
+  * long at d=64: 64× under float32). Pure integer output, so the
+  * q_similarity_bq oracle replays packing AND the Hamming ranking
+  * bit-exactly with no embedded constants and no float margins. */
+case class SignPackExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_pack needs array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_pack"
+  private val nwords = (dim + 63) / 64
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](nwords)
+    val n = math.min(dim, v.numElements())
+    var i = 0
+    while (i < n) {
+      if (v.getDouble(i) >= 0.0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$nwords];
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.getDouble($i) >= 0.0) $out[$i >>> 6] |= (1L << ($i & 63));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
+    copy(child = newChild)
+}
+
 /** Per-pair asymmetric PQ distance: Σ_s lut[s·ksub + codes[s]] — the hot
   * loop of a compressed-domain scan (m lookups per pair; summation in
   * subspace order, matching [[PqLutExpr]]'s layout, so two rows with
