@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pq_encode") && p.contains("pq_adc"))
   }
 
+  test("q_similarity_bq: sign packing native, query side broadcast, no sort-merge") {
+    val p = plan("q_similarity_bq")
+    assert(p.contains("sign_pack"), "native sign packing must be in the plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_embedding_neardup_incr: cell join, no cartesian, candidates scored in-join") {
     val p = plan("q_embedding_neardup_incr")
     assert(!p.contains("CartesianProduct"),
