@@ -2923,7 +2923,7 @@ object SparkEntry {
        |      x -> x <> '') AS ntoks
        |  FROM $src),
        |tc AS (SELECT doc_id,
-       |    COALESCE(list_sum(list_transform(ntoks, x -> length(x))), 0) AS tok_chars
+       |    CAST(COALESCE(list_sum(list_transform(ntoks, x -> length(x))), 0) AS BIGINT) AS tok_chars
        |  FROM tk),
        |$gramBlocks,
        |$topBlocks,
@@ -2968,8 +2968,8 @@ object SparkEntry {
        |  FROM t),
        |${gopherRepStatCtes("t0", "page")}
        |SELECT t0.doc_id,
-       |  COALESCE(top2.cover, 0) AS top2_chars,
-       |  COALESCE(dup5.cover, 0) AS dup5_chars,
+       |  CAST(COALESCE(top2.cover, 0) AS BIGINT) AS top2_chars,
+       |  CAST(COALESCE(dup5.cover, 0) AS BIGINT) AS dup5_chars,
        |  tc.tok_chars AS tok_chars
        |FROM t0
        |${gopherRepJoins("t0")}
