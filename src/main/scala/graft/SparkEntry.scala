@@ -415,6 +415,32 @@ object SparkEntry {
       out.select(col("l_partkey") +: ns.columns.map(r4): _*).orderBy("l_partkey")
     }),
 
+    // ---- D5 NOISeqBIO (biological-replicates branch) + rpkm norm,
+    //      FULL oracle: zero-replacement, rpkm scaling with the lc=1
+    //      length factor (annotation synthesized from part, exercising
+    //      the start/stop join), per-gene M/D and delta-method SE²s,
+    //      nclust expression buckets with decimal-exact pooled
+    //      variances, the a0per SE offsets, θ = (M*+D*)/2, the 8
+    //      hash-capped balanced relabelings as the permutation null
+    //      (NOISeq.balancedRelabelings shared with the oracle
+    //      generator), 64-bin smoothed densities, central-matching p0
+    //      and the empirical-Bayes local-fdr — every step re-derived in
+    //      DuckDB (percentiles are exact at the gate → quantile_cont).
+    //      Both sides canonicalize at 1e-4 (q_noiseq pattern). ----
+    "q_noiseq_bio" -> ((s, dir) => {
+      val ns = graft.stats.NOISeq("A", "R",
+        Map("A" -> Seq("a_0", "a_1", "a_2"), "R" -> Seq("r_0", "r_1", "r_2")),
+        comparisonName = Some("A_vs_R_bio"),
+        norm = "rpkm", lc = 1, replicates = "biological",
+        r = 8, bins = 64, index = "l_partkey",
+        lengths = Some(part(s, dir).select(col("p_partkey").as("l_partkey"),
+          ((pmod(col("p_partkey"), lit(97)).cast("double") + lit(3.0)) * lit(50.0))
+            .as("length"))))
+      val out = ns(replicateMatrix(s, dir))
+      val r4 = (c: String) => (floor(col(c) * 10000 + 0.5) / 10000).as(c)
+      out.select(col("l_partkey") +: ns.columns.map(r4): _*).orderBy("l_partkey")
+    }),
+
     // ---- D2 DESeq2-style Wald differential expression, PARTIAL oracle
     //      (the q_kmeans embedded-constants pattern, generalized to a
     //      side table): the iterative parts — CR dispersion MLE, trend,
@@ -3369,6 +3395,8 @@ object SparkEntry {
 
     // Full NOISeq replicate-path re-derivation (see NoiseqOracle).
     "q_noiseq" -> NoiseqOracle.sql,
+    // Full NOISeqBIO biological-replicates + rpkm re-derivation.
+    "q_noiseq_bio" -> NoiseqBioOracle.sql,
 
     // Partial oracle via fitted side table (see DeseqWaldOracle).
     "q_deseq2_wald" -> DeseqWaldOracle.sql(oracleSidePath("deseq2_wald")),
@@ -6995,6 +7023,163 @@ object SparkEntry {
         |  ${r4("sign(md.m) * sqrt(md.m * md.m + md.d * md.d)")} AS "Rank (A_vs_R)"
         |FROM md JOIN prob USING (l_partkey)
         |ORDER BY l_partkey""".stripMargin
+    }
+  }
+
+  /** Full NOISeqBIO re-derivation in DuckDB ([[graft.stats.NOISeq]]'s
+    * biological-replicates branch, q_noiseq_bio): rpkm normalization
+    * with the lc=1 length factor, delta-method SE²s, decimal-exact
+    * bucket-pooled variances, a0 offsets, θ and the 8 shared balanced
+    * relabelings, histogram densities, central-matching p0 and the
+    * empirical-Bayes local-fdr. Every IEEE operation is mirrored in the
+    * engine's evaluation order; driver-collected constants (cuts, a0,
+    * lo/hi/w, histograms, p0) become CTEs computing the identical
+    * values. Perm enumeration comes from the SAME
+    * [[graft.stats.NOISeq.balancedRelabelings]] call the engine makes,
+    * including the hash-order cap at r=8. */
+  private object NoiseqBioOracle {
+    private val colsA = Seq("a_0", "a_1", "a_2")
+    private val colsB = Seq("r_0", "r_1", "r_2")
+    private val dataCols = colsA ++ colsB
+    private val nclust = 15
+    private val bins = 64
+    private val perms = graft.stats.NOISeq.balancedRelabelings(colsA, colsB, 8)
+    private val ln2sq = (math.log(2.0) * math.log(2.0)).toString
+
+    private def meanSql(cs: Seq[String]): String =
+      cs.mkString("(", " + ", s") / ${cs.size}")
+    private def varSql(cs: Seq[String], m: String): String =
+      cs.map(c => s"($c - $m) * ($c - $m)")
+        .mkString("(", " + ", s") / ${cs.size - 1}")
+    private def varMSql(v1: String, m1: String, v2: String, m2: String): String =
+      s"($v1 / (3.0 * $m1 * $m1) + $v2 / (3.0 * $m2 * $m2)) / $ln2sq"
+    private def varDSql(v1: String, v2: String): String = s"$v1 / 3.0 + $v2 / 3.0"
+    private def davgSql(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
+    private def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+
+    def sql: String = {
+      val rmCols = dataCols.map { c =>
+        val rf = c.head.toUpper
+        val rep = c.last
+        s"CAST(SUM(CASE WHEN l_returnflag='$rf' AND l_linenumber % 3 = $rep " +
+          s"THEN 1 ELSE 0 END) AS DOUBLE) AS $c"
+      }.mkString(",\n    ")
+      val zCols = dataCols.map(c =>
+        s"CASE WHEN $c = 0 THEN 0.5 ELSE $c END AS $c").mkString(",\n    ")
+      val libCols = dataCols.map(c => s"SUM($c) AS l_$c").mkString(", ")
+      val meanLib = dataCols.map(c => s"SUM($c)")
+        .mkString("(", " + ", s") / ${dataCols.size} AS meanlib")
+      // rpkm: column scale meanlib/l_c, then the lc=1 length factor
+      val normCols = dataCols.map(c =>
+        s"z.$c * (lib.meanlib / lib.l_$c) / power(lens.len / 1000.0, 1.0) AS $c")
+        .mkString(",\n    ")
+      val permMeans = perms.zipWithIndex.flatMap { case ((pa, pb), i) =>
+        Seq(s"${meanSql(pa)} AS pm1_$i", s"${meanSql(pb)} AS pm2_$i")
+      }.mkString(",\n    ")
+      val permVars = perms.zipWithIndex.flatMap { case ((pa, pb), i) =>
+        Seq(s"${varSql(pa, s"pm1_$i")} AS pv1_$i", s"${varSql(pb, s"pm2_$i")} AS pv2_$i")
+      }.mkString(",\n    ")
+      val permStats = perms.indices.flatMap { i =>
+        Seq(s"log2(pm1_$i / pm2_$i) AS m_$i", s"pm1_$i - pm2_$i AS dsig_$i",
+          s"${varMSql(s"pv1_$i", s"pm1_$i", s"pv2_$i", s"pm2_$i")} AS vm_$i",
+          s"${varDSql(s"pv1_$i", s"pv2_$i")} AS vd_$i")
+      }.mkString(",\n    ")
+      val cutPs = (1 until nclust).map(_.toDouble / nclust)
+      val cutCols = cutPs.zipWithIndex
+        .map { case (p, i) => s"quantile_cont(lt, $p) AS c$i" }.mkString(",\n    ")
+      val bkExpr = cutPs.indices
+        .map(i => s"CASE WHEN lt > cuts.c$i THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val poolCols = (Seq(s"${davgSql("vm")} AS pvm", s"${davgSql("vd")} AS pvd") ++
+        perms.indices.flatMap(i => Seq(s"${davgSql(s"vm_$i")} AS pvm_$i",
+          s"${davgSql(s"vd_$i")} AS pvd_$i"))).mkString(",\n    ")
+      val a0Cols = (Seq("quantile_cont(sqrt(pvm), 0.9) AS am",
+        "quantile_cont(sqrt(pvd), 0.9) AS ad") ++
+        perms.indices.flatMap(i => Seq(
+          s"quantile_cont(sqrt(pvm_$i), 0.9) AS am_$i",
+          s"quantile_cont(sqrt(pvd_$i), 0.9) AS ad_$i"))).mkString(",\n    ")
+      def thetaSql(m: String, d: String, pvm: String, pvd: String,
+          am: String, ad: String): String =
+        s"($m / greatest(a0.$am + sqrt($pvm), 1e-300) + " +
+          s"$d / greatest(a0.$ad + sqrt($pvd), 1e-300)) / 2"
+      val thetaCols = (Seq(thetaSql("m", "dsig", "pvm", "pvd", "am", "ad") + " AS t") ++
+        perms.indices.map(i => thetaSql(s"m_$i", s"dsig_$i", s"pvm_$i", s"pvd_$i",
+          s"am_$i", s"ad_$i") + s" AS t_$i")).mkString(",\n    ")
+      val allT = "t" +: perms.indices.map(i => s"t_$i")
+      val nullArms = perms.indices
+        .map(i => s"  SELECT t_$i AS t0 FROM thetas").mkString("\n  UNION ALL\n")
+      s"""WITH rm0 AS (
+        |  SELECT l_partkey,
+        |    $rmCols
+        |  FROM lineitem GROUP BY l_partkey),
+        |z AS (SELECT l_partkey,
+        |    $zCols
+        |  FROM rm0),
+        |lib AS (SELECT $libCols, $meanLib FROM z),
+        |lens AS (SELECT p_partkey AS l_partkey,
+        |    (CAST(p_partkey % 97 AS DOUBLE) + 3.0) * 50.0 AS len FROM part),
+        |normed AS (SELECT z.l_partkey,
+        |    $normCols
+        |  FROM z JOIN lens ON lens.l_partkey = z.l_partkey, lib),
+        |means AS (SELECT *,
+        |    ln(${dataCols.mkString(" + ")}) AS lt,
+        |    ${meanSql(colsA)} AS m1, ${meanSql(colsB)} AS m2,
+        |    $permMeans
+        |  FROM normed),
+        |vars AS (SELECT *,
+        |    ${varSql(colsA, "m1")} AS v1, ${varSql(colsB, "m2")} AS v2,
+        |    $permVars
+        |  FROM means),
+        |st AS (SELECT l_partkey, lt,
+        |    log2(m1 / m2) AS m, m1 - m2 AS dsig,
+        |    ${varMSql("v1", "m1", "v2", "m2")} AS vm,
+        |    ${varDSql("v1", "v2")} AS vd,
+        |    $permStats
+        |  FROM vars),
+        |cuts AS (SELECT
+        |    $cutCols
+        |  FROM st),
+        |bucketed AS (SELECT st.*, $bkExpr AS bk FROM st, cuts),
+        |pools AS (SELECT bk,
+        |    $poolCols
+        |  FROM bucketed GROUP BY bk),
+        |joined AS (SELECT b.*, ${(Seq("pvm", "pvd") ++ perms.indices.flatMap(i =>
+             Seq(s"pvm_$i", s"pvd_$i"))).map(c => s"p.$c").mkString(", ")}
+        |  FROM bucketed b JOIN pools p USING (bk)),
+        |a0 AS (SELECT
+        |    $a0Cols
+        |  FROM joined),
+        |thetas AS (SELECT l_partkey, m, dsig,
+        |    $thetaCols
+        |  FROM joined, a0),
+        |lohi AS (SELECT min(least(${allT.mkString(", ")})) AS lo,
+        |    max(greatest(${allT.mkString(", ")})) AS hi,
+        |    COUNT(*) AS n FROM thetas),
+        |binc AS (SELECT lo, greatest((hi - lo) / $bins, 1e-300) AS w, n FROM lohi),
+        |nulls AS (
+        |$nullArms),
+        |tb AS (SELECT th.*, CAST(least(${bins - 1}, floor((th.t - binc.lo) / binc.w)) AS INT) AS b
+        |  FROM thetas th, binc),
+        |oh AS (SELECT b, COUNT(*) AS cnt FROM tb GROUP BY b),
+        |nh AS (SELECT CAST(least(${bins - 1}, floor((t0 - binc.lo) / binc.w)) AS INT) AS b,
+        |    COUNT(*) AS cnt
+        |  FROM nulls, binc GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS nn FROM nulls),
+        |medabs AS (SELECT quantile_cont(abs(t0), 0.5) AS ma FROM nulls),
+        |p0 AS (SELECT least(1.0,
+        |    2.0 * (SELECT COUNT(*) FROM thetas, medabs WHERE abs(t) <= ma)
+        |      / (SELECT n FROM lohi)) AS p)
+        |SELECT tb.l_partkey,
+        |  ${r4("tb.m")} AS "logFC (A_vs_R_bio)",
+        |  ${r4("abs(tb.dsig)")} AS "D (A_vs_R_bio)",
+        |  ${r4(s"1.0 - least(1.0, p0.p * ((COALESCE(nh.cnt, 0) + 1.0) / (nn.nn + $bins)) " +
+             s"/ ((oh.cnt + 1.0) / (binc.n + $bins)))")} AS "Prob (A_vs_R_bio)",
+        |  ${r4("sign(tb.m) * sqrt(tb.m * tb.m + tb.dsig * tb.dsig)")} AS "Rank (A_vs_R_bio)"
+        |FROM tb
+        |JOIN oh USING (b)
+        |LEFT JOIN nh USING (b), p0, nn, binc
+        |ORDER BY tb.l_partkey""".stripMargin
     }
   }
 

@@ -48,7 +48,21 @@ final case class NOISeq(
     includeOtherColumnsForVariance: Boolean = false,
     seed: Long = 42L,
     maxNoisePoints: Int = 500000,
-    index: String = "gene_stable_id") extends Transformer {
+    index: String = "gene_stable_id",
+    // ---- noiseqbio branch (differential.py:714-722; Tarazona et al.
+    //      2015). Selected like the reference: replicates="biological"
+    //      AND enough samples for within-condition variance (≥2 per
+    //      condition here — the reference's `df_samples.size[1] < 3`
+    //      guard is a pandas bug, `.size` is a scalar; this is its
+    //      evident intent). ----
+    replicates: String = "no",
+    r: Int = 100,
+    nclust: Int = 15,
+    a0per: Double = 0.9,
+    bins: Int = 0,
+    // gene annotation for norm="rpkm" with lc != 0: (index, start, stop)
+    // or (index, length); differential.py:628-639 __prepare_lengths
+    lengths: Option[DataFrame] = None) extends Transformer {
 
   val name = "NOISeq"
   override def suffix: Option[String] =
@@ -101,8 +115,37 @@ final case class NOISeq(
         dataCols.map(c => c -> meanLib / lib(c)).toMap
     }
 
-    val normed = zeroed.select(
+    val colScaled = zeroed.select(
       (col(index) +: dataCols.map(c => (col(c) * lit(scales(c))).as(c))): _*)
+
+    // rpkm length correction (differential.py:628-639; NOISeq's lc
+    // exponent semantics: lc=0 means NO length correction — the row
+    // factor is (length/1000)^lc, so it only engages when lc != 0).
+    // The annotation join is broadcast: the gene-length table is the
+    // small side of a 100 TB count matrix only when genes << rows; a
+    // gene axis IS the row axis here, so both sides are the same size —
+    // Spark's planner picks sort-merge above the broadcast threshold on
+    // its own, nothing to force.
+    val normed = if (norm == "rpkm" && lc != 0) {
+      val lt = lengths.getOrElse(throw new IllegalArgumentException(
+        "norm=rpkm with lc != 0 needs the gene-length annotation " +
+          "(lengths = DataFrame with (index, length) or (index, start, stop))"))
+      val lenCol =
+        if (lt.columns.contains("length")) col("length").cast("double")
+        else (col("stop").cast("double") - col("start").cast("double"))
+      val lenDf = lt.select(col(index).as("__len_key"), lenCol.as("__len"))
+      val joined = colScaled.join(lenDf, col(index) === col("__len_key"), "left")
+      // fail loud on missing annotation instead of silently dropping or
+      // mis-normalizing genes (QualityClassifier.fit precedent)
+      val missing = joined.where(col("__len").isNull).count()
+      require(missing == 0L,
+        s"norm=rpkm: $missing genes have no length annotation")
+      joined.select((col(index) +: dataCols.map(c =>
+        (col(c) / pow(col("__len") / lit(1000.0), lit(lc.toDouble))).as(c))): _*)
+    } else colScaled
+
+    if (replicates == "biological" && math.min(columnsA.size, columnsB.size) >= 2)
+      return noiseqbio(normed)
 
     val meanA = columnsA.map(col).reduce(_ + _) / columnsA.size
     val meanB = columnsB.map(col).reduce(_ + _) / columnsB.size
@@ -148,6 +191,171 @@ final case class NOISeq(
       .withColumn(rankColumn,
         signum(col("__m")) * sqrt(col("__m") * col("__m") + col("__d") * col("__d")))
     out.select((col(index) +: columns.map(col)): _*)
+  }
+
+  /** NOISeqBIO (differential.py:714-722 delegates to R `noiseqbio`;
+    * Tarazona et al. 2015, NAR 43(21)): the biological-replicates branch.
+    * Re-derived from the published method, deterministically:
+    *
+    *  - per gene, M = log2(x̄A/x̄B) and the signed D = x̄A − x̄B, each
+    *    standardized by its standard error with a SAM-style `a0` offset
+    *    (the `a0per` percentile of the pooled SEs): θ = (M* + D*)/2;
+    *  - variance estimates are pooled across genes of similar expression
+    *    (the paper's k-means clusters, here `nclust` equal-frequency
+    *    expression buckets — deterministic and shuffle-free, same
+    *    information-sharing purpose);
+    *  - the null θ⁰ comes from balanced relabelings of the sample
+    *    columns (the paper's label permutations; enumerated in lexical
+    *    order and capped at `r` deterministically instead of RNG draws);
+    *  - Prob = 1 − local-fdr à la Efron empirical Bayes:
+    *    lfdr(z) = min(1, p0·f0(z)/f(z)) with f/f0 from add-one-smoothed
+    *    fixed-width histograms over θ∪θ⁰ and p0 by central matching
+    *    (p0 = min(1, 2·P(|θ| ≤ median|θ⁰|))).
+    *
+    * Every step is closed-form given the normalized matrix, so the
+    * whole branch replays in ANSI SQL (the q_noiseq oracle pattern).
+    *
+    * Scale: all per-gene statistics (including every relabeling's — the
+    * matrix is wide, one gene per row) are row-local map-side work; the
+    * only aggregates are nclust-sized bucket rollups, percentile passes
+    * and a `bins`-sized histogram, each constant-size regardless of
+    * corpus size; pooled stats return via broadcast joins. */
+  private def noiseqbio(normed0: DataFrame): DataFrame = {
+    val spark = normed0.sparkSession
+    val n1 = columnsA.size
+    val n2 = columnsB.size
+    val normed = graft.core.CacheScope.retain(normed0)
+    val ln2sq = math.log(2.0) * math.log(2.0)
+
+    def meanOf(cs: Seq[String]): Column = cs.map(col).reduce(_ + _) / cs.size
+    def varOf(cs: Seq[String], m: Column): Column =
+      cs.map(c => (col(c) - m) * (col(c) - m)).reduce(_ + _) / (cs.size - 1)
+    // delta-method SE²s of M (log2 ratio of means) and D (difference of
+    // means) from the within-condition sample variances
+    def varM(v1: Column, m1: Column, v2: Column, m2: Column): Column =
+      (v1 / (lit(n1.toDouble) * m1 * m1) + v2 / (lit(n2.toDouble) * m2 * m2)) / lit(ln2sq)
+    def varD(v1: Column, v2: Column): Column =
+      v1 / lit(n1.toDouble) + v2 / lit(n2.toDouble)
+
+    val perms = NOISeq.balancedRelabelings(columnsA, columnsB, r)
+    val pids = perms.indices
+
+    // ---- per-gene row-local statistics: observed + every relabeling ----
+    val m1 = meanOf(columnsA); val m2 = meanOf(columnsB)
+    val v1 = varOf(columnsA, m1); val v2 = varOf(columnsB, m2)
+    // expression bucket key: total normalized count is relabeling-
+    // invariant by construction, so the variance-pooling structure is
+    // identical under the null
+    val dataCols = columnsA ++ columnsB
+    val statCols = Seq(
+      log(dataCols.map(col).reduce(_ + _)).as("__lt"),
+      log2(m1 / m2).as("__m"), (m1 - m2).as("__dsig"),
+      varM(v1, m1, v2, m2).as("__vm"), varD(v1, v2).as("__vd")) ++
+      pids.flatMap { p =>
+        val (pa, pb) = perms(p)
+        val pm1 = meanOf(pa); val pm2 = meanOf(pb)
+        val pv1 = varOf(pa, pm1); val pv2 = varOf(pb, pm2)
+        Seq(log2(pm1 / pm2).as(s"__m$p"), (pm1 - pm2).as(s"__dsig$p"),
+          varM(pv1, pm1, pv2, pm2).as(s"__vm$p"), varD(pv1, pv2).as(s"__vd$p"))
+      }
+    val stats = normed.select(col(index) +: statCols: _*)
+
+    // ---- nclust equal-frequency buckets on log total expression ----
+    lazy val exact = normed.count() <= graft.functions.Normalization.ExactPercentileCutoff
+    import graft.functions.Normalization.scalablePercentile
+    val cutPs = (1 until nclust).map(_.toDouble / nclust)
+    val cutRow = stats.agg(
+      scalablePercentile(col("__lt"), cutPs.head, exact).as("c0"),
+      cutPs.tail.zipWithIndex.map { case (p, i) =>
+        scalablePercentile(col("__lt"), p, exact).as(s"c${i + 1}") }: _*)
+      .collect()(0)
+    val cuts: Seq[Double] = cutPs.indices.map(i => cutRow.getDouble(i))
+    val bucket = cuts.map(c => when(col("__lt") > lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    val bucketed = graft.core.CacheScope.retain(
+      stats.withColumn("__bk", bucket))
+
+    // pooled SE²s per bucket (observed + per-relabeling), broadcast back
+    // decimal-exact sums: a double avg() is partition-order dependent at
+    // the last ulp, which would leak into theta and the histogram bins
+    // (the Tables.dsum rule — r9 ADVICE)
+    def davg(c: Column): Column =
+      graft.Tables.dsumWide(c, 12) / count(lit(1))
+    val poolAggs = Seq(davg(col("__vm")).as("__pvm"), davg(col("__vd")).as("__pvd")) ++
+      pids.flatMap(p => Seq(davg(col(s"__vm$p")).as(s"__pvm$p"),
+        davg(col(s"__vd$p")).as(s"__pvd$p")))
+    val pools = bucketed.groupBy(col("__bk")).agg(poolAggs.head, poolAggs.tail: _*)
+    val pooled = graft.core.CacheScope.retain(
+      bucketed.drop((Seq("__vm", "__vd") ++
+          pids.flatMap(p => Seq(s"__vm$p", s"__vd$p"))): _*)
+        .join(broadcast(pools), "__bk"))
+
+    // ---- a0 offsets: the a0per percentile of the pooled SEs ----
+    val a0Aggs = Seq(scalablePercentile(sqrt(col("__pvm")), a0per, exact).as("am"),
+      scalablePercentile(sqrt(col("__pvd")), a0per, exact).as("ad")) ++
+      pids.flatMap(p => Seq(
+        scalablePercentile(sqrt(col(s"__pvm$p")), a0per, exact).as(s"am$p"),
+        scalablePercentile(sqrt(col(s"__pvd$p")), a0per, exact).as(s"ad$p")))
+    val a0Row = pooled.agg(a0Aggs.head, a0Aggs.tail: _*).collect()(0)
+    def a0(nm: String): Double = a0Row.getAs[Double](nm)
+
+    // θ for the observed labels and each relabeling (ANSI: the a0+SE
+    // denominators are floored away from 0.0 — an all-constant bucket
+    // under a 0.9-percentile of zeros would otherwise throw)
+    def theta(m: Column, d: Column, pvm: Column, pvd: Column,
+        am: Double, ad: Double): Column =
+      (m / greatest(lit(am) + sqrt(pvm), lit(1e-300)) +
+        d / greatest(lit(ad) + sqrt(pvd), lit(1e-300))) / 2
+    val thetaCols = Seq(col(index), col("__m"), col("__dsig"),
+      theta(col("__m"), col("__dsig"), col("__pvm"), col("__pvd"),
+        a0("am"), a0("ad")).as("__t")) ++
+      pids.map(p => theta(col(s"__m$p"), col(s"__dsig$p"),
+        col(s"__pvm$p"), col(s"__pvd$p"), a0(s"am$p"), a0(s"ad$p")).as(s"__t$p"))
+    val withTheta = graft.core.CacheScope.retain(pooled.select(thetaCols: _*))
+
+    // ---- empirical-Bayes probability ----
+    val nullCol = explode(array(pids.map(p => col(s"__t$p")): _*)).as("__t0")
+    val nulls = graft.core.CacheScope.retain(withTheta.select(nullCol))
+    val loHi = withTheta
+      .agg(min(least(col("__t") +: pids.map(p => col(s"__t$p")): _*)).as("lo"),
+        max(greatest(col("__t") +: pids.map(p => col(s"__t$p")): _*)).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val lo = loHi.getDouble(0)
+    // bins <= 0: Rice-rule default, so a 12-gene toy frame and a 100 TB
+    // matrix both get sane density resolution; gates pin it explicitly
+    val effBins =
+      if (bins > 0) bins
+      else math.max(5, math.ceil(2.0 * math.cbrt(loHi.getLong(2).toDouble)).toInt)
+    val w = math.max((loHi.getDouble(1) - lo) / effBins, 1e-300)
+    def binOf(c: Column): Column =
+      least(lit(effBins - 1), floor((c - lit(lo)) / lit(w))).cast("int")
+    val obsHist: Map[Int, Long] = withTheta.groupBy(binOf(col("__t")).as("b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nullHist: Map[Int, Long] = nulls.groupBy(binOf(col("__t0")).as("b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nObs = obsHist.values.sum.toDouble
+    val nNull = nullHist.values.sum.toDouble
+    // central matching for the null proportion: half the null mass sits
+    // below median|θ⁰| by construction, so p0 = min(1, 2·P(|θ|≤med))
+    val medAbs = nulls.agg(scalablePercentile(abs(col("__t0")), 0.5, exact).as("m"))
+      .collect()(0).getDouble(0)
+    val nBelow = withTheta.where(abs(col("__t")) <= lit(medAbs)).count()
+    val p0 = math.min(1.0, 2.0 * nBelow / nObs)
+
+    import spark.implicits._
+    val densities = (0 until effBins).map { b =>
+      (b, (obsHist.getOrElse(b, 0L) + 1.0) / (nObs + effBins),
+        (nullHist.getOrElse(b, 0L) + 1.0) / (nNull + effBins))
+    }.toDF("__b", "__f", "__f0")
+    withTheta.withColumn("__b", binOf(col("__t")))
+      .join(broadcast(densities), "__b")
+      .select(col(index),
+        col("__m").as(logFCColumn),
+        abs(col("__dsig")).as(dColumn),
+        (lit(1.0) - least(lit(1.0), lit(p0) * col("__f0") / col("__f"))).as(probColumn),
+        (signum(col("__m")) *
+          sqrt(col("__m") * col("__m") + col("__dsig") * col("__dsig"))).as(rankColumn))
   }
 
   /** Simulated replicate expressions for one single-sample condition:
@@ -197,6 +405,28 @@ final case class NOISeq(
 }
 
 object NOISeq {
+  /** All balanced relabelings of the sample columns (pseudo-A groups of
+    * size |colsA| drawn from A∪B), lexical order, excluding the observed
+    * labeling and its mirror; deterministically capped at `cap` by
+    * hash-order subsampling (the maxNoisePoints pattern — no RNG, so the
+    * null is partitioning- and run-independent). Shared by the engine
+    * and the SparkEntry oracle generator so both enumerate the identical
+    * null. */
+  def balancedRelabelings(colsA: Seq[String], colsB: Seq[String],
+      cap: Int): Seq[(Seq[String], Seq[String])] = {
+    val all = colsA ++ colsB
+    val obs = colsA.toSet
+    val mirror = colsB.toSet
+    val combos = all.combinations(colsA.size)
+      .filter(c => { val s = c.toSet; s != obs && s != mirror })
+      .toSeq
+    val sel =
+      if (combos.size <= cap) combos
+      else combos.sortBy(c =>
+        scala.util.hashing.MurmurHash3.stringHash(c.mkString(" "))).take(cap)
+    sel.map(c => (c, all.filterNot(c.toSet)))
+  }
+
   /** Poisson sampling expression with explicit per-row seed (Knuth for
     * small λ, normal approximation above 30 — adequate for count data). */
   val poissonUdf: org.apache.spark.sql.expressions.UserDefinedFunction =

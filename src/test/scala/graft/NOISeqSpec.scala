@@ -66,6 +66,100 @@ class NOISeqSpec extends SparkSpec {
     assert(p1 == probs) // deterministic across runs
   }
 
+  /** 12-gene 3v3 matrix with two planted DE genes (g_up strongly up in A,
+    * g_dn strongly down) over a flat background with mild replicate
+    * noise — the noiseqbio branch must rank the planted signal at the
+    * top of the Prob ordering. */
+  lazy val bioFrame: DataFrame = {
+    // integral counts (library sums stay exact in double arithmetic, so
+    // run-to-run determinism is bit-level) with deterministic pseudo-noise
+    val bg = (1 to 40).map { i =>
+      val base = 20 + 7 * i
+      def n(j: Int) = base + (i * 7 + j * 13) % 11 - 5
+      (f"g_bg$i%02d", n(0).toDouble, n(1).toDouble, n(2).toDouble,
+        n(3).toDouble, n(4).toDouble, n(5).toDouble)
+    }
+    val planted = Seq(
+      ("g_up", 900.0, 870.0, 930.0, 45.0, 50.0, 40.0),
+      ("g_dn", 30.0, 25.0, 35.0, 700.0, 720.0, 680.0))
+    (bg ++ planted).toDF("gene_stable_id", "a_0", "a_1", "a_2", "r_0", "r_1", "r_2")
+  }
+  val bioCond = Map("A" -> Seq("a_0", "a_1", "a_2"), "R" -> Seq("r_0", "r_1", "r_2"))
+
+  test("noiseqbio: planted DE genes get the top Prob, background stays low") {
+    val ns = NOISeq("A", "R", bioCond, replicates = "biological",
+      norm = "n", nclust = 4, index = "gene_stable_id")
+    val out = ns(bioFrame).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val probs = out.view.mapValues(_._2).toMap
+    assert(probs.values.forall(p => p >= 0.0 && p <= 1.0))
+    // planted genes carry the two highest probabilities, and decisively
+    val bgMax = probs.filter(_._1.startsWith("g_bg")).values.max
+    assert(probs("g_up") > bgMax && probs("g_dn") > bgMax,
+      s"planted ${probs("g_up")}/${probs("g_dn")} vs background max $bgMax")
+    assert(probs("g_up") > 0.5 && probs("g_dn") > 0.5)
+    // sign contract: logFC positive for up-in-A, negative for down
+    assert(out("g_up")._1 > 0 && out("g_dn")._1 < 0)
+  }
+
+  test("noiseqbio: deterministic across runs and partitioning") {
+    val ns = NOISeq("A", "R", bioCond, replicates = "biological",
+      norm = "n", nclust = 4, index = "gene_stable_id")
+    def run(df: DataFrame) = ns(df).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(run(bioFrame) == run(bioFrame.repartition(7)))
+  }
+
+  test("noiseqbio branch selection mirrors the reference guard") {
+    // replicates="biological" with only 1 replicate in a condition falls
+    // back to the classic noiseq path (differential.py:703-706 intent)
+    val single = NOISeq("A", "B", condToCols, replicates = "biological",
+      includeOtherColumnsForVariance = true)
+    val out = single(frame)
+    assert(out.columns.length == 5) // runs the classic path, same contract
+  }
+
+  test("balancedRelabelings: lexical, excludes observed labeling and mirror") {
+    val perms = NOISeq.balancedRelabelings(
+      Seq("a_0", "a_1", "a_2"), Seq("r_0", "r_1", "r_2"), 100)
+    assert(perms.size == 18) // C(6,3) - identity - mirror
+    assert(!perms.exists(_._1.toSet == Set("a_0", "a_1", "a_2")))
+    assert(!perms.exists(_._1.toSet == Set("r_0", "r_1", "r_2")))
+    assert(perms.forall { case (a, b) => a.size == 3 && b.size == 3 })
+    // deterministic cap: a subset of the uncapped enumeration, stable size
+    val capped = NOISeq.balancedRelabelings(
+      Seq("a_0", "a_1", "a_2"), Seq("r_0", "r_1", "r_2"), 5)
+    assert(capped.size == 5 && capped.toSet.subsetOf(perms.toSet))
+  }
+
+  test("rpkm norm: lc=1 divides by (length/1000), lc=0 ignores lengths") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g1", 10.0, 40.0), ("g2", 20.0, 10.0)).toDF("gene_stable_id", "s1", "s2")
+    val lens = Seq(("g1", 0L, 2000L), ("g2", 0L, 500L)).toDF("gene_stable_id", "start", "stop")
+    val cond = Map("A" -> Seq("s1"), "B" -> Seq("s2"))
+    val lc1 = NOISeq("A", "B", cond, norm = "rpkm", lc = 1, lengths = Some(lens))
+    val lc0 = NOISeq("A", "B", cond, norm = "rpkm", lc = 0)
+    def md(ns: NOISeq) = ns(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val with1 = md(lc1); val with0 = md(lc0)
+    // M: the per-gene length factor cancels in the within-gene ratio
+    assert(math.abs(with1("g1")._1 - with0("g1")._1) < 1e-12)
+    assert(math.abs(with1("g2")._1 - with0("g2")._1) < 1e-12)
+    // D: scales by 1/(len/1000) — g1 len 2000 → /2, g2 len 500 → x2
+    assert(math.abs(with1("g1")._2 - with0("g1")._2 / 2.0) < 1e-9)
+    assert(math.abs(with1("g2")._2 - with0("g2")._2 * 2.0) < 1e-9)
+    // lc=0: lengths unused (NOISeq lc semantics), no annotation required
+    assert(lc0(df).collect().length == 2)
+    // fail-loud on missing annotation
+    val missing = Seq(("g1", 0L, 2000L)).toDF("gene_stable_id", "start", "stop")
+    intercept[IllegalArgumentException] {
+      NOISeq("A", "B", cond, norm = "rpkm", lc = 1, lengths = Some(missing))(df).collect()
+    }
+    intercept[IllegalArgumentException] {
+      NOISeq("A", "B", cond, norm = "rpkm", lc = 1)(df).collect()
+    }
+  }
+
   test("real-replicate noise path: two replicates per condition") {
     val df = Seq(
       ("g1", 10.0, 12.0, 30.0, 28.0),
