@@ -34,7 +34,7 @@ object IvfPq {
 
   /** Fit coarse centroids + residual codebooks from one shared
     * hash-ordered sample (fit cost flat in n). */
-  def fit(corpus: DataFrame, vecCol: String, nlist: Int = 64, m: Int = 8,
+  def fit(corpus: DataFrame, vecCol: String, nlist: Int = 0, m: Int = 8,
       ksub: Int = 16, seed: Long = 42L, maxIter: Int = 10)
       : (Array[Array[Double]], Pq.Codebooks) = {
     val u = Similarity.withUnitVec(corpus, vecCol, "__uv")
@@ -42,7 +42,10 @@ object IvfPq {
     require(sample.nonEmpty, "IvfPq.fit: empty input")
     val dim = sample(0).length
     require(dim % m == 0, s"IvfPq.fit: dim $dim is not divisible into $m subspaces")
-    val centroids = Similarity.lloyd(sample, math.min(nlist, sample.length),
+    // nlist = 0: the 4*sqrt(n) rule (Similarity.autoNlist) on the corpus
+    // size, so un-knobbed deployments track n
+    val eff = if (nlist > 0) nlist else Similarity.autoNlist(u.count())
+    val centroids = Similarity.lloyd(sample, math.min(eff, sample.length),
       seed, maxIter)
     // residuals of the SAME sample under the just-fitted coarse
     // quantizer (assignment is the lloyd nearest rule: strict <, first
@@ -70,7 +73,7 @@ object IvfPq {
   /** One-shot IVFADC top-k (fit + encode + probe). Build [[IvfPqIndex]]
     * for serve-many. */
   def topK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8, m: Int = 8,
+      idCol: String, k: Int, nlist: Int = 0, nprobe: Int = 8, m: Int = 8,
       ksub: Int = 16, seed: Long = 42L, refine: Int = 0): DataFrame = {
     val idx = IvfPqIndex.build(corpus, vecCol, idCol, nlist, m, ksub, seed)
     if (refine <= 0) idx.topK(queries, vecCol, idCol, k, nprobe)
@@ -195,7 +198,7 @@ object IvfPq {
     /** Fit both quantizers (one shared sample) and assign+encode every
       * corpus row in one distributed map-side pass. */
     def build(corpus: DataFrame, vecCol: String, idCol: String,
-        nlist: Int = 64, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+        nlist: Int = 0, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
         maxIter: Int = 10): IvfPqIndex = {
       val (centroids, cb) = fit(corpus, vecCol, nlist, m, ksub, seed, maxIter)
       // serve-many: retain the assigned+encoded corpus (the

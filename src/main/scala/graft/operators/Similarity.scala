@@ -162,6 +162,17 @@ object Similarity {
     *    single distributed pass (assignment) does all the real work.
     * Shared by [[ivfTopK]], [[embeddingNearDupPairs]], SemDeDup and the
     * NearDupProbe profiler — one place for the quantizer recipe. */
+  /** The nlist growth rule as a code default, not prose (r10 VERDICT
+    * ask #4): nlist = max(16, min(4*sqrt(n), n/4, cap)). Cells then hold
+    * ~sqrt(n)/4 rows, so probe cost and fit cost both stay sublinear as
+    * the corpus grows; a deployment that never sets the knob gets
+    * occupancy that tracks n instead of inheriting a bench-sized
+    * constant. Callers pass nlist = 0 (the builder default) to engage
+    * it; any explicit positive value wins. */
+  private[graft] def autoNlist(n: Long, cap: Int = 4096): Int =
+    math.max(16L, math.min((4.0 * math.sqrt(n.toDouble)).toLong,
+      math.min(n / 4, cap.toLong))).toInt
+
   private[graft] def fitQuantizer(u: DataFrame, vecCol: String, nlist: Int,
       seed: Long, maxIter: Int): Array[Array[Double]] = {
     val sample = hashSample(u, vecCol, seed)
@@ -239,7 +250,7 @@ object Similarity {
         centroids.map(_.toSeq).toSeq, k))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, nlist: Int = 64, nprobe: Int = 8,
+      idCol: String, k: Int, nlist: Int = 0, nprobe: Int = 8,
       seed: Long = 42L): DataFrame =
     IvfIndex.build(corpus, vecCol, idCol, nlist, seed)
       .topK(queries, vecCol, idCol, k, nprobe)
@@ -355,13 +366,16 @@ object Similarity {
     /** Fit the quantizer and assign every corpus row to its nearest cell
       * (ONE distributed pass after the sampled fit). */
     def build(corpus: DataFrame, vecCol: String, idCol: String,
-        nlist: Int = 64, seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
+        nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
       val cu = withUnitVec(corpus, vecCol, "__cv")
         .select(col(idCol).as("neighbor_id"), col("__cv"))
         // KMeans fit iterates over it and the candidate plan reads it
         // again; bounded retention
         .pipe(graft.core.CacheScope.retain)
-      val centroids = fitQuantizer(cu, "__cv", nlist, seed, maxIter)
+      // nlist = 0: size from the corpus (one cheap count on the cached
+      // frame) via the 4*sqrt(n) rule instead of a fixed constant
+      val eff = if (nlist > 0) nlist else autoNlist(cu.count())
+      val centroids = fitQuantizer(cu, "__cv", eff, seed, maxIter)
       val cells = cu.withColumn("__cell",
         element_at(nearestCellsUdf(centroids, 1)(col("__cv")), 1))
       IvfIndex(centroids, cells)
@@ -473,8 +487,7 @@ object Similarity {
     // the disk, while duplicate scoring across shared cells here costs
     // only ~10¹⁰ flops. Dedup happens on the ~10⁶ surviving pairs.
     def approxPath(u: DataFrame, nRows: Long): DataFrame = {
-      val nlist = math.max(16L, math.min((4.0 * math.sqrt(nRows.toDouble)).toLong,
-        math.min(nRows / 4, nlistCap.toLong))).toInt
+      val nlist = autoNlist(nRows, nlistCap)
       // 5 Lloyd iterations on a ≤20k sample keep the fit cost flat in n;
       // cells only need rough balance (candidates are verified exactly)
       val centroids = fitQuantizer(u, "__u", nlist, seed, maxIter = 5)

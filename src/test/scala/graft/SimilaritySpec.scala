@@ -87,6 +87,25 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute.keySet)
   }
 
+  test("auto-nlist default: tracks n by the 4*sqrt(n) rule, capped; explicit value wins") {
+    import graft.operators.Similarity
+    // the growth rule itself
+    assert(Similarity.autoNlist(100) == 25)           // 4*10=40 > n/4=25
+    assert(Similarity.autoNlist(10000) == 400)        // 4*100
+    assert(Similarity.autoNlist(1000000) == 4000)     // 4*1000
+    assert(Similarity.autoNlist(100000000) == 4096)   // cap
+    assert(Similarity.autoNlist(100000000, cap = 65536) == 40000)
+    assert(Similarity.autoNlist(20) == 16)            // floor
+    // un-knobbed build engages it: centroid count tracks the corpus size
+    val idx = Similarity.IvfIndex.build(embeddings, "embedding", "vec_id")
+    val n = embeddings.count()
+    assert(idx.centroids.length == Similarity.autoNlist(n),
+      s"default build fitted ${idx.centroids.length} cells for n=$n")
+    // an explicit value still wins (the gates pin nlist=16)
+    val fixed = Similarity.IvfIndex.build(embeddings, "embedding", "vec_id", nlist = 8)
+    assert(fixed.centroids.length == 8)
+  }
+
   test("IvfIndex: build once serves many batches; save/load round-trips with no re-fit") {
     import graft.operators.Similarity.IvfIndex
     val idx = IvfIndex.build(embeddings, "embedding", "vec_id", nlist = 8, seed = 42L)
