@@ -36,11 +36,25 @@ final case class CheckpointStore(dir: String) {
   def contains(key: String): Boolean =
     Files.exists(Paths.get(pathFor(key), "_SUCCESS"))
 
+  /** Best-effort access stamp for [[pruneToSize]]'s LRU order: a marker
+    * file touched on every cache read. Failure is swallowed — a
+    * read-only or object-store-backed dir degrades to eviction by
+    * materialization age, never to a failed read. */
+  private def touchAccess(p: String): Unit =
+    try {
+      val m = Paths.get(p, "_ACCESS")
+      if (Files.exists(m))
+        Files.setLastModifiedTime(m,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      else Files.createFile(m)
+    } catch { case _: Exception => () }
+
   /** Materialize `df` under `key` if absent; always returns the cached
     * read (so downstream plans cut lineage at the checkpoint). */
   def materialize(df: DataFrame, key: String): DataFrame = {
     val p = pathFor(key)
     if (!contains(key)) df.write.mode("overwrite").parquet(p)
+    touchAccess(p)
     df.sparkSession.read.parquet(p)
   }
 
@@ -76,6 +90,52 @@ final case class CheckpointStore(dir: String) {
     } finally entries.close()
   }
 
+  /** Size-bounded LRU eviction (r10 VERDICT ask #8): delete
+    * least-recently-used complete entries until the store's total size
+    * is at most `maxBytes`. "Recently used" is the `_ACCESS` marker
+    * [[materialize]]/[[apply]] touch on every cache read, falling back
+    * to the `_SUCCESS` materialization time for entries never re-read
+    * (or on filesystems where the touch failed). In-progress entries
+    * (no `_SUCCESS` yet — a concurrent materialization is landing part
+    * files) are never deleted here; [[prune]] ages those out. An evicted
+    * key simply re-materializes on next request. Returns the number of
+    * entries removed.
+    *
+    * 100 TB posture: run this out-of-band (the prune cadence), not
+    * inline on every write — sizing walks the whole store once. */
+  def pruneToSize(maxBytes: Long): Int = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return 0
+    case class Entry(path: java.nio.file.Path, bytes: Long, lastUsed: Long)
+    val dirs = Files.list(root)
+    val entries = try {
+      dirs.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filter(d => Files.exists(d.resolve("_SUCCESS")))
+        .map { d =>
+          val files = Files.walk(d)
+          val bytes = try files.iterator().asScala
+            .filter(Files.isRegularFile(_)).map(Files.size).sum
+          finally files.close()
+          val access = d.resolve("_ACCESS")
+          val stamp = if (Files.exists(access)) access else d.resolve("_SUCCESS")
+          Entry(d, bytes, Files.getLastModifiedTime(stamp).toMillis)
+        }.toSeq
+    } finally dirs.close()
+    var total = entries.map(_.bytes).sum
+    var removed = 0
+    // oldest access first; path as the deterministic tiebreak
+    for (e <- entries.sortBy(e => (e.lastUsed, e.path.toString))
+         if total > maxBytes) {
+      val files = Files.walk(e.path)
+      try files.iterator().asScala.toSeq.reverseIterator.foreach(Files.delete)
+      finally files.close()
+      total -= e.bytes
+      removed += 1
+    }
+    removed
+  }
+
   /** Apply a transformer with checkpointing: cache hit skips executing
     * `t` (and its whole upstream plan) entirely. `inputKey` identifies
     * the input dataset (path + version). */
@@ -83,10 +143,8 @@ final case class CheckpointStore(dir: String) {
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val key = t.fingerprint + "|" + inputKey
     val p = pathFor(key)
-    if (contains(key)) spark.read.parquet(p)
-    else {
-      t(input).write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
+    if (!contains(key)) t(input).write.mode("overwrite").parquet(p)
+    touchAccess(p)
+    spark.read.parquet(p)
   }
 }

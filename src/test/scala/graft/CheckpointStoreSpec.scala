@@ -115,6 +115,52 @@ class CheckpointStoreSpec extends SparkSpec {
     assert(store(t, input, "old").count() == 1)
     assert(store.contains(t.fingerprint + "|" + "old"))
   }
+
+  test("pruneToSize: LRU eviction to a byte budget; re-read entries survive") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt4").toString
+    val store = CheckpointStore(dir)
+    val input = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+    val t = Transformer("identity", Seq(1.0))(df => df)
+    def entryDir(key: String) =
+      java.nio.file.Paths.get(dir, Transformer.sha256(t.fingerprint + "|" + key))
+    def ageAccess(key: String, hoursAgo: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(entryDir(key).resolve("_ACCESS"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - hoursAgo * 3600 * 1000L))
+
+    Seq("k1", "k2", "k3").foreach(k => store(t, input, k).collect())
+    // k1 oldest access, k2 middle, k3 just used
+    ageAccess("k1", 3); ageAccess("k2", 2)
+    // re-reading k1 refreshes its access stamp → k2 becomes the LRU entry
+    store(t, input, "k1").collect()
+
+    def size(key: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(entryDir(key))
+      try files.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => java.nio.file.Files.size(p)).sum
+      finally files.close()
+    }
+    val each = size("k1")
+    // budget for two entries: exactly the LRU one (k2) goes
+    val removed = store.pruneToSize(maxBytes = each * 2 + each / 2)
+    assert(removed == 1, s"expected exactly the LRU entry evicted, got $removed")
+    assert(!java.nio.file.Files.exists(entryDir("k2")))
+    assert(store.contains(t.fingerprint + "|k1"))
+    assert(store.contains(t.fingerprint + "|k3"))
+
+    // an in-flight (no _SUCCESS) dir is never evicted by size
+    val inflight = java.nio.file.Paths.get(dir, "deadbeef-inflight")
+    java.nio.file.Files.createDirectory(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "junk")
+    assert(store.pruneToSize(maxBytes = 0L) == 2) // evicts k1+k3, not inflight
+    assert(java.nio.file.Files.exists(inflight.resolve("part-0.parquet")))
+
+    // an evicted key transparently re-materializes
+    assert(store(t, input, "k2").count() == 2)
+  }
 }
 
 object CheckpointStoreSpec {
