@@ -44,6 +44,49 @@ object SparkEntry {
 
   /** Count matrix with three pseudo-replicates per returnflag condition
     * (replicate id = l_linenumber mod 3) for the differential operators. */
+  /** The crawl-pipeline fixture synthesis shared by q_crawl_pipeline and
+    * q_warc_pipeline: per-doc robots.txt body, crawl URL and raw HTML
+    * page (doc_id-keyed arithmetic so the DuckDB oracle re-derives all
+    * three without reading any file). */
+  private def crawlRobots: Column = {
+    val m = pmod(col("doc_id"), lit(6))
+    when(m === 0, lit(
+        "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nAllow: /\n"))
+      .when(m === 1, lit("User-agent: *\nDisallow: /private\n"))
+      .when(m === 2, lit("User-agent: *\nAllow: /page\nDisallow: /\n"))
+      .when(m.isin(3, 4), lit("User-agent: *\nDisallow: /*.gif$\n"))
+      .otherwise(lit(""))
+  }
+
+  private def crawlUrl: Column = {
+    val m = pmod(col("doc_id"), lit(6))
+    when(m === 0, lit("https://ex.com/anything"))
+      .when(m === 1, lit("https://ex.com/private/p1"))
+      .when(m === 2, lit("https://ex.com/page"))
+      .when(m === 3, lit("https://ex.com/img/a.gif"))
+      .when(m === 4, lit("https://ex.com/img/a.gifx"))
+      .otherwise(lit("https://ex.com/open"))
+  }
+
+  private def crawlPage: Column = {
+    // the dirty tail rides the PROSE line so the hygiene stage's work
+    // survives the boilerplate strip; the CRLF opens a short debris
+    // line that dies there (everything \u-escaped: plain-text source)
+    val dirty = concat(col("text"),
+      lit(" cafe\u0301 \u200Bzero\u200Dwidth \u0007bell"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(" A\u030A"))
+        .otherwise(lit(" \u00C5")),
+      lit("\r\nshort tail"))
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style type=\"text/css\">body { margin: 0 }</style>" +
+        "<script>var a = \"<p>hidden</p>\";</script></head>" +
+        "<body><!-- nav\nblock --><h1>Heading "), col("doc_id"),
+      lit("</h1><p>"), dirty,
+      lit("</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;\"ok&quot;</div>" +
+        "</body></html>"))
+  }
+
   private def replicateMatrix(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
     val aggs = for (rf <- Seq("A", "N", "R"); rep <- 0 to 2) yield
@@ -1606,43 +1649,73 @@ object SparkEntry {
     "q_crawl_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       import graft.functions.UrlFunctions._
-      val m = pmod(col("doc_id"), lit(6))
-      val robots = when(m === 0, lit(
-          "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nAllow: /\n"))
-        .when(m === 1, lit("User-agent: *\nDisallow: /private\n"))
-        .when(m === 2, lit("User-agent: *\nAllow: /page\nDisallow: /\n"))
-        .when(m.isin(3, 4), lit("User-agent: *\nDisallow: /*.gif$\n"))
-        .otherwise(lit(""))
-      val url = when(m === 0, lit("https://ex.com/anything"))
-        .when(m === 1, lit("https://ex.com/private/p1"))
-        .when(m === 2, lit("https://ex.com/page"))
-        .when(m === 3, lit("https://ex.com/img/a.gif"))
-        .when(m === 4, lit("https://ex.com/img/a.gifx"))
-        .otherwise(lit("https://ex.com/open"))
-      // the dirty tail rides the PROSE line so the hygiene stage's work
-      // survives the boilerplate strip; the CRLF opens a short debris
-      // line that dies there (everything \u-escaped: plain-text source)
-      val dirty = concat(col("text"),
-        lit(" cafe\u0301 \u200Bzero\u200Dwidth \u0007bell"),
-        when(pmod(col("doc_id"), lit(2)) === 0, lit(" A\u030A"))
-          .otherwise(lit(" \u00C5")),
-        lit("\r\nshort tail"))
-      val page = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><style type=\"text/css\">body { margin: 0 }</style>" +
-          "<script>var a = \"<p>hidden</p>\";</script></head>" +
-          "<body><!-- nav\nblock --><h1>Heading "), col("doc_id"),
-        lit("</h1><p>"), dirty,
-        lit("</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;\"ok&quot;</div>" +
-          "</body></html>"))
       documents(s, dir).where(col("text").isNotNull)
-        .where(robotsAllowed(robots, urlPathQuery(url)))
+        .where(robotsAllowed(crawlRobots, urlPathQuery(crawlUrl)))
         .select(col("doc_id"),
-          stripBoilerplate(cleanUnicode(htmlToText(page))).as("clean"))
+          stripBoilerplate(cleanUnicode(htmlToText(crawlPage))).as("clean"))
         .where(length(col("clean")) >= 100)
         .orderBy("doc_id")
     }),
 
+    // ---- language ID over the corpus (the heuristic that gates the
+    //      CCNet/mix screens), per-row oracle: the marker-set argmax
+    //      with the engine's first-wins tie rule is re-derived in
+    //      DuckDB from the SAME LangProfiles lists (generated into the
+    //      SQL, so the two can never drift apart silently). ----
+    "q_langid" -> ((s, dir) =>
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- the SAME crawl pipeline, end-to-end from an actual WARC
+    //      archive (r10 VERDICT ask #7): the query first serializes
+    //      every page (no pre-gating) into .warc.gz shards with its
+    //      crawl URL as WARC-Target-URI and doc_id encoded in the
+    //      record date (URLs repeat across docs by design — their
+    //      robots-relevant shapes must survive byte round-tripping
+    //      untouched), then Warc.read → robots gate on the READ
+    //      target_uri → HTML extraction → hygiene → boilerplate →
+    //      length gate. The oracle is the q_crawl_pipeline replay
+    //      verbatim: the WARC hop must be lossless, so the same
+    //      curated frame falls out. ----
+    "q_warc_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      import graft.functions.UrlFunctions._
+      import graft.sources.Warc
+      val outDir = new java.io.File(
+        s"/root/repo/data/warc_pipeline_fixture/${new java.io.File(dir).getName}")
+      outDir.mkdirs()
+      Option(outDir.listFiles()).foreach(_.foreach(_.delete()))
+      val base = outDir.getPath
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), crawlUrl.as("url"), crawlPage.as("page"))
+        .repartition(8, col("doc_id"))
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          val recs = it.map { r =>
+            val id = r.getLong(0)
+            ("response", r.getString(1),
+              java.time.Instant.ofEpochSecond(1704067200L + id).toString,
+              "text/html", r.getString(2).getBytes("UTF-8"))
+          }.toSeq
+          if (recs.nonEmpty) {
+            val gz = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(new java.io.File(base, f"part_$pid%05d.warc.gz")))
+            gz.write(Warc.recordBytes(recs)); gz.close()
+          }
+          Iterator.single(1)
+        }.count()
+      Warc.read(s, s"$base/*.warc.gz")
+        .select(
+          (unix_timestamp(to_timestamp(col("date"))) - lit(1704067200L)).as("doc_id"),
+          col("target_uri"),
+          decode(col("payload"), "UTF-8").as("page"))
+        .where(robotsAllowed(crawlRobots, urlPathQuery(col("target_uri"))))
+        .select(col("doc_id"),
+          stripBoilerplate(cleanUnicode(htmlToText(col("page")))).as("clean"))
+        .where(length(col("clean")) >= 100)
+        .orderBy("doc_id")
+    }),
     // ---- span-duplication audit (the data-card number behind the
     //      ExactSubstr scrub): per language, how many tokens sit inside
     //      duplicated ≥8-token windows. Fully-scrubbed docs count all
@@ -5725,58 +5798,12 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
-    "q_crawl_pipeline" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE text IS NOT NULL AND (doc_id % 6) IN (0, 2, 4, 5)),
-        |d AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id ||
-        |    '</title><style type="text/css">body { margin: 0 }</style>' ||
-        |    '<script>var a = "<p>hidden</p>";</script></head>' ||
-        |    '<body><!-- nav' || chr(10) || 'block --><h1>Heading ' || doc_id ||
-        |    '</h1><p>' || text || ' cafe' || chr(769) || ' ' || chr(8203) ||
-        |    'zero' || chr(8205) || 'width ' || chr(7) || 'bell' ||
-        |    CASE WHEN doc_id % 2 = 0 THEN ' A' || chr(778) ELSE ' ' || chr(197) END ||
-        |    chr(13) || chr(10) || 'short tail' ||
-        |    '</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;"ok&quot;</div>' ||
-        |    '</body></html>' AS page
-        |  FROM base),
-        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
-        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM d),
-        |s2 AS (SELECT doc_id, regexp_replace(t,
-        |    '(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)\s*>',
-        |    chr(10), 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id,
-        |    replace(replace(replace(replace(replace(replace(t,
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-        |      '&nbsp;', ' '), '&amp;', '&') AS t
-        |  FROM s3),
-        |x AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(t,
-        |      '[ \t]*\n[ \t]*', chr(10), 'g'),
-        |      '[ \t]+', ' ', 'g'),
-        |      '^[ \n]+|[ \n]+$', '', 'g') AS t
-        |  FROM s4),
-        |u AS (SELECT doc_id,
-        |    regexp_replace(
-        |      replace(replace(nfc_normalize(t), chr(13)||chr(10), chr(10)),
-        |              chr(13), chr(10)),
-        |      '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}\x{AD}\x{200B}-\x{200D}\x{FEFF}]',
-        |      '', 'g') AS t
-        |  FROM x),
-        |b AS (SELECT doc_id,
-        |    array_to_string(list_filter(string_split(t, chr(10)),
-        |      l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
-        |        AND CAST(length(regexp_replace(l, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |            >= 0.6 * CAST(length(l) AS DOUBLE)), chr(10)) AS clean
-        |  FROM u)
-        |SELECT doc_id, clean FROM b
-        |WHERE length(clean) >= 100
-        |ORDER BY doc_id""".stripMargin,
+    "q_langid" -> LangIdOracleSql,
+    "q_crawl_pipeline" -> CrawlPipelineOracleSql,
+    // The q_crawl_pipeline replay verbatim: the WARC hop (serialize all
+    // pages -> .warc.gz -> Warc.read -> gate on the read target_uri) is
+    // lossless by contract, so the identical curated frame falls out.
+    "q_warc_pipeline" -> CrawlPipelineOracleSql,
 
     // Same composite document (nav + prose + footer chrome), same
     // line-survival arithmetic via list_filter.
@@ -6926,6 +6953,90 @@ object SparkEntry {
     * (~1e-13 summation order); the strict dominance comparisons are
     * between value populations whose pairwise gaps are ≫ 1e-7 on the
     * gate data, so no comparison straddles the jitter. */
+  /** Robots gate + HTML extraction + hygiene + boilerplate + length
+    * gate, re-derived stage-for-stage in DuckDB (shared by
+    * q_crawl_pipeline and its WARC-fed twin q_warc_pipeline). */
+  /** The langId marker-set argmax replayed in DuckDB, generated from
+    * [[graft.functions.TextFunctions.LangProfiles]] itself (first-wins
+    * tie rule = first profile whose score equals the max). */
+  private def LangIdOracleSql: String = {
+    val profiles = graft.functions.TextFunctions.LangProfiles
+    val scoreCols = profiles.map { case (lang, markers) =>
+      val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_intersect(toks, $arr)) AS s_$lang"
+    }.mkString(",\n    ")
+    val mx = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val pick = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = mx THEN '$lang'" }.mkString("\n      ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |sc AS (SELECT doc_id,
+      |    $scoreCols
+      |  FROM t),
+      |m AS (SELECT *, $mx AS mx FROM sc)
+      |SELECT doc_id,
+      |  CASE WHEN mx <= 0 THEN 'und'
+      |      $pick
+      |  END AS lang_pred
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  private def CrawlPipelineOracleSql: String =
+    """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND (doc_id % 6) IN (0, 2, 4, 5)),
+        |d AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style type="text/css">body { margin: 0 }</style>' ||
+        |    '<script>var a = "<p>hidden</p>";</script></head>' ||
+        |    '<body><!-- nav' || chr(10) || 'block --><h1>Heading ' || doc_id ||
+        |    '</h1><p>' || text || ' cafe' || chr(769) || ' ' || chr(8203) ||
+        |    'zero' || chr(8205) || 'width ' || chr(7) || 'bell' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' A' || chr(778) ELSE ' ' || chr(197) END ||
+        |    chr(13) || chr(10) || 'short tail' ||
+        |    '</p><div>5 &lt; 6 &amp; it&#39;s&nbsp;"ok&quot;</div>' ||
+        |    '</body></html>' AS page
+        |  FROM base),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(page,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |    '(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)\s*>',
+        |    chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s3),
+        |x AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[ \t]*\n[ \t]*', chr(10), 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |      '^[ \n]+|[ \n]+$', '', 'g') AS t
+        |  FROM s4),
+        |u AS (SELECT doc_id,
+        |    regexp_replace(
+        |      replace(replace(nfc_normalize(t), chr(13)||chr(10), chr(10)),
+        |              chr(13), chr(10)),
+        |      '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}\x{AD}\x{200B}-\x{200D}\x{FEFF}]',
+        |      '', 'g') AS t
+        |  FROM x),
+        |b AS (SELECT doc_id,
+        |    array_to_string(list_filter(string_split(t, chr(10)),
+        |      l -> len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
+        |        AND CAST(length(regexp_replace(l, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |            >= 0.6 * CAST(length(l) AS DOUBLE)), chr(10)) AS clean
+        |  FROM u)
+        |SELECT doc_id, clean FROM b
+        |WHERE length(clean) >= 100
+        |ORDER BY doc_id""".stripMargin
+
   private object NoiseqOracle {
     private val dataCols = Seq("a_0", "a_1", "a_2", "r_0", "r_1", "r_2")
     private val ref = "a_0"
