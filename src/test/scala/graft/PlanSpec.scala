@@ -274,4 +274,18 @@ class PlanSpec extends SparkSpec {
     assert(n >= 2,
       s"probe plan must scan cached corpus bands+shingles, found $n InMemoryTableScan nodes:\n${p.take(1500)}")
   }
+
+  test("q_noiseq_bio: pooled stats and densities return by broadcast; no shuffle-sort joins") {
+    val p = plan("q_noiseq_bio")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "nclust-sized pools and bin-sized densities must broadcast back")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_langid: pure map-side scoring — no join, no aggregate before the output sort") {
+    val p = plan("q_langid")
+    assert(!p.contains("Join"), "marker scoring must not join")
+    assert(!p.contains("HashAggregate"), "marker scoring must not aggregate")
+  }
 }
