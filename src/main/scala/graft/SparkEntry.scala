@@ -1657,6 +1657,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- greedy k-center diverse subset selection (farthest-first
+    //      traversal) over the embeddings table: k map-side distance
+    //      scans into TakeOrdered(1), centers as broadcast literals.
+    //      FULL oracle: the identical greedy unrolled as k layered
+    //      1-row CTEs in DuckDB (argmax margins are corpus-scale;
+    //      SamplingSpec probes them ≥ 1e-5 so a cross-engine cosine
+    //      ulp cannot flip a selection); radius rides at REAL
+    //      precision (the q_cosine_native float-trust pattern). ----
+    "q_kcenter" -> ((s, dir) =>
+      graft.operators.Sampling.kCenterSelect(
+        Tables.embeddings(s, dir), "embedding", "vec_id", k = 8)
+        .select(col("rank"), col("vec_id"),
+          col("radius").cast("float").as("radius"))
+        .orderBy("rank")),
+
     // ---- language ID over the corpus (the heuristic that gates the
     //      CCNet/mix screens), per-row oracle: the marker-set argmax
     //      with the engine's first-wins tie rule is re-derived in
@@ -5798,6 +5813,7 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_kcenter" -> KCenterOracleSql,
     "q_langid" -> LangIdOracleSql,
     "q_crawl_pipeline" -> CrawlPipelineOracleSql,
     // The q_crawl_pipeline replay verbatim: the WARC hop (serialize all
@@ -6959,6 +6975,31 @@ object SparkEntry {
   /** The langId marker-set argmax replayed in DuckDB, generated from
     * [[graft.functions.TextFunctions.LangProfiles]] itself (first-wins
     * tie rule = first profile whose score equals the max). */
+  /** The greedy k-center selection unrolled as k layered 1-row CTEs:
+    * c0 = smallest vec_id; cI = argmax over the corpus of the least
+    * cosine distance to c0..c(I-1), ties to the smallest id — the
+    * exact farthest-first traversal [[graft.operators.Sampling
+    * .kCenterSelect]] runs, selection-for-selection. */
+  private def KCenterOracleSql: String = {
+    val k = 8
+    val steps = (1 until k).map { i =>
+      val dists = (0 until i).map(j => s"1 - list_cosine_similarity(e.v, c$j.v$j)")
+      val d = if (dists.size == 1) dists.head else s"least(${dists.mkString(", ")})"
+      s"""c$i AS (SELECT e.vec_id AS id$i, e.v AS v$i, $d AS d$i
+         |  FROM e${(0 until i).map(j => s", c$j").mkString}
+         |  ORDER BY d$i DESC, e.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val arms = (s"SELECT 0 AS rank, id0 AS vec_id, CAST(NULL AS REAL) AS radius FROM c0" +:
+      (1 until k).map(i =>
+        s"SELECT $i AS rank, id$i AS vec_id, CAST(d$i AS REAL) AS radius FROM c$i"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS id0, v AS v0 FROM e ORDER BY vec_id LIMIT 1),
+       |$steps
+       |$arms
+       |ORDER BY rank""".stripMargin
+  }
+
   private def LangIdOracleSql: String = {
     val profiles = graft.functions.TextFunctions.LangProfiles
     val scoreCols = profiles.map { case (lang, markers) =>

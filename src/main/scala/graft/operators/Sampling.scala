@@ -29,6 +29,90 @@ object Sampling {
 
   private val HashSpan = math.pow(2.0, 60.0) // portableHash range [0, 2^60)
 
+  /** Greedy k-center (farthest-first traversal, Gonzalez 1985) diverse
+    * subset selection over an embedding column — the coreset/diversity
+    * sampling primitive (pick k maximally-spread exemplars; the
+    * selection radius is the classic 2-approximation certificate for
+    * the k-center cover).
+    *
+    * Deterministic and seed-free on the exact path: the first center is
+    * the smallest id; each subsequent step takes the row maximizing its
+    * cosine distance to the NEAREST already-chosen center, ties to the
+    * smallest id. Output: one row per selection, (rank, <idCol>,
+    * radius) — radius is the winning min-distance (null for rank 0);
+    * radii are non-increasing by the greedy invariant.
+    *
+    * Scale shape: k passes over the cached corpus, each a map-side
+    * distance scan against ≤ k broadcast-literal centers feeding a
+    * TakeOrdered(1) — no shuffle, no window, no driver-sized collect.
+    * Exact greedy costs the k passes by definition; when k·scan is too
+    * dear, `sampleCap > 0` runs the SAME greedy driver-side over the
+    * bounded deterministic hash sample (the quantizer-fit pattern —
+    * flat cost in n, partitioning-invariant). */
+  def kCenterSelect(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      sampleCap: Int = 0, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "kCenterSelect: k must be >= 1")
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val u = graft.core.CacheScope.retain(corpus.select(
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull))
+
+    def cosDist(v: Column, center: Seq[Double]): Column =
+      lit(1.0) - graft.plans.GraftExtensions.cosineSim(v, typedlit(center))
+
+    val selected =
+      if (sampleCap > 0) {
+        // bounded driver-side greedy: identical tie rules, flat cost in n
+        val samp = u.withColumn("__h", xxhash64(to_json(col("__v")), lit(seed)))
+          .orderBy(col("__h"), col("__id")).limit(sampleCap)
+          .select("__id", "__v").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        require(samp.nonEmpty, "kCenterSelect: empty input")
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          if (na * nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val first = samp.minBy(_._1)
+        val centers = scala.collection.mutable.ArrayBuffer(first)
+        val out = scala.collection.mutable.ArrayBuffer(
+          (0, first._1, Option.empty[Double]))
+        val minD = scala.collection.mutable.Map(
+          samp.map(s => s._1 -> (1.0 - cos(s._2, first._2))): _*)
+        val byId = samp.map(s => s._1 -> s._2).toMap
+        for (i <- 1 until math.min(k, samp.length)) {
+          val (bid, bd) = minD.toSeq.maxBy { case (id, d) => (d, -id) }
+          centers += ((bid, byId(bid)))
+          out += ((i, bid, Some(bd)))
+          samp.foreach { case (id, v) =>
+            val d = 1.0 - cos(v, byId(bid))
+            if (d < minD(id)) minD(id) = d
+          }
+        }
+        out.toSeq
+      } else {
+        val first = u.orderBy(col("__id")).limit(1).collect()(0)
+        var centers = Vector(first.getSeq[Double](1))
+        val out = scala.collection.mutable.ArrayBuffer(
+          (0, first.getLong(0), Option.empty[Double]))
+        for (i <- 1 until k) {
+          val dists = centers.map(c => cosDist(col("__v"), c))
+          val minD = if (dists.size == 1) dists.head else least(dists: _*)
+          val top = u.select(col("__id"), col("__v"), minD.as("__d"))
+            .orderBy(desc("__d"), asc("__id")).limit(1).collect()(0)
+          centers :+= top.getSeq[Double](1)
+          out += ((i, top.getLong(0), Some(top.getDouble(2))))
+        }
+        out.toSeq
+      }
+    import spark.implicits._
+    selected.map { case (r, id, rad) => (r, id, rad) }
+      .toDF("rank", idCol, "radius")
+  }
+
   def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
       quota: Int, seed: Long = 42L): DataFrame = {
     require(quota > 0, "quota must be positive")

@@ -462,4 +462,56 @@ class SamplingSpec extends SparkSpec {
     assert(ws("c") == ((Some(7L), None)))
     assert(ws("d") == ((None, Some(3L))))
   }
+
+  test("kCenterSelect: exact greedy law, margins, non-increasing radii") {
+    import graft.operators.{Sampling, Similarity}
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Sampling.kCenterSelect(e, "embedding", "vec_id", k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out.map(_._1).toSeq == (0 until 6))
+    assert(out(0)._3.isNaN) // rank-0 radius is null
+    // radii non-increasing (the greedy invariant)
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii.toSeq)
+    // brute-force recheck of every selection + the cross-engine margin:
+    // the winner must beat the runner-up by far more than a cosine ulp
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var centers = Vector(vecs(out(0)._2))
+    assert(out(0)._2 == vecs.keys.min)
+    out.drop(1).foreach { case (_, id, rad) =>
+      val minD = vecs.view.mapValues(v => centers.map(c => 1.0 - cos(v, c)).min).toMap
+      val best = minD.maxBy { case (i, d) => (d, -i) }
+      assert(best._1 == id, s"greedy picked $id, brute force $best")
+      assert(math.abs(best._2 - rad) < 1e-9)
+      val runnerUp = (minD - id).values.max
+      assert(best._2 - runnerUp > 1e-5,
+        s"selection margin ${best._2 - runnerUp} too thin for cross-engine argmax trust")
+      centers :+= vecs(id)
+    }
+  }
+
+  test("kCenterSelect: sampled path runs the same greedy over the hash sample; cap >= n is exact") {
+    import graft.operators.Sampling
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count().toInt
+    val exact = Sampling.kCenterSelect(e, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // a cap covering the whole corpus reproduces the exact path
+    val full = Sampling.kCenterSelect(e, "embedding", "vec_id", k = 5,
+      sampleCap = n + 10).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(full == exact)
+    // a bounded cap still yields k spread rows, deterministically
+    val s1 = Sampling.kCenterSelect(e, "embedding", "vec_id", k = 5, sampleCap = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val s2 = Sampling.kCenterSelect(e.repartition(7), "embedding", "vec_id",
+      k = 5, sampleCap = 64).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(s1 == s2 && s1.size == 5)
+  }
 }
