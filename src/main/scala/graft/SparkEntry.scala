@@ -1657,6 +1657,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curriculum ordering: token-count difficulty cut into 4
+    //      equal-frequency bands, deterministic seeded shuffle within
+    //      each band, ONE global serving order (two-phase rank — no
+    //      single-partition window). The oracle replays cuts
+    //      (quantile_cont == exact percentile), bands, the portable
+    //      md5 shuffle keys and the global ROW_NUMBER. ----
+    "q_curriculum" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = documents(s, dir).where(col("text").isNotNull)
+        .withColumn("__score", tokenCount(col("text")))
+      graft.operators.Sampling.curriculumOrder(docs, "__score", "doc_id", nBands = 4)
+        .select(col("doc_id"), col("band"), col("curriculum_order"))
+        .orderBy("doc_id")
+    }),
+
     // ---- greedy k-center diverse subset selection (farthest-first
     //      traversal) over the embeddings table: k map-side distance
     //      scans into TakeOrdered(1), centers as broadcast literals.
@@ -5813,6 +5828,23 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT quantile_cont(CAST(score AS DOUBLE), [0.25, 0.5, 0.75]) AS cs FROM d),
+        |b AS (SELECT doc_id,
+        |    (CASE WHEN CAST(score AS DOUBLE) > cs[1] THEN 1 ELSE 0 END
+        |     + CASE WHEN CAST(score AS DOUBLE) > cs[2] THEN 1 ELSE 0 END
+        |     + CASE WHEN CAST(score AS DOUBLE) > cs[3] THEN 1 ELSE 0 END) AS band,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+        |  FROM d, c)
+        |SELECT doc_id, band,
+        |  ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS curriculum_order
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
     "q_kcenter" -> KCenterOracleSql,
     "q_langid" -> LangIdOracleSql,
     "q_crawl_pipeline" -> CrawlPipelineOracleSql,

@@ -83,12 +83,17 @@ object Sampling {
         val minD = scala.collection.mutable.Map(
           samp.map(s => s._1 -> (1.0 - cos(s._2, first._2))): _*)
         val byId = samp.map(s => s._1 -> s._2).toMap
+        // chosen ids leave the candidate map (the exact path's explicit
+        // exclusion — a zero-norm vector is distance 1 to itself and
+        // would re-win forever otherwise)
+        minD.remove(first._1)
         for (i <- 1 until math.min(k, samp.length)) {
           val (bid, bd) = minD.toSeq.maxBy { case (id, d) => (d, -id) }
           centers += ((bid, byId(bid)))
           out += ((i, bid, Some(bd)))
-          samp.foreach { case (id, v) =>
-            val d = 1.0 - cos(v, byId(bid))
+          minD.remove(bid)
+          minD.keys.foreach { id =>
+            val d = 1.0 - cos(byId(id), byId(bid))
             if (d < minD(id)) minD(id) = d
           }
         }
@@ -96,15 +101,28 @@ object Sampling {
       } else {
         val first = u.orderBy(col("__id")).limit(1).collect()(0)
         var centers = Vector(first.getSeq[Double](1))
+        val chosen = scala.collection.mutable.Set(first.getLong(0))
         val out = scala.collection.mutable.ArrayBuffer(
           (0, first.getLong(0), Option.empty[Double]))
-        for (i <- 1 until k) {
+        var exhausted = false
+        for (i <- 1 until k if !exhausted) {
           val dists = centers.map(c => cosDist(col("__v"), c))
           val minD = if (dists.size == 1) dists.head else least(dists: _*)
-          val top = u.select(col("__id"), col("__v"), minD.as("__d"))
-            .orderBy(desc("__d"), asc("__id")).limit(1).collect()(0)
-          centers :+= top.getSeq[Double](1)
-          out += ((i, top.getLong(0), Some(top.getDouble(2))))
+          // chosen ids excluded EXPLICITLY: normally a center's distance
+          // to itself is 0 and can never win, but a zero-norm vector
+          // rides the cosine-0 contract (distance 1 to everything,
+          // itself included) and would re-win forever. At the gate the
+          // exclusion is a no-op (distinct non-zero embeddings), so the
+          // oracle's plain argmax replays identically.
+          val top = u.where(!col("__id").isin(chosen.toSeq: _*))
+            .select(col("__id"), col("__v"), minD.as("__d"))
+            .orderBy(desc("__d"), asc("__id")).limit(1).collect()
+          if (top.isEmpty) exhausted = true // k past the corpus size
+          else {
+            centers :+= top(0).getSeq[Double](1)
+            chosen += top(0).getLong(0)
+            out += ((i, top(0).getLong(0), Some(top(0).getDouble(2))))
+          }
         }
         out.toSeq
       }
@@ -597,6 +615,63 @@ object Sampling {
     * add each partition's offset to its local row_number. Where the
     * rank itself is not needed downstream, consumers can skip the
     * window entirely and just write the range-sorted output. */
+  /** Curriculum ordering (Bengio et al. 2009 applied to corpus prep):
+    * cut a difficulty score into `nBands` equal-frequency bands
+    * (band 0 = lowest score, served first) and emit ONE global serving
+    * order that walks the bands in sequence with a deterministic
+    * seeded shuffle INSIDE each band — "easy first, random within
+    * difficulty" as a pure function of (ids, scores, seed).
+    *
+    * Scale shape: band cuts are one percentile aggregate (exact under
+    * the cutoff, approx above — the shared rule); the global order is
+    * the [[deterministicShuffle]] two-phase rank generalized to a
+    * (band, hash, id) key — range-repartition, per-partition counts to
+    * broadcast prefix offsets, per-partition windows. No
+    * single-partition stage at any size. */
+  def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
+      nBands: Int = 4, seed: Long = 42L, outCol: String = "curriculum_order",
+      numPartitions: Int = 0): DataFrame = {
+    require(nBands >= 1, "curriculumOrder: nBands must be >= 1")
+    import graft.functions.Normalization.ExactPercentileCutoff
+    val cached = graft.core.CacheScope.retainInput(df)
+    val cuts: Seq[Double] =
+      if (nBands == 1) Seq.empty
+      else {
+        val exact = cached.count() <= ExactPercentileCutoff
+        val cutPs = (1 until nBands).map(_.toDouble / nBands)
+        cached.agg(
+          (if (exact) percentile(col(scoreCol).cast("double"), typedlit(cutPs))
+           else percentile_approx(col(scoreCol).cast("double"), typedlit(cutPs),
+             lit(100000))).as("c"))
+          .collect()(0).getSeq[Double](0)
+      }
+    val band = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(scoreCol).cast("double") > lit(c), 1).otherwise(0)
+    }
+    val h = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = cached.withColumn("__band", band).withColumn("__h", h)
+      .repartitionByRange(n, col("__band"), col("__h"), col(idCol))
+      .sortWithinPartitions(col("__band"), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val r = graft.core.CacheScope.retain(ranged)
+    val counts = r.groupBy("__pid").count().collect()
+      .map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; pid -> off }
+    val offCol = coalesce(
+      element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col("__pid")),
+      lit(0L))
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("__band"), col("__h"), col(idCol))
+    r.withColumn(outCol, row_number().over(w).cast("long") + offCol)
+      .withColumnRenamed("__band", "band")
+      .drop("__h", "__pid")
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
       outCol: String = "shuffle_rank", numPartitions: Int = 0): DataFrame = {
     val h = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))

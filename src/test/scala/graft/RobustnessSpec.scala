@@ -53,6 +53,44 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("NOISeqBIO handles zero/constant/sparse genes (degenerate buckets, tied thetas)") {
+    // the bio branch adds bucket pooling, a0 percentiles and histogram
+    // densities — all of which see degenerate inputs here: an all-zero
+    // gene (k-replaced to constant), a constant gene (zero variance in
+    // every relabeling), near-empty buckets (5 genes, 3 buckets)
+    val out = NOISeq("A", "B", condToCols, index = "gene_stable_id",
+      replicates = "biological", nclust = 3)(uglyDf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(out.size == 5)
+    out.foreach { case (g, (m, prob)) =>
+      assert(!m.isNaN && !m.isInfinite, s"$g M=$m")
+      assert(prob >= 0 && prob <= 1, s"$g prob=$prob")
+    }
+    // the genuinely differential genes must outrank the degenerate ones
+    assert(out("normalA")._2 >= out("constGene")._2)
+    assert(out("normalB")._2 >= out("zeroGene")._2)
+  }
+
+  test("kCenterSelect degenerate inputs: k > n, zero vectors, single row") {
+    import graft.operators.Sampling
+    val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // k beyond the corpus: exact path keeps emitting argmax rows (the
+    // greedy re-selects among what exists) — must not throw; zero-norm
+    // vector rides the cosine-0 contract (distance 1 to everything)
+    val out = Sampling.kCenterSelect(df, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.length == 3 && out.map(_._2).distinct.length == 3)
+    assert(out.head == ((0, 1L)))
+    val one = Sampling.kCenterSelect(df.where(col("vec_id") === 2), "embedding",
+      "vec_id", k = 1).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 2L)
+    // sampled path on a tiny frame
+    val s = Sampling.kCenterSelect(df, "embedding", "vec_id", k = 2, sampleCap = 2)
+      .collect()
+    assert(s.length == 2)
+  }
+
   test("VST handles zero/constant/sparse genes") {
     val out = Vst(index = "gene_stable_id")(uglyDf).collect()
     out.foreach { r =>

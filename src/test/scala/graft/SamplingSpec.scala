@@ -514,4 +514,38 @@ class SamplingSpec extends SparkSpec {
       k = 5, sampleCap = 64).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(s1 == s2 && s1.size == 5)
   }
+
+  test("curriculumOrder: bands track score quantiles, order contiguous per band, deterministic") {
+    import graft.operators.Sampling
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull).withColumn("__score", tokenCount(col("text")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumOrder(df, "__score", "doc_id", nBands = 4)
+        .select("doc_id", "band", "curriculum_order", "__score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val out = run(docs)
+    val n = out.length
+    // one global dense order
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // bands ordered: every band-b order precedes every band-(b+1) order
+    val byBand = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    for (b <- 0 until 3 if byBand.contains(b) && byBand.contains(b + 1))
+      assert(byBand(b).max < byBand(b + 1).min, s"band $b overlaps ${b + 1}")
+    // scores never decrease across band boundaries (equal-frequency cuts)
+    val maxScore = out.groupBy(_._2).view.mapValues(_.map(_._4).max).toMap
+    val minScore = out.groupBy(_._2).view.mapValues(_.map(_._4).min).toMap
+    for (b <- 0 until 3 if maxScore.contains(b) && minScore.contains(b + 1))
+      assert(maxScore(b) <= minScore(b + 1))
+    // partitioning-independent
+    assert(run(docs.repartition(11)).sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // nBands = 1 degenerates to the deterministic shuffle order
+    val flat = Sampling.curriculumOrder(docs, "__score", "doc_id", nBands = 1)
+      .select("doc_id", "curriculum_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val shuf = Sampling.deterministicShuffle(docs, "doc_id")
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flat == shuf)
+  }
 }
