@@ -288,4 +288,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "marker scoring must not join")
     assert(!p.contains("HashAggregate"), "marker scoring must not aggregate")
   }
+
+  test("q_curriculum: every window is partitioned (two-phase rank, no single-partition stage)") {
+    val p = plan("q_curriculum")
+    // Spark renders a partitioned window as "Window [exprs], [partition],
+    // [ordering]" (three bracket groups) and a GLOBAL window with only
+    // two — the single-partition trap this operator exists to avoid
+    val wins = "Window \\[[^\\]]*\\], \\[[^\\]]*\\](?!, \\[)".r
+    assert(wins.findFirstIn(p).isEmpty, "found a window without a partition spec")
+    assert(p.contains("Window ["), "expected the two-phase rank window in the plan")
+  }
+
+  test("q_kcenter result is driver-assembled from TakeOrdered scans (no shuffle in the final frame)") {
+    val p = plan("q_kcenter")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(1000))
+  }
 }
