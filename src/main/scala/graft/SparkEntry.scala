@@ -1657,6 +1657,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- homoglyph skeleton folding (UTS #39 curated subset): every
+    //      3rd doc gets Latin->Cyrillic lookalike substitution planted
+    //      (visually identical, hashes apart — the spam evasion that
+    //      dodges exact dedup), then foldConfusables must restore the
+    //      original fingerprint. One translate() each way, replayed
+    //      verbatim by DuckDB's translate over the same mapping. ----
+    "q_confusables" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val mutated = when(pmod(col("doc_id"), lit(3)) === 0,
+        translate(col("text"), "aeopc", "\u0430\u0435\u043E\u0440\u0441"))
+        .otherwise(col("text"))
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          (md5(mutated) =!= md5(col("text"))).cast("int").as("mutated_differs"),
+          (md5(foldConfusables(mutated)) === md5(col("text")))
+            .cast("int").as("skeleton_matches"))
+        .orderBy("doc_id")
+    }),
+
     // ---- curriculum ordering: token-count difficulty cut into 4
     //      equal-frequency bands, deterministic seeded shuffle within
     //      each band, ONE global serving order (two-phase rank — no
@@ -5828,6 +5847,8 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_confusables" -> ConfusablesOracleSql,
+
     "q_curriculum" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -7012,6 +7033,26 @@ object SparkEntry {
     * cosine distance to c0..c(I-1), ties to the smallest id — the
     * exact farthest-first traversal [[graft.operators.Sampling
     * .kCenterSelect]] runs, selection-for-selection. */
+  /** The confusable-fold round-trip replayed with DuckDB's translate
+    * over the IDENTICAL mapping (generated from
+    * [[graft.functions.TextFunctions.ConfusablePairs]] so the two can
+    * never drift). */
+  private def ConfusablesOracleSql: String = {
+    val pairs = graft.functions.TextFunctions.ConfusablePairs
+    val from = pairs.map(_._1).mkString
+    val to = pairs.map(_._2).mkString
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN translate(text, 'aeopc', '\u0430\u0435\u043E\u0440\u0441')
+       |      ELSE text END AS m
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  CAST(md5(m) <> md5(text) AS INT) AS mutated_differs,
+       |  CAST(md5(translate(m, '$from', '$to')) = md5(text) AS INT) AS skeleton_matches
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def KCenterOracleSql: String = {
     val k = 8
     val steps = (1 until k).map { i =>

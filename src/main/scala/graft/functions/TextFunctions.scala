@@ -41,6 +41,35 @@ object TextFunctions {
       "[\\x{00}-\\x{08}\\x{0B}-\\x{1F}\\x{7F}-\\x{9F}\\x{AD}\\x{200B}-\\x{200D}\\x{FEFF}]",
       "")
 
+  /** Homoglyph (confusable) skeleton folding — the UTS #39 idea
+    * restricted to a curated 1:1 mapping of the script lookalikes that
+    * actually appear in spam/SEO text: Cyrillic and Greek letters that
+    * render identically to Latin ones. Unicode NORMALIZATION cannot fold
+    * these (NFKC keeps scripts apart by design), so two visually
+    * identical spam pages hash apart and dodge exact dedup unless this
+    * runs first. One codegen'd `translate` call, map-side; the oracle
+    * replays it with DuckDB's own translate over the identical mapping.
+    * Fold BEFORE fingerprint/shingle steps, after [[cleanUnicode]]. */
+  val ConfusablePairs: Seq[(Char, Char)] = Seq(
+    // Cyrillic lowercase lookalikes
+    '\u0430' -> 'a', '\u0435' -> 'e', '\u043E' -> 'o', '\u0440' -> 'p',
+    '\u0441' -> 'c', '\u0443' -> 'y', '\u0445' -> 'x', '\u0456' -> 'i',
+    '\u0458' -> 'j', '\u0455' -> 's', '\u04BB' -> 'h', '\u0501' -> 'd',
+    '\u051B' -> 'q', '\u051D' -> 'w', '\u0454' -> 'e', '\u0451' -> 'e',
+    // Cyrillic uppercase lookalikes
+    '\u0410' -> 'A', '\u0412' -> 'B', '\u0415' -> 'E', '\u041A' -> 'K',
+    '\u041C' -> 'M', '\u041D' -> 'H', '\u041E' -> 'O', '\u0420' -> 'P',
+    '\u0421' -> 'C', '\u0422' -> 'T', '\u0425' -> 'X', '\u0406' -> 'I',
+    '\u0408' -> 'J', '\u0405' -> 'S',
+    // Greek lookalikes (the unambiguous subset)
+    '\u03BF' -> 'o', '\u03BD' -> 'v', '\u039F' -> 'O', '\u0391' -> 'A',
+    '\u0392' -> 'B', '\u0395' -> 'E', '\u0396' -> 'Z', '\u0397' -> 'H',
+    '\u0399' -> 'I', '\u039A' -> 'K', '\u039C' -> 'M', '\u039D' -> 'N',
+    '\u03A1' -> 'P', '\u03A4' -> 'T', '\u03A5' -> 'Y', '\u03A7' -> 'X')
+
+  def foldConfusables(c: Column): Column =
+    translate(c, ConfusablePairs.map(_._1).mkString, ConfusablePairs.map(_._2).mkString)
+
   /** The standard ingestion text-hygiene pass: Unicode-normalize, then
     * strip invisibles (normalization never produces control characters,
     * so the order is safe). Run this BEFORE any fingerprint/shingle/

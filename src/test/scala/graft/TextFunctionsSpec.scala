@@ -531,4 +531,24 @@ class TextFunctionsSpec extends SparkSpec {
     }
     assert(byLang("und") == 1.0, s"junk must stay und: ${byLang("und")}")
   }
+
+  test("foldConfusables: homoglyphs fold to Latin skeletons; mapping is 1:1 and idempotent") {
+    import graft.functions.TextFunctions
+    // mapping invariants: distinct sources, 1:1, no Latin chars as sources
+    val pairs = TextFunctions.ConfusablePairs
+    assert(pairs.map(_._1).distinct.size == pairs.size)
+    assert(pairs.forall { case (src, dst) => src > 0x7F && dst <= 'z' })
+    val d2 = Seq(
+      // "paypal" spelled with Cyrillic а/р and Greek omicron lookalikes
+      "p\u0430yp\u0430l \u043Effers", // раураl offers
+      "plain ascii text").toDF("text")
+    val got = d2.select(foldConfusables(col("text")).as("v"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "paypal offers", got(0))
+    assert(got(1) == "plain ascii text") // identity on ASCII
+    // idempotent: folding twice == folding once
+    val twice = d2.select(foldConfusables(foldConfusables(col("text"))).as("v"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == got.toSeq)
+  }
 }
