@@ -1657,6 +1657,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Zipf's-law corpus report (the data-card frequency QA
+    //      number): token/type totals + decimal-exact OLS fit of
+    //      ln(freq) on ln(rank) over the top-200 types — one word
+    //      shuffle, fit on a knob-bounded frame, fully replayed in
+    //      DuckDB (DECIMAL(38,12) sums, same repeated slope
+    //      expression). ----
+    "q_zipf_report" -> ((s, dir) => {
+      val r = graft.operators.CorpusReport.zipfReport(
+        documents(s, dir), "text", topN = 200)
+      val r4 = (c: String) => (floor(col(c) * 10000 + 0.5) / 10000).as(c)
+      r.select(col("n_tokens"), col("n_types"), col("top_word"),
+        col("top_freq"), r4("zipf_slope"), r4("zipf_intercept"))
+    }),
+
     // ---- homoglyph skeleton folding (UTS #39 curated subset): every
     //      3rd doc gets Latin->Cyrillic lookalike substitution planted
     //      (visually identical, hashes apart — the spam evasion that
@@ -5847,6 +5861,27 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_zipf_report" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types FROM c),
+        |top AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+        |  FROM c ORDER BY c DESC, w LIMIT 200),
+        |f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM top)
+        |SELECT tot.n_tokens, tot.n_types,
+        |  (SELECT w FROM top WHERE r = 1) AS top_word,
+        |  (SELECT c FROM top WHERE r = 1) AS top_freq,
+        |  floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5) / 10000 AS zipf_slope,
+        |  floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 10000 + 0.5) / 10000 AS zipf_intercept
+        |FROM f, tot""".stripMargin,
+
     "q_confusables" -> ConfusablesOracleSql,
 
     "q_curriculum" ->

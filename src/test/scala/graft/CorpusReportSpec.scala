@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.CorpusReport
+import org.apache.spark.sql.functions._
+
+/** Zipf-fit corpus diagnostics: the slope must read ≈ −1 on a corpus
+  * sampled from an actual Zipf distribution and flatten on a
+  * template-generated one — the discrimination the report exists for. */
+class CorpusReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipfReport: slope ≈ -1 on a Zipfian corpus, flat on a template corpus") {
+    // deterministic Zipfian corpus: word w_r appears ~N/r times
+    val n = 2000
+    val words = (1 to 200).flatMap { r =>
+      Seq.fill(math.max(1, n / r))(s"w$r")
+    }
+    val zipfDocs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val z = CorpusReport.zipfReport(zipfDocs, "text", topN = 100)
+      .collect()(0)
+    val slope = z.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-1.0)) < 0.1, s"Zipfian slope $slope")
+    assert(z.getAs[String]("top_word") == "w1")
+    assert(z.getAs[Long]("n_types") == 200)
+
+    // template corpus: every word equally frequent → slope ≈ 0
+    val flatDocs = Seq.fill(100)((1 to 30).map(i => s"t$i").mkString(" ")).toDF("text")
+    val f = CorpusReport.zipfReport(flatDocs, "text", topN = 100).collect()(0)
+    assert(math.abs(f.getAs[Double]("zipf_slope")) < 0.01,
+      s"flat slope ${f.getAs[Double]("zipf_slope")}")
+
+    // deterministic across partitioning (decimal-exact OLS sums)
+    val again = CorpusReport.zipfReport(zipfDocs.repartition(7), "text", topN = 100)
+      .collect()(0)
+    assert(again.getAs[Double]("zipf_slope") == slope)
+  }
+}
