@@ -1657,6 +1657,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- image near-dup by perceptual dHash (re-encode/resize-robust
+    //      fingerprint): 360 synthetic payloads in 40 exact-duplicate
+    //      groups — the banded Hamming join must recover exactly the
+    //      same-group pairs (inter-group dHashes sit ~32 bits apart, so
+    //      the id-arithmetic oracle enumerates the full expected set;
+    //      MultimodalSpec pins the perceptual tolerances on perturbed/
+    //      resized payloads). Payloads never shuffle — only (id, hash)
+    //      does. ----
+    "q_image_neardup" -> ((s, dir) => {
+      val synth = udf((i: Long) =>
+        graft.operators.Multimodal.ImageCodec.synthPng(24, 16, i % 40))
+      val imgs = s.range(360).select(col("id"), synth(col("id")).as("payload"))
+      graft.operators.Multimodal.imageNearDupPairs(imgs, "payload", "id",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Zipf's-law corpus report (the data-card frequency QA
     //      number): token/type totals + decimal-exact OLS fit of
     //      ln(freq) on ln(rank) over the top-200 types — one word
@@ -5861,6 +5878,12 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 360))
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM ids a JOIN ids b ON a.id < b.id AND a.id % 40 = b.id % 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_zipf_report" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w

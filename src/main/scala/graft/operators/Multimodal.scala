@@ -634,6 +634,107 @@ object Multimodal {
       ImageCodec.synthPng(w, h, seed)
     }
 
+  /** 64-bit perceptual difference hash (dHash — the standard
+    * re-encode/resize-robust image fingerprint): decode, area-average
+    * down to a 9×8 grayscale grid (integer sums — fully deterministic),
+    * then one bit per horizontal gradient sign. Visually identical
+    * images land within a few bits even across re-encodes and
+    * resamples; unrelated images sit ~32 bits apart. Undecodable
+    * payloads fall back to the byte-window analog (the
+    * byteMomentFeatures contract — rows never silently drop). */
+  def dHashBytes(bytes: Array[Byte]): Long = {
+    val img =
+      try {
+        if (bytes == null || bytes.isEmpty) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } catch { case _: Exception => null }
+    val cells = Array.ofDim[Long](8, 9)
+    if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+      val cnt = Array.ofDim[Long](8, 9)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val gy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(8, x * 9 / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          cells(gy)(gx) += lum
+          cnt(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          if (cnt(gy)(gx) > 0) cells(gy)(gx) /= cnt(gy)(gx)
+          gx += 1
+        }
+        gy += 1
+      }
+    } else if (bytes != null && bytes.nonEmpty) {
+      // byte-window analog: 72 windowed byte sums in the same grid
+      var i = 0
+      while (i < bytes.length) {
+        val cell = i % 72
+        cells(cell / 9)(cell % 9) += (bytes(i) & 0xFF)
+        i += 1
+      }
+    }
+    var hash = 0L
+    var bit = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cells(gy)(gx) > cells(gy)(gx + 1)) hash |= (1L << bit)
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** dHash as a column over a binary payload column. */
+  def dHash(binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) => dHashBytes(b)).apply(binCol)
+
+  /** Image near-duplicate pairs by dHash Hamming distance: the
+    * [[Dedup.simHashPairs]] LSH skeleton over the perceptual hash —
+    * 4×16-bit bands guarantee every pair at Hamming ≤ 3 collides in
+    * some band (pigeonhole); candidates verify exactly with one
+    * popcount. Payloads never join — only (id, 64-bit hash) shuffles. */
+  def imageNearDupPairs(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    import scala.util.chaining._
+    val shuffleP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val withSig = df
+      .repartition(shuffleP, col(idCol))
+      .withColumn("__ph", dHash(col(binCol)))
+      .select(col(idCol), col("__ph"))
+      .pipe(graft.core.CacheScope.retain)
+    val banded = withSig.select(col(idCol), col("__ph"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__ph"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("e"))
+      .select(col(idCol), col("__ph"), col("e.band"), col("e.key"))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col("l.__ph").as("ph_a"), col("r.__ph").as("ph_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Pixel-level resize of every payload to targetW×targetH (bilinear,
     * PNG re-encode); undecodable payloads pass through unchanged. */
   def resizedPayload(df: DataFrame, binCol: String, targetW: Int, targetH: Int,

@@ -431,4 +431,43 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
     assert(rows.forall(r => r.getStruct(r.fieldIndex("frame_meta")).getAs[Int]("width") == 6))
   }
+
+  test("dHash: re-encode identical, near for perturbed/resized, far for unrelated") {
+    import graft.operators.Multimodal
+    import Multimodal.ImageCodec
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val img = ImageCodec.synthPng(48, 32, 7L)
+    val h0 = Multimodal.dHashBytes(img)
+    // byte-identical synth → identical hash
+    assert(Multimodal.dHashBytes(ImageCodec.synthPng(48, 32, 7L)) == h0)
+    // one-pixel perturbation: decode, flip a pixel, re-encode
+    val buf = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+    buf.setRGB(0, 0, 0xFFFFFF ^ buf.getRGB(0, 0))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "png", bos)
+    val hPerturbed = Multimodal.dHashBytes(bos.toByteArray)
+    assert(ham(h0, hPerturbed) <= 4, s"perturbed hamming ${ham(h0, hPerturbed)}")
+    // 2x upscale (bilinear re-sample + re-encode): perceptually same image
+    val hResized = Multimodal.dHashBytes(ImageCodec.resizePng(img, 96, 64))
+    assert(ham(h0, hResized) <= 12, s"resized hamming ${ham(h0, hResized)}")
+    // unrelated image: far
+    val hOther = Multimodal.dHashBytes(ImageCodec.synthPng(48, 32, 8L))
+    assert(ham(h0, hOther) >= 16, s"unrelated hamming ${ham(h0, hOther)}")
+    // undecodable payloads: deterministic byte-window fallback, no throw
+    val junk = Array.tabulate[Byte](500)(i => (i * 31).toByte)
+    assert(Multimodal.dHashBytes(junk) == Multimodal.dHashBytes(junk.clone))
+    assert(Multimodal.dHashBytes(null) == 0L && Multimodal.dHashBytes(Array.empty) == 0L)
+  }
+
+  test("imageNearDupPairs: banded Hamming join finds planted duplicate groups, payloads never join") {
+    import graft.operators.Multimodal
+    val synth = udf((i: Long) => Multimodal.ImageCodec.synthPng(24, 16, i % 5))
+    val imgs = spark.range(30).select(col("id"), synth(col("id")).as("payload"))
+    val pairs = Multimodal.imageNearDupPairs(imgs, "payload", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 5 groups of 6 → C(6,2)=15 pairs each, all at hamming 0
+    assert(pairs.length == 75, s"${pairs.length} pairs")
+    assert(pairs.forall(_._3 == 0))
+    assert(pairs.forall { case (a, b, _) => a % 5 == b % 5 && a < b })
+  }
 }
