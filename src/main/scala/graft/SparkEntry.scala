@@ -1657,6 +1657,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- audio near-dup by the FFT-free chromaprint-style
+    //      fingerprint (Goertzel filterbank gradients): synth WAVs in
+    //      30 exact-duplicate tone groups; the banded Hamming join
+    //      must recover exactly the same-group pairs (id-arithmetic
+    //      oracle; perceptual tolerances — volume invariance —
+    //      spec-pinned). ----
+    "q_audio_neardup" -> ((s, dir) => {
+      val synth = udf((i: Long) =>
+        graft.operators.Multimodal.AudioCodec.synthWavSweep(8000, 4000, i % 30))
+      val wavs = s.range(240).select(col("id"), synth(col("id")).as("payload"))
+      graft.operators.Multimodal.audioNearDupPairs(wavs, "payload", "id",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- image near-dup by perceptual dHash (re-encode/resize-robust
     //      fingerprint): 360 synthetic payloads in 40 exact-duplicate
     //      groups — the banded Hamming join must recover exactly the
@@ -5878,6 +5893,12 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_audio_neardup" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 240))
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM ids a JOIN ids b ON a.id < b.id AND a.id % 30 = b.id % 30
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_image_neardup" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 360))
         |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INT) AS hamming

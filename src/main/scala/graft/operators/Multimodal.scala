@@ -197,9 +197,9 @@ object Multimodal {
     * payloads yield the documented fallback, never an exception. */
   object AudioCodec extends Serializable {
 
-    private def le16(b: Array[Byte], i: Int): Int =
+    private[Multimodal] def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    private def le32(b: Array[Byte], i: Int): Int =
+    private[Multimodal] def le32(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
     /** Walk the RIFF chunks to the fmt + data blocks:
@@ -259,6 +259,33 @@ object Multimodal {
         i += 1
       }
       out
+    }
+
+    /** Seeded chirp with amplitude modulation: frequency sweeps across
+      * the clip and the AM pattern is seed-keyed, so every seed has a
+      * DISTINCTIVE temporal energy structure — the fixture a
+      * gradient-sign fingerprint can discriminate (a stationary pure
+      * tone has near-constant per-frame energy and degenerates the
+      * along-time gradients to numeric noise). */
+    def synthWavSweep(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val base = synthWav(sampleRate, nSamples, seed)
+      val f0 = 110.0 + (math.abs(seed) * 37 % 700)
+      val f1 = f0 * (1.5 + (math.abs(seed) % 5) * 0.35)
+      var phase = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val frac = i.toDouble / nSamples
+        val freq = f0 + (f1 - f0) * frac
+        phase += 2.0 * math.Pi * freq / sampleRate
+        // seed-keyed 8-step AM envelope in [0.25, 1.0]
+        val step = (i * 8 / math.max(1, nSamples)) & 7
+        val amp = 0.25 + 0.75 * (((seed >> (step * 4)) & 0xF).toDouble / 15.0)
+        val v = (math.sin(phase) * 12000 * amp).toInt
+        base(44 + 2 * i) = v.toByte
+        base(45 + 2 * i) = (v >> 8).toByte
+        i += 1
+      }
+      base
     }
 
     /** Windowed RMS energy + zero-crossing rate over the PCM16 samples
@@ -704,18 +731,18 @@ object Multimodal {
   def dHash(binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf((b: Array[Byte]) => dHashBytes(b)).apply(binCol)
 
-  /** Image near-duplicate pairs by dHash Hamming distance: the
-    * [[Dedup.simHashPairs]] LSH skeleton over the perceptual hash —
-    * 4×16-bit bands guarantee every pair at Hamming ≤ 3 collides in
-    * some band (pigeonhole); candidates verify exactly with one
-    * popcount. Payloads never join — only (id, 64-bit hash) shuffles. */
-  def imageNearDupPairs(df: DataFrame, binCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  /** Shared banded 64-bit Hamming near-dup skeleton (the
+    * [[Dedup.simHashPairs]] shape): 4×16-bit bands guarantee every pair
+    * at Hamming ≤ 3 collides in some band (pigeonhole); candidates
+    * verify exactly with one popcount. Payloads never join — only
+    * (id, 64-bit hash) shuffles. */
+  private def bandedHammingPairs(df: DataFrame, idCol: String,
+      hashCol: org.apache.spark.sql.Column, maxHamming: Int): DataFrame = {
     import scala.util.chaining._
     val shuffleP = df.sparkSession.sessionState.conf.numShufflePartitions
     val withSig = df
       .repartition(shuffleP, col(idCol))
-      .withColumn("__ph", dHash(col(binCol)))
+      .withColumn("__ph", hashCol)
       .select(col(idCol), col("__ph"))
       .pipe(graft.core.CacheScope.retain)
     val banded = withSig.select(col(idCol), col("__ph"),
@@ -734,6 +761,98 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Image near-duplicate pairs by dHash Hamming distance. */
+  def imageNearDupPairs(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(df, idCol, dHash(col(binCol)), maxHamming)
+
+  /** 64-bit perceptual audio fingerprint (chromaprint-style, FFT-free):
+    * a Goertzel filterbank measures energy at 8 fixed frequencies over
+    * 9 time frames; one bit per along-time energy gradient sign.
+    * Volume-invariant by construction (uniform gain preserves every
+    * gradient sign) and robust to re-encoding; unrelated audio sits
+    * ~32 bits apart. Non-WAV payloads fall back to the byte-window
+    * analog (rows never silently drop). */
+  def audioHashBytes(bytes: Array[Byte]): Long = {
+    val (fmt, rate, _, n, _) = AudioCodec.decodeMeta(bytes)
+    val grid = Array.ofDim[Double](8, 9)
+    var decoded = false
+    if (fmt == "wav" && n > 0 && rate > 0) {
+      // find the data chunk (the AudioCodec.features walk)
+      var pos = 12L
+      var dataPos = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length && dataPos < 0) {
+        val p = pos.toInt
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val sz = (AudioCodec.le32(bytes, p + 4)).toLong & 0xffffffffL
+        if (id == "data") {
+          dataPos = p + 8
+          dataLen = math.min(sz, bytes.length - pos - 8).toInt
+        }
+        pos += 8L + sz + (sz & 1L)
+      }
+      val nSamp = dataLen / 2
+      if (dataPos >= 0 && nSamp > 0) {
+        decoded = true
+        val frame = math.max(1, nSamp / 9)
+        val nyq = rate / 2.0
+        var b = 0
+        while (b < 8) {
+          // 150 Hz · 2^(b/2), capped under Nyquist
+          val freq = math.min(nyq * 0.9, 150.0 * math.pow(2.0, b / 2.0))
+          val coeff = 2.0 * math.cos(2.0 * math.Pi * freq / rate)
+          var t = 0
+          while (t < 9) {
+            val from = t * frame
+            val to = if (t == 8) nSamp else math.min(nSamp, from + frame)
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+            var i = from
+            while (i < to) {
+              val samp = ((AudioCodec.le16(bytes, dataPos + 2 * i) << 16) >> 16).toDouble
+              s0 = samp + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            grid(b)(t) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            t += 1
+          }
+          b += 1
+        }
+      }
+    }
+    if (!decoded && bytes != null && bytes.nonEmpty) {
+      var i = 0
+      while (i < bytes.length) {
+        val cell = i % 72
+        grid(cell / 9)(cell % 9) += (bytes(i) & 0xFF)
+        i += 1
+      }
+    }
+    var hash = 0L
+    var bit = 0
+    var b = 0
+    while (b < 8) {
+      var t = 0
+      while (t < 8) {
+        if (grid(b)(t) > grid(b)(t + 1)) hash |= (1L << bit)
+        bit += 1
+        t += 1
+      }
+      b += 1
+    }
+    hash
+  }
+
+  /** audioHash as a column over a binary payload column. */
+  def audioHash(binCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) => audioHashBytes(b)).apply(binCol)
+
+  /** Audio near-duplicate pairs by fingerprint Hamming distance (the
+    * same banded skeleton as [[imageNearDupPairs]]). */
+  def audioNearDupPairs(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(df, idCol, audioHash(col(binCol)), maxHamming)
 
   /** Pixel-level resize of every payload to targetW×targetH (bilinear,
     * PNG re-encode); undecodable payloads pass through unchanged. */

@@ -470,4 +470,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_._3 == 0))
     assert(pairs.forall { case (a, b, _) => a % 5 == b % 5 && a < b })
   }
+
+  test("audioHash: volume-invariant, re-encode identical, distinct tones far; banded pairs recover groups") {
+    import graft.operators.Multimodal
+    import Multimodal.AudioCodec
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val wav = AudioCodec.synthWavSweep(8000, 4000, 11L)
+    val h0 = Multimodal.audioHashBytes(wav)
+    assert(Multimodal.audioHashBytes(AudioCodec.synthWavSweep(8000, 4000, 11L)) == h0)
+    // uniform gain preserves every energy-gradient sign: halve the volume
+    val half = wav.clone()
+    var i = 44
+    while (i + 1 < half.length) {
+      val s = ((half(i) & 0xFF) | (half(i + 1) << 8)).toShort / 2
+      half(i) = s.toByte; half(i + 1) = (s >> 8).toByte
+      i += 2
+    }
+    assert(ham(h0, Multimodal.audioHashBytes(half)) <= 2,
+      s"volume hamming ${ham(h0, Multimodal.audioHashBytes(half))}")
+    // a different seed = different sweep/AM structure: far
+    val hOther = Multimodal.audioHashBytes(AudioCodec.synthWavSweep(8000, 4000, 12L))
+    assert(ham(h0, hOther) >= 12, s"unrelated hamming ${ham(h0, hOther)}")
+    // undecodable payloads: deterministic fallback, no throw
+    val junk = Array.tabulate[Byte](300)(i => (i * 17).toByte)
+    assert(Multimodal.audioHashBytes(junk) == Multimodal.audioHashBytes(junk.clone))
+    assert(Multimodal.audioHashBytes(null) == 0L)
+
+    val synth = udf((i: Long) => AudioCodec.synthWavSweep(8000, 2000, i % 4))
+    val wavs = spark.range(16).select(col("id"), synth(col("id")).as("payload"))
+    val pairs = Multimodal.audioNearDupPairs(wavs, "payload", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 24, s"${pairs.length} pairs") // 4 groups of 4 -> 6 each
+    assert(pairs.forall { case (a, b) => a % 4 == b % 4 && a < b })
+  }
 }
