@@ -1657,6 +1657,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- video near-dup: per-frame dHash, positional banded match,
+    //      pair kept when >= half the sampled frame positions agree
+    //      within tolerance. Synth clips in 20 exact-duplicate groups
+    //      (6 frames, stride 2 -> 3 sampled positions); id-arithmetic
+    //      oracle expects every same-group pair at 3/3 matches. ----
+    "q_video_neardup" -> ((s, dir) => {
+      val synth = udf((i: Long) =>
+        graft.operators.Multimodal.VideoCodec.synthVideo(16, 12, 6, i % 20))
+      val vids = s.range(120).select(col("id"), synth(col("id")).as("payload"))
+      graft.operators.Multimodal.videoNearDupPairs(vids, "payload", "id",
+        every = 2, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- audio near-dup by the FFT-free chromaprint-style
     //      fingerprint (Goertzel filterbank gradients): synth WAVs in
     //      30 exact-duplicate tone groups; the banded Hamming join
@@ -5893,6 +5907,13 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_video_neardup" ->
+      """WITH ids AS (SELECT range AS id FROM range(0, 120))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(3 AS BIGINT) AS n_matched, CAST(3 AS BIGINT) AS n_frames
+        |FROM ids a JOIN ids b ON a.id < b.id AND a.id % 20 = b.id % 20
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_audio_neardup" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 240))
         |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INT) AS hamming

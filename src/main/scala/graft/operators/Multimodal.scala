@@ -767,6 +767,52 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     bandedHammingPairs(df, idCol, dHash(col(binCol)), maxHamming)
 
+  /** Video near-duplicate pairs: dHash every `every`-th frame and
+    * match clips POSITIONALLY — two clips pair when at least
+    * `minMatchFrac` of their sampled frame positions carry dHashes
+    * within `maxHamming` bits. The per-frame candidate join runs the
+    * banded-Hamming skeleton with the frame index folded into the band
+    * key, so only same-position frames ever compare and the quadratic
+    * frame blow-up never materializes; frame PAYLOADS never shuffle —
+    * (id, frame_idx, 64-bit hash) does. Positional matching trades
+    * shift robustness for exactness (the sampling stride absorbs small
+    * offsets); re-encoded/resized duplicates ride the dHash tolerance. */
+  def videoNearDupPairs(df: DataFrame, binCol: String, idCol: String,
+      every: Int = 2, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    import scala.util.chaining._
+    val shuffleP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val fh = udf((b: Array[Byte]) =>
+      VideoCodec.sampleFrames(b, every).map { case (i, fr) => (i, dHashBytes(fr)) })
+    val frames = df
+      .repartition(shuffleP, col(idCol))
+      .select(col(idCol), explode(fh(col(binCol))).as("__f"))
+      .select(col(idCol), col("__f._1").as("__fi"), col("__f._2").as("__ph"))
+      .pipe(graft.core.CacheScope.retain)
+    val counts = frames.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    val banded = frames.select(col(idCol), col("__fi"), col("__ph"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__ph"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+      }: _*)).as("e"))
+      .select(col(idCol), col("__fi"), col("__ph"), col("e.band"), col("e.key"))
+    val l = banded.alias("l"); val r = banded.alias("r")
+    val framePairs = l.join(r,
+        col("l.__fi") === col("r.__fi") && col("l.band") === col("r.band") &&
+          col("l.key") === col("r.key") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        col("l.__fi").as("__fi"), col("l.__ph").as("ph_a"), col("r.__ph").as("ph_b"))
+      .dropDuplicates("id_a", "id_b", "__fi")
+      .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+    framePairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(counts.withColumnRenamed(idCol, "id_a").withColumnRenamed("__nf", "__nfa"), "id_a")
+      .join(counts.withColumnRenamed(idCol, "id_b").withColumnRenamed("__nf", "__nfb"), "id_b")
+      .withColumn("n_frames", least(col("__nfa"), col("__nfb")))
+      .where(col("n_matched") >= ceil(col("n_frames") * lit(minMatchFrac)))
+      .select("id_a", "id_b", "n_matched", "n_frames")
+  }
+
   /** 64-bit perceptual audio fingerprint (chromaprint-style, FFT-free):
     * a Goertzel filterbank measures energy at 8 fixed frequencies over
     * 9 time frames; one bit per along-time energy gradient sign.

@@ -503,4 +503,43 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == 24, s"${pairs.length} pairs") // 4 groups of 4 -> 6 each
     assert(pairs.forall { case (a, b) => a % 4 == b % 4 && a < b })
   }
+
+  test("videoNearDupPairs: positional frame matching with the match-fraction gate") {
+    import graft.operators.Multimodal
+    import Multimodal.{ImageCodec, VideoCodec}
+    // clip 0/1: identical; clip 2: shares frames 0,2 (of sampled 0,2,4)
+    // with clip 0 but differs at 4 -> 2/3 matches, passes frac 0.5;
+    // clip 3: unrelated everywhere
+    def clip(frameSeeds: Seq[Long]): Array[Byte] = {
+      val frames = frameSeeds.map(ss => ImageCodec.synthPng(16, 12, ss))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte]('G', 'V', 'I', 'D'))
+      def put32(v: Int): Unit = bos.write(Array[Byte](
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+      put32(frames.length)
+      frames.foreach { fr => put32(fr.length); bos.write(fr) }
+      bos.toByteArray
+    }
+    val base = Seq(100L, 101L, 102L, 103L, 104L, 105L)
+    val rows = Seq(
+      (0L, clip(base)),
+      (1L, clip(base)),
+      (2L, clip(Seq(100L, 101L, 102L, 103L, 999L, 105L))),
+      (3L, clip(Seq(900L, 901L, 902L, 903L, 904L, 905L))))
+    val df = spark.createDataFrame(rows).toDF("id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(df, "payload", "id",
+      every = 2, maxHamming = 3, minMatchFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(pairs((0L, 1L)) == ((3L, 3L)))
+    assert(pairs((0L, 2L)) == ((2L, 3L)) && pairs((1L, 2L)) == ((2L, 3L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    assert(pairs.size == 3)
+    // corrupt payload: no frames decoded, no pairs, no throw
+    val junkRows = rows :+ (4L, Array.tabulate[Byte](64)(_.toByte))
+    val withJunk = Multimodal.videoNearDupPairs(
+      spark.createDataFrame(junkRows).toDF("id", "payload"), "payload", "id",
+      every = 2, maxHamming = 3, minMatchFrac = 0.5).collect()
+    assert(withJunk.length == 3)
+  }
 }
