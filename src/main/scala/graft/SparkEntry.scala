@@ -1657,6 +1657,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- WebDataset TAR shards end-to-end (the multimodal-corpus
+    //      interchange format): documents serialize as {id}.txt +
+    //      {id}.cls entries into .tar.gz shards (pure-JDK ustar
+    //      writer), Tar.read streams them back one task per shard,
+    //      webdatasetSamples regroups by basename — and the recovered
+    //      (doc_id, text, lang) frame must equal the parquet original
+    //      (the q_warc lossless-hop oracle pattern). ----
+    "q_webdataset" -> ((s, dir) => {
+      import graft.sources.Tar
+      val outDir = new java.io.File(
+        s"/root/repo/data/tar_fixture/${new java.io.File(dir).getName}")
+      outDir.mkdirs()
+      Option(outDir.listFiles()).foreach(_.foreach(_.delete()))
+      val base = outDir.getPath
+      documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id", "lang", "text")
+        .repartition(4, col("doc_id"))
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          val entries = it.flatMap { r =>
+            val id = r.getLong(0)
+            Seq((f"$id%012d.txt", r.getString(2).getBytes("UTF-8")),
+              (f"$id%012d.cls", r.getString(1).getBytes("UTF-8")))
+          }.toSeq
+          if (entries.nonEmpty) {
+            val gz = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(new java.io.File(base, f"shard_$pid%05d.tar.gz")))
+            gz.write(Tar.recordBytes(entries)); gz.close()
+          }
+          Iterator.single(1)
+        }.count()
+      Tar.webdatasetSamples(Tar.read(s, s"$base/*.tar.gz"))
+        .select(col("sample_key").cast("long").as("doc_id"),
+          decode(element_at(col("parts"), "txt"), "UTF-8").as("text"),
+          decode(element_at(col("parts"), "cls"), "UTF-8").as("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- video near-dup: per-frame dHash, positional banded match,
     //      pair kept when >= half the sampled frame positions agree
     //      within tolerance. Synth clips in 20 exact-duplicate groups
@@ -5907,6 +5944,13 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    // The TAR hop is lossless by contract: the recovered frame equals
+    // the parquet original field-for-field.
+    "q_webdataset" ->
+      """SELECT doc_id, text, lang FROM documents
+        |WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
     "q_video_neardup" ->
       """WITH ids AS (SELECT range AS id FROM range(0, 120))
         |SELECT a.id AS id_a, b.id AS id_b,
