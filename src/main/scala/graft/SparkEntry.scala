@@ -1657,6 +1657,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Heaps'-law vocabulary-growth report: V at 10 id-ordered
+    //      corpus prefixes via the first-occurrence trick (MIN doc per
+    //      word — no cumulative window), decimal-exact OLS of ln(V) on
+    //      ln(n). Fully replayed in DuckDB. ----
+    "q_heaps_report" -> ((s, dir) => {
+      val r = graft.operators.CorpusReport.heapsReport(
+        documents(s, dir), "text", "doc_id", points = 10)
+      val r4 = (c: String) => (floor(col(c) * 10000 + 0.5) / 10000).as(c)
+      r.select(col("n_tokens"), col("n_types"), r4("heaps_beta"), r4("heaps_k"))
+    }),
+
     // ---- WebDataset TAR shards end-to-end (the multimodal-corpus
     //      interchange format): documents serialize as {id}.txt +
     //      {id}.cls entries into .tar.gz shards (pure-JDK ustar
@@ -5944,6 +5955,8 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_heaps_report" -> HeapsOracleSql,
+
     // The TAR hop is lossless by contract: the recovered frame equals
     // the parquet original field-for-field.
     "q_webdataset" ->
@@ -7177,6 +7190,49 @@ object SparkEntry {
     * cosine distance to c0..c(I-1), ties to the smallest id — the
     * exact farthest-first traversal [[graft.operators.Sampling
     * .kCenterSelect]] runs, selection-for-selection. */
+  /** The Heaps'-law report re-derived in DuckDB: same id-arithmetic
+    * prefix cuts, first-occurrence vocabulary counts, decimal-exact OLS
+    * ([[graft.operators.CorpusReport.heapsReport]] step for step). */
+  private def HeapsOracleSql: String = {
+    val points = 10
+    val cutsSql = (1 to points).map(k =>
+      s"CAST(ceil(CAST(m.mx AS DOUBLE) * $k / $points) AS BIGINT)")
+    val tokCols = cutsSql.zipWithIndex.map { case (c, i) =>
+      s"SUM(CASE WHEN __id <= $c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS t$i"
+    }.mkString(",\n    ")
+    val vocCols = cutsSql.zipWithIndex.map { case (c, i) =>
+      s"SUM(CASE WHEN __first <= $c THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS v$i"
+    }.mkString(",\n    ")
+    val ptArms = (0 until points).map(i =>
+      s"  SELECT ${i + 1} AS decile, CAST(tok.t$i AS BIGINT) AS n_tokens, CAST(voc.v$i AS BIGINT) AS n_types FROM tok, voc")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT doc_id AS __id,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS __w
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (SELECT MAX(__id) AS mx FROM base),
+       |fs AS (SELECT __w, MIN(__id) AS __first FROM base GROUP BY __w),
+       |tok AS (SELECT
+       |    $tokCols
+       |  FROM base, m),
+       |voc AS (SELECT
+       |    $vocCols
+       |  FROM fs, m),
+       |pts AS (
+       |$ptArms),
+       |f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(ln(CAST(n_types AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_types AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+       |  FROM pts WHERE n_tokens > 0),
+       |tot AS (SELECT MAX(n_tokens) AS n_tokens, MAX(n_types) AS n_types FROM pts)
+       |SELECT tot.n_tokens, tot.n_types,
+       |  floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5) / 10000 AS heaps_beta,
+       |  floor(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 10000 + 0.5) / 10000 AS heaps_k
+       |FROM f, tot""".stripMargin
+  }
+
   /** The confusable-fold round-trip replayed with DuckDB's translate
     * over the IDENTICAL mapping (generated from
     * [[graft.functions.TextFunctions.ConfusablePairs]] so the two can

@@ -34,4 +34,28 @@ class CorpusReportSpec extends SparkSpec {
       .collect()(0)
     assert(again.getAs[Double]("zipf_slope") == slope)
   }
+
+  test("heapsReport: sublinear beta on growing vocabulary, ~0 on a fixed-template corpus") {
+    // corpus where each doc introduces new words (vocab grows like n^0.5-ish)
+    val grow = (1 to 100).map { d =>
+      val words = (1 to 20).map(i => s"w${(d * i * 7) % (d * 6 + 20)}")
+      (d.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val g = CorpusReport.heapsReport(grow, "text", "doc_id").collect()(0)
+    val beta = g.getAs[Double]("heaps_beta")
+    assert(beta > 0.2 && beta < 0.95, s"growing-vocab beta $beta")
+    assert(g.getAs[Double]("heaps_k") > 0)
+
+    // fixed template: vocabulary saturates immediately -> beta ~ 0
+    val flat = (1 to 100).map(d => (d.toLong, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = CorpusReport.heapsReport(flat, "text", "doc_id").collect()(0)
+    assert(math.abs(f.getAs[Double]("heaps_beta")) < 0.01,
+      s"template beta ${f.getAs[Double]("heaps_beta")}")
+    assert(f.getAs[Long]("n_types") == 20)
+
+    // deterministic across partitioning
+    val again = CorpusReport.heapsReport(grow.repartition(7), "text", "doc_id").collect()(0)
+    assert(again.getAs[Double]("heaps_beta") == beta)
+  }
 }

@@ -303,4 +303,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_kcenter")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(1000))
   }
+
+  test("perceptual near-dup queries: banded joins only, no cartesian/nested-loop") {
+    Seq("q_image_neardup", "q_audio_neardup", "q_video_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
 }
