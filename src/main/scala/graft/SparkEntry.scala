@@ -1657,6 +1657,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- hard-negative mining for contrastive pairs (ANCE/DPR
+    //      recipe): k nearest CROSS-label neighbors per anchor, ranked
+    //      within the filtered set. Labels by id arithmetic; full
+    //      brute-force DuckDB replay (q_similarity_topk pattern + the
+    //      label predicate). ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("label", pmod(col("vec_id"), lit(5)))
+      graft.operators.Similarity.hardNegatives(
+        e, e.filter(col("vec_id") < 8), "embedding", "vec_id", "label", k = 5)
+        .select("query_id", "neighbor_id", "neighbor_label", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Heaps'-law vocabulary-growth report: V at 10 id-ordered
     //      corpus prefixes via the first-occurrence trick (MIN doc per
     //      word — no cumulative window), decimal-exact OLS of ln(V) on
@@ -5955,6 +5969,20 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, vec_id % 5 AS label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |    list_cosine_similarity(q.qv, e.v) AS score
+        |  FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.ql),
+        |ranked AS (SELECT query_id, neighbor_id, neighbor_label,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, neighbor_label, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q_heaps_report" -> HeapsOracleSql,
 
     // The TAR hop is lossless by contract: the recovered frame equals

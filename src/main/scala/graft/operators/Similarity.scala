@@ -78,6 +78,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Hard-negative mining for contrastive training pairs (the
+    * ANCE/DPR-style retrieval recipe): for every anchor, the k nearest
+    * CROSS-LABEL neighbors by cosine — close in embedding space, wrong
+    * class — plus optionally the k nearest same-label positives.
+    * Ranking happens WITHIN the label-filtered candidate set (filtering
+    * a plain top-k afterwards would return fewer than k). Exact path:
+    * the [[bruteForceTopK]] broadcast scan with the label predicate
+    * fused before the window; scale path: serve candidates from a
+    * prebuilt [[IvfIndex]] with an over-fetch factor and re-rank after
+    * the filter (recall follows the over-fetch — the candidates are
+    * exact cosines either way). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int,
+      positives: Boolean = false): DataFrame = {
+    val q = withUnitVec(queries, vecCol, "__qv")
+      .select(col(idCol).as("query_id"), col(labelCol).as("__ql"), col("__qv"))
+    val c = withUnitVec(corpus, vecCol, "__cv")
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"), col("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .where(if (positives) col("__cl") === col("__ql") else col("__cl") =!= col("__ql"))
+      .withColumn("score", dot(corpus.sparkSession)(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("__cl").as("neighbor_label"),
+        col("rank"), col("score"))
+  }
+
+  /** [[hardNegatives]] served from a frozen [[IvfIndex]]: over-fetch
+    * `k * overFetch` mixed candidates from the probed cells, label-join,
+    * filter, re-rank. Candidate recall follows nprobe and overFetch; the
+    * kept scores are exact cosines. */
+  def hardNegativesIndexed(idx: IvfIndex, queries: DataFrame, vecCol: String,
+      idCol: String, labels: DataFrame, labelCol: String, k: Int,
+      nprobe: Int = 8, overFetch: Int = 4): DataFrame = {
+    val cand = idx.topK(queries, vecCol, idCol, k * overFetch, nprobe)
+    val ql = labels.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val cl = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    cand.join(broadcast(ql), "query_id").join(cl, "neighbor_id")
+      .where(col("__cl") =!= col("__ql"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("__cl").as("neighbor_label"),
+        col("rank"), col("score"))
+  }
+
   /** Sign-bit sketch: one bit per seeded pseudo-random hyperplane.
     * Plane components come from a splitmix64 mix of (seed, plane, dim) —
     * deterministic, no stored model, and SQL-replayable (the

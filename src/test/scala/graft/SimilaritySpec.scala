@@ -542,4 +542,35 @@ class SimilaritySpec extends SparkSpec {
       every = 2, maxHamming = 3, minMatchFrac = 0.5).collect()
     assert(withJunk.length == 3)
   }
+
+  test("hardNegatives: cross-label only, ranked within the filtered set; indexed path recalls") {
+    import graft.operators.Similarity
+    val e = embeddings.withColumn("label", pmod(col("vec_id"), lit(4)))
+    val anchors = e.filter(col("vec_id") < 4)
+    val hn = Similarity.hardNegatives(e, anchors, "embedding", "vec_id", "label", k = 5)
+      .collect()
+    val byQ = hn.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      // every neighbor carries a DIFFERENT label from its anchor
+      rows.foreach(r => assert(r.getAs[Long]("neighbor_label") != q % 4))
+      // ranked within the filtered set: scores descend
+      val sc = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // positives mode returns only same-label neighbors
+    val pos = Similarity.hardNegatives(e, anchors, "embedding", "vec_id", "label",
+      k = 3, positives = true).collect()
+    pos.foreach(r => assert(
+      r.getAs[Long]("neighbor_label") == r.getAs[Long]("query_id") % 4))
+    // indexed path: exact cosines; high overlap with the exact set at
+    // full probe (nprobe = nlist scans every cell)
+    val idx = Similarity.IvfIndex.build(e, "embedding", "vec_id", nlist = 8)
+    val viaIdx = Similarity.hardNegativesIndexed(idx, anchors, "embedding", "vec_id",
+      e.select("vec_id", "label"), "label", k = 5, nprobe = 8, overFetch = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exactSet = hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((viaIdx intersect exactSet).size >= (exactSet.size * 0.8).toInt,
+      s"indexed overlap ${(viaIdx intersect exactSet).size}/${exactSet.size}")
+  }
 }
