@@ -1657,6 +1657,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Luhn-validated card redaction (precision PII): every 4th
+    //      doc gets a VALID 16-digit card appended (check digit
+    //      computed by the Luhn rule from doc_id-derived digits),
+    //      every 7th an INVALID one — redactCards must consume exactly
+    //      the valid candidates. Candidate counts, validity and the
+    //      post-redaction length all re-derive in DuckDB (the check
+    //      digit itself recomputed with list arithmetic, so the Luhn
+    //      math is cross-engine-pinned). ----
+    "q_pii_cards" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val mkValid = udf { (id: Long) =>
+        val body = "4" + ("%014d".format(id % 100000000L))
+        body + luhnCheckDigit(body).toString
+      }
+      val mkInvalid = udf { (id: Long) =>
+        val body = "4" + ("%014d".format(id % 100000000L))
+        body + ((luhnCheckDigit(body) + 5) % 10).toString
+      }
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" "), mkValid(col("doc_id")))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" "), mkInvalid(col("doc_id")))).otherwise(lit("")))
+      val cands = regexp_extract_all(t, lit(CardCandidatePattern), lit(0))
+      val validUdf = udf { (xs: Seq[String]) => xs.count(luhnValid) }
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(cands).as("n_candidates"),
+          validUdf(cands).as("n_valid"),
+          length(redactCards(t)).as("len_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- hard-negative mining for contrastive pairs (ANCE/DPR
     //      recipe): k nearest CROSS-label neighbors per anchor, ranked
     //      within the filtered set. Labels by id arithmetic; full
@@ -5969,6 +6002,8 @@ object SparkEntry {
     // q_unicode_clean normalize+strip cleans (nfc AFTER extraction —
     // the operator order of the Spark side), the q_boilerplate
     // list_filter strips debris lines, one integer length compare.
+    "q_pii_cards" -> PiiCardsOracleSql,
+
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, vec_id % 5 AS label, embedding::DOUBLE[] AS v
         |  FROM embeddings),
@@ -7218,6 +7253,66 @@ object SparkEntry {
     * cosine distance to c0..c(I-1), ties to the smallest id — the
     * exact farthest-first traversal [[graft.operators.Sampling
     * .kCenterSelect]] runs, selection-for-selection. */
+  /** The Luhn card gate re-derived in DuckDB: card synthesis (check
+    * digit recomputed with list arithmetic from the same body), the
+    * identical RE2 candidate pattern, per-candidate Luhn validation,
+    * and the post-redaction length as length arithmetic over the
+    * validated candidates. */
+  private def PiiCardsOracleSql: String = {
+    val pat = graft.functions.TextFunctions.CardCandidatePattern
+    // Luhn sum over digit string r with doubling at odd right offsets
+    def luhnSum(r: String) =
+      s"""list_sum(list_transform(generate_series(1, len($r)), i ->
+         |      CASE WHEN (len($r) - i) % 2 = 1
+         |        THEN CASE WHEN 2 * CAST(substring($r, i, 1) AS INT) > 9
+         |          THEN 2 * CAST(substring($r, i, 1) AS INT) - 9
+         |          ELSE 2 * CAST(substring($r, i, 1) AS INT) END
+         |        ELSE CAST(substring($r, i, 1) AS INT) END))""".stripMargin
+    val chkSum =
+      s"""list_sum(list_transform(generate_series(1, 15), j ->
+         |      CASE WHEN j % 2 = 1
+         |        THEN CASE WHEN 2 * CAST(substring(body, j, 1) AS INT) > 9
+         |          THEN 2 * CAST(substring(body, j, 1) AS INT) - 9
+         |          ELSE 2 * CAST(substring(body, j, 1) AS INT) END
+         |        ELSE CAST(substring(body, j, 1) AS INT) END))""".stripMargin
+    val validPred = "len(r) >= 13 AND len(r) <= 19 AND (" +
+      luhnSum("r") + ") % 10 = 0"
+    val rExpr = "regexp_replace(x, '[^0-9]', '', 'g')"
+    val validExpanded = ("len(" + rExpr + ") >= 13 AND len(" + rExpr + ") <= 19 AND (" +
+      luhnSum(rExpr) + ") % 10 = 0")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text,
+       |    '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS body
+       |  FROM documents WHERE text IS NOT NULL),
+       |d1 AS (SELECT doc_id, text, body,
+       |    CAST((10 - CAST($chkSum AS INT) % 10) % 10 AS VARCHAR) AS chk
+       |  FROM d0),
+       |d AS (SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' ' || body || chk ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' ' || body || CAST((CAST(chk AS INT) + 5) % 10 AS VARCHAR)
+       |      ELSE '' END AS t
+       |  FROM d1),
+       |c AS (SELECT doc_id, t,
+       |    regexp_extract_all(t, '$pat') AS cands
+       |  FROM d),
+       |v AS (SELECT doc_id, t, cands,
+       |    -- validity judged on the stripped digits (expanded inline —
+       |    -- DuckDB lambdas take no subqueries), lengths taken from the
+       |    -- ORIGINAL matched candidates (what the UDF replaces)
+       |    list_filter(cands, x -> $validExpanded) AS valids
+       |  FROM c)
+       |SELECT doc_id,
+       |  CAST(len(cands) AS INT) AS n_candidates,
+       |  CAST(len(valids) AS INT) AS n_valid,
+       |  CAST(length(t)
+       |    - COALESCE(list_sum(list_transform(valids, x -> length(x))), 0)
+       |    + 6 * len(valids) AS INT) AS len_redacted
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The Heaps'-law report re-derived in DuckDB: same id-arithmetic
     * prefix cuts, first-occurrence vocabulary counts, decimal-exact OLS
     * ([[graft.operators.CorpusReport.heapsReport]] step for step). */

@@ -309,6 +309,67 @@ object TextFunctions {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\d{9,}", "<NUMBER>")
 
+  /** Luhn checksum (ISO/IEC 7812 — the card-number check digit): the
+    * validation that separates an actual primary account number from
+    * any other 13–19 digit run, cutting the false positives of a bare
+    * digit-count rule. Pure integer arithmetic, mirrored digit-for-
+    * digit by the DuckDB oracle's list arithmetic. */
+  def luhnValid(digits: String): Boolean = {
+    val d = digits.filter(_.isDigit)
+    if (d.length < 13 || d.length > 19) return false
+    var sum = 0
+    var i = 0
+    while (i < d.length) {
+      var x = d.charAt(d.length - 1 - i) - '0'
+      if (i % 2 == 1) { x *= 2; if (x > 9) x -= 9 }
+      sum += x
+      i += 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Candidate card-number runs: 13–19 digits with optional single
+    * space/dash separators (the common formatted spellings). The
+    * pattern stays in the RE2 ∩ java.util.regex dialect so the oracle
+    * extracts the identical candidate set. */
+  val CardCandidatePattern = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Redact Luhn-VALID card numbers to `<CARD>` (candidates that fail
+    * the checksum stay — phone numbers and ids survive where the bare
+    * 9-digit rule of [[redactPii]] would eat them). One map-side pass. */
+  private val redactCardsUdf = udf { (text: String) =>
+    if (text == null) null
+    else CardCandidateRegex.replaceAllIn(text,
+      m => if (luhnValid(m.matched)) "<CARD>"
+           else java.util.regex.Matcher.quoteReplacement(m.matched))
+  }
+  private lazy val CardCandidateRegex =
+    new scala.util.matching.Regex("\\b\\d(?:[ -]?\\d){12,18}\\b")
+
+  def redactCards(c: Column): Column = redactCardsUdf(c)
+
+  /** The Luhn check digit for a digit body (ISO/IEC 7812 Annex B):
+    * the digit making body+check pass [[luhnValid]]. */
+  def luhnCheckDigit(body: String): Int = {
+    var sum = 0
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      // right offset within body+check of body digit i (0-based left)
+      // is n - i; doubled when odd
+      var x = body.charAt(i) - '0'
+      if ((n - i) % 2 == 1) { x *= 2; if (x > 9) x -= 9 }
+      sum += x
+      i += 1
+    }
+    (10 - sum % 10) % 10
+  }
+
+  /** The precision PII pass: Luhn-validated card redaction FIRST (so a
+    * card's digits are consumed by its own tag), then the [[redactPii]]
+    * email/IP/long-digit chain. */
+  def redactPiiStrict(c: Column): Column = redactPii(redactCards(c))
+
   /** Line-level boilerplate strip (the CCNet/Dolma header-footer pass):
     * drop lines that read as navigation chrome rather than prose — a
     * line survives iff it has ≥ `minWords` whitespace words AND its

@@ -551,4 +551,29 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(twice.toSeq == got.toSeq)
   }
+
+  test("Luhn card redaction: valid numbers redact, invalid and short runs survive") {
+    import graft.functions.TextFunctions
+    // 4111111111111111 is the canonical Luhn-valid test number
+    assert(TextFunctions.luhnValid("4111111111111111"))
+    assert(TextFunctions.luhnValid("4111 1111 1111 1111"))
+    assert(!TextFunctions.luhnValid("4111111111111112"))
+    assert(!TextFunctions.luhnValid("1234"))
+    assert(TextFunctions.luhnCheckDigit("411111111111111") == 1)
+    val d2 = Seq(
+      "pay 4111 1111 1111 1111 now",       // valid, separated
+      "call 4111111111111112 maybe",       // 16 digits but Luhn-invalid
+      "order 123456789 units").toDF("text") // 9 digits: not a card
+    val got = d2.select(redactCards(col("text")).as("v"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "pay <CARD> now", got(0))
+    assert(got(1) == "call 4111111111111112 maybe") // invalid survives
+    assert(got(2) == "order 123456789 units")
+    // the strict chain still catches the leftovers via the 9+ digit rule
+    val strict = d2.select(redactPiiStrict(col("text")).as("v"))
+      .collect().map(_.getString(0))
+    assert(strict(0) == "pay <CARD> now")
+    assert(strict(1) == "call <NUMBER> maybe")
+    assert(strict(2) == "order <NUMBER> units")
+  }
 }
