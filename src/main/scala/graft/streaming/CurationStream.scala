@@ -230,6 +230,34 @@ object CurationStream {
       .trigger(trigger)
       .start()
 
+  /** [[startScreen]] fed directly from WebDataset TAR shards: each
+    * arriving shard parses ([[graft.sources.Tar.readStream]]), samples
+    * regroup by basename inside the batch (shard-contained by the
+    * WebDataset contract, so micro-batch boundaries never split one),
+    * the text part becomes the probe document, and the standard screen
+    * chain runs. The raw-bytes-to-curated-docs ingestion path as ONE
+    * call. */
+  def startScreenWebdataset(spark: org.apache.spark.sql.SparkSession,
+      shardDir: String, corpus: DataFrame, evalSet: DataFrame,
+      sink: DataFrame => Unit,
+      checkpointDir: String, textExt: String = "txt",
+      trigger: Trigger = Trigger.AvailableNow(),
+      model: Option[graft.operators.QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5,
+      extraGate: Option[Column] = None): StreamingQuery =
+    graft.sources.Tar.readStream(spark, shardDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = graft.sources.Tar.webdatasetSamples(batch)
+          .select(col("sample_key").cast("long").as("doc_id"),
+            decode(element_at(col("parts"), textExt), "UTF-8").as("text"))
+          .where(col("text").isNotNull)
+        sink(screen(docs, corpus, evalSet, "text", "doc_id",
+          model = model, minModelScore = minModelScore, extraGate = extraGate))
+      }
+      .trigger(trigger)
+      .start()
+
   /** [[startScreen]] with the v2 chain: admitted docs arrive at `sink`
     * span-scrubbed against the frozen corpus. Same foreachBatch shape;
     * the corpus gram set reduces once and serves every batch. */

@@ -727,4 +727,47 @@ class StreamingSpec extends SparkSpec {
     }
     assert(after == before, "replaying a batch at its own offset must be byte-idempotent")
   }
+
+  test("WebDataset streaming screen: shards in, curated docs out; multi-batch union equals one-shot") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tar
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(31)) === 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(31)) =!= 0)
+    val probe = rest.where(pmod(col("doc_id"), lit(7)) === 0 && col("text").isNotNull)
+    val corpus = rest.where(pmod(col("doc_id"), lit(7)) =!= 0)
+
+    val batchAdmitted = graft.streaming.CurationStream
+      .screen(probe.select("doc_id", "text"), corpus, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchAdmitted.nonEmpty)
+
+    // serialize the probe as THREE WebDataset shards (txt + cls parts)
+    val dir = java.nio.file.Files.createTempDirectory("wds_stream").toString
+    val rows = probe.select("doc_id", "lang", "text").collect()
+    rows.grouped(math.max(1, rows.length / 3 + 1)).zipWithIndex.foreach {
+      case (grp, i) =>
+        val entries = grp.toSeq.flatMap { r =>
+          Seq((f"${r.getLong(0)}%012d.txt", r.getString(2).getBytes("UTF-8")),
+            (f"${r.getLong(0)}%012d.cls", r.getString(1).getBytes("UTF-8")))
+        }
+        val gz = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(new java.io.File(dir, f"shard_$i%03d.tar.gz")))
+        gz.write(Tar.recordBytes(entries)); gz.close()
+    }
+
+    val admitted = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val ck = java.nio.file.Files.createTempDirectory("wds_ck").toString
+    val q = graft.streaming.CurationStream.startScreenWebdataset(
+      spark, dir, corpus, evalSet,
+      sink = out => out.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0))),
+      checkpointDir = ck)
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(admitted.asScala.toSet == batchAdmitted,
+        s"streamed ${admitted.size} admissions, batch ${batchAdmitted.size}")
+    } finally q.stop()
+  }
 }
