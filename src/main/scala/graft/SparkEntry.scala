@@ -1715,6 +1715,45 @@ object SparkEntry {
       r.select(col("n_tokens"), col("n_types"), r4("heaps_beta"), r4("heaps_k"))
     }),
 
+    // ---- the multimodal threads composed: WebDataset shards of PNG
+    //      payloads in, dHash near-dup pairs, connected components,
+    //      min-id representative per image family out — the "dedupe an
+    //      image corpus that arrives as tar shards" path as ONE lazy
+    //      chain. 180 images in 30 planted duplicate groups; the
+    //      oracle derives family representatives from the SAME id
+    //      arithmetic without running any of it. ----
+    "q_wds_image_dedup" -> ((s, dir) => {
+      import graft.sources.Tar
+      val outDir = new java.io.File(
+        s"/root/repo/data/tar_img_fixture/${new java.io.File(dir).getName}")
+      outDir.mkdirs()
+      Option(outDir.listFiles()).foreach(_.foreach(_.delete()))
+      val base = outDir.getPath
+      s.range(180).select(col("id"))
+        .repartition(3, col("id"))
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          val entries = it.map { r =>
+            val id = r.getLong(0)
+            (f"$id%012d.png",
+              graft.operators.Multimodal.ImageCodec.synthPng(16, 12, id % 30))
+          }.toSeq
+          if (entries.nonEmpty) {
+            val gz = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(new java.io.File(base, f"img_$pid%05d.tar.gz")))
+            gz.write(Tar.recordBytes(entries)); gz.close()
+          }
+          Iterator.single(1)
+        }.count()
+      val imgs = Tar.webdatasetSamples(Tar.read(s, s"$base/*.tar.gz"))
+        .select(col("sample_key").cast("long").as("id"),
+          element_at(col("parts"), "png").as("payload"))
+      val pairs = graft.operators.Multimodal.imageNearDupPairs(
+        imgs, "payload", "id", maxHamming = 3)
+      // (id, component): every image maps to its family's min id
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // ---- WebDataset TAR shards end-to-end (the multimodal-corpus
     //      interchange format): documents serialize as {id}.txt +
     //      {id}.cls entries into .tar.gz shards (pure-JDK ustar
@@ -6022,6 +6061,11 @@ object SparkEntry {
 
     // The TAR hop is lossless by contract: the recovered frame equals
     // the parquet original field-for-field.
+    "q_wds_image_dedup" ->
+      """SELECT range AS id, range % 30 AS component
+        |FROM range(0, 180)
+        |ORDER BY id""".stripMargin,
+
     "q_webdataset" ->
       """SELECT doc_id, text, lang FROM documents
         |WHERE text IS NOT NULL
