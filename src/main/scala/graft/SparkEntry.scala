@@ -1870,6 +1870,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- EXACT stratified split (8/1/1 by language): per-group
+    //      hash-order ranks with integer cross-multiplied cuts via the
+    //      grouped two-phase rank — per-group proportions exact to
+    //      rounding, replayed by a per-group ROW_NUMBER + the same
+    //      integer arithmetic. ----
+    "q_split_stratified" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+        .select("doc_id", "lang")
+      graft.operators.Sampling.stratifiedSplit(d, "lang", "doc_id",
+        Seq(("train", 8), ("valid", 1), ("test", 1)))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- curriculum ordering: token-count difficulty cut into 4
     //      equal-frequency bands, deterministic seeded shuffle within
     //      each band, ONE global serving order (two-phase rank — no
@@ -6112,6 +6126,22 @@ object SparkEntry {
         |FROM f, tot""".stripMargin,
 
     "q_confusables" -> ConfusablesOracleSql,
+
+    "q_split_stratified" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM d)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk * 10 <= n * 8 THEN 'train'
+        |       WHEN rk * 10 <= n * 9 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "q_curriculum" ->
       """WITH d AS (

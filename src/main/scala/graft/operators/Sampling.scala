@@ -189,6 +189,78 @@ object Sampling {
     * computed ONCE here as integers — comparisons are integer-only, so
     * there is no float-boundary disagreement for an external oracle to
     * hit. Purely map-side: no shuffle, no state. */
+  /** EXACT stratified split: within EVERY group, the seeded-hash-
+    * ordered first floor(n_g*w_train/W) docs land in the first split,
+    * the next block in the second, and so on — per-group proportions
+    * exact to integer rounding, where [[hashSplit]] is exact only in
+    * expectation (a small language can land lopsided). Weights are
+    * integers and the cuts are integer cross-multiplications
+    * (rank*W <= n_g*cumW), so membership replays byte-for-byte in any
+    * engine.
+    *
+    * Scale shape: the grouped two-phase prefix rank (range partition by
+    * (group, hash, id) -> per-partition windows + broadcast
+    * per-(partition, group) offsets — the perplexityBuckets /
+    * tokenBudgetPerGroup discipline), so no group ever sorts through
+    * one task; group sizes ride the same one-row-per-(partition, group)
+    * aggregate. Group cardinality bounds the broadcast maps — meant
+    * for languages/sources/domains, not per-document keys. */
+  def stratifiedSplit(df: DataFrame, groupCol: String, idCol: String,
+      weights: Seq[(String, Int)], seed: Long = 42L,
+      numPartitions: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "stratifiedSplit: need positive integer weights")
+    val totW = weights.map(_._2).sum
+    val cum = weights.scanLeft(0)(_ + _._2).tail // cumulative weights
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val h = md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString)))
+    val ranged = df.withColumn("__h", h)
+      .repartitionByRange(n, col(groupCol), col("__h"), col(idCol))
+      .sortWithinPartitions(col(groupCol), col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.core.CacheScope.retain(ranged)
+    val counts = cached
+      .groupBy(col("__pid"), col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    require(!counts.exists(_._2 == null),
+      s"stratifiedSplit: null values in group column '$groupCol' — coalesce them first")
+    val offsets: Seq[((Int, String), Long)] = counts.groupBy(_._2).toSeq
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val off = acc; acc += c; (pid, g) -> off
+        }
+      }
+    val sizes: Map[String, Long] =
+      counts.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._3).sum }
+    val sep = "\u0001" // unit separator: cannot appear in a decimal pid
+    val keyCol = concat_ws(sep, col("__pid").cast("string"),
+      col(groupCol).cast("string"))
+    val offCol = coalesce(
+      element_at(
+        map(offsets.flatMap { case ((p, g), o) =>
+          Seq(lit(s"$p$sep$g"), lit(o)) }: _*),
+        keyCol),
+      lit(0L))
+    val sizeCol = element_at(
+      map(sizes.toSeq.flatMap { case (g, sz) => Seq(lit(g), lit(sz)) }: _*),
+      col(groupCol).cast("string"))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    val rankCol = row_number().over(w).cast("long") + offCol
+    // first split k with rank*W <= n_g*cumW_k (integer-exact)
+    val splitCol = weights.init.zip(cum.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cw), rest) =>
+        when(col("__rank") * totW <= sizeCol * cw, name).otherwise(rest)
+    }
+    cached.withColumn("__rank", rankCol)
+      .withColumn("split", splitCol)
+      .drop("__h", "__pid", "__rank")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
       fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
     require(fractions.nonEmpty, "need at least one split")

@@ -548,4 +548,37 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(flat == shuf)
   }
+
+  test("stratifiedSplit: per-group proportions exact to rounding; two-phase (no global window)") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull).select("doc_id", "lang")
+    val out = Sampling.stratifiedSplit(docs, "lang", "doc_id",
+      Seq(("train", 8), ("valid", 1), ("test", 1)))
+    val byLang = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = byLang.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val n = Seq("train", "valid", "test").map(sp => byLang.getOrElse((l, sp), 0L)).sum
+      // exact integer cuts: train = floor(0.8n) etc. (boundaries at 8/10, 9/10)
+      assert(byLang.getOrElse((l, "train"), 0L) == n * 8 / 10, s"$l train")
+      assert(byLang.getOrElse((l, "train"), 0L) + byLang.getOrElse((l, "valid"), 0L)
+        == n * 9 / 10, s"$l train+valid")
+    }
+    // deterministic across partitioning
+    val a = out.collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    val b = Sampling.stratifiedSplit(docs.repartition(9), "lang", "doc_id",
+      Seq(("train", 8), ("valid", 1), ("test", 1)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // the plan stays two-phase: no global window
+    assert(graft.plans.PlanLint.lint(out).isEmpty,
+      graft.plans.PlanLint.lint(out).mkString(", "))
+    // null group fails loud
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(
+        docs.withColumn("lang", when(col("doc_id") === 1, null).otherwise(col("lang"))),
+        "lang", "doc_id", Seq(("a", 1), ("b", 1))).collect()
+    }
+  }
 }
