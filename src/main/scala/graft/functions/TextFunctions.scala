@@ -309,6 +309,30 @@ object TextFunctions {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\d{9,}", "<NUMBER>")
 
+  /** Deflate compression ratio (compressed/raw bytes of the UTF-8
+    * text) — the Gopher/Dolma-era cheap redundancy signal: templated or
+    * repetitive spam compresses far below natural prose (~0.3 vs
+    * ~0.6–0.8), and high-entropy noise sits near (or above) 1.0. Fixed
+    * level and strategy make the value deterministic for a given JVM's
+    * zlib; treat thresholds as corpus-calibrated knobs, not constants
+    * (spec pins ORDERING, not absolute values). Null/empty → 1.0
+    * (no signal, passes a min-ratio gate). One map-side UDF. */
+  private val compressionRatioUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) 1.0
+    else {
+      val raw = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, 0, buf.length)
+      d.end()
+      n.toDouble / raw.length
+    }
+  }
+
+  def compressionRatio(c: Column): Column = compressionRatioUdf(c)
+
   /** Luhn checksum (ISO/IEC 7812 — the card-number check digit): the
     * validation that separates an actual primary account number from
     * any other 13–19 digit run, cutting the false positives of a bare

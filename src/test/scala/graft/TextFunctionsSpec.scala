@@ -576,4 +576,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(strict(1) == "call <NUMBER> maybe")
     assert(strict(2) == "order <NUMBER> units")
   }
+
+  test("compressionRatio: repetitive text compresses below prose, noise above; deterministic") {
+    import graft.functions.TextFunctions.compressionRatio
+    val d2 = Seq(
+      ("spam", ("buy now " * 200).trim),
+      ("prose", "the committee reviewed the quarterly report and concluded that " +
+        "further analysis of regional variations would strengthen the findings " +
+        "before any recommendation reaches the board next spring " * 3),
+      ("noise", (1 to 200).map(i => Integer.toHexString(i * 2654435761L.toInt)).mkString(" ")),
+      ("empty", "")).toDF("kind", "text")
+    val r = d2.select(col("kind"), compressionRatio(col("text")).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("spam") < r("prose"), s"spam ${r("spam")} vs prose ${r("prose")}")
+    assert(r("prose") < r("noise"), s"prose ${r("prose")} vs noise ${r("noise")}")
+    assert(r("spam") < 0.2 && r("noise") > 0.4, r.toString)
+    assert(r("empty") == 1.0)
+    // deterministic across runs
+    val again = d2.select(compressionRatio(col("text")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(again == d2.select(compressionRatio(col("text")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq)
+  }
 }
