@@ -1870,6 +1870,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus n-gram novelty audit: fraction of each doc's
+    //      distinct word 3-grams occurring in NO other doc — full
+    //      integer re-derivation in DuckDB (the gopher tk/gram CTE
+    //      machinery). ----
+    "q_novelty" -> ((s, dir) => {
+      val r4 = (c: org.apache.spark.sql.Column, nm: String) =>
+        (floor(c * 10000 + 0.5) / 10000).as(nm)
+      graft.operators.Dedup.noveltyScore(
+        documents(s, dir), "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          r4(col("novelty"), "novelty"))
+        .orderBy("doc_id")
+    }),
+
     // ---- EXACT stratified split (8/1/1 by language): per-group
     //      hash-order ranks with integer cross-multiplied cuts via the
     //      grouped two-phase rank — per-group proportions exact to
@@ -6126,6 +6140,30 @@ object SparkEntry {
         |FROM f, tot""".stripMargin,
 
     "q_confusables" -> ConfusablesOracleSql,
+
+    "q_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ntoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(ntoks) - 2),
+        |                  i -> array_to_string(ntoks[i:i+2], ' ')) END)) AS gram
+        |    FROM tk)
+        |  WHERE gram <> ''),
+        |f AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |  COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  floor((CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS novelty
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q_split_stratified" ->
       """WITH d AS (

@@ -891,6 +891,34 @@ object Dedup {
     * document of the corpus from it would turn a small-graph computation
     * into a corpus-sized one; callers join/anti-join on the corpus they
     * already hold). */
+  /** Corpus n-gram novelty audit — per doc, the fraction of its
+    * distinct word n-grams that occur in NO other document: the
+    * memorization/boilerplate dial (template-derived docs score near 0,
+    * genuinely novel prose near 1) used to weight sampling or drop
+    * stamp-outs the pairwise dedup family misses.
+    *
+    * Scale shape: per-doc distinct grams explode once; doc frequency is
+    * one map-side-combined gram shuffle; the join back is gram-keyed
+    * (the corpus_ngrams cost envelope). Docs shorter than n contribute
+    * their whole token stream as one gram. */
+  def noveltyScore(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions._
+    val toks = tokens(normalizeText(col(textCol)))
+    val grams = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(wordNgramsFromTokens(toks, n))).as("__g"))
+      .where(col("__g") =!= "")
+    val cached = graft.core.CacheScope.retain(grams)
+    val docFreq = cached.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    cached.join(docFreq, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.8): DataFrame =

@@ -711,4 +711,24 @@ class DedupSpec extends SparkSpec {
       jaccardThreshold = 0.6))
     assert(mismatched.subsetOf(tuned) || tuned.size >= mismatched.size)
   }
+
+  test("noveltyScore: stamped-out copies score 0, unique prose scores 1, mixtures between") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact stamp-out of 1
+      (3L, "totally different words about rivers and mountains here"),
+      (4L, "alpha beta gamma plus totally different words trailing")
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0) // every gram shared
+    assert(out(3L) > 0.8, s"unique doc ${out(3L)}")
+    assert(out(4L) > 0.0 && out(4L) < 1.0)
+    // short doc (< n tokens): its whole stream is one gram
+    val short = Dedup.noveltyScore(
+      Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text"),
+      "text", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(short.forall { case (_, g, nv) => g == 1 && nv == 0.0 })
+  }
 }
