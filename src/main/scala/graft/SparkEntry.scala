@@ -1870,6 +1870,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup family-size histogram (the data-card number behind
+    //      the cluster dedup: how many families of each size, plus the
+    //      doc mass they hold). Composition of the q_dedup_cluster walk
+    //      and two integer rollups — same recursive-CTE replay plus the
+    //      same rollups in the oracle. ----
+    "q_dedup_family_sizes" -> ((s, dir) => {
+      graft.operators.Dedup.nearDupClusters(documents(s, dir), "text", "doc_id")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("family_size"))
+        .agg(count(lit(1)).as("n_families"),
+          sum(col("__sz")).as("n_docs"))
+        .orderBy("family_size")
+    }),
+
     // ---- corpus n-gram novelty audit: fraction of each doc's
     //      distinct word 3-grams occurring in NO other doc — full
     //      integer re-derivation in DuckDB (the gopher tk/gram CTE
@@ -6140,6 +6154,29 @@ object SparkEntry {
         |FROM f, tot""".stripMargin,
 
     "q_confusables" -> ConfusablesOracleSql,
+
+    "q_dedup_family_sizes" ->
+      s"""${DedupOracle.charShingleCtes("documents")},
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ${DedupOracle.jaccardExpr} AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (SELECT id_a, id_b FROM p WHERE j >= 0.8),
+        |ee AS (SELECT id_a AS u, id_b AS v FROM e
+        |       UNION SELECT id_b, id_a FROM e),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT u, u FROM ee
+        |    UNION
+        |    SELECT ee.v, r.rep FROM r JOIN ee ON ee.u = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node),
+        |fam AS (SELECT rep, COUNT(*) AS sz FROM comp GROUP BY rep)
+        |SELECT sz AS family_size,
+        |  COUNT(*) AS n_families,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs
+        |FROM fam
+        |GROUP BY sz
+        |ORDER BY family_size""".stripMargin,
 
     "q_novelty" ->
       """WITH tk AS (
