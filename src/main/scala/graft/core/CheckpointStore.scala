@@ -102,8 +102,18 @@ final case class CheckpointStore(dir: String) {
     * entries removed.
     *
     * 100 TB posture: run this out-of-band (the prune cadence), not
-    * inline on every write — sizing walks the whole store once. */
-  def pruneToSize(maxBytes: Long): Int = {
+    * inline on every write — sizing walks the whole store once.
+    *
+    * READER CONTRACT: [[materialize]]/[[apply]] return a LAZY
+    * `spark.read.parquet` of the entry — a job consuming that frame
+    * reads the files long after the call returned. `minIdleMillis`
+    * (default 15 min) is the guard: an entry whose `_ACCESS` is newer
+    * than that is presumed to have an in-flight reader and is skipped
+    * even when the store is over budget, so eviction can't become a
+    * mid-job `FileNotFoundException`. Size the idle window to the
+    * longest job that consumes a checkpoint, or `.persist()`/re-write
+    * frames that must outlive it. */
+  def pruneToSize(maxBytes: Long, minIdleMillis: Long = 15 * 60 * 1000L): Int = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return 0
     case class Entry(path: java.nio.file.Path, bytes: Long, lastUsed: Long)
@@ -124,9 +134,12 @@ final case class CheckpointStore(dir: String) {
     } finally dirs.close()
     var total = entries.map(_.bytes).sum
     var removed = 0
-    // oldest access first; path as the deterministic tiebreak
+    val idleCutoff = System.currentTimeMillis() - minIdleMillis
+    // oldest access first; path as the deterministic tiebreak; entries
+    // accessed within the idle window are presumed to have in-flight
+    // lazy readers and stay put even over budget
     for (e <- entries.sortBy(e => (e.lastUsed, e.path.toString))
-         if total > maxBytes) {
+         if total > maxBytes && e.lastUsed < idleCutoff) {
       val files = Files.walk(e.path)
       try files.iterator().asScala.toSeq.reverseIterator.foreach(Files.delete)
       finally files.close()

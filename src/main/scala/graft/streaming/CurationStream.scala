@@ -248,8 +248,14 @@ object CurationStream {
     graft.sources.Tar.readStream(spark, shardDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // doc_id = xxhash64(shard, sample_key): real WebDataset keys are
+        // often non-numeric (hex, uuid), so a cast("long") would null
+        // them silently, and identical basenames in DIFFERENT shards are
+        // distinct samples by the WebDataset contract — the shard must be
+        // part of the identity or they collide into one id
         val docs = graft.sources.Tar.webdatasetSamples(batch)
-          .select(col("sample_key").cast("long").as("doc_id"),
+          .select(xxhash64(col("file"), col("sample_key")).as("doc_id"),
+            col("file").as("shard"), col("sample_key"),
             decode(element_at(col("parts"), textExt), "UTF-8").as("text"))
           .where(col("text").isNotNull)
         sink(screen(docs, corpus, evalSet, "text", "doc_id",

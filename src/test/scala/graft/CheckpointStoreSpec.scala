@@ -151,11 +151,18 @@ class CheckpointStoreSpec extends SparkSpec {
     assert(store.contains(t.fingerprint + "|k1"))
     assert(store.contains(t.fingerprint + "|k3"))
 
+    // the idle-age guard: k1/k3 were read moments ago, so a lazy
+    // spark.read of them may still be consuming files — the default
+    // 15-min window refuses to evict them even at a zero budget
+    assert(store.pruneToSize(maxBytes = 0L) == 0,
+      "entries accessed within the idle window must survive eviction")
+
     // an in-flight (no _SUCCESS) dir is never evicted by size
     val inflight = java.nio.file.Paths.get(dir, "deadbeef-inflight")
     java.nio.file.Files.createDirectory(inflight)
     java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "junk")
-    assert(store.pruneToSize(maxBytes = 0L) == 2) // evicts k1+k3, not inflight
+    // with the guard waived: evicts k1+k3, never the in-flight dir
+    assert(store.pruneToSize(maxBytes = 0L, minIdleMillis = 0L) == 2)
     assert(java.nio.file.Files.exists(inflight.resolve("part-0.parquet")))
 
     // an evicted key transparently re-materializes

@@ -759,15 +759,28 @@ class StreamingSpec extends SparkSpec {
     val admitted = java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
     val ck = java.nio.file.Files.createTempDirectory("wds_ck").toString
+    // doc_id is now xxhash64(shard, sample_key) — synthetic, so the
+    // one-shot comparison goes through the carried sample_key (the
+    // zero-padded original id); the hashed ids must still be distinct
+    // and non-null (the failure mode of the old cast("long") id was
+    // silent nulls on non-numeric keys)
+    val hashedIds = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
     val q = graft.streaming.CurationStream.startScreenWebdataset(
       spark, dir, corpus, evalSet,
-      sink = out => out.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0))),
+      sink = out => out.select(col("sample_key").cast("long"), col("doc_id"))
+        .collect().foreach { r =>
+          assert(!r.isNullAt(1), "hashed doc_id must never be null")
+          admitted.add(r.getLong(0)); hashedIds.add(r.getLong(1))
+        },
       checkpointDir = ck)
     try {
       q.processAllAvailable()
       import scala.jdk.CollectionConverters._
       assert(admitted.asScala.toSet == batchAdmitted,
         s"streamed ${admitted.size} admissions, batch ${batchAdmitted.size}")
+      assert(hashedIds.size == admitted.size,
+        "xxhash64(shard, sample_key) ids must be distinct per admitted sample")
     } finally q.stop()
   }
 }
