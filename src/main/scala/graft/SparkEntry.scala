@@ -1870,6 +1870,96 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- mergeable-sketch family (Sketches.scala — the 100 TB rollup
+    //      primitives): every sketch is md5-derived, deterministic and
+    //      order-free, so the oracle replays the FULL construction in
+    //      SQL — registers, signatures, and counters bit-for-bit, with
+    //      the only transcendental (ln in HLL's linear-counting branch)
+    //      4dp-rounded on both sides per the repo convention.
+    //
+    //      HLL distinct 3-gram estimate per source PLUS a global '*'
+    //      row: per-source counts (~850 at sf0.01) land in the
+    //      linear-counting branch, the global union (~16k) in the raw
+    //      harmonic-mean branch — one gate exercises both. The
+    //      indicator sum rides an exact DECIMAL(38,0) so partition
+    //      order cannot flake the hash. ----
+    "q_sketch_hll" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val toks = tokens(normalizeText(col("text")))
+      val grams = graft.core.CacheScope.retain(
+        documents(s, dir).where(col("text").isNotNull)
+          .select(col("source"), explode(wordNgramsFromTokens(toks, 3)).as("g3"))
+          .where(col("g3") =!= ""))
+      val stream = grams.union(grams.select(lit("*").as("source"), col("g3")))
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(stream, "g3", Seq("source"), p = 10),
+        Seq("source"), p = 10)
+      val exact = stream.groupBy("source")
+        .agg(countDistinct(col("g3")).as("n_exact"))
+      est.join(exact, "source")
+        .select("source", "set_buckets", "v_zero", "n_distinct_est", "n_exact")
+        .orderBy("source")
+    }),
+
+    // ---- KMV source-overlap matrix: a <=k sorted-long signature per
+    //      source (bounded-state typed Aggregator — map-side partials,
+    //      k longs per group per task on the shuffle), then the
+    //      pairwise distinct estimates and Jaccard computed from the
+    //      SIGNATURES ALONE (the 100 TB selling point: the overlap
+    //      matrix never re-reads the corpus). Exact counterparts ride
+    //      beside the estimates. ----
+    "q_sketch_kmv" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val k = 128
+      val toks = tokens(normalizeText(col("text")))
+      val grams = graft.core.CacheScope.retain(
+        documents(s, dir).where(col("text").isNotNull)
+          .select(col("source"), explode(wordNgramsFromTokens(toks, 3)).as("g3"))
+          .where(col("g3") =!= ""))
+      val sigs = Sketches.kmvSketch(grams, "g3", Seq("source"), k)
+      val a = sigs.select(col("source").as("src_a"), col("kmv_sig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("kmv_sig").as("sig_b"))
+      val pairs = a.crossJoin(b).where(col("src_a") < col("src_b"))
+      val dw = graft.core.CacheScope.retain(grams.distinct())
+      val cn = dw.groupBy("source").agg(count(lit(1)).as("n"))
+      val ix = dw.alias("x").join(dw.alias("y"),
+          col("x.g3") === col("y.g3") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(ix, Seq("src_a", "src_b"), "left").na.fill(0L, Seq("n_inter"))
+        .join(cn.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(cn.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"),
+          Sketches.kmvEstimateCol(col("sig_a"), k).as("est_a"),
+          Sketches.kmvEstimateCol(col("sig_b"), k).as("est_b"),
+          Sketches.kmvJaccardCol(col("sig_a"), col("sig_b"), k).as("kmv_jaccard"),
+          (floor(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double")
+            * 10000 + 0.5) / 10000).as("exact_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- count-min heavy hitters: one 4x1024 counter frame for the
+    //      whole 3-gram stream (bounded whatever the corpus size,
+    //      map-side-combined sums), the 20 heaviest grams point-queried
+    //      against it via a broadcast join. Overcount-only guarantee:
+    //      cms_est >= n_exact always, equality when the gram's 4 cells
+    //      dodge collisions. ----
+    "q_sketch_cms" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val toks = tokens(normalizeText(col("text")))
+      val grams = graft.core.CacheScope.retain(
+        documents(s, dir).where(col("text").isNotNull)
+          .select(explode(wordNgramsFromTokens(toks, 3)).as("g3"))
+          .where(col("g3") =!= ""))
+      val counters = Sketches.cmsCounters(grams, "g3", depth = 4, widthPow = 10)
+      val top = grams.groupBy("g3").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("g3")).limit(20)
+      Sketches.cmsQuery(counters, top, "g3", depth = 4, widthPow = 10)
+        .orderBy(col("n_exact").desc, col("g3"))
+    }),
+
     // ---- dedup family-size histogram (the data-card number behind
     //      the cluster dedup: how many families of each size, plus the
     //      doc mass they hold). Composition of the q_dedup_cluster walk
@@ -6154,6 +6244,125 @@ object SparkEntry {
         |FROM f, tot""".stripMargin,
 
     "q_confusables" -> ConfusablesOracleSql,
+
+    "q_sketch_hll" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ntoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ntoks) - 2),
+        |                i -> array_to_string(ntoks[i:i+2], ' ')) END) AS g3
+        |  FROM tk),
+        |g AS (SELECT source, g3 FROM g0 WHERE g3 <> ''
+        |      UNION ALL SELECT '*' AS source, g3 FROM g0 WHERE g3 <> ''),
+        |h AS (SELECT source, ('0x' || substr(md5(g3), 1, 15))::BIGINT AS h FROM g),
+        |r AS (SELECT source, h & 1023 AS bucket,
+        |        CASE WHEN (h >> 10) = 0 THEN 51 ELSE 50 - length(bin(h >> 10)) + 1 END AS rho
+        |      FROM h),
+        |regs AS (SELECT source, bucket, MAX(rho) AS max_rho FROM r GROUP BY source, bucket),
+        |agg AS (SELECT source, COUNT(*) AS set_buckets,
+        |          SUM(1::HUGEINT << (60 - max_rho)) AS z_set FROM regs GROUP BY source),
+        |e AS (SELECT source, set_buckets, 1024 - set_buckets AS v_zero,
+        |        CAST(z_set + (1024 - set_buckets)::HUGEINT * (1::HUGEINT << 60) AS DOUBLE) AS z
+        |      FROM agg),
+        |f AS (SELECT source, set_buckets, v_zero,
+        |        0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 1152921504606846976.0 / z AS raw
+        |      FROM e),
+        |x AS (SELECT source, CAST(set_buckets AS BIGINT) AS set_buckets,
+        |        CAST(v_zero AS BIGINT) AS v_zero,
+        |        floor((CASE WHEN raw <= 2560.0 AND v_zero > 0
+        |               THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE)) ELSE raw END)
+        |          * 10000 + 0.5) / 10000 AS n_distinct_est
+        |      FROM f),
+        |n AS (SELECT source, COUNT(DISTINCT g3) AS n_exact FROM g GROUP BY source)
+        |SELECT x.source, set_buckets, v_zero, n_distinct_est, n_exact
+        |FROM x JOIN n USING (source) ORDER BY source""".stripMargin,
+
+    "q_sketch_kmv" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ntoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ntoks) - 2),
+        |                i -> array_to_string(ntoks[i:i+2], ' ')) END) AS g3
+        |  FROM tk),
+        |g AS (SELECT source, g3 FROM g0 WHERE g3 <> ''),
+        |dh AS (SELECT DISTINCT source, ('0x' || substr(md5(g3), 1, 15))::BIGINT AS h FROM g),
+        |sg AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+        |s AS (SELECT source, h, rn FROM sg WHERE rn <= 128),
+        |c AS (SELECT source, COUNT(*) AS sz, MAX(CASE WHEN rn = 128 THEN h END) AS hk
+        |      FROM s GROUP BY source),
+        |est AS (SELECT source,
+        |          floor((CASE WHEN sz >= 128 THEN 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+        |                 ELSE CAST(sz AS DOUBLE) END) * 10000 + 0.5) / 10000 AS est
+        |        FROM c),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b FROM c a JOIN c b ON a.source < b.source),
+        |u AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+        |      FROM p JOIN s ON s.source = p.src_a OR s.source = p.src_b),
+        |x AS (SELECT src_a, src_b, h,
+        |        ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u),
+        |xx AS (SELECT src_a, src_b, h FROM x WHERE rn <= 128),
+        |num AS (SELECT xx.src_a, xx.src_b, COUNT(*) AS xsz,
+        |          SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS inter
+        |        FROM xx
+        |        LEFT JOIN s sa ON sa.source = xx.src_a AND sa.h = xx.h
+        |        LEFT JOIN s sb ON sb.source = xx.src_b AND sb.h = xx.h
+        |        GROUP BY xx.src_a, xx.src_b),
+        |dw AS (SELECT DISTINCT source, g3 FROM g),
+        |cn AS (SELECT source, COUNT(*) AS n FROM dw GROUP BY source),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        |       FROM dw a JOIN dw b ON a.g3 = b.g3 AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, ea.est AS est_a, eb.est AS est_b,
+        |  floor(CAST(num.inter AS DOUBLE) / CAST(num.xsz AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS kmv_jaccard,
+        |  floor(CAST(COALESCE(ix.n_inter, 0) AS DOUBLE)
+        |    / CAST(ca.n + cb.n - COALESCE(ix.n_inter, 0) AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS exact_jaccard
+        |FROM p
+        |JOIN est ea ON ea.source = p.src_a
+        |JOIN est eb ON eb.source = p.src_b
+        |JOIN num ON num.src_a = p.src_a AND num.src_b = p.src_b
+        |JOIN cn ca ON ca.source = p.src_a
+        |JOIN cn cb ON cb.source = p.src_b
+        |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    "q_sketch_cms" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ntoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ntoks) - 2),
+        |                i -> array_to_string(ntoks[i:i+2], ' ')) END) AS g3
+        |  FROM tk),
+        |g AS (SELECT g3 FROM g0 WHERE g3 <> ''),
+        |d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |rb AS (SELECT d.i,
+        |         ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || g.g3), 1, 15))::BIGINT & 1023
+        |           AS bucket
+        |       FROM g CROSS JOIN d),
+        |cnt AS (SELECT i, bucket, COUNT(*) AS cnt FROM rb GROUP BY i, bucket),
+        |top AS (SELECT g3, COUNT(*) AS n_exact FROM g GROUP BY g3
+        |        ORDER BY n_exact DESC, g3 LIMIT 20),
+        |q AS (SELECT t.g3, t.n_exact, d.i,
+        |        ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || t.g3), 1, 15))::BIGINT & 1023
+        |          AS bucket
+        |      FROM top t CROSS JOIN d)
+        |SELECT q.g3, q.n_exact, MIN(COALESCE(cnt.cnt, 0)) AS cms_est
+        |FROM q LEFT JOIN cnt ON cnt.i = q.i AND cnt.bucket = q.bucket
+        |GROUP BY q.g3, q.n_exact
+        |ORDER BY n_exact DESC, g3""".stripMargin,
 
     "q_dedup_family_sizes" ->
       s"""${DedupOracle.charShingleCtes("documents")},

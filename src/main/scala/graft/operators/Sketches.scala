@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+
+/** Mergeable sketches — the 100 TB rollup primitives: cardinality
+  * (HyperLogLog), set similarity (K-Minimum-Values), and frequency
+  * (Count-Min). A 1000-executor pipeline answers "how many distinct
+  * URLs across all 100 sources", "which sources overlap", and "what
+  * are the heavy domains" from BOUNDED per-group state that merges
+  * associatively — never from a re-scan of the corpus.
+  *
+  * Everything here is DETERMINISTIC and order-free, unlike Spark's
+  * built-in `approx_count_distinct` whose HLL++ register encoding is
+  * opaque: the hash is the first 60 bits of md5 (a primitive both this
+  * engine and the DuckDB oracle evaluate bit-identically), registers
+  * and counters are plain DataFrames, and every estimate is an exact
+  * arithmetic expression over them — so the correctness gates replay
+  * the FULL sketch construction in SQL, and the sketches themselves
+  * persist as parquet and merge across pipeline runs.
+  *
+  * Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+  * cardinality estimation algorithm" (2007); Bar-Yossef et al.,
+  * "Counting distinct elements in a data stream" (2002, KMV);
+  * Cormode & Muthukrishnan, "An improved data stream summary: the
+  * count-min sketch" (2005).
+  *
+  * Scale shape: HLL registers are ≤ 2^p rows per group (map-side
+  * combined `max`), KMV state is a ≤ k sorted array per group inside a
+  * typed Aggregator (map-side partials, tiny shuffle), CMS counters
+  * are ≤ depth·width rows total — each sketch's size is independent of
+  * the data's. */
+object Sketches {
+
+  /** 60-bit non-negative hash: the first 15 hex chars of md5. 60 bits
+    * keeps every value strictly inside a signed 64-bit long in BOTH
+    * engines (16 chars could set the sign bit), and both sides parse
+    * the identical hex prefix — the cross-engine determinism anchor. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HLL register frame for `valueCol` within each `groupCols` group:
+    * one row per non-empty register, `(groupCols*, bucket, max_rho)`.
+    * bucket = low p bits of h60; rho = leading-zero count of the
+    * remaining (60-p)-bit word + 1 (computed via the binary-string
+    * length, an expression DuckDB evaluates identically). Absent
+    * buckets mean rho 0. The aggregation is a map-side-combined `max`
+    * — the shuffle carries at most 2^p rows per group whatever the
+    * input size. */
+  def hllRegisters(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 20, s"hllRegisters: p=$p outside [4,20]")
+    val m = 1L << p
+    val h = h60(col(valueCol))
+    val w = shiftright(h, p) // the (60-p)-bit rank word
+    val rho = when(w === 0, lit(60 - p + 1))
+      .otherwise(lit(60 - p) - length(bin(w)) + 1)
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ (h.bitwiseAND(lit(m - 1))).as("bucket")
+        :+ rho.cast("int").as("__rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** Merge register frames (sketch union): HLL's defining property —
+    * registers of A ∪ B equal the bucket-wise max of A's and B's
+    * registers, so per-source/per-day sketches roll up without
+    * touching the data again. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** Collapse a register frame to per-group estimates:
+    * `(groupCols*, set_buckets, v_zero, n_distinct_est)`. The indicator
+    * sum Z = Σ 2^(-M_j) is carried EXACTLY as the integer
+    * Σ 2^(60-M_j) in DECIMAL(38,0) (partition-order-free; a double
+    * sum would flake the hash gates at the last ulp), collapsed to
+    * double once. Small-range linear counting (E ≤ 2.5m with empty
+    * registers) per Flajolet §4; estimates canonicalized to 4 decimals
+    * — the repo's cross-engine float convention. Relative error is
+    * ~1.04/√m (≈3.2% at p=10). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+      p: Int = 10): DataFrame = {
+    val m = 1L << p
+    // each set register contributes 2^(60-rho); each empty one 2^60
+    val perBucket = expr("shiftleft(1L, 60 - max_rho)").cast("decimal(38,0)")
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("set_buckets"),
+        sum(perBucket).as("__z_set"))
+    val vZero = (lit(m) - col("set_buckets"))
+    val zScaled = (col("__z_set") +
+      vZero.cast("decimal(38,0)") * lit(1L << 60).cast("decimal(38,0)"))
+      .cast("double")
+    // alpha_m spelled as the same arithmetic the oracle runs, not a
+    // precomputed literal — bit-identical double math on both sides
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) *
+      lit(java.lang.Math.pow(2.0, 60)) / zScaled
+    val est = when(raw <= lit(2.5 * m) && vZero > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / vZero.cast("double")))
+      .otherwise(raw)
+    agg.select(groupCols.map(col) :+ col("set_buckets") :+
+      vZero.cast("long").as("v_zero") :+
+      (floor(est * 10000 + 0.5) / 10000).as("n_distinct_est"): _*)
+  }
+
+  // ---------------------------------------------------------------- KMV
+
+  /** Bounded-state k-minimum-values aggregator: the buffer is the ≤ k
+    * smallest DISTINCT h60 values seen, kept sorted. Set semantics
+    * make it order-free and idempotent; merge is a sorted-array union
+    * take-k — associative, so map-side partials shuffle at most k
+    * longs per group per task. */
+  private final class KmvAgg(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(b, h)
+      if (i >= 0) b // already present
+      else {
+        val at = -i - 1
+        if (b.length >= k && at >= k) b // not among the k smallest
+        else {
+          val keep = math.min(b.length + 1, k)
+          val out = new Array[Long](keep)
+          System.arraycopy(b, 0, out, 0, at)
+          out(at) = h
+          System.arraycopy(b, at, out, at + 1, keep - at - 1)
+          out
+        }
+      }
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { j += 1; b(j - 1) }
+          else if (j >= b.length) { i += 1; a(i - 1) }
+          else if (a(i) < b(j)) { i += 1; a(i - 1) }
+          else if (b(j) < a(i)) { j += 1; b(j - 1) }
+          else { i += 1; j += 1; a(i - 1) } // equal: dedup
+        out(n) = take; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV sketch frame: `(groupCols*, kmv_sig)` where kmv_sig is the
+    * sorted array of the group's k smallest distinct h60 values. */
+  def kmvSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(k >= 8, s"kmvSketch: k=$k under 8 estimates nothing")
+    val agg = udaf(new KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ h60(col(valueCol)).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__h")).as("kmv_sig"))
+  }
+
+  /** Distinct-count estimate from a KMV signature column: exact
+    * |sig| when the group had fewer than k distinct values, else the
+    * Bar-Yossef estimator (k-1)/h_k with h_k normalized to the 60-bit
+    * hash space. 4-decimal canonical form. */
+  def kmvEstimateCol(sig: Column, k: Int): Column = {
+    val full = size(sig) >= k
+    val est = when(full,
+      lit((k - 1).toDouble) * lit(java.lang.Math.pow(2.0, 60)) /
+        element_at(sig, k).cast("double"))
+      .otherwise(size(sig).cast("double"))
+    floor(est * 10000 + 0.5) / 10000
+  }
+
+  /** KMV signature union — merge law: kmv(A ∪ B) == kmvMergeCol over
+    * the groups' signatures (k smallest of the sorted-distinct union). */
+  def kmvMergeCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** KMV Jaccard estimate between two signatures (Beyer et al. 2007):
+    * X = the k smallest of sig_a ∪ sig_b; J ≈ |X ∩ sig_a ∩ sig_b|/|X|.
+    * Works on the SKETCHES alone — the pairwise source-overlap matrix
+    * at 100 TB costs |groups|² tiny array ops, zero data re-reads. */
+  def kmvJaccardCol(a: Column, b: Column, k: Int): Column = {
+    val x = kmvMergeCol(a, b, k)
+    val inter = size(array_intersect(array_intersect(x, a), b))
+    floor(inter.cast("double") / size(x).cast("double") * 10000 + 0.5) / 10000
+  }
+
+  // ---------------------------------------------------------- Count-Min
+
+  /** Count-min counter frame: `(row, bucket, cnt)` — depth rows of a
+    * width-sized counter array, row i hashing value v at
+    * h60(i || ':' || v) & (width-1). `weight` defaults to 1 per input
+    * row. Counters sum map-side; the frame is ≤ depth·width rows no
+    * matter the corpus size, and two frames merge by bucket-wise sum
+    * (the CMS linearity law). */
+  def cmsCounters(df: DataFrame, valueCol: String, depth: Int = 4,
+      widthPow: Int = 10, weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cmsCounters: depth=$depth outside [1,8]")
+    val width = 1L << widthPow
+    val rows = array((0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        h60(concat(lit(s"$i:"), col(valueCol).cast("string")))
+          .bitwiseAND(lit(width - 1)).as("bucket"))
+    }: _*)
+    df.where(col(valueCol).isNotNull)
+      .select(explode(rows).as("__rb"), weight.as("__w"))
+      .groupBy(col("__rb.row").as("row"), col("__rb.bucket").as("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Merge two counter frames (sketch of the concatenated inputs). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query a counter frame for each probe row's `valueCol`:
+    * appends `cms_est` = min over depth rows of the addressed counter.
+    * Always ≥ the true count (collisions only ADD); ≤ true + εN with
+    * probability 1-δ for ε = e/width, δ = e^-depth. The counter frame
+    * broadcasts (≤ depth·width rows). */
+  def cmsQuery(counters: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, widthPow: Int = 10): DataFrame = {
+    val width = 1L << widthPow
+    val addressed = probes.withColumn("__rb", explode(array((0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        h60(concat(lit(s"$i:"), col(valueCol).cast("string")))
+          .bitwiseAND(lit(width - 1)).as("bucket"))
+    }: _*)))
+    val probeCols = probes.columns.map(col)
+    addressed
+      .join(broadcast(counters),
+        col("__rb.row") === counters("row") &&
+          col("__rb.bucket") === counters("bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(probeCols: _*)
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+}

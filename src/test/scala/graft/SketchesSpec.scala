@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n distinct synthetic values tagged with a group. */
+  private def vals(g: String, n: Int, salt: String = ""): DataFrame =
+    spark.range(n).select(lit(g).as("g"),
+      concat(lit(s"v$salt-"), col("id")).as("v"))
+
+  test("h60 matches the md5-derived constant both engines compute") {
+    // md5('hello') = 5d41402abc4b2a76..., first 15 hex = 419982666956583591
+    // (verified against DuckDB's ('0x'||substr(md5(v),1,15))::BIGINT)
+    val h = Seq("hello").toDF("v").select(Sketches.h60(col("v"))).head.getLong(0)
+    assert(h == 419982666956583591L)
+  }
+
+  test("HLL estimate lands within the published error band across scales") {
+    for (n <- Seq(1000, 20000)) {
+      val regs = Sketches.hllRegisters(vals("a", n), "v", Seq("g"), p = 10)
+      val est = Sketches.hllEstimate(regs, Seq("g"), p = 10)
+        .head.getAs[Double]("n_distinct_est")
+      // stderr ~1.04/sqrt(1024) = 3.25%; 4 sigma = 13%
+      assert(math.abs(est - n) / n < 0.13, s"n=$n est=$est")
+    }
+  }
+
+  test("HLL small-range linear counting is near exact") {
+    val regs = Sketches.hllRegisters(vals("a", 40), "v", Seq("g"), p = 10)
+    val row = Sketches.hllEstimate(regs, Seq("g"), p = 10).head
+    val est = row.getAs[Double]("n_distinct_est")
+    assert(row.getAs[Long]("v_zero") > 0)
+    assert(math.abs(est - 40) / 40 < 0.05, s"est=$est")
+  }
+
+  test("HLL merge law: registers(A union B) == merge(registers(A), registers(B))") {
+    val a = vals("g1", 500)
+    val b = vals("g1", 700, salt = "x") // overlaps nothing with a
+    val direct = Sketches.hllRegisters(a.union(b), "v", Seq("g"), p = 8)
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a, "v", Seq("g"), p = 8),
+      Sketches.hllRegisters(b, "v", Seq("g"), p = 8), Seq("g"))
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty)
+  }
+
+  test("HLL registers are partitioning-invariant (deterministic)") {
+    val d = vals("a", 3000)
+    val r1 = Sketches.hllRegisters(d.repartition(1), "v", Seq("g")).collect().toSet
+    val r32 = Sketches.hllRegisters(d.repartition(32), "v", Seq("g")).collect().toSet
+    assert(r1 == r32)
+  }
+
+  test("KMV is exact under k, estimates over k, and duplicates never inflate") {
+    val small = vals("a", 50)
+    val sigSmall = Sketches.kmvSketch(small.union(small), "v", Seq("g"), k = 64)
+    val estSmall = sigSmall.select(Sketches.kmvEstimateCol(col("kmv_sig"), 64))
+      .head.getDouble(0)
+    assert(estSmall == 50.0, s"under-k KMV must be exact, got $estSmall")
+
+    val big = vals("a", 5000)
+    val est = Sketches.kmvSketch(big, "v", Seq("g"), k = 256)
+      .select(Sketches.kmvEstimateCol(col("kmv_sig"), 256)).head.getDouble(0)
+    // stderr ~1/sqrt(k-2) = 6.3%; 4 sigma = 25%
+    assert(math.abs(est - 5000) / 5000 < 0.25, s"est=$est")
+  }
+
+  test("KMV merge law and partitioning invariance") {
+    val a = vals("g1", 800)
+    val b = vals("g1", 900, salt = "x")
+    val k = 128
+    val sigA = Sketches.kmvSketch(a, "v", Seq("g"), k).head.getSeq[Long](1)
+    val sigB = Sketches.kmvSketch(b, "v", Seq("g"), k).head.getSeq[Long](1)
+    val direct = Sketches.kmvSketch(a.union(b).repartition(32), "v", Seq("g"), k)
+      .head.getSeq[Long](1)
+    val merged = Seq((sigA, sigB)).toDF("sa", "sb")
+      .select(Sketches.kmvMergeCol(col("sa"), col("sb"), k)).head.getSeq[Long](0)
+    assert(direct == merged)
+  }
+
+  test("KMV Jaccard tracks the true overlap") {
+    // A = 0..1999, B = 1000..2999 -> true J = 1000/3000 = 0.333
+    val a = spark.range(2000).select(lit("a").as("g"), concat(lit("j-"), col("id")).as("v"))
+    val b = spark.range(1000, 3000).select(lit("b").as("g"), concat(lit("j-"), col("id")).as("v"))
+    val k = 256
+    val sigs = Sketches.kmvSketch(a.union(b), "v", Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val j = Seq((sigs("a"), sigs("b"))).toDF("sa", "sb")
+      .select(Sketches.kmvJaccardCol(col("sa"), col("sb"), k)).head.getDouble(0)
+    assert(math.abs(j - 1.0 / 3) < 0.12, s"j=$j")
+  }
+
+  test("CMS never undercounts, is exact for isolated heavy hitters, and merges linearly") {
+    // zipf-ish: value i appears (50 - i) times for i in 0..49
+    val d = spark.range(50).select(col("id"),
+      explode(sequence(lit(1L), lit(50) - col("id"))).as("rep"))
+      .select(concat(lit("w-"), col("id")).as("v"))
+    val counters = Sketches.cmsCounters(d, "v", depth = 4, widthPow = 10)
+    val exact = d.groupBy("v").agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsQuery(counters, exact, "v", depth = 4, widthPow = 10)
+      .collect()
+    est.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n"), r.getAs[Long]("cms_est"))
+      assert(e >= n, s"CMS undercounted ${r.getString(0)}: $e < $n")
+      // 50 distinct values in 4x1024 counters: collisions essentially nil
+      assert(e == n, s"unexpected collision for ${r.getString(0)}: $e != $n")
+    }
+    // linearity: counters(A ++ A) == merge(counters(A), counters(A))
+    val doubled = Sketches.cmsCounters(d.union(d), "v", depth = 4, widthPow = 10)
+    val merged = Sketches.cmsMerge(counters, counters)
+    assert(doubled.exceptAll(merged).isEmpty && merged.exceptAll(doubled).isEmpty)
+  }
+
+  test("CMS counters are partitioning-invariant") {
+    val d = vals("a", 2000)
+    val c1 = Sketches.cmsCounters(d.repartition(1), "v").collect().toSet
+    val c32 = Sketches.cmsCounters(d.repartition(32), "v").collect().toSet
+    assert(c1 == c32)
+  }
+}
