@@ -311,4 +311,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
   }
+
+  test("q_sketch_hll: register aggregation is two-phase (map-side partial max)") {
+    val p = plan("q_sketch_hll")
+    // the register build must partial-aggregate before the shuffle — at
+    // 100 TB the shuffle carries <=2^p rows per group, never the stream
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_sketch_cms: counters broadcast into the point-query join; sums partial-aggregate") {
+    val p = plan("q_sketch_cms")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the <=depth*width counter frame must broadcast, never shuffle-sort")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("q_sketch_kmv: KMV aggregation runs map-side partials (ObjectHashAggregate)") {
+    val p = plan("q_sketch_kmv")
+    // the typed Aggregator must plan as ObjectHashAggregate with a
+    // partial stage — the shuffle then carries <=k longs per group per
+    // task, the whole point of the bounded-state sketch
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+    // the |sources|^2 signature cross-join is deliberate (sketch rows are
+    // tiny); what must never cross-join is the gram stream itself — the
+    // exact-jaccard audit join is an equi-join on the gram
+    assert(p.contains("Join"), p.take(500))
+  }
 }
