@@ -221,6 +221,90 @@ object Sketches {
     a.unionByName(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  // ------------------------------------------------- persistable stores
+
+  /** Persisted HLL sketch — the build-once/serve-many form (the
+    * [[LshIndex]]/[[SpanIndex]] discipline): registers live as parquet
+    * under `dir/registers`, the geometry (p, group columns) rides in a
+    * by-name-validated meta row so a mismatched merge CANNOT run.
+    * Because registers are bucket-wise maxes, [[add]]/[[merge]] are
+    * IDEMPOTENT — re-adding data (a replayed batch, a re-run day) never
+    * inflates the estimate, which is what makes the streaming monitor
+    * exactly-once without any dedup bookkeeping. */
+  final case class HllStore(regs: DataFrame, p: Int, groupCols: Seq[String]) {
+    def estimate: DataFrame = hllEstimate(regs, groupCols, p)
+    def merge(other: HllStore): HllStore = {
+      require(other.p == p && other.groupCols == groupCols,
+        s"HllStore.merge: geometry mismatch — this (p=$p, groups=$groupCols) " +
+          s"vs other (p=${other.p}, groups=${other.groupCols})")
+      copy(regs = hllMerge(regs, other.regs, groupCols))
+    }
+    def add(df: DataFrame, valueCol: String): HllStore =
+      merge(HllStore(hllRegisters(df, valueCol, groupCols, p), p, groupCols))
+    def save(dir: String): Unit = {
+      val spark = regs.sparkSession
+      regs.write.mode("overwrite").parquet(s"$dir/registers")
+      import spark.implicits._
+      Seq((p, groupCols.mkString(","))).toDF("hll_p", "group_cols")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Load a saved [[HllStore]]; meta read BY NAME and validated loudly. */
+  def loadHll(spark: org.apache.spark.sql.SparkSession, dir: String): HllStore = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    require(metaDf.columns.contains("hll_p") && metaDf.columns.contains("group_cols"),
+      s"Sketches.loadHll: $dir/meta is not a saved HllStore " +
+        s"(have: ${metaDf.columns.mkString(", ")})")
+    val meta = metaDf.head
+    val p = meta.getAs[Int]("hll_p")
+    require(p >= 4 && p <= 20, s"Sketches.loadHll: $dir/meta has invalid hll_p = $p")
+    val groups = meta.getAs[String]("group_cols").split(",").filter(_.nonEmpty).toSeq
+    HllStore(spark.read.parquet(s"$dir/registers"), p, groups)
+  }
+
+  /** Persisted KMV sketch — same discipline; signature union is set
+    * semantics, so add/merge are idempotent here too. Cross-store merge
+    * full-outer-joins on the group key and takes the k smallest of the
+    * union per group (absent side = empty signature). */
+  final case class KmvStore(sigs: DataFrame, k: Int, groupCols: Seq[String]) {
+    def merge(other: KmvStore): KmvStore = {
+      require(other.k == k && other.groupCols == groupCols,
+        s"KmvStore.merge: geometry mismatch — this (k=$k, groups=$groupCols) " +
+          s"vs other (k=${other.k}, groups=${other.groupCols})")
+      val empty = array().cast("array<bigint>")
+      val a = sigs.withColumnRenamed("kmv_sig", "__sa")
+      val b = other.sigs.withColumnRenamed("kmv_sig", "__sb")
+      val joined = a.join(b, groupCols, "full_outer")
+        .select(groupCols.map(col) :+ kmvMergeCol(
+          coalesce(col("__sa"), empty), coalesce(col("__sb"), empty), k)
+          .as("kmv_sig"): _*)
+      copy(sigs = joined)
+    }
+    def add(df: DataFrame, valueCol: String): KmvStore =
+      merge(KmvStore(kmvSketch(df, valueCol, groupCols, k), k, groupCols))
+    def save(dir: String): Unit = {
+      val spark = sigs.sparkSession
+      sigs.write.mode("overwrite").parquet(s"$dir/signatures")
+      import spark.implicits._
+      Seq((k, groupCols.mkString(","))).toDF("kmv_k", "group_cols")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Load a saved [[KmvStore]]; meta read BY NAME and validated loudly. */
+  def loadKmv(spark: org.apache.spark.sql.SparkSession, dir: String): KmvStore = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    require(metaDf.columns.contains("kmv_k") && metaDf.columns.contains("group_cols"),
+      s"Sketches.loadKmv: $dir/meta is not a saved KmvStore " +
+        s"(have: ${metaDf.columns.mkString(", ")})")
+    val meta = metaDf.head
+    val k = meta.getAs[Int]("kmv_k")
+    require(k >= 8, s"Sketches.loadKmv: $dir/meta has invalid kmv_k = $k")
+    val groups = meta.getAs[String]("group_cols").split(",").filter(_.nonEmpty).toSeq
+    KmvStore(spark.read.parquet(s"$dir/signatures"), k, groups)
+  }
+
   /** Point-query a counter frame for each probe row's `valueCol`:
     * appends `cms_est` = min over depth rows of the addressed counter.
     * Always ≥ the true count (collisions only ADD); ≤ true + εN with

@@ -120,4 +120,75 @@ class SketchesSpec extends SparkSpec {
     val c32 = Sketches.cmsCounters(d.repartition(32), "v").collect().toSet
     assert(c1 == c32)
   }
+
+  test("HllStore: save/load round-trip, idempotent add, geometry-mismatch loud") {
+    val dir = java.nio.file.Files.createTempDirectory("hll_store").toString
+    val d = vals("a", 2000)
+    val st = Sketches.HllStore(
+      Sketches.hllRegisters(d, "v", Seq("g"), p = 8), 8, Seq("g"))
+    st.save(dir)
+    val loaded = Sketches.loadHll(spark, dir)
+    assert(loaded.p == 8 && loaded.groupCols == Seq("g"))
+    assert(loaded.regs.collect().toSet == st.regs.collect().toSet)
+    // idempotence: re-adding the same data changes nothing
+    val again = loaded.add(d, "v")
+    assert(again.regs.collect().toSet == st.regs.collect().toSet)
+    // estimates served from the loaded store
+    val est = loaded.estimate.head.getAs[Double]("n_distinct_est")
+    assert(math.abs(est - 2000) / 2000 < 0.25, s"est=$est")
+    // mismatched geometry cannot merge
+    val other = Sketches.HllStore(
+      Sketches.hllRegisters(d, "v", Seq("g"), p = 10), 10, Seq("g"))
+    intercept[IllegalArgumentException](loaded.merge(other))
+    // a non-store dir fails loud by meta shape
+    val bad = java.nio.file.Files.createTempDirectory("hll_bad").toString
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite").parquet(s"$bad/meta")
+    intercept[IllegalArgumentException](Sketches.loadHll(spark, bad))
+  }
+
+  test("KmvStore: cross-store merge equals sketch-of-union; disjoint groups survive full-outer") {
+    val k = 64
+    val a = vals("g1", 500)
+    val b = vals("g1", 400, salt = "x").union(vals("g2", 300, salt = "y"))
+    val sa = Sketches.KmvStore(Sketches.kmvSketch(a, "v", Seq("g"), k), k, Seq("g"))
+    val sb = Sketches.KmvStore(Sketches.kmvSketch(b, "v", Seq("g"), k), k, Seq("g"))
+    val merged = sa.merge(sb).sigs.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = Sketches.kmvSketch(a.union(b), "v", Seq("g"), k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == direct)
+    // round-trip with add-idempotence
+    val dir = java.nio.file.Files.createTempDirectory("kmv_store").toString
+    sa.save(dir)
+    val loaded = Sketches.loadKmv(spark, dir)
+    assert(loaded.k == k)
+    val again = loaded.add(a, "v").sigs.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(again == sa.sigs.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap)
+  }
+
+  test("streaming HLL monitor: multi-batch accumulation equals the one-shot sketch") {
+    val d = spark.range(3000).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("g"),
+      concat(lit("m-"), col("id")).as("v"))
+    val oneShot = Sketches.hllEstimate(
+      Sketches.hllRegisters(d, "v", Seq("g"), p = 10), Seq("g"), p = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n_distinct_est")).toMap
+
+    val srcDir = java.nio.file.Files.createTempDirectory("hll_src").toString
+    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("hll_mon").toString + "/st"
+    val ck = java.nio.file.Files.createTempDirectory("hll_ck").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.SketchMonitor.startHllMonitor(
+      stream, "v", Seq("g"), storeDir, ck, p = 10,
+      onEstimate = _ => batches.incrementAndGet())
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.get() >= 2, s"wanted multiple micro-batches, got ${batches.get()}")
+    val streamed = Sketches.loadHll(spark, storeDir).estimate
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("n_distinct_est")).toMap
+    assert(streamed == oneShot)
+  }
 }
