@@ -1870,6 +1870,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Rademacher (JL) random projection: 64-dim embeddings down to
+    //      16 via a ±1 sign matrix derived driver-side from the md5
+    //      walk the oracle replays; per-row ordered folds, map-side
+    //      only, scale 1/sqrt(16)=0.25 exact. Output posexploded to
+    //      scalar floats — the REAL cast is the canonicalizer, same as
+    //      q_cosine_native. ----
+    "q_jl_project" -> ((s, dir) => {
+      Projection.rademacherProject(embeddings(s, dir), "embedding", "vec_id",
+        dim = 64, outDim = 16, seed = 1L)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- mergeable-sketch family (Sketches.scala — the 100 TB rollup
     //      primitives): every sketch is md5-derived, deterministic and
     //      order-free, so the oracle replays the FULL construction in
@@ -6244,6 +6257,21 @@ object SparkEntry {
         |FROM f, tot""".stripMargin,
 
     "q_confusables" -> ConfusablesOracleSql,
+
+    "q_jl_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ij AS (SELECT i.i, j.j
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+        |sgn AS (SELECT i, j,
+        |    CASE WHEN ('0x' || substr(md5('1:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM ij),
+        |sl AS (SELECT j, list(s ORDER BY i) AS sl FROM sgn GROUP BY j),
+        |p AS (SELECT e.vec_id, CAST(sl.j AS INTEGER) AS dim,
+        |        CAST(list_inner_product(e.v, sl.sl) * 0.25 AS REAL) AS value
+        |      FROM e CROSS JOIN sl)
+        |SELECT vec_id, dim, value FROM p ORDER BY vec_id, dim""".stripMargin,
 
     "q_sketch_hll" ->
       """WITH tk AS (

@@ -159,4 +159,40 @@ object Projection {
   def umap(): Nothing =
     throw new UnsupportedOperationException(
       "UMAP is non-functional in the reference (projection.py:12) and not provided")
+
+  /** Rademacher random projection — Achlioptas (2001)'s
+    * "database-friendly" Johnson–Lindenstrauss transform: project each
+    * `dim`-vector onto `outDim` rows of ±1 signs (no Gaussians, no
+    * transcendentals), scaled by 1/√outDim so expected squared norms
+    * are preserved. The cheap front-end before ANN indexing / near-dup
+    * at 100 TB: a 64→16 projection cuts every downstream shuffle and
+    * distance kernel 4×, with JL-bounded distortion.
+    *
+    * The sign matrix derives DRIVER-SIDE from the same md5 walk the
+    * DuckDB oracle replays (s(i,j) = ±1 by bit 0 of h60("seed:i:j")),
+    * then ships into the plan as array literals — the executors never
+    * hash; per row the work is outDim ordered zip_with/aggregate folds,
+    * entirely map-side (no shuffle, no UDF). Output: (idCol, proj
+    * array<float>) — the float cast is the cross-engine canonicalizer,
+    * same as the cosine gates. */
+  def rademacherProject(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, outDim: Int, seed: Long = 1L,
+      scale: Boolean = true): DataFrame = {
+    require(outDim >= 1 && outDim < dim,
+      s"rademacherProject: outDim=$outDim must be in [1, dim=$dim)")
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(hex.take(15), 16) & 1L) == 1L) 1.0 else -1.0
+    }
+    val c = if (scale) 1.0 / math.sqrt(outDim.toDouble) else 1.0
+    val v = col(vecCol).cast("array<double>")
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      (aggregate(zip_with(v, signs, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) * lit(c)).cast("float")
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
 }
