@@ -1883,6 +1883,36 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- JL-space retrieval recall: exact top-10 by cosine in the
+    //      16-dim PROJECTED space vs the 64-dim full space, hits per
+    //      query. FULL oracle — both rankings replayed end-to-end (the
+    //      projected floats are the q_jl_project values, so the two
+    //      engines rank identical doubles). The gate quantifies what
+    //      the 4x-cheaper JL front-end costs in recall — on THIS
+    //      fixture that cost is large (~14% recall@10): the synthetic
+    //      embeddings are near-isotropic, so neighbor cosine gaps sit
+    //      inside the k=16 JL distortion and rankings flip freely.
+    //      That is the honest read: JL is a DISTANCE-preserving
+    //      front-end, fit for threshold near-dup screens and clustered
+    //      real embeddings, not for fine ranking of isotropic data —
+    //      use PQ/IVF (q_similarity_*) when ranking matters. ----
+    "q_jl_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val proj = Projection.rademacherProject(e, "embedding", "vec_id",
+        dim = 64, outDim = 16, seed = 1L)
+      val exactTop = Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") < 8), "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val projTop = Similarity.bruteForceTopK(
+        proj, proj.filter(col("vec_id") < 8), "proj", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val queries = e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
+      val hits = exactTop.join(projTop, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.join(hits, Seq("query_id"), "left").na.fill(0L, Seq("n_hit"))
+        .orderBy("query_id")
+    }),
+
     // ---- mergeable-sketch family (Sketches.scala — the 100 TB rollup
     //      primitives): every sketch is md5-derived, deterministic and
     //      order-free, so the oracle replays the FULL construction in
@@ -6272,6 +6302,42 @@ object SparkEntry {
         |        CAST(list_inner_product(e.v, sl.sl) * 0.25 AS REAL) AS value
         |      FROM e CROSS JOIN sl)
         |SELECT vec_id, dim, value FROM p ORDER BY vec_id, dim""".stripMargin,
+
+    "q_jl_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ij AS (SELECT i.i, j.j
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+        |sgn AS (SELECT i, j,
+        |    CASE WHEN ('0x' || substr(md5('1:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM ij),
+        |sl AS (SELECT j, list(s ORDER BY i) AS sl FROM sgn GROUP BY j),
+        |pr AS (SELECT e.vec_id, sl.j,
+        |        CAST(CAST(list_inner_product(e.v, sl.sl) * 0.25 AS REAL) AS DOUBLE) AS value
+        |      FROM e CROSS JOIN sl),
+        |pv AS (SELECT vec_id, list(value ORDER BY j) AS pv FROM pr GROUP BY vec_id),
+        |extop AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        |    FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 10),
+        |prtop AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.pv, c.pv) DESC, c.vec_id) AS rank
+        |    FROM pv q JOIN pv c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 10),
+        |h AS (SELECT extop.query_id, COUNT(*) AS n_hit
+        |      FROM extop JOIN prtop
+        |        ON prtop.query_id = extop.query_id
+        |       AND prtop.neighbor_id = extop.neighbor_id
+        |      GROUP BY extop.query_id)
+        |SELECT e.vec_id AS query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+        |FROM e LEFT JOIN h ON h.query_id = e.vec_id
+        |WHERE e.vec_id < 8
+        |ORDER BY query_id""".stripMargin,
 
     "q_sketch_hll" ->
       """WITH tk AS (
