@@ -1883,6 +1883,26 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- Z-order (Morton) layout key: the multi-column scan-pruning
+    //      lever — bit-interleave (l_partkey, l_suppkey) at 16 bits
+    //      each into one sort key so a range-partitioned write clusters
+    //      rows close in BOTH dimensions into the same files. Pure
+    //      integer arithmetic (disjoint powers of two summed), replayed
+    //      bit-for-bit in the oracle; the rollup groups by z-prefix
+    //      (the 256-cell hyper-box grid) and pins min/max/count per
+    //      cell — exactly the per-file stats a pruning reader uses. ----
+    "q_zorder" -> ((s, dir) => {
+      val z = ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
+      lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), z.as("z"))
+        .groupBy(shiftright(col("z"), 24).as("z_prefix"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy("z_prefix")
+    }),
+
     // ---- JL-space retrieval recall: exact top-10 by cosine in the
     //      16-dim PROJECTED space vs the 64-dim full space, hits per
     //      query. FULL oracle — both rankings replayed end-to-end (the
@@ -6302,6 +6322,22 @@ object SparkEntry {
         |        CAST(list_inner_product(e.v, sl.sl) * 0.25 AS REAL) AS value
         |      FROM e CROSS JOIN sl)
         |SELECT vec_id, dim, value FROM p ORDER BY vec_id, dim""".stripMargin,
+
+    "q_zorder" ->
+      """WITH z0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(list_sum(list_transform(generate_series(0, 15), b ->
+        |      (((l_partkey >> b) & 1) << (b * 2)) +
+        |      (((l_suppkey >> b) & 1) << (b * 2 + 1)))) AS BIGINT) AS z
+        |  FROM lineitem)
+        |SELECT z >> 24 AS z_prefix,
+        |  COUNT(*) AS n_rows,
+        |  MIN(z) AS z_min, MAX(z) AS z_max,
+        |  MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+        |  MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+        |FROM z0
+        |GROUP BY z >> 24
+        |ORDER BY z_prefix""".stripMargin,
 
     "q_jl_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
