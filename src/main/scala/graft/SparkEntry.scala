@@ -1883,6 +1883,33 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- log-histogram quantile sketch: doc-length p50/p90/p99 per
+    //      source + global, from the HdrHistogram-style integer bucket
+    //      frame (subBits=5 → ≤3% relative error, estimate always a
+    //      lower bound). Target ranks are exact rationals (ceil(p·n) in
+    //      integer arithmetic — a double p·n flips at boundaries), so
+    //      the WHOLE derivation is integer-exact and fully replayed,
+    //      with the true rank values beside the estimates. ----
+    "q_sketch_hist" -> ((s, dir) => {
+      val d0 = documents(s, dir).where(col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars"))
+      val d = d0.union(d0.select(lit("*").as("source"), col("n_chars")))
+      val ps = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      val est = Sketches.histQuantiles(
+        Sketches.logHistogram(d, "n_chars", Seq("source"), subBits = 5),
+        Seq("source"), ps, subBits = 5)
+      val withRn = d.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars")))
+      val totals = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val exact = ps.map { case (label, num, den) =>
+        withRn.join(totals, "source")
+          .where(col("rn") === expr(s"(n * $num + ${den - 1}) div $den"))
+          .select(col("source"), lit(label).as("p"),
+            col("n_chars").cast("long").as("q_exact"))
+      }.reduce(_.unionByName(_))
+      est.join(exact, Seq("source", "p")).orderBy("source", "p")
+    }),
+
     // ---- Z-order (Morton) layout key: the multi-column scan-pruning
     //      lever — bit-interleave (l_partkey, l_suppkey) at 16 bits
     //      each into one sort key so a range-partitioned write clusters
@@ -6322,6 +6349,42 @@ object SparkEntry {
         |        CAST(list_inner_product(e.v, sl.sl) * 0.25 AS REAL) AS value
         |      FROM e CROSS JOIN sl)
         |SELECT vec_id, dim, value FROM p ORDER BY vec_id, dim""".stripMargin,
+
+    "q_sketch_hist" ->
+      """WITH d0 AS (SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |d AS (SELECT source, n_chars FROM d0
+        |      UNION ALL SELECT '*' AS source, n_chars FROM d0),
+        |b AS (SELECT source, n_chars,
+        |    CASE WHEN n_chars < 32 THEN n_chars
+        |         ELSE (length(bin(n_chars)) - 5) * 32
+        |              + ((n_chars >> (length(bin(n_chars)) - 6)) & 31) END AS bucket
+        |  FROM d),
+        |h AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY source, bucket),
+        |c AS (SELECT source, bucket, cnt,
+        |        SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY source) AS n
+        |      FROM h),
+        |ps(p, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+        |sel AS (SELECT c.source, ps.p, MIN(bucket) AS b
+        |        FROM c CROSS JOIN ps
+        |        WHERE cum >= (n * num + den - 1) // den
+        |        GROUP BY c.source, ps.p),
+        |est AS (SELECT source, p,
+        |          CASE WHEN b < 32 THEN b
+        |               ELSE (32 + (b & 31)) << ((b >> 5) - 1) END AS q_est
+        |        FROM sel),
+        |rn AS (SELECT source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |       FROM d),
+        |ex AS (SELECT rn.source, ps.p, n_chars AS q_exact
+        |       FROM rn CROSS JOIN ps
+        |       WHERE rn.rn = (n * num + den - 1) // den)
+        |SELECT est.source, est.p, CAST(q_est AS BIGINT) AS q_est,
+        |  CAST(q_exact AS BIGINT) AS q_exact
+        |FROM est JOIN ex ON ex.source = est.source AND ex.p = est.p
+        |ORDER BY est.source, est.p""".stripMargin,
 
     "q_zorder" ->
       """WITH z0 AS (

@@ -221,6 +221,85 @@ object Sketches {
     a.unionByName(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  // ------------------------------------------------ log-histogram sketch
+
+  /** Mergeable quantile sketch over NON-NEGATIVE integers — the
+    * HdrHistogram idea (log-scaled buckets with `subBits` sub-bucket
+    * resolution, relative error ≤ 2^-subBits) built from pure integer
+    * arithmetic, so unlike t-digest/KLL it is deterministic, order-free,
+    * and exactly SQL-replayable. The sketch is a (group, bucket, cnt)
+    * frame: ≤ (64-subBits+1)·2^subBits rows per group whatever the data,
+    * merge = bucket-wise sum. The 100 TB telemetry shape: doc-length /
+    * token-count distributions per source rolled up without a sort.
+    *
+    * Bucket index: v < 2^k ⇒ v itself (exact); else with m = msb(v),
+    * index = (m-k+1)·2^k + ((v >> (m-k)) & (2^k-1)) — continuous at the
+    * boundary, lower bound recoverable exactly. */
+  def logHistogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"logHistogram: subBits=$subBits")
+    val k = subBits
+    val base = df.where(col(valueCol).isNotNull)
+      .withColumn("__v",
+        when(col(valueCol).cast("long") < 0, raise_error(concat(
+          lit(s"Sketches.logHistogram: negative value in $valueCol: "),
+          col(valueCol).cast("string"))))
+          .otherwise(col(valueCol).cast("long")))
+      .withColumn("__msb", length(bin(col("__v"))) - 1)
+      .withColumn("bucket",
+        when(col("__v") < (1L << k), col("__v")).otherwise(
+          (col("__msb") - k + 1).cast("long") * (1L << k) +
+            expr(s"shiftright(__v, __msb - $k)").bitwiseAND(lit((1L << k) - 1))))
+    base.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histogram frames (sketch of the concatenated inputs). */
+  def histMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Exact lower bound of a bucket index (the quantile estimate the
+    * sketch reports — always ≤ the true value, within 2^-subBits of it
+    * relatively). Takes the bucket COLUMN NAME (the variable shift goes
+    * through a SQL expression). */
+  def bucketLow(bucketCol: String, subBits: Int): Column = {
+    val k = subBits
+    when(col(bucketCol) < (1L << k), col(bucketCol)).otherwise(
+      expr(s"shiftleft(${1L << k}L + ($bucketCol & ${(1L << k) - 1}L), " +
+        s"cast(($bucketCol >> $k) - 1 as int))"))
+  }
+
+  /** Quantile estimates from a histogram frame. `ps` are EXACT
+    * rationals (label, num, den) — p = num/den — so the target rank
+    * ceil(p·n) is integer arithmetic and cross-engine exact (a double
+    * 0.9·n flips at boundaries). Output: (groupCols*, p, q_est) with
+    * q_est the lower bound of the first bucket whose cumulative count
+    * reaches the rank. The cumulative window runs over the
+    * geometry-bounded histogram frame, never the data. */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+      ps: Seq[(String, Int, Int)], subBits: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("cnt")).over(w))
+    val totals = hist.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__n"))
+    val withN = cum.join(totals, groupCols)
+    ps.map { case (label, num, den) =>
+      require(num >= 0 && den > 0 && num <= den, s"histQuantiles: $label = $num/$den")
+      // ceil(num*n/den) in integers (double p*n flips at boundaries)
+      val rank = expr(s"(__n * $num + ${den - 1}) div $den")
+      withN.where(col("__cum") >= rank)
+        .groupBy(groupCols.map(col): _*)
+        .agg(min(col("bucket")).as("__b"))
+        .select(groupCols.map(col) :+ lit(label).as("p") :+
+          bucketLow("__b", subBits).as("q_est"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------------- persistable stores
 
   /** Persisted HLL sketch — the build-once/serve-many form (the

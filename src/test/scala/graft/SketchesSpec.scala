@@ -191,4 +191,51 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("n_distinct_est")).toMap
     assert(streamed == oneShot)
   }
+
+  test("log-histogram bucket math is exact at the boundaries (hand-checked, k=5)") {
+    val d = Seq(0L, 1L, 31L, 32L, 33L, 100L, 101L, 1023L, 1024L).toDF("v")
+    val got = Sketches.logHistogram(d, "v", Seq.empty, subBits = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // v < 32 -> bucket v; v=100 (msb 6) -> 2*32 + (100>>1 & 31) = 82 (101 shares it)
+    assert(got(0L) == 1 && got(1L) == 1 && got(31L) == 1)
+    assert(got(32L) == 1 && got(33L) == 1)
+    assert(got(82L) == 2, s"100 and 101 must share bucket 82: $got")
+    // lower bounds invert exactly
+    val lows = Seq(82L, 32L, 5L).toDF("__b")
+      .select(Sketches.bucketLow("__b", 5)).collect().map(_.getLong(0))
+    assert(lows.toSeq == Seq(100L, 32L, 5L))
+  }
+
+  test("log-histogram merge law, determinism, and negative-value loudness") {
+    val a = spark.range(1, 5000).select((col("id") * 7 % 9973).as("v"))
+    val b = spark.range(1, 3000).select((col("id") * 13 % 9973).as("v"))
+    val direct = Sketches.logHistogram(a.union(b), "v", Seq.empty).collect().toSet
+    val merged = Sketches.histMerge(
+      Sketches.logHistogram(a, "v", Seq.empty),
+      Sketches.logHistogram(b, "v", Seq.empty), Seq.empty).collect().toSet
+    assert(direct == merged)
+    val r1 = Sketches.logHistogram(a.repartition(1), "v", Seq.empty).collect().toSet
+    val r32 = Sketches.logHistogram(a.repartition(32), "v", Seq.empty).collect().toSet
+    assert(r1 == r32)
+    intercept[Exception](
+      Sketches.logHistogram(Seq(-1L).toDF("v"), "v", Seq.empty).collect())
+  }
+
+  test("log-histogram quantiles: lower-bound property and 2^-k relative error") {
+    val k = 5
+    val d = spark.range(1, 20001).select(lit("g").as("g"), (col("id") * 17 % 50021).as("v"))
+    val hist = Sketches.logHistogram(d, "v", Seq("g"), subBits = k)
+    val ps = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    val est = Sketches.histQuantiles(hist, Seq("g"), ps, subBits = k)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val n = d.count()
+    val sorted = d.select("v").collect().map(_.getLong(0)).sorted
+    for ((label, num, den) <- ps) {
+      val exact = sorted(((n * num + den - 1) / den - 1).toInt)
+      val e = est(label)
+      assert(e <= exact, s"$label: estimate $e must lower-bound exact $exact")
+      assert(exact <= e + (e >> (k - 1)) + 1,
+        s"$label: exact $exact outside the 2^-${k - 1} band of $e")
+    }
+  }
 }
