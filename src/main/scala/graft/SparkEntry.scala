@@ -1883,6 +1883,37 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- chat/SFT conversation processing: documents synthesize into
+    //      JSON turn lists (conv = doc_id%50, turns ordered by doc_id,
+    //      roles alternate except the %7==0 all-user protocol breakers),
+    //      then the REAL pipeline runs — JSON parse (fail-loud), role
+    //      validation, flatten with loss-mask char spans. The oracle
+    //      derives every output directly from the doc columns, so the
+    //      JSON encode→parse round-trip is itself under test. ----
+    "q_chat_flatten" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+        .select(pmod(col("doc_id"), lit(50)).as("conv_id"), col("doc_id"),
+          substring(col("text"), 1, 40).as("content"))
+      val ranked = d.withColumn("rk", row_number().over(
+        Window.partitionBy("conv_id").orderBy("doc_id")) - 1)
+        .withColumn("role",
+          when(pmod(col("conv_id"), lit(7)) === 0, lit("user"))
+            .otherwise(when(col("rk") % 2 === 0, lit("user"))
+              .otherwise(lit("assistant"))))
+      val json = ranked.groupBy("conv_id").agg(
+        to_json(transform(
+          array_sort(collect_list(struct(col("rk"), col("role"), col("content")))),
+          t => struct(t.getField("role").as("role"),
+            t.getField("content").as("content")))).as("convo"))
+      val turns = Chat.parseConversations(json, "convo", "conv_id")
+      val flat = Chat.flattenWithSpans(turns, "conv_id")
+      val valid = Chat.validateConversations(turns, "conv_id")
+      flat.join(valid.select("conv_id", "n_turns", "valid"), "conv_id")
+        .select("conv_id", "turn_ix", "role", "seg_start", "seg_end",
+          "train_on", "n_turns", "valid")
+        .orderBy("conv_id", "turn_ix")
+    }),
+
     // ---- log-histogram quantile sketch: doc-length p50/p90/p99 per
     //      source + global, from the HdrHistogram-style integer bucket
     //      frame (subBits=5 → ≤3% relative error, estimate always a
@@ -6349,6 +6380,46 @@ object SparkEntry {
         |        CAST(list_inner_product(e.v, sl.sl) * 0.25 AS REAL) AS value
         |      FROM e CROSS JOIN sl)
         |SELECT vec_id, dim, value FROM p ORDER BY vec_id, dim""".stripMargin,
+
+    "q_chat_flatten" ->
+      """WITH d AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, substring(text, 1, 40) AS content
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT conv_id, content,
+        |        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY doc_id) - 1 AS rk
+        |      FROM d),
+        |t AS (SELECT conv_id, CAST(rk AS INTEGER) AS turn_ix, content,
+        |        CASE WHEN conv_id % 7 = 0 THEN 'user'
+        |             WHEN rk % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+        |      FROM r),
+        |seg AS (SELECT conv_id, turn_ix, role,
+        |          4 + length(role) + length(content) AS seg_len,
+        |          content
+        |        FROM t),
+        |f AS (SELECT conv_id, turn_ix, role,
+        |        CAST(SUM(seg_len) OVER (PARTITION BY conv_id ORDER BY turn_ix
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_end,
+        |        CAST(seg_len AS BIGINT) AS seg_len,
+        |        content
+        |      FROM seg),
+        |v AS (SELECT conv_id, COUNT(*) AS n_turns,
+        |        MAX(CASE WHEN turn_ix = 0 THEN role END) AS first_role,
+        |        (SUM(CASE WHEN role = (CASE WHEN turn_ix % 2 = 0 THEN 'user' ELSE 'assistant' END)
+        |              THEN 1 ELSE 0 END) = COUNT(*)
+        |         OR SUM(CASE WHEN role = (CASE WHEN turn_ix % 2 = 0 THEN 'assistant' ELSE 'user' END)
+        |              THEN 1 ELSE 0 END) = COUNT(*)) AS alternates,
+        |        arg_max(role, turn_ix) AS last_role,
+        |        MAX(CASE WHEN content IS NULL OR length(trim(content)) = 0
+        |              THEN 1 ELSE 0 END) AS has_empty
+        |      FROM f GROUP BY conv_id)
+        |SELECT f.conv_id, f.turn_ix, f.role,
+        |  f.seg_end - f.seg_len AS seg_start, f.seg_end,
+        |  f.role = 'assistant' AS train_on,
+        |  v.n_turns,
+        |  (v.first_role = 'user' AND v.alternates
+        |    AND v.last_role = 'assistant' AND v.has_empty = 0) AS valid
+        |FROM f JOIN v ON v.conv_id = f.conv_id
+        |ORDER BY f.conv_id, f.turn_ix""".stripMargin,
 
     "q_sketch_hist" ->
       """WITH d0 AS (SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL),

@@ -221,6 +221,24 @@ object Sketches {
     a.unionByName(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Theta-sketch-style set-operation estimates from two KMV
+    * signatures: |A ∩ B| ≈ J(A,B) · |A ∪ B| and |A \ B| = |A| − |A ∩ B|
+    * (Beyer et al. 2007). Like the Jaccard, these read the SIGNATURES
+    * ALONE — cross-source audit arithmetic, no corpus re-read. */
+  def kmvIntersectCol(a: Column, b: Column, k: Int): Column = {
+    val x = kmvMergeCol(a, b, k)
+    val inter = size(array_intersect(array_intersect(x, a), b)).cast("double")
+    val unionEst =
+      when(size(x) >= k,
+        lit((k - 1).toDouble) * lit(java.lang.Math.pow(2.0, 60)) /
+          element_at(x, k).cast("double"))
+        .otherwise(size(x).cast("double"))
+    floor(inter / size(x).cast("double") * unionEst * 10000 + 0.5) / 10000
+  }
+
+  def kmvDifferenceCol(a: Column, b: Column, k: Int): Column =
+    floor((kmvEstimateCol(a, k) - kmvIntersectCol(a, b, k)) * 10000 + 0.5) / 10000
+
   // ------------------------------------------------ log-histogram sketch
 
   /** Mergeable quantile sketch over NON-NEGATIVE integers — the

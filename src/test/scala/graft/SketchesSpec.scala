@@ -238,4 +238,24 @@ class SketchesSpec extends SparkSpec {
         s"$label: exact $exact outside the 2^-${k - 1} band of $e")
     }
   }
+
+  test("KMV intersection/difference estimates track truth (theta-style set ops)") {
+    // A = 0..1999, B = 1000..2999: |A n B| = 1000, |A \\ B| = 1000
+    val a = spark.range(2000).select(lit("a").as("g"), concat(lit("t-"), col("id")).as("v"))
+    val b = spark.range(1000, 3000).select(lit("b").as("g"), concat(lit("t-"), col("id")).as("v"))
+    val k = 256
+    val sigs = Sketches.kmvSketch(a.union(b), "v", Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val row = Seq((sigs("a"), sigs("b"))).toDF("sa", "sb")
+      .select(Sketches.kmvIntersectCol(col("sa"), col("sb"), k).as("i"),
+        Sketches.kmvDifferenceCol(col("sa"), col("sb"), k).as("d")).head
+    assert(math.abs(row.getDouble(0) - 1000) / 1000 < 0.35, s"inter=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 1000) / 1000 < 0.35, s"diff=${row.getDouble(1)}")
+    // disjoint sets: intersection estimate is exactly 0
+    val c = spark.range(5000, 7000).select(lit("c").as("g"), concat(lit("t-"), col("id")).as("v"))
+    val sigC = Sketches.kmvSketch(c, "v", Seq("g"), k).head.getSeq[Long](1)
+    val z = Seq((sigs("a"), sigC)).toDF("sa", "sc")
+      .select(Sketches.kmvIntersectCol(col("sa"), col("sc"), k)).head.getDouble(0)
+    assert(z == 0.0)
+  }
 }
