@@ -1931,13 +1931,11 @@ object SparkEntry {
         Seq("source"), ps, subBits = 5)
       val withRn = d.withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("n_chars")))
-      val totals = d.groupBy("source").agg(count(lit(1)).as("n"))
-      val exact = ps.map { case (label, num, den) =>
-        withRn.join(totals, "source")
-          .where(col("rn") === expr(s"(n * $num + ${den - 1}) div $den"))
-          .select(col("source"), lit(label).as("p"),
-            col("n_chars").cast("long").as("q_exact"))
-      }.reduce(_.unionByName(_))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val psDf = broadcast({ import s.implicits._; ps.toDF("p", "num", "den") })
+      val exact = withRn.crossJoin(psDf)
+        .where(col("rn") === expr("(n * num + den - 1) div den"))
+        .select(col("source"), col("p"), col("n_chars").cast("long").as("q_exact"))
       est.join(exact, Seq("source", "p")).orderBy("source", "p")
     }),
 

@@ -302,20 +302,27 @@ object Sketches {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("__cum", sum(col("cnt")).over(w))
-    val totals = hist.groupBy(groupCols.map(col): _*)
-      .agg(sum(col("cnt")).as("__n"))
-    val withN = cum.join(totals, groupCols)
-    ps.map { case (label, num, den) =>
+    ps.foreach { case (label, num, den) =>
       require(num >= 0 && den > 0 && num <= den, s"histQuantiles: $label = $num/$den")
+    }
+    val spark = hist.sparkSession
+    import spark.implicits._
+    // ONE pass for every p: cross the (geometry-bounded) cumulative
+    // frame with the ps literal frame and take the min qualifying
+    // bucket per (group, p) — a per-p union chain re-planned the
+    // histogram once per quantile (17 jobs on the gate; this is 1)
+    val cum = hist.withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val psDf = broadcast(ps.toDF("p", "__num", "__den"))
+    cum.crossJoin(psDf)
       // ceil(num*n/den) in integers (double p*n flips at boundaries)
-      val rank = expr(s"(__n * $num + ${den - 1}) div $den")
-      withN.where(col("__cum") >= rank)
-        .groupBy(groupCols.map(col): _*)
-        .agg(min(col("bucket")).as("__b"))
-        .select(groupCols.map(col) :+ lit(label).as("p") :+
-          bucketLow("__b", subBits).as("q_est"): _*)
-    }.reduce(_.unionByName(_))
+      .where(col("__cum") >= expr("(__n * __num + __den - 1) div __den"))
+      .groupBy(groupCols.map(col) :+ col("p"): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(groupCols.map(col) :+ col("p") :+
+        bucketLow("__b", subBits).as("q_est"): _*)
   }
 
   // ------------------------------------------------- persistable stores
