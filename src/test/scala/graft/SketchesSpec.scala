@@ -258,4 +258,29 @@ class SketchesSpec extends SparkSpec {
       .select(Sketches.kmvIntersectCol(col("sa"), col("sc"), k)).head.getDouble(0)
     assert(z == 0.0)
   }
+
+  test("streaming KMV monitor: multi-batch accumulation equals the one-shot sketch") {
+    val d = spark.range(2500).select(
+      concat(lit("s"), pmod(col("id"), lit(2))).as("g"),
+      concat(lit("km-"), col("id")).as("v"))
+    val k = 128
+    val oneShot = Sketches.kmvSketch(d, "v", Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+
+    val srcDir = java.nio.file.Files.createTempDirectory("kmv_src").toString
+    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("kmv_mon").toString + "/st"
+    val ck = java.nio.file.Files.createTempDirectory("kmv_ck").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.SketchMonitor.startKmvMonitor(
+      stream, "v", Seq("g"), storeDir, ck, k = k,
+      onSignatures = _ => batches.incrementAndGet())
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.get() >= 2, s"wanted multiple micro-batches, got ${batches.get()}")
+    val streamed = Sketches.loadKmv(spark, storeDir).sigs
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == oneShot)
+  }
 }
