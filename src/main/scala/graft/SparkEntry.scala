@@ -1914,6 +1914,27 @@ object SparkEntry {
         .orderBy("conv_id", "turn_ix")
     }),
 
+    // ---- SFT last mile: pack the flattened conversations into
+    //      120-token examples (whole conversations, 8 streams) and
+    //      remap every turn's loss-mask span into example coordinates.
+    //      Chat synthesis ∘ greedy layout ∘ one offsets window — the
+    //      oracle replays the layout with the q_pack_sequences
+    //      recursive CTE and the spans with the q_chat_flatten walk. ----
+    "q_chat_pack" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+        .select(pmod(col("doc_id"), lit(50)).as("conv_id"), col("doc_id"),
+          substring(col("text"), 1, 40).as("content"))
+      val ranked = d.withColumn("rk", row_number().over(
+        Window.partitionBy("conv_id").orderBy("doc_id")) - 1)
+        .withColumn("role",
+          when(pmod(col("conv_id"), lit(7)) === 0, lit("user"))
+            .otherwise(when(col("rk") % 2 === 0, lit("user"))
+              .otherwise(lit("assistant"))))
+        .select(col("conv_id"), col("rk").as("turn_ix"), col("role"), col("content"))
+      Chat.packConversations(ranked, "conv_id", budgetTokens = 120, streams = 8)
+        .orderBy("conv_id", "turn_ix")
+    }),
+
     // ---- log-histogram quantile sketch: doc-length p50/p90/p99 per
     //      source + global, from the HdrHistogram-style integer bucket
     //      frame (subBits=5 → ≤3% relative error, estimate always a
@@ -6417,6 +6438,56 @@ object SparkEntry {
         |  (v.first_role = 'user' AND v.alternates
         |    AND v.last_role = 'assistant' AND v.has_empty = 0) AS valid
         |FROM f JOIN v ON v.conv_id = f.conv_id
+        |ORDER BY f.conv_id, f.turn_ix""".stripMargin,
+
+    "q_chat_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id % 50 AS conv_id, doc_id, substring(text, 1, 40) AS content
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT conv_id, content,
+        |        ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY doc_id) - 1 AS rk
+        |      FROM d),
+        |t AS (SELECT conv_id, CAST(rk AS INTEGER) AS turn_ix, content,
+        |        CASE WHEN conv_id % 7 = 0 THEN 'user'
+        |             WHEN rk % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+        |      FROM r),
+        |flat AS (SELECT conv_id,
+        |           string_agg('<|' || role || '|>' || content, '' ORDER BY turn_ix) AS text,
+        |           CAST(SUM(4 + length(role) + length(content)) AS BIGINT) AS clen
+        |         FROM t GROUP BY conv_id),
+        |tt AS (SELECT conv_id, conv_id % 8 AS stream,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok,
+        |         clen
+        |       FROM flat),
+        |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY conv_id) AS rn FROM tt),
+        |rec AS (
+        |  WITH RECURSIVE rr(stream, rn, conv_id, ntok, clen, pack, ofs) AS (
+        |    SELECT stream, rn, conv_id, ntok, clen, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |    FROM o WHERE rn = 1
+        |    UNION ALL
+        |    SELECT o.stream, o.rn, o.conv_id, o.ntok, o.clen,
+        |      CASE WHEN rr.ofs + rr.ntok > 0 AND rr.ofs + rr.ntok + o.ntok > 120
+        |           THEN rr.pack + 1 ELSE rr.pack END,
+        |      CASE WHEN rr.ofs + rr.ntok > 0 AND rr.ofs + rr.ntok + o.ntok > 120
+        |           THEN CAST(0 AS BIGINT) ELSE rr.ofs + rr.ntok END
+        |    FROM rr JOIN o ON o.stream = rr.stream AND o.rn = rr.rn + 1)
+        |  SELECT * FROM rr),
+        |off AS (SELECT conv_id, stream, pack,
+        |          CAST(SUM(clen) OVER (PARTITION BY stream, pack ORDER BY conv_id
+        |            ROWS UNBOUNDED PRECEDING) - clen AS BIGINT) AS conv_start
+        |        FROM rec),
+        |seg AS (SELECT conv_id, turn_ix, role,
+        |          CAST(4 + length(role) + length(content) AS BIGINT) AS seg_len
+        |        FROM t),
+        |f AS (SELECT conv_id, turn_ix, role, seg_len,
+        |        CAST(SUM(seg_len) OVER (PARTITION BY conv_id ORDER BY turn_ix
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_end
+        |      FROM seg)
+        |SELECT f.conv_id, off.stream, off.pack, f.turn_ix, f.role,
+        |  off.conv_start + f.seg_end - f.seg_len AS ex_start,
+        |  off.conv_start + f.seg_end AS ex_end,
+        |  f.role = 'assistant' AS train_on
+        |FROM f JOIN off ON off.conv_id = f.conv_id
         |ORDER BY f.conv_id, f.turn_ix""".stripMargin,
 
     "q_sketch_hist" ->

@@ -91,6 +91,39 @@ object Chat {
         col("seg_start"), col("seg_end"), col("train_on"))
   }
 
+  /** Pack flattened conversations into fixed-token training examples
+    * with REMAPPED loss-mask spans — the last mile of SFT data prep:
+    * [[Packing.packSequencesBy]] lays whole conversations into
+    * (stream, pack) examples under `budgetTokens` (whitespace tokens of
+    * the flat text; conversations never split), then every turn's char
+    * span shifts by the char offset of its conversation within the
+    * example. Output: `(idCol, stream, pack, turn_ix, role, ex_start,
+    * ex_end, train_on)` — ex_start/ex_end index into the example's
+    * concatenated text, so the trainer masks without re-rendering.
+    * Integer-exact end to end (the gate oracle replays the greedy
+    * layout with a recursive CTE and the offsets with one window). */
+  def packConversations(turns: DataFrame, idCol: String,
+      budgetTokens: Int, streams: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flat = flatText(turns, idCol)
+    val placed = Packing.packSequencesBy(flat,
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      idCol, budgetTokens, streams)
+    val withLen = placed.join(
+      flat.select(col(idCol), length(col("text")).cast("long").as("__clen")),
+      Seq(idCol))
+    val w = Window.partitionBy(col("stream"), col("pack")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = withLen
+      .withColumn("__conv_start", sum(col("__clen")).over(w) - col("__clen"))
+      .select(col(idCol), col("stream"), col("pack"), col("__conv_start"))
+    flattenWithSpans(turns, idCol).join(off, Seq(idCol))
+      .select(col(idCol), col("stream"), col("pack"), col("turn_ix"), col("role"),
+        (col("__conv_start") + col("seg_start")).as("ex_start"),
+        (col("__conv_start") + col("seg_end")).as("ex_end"),
+        col("train_on"))
+  }
+
   /** The flat training text per conversation (the string the spans of
     * [[flattenWithSpans]] index into). */
   def flatText(turns: DataFrame, idCol: String): DataFrame =

@@ -76,4 +76,29 @@ class ChatSpec extends SparkSpec {
       .collect().toSet
     assert(t1 == t8)
   }
+
+  test("packConversations: spans land in example coordinates exactly") {
+    val turns = Chat.parseConversations(convs, "convo", "conv_id")
+    val packed = Chat.packConversations(turns, "conv_id", budgetTokens = 8, streams = 2)
+    val flat = Chat.flatText(turns, "conv_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // rebuild each example's text: conversations in id order within (stream, pack)
+    val byExample = packed.select("conv_id", "stream", "pack").distinct().collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val exText = byExample.map { case (k, ids) => k -> ids.map(flat).mkString("") }
+    val turnsByKey = turns.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), Option(r.getString(3)).getOrElse("")))
+      .toMap
+    packed.collect().foreach { r =>
+      val key = (r.getAs[Long]("stream"), r.getAs[Long]("pack"))
+      val (role, content) = turnsByKey((r.getAs[Long]("conv_id"), r.getAs[Int]("turn_ix")))
+      val seg = exText(key).substring(r.getAs[Long]("ex_start").toInt, r.getAs[Long]("ex_end").toInt)
+      assert(seg == s"<|$role|>$content", s"$key: '$seg'")
+    }
+    // a conversation never splits across examples
+    val convExamples = packed.select("conv_id", "stream", "pack").distinct()
+      .groupBy("conv_id").count().collect().map(_.getLong(1))
+    assert(convExamples.forall(_ == 1L))
+  }
 }
