@@ -1980,6 +1980,22 @@ object SparkEntry {
         .orderBy("z_prefix")
     }),
 
+    // ---- z-layout pruning audit: WRITE lineitem z-ordered into 16
+    //      parquet files, then read the FOOTER statistics back (the
+    //      exact min/max a pruning reader consults) — the oracle reads
+    //      the SAME files through DuckDB's parquet_metadata, so two
+    //      independent parquet implementations must agree on every
+    //      row-group stat. Pins that layoutZOrdered produces really-
+    //      prunable files, not just a sorted frame. ----
+    "q_prune_stats" -> ((s, dir) => {
+      val out = s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/zorder_layout"
+      ZOrder.layoutZOrdered(
+        lineitem(s, dir).select("l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 16, nFiles = 16)
+        .write.mode("overwrite").parquet(out)
+      ZOrder.fileStats(s, out, "z_value").orderBy("ordinal")
+    }),
+
     // ---- JL-space retrieval recall: exact top-10 by cosine in the
     //      16-dim PROJECTED space vs the 64-dim full space, hits per
     //      query. FULL oracle — both rankings replayed end-to-end (the
@@ -6541,6 +6557,18 @@ object SparkEntry {
         |FROM z0
         |GROUP BY z >> 24
         |ORDER BY z_prefix""".stripMargin,
+
+    "q_prune_stats" ->
+      """WITH m AS (
+        |  SELECT CAST(stats_min AS BIGINT) AS stat_min,
+        |    CAST(stats_max AS BIGINT) AS stat_max,
+        |    row_group_num_rows AS n_rows
+        |  FROM parquet_metadata('/root/repo/data/oracle_side/sf0.01/zorder_layout/*.parquet')
+        |  WHERE path_in_schema = 'z_value')
+        |SELECT ROW_NUMBER() OVER (ORDER BY stat_min, stat_max) - 1 AS ordinal,
+        |  stat_min, stat_max, n_rows
+        |FROM m
+        |ORDER BY ordinal""".stripMargin,
 
     "q_jl_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

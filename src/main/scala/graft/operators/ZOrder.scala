@@ -58,6 +58,49 @@ object ZOrder {
       .sortWithinPartitions(zCol)
   }
 
+  /** Parquet footer statistics for one INT64 column of every row group
+    * under `dir`: `(ordinal, stat_min, stat_max, n_rows)`, ordinal by
+    * (min, max). These are EXACTLY the stats a pruning reader consults
+    * — reading them back is how you AUDIT that a layout actually
+    * produced prunable files (disjoint compact ranges after
+    * [[layoutZOrdered]]) instead of trusting that it did. Metadata-only
+    * and driver-side by design: footers are KB-sized whatever the data
+    * — never confuse this with a data scan. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).sortBy(_.getName)
+    val rows = files.flatMap { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .map { cc =>
+              val st = cc.getStatistics
+              require(st != null && !st.isEmpty,
+                s"ZOrder.fileStats: no statistics for $column in $p — " +
+                  "the layout is not prunable")
+              (st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue(),
+                block.getRowCount)
+            }
+        }
+      } finally r.close()
+    }
+    import spark.implicits._
+    rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((mn, mx, n), i) => (i.toLong, mn, mx, n) }.toSeq
+      .toDF("ordinal", "stat_min", "stat_max", "n_rows")
+  }
+
   /** Locality audit: chunk the frame into `nChunks` by rank under
     * `orderCol` and report, per chunk, the bounding-box area over the
     * two audit columns — Σ area is the file-skipping proxy (smaller
