@@ -328,6 +328,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("q_zorder: interleave is codegen'd map-side into a two-phase grid rollup") {
+    val p = plan("q_zorder")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("chat gates: every window is partitioned by the conversation (no global stage)") {
+    Seq("q_chat_flatten", "q_chat_pack").foreach { q =>
+      val p = plan(q)
+      // "Window [funcs], [partition], [ordering]" — a global window has
+      // only two bracket groups (see q_curriculum above)
+      val bare = "Window \\[[^\\]]*\\], \\[[^\\]]*\\](?!, \\[)".r
+      assert(bare.findFirstIn(p).isEmpty, s"$q has a window without a partition spec")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
   test("q_sketch_kmv: KMV aggregation runs map-side partials (ObjectHashAggregate)") {
     val p = plan("q_sketch_kmv")
     // the typed Aggregator must plan as ObjectHashAggregate with a
