@@ -2096,6 +2096,42 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // ---- KMV set-operation estimates (theta-style): |A∩B| and |A\B|
+    //      per source pair from the SIGNATURES ALONE, exact
+    //      counterparts beside them — the cross-source audit arithmetic
+    //      at 100 TB reads k longs per source, never the corpus. Same
+    //      synthesis as q_sketch_kmv; the oracle extends its replay
+    //      with the union-signature h_k and the two rounded
+    //      estimator expressions in the same IEEE order. ----
+    "q_sketch_setops" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val k = 128
+      val toks = tokens(normalizeText(col("text")))
+      val grams = graft.core.CacheScope.retain(
+        documents(s, dir).where(col("text").isNotNull)
+          .select(col("source"), explode(wordNgramsFromTokens(toks, 3)).as("g3"))
+          .where(col("g3") =!= ""))
+      val sigs = Sketches.kmvSketch(grams, "g3", Seq("source"), k)
+      val a = sigs.select(col("source").as("src_a"), col("kmv_sig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("kmv_sig").as("sig_b"))
+      val pairs = a.crossJoin(b).where(col("src_a") < col("src_b"))
+      val dw = graft.core.CacheScope.retain(grams.distinct())
+      val cn = dw.groupBy("source").agg(count(lit(1)).as("n"))
+      val ix = dw.alias("x").join(dw.alias("y"),
+          col("x.g3") === col("y.g3") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(ix, Seq("src_a", "src_b"), "left").na.fill(0L, Seq("n_inter"))
+        .join(cn.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .select(col("src_a"), col("src_b"),
+          Sketches.kmvIntersectCol(col("sig_a"), col("sig_b"), k).as("est_inter"),
+          Sketches.kmvDifferenceCol(col("sig_a"), col("sig_b"), k).as("est_diff"),
+          col("n_inter").cast("long").as("exact_inter"),
+          (col("n_a") - col("n_inter")).cast("long").as("exact_diff"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- count-min heavy hitters: one 4x1024 counter frame for the
     //      whole 3-gram stream (bounded whatever the corpus size,
     //      map-side-combined sums), the 20 heaviest grams point-queried
@@ -6693,6 +6729,62 @@ object SparkEntry {
         |JOIN num ON num.src_a = p.src_a AND num.src_b = p.src_b
         |JOIN cn ca ON ca.source = p.src_a
         |JOIN cn cb ON cb.source = p.src_b
+        |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    "q_sketch_setops" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ntoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ntoks) - 2),
+        |                i -> array_to_string(ntoks[i:i+2], ' ')) END) AS g3
+        |  FROM tk),
+        |g AS (SELECT source, g3 FROM g0 WHERE g3 <> ''),
+        |dh AS (SELECT DISTINCT source, ('0x' || substr(md5(g3), 1, 15))::BIGINT AS h FROM g),
+        |sg AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+        |s AS (SELECT source, h, rn FROM sg WHERE rn <= 128),
+        |c AS (SELECT source, COUNT(*) AS sz, MAX(CASE WHEN rn = 128 THEN h END) AS hk
+        |      FROM s GROUP BY source),
+        |est AS (SELECT source,
+        |          floor((CASE WHEN sz >= 128 THEN 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+        |                 ELSE CAST(sz AS DOUBLE) END) * 10000 + 0.5) / 10000 AS est
+        |        FROM c),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b FROM c a JOIN c b ON a.source < b.source),
+        |u AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+        |      FROM p JOIN s ON s.source = p.src_a OR s.source = p.src_b),
+        |x AS (SELECT src_a, src_b, h,
+        |        ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u),
+        |xx AS (SELECT src_a, src_b, h, rn FROM x WHERE rn <= 128),
+        |num AS (SELECT xx.src_a, xx.src_b, COUNT(*) AS xsz,
+        |          MAX(CASE WHEN xx.rn = 128 THEN xx.h END) AS hk_x,
+        |          SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS inter
+        |        FROM xx
+        |        LEFT JOIN s sa ON sa.source = xx.src_a AND sa.h = xx.h
+        |        LEFT JOIN s sb ON sb.source = xx.src_b AND sb.h = xx.h
+        |        GROUP BY xx.src_a, xx.src_b),
+        |ei AS (SELECT src_a, src_b,
+        |         floor(CAST(inter AS DOUBLE) / CAST(xsz AS DOUBLE)
+        |           * (CASE WHEN xsz >= 128 THEN 127.0 * 1152921504606846976.0 / CAST(hk_x AS DOUBLE)
+        |              ELSE CAST(xsz AS DOUBLE) END) * 10000 + 0.5) / 10000 AS est_inter
+        |       FROM num),
+        |dw AS (SELECT DISTINCT source, g3 FROM g),
+        |cn AS (SELECT source, COUNT(*) AS n FROM dw GROUP BY source),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        |       FROM dw a JOIN dw b ON a.g3 = b.g3 AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  ei.est_inter,
+        |  floor((ea.est - ei.est_inter) * 10000 + 0.5) / 10000 AS est_diff,
+        |  CAST(COALESCE(ix.n_inter, 0) AS BIGINT) AS exact_inter,
+        |  CAST(ca.n - COALESCE(ix.n_inter, 0) AS BIGINT) AS exact_diff
+        |FROM p
+        |JOIN est ea ON ea.source = p.src_a
+        |JOIN ei ON ei.src_a = p.src_a AND ei.src_b = p.src_b
+        |JOIN cn ca ON ca.source = p.src_a
         |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
 
