@@ -1980,6 +1980,22 @@ object SparkEntry {
         .orderBy("z_prefix")
     }),
 
+    // ---- Hilbert curve index: the stronger-locality layout key
+    //      (consecutive indices are ALWAYS grid neighbors — spec-pinned
+    //      as a law; Z jumps at quadrant seams). Same grid rollup as
+    //      q_zorder; the oracle replays the identical unrolled xy2d
+    //      levels as chained CTEs, all integer arithmetic. ----
+    "q_hilbert" -> ((s, dir) => {
+      ZOrder.hilbertValue(lineitem(s, dir).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 16, out = "h")
+        .groupBy(shiftright(col("h"), 24).as("h_prefix"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("h")).as("h_min"), max(col("h")).as("h_max"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy("h_prefix")
+    }),
+
     // ---- z-layout pruning audit: WRITE lineitem z-ordered into 16
     //      parquet files, then read the FOOTER statistics back (the
     //      exact min/max a pruning reader consults) — the oracle reads
@@ -6594,6 +6610,17 @@ object SparkEntry {
         |GROUP BY z >> 24
         |ORDER BY z_prefix""".stripMargin,
 
+    "q_hilbert" ->
+      s"""WITH ${hilbertOracleCtes(16)}
+        |SELECT hd >> 24 AS h_prefix,
+        |  COUNT(*) AS n_rows,
+        |  MIN(hd) AS h_min, MAX(hd) AS h_max,
+        |  MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+        |  MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+        |FROM h16
+        |GROUP BY hd >> 24
+        |ORDER BY h_prefix""".stripMargin,
+
     "q_prune_stats" ->
       """WITH m AS (
         |  SELECT CAST(stats_min AS BIGINT) AS stat_min,
@@ -8869,6 +8896,32 @@ object SparkEntry {
     * distinct k-substrings (whole string when shorter than k); word
     * n-grams = space-joined token windows (whole doc when fewer than n
     * tokens). Jaccard division is (double)|∩| / |∪| in both engines. */
+  /** The q_hilbert oracle's unrolled xy2d levels: the SAME bit walk
+    * [[graft.operators.ZOrder.hilbertValue]] runs (d-accumulate from the
+    * pre-rotation coordinates, reflect-then-swap when ry = 0), one CTE
+    * per level — all integer arithmetic, generated from the identical
+    * (bits, s, n) constants. */
+  private def hilbertOracleCtes(bits: Int): String = {
+    val n = 1L << bits
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, j) =>
+      val s = 1L << i
+      s"""h${j + 1} AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    hd + ${s * s} * CAST(xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS hd,
+         |    CASE WHEN (hy & $s) = 0
+         |         THEN (CASE WHEN (hx & $s) > 0 THEN ${n - 1} - hy ELSE hy END)
+         |         ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0
+         |         THEN (CASE WHEN (hx & $s) > 0 THEN ${n - 1} - hx ELSE hx END)
+         |         ELSE hy END AS hy
+         |  FROM h$j)""".stripMargin
+    }
+    s"""h0 AS (SELECT l_partkey, l_suppkey, CAST(l_partkey AS BIGINT) AS hx,
+       |  CAST(l_suppkey AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM lineitem),
+       |${levels.mkString(",\n")}""".stripMargin
+  }
+
   private object DedupOracle {
     val normExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 

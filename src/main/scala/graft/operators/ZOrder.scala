@@ -58,6 +58,55 @@ object ZOrder {
       .sortWithinPartitions(zCol)
   }
 
+  /** Hilbert curve index (2-D) — the stronger-locality alternative to
+    * [[zValue]]: consecutive indices are ALWAYS grid neighbors
+    * (|Δx|+|Δy| = 1, the curve's defining property; Z-order jumps at
+    * quadrant seams), so range partitions are tighter boxes and a box
+    * query intersects fewer files. The classic xy2d bit walk (Hilbert
+    * 1891; the iterative form popularized by Warren's Hacker's Delight)
+    * unrolls into `bits` levels of named integer columns — codegen'd
+    * map-side arithmetic, no UDF, and the gate oracle replays the same
+    * unrolled levels as chained CTEs. Values outside [0, 2^bits) raise,
+    * same contract as [[zValue]]. */
+  def hilbertValue(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      out: String = "h_value"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"ZOrder.hilbertValue: $bits bits per axis = ${2 * bits} index bits (max 62)")
+    val lim = 1L << bits
+    val n = 1L << bits
+    def guard(c: Column): Column = {
+      val lc = c.cast("long")
+      when(lc.isNull || lc < 0 || lc >= lim,
+        raise_error(concat(lit(s"ZOrder.hilbertValue: value out of [0, $lim): "),
+          lc.cast("string"))))
+        .otherwise(lc)
+    }
+    var cur = df
+      .withColumn("__hx", guard(col(xCol)))
+      .withColumn("__hy", guard(col(yCol)))
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx", when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry", when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out,
+          col(out) + lit(s * s) * (col("__rx") * 3).bitwiseXOR(col("__ry")))
+        // rotate: computed from the PRE-rotation coordinates
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx", "__ny")
+  }
+
   /** Parquet footer statistics for one INT64 column of every row group
     * under `dir`: `(ordinal, stat_min, stat_max, n_rows)`, ordinal by
     * (min, max). These are EXACTLY the stats a pruning reader consults

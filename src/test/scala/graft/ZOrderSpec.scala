@@ -87,4 +87,40 @@ class ZOrderSpec extends SparkSpec {
     assert(xTouched >= 14, s"x-sorted layout should spread y-queries, got $xTouched")
     assert(yBox <= 16, s"sanity: $yBox")
   }
+
+  test("hilbertValue: base case, bijectivity, and the neighbor law") {
+    // bits=1 quadrant order: (0,0)=0, (0,1)=1, (1,1)=2, (1,0)=3
+    val base = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+    val got = ZOrder.hilbertValue(base, "x", "y", bits = 1, out = "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+
+    // full 64x64 grid at bits=6: h is a bijection onto [0, 4096) and
+    // CONSECUTIVE indices are grid neighbors — the curve's defining law
+    val grid = spark.range(64 * 64).select(
+      (col("id") / 64).cast("long").as("x"), pmod(col("id"), lit(64)).as("y"))
+    val pts = ZOrder.hilbertValue(grid, "x", "y", bits = 6, out = "h")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(pts.map(_._1).toSeq == (0L until 4096L).toSeq, "h must be a bijection")
+    pts.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"non-adjacent consecutive points ($x1,$y1) -> ($x2,$y2)")
+    case _ => }
+  }
+
+  test("hilbert locality is at least z-order's on the chunk audit") {
+    val grid = spark.range(64 * 64).select(
+      (col("id") / 64).cast("long").as("x"), pmod(col("id"), lit(64)).as("y"))
+    val h = ZOrder.hilbertValue(grid, "x", "y", bits = 6, out = "h")
+    val z = grid.withColumn("z", ZOrder.zValue(Seq(col("x"), col("y")), 6))
+    val perim = (r: org.apache.spark.sql.DataFrame) => r.agg(sum(
+      (col("x_max") - col("x_min") + 1) + (col("y_max") - col("y_min") + 1)))
+      .head.getLong(0)
+    val hPer = perim(ZOrder.localityReport(h, "h", "x", "y", nChunks = 16))
+    val zPer = perim(ZOrder.localityReport(z, "z", "x", "y", nChunks = 16))
+    assert(hPer <= zPer, s"hilbert $hPer vs z $zPer")
+    intercept[Exception](
+      ZOrder.hilbertValue(Seq((64L, 0L)).toDF("x", "y"), "x", "y", 6, "h").collect())
+  }
 }
