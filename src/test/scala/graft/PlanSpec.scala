@@ -328,10 +328,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
-  test("q_zorder: interleave is codegen'd map-side into a two-phase grid rollup") {
-    val p = plan("q_zorder")
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  test("q_zorder / q_hilbert: index math is codegen'd map-side into a two-phase grid rollup") {
+    Seq("q_zorder", "q_hilbert").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).length >= 2, s"$q: ${p.take(1000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), q)
+      assert(!p.contains("Exchange hashpartitioning") ||
+        "Exchange".r.findAllIn(p).length <= 2,
+        s"$q: the only exchanges should be the rollup + output sort")
+    }
   }
 
   test("chat gates: every window is partitioned by the conversation (no global stage)") {
