@@ -81,30 +81,35 @@ object ZOrder {
           lc.cast("string"))))
         .otherwise(lc)
     }
+    // ONE batched withColumns per bit level (16 Projects total), each
+    // level's expressions referencing the PREVIOUS level's named
+    // columns: per-column withColumn calls stacked ~112 Projects and
+    // cost seconds of Catalyst analysis; an aggregate() fold avoided
+    // that but runs as an interpreted higher-order function (~11 s at
+    // sf0.1 vs ~0.1 s of codegen'd task time). Named levels keep the
+    // expression tree linear AND whole-stage-codegen'd.
     var cur = df
-      .withColumn("__hx", guard(col(xCol)))
-      .withColumn("__hy", guard(col(yCol)))
-      .withColumn(out, lit(0L))
+      .withColumns(Map(
+        "__hx" -> guard(col(xCol)),
+        "__hy" -> guard(col(yCol)),
+        out -> lit(0L)))
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i
-      cur = cur
-        .withColumn("__rx", when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
-        .withColumn("__ry", when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
-        .withColumn(out,
-          col(out) + lit(s * s) * (col("__rx") * 3).bitwiseXOR(col("__ry")))
-        // rotate: computed from the PRE-rotation coordinates
-        .withColumn("__nx",
-          when(col("__ry") === 0,
-            when(col("__rx") === 1, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
-            .otherwise(col("__hx")))
-        .withColumn("__ny",
-          when(col("__ry") === 0,
-            when(col("__rx") === 1, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
-            .otherwise(col("__hy")))
-        .withColumn("__hx", col("__nx"))
-        .withColumn("__hy", col("__ny"))
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      // d accumulates and (x, y) rotate — reflect (when rx=1) then swap,
+      // only when ry=0 — all from the PRE-rotation coordinates; the
+      // single Project evaluates every RHS against the previous level
+      cur = cur.withColumns(Map(
+        out -> (col(out) + lit(s * s) * (rx * 3).bitwiseXOR(ry)),
+        "__hx" -> when(ry === 0,
+          when(rx === 1, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")),
+        "__hy" -> when(ry === 0,
+          when(rx === 1, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy"))))
     }
-    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx", "__ny")
+    cur.drop("__hx", "__hy")
   }
 
   /** Parquet footer statistics for one INT64 column of every row group
