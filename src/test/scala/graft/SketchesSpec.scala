@@ -283,4 +283,57 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(streamed == oneShot)
   }
+
+  test("streaming CMS monitor: versioned commits make sum-merge exactly-once") {
+    val d = spark.range(3000).select(concat(lit("c-"), pmod(col("id"), lit(40))).as("v"))
+    val oneShot = Sketches.cmsCounters(d, "v").collect().toSet
+
+    val srcDir = java.nio.file.Files.createTempDirectory("cms_src").toString
+    d.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("cms_mon").toString + "/st"
+    val ck = java.nio.file.Files.createTempDirectory("cms_ck").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = graft.streaming.SketchMonitor.startCmsMonitor(
+      stream, "v", storeDir, ck, onCounters = _ => batches.incrementAndGet())
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.get() >= 2)
+    val latest = graft.streaming.SketchMonitor.latestVersion(spark, storeDir).get
+    assert(spark.read.parquet(latest).collect().toSet == oneShot)
+
+    // REPLAY of an already-committed batch id is a no-op (the failure
+    // mode that double-counts a sum-merged sketch without the ledger)
+    val before = spark.read.parquet(
+      graft.streaming.SketchMonitor.latestVersion(spark, storeDir).get).collect().toSet
+    val lastId = new java.io.File(storeDir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    val applied = graft.streaming.SketchMonitor.commitSumVersion(
+      spark, storeDir, lastId, 3,
+      prev => Sketches.cmsMerge(prev.get, Sketches.cmsCounters(d, "v")))
+    assert(!applied, "a committed version must be skipped")
+    val after = spark.read.parquet(
+      graft.streaming.SketchMonitor.latestVersion(spark, storeDir).get).collect().toSet
+    assert(after == before)
+    // old versions pruned to keepVersions
+    val versions = new java.io.File(storeDir).listFiles()
+      .map(_.getName).count(_.matches("v\\d+"))
+    assert(versions <= 3, s"$versions versions kept")
+  }
+
+  test("streaming histogram monitor accumulates to the one-shot sketch") {
+    val d = spark.range(1, 4000).select(lit("g").as("g"), (col("id") * 13 % 9973).as("v"))
+    val oneShot = Sketches.logHistogram(d, "v", Seq("g")).collect().toSet
+    val srcDir = java.nio.file.Files.createTempDirectory("hist_src").toString
+    d.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("hist_mon").toString + "/st"
+    val ck = java.nio.file.Files.createTempDirectory("hist_ck").toString
+    val q = graft.streaming.SketchMonitor.startHistMonitor(
+      stream, "v", Seq("g"), storeDir, ck)
+    try q.processAllAvailable() finally q.stop()
+    val latest = graft.streaming.SketchMonitor.latestVersion(spark, storeDir).get
+    assert(spark.read.parquet(latest).collect().toSet == oneShot)
+  }
 }
