@@ -193,6 +193,83 @@ object Sketches {
     floor(inter.cast("double") / size(x).cast("double") * 10000 + 0.5) / 10000
   }
 
+  /** Persisted count-min sketch — geometry (depth, widthPow) rides in
+    * validated meta so a mismatched merge cannot run. NOTE: unlike the
+    * HLL/KMV stores, add/merge are NOT idempotent (sum semantics) —
+    * under at-least-once delivery use the versioned commits of
+    * [[graft.streaming.SketchMonitor.startCmsMonitor]] instead of
+    * calling [[CmsStore.add]] from a replayable context. */
+  final case class CmsStore(counters: DataFrame, depth: Int, widthPow: Int) {
+    def merge(other: CmsStore): CmsStore = {
+      require(other.depth == depth && other.widthPow == widthPow,
+        s"CmsStore.merge: geometry mismatch — this (d=$depth, w=2^$widthPow) " +
+          s"vs other (d=${other.depth}, w=2^${other.widthPow})")
+      copy(counters = cmsMerge(counters, other.counters))
+    }
+    def add(df: DataFrame, valueCol: String, weight: Column = lit(1L)): CmsStore =
+      merge(CmsStore(cmsCounters(df, valueCol, depth, widthPow, weight), depth, widthPow))
+    def query(probes: DataFrame, valueCol: String): DataFrame =
+      cmsQuery(counters, probes, valueCol, depth, widthPow)
+    def save(dir: String): Unit = {
+      val spark = counters.sparkSession
+      counters.write.mode("overwrite").parquet(s"$dir/counters")
+      import spark.implicits._
+      Seq((depth, widthPow)).toDF("cms_depth", "cms_width_pow")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Load a saved [[CmsStore]]; meta read BY NAME and validated loudly. */
+  def loadCms(spark: org.apache.spark.sql.SparkSession, dir: String): CmsStore = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    require(metaDf.columns.contains("cms_depth") &&
+      metaDf.columns.contains("cms_width_pow"),
+      s"Sketches.loadCms: $dir/meta is not a saved CmsStore " +
+        s"(have: ${metaDf.columns.mkString(", ")})")
+    val meta = metaDf.head
+    val d = meta.getAs[Int]("cms_depth"); val w = meta.getAs[Int]("cms_width_pow")
+    require(d >= 1 && d <= 8 && w >= 1 && w <= 30,
+      s"Sketches.loadCms: $dir/meta has invalid geometry d=$d w=$w")
+    CmsStore(spark.read.parquet(s"$dir/counters"), d, w)
+  }
+
+  /** Persisted log-histogram — same contract as [[CmsStore]] (sum
+    * semantics: NOT replay-idempotent; the streaming form is
+    * [[graft.streaming.SketchMonitor.startHistMonitor]]). */
+  final case class HistStore(hist: DataFrame, subBits: Int, groupCols: Seq[String]) {
+    def merge(other: HistStore): HistStore = {
+      require(other.subBits == subBits && other.groupCols == groupCols,
+        s"HistStore.merge: geometry mismatch — this (k=$subBits, groups=$groupCols) " +
+          s"vs other (k=${other.subBits}, groups=${other.groupCols})")
+      copy(hist = histMerge(hist, other.hist, groupCols))
+    }
+    def add(df: DataFrame, valueCol: String): HistStore =
+      merge(HistStore(logHistogram(df, valueCol, groupCols, subBits), subBits, groupCols))
+    def quantiles(ps: Seq[(String, Int, Int)]): DataFrame =
+      histQuantiles(hist, groupCols, ps, subBits)
+    def save(dir: String): Unit = {
+      val spark = hist.sparkSession
+      hist.write.mode("overwrite").parquet(s"$dir/histogram")
+      import spark.implicits._
+      Seq((subBits, groupCols.mkString(","))).toDF("hist_sub_bits", "group_cols")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  /** Load a saved [[HistStore]]; meta read BY NAME and validated loudly. */
+  def loadHist(spark: org.apache.spark.sql.SparkSession, dir: String): HistStore = {
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    require(metaDf.columns.contains("hist_sub_bits") &&
+      metaDf.columns.contains("group_cols"),
+      s"Sketches.loadHist: $dir/meta is not a saved HistStore " +
+        s"(have: ${metaDf.columns.mkString(", ")})")
+    val meta = metaDf.head
+    val k = meta.getAs[Int]("hist_sub_bits")
+    require(k >= 1 && k <= 16, s"Sketches.loadHist: $dir/meta has invalid subBits = $k")
+    val groups = meta.getAs[String]("group_cols").split(",").filter(_.nonEmpty).toSeq
+    HistStore(spark.read.parquet(s"$dir/histogram"), k, groups)
+  }
+
   // ---------------------------------------------------------- Count-Min
 
   /** Count-min counter frame: `(row, bucket, cnt)` — depth rows of a

@@ -336,4 +336,32 @@ class SketchesSpec extends SparkSpec {
     val latest = graft.streaming.SketchMonitor.latestVersion(spark, storeDir).get
     assert(spark.read.parquet(latest).collect().toSet == oneShot)
   }
+
+  test("CmsStore and HistStore: round-trips, merge == sketch-of-concat, geometry loud") {
+    val a = spark.range(2000).select(concat(lit("s-"), pmod(col("id"), lit(30))).as("v"))
+    val b = spark.range(500).select(concat(lit("s-"), pmod(col("id"), lit(50))).as("v"))
+    val ca = Sketches.CmsStore(Sketches.cmsCounters(a, "v"), 4, 10)
+    val cb = Sketches.CmsStore(Sketches.cmsCounters(b, "v"), 4, 10)
+    val direct = Sketches.cmsCounters(a.union(b), "v").collect().toSet
+    assert(ca.merge(cb).counters.collect().toSet == direct)
+    val cdir = java.nio.file.Files.createTempDirectory("cms_store").toString
+    ca.save(cdir)
+    val cLoaded = Sketches.loadCms(spark, cdir)
+    assert(cLoaded.depth == 4 && cLoaded.widthPow == 10)
+    assert(cLoaded.counters.collect().toSet == ca.counters.collect().toSet)
+    intercept[IllegalArgumentException](
+      ca.merge(Sketches.CmsStore(cb.counters, 4, 11)))
+
+    val ha = Sketches.HistStore(
+      Sketches.logHistogram(a.select(length(col("v")).as("n")), "n", Seq.empty), 5, Seq.empty)
+    val hdir = java.nio.file.Files.createTempDirectory("hist_store").toString
+    ha.save(hdir)
+    val hLoaded = Sketches.loadHist(spark, hdir)
+    assert(hLoaded.subBits == 5 && hLoaded.groupCols.isEmpty)
+    assert(hLoaded.hist.collect().toSet == ha.hist.collect().toSet)
+    val q = hLoaded.quantiles(Seq(("p50", 1, 2))).head.getLong(1)
+    assert(q >= 3 && q <= 4, s"median of 'mixed 3-4 char values' bucket low, got $q")
+    intercept[IllegalArgumentException](
+      ha.merge(Sketches.HistStore(ha.hist, 6, Seq.empty)))
+  }
 }
