@@ -123,4 +123,24 @@ class ZOrderSpec extends SparkSpec {
     intercept[Exception](
       ZOrder.hilbertValue(Seq((64L, 0L)).toDF("x", "y"), "x", "y", 6, "h").collect())
   }
+
+  test("layoutHilbertOrdered: disjoint ranges; box queries touch at most as many files as z") {
+    val grid = spark.range(64 * 64).select(
+      (col("id") / 64).cast("long").as("x"), pmod(col("id"), lit(64)).as("y"))
+    val laid = ZOrder.layoutHilbertOrdered(grid, "x", "y", bits = 6, nFiles = 16)
+    val ranges = laid.groupBy(spark_partition_id().as("p"))
+      .agg(min(col("h_value")).as("lo"), max(col("h_value")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    val dir = java.nio.file.Files.createTempDirectory("horder").toString
+    laid.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64 * 64)
+    val touched = back.where(col("x") < 8 && col("y") < 8)
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"8x8 corner box touched $touched of 16 hilbert files")
+  }
 }
