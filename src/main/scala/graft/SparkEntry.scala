@@ -2240,15 +2240,21 @@ object SparkEntry {
           col("radius").cast("float").as("radius"))
         .orderBy("rank")),
 
-    // ---- language ID over the corpus (the heuristic that gates the
-    //      CCNet/mix screens), per-row oracle: the marker-set argmax
-    //      with the engine's first-wins tie rule is re-derived in
-    //      DuckDB from the SAME LangProfiles lists (generated into the
-    //      SQL, so the two can never drift apart silently). ----
+    // ---- language ID over the corpus — the REAL model (r11 VERDICT
+    //      ask #5): Cavnar–Trenkle character-n-gram rank profiles fit
+    //      driver-side from the embedded reference slices, classified
+    //      by out-of-place distance. Per-row oracle: the entire chain
+    //      (space-padded 1..3-gram explosion, per-doc top-200 ranking
+    //      with the portable (count desc, gram asc) tie rule, profile
+    //      join, displacement sum, min-distance argmin with
+    //      profile-order ties) re-derived in DuckDB from the SAME
+    //      LangNgram.Profiles object generated into the SQL, so model
+    //      and oracle can never drift apart silently. The marker
+    //      heuristic TextFunctions.langId stays as the cheap scalar
+    //      routing form used inside the curation screens. ----
     "q_langid" -> ((s, dir) =>
-      documents(s, dir).where(col("text").isNotNull)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+      graft.functions.LangNgram.classify(
+        documents(s, dir).where(col("text").isNotNull), "text", "doc_id")
         .orderBy("doc_id")),
 
     // ---- the SAME crawl pipeline, end-to-end from an actual WARC
@@ -2576,6 +2582,31 @@ object SparkEntry {
         dir, "bpe_merges_pack")
       graft.operators.Packing.packSequencesBy(docs,
         graft.functions.Bpe.tokenCount(col("text"), model), "doc_id",
+        budgetTokens = 256, streams = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- byte-level BPE packing (r11 VERDICT ask #6): the q_pack_bpe
+    //      replay with budgets counted in GPT-2-style BYTE-level BPE
+    //      tokens — pretokenizer regex + byte→printable mapping + merges
+    //      over byte units, what a production trainer actually counts.
+    //      The oracle re-derives every per-doc count from scratch: the
+    //      same pretokenization (regex + whitespace-donation fixup,
+    //      replayed with RE2), initial units as hex byte pairs of
+    //      encode(w) (bijective to the mapped alphabet — concatenation
+    //      commutes), the recursive-CTE merge replay over the emitted
+    //      hex merge table, then the packing recurrence. ----
+    "q_pack_bpe_bytes" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.functions.Bpe.fitBytes(docs, "text", numMerges = 40)
+      import s.implicits._
+      writeOracleSide(model.merges.zipWithIndex
+        .map { case ((a, b), i) =>
+          (i, graft.functions.Bpe.unitHex(a), graft.functions.Bpe.unitHex(b)) }
+        .toDF("rank", "a", "b"),
+        dir, "bpe_merges_bytes")
+      graft.operators.Packing.packSequencesBy(docs,
+        graft.functions.Bpe.tokenCountBytes(col("text"), model), "doc_id",
         budgetTokens = 256, streams = 8)
         .orderBy("doc_id")
     }),
@@ -7306,6 +7337,89 @@ object SparkEntry {
         |FROM prec
         |ORDER BY doc_id""".stripMargin,
 
+    // Byte-level BPE counts re-derived from scratch: GPT-2-style
+    // pretokenization (the lookahead-free regex + whitespace-donation
+    // fixup — the exact algorithm Bpe.pretokenize runs), initial merge
+    // units as hex byte pairs of encode(w) (bijective image of the
+    // byte→printable alphabet, so the merge algebra replays verbatim
+    // against the hex-serialized merge table), the same recursive-CTE
+    // merge replay, then the identical packing recurrence.
+    "q_pack_bpe_bytes" -> {
+      val pat = graft.functions.Bpe.PretokenRegex.replace("'", "''")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+        |raw AS (
+        |  SELECT doc_id, regexp_extract_all(text, '$pat') AS rt
+        |  FROM docs WHERE text IS NOT NULL),
+        |fixed AS (SELECT doc_id,
+        |  list_filter(
+        |    flatten(list_transform(range(1, len(rt)+1), i ->
+        |      CASE
+        |        WHEN regexp_matches(rt[i], '^\\s+$$') AND i < len(rt)
+        |          THEN CASE WHEN substring(rt[i], length(rt[i]), 1) = ' '
+        |            THEN [substring(rt[i], 1, length(rt[i])-1)]
+        |            ELSE [substring(rt[i], 1, length(rt[i])-1),
+        |                  substring(rt[i], length(rt[i]), 1)] END
+        |        WHEN i > 1 AND regexp_matches(rt[i-1], '^\\s+$$')
+        |             AND substring(rt[i-1], length(rt[i-1]), 1) = ' '
+        |          THEN [' ' || rt[i]]
+        |        ELSE [rt[i]] END)),
+        |    x -> x <> '') AS pt
+        |  FROM raw),
+        |words AS (SELECT DISTINCT unnest(pt) AS w FROM fixed),
+        |ml AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mlist
+        |  FROM read_parquet('${oracleSidePath("bpe_merges_bytes")}')),
+        |init AS (
+        |  SELECT w, list_transform(range(1, octet_length(encode(w)) + 1),
+        |    i -> substring(hex(encode(w)), 2*i-1, 2)) AS toks
+        |  FROM words),
+        |brec AS (
+        |  WITH RECURSIVE r1(w, toks, it) AS (
+        |    SELECT w, toks, 0 FROM init
+        |    UNION ALL
+        |    SELECT w,
+        |      toks[1:att-1] || [toks[att] || toks[att+1]] || toks[att+2:],
+        |      it + 1
+        |    FROM (
+        |      SELECT w, toks, it, list_position(rs, list_min(rs)) AS att,
+        |        list_min(rs) AS minr
+        |      FROM (
+        |        SELECT w, toks, it,
+        |          list_transform(range(1, len(toks)),
+        |            i -> coalesce(nullif(list_position(mlist, toks[i] || chr(1) || toks[i+1]), 0), 1000000)) AS rs
+        |        FROM r1, ml
+        |        WHERE len(toks) >= 2))
+        |    WHERE minr < 1000000)
+        |  SELECT * FROM r1),
+        |fin AS (
+        |  SELECT w, toks FROM (
+        |    SELECT w, toks, it, max(it) OVER (PARTITION BY w) AS mx FROM brec)
+        |  WHERE it = mx),
+        |counts AS (SELECT w, len(toks) AS k FROM fin),
+        |ex AS (SELECT doc_id, unnest(pt) AS w FROM fixed),
+        |agg AS (SELECT ex.doc_id, SUM(c.k) AS nb
+        |  FROM ex JOIN counts c USING (w) GROUP BY ex.doc_id),
+        |t AS (
+        |  SELECT d.doc_id, d.doc_id % 8 AS stream,
+        |    CAST(COALESCE(a.nb, 0) AS BIGINT) AS ntok
+        |  FROM docs d LEFT JOIN agg a USING (doc_id)),
+        |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn FROM t),
+        |prec AS (
+        |  WITH RECURSIVE r2(stream, rn, doc_id, ntok, pack, ofs) AS (
+        |    SELECT stream, rn, doc_id, ntok, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |    FROM o WHERE rn = 1
+        |    UNION ALL
+        |    SELECT o.stream, o.rn, o.doc_id, o.ntok,
+        |      CASE WHEN r2.ofs + r2.ntok > 0 AND r2.ofs + r2.ntok + o.ntok > 256
+        |           THEN r2.pack + 1 ELSE r2.pack END,
+        |      CASE WHEN r2.ofs + r2.ntok > 0 AND r2.ofs + r2.ntok + o.ntok > 256
+        |           THEN CAST(0 AS BIGINT) ELSE r2.ofs + r2.ntok END
+        |    FROM r2 JOIN o ON o.stream = r2.stream AND o.rn = r2.rn + 1)
+        |  SELECT * FROM r2)
+        |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
+        |FROM prec
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // Same integer cut points (Sampling.splitThresholds embeds the exact
     // literals) over the same portable 60-bit hash — integer-only
     // comparisons, so no float-boundary disagreement is possible.
@@ -8234,29 +8348,55 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
+  /** The Cavnar–Trenkle classification replayed step-for-step in DuckDB,
+    * generated from [[graft.functions.LangNgram.Profiles]] itself: the
+    * identical space-padded 1..NMax-gram explosion, per-doc top-TopK
+    * ranking under the portable (count desc, gram asc) tie rule (both
+    * engines compare strings as unsigned UTF-8 bytes), the embedded
+    * profile VALUES table, the out-of-place distance with max
+    * displacement TopK for unseen grams, and the min-distance /
+    * profile-order argmin. */
   private def LangIdOracleSql: String = {
-    val profiles = graft.functions.TextFunctions.LangProfiles
-    val scoreCols = profiles.map { case (lang, markers) =>
-      val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
-      s"len(list_intersect(toks, $arr)) AS s_$lang"
-    }.mkString(",\n    ")
-    val mx = profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
-    val pick = profiles.map { case (lang, _) =>
-      s"WHEN s_$lang = mx THEN '$lang'" }.mkString("\n      ")
-    s"""WITH t AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
-      |  FROM documents WHERE text IS NOT NULL),
-      |sc AS (SELECT doc_id,
-      |    $scoreCols
-      |  FROM t),
-      |m AS (SELECT *, $mx AS mx FROM sc)
-      |SELECT doc_id,
-      |  CASE WHEN mx <= 0 THEN 'und'
-      |      $pick
-      |  END AS lang_pred
-      |FROM m
-      |ORDER BY doc_id""".stripMargin
+    import graft.functions.LangNgram
+    val k = LangNgram.TopK
+    val ns = (1 to LangNgram.NMax).mkString(", ")
+    val profVals = LangNgram.Profiles.flatMap { case (l, gs) =>
+      gs.map { case (g, r) => s"('$l', '${g.replace("'", "''")}', $r)" }
+    }.mkString(",\n      ")
+    val langVals = LangNgram.Langs.zipWithIndex
+      .map { case (l, i) => s"('$l', $i)" }.mkString(", ")
+    s"""WITH base AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+      |words AS (
+      |  SELECT doc_id, w
+      |  FROM base, UNNEST(list_filter(string_split(t, ' '), x -> x <> '')) AS u(w)),
+      |grams AS (
+      |  -- padded word ' '||w||' ' has length(w)+2 chars -> length(w)+3-n grams of size n
+      |  SELECT doc_id, substring(' ' || w || ' ', i, n) AS g
+      |  FROM words,
+      |       UNNEST([$ns]) AS s(n),
+      |       UNNEST(list_transform(generate_series(1, length(w) + 3 - n), x -> x)) AS s2(i)),
+      |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      |ranked AS (
+      |  SELECT doc_id, g,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rdoc
+      |  FROM counts QUALIFY rdoc <= $k),
+      |prof(lang, g, r) AS (VALUES
+      |      $profVals),
+      |langs(lang, ix) AS (VALUES $langVals),
+      |dist AS (
+      |  SELECT ranked.doc_id, langs.lang, langs.ix,
+      |    SUM(COALESCE(ABS(ranked.rdoc - prof.r), $k)) AS d
+      |  FROM ranked CROSS JOIN langs
+      |  LEFT JOIN prof ON prof.lang = langs.lang AND prof.g = ranked.g
+      |  GROUP BY 1, 2, 3),
+      |pick AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY d ASC, ix ASC) AS rn
+      |  FROM dist)
+      |SELECT base.doc_id, COALESCE(pick.lang, 'und') AS lang_pred
+      |FROM base LEFT JOIN pick ON pick.doc_id = base.doc_id AND pick.rn = 1
+      |ORDER BY base.doc_id""".stripMargin
   }
 
   private def CrawlPipelineOracleSql: String =

@@ -42,13 +42,15 @@ object Sampling {
     * radius) — radius is the winning min-distance (null for rank 0);
     * radii are non-increasing by the greedy invariant.
     *
-    * Scale shape: k passes over the cached corpus, each a map-side
-    * distance scan against ≤ k broadcast-literal centers feeding a
-    * TakeOrdered(1) — no shuffle, no window, no driver-sized collect.
-    * Exact greedy costs the k passes by definition; when k·scan is too
-    * dear, `sampleCap > 0` runs the SAME greedy driver-side over the
-    * bounded deterministic hash sample (the quantizer-fit pattern —
-    * flat cost in n, partitioning-invariant). */
+    * Scale shape: k passes over a running (id, vec, min-dist) state,
+    * each a map-side update against ONLY the newest center (one
+    * broadcast-literal vector) feeding a TakeOrdered(1) — no shuffle,
+    * no window, no driver-sized collect, and per-iteration cost FLAT
+    * in i (lineage truncated every 16 rounds). Exact greedy costs the
+    * k passes by definition; when k·scan is too dear, `sampleCap > 0`
+    * runs the SAME greedy driver-side over the bounded deterministic
+    * hash sample (the quantizer-fit pattern — flat cost in n,
+    * partitioning-invariant). */
   def kCenterSelect(corpus: DataFrame, vecCol: String, idCol: String, k: Int,
       sampleCap: Int = 0, seed: Long = 42L): DataFrame = {
     require(k >= 1, "kCenterSelect: k must be >= 1")
@@ -100,28 +102,42 @@ object Sampling {
         out.toSeq
       } else {
         val first = u.orderBy(col("__id")).limit(1).collect()(0)
-        var centers = Vector(first.getSeq[Double](1))
-        val chosen = scala.collection.mutable.Set(first.getLong(0))
+        val firstId = first.getLong(0)
         val out = scala.collection.mutable.ArrayBuffer(
-          (0, first.getLong(0), Option.empty[Double]))
+          (0, firstId, Option.empty[Double]))
+        // Running min-distance state: (__id, __v, __d) where __d is the
+        // distance to the NEAREST chosen center so far. Each iteration
+        // updates __d against ONLY the newest center, so per-iteration
+        // plan cost is flat in i — the previous form rebuilt a
+        // least(d_1..d_i) over every center plus a growing isin()
+        // exclusion list, O(k²) expression growth and k-literal filters.
+        // min is exactly associative on doubles, so the running form is
+        // bit-identical to the all-centers least(). Chosen ids leave the
+        // state EXPLICITLY (the =!= filter): normally a center's
+        // distance to itself is 0 and can never win, but a zero-norm
+        // vector rides the cosine-0 contract (distance 1 to everything,
+        // itself included) and would re-win forever. At the gate the
+        // exclusion is a no-op (distinct non-zero embeddings), so the
+        // oracle's plain argmax replays identically.
+        var state = u.where(col("__id") =!= firstId)
+          .select(col("__id"), col("__v"),
+            cosDist(col("__v"), first.getSeq[Double](1)).as("__d"))
         var exhausted = false
         for (i <- 1 until k if !exhausted) {
-          val dists = centers.map(c => cosDist(col("__v"), c))
-          val minD = if (dists.size == 1) dists.head else least(dists: _*)
-          // chosen ids excluded EXPLICITLY: normally a center's distance
-          // to itself is 0 and can never win, but a zero-norm vector
-          // rides the cosine-0 contract (distance 1 to everything,
-          // itself included) and would re-win forever. At the gate the
-          // exclusion is a no-op (distinct non-zero embeddings), so the
-          // oracle's plain argmax replays identically.
-          val top = u.where(!col("__id").isin(chosen.toSeq: _*))
-            .select(col("__id"), col("__v"), minD.as("__d"))
-            .orderBy(desc("__d"), asc("__id")).limit(1).collect()
+          // winner: max running distance, ties to the smallest id
+          val top = state.orderBy(desc("__d"), asc("__id")).limit(1).collect()
           if (top.isEmpty) exhausted = true // k past the corpus size
           else {
-            centers :+= top(0).getSeq[Double](1)
-            chosen += top(0).getLong(0)
-            out += ((i, top(0).getLong(0), Some(top(0).getDouble(2))))
+            val bid = top(0).getLong(0)
+            out += ((i, bid, Some(top(0).getDouble(2))))
+            state = state.where(col("__id") =!= bid)
+              .withColumn("__d",
+                least(col("__d"), cosDist(col("__v"), top(0).getSeq[Double](1))))
+            // truncate lineage every 16 rounds: the stacked
+            // least()/filter tree would otherwise grow Catalyst
+            // analysis cost linearly in i. localCheckpoint materializes
+            // the small (id, v, d) state, never the corpus.
+            if (i % 16 == 0) state = state.localCheckpoint(true)
           }
         }
         out.toSeq

@@ -49,6 +49,41 @@ object PlanLint {
           "unpartitioned window group limit: " + shortNode(s))
       case _ =>
     }
+    // Column pruning failed: a scan materializes EVERY column of a wide
+    // table and the nearest Project above it funnels them all through ONE
+    // expression (a UDF over struct(*), a row-wise encoder) into a narrow
+    // output. Catalyst prunes requiredSchema to the referenced columns for
+    // free, so a full-width scan whose columns are only ever consumed as a
+    // block means the parquet reader is paying for columns the answer never
+    // needed — at 100 TB that is reading 40 columns to answer from 2.
+    // Genuine full-width reads (select *, screens that test every column in
+    // separate predicates) reference columns individually and stay clean.
+    foreachWithAncestors(plan) { (p, ancestors) =>
+      p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.requiredSchema.length >= 4 &&
+              s.requiredSchema.length == s.relation.dataSchema.length =>
+          val scanIds = s.output.map(_.exprId).toSet
+          ancestors.collectFirst {
+            case pr: org.apache.spark.sql.execution.ProjectExec => pr
+          }.foreach { pr =>
+            val wholeRowExpr = pr.projectList.exists { e =>
+              e.references.map(_.exprId).count(scanIds.contains) >= 4
+            }
+            if (wholeRowExpr && pr.output.length * 2 <= s.requiredSchema.length)
+              out += Finding("unpruned-scan",
+                s"scan reads all ${s.requiredSchema.length} columns of " +
+                  s.relation.location.rootPaths.headOption.map(_.getName)
+                    .getOrElse("?") +
+                  s" and a single projection expression consumes the whole " +
+                  s"row into ${pr.output.length} output column(s) — a " +
+                  "whole-row consumer (UDF over struct(*)?) is defeating " +
+                  "column pruning; select the needed columns before the " +
+                  "opaque operator")
+          }
+        case _ =>
+      }
+    }
     out.result()
   }
 
@@ -61,6 +96,25 @@ object PlanLint {
     require(findings.isEmpty,
       s"PlanLint: ${findings.size} scale smell(s):\n" +
         findings.mkString("\n"))
+  }
+
+  /** Like [[foreach]] but hands each node its ancestor chain (nearest
+    * first), so checks can relate a scan to the operator consuming it. */
+  private def foreachWithAncestors(p: SparkPlan,
+      ancestors: List[SparkPlan] = Nil)(f: (SparkPlan, List[SparkPlan]) => Unit): Unit = {
+    f(p, ancestors)
+    val below = p :: ancestors
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        foreachWithAncestors(a.executedPlan, below)(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        foreachWithAncestors(q.plan, below)(f)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        foreachWithAncestors(m.relation.cachedPlan, below)(f)
+      case _ =>
+    }
+    p.children.foreach(foreachWithAncestors(_, below)(f))
+    p.subqueries.foreach(foreachWithAncestors(_, below)(f))
   }
 
   private def foreach(p: SparkPlan)(f: SparkPlan => Unit): Unit = {

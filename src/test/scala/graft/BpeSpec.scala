@@ -70,4 +70,73 @@ class BpeSpec extends SparkSpec {
       .where(col("b") > col("a"))
     assert(counts.count() == 0)
   }
+
+  // ---------------- byte-level (GPT-2 recipe) ----------------
+
+  test("byte alphabet: the GPT-2 bijection with its known anchor points") {
+    assert(Bpe.ByteToChar.length == 256)
+    assert(Bpe.ByteToChar.distinct.length == 256, "must be a bijection")
+    assert(Bpe.ByteToChar('a'.toInt) == 'a') // visible bytes map to themselves
+    assert(Bpe.ByteToChar(32) == 'Ġ') // space → Ġ
+    assert(Bpe.ByteToChar(10) == 'Ċ') // newline → Ċ
+    assert(Bpe.ByteToChar(0) == 'Ā') // first invisible byte
+    (0 until 256).foreach(b => assert(Bpe.CharToByte(Bpe.ByteToChar(b)) == b))
+    // unitHex round-trips through the hex(encode()) form the oracle uses
+    assert(Bpe.unitHex(Bpe.byteUnits(" low").mkString) == "206C6F77")
+  }
+
+  test("pretokenize: GPT-2 arms, contractions, whitespace donation") {
+    assert(Bpe.pretokenize("hello world") == Seq("hello", " world"))
+    assert(Bpe.pretokenize("don't stop") == Seq("don", "'t", " stop"))
+    assert(Bpe.pretokenize("it's 2 cats!!") ==
+      Seq("it", "'s", " 2", " cats", "!!"))
+    // multi-space run donates its last space to the following word
+    assert(Bpe.pretokenize("a  b") == Seq("a", " ", " b"))
+    // a non-space whitespace char never attaches — it is its own token
+    assert(Bpe.pretokenize("x\ny") == Seq("x", "\n", "y"))
+    assert(Bpe.pretokenize("x\n\ny") == Seq("x", "\n", "\n", "y"))
+    // trailing whitespace stays one run
+    assert(Bpe.pretokenize("x  ") == Seq("x", "  "))
+    assert(Bpe.pretokenize("") == Seq.empty)
+    assert(Bpe.pretokenize(null) == Seq.empty)
+    // non-ASCII text survives byte-mapping round trips
+    val units = Bpe.byteUnits("café")
+    assert(units.length == 5, "é is two UTF-8 bytes")
+  }
+
+  test("byte-level golden merges on the low/lower/lowest fixture") {
+    val docs = Seq("low low low lower lowest").toDF("text")
+    val m = Bpe.fitBytes(docs, "text", numMerges = 5)
+    // pretokens: low×1, " low"×2, " lower"×1, " lowest"×1 (Ġ = space)
+    // pairs: (l,o):5 (o,w):5 (Ġ,l):4 (w,e):2 … → tie at 5 breaks
+    // lexicographic to (l,o); then (lo,w):5; (Ġ,low):4; (Ġlow,e):2;
+    // final tie at 1 breaks to (s,t) ('s' < 'Ġ' U+0120).
+    val g = "Ġ"
+    assert(m.merges == Seq(("l", "o"), ("lo", "w"), (g, "low"),
+      (g + "low", "e"), ("s", "t")))
+    assert(m.encodeUnits(Bpe.byteUnits(" lowest")) == Seq(g + "lowe", "st"))
+    assert(m.encodeUnits(Bpe.byteUnits(" low")) == Seq(g + "low"))
+    assert(m.encodeUnits(Bpe.byteUnits("low")) == Seq("low"))
+  }
+
+  test("fitBytes is deterministic and partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Bpe.fitBytes(docs, "text", numMerges = 50)
+    val b = Bpe.fitBytes(docs.repartition(13), "text", numMerges = 50)
+    assert(a.merges == b.merges)
+  }
+
+  test("distributed tokenizeBytes equals driver-side encode per pretoken") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = Bpe.fitBytes(docs, "text", numMerges = 100)
+    val sample = docs.orderBy("doc_id").limit(20)
+      .select(col("doc_id"), col("text"),
+        Bpe.tokenizeBytes(col("text"), m).as("toks"))
+      .collect()
+    sample.foreach { r =>
+      val expected = Bpe.pretokenize(r.getString(1))
+        .flatMap(w => m.encodeUnits(Bpe.byteUnits(w)))
+      assert(r.getSeq[String](2) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
 }

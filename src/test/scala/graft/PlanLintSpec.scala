@@ -36,6 +36,24 @@ class PlanLintSpec extends SparkSpec {
       allow = Set("cartesian-product", "nested-loop-join"))
   }
 
+  test("unpruned-scan: a whole-row UDF is flagged, a pruned scan is not") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    // a UDF over struct(*) consumes every column, so the parquet scan
+    // cannot prune — and the query returns one narrow column
+    val rowUdf = udf((r: org.apache.spark.sql.Row) => r.length)
+    val unpruned = li.select(rowUdf(struct(li.columns.map(col): _*)).as("w"))
+    val findings = PlanLint.lint(unpruned)
+    assert(findings.exists(_.kind == "unpruned-scan"), findings.mkString(", "))
+
+    // the disciplined equivalent — select first — lints clean
+    val pruned = li.select(col("l_quantity"), col("l_discount"))
+      .where(col("l_discount") > 0.05)
+    assert(PlanLint.lint(pruned).isEmpty, PlanLint.lint(pruned).mkString(", "))
+
+    // a genuine full-width read (select *) is NOT an unpruned-scan smell
+    assert(!PlanLint.lint(li).exists(_.kind == "unpruned-scan"))
+  }
+
   test("gate queries lint clean (the PlanSpec pins as one library call)") {
     Seq("q_dedup_minhash", "q_curation_pipeline", "q_langid").foreach { q =>
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")

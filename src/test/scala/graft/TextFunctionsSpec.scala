@@ -461,60 +461,7 @@ class TextFunctionsSpec extends SparkSpec {
     * rather than the marker lists themselves, plus unambiguous junk.
     * langId gates three screens — a per-language accuracy floor makes a
     * heuristic regression loud instead of silently rotting them. */
-  lazy val langFixture: Seq[(String, String)] = Seq(
-    "en" -> "the weather is cold and the train to the city is late again",
-    "en" -> "she said that it was a good idea to wait for the morning bus",
-    "en" -> "most of the houses in that street were built in the last century",
-    "en" -> "it is hard to say what the right answer is in a case like this",
-    "en" -> "the report covers the results of the survey and a plan for next year",
-    "en" -> "a number of students asked for an extension of the deadline",
-    "en" -> "the committee agreed that the proposal needs more work before a vote",
-    "en" -> "he walked to the store in the rain to buy bread and milk for breakfast",
-    "en" -> "the library is open late during the exam period for the students",
-    "en" -> "this is the kind of problem that takes a long time to solve properly",
-    "de" -> "das wetter ist kalt und der zug in die stadt ist wieder zu spaet",
-    "de" -> "sie sagte dass es eine gute idee ist auf den bus zu warten",
-    "de" -> "die meisten haeuser in dieser strasse sind nicht sehr alt",
-    "de" -> "es ist nicht leicht zu sagen was in einem solchen fall richtig ist",
-    "de" -> "der bericht ist mit den ergebnissen der umfrage noch nicht fertig",
-    "de" -> "viele studenten haben mit der verlaengerung der frist gerechnet",
-    "de" -> "der ausschuss ist mit dem vorschlag nicht ganz zufrieden gewesen",
-    "de" -> "er ging mit dem hund durch den park und kaufte brot und milch ein",
-    "de" -> "die bibliothek ist in der pruefungszeit bis spaet am abend offen",
-    "de" -> "das ist ein problem das man nicht auf die schnelle loesen kann",
-    "es" -> "el tiempo es frio y el tren a la ciudad llega tarde otra vez",
-    "es" -> "ella dijo que es una buena idea esperar el autobus por la manana",
-    "es" -> "la mayoria de las casas de esa calle no son muy antiguas",
-    "es" -> "es dificil decir como resolver un caso como este sin mas datos",
-    "es" -> "el informe presenta los resultados de la encuesta y un plan nuevo",
-    "es" -> "muchos estudiantes pidieron una extension del plazo por escrito",
-    "es" -> "el comite dijo que la propuesta necesita mas trabajo como minimo",
-    "es" -> "el camino por el parque es mas corto que la avenida principal",
-    "es" -> "la biblioteca esta abierta por la noche durante los examenes",
-    "es" -> "este es un problema que lleva mucho tiempo resolver como es debido",
-    "fr" -> "le temps est froid et le train pour la ville est encore en retard",
-    "fr" -> "elle a dit que c est une bonne idee d attendre le bus du matin",
-    "fr" -> "la plupart des maisons dans cette rue ne sont pas tres vieilles",
-    "fr" -> "il est difficile de dire ce qui est juste dans un cas pareil",
-    "fr" -> "le rapport presente les resultats de l enquete et un plan pour demain",
-    "fr" -> "beaucoup d etudiants ont demande un delai pour le projet final",
-    "fr" -> "le comite pense que la proposition doit encore etre travaillee",
-    "fr" -> "il est alle au marche dans la pluie pour acheter du pain et du lait",
-    "fr" -> "la bibliotheque est ouverte tard dans la soiree pendant les examens",
-    "fr" -> "c est le genre de probleme qui prend du temps pour etre bien resolu",
-    "it" -> "il tempo e freddo e il treno per la citta e di nuovo in ritardo",
-    "it" -> "lei ha detto che e una buona idea aspettare un autobus con calma",
-    "it" -> "la maggior parte delle case di quella strada non sono molto vecchie",
-    "it" -> "e difficile dire che cosa sia giusto in un caso come questo",
-    "it" -> "il rapporto presenta i risultati di un sondaggio e un piano nuovo",
-    "it" -> "molti studenti hanno chiesto una proroga per il progetto finale",
-    "it" -> "il comitato pensa che la proposta debba essere rivista con cura",
-    "it" -> "lui e andato al mercato con il cane per comprare pane e latte",
-    "it" -> "la biblioteca resta aperta fino a tardi durante gli esami",
-    "it" -> "questo e il tipo di problema che richiede tempo per essere risolto",
-    "und" -> "12345 67890 +++ --- ### 0x7fff 0b1010",
-    "und" -> "qwerty asdfgh zxcvbn hjkl uiop",
-    "und" -> "")
+  lazy val langFixture: Seq[(String, String)] = LangFixture.sentences
 
   test("langId accuracy on the labeled fixture: per-language floors") {
     val preds = langFixture.zipWithIndex
