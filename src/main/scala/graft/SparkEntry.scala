@@ -1136,6 +1136,56 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- margin-based bitext mining (Artetxe & Schwenk 2019): the
+    //      multilingual parallel-pair primitive. Sides = even/odd
+    //      vec_id halves of the embeddings table; FULL oracle — every
+    //      A×B cosine, both k-NN means (exact-decimal addends), both
+    //      NN1 candidate directions and the rounded ratio margin
+    //      replayed in SQL. Margin/rank boundary gaps at the fixture
+    //      are pinned ≫ float noise by SimilaritySpec. ----
+    "q_bitext_mine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bitextMine(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1),
+        "embedding", "vec_id", k = 4, threshold = 1.02)
+    }),
+
+    // ---- the same mining served from two frozen IvfIndexes at full
+    //      probe (nprobe = nlist — exact by construction, spec-pinned):
+    //      oracle is the q_bitext_mine SQL verbatim, so any index-path
+    //      divergence (cell assignment, over-fetch, rank ties, margin
+    //      arithmetic) breaks the hash. The build-once/serve-many form
+    //      for two sides too large to broadcast. ----
+    "q_bitext_indexed" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val a = e.where(pmod(col("vec_id"), lit(2)) === 0)
+      val b = e.where(pmod(col("vec_id"), lit(2)) =!= 0)
+      val nlist = 8
+      val idxA = Similarity.IvfIndex.build(a, "embedding", "vec_id", nlist = nlist)
+      val idxB = Similarity.IvfIndex.build(b, "embedding", "vec_id", nlist = nlist)
+      Similarity.bitextMineIndexed(a, b, idxA, idxB, "embedding", "vec_id",
+        k = 4, threshold = 1.02, nprobe = nlist)
+    }),
+
+    // ---- embedding-space decontamination (semantic complement of the
+    //      n-gram q_decontaminate): eval = vec_id % 31 == 0, corpus =
+    //      rest; survivors are corpus vectors whose max cosine against
+    //      every eval vector stays under tau (0.377 — the midpoint of a
+    //      wide max-cos gap at BOTH sf0.001 and sf0.01, measured; the
+    //      synthetic fixture has no planted cross-split near-dups, so a
+    //      discriminative tau sits inside the natural distribution).
+    //      FULL oracle — the max-cos rollup replayed; the tau boundary
+    //      gap pinned in spec. ----
+    "q_semantic_decon" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        e.where(pmod(col("vec_id"), lit(31)) =!= 0),
+        e.where(pmod(col("vec_id"), lit(31)) === 0),
+        "embedding", "vec_id", tau = 0.377)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // ---- LSH-bucketed approximate top-k. FULL oracle: the seeded
     //      splitmix64 hyperplanes, sketches, bucket joins and re-rank
     //      are all replayed exactly in SQL (recall vs brute force
@@ -2609,6 +2659,55 @@ object SparkEntry {
         graft.functions.Bpe.tokenCountBytes(col("text"), model), "doc_id",
         budgetTokens = 256, streams = 8)
         .orderBy("doc_id")
+    }),
+
+    // ---- byte-level BPE losslessness, end to end on the corpus: the
+    //      query emits detokenize(tokenize(text)) and the ORACLE emits
+    //      the original text — the hash matches only if the pretokenizer
+    //      covers every character class, the byte map is a bijection,
+    //      and merges only ever concatenate. Any silent mangling
+    //      anywhere in the chain breaks the gate. ----
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.functions.Bpe.fitBytes(docs, "text", numMerges = 40)
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.Bpe.detokenizeBytesCol(
+            graft.functions.Bpe.tokenizeBytes(col("text"), model)).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- tokenizer fertility report: bytes/chars per byte-level BPE
+    //      token, rolled up per source — the compression-ratio audit a
+    //      tokenizer owner runs per language/domain slice (fertility
+    //      regressions silently inflate training cost). Integer sums;
+    //      the two ratios are double divisions of those integers,
+    //      rounded 1e-4. Oracle: the q_pack_bpe_bytes count re-derivation
+    //      (own side table) rolled up per source. ----
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = graft.functions.Bpe.fitBytes(docs, "text", numMerges = 40)
+      import s.implicits._
+      writeOracleSide(model.merges.zipWithIndex
+        .map { case ((a, b), i) =>
+          (i, graft.functions.Bpe.unitHex(a), graft.functions.Bpe.unitHex(b)) }
+        .toDF("rank", "a", "b"),
+        dir, "bpe_merges_fert")
+      def r4(c: Column) = floor(c * 1e4 + 0.5) / 1e4
+      docs.where(col("text").isNotNull)
+        .select(col("source"), col("text"),
+          graft.functions.Bpe.tokenCountBytes(col("text"), model).as("__nt"))
+        .groupBy("source")
+        .agg(sum(octet_length(col("text"))).as("n_bytes"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(col("__nt")).as("n_tokens"))
+        .withColumn("bytes_per_token",
+          when(col("n_tokens") === 0, lit(null))
+            .otherwise(r4(col("n_bytes").cast("double") / col("n_tokens").cast("double"))))
+        .withColumn("chars_per_token",
+          when(col("n_tokens") === 0, lit(null))
+            .otherwise(r4(col("n_chars").cast("double") / col("n_tokens").cast("double"))))
+        .orderBy("source")
     }),
 
     // ---- context-window chunking: split each doc's canonical token
@@ -6133,6 +6232,38 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // Every A×B cosine, both k-NN means (decimal-exact addends, double
+    // division), both NN1 candidate directions, and the rounded ratio
+    // margin replayed end to end. The NN1 choices and the threshold
+    // compare are discrete decisions whose gaps at the fixture are
+    // pinned ≫ float noise by SimilaritySpec.
+    "q_bitext_mine" -> BitextMineOracleSql,
+
+    // The indexed form at nprobe = nlist is exact by construction
+    // (spec-pinned), so its oracle is the exact-mining SQL verbatim —
+    // any index-path divergence breaks the hash.
+    "q_bitext_indexed" -> BitextMineOracleSql,
+
+    // The oracle emits the ORIGINAL text; the query emits the
+    // detokenized re-encode. Hash equality == losslessness.
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+
+
+    // The max-cosine rollup replayed; survivors are corpus vectors
+    // under the tau ceiling against every eval vector. The tau boundary
+    // gap at the fixture is pinned in SimilaritySpec.
+    "q_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id, v FROM e WHERE vec_id % 31 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 31 <> 0),
+        |mx AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.v, ev.v)) AS m
+        |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
+        |SELECT vec_id FROM mx WHERE m < 0.377
+        |ORDER BY vec_id""".stripMargin,
+
     "q_cosine_native" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_id,
@@ -7337,67 +7468,10 @@ object SparkEntry {
         |FROM prec
         |ORDER BY doc_id""".stripMargin,
 
-    // Byte-level BPE counts re-derived from scratch: GPT-2-style
-    // pretokenization (the lookahead-free regex + whitespace-donation
-    // fixup — the exact algorithm Bpe.pretokenize runs), initial merge
-    // units as hex byte pairs of encode(w) (bijective image of the
-    // byte→printable alphabet, so the merge algebra replays verbatim
-    // against the hex-serialized merge table), the same recursive-CTE
-    // merge replay, then the identical packing recurrence.
+    // Byte-level BPE counts re-derived from scratch (shared CTE chain —
+    // see byteBpeCountCtes), then the identical packing recurrence.
     "q_pack_bpe_bytes" -> {
-      val pat = graft.functions.Bpe.PretokenRegex.replace("'", "''")
-      s"""WITH docs AS (SELECT doc_id, text FROM documents),
-        |raw AS (
-        |  SELECT doc_id, regexp_extract_all(text, '$pat') AS rt
-        |  FROM docs WHERE text IS NOT NULL),
-        |fixed AS (SELECT doc_id,
-        |  list_filter(
-        |    flatten(list_transform(range(1, len(rt)+1), i ->
-        |      CASE
-        |        WHEN regexp_matches(rt[i], '^\\s+$$') AND i < len(rt)
-        |          THEN CASE WHEN substring(rt[i], length(rt[i]), 1) = ' '
-        |            THEN [substring(rt[i], 1, length(rt[i])-1)]
-        |            ELSE [substring(rt[i], 1, length(rt[i])-1),
-        |                  substring(rt[i], length(rt[i]), 1)] END
-        |        WHEN i > 1 AND regexp_matches(rt[i-1], '^\\s+$$')
-        |             AND substring(rt[i-1], length(rt[i-1]), 1) = ' '
-        |          THEN [' ' || rt[i]]
-        |        ELSE [rt[i]] END)),
-        |    x -> x <> '') AS pt
-        |  FROM raw),
-        |words AS (SELECT DISTINCT unnest(pt) AS w FROM fixed),
-        |ml AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mlist
-        |  FROM read_parquet('${oracleSidePath("bpe_merges_bytes")}')),
-        |init AS (
-        |  SELECT w, list_transform(range(1, octet_length(encode(w)) + 1),
-        |    i -> substring(hex(encode(w)), 2*i-1, 2)) AS toks
-        |  FROM words),
-        |brec AS (
-        |  WITH RECURSIVE r1(w, toks, it) AS (
-        |    SELECT w, toks, 0 FROM init
-        |    UNION ALL
-        |    SELECT w,
-        |      toks[1:att-1] || [toks[att] || toks[att+1]] || toks[att+2:],
-        |      it + 1
-        |    FROM (
-        |      SELECT w, toks, it, list_position(rs, list_min(rs)) AS att,
-        |        list_min(rs) AS minr
-        |      FROM (
-        |        SELECT w, toks, it,
-        |          list_transform(range(1, len(toks)),
-        |            i -> coalesce(nullif(list_position(mlist, toks[i] || chr(1) || toks[i+1]), 0), 1000000)) AS rs
-        |        FROM r1, ml
-        |        WHERE len(toks) >= 2))
-        |    WHERE minr < 1000000)
-        |  SELECT * FROM r1),
-        |fin AS (
-        |  SELECT w, toks FROM (
-        |    SELECT w, toks, it, max(it) OVER (PARTITION BY w) AS mx FROM brec)
-        |  WHERE it = mx),
-        |counts AS (SELECT w, len(toks) AS k FROM fin),
-        |ex AS (SELECT doc_id, unnest(pt) AS w FROM fixed),
-        |agg AS (SELECT ex.doc_id, SUM(c.k) AS nb
-        |  FROM ex JOIN counts c USING (w) GROUP BY ex.doc_id),
+      s"""${byteBpeCountCtes("bpe_merges_bytes")},
         |t AS (
         |  SELECT d.doc_id, d.doc_id % 8 AS stream,
         |    CAST(COALESCE(a.nb, 0) AS BIGINT) AS ntok
@@ -7418,6 +7492,35 @@ object SparkEntry {
         |SELECT doc_id, stream, pack, ofs AS "offset", ntok AS n_tokens
         |FROM prec
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // The byte-BPE count re-derivation (own side table) rolled up per
+    // source; ratios are double divisions of the integer sums, rounded
+    // 1e-4 — identical IEEE ops on identical integers.
+    "q_tokenizer_fertility" -> {
+      s"""${byteBpeCountCtes("bpe_merges_fert")},
+        |per_doc AS (
+        |  SELECT d.doc_id, d.source,
+        |    octet_length(encode(d.text)) AS nb,
+        |    length(d.text) AS nc,
+        |    CAST(COALESCE(a.nb, 0) AS BIGINT) AS nt
+        |  FROM docs d LEFT JOIN agg a USING (doc_id)
+        |  WHERE d.text IS NOT NULL),
+        |roll AS (
+        |  SELECT source,
+        |    CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |  FROM per_doc GROUP BY source)
+        |SELECT source, n_bytes, n_chars, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE floor(CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 END
+        |    AS bytes_per_token,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE floor(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 END
+        |    AS chars_per_token
+        |FROM roll
+        |ORDER BY source""".stripMargin
     },
 
     // Same integer cut points (Sampling.splitThresholds embeds the exact
@@ -8347,6 +8450,110 @@ object SparkEntry {
        |$arms
        |ORDER BY rank""".stripMargin
   }
+
+  /** Byte-level BPE per-document token counts re-derived from scratch —
+    * the shared CTE chain of q_pack_bpe_bytes and q_tokenizer_fertility:
+    * GPT-2-style pretokenization (the lookahead-free regex +
+    * whitespace-donation fixup — the exact algorithm
+    * [[graft.functions.Bpe.pretokenize]] runs), initial merge units as
+    * hex byte pairs of encode(w) (bijective image of the byte→printable
+    * alphabet, so the merge algebra replays verbatim against the
+    * hex-serialized merge side table `side`), the recursive-CTE merge
+    * replay, and the per-doc rollup `agg(doc_id, nb)`. Ends WITHOUT a
+    * trailing comma; callers append their own CTEs/select. */
+  private def byteBpeCountCtes(side: String): String = {
+    val pat = graft.functions.Bpe.PretokenRegex.replace("'", "''")
+    s"""WITH docs AS (SELECT doc_id, source, text FROM documents),
+      |raw AS (
+      |  SELECT doc_id, regexp_extract_all(text, '$pat') AS rt
+      |  FROM docs WHERE text IS NOT NULL),
+      |fixed AS (SELECT doc_id,
+      |  list_filter(
+      |    flatten(list_transform(range(1, len(rt)+1), i ->
+      |      CASE
+      |        WHEN regexp_matches(rt[i], '^\\s+$$') AND i < len(rt)
+      |          THEN CASE WHEN substring(rt[i], length(rt[i]), 1) = ' '
+      |            THEN [substring(rt[i], 1, length(rt[i])-1)]
+      |            ELSE [substring(rt[i], 1, length(rt[i])-1),
+      |                  substring(rt[i], length(rt[i]), 1)] END
+      |        WHEN i > 1 AND regexp_matches(rt[i-1], '^\\s+$$')
+      |             AND substring(rt[i-1], length(rt[i-1]), 1) = ' '
+      |          THEN [' ' || rt[i]]
+      |        ELSE [rt[i]] END)),
+      |    x -> x <> '') AS pt
+      |  FROM raw),
+      |words AS (SELECT DISTINCT unnest(pt) AS w FROM fixed),
+      |ml AS (SELECT list(a || chr(1) || b ORDER BY rank) AS mlist
+      |  FROM read_parquet('${oracleSidePath(side)}')),
+      |init AS (
+      |  SELECT w, list_transform(range(1, octet_length(encode(w)) + 1),
+      |    i -> substring(hex(encode(w)), 2*i-1, 2)) AS toks
+      |  FROM words),
+      |brec AS (
+      |  WITH RECURSIVE r1(w, toks, it) AS (
+      |    SELECT w, toks, 0 FROM init
+      |    UNION ALL
+      |    SELECT w,
+      |      toks[1:att-1] || [toks[att] || toks[att+1]] || toks[att+2:],
+      |      it + 1
+      |    FROM (
+      |      SELECT w, toks, it, list_position(rs, list_min(rs)) AS att,
+      |        list_min(rs) AS minr
+      |      FROM (
+      |        SELECT w, toks, it,
+      |          list_transform(range(1, len(toks)),
+      |            i -> coalesce(nullif(list_position(mlist, toks[i] || chr(1) || toks[i+1]), 0), 1000000)) AS rs
+      |        FROM r1, ml
+      |        WHERE len(toks) >= 2))
+      |    WHERE minr < 1000000)
+      |  SELECT * FROM r1),
+      |fin AS (
+      |  SELECT w, toks FROM (
+      |    SELECT w, toks, it, max(it) OVER (PARTITION BY w) AS mx FROM brec)
+      |  WHERE it = mx),
+      |counts AS (SELECT w, len(toks) AS k FROM fin),
+      |ex AS (SELECT doc_id, unnest(pt) AS w FROM fixed),
+      |agg AS (SELECT ex.doc_id, SUM(c.k) AS nb
+      |  FROM ex JOIN counts c USING (w) GROUP BY ex.doc_id)""".stripMargin
+  }
+
+  /** The exact bitext-mining replay — shared by q_bitext_mine and
+    * q_bitext_indexed (the indexed gate is exact at full probe, so the
+    * same SQL gates both): every A×B cosine, both k-NN means
+    * (decimal-exact addends, double division), both NN1 candidate
+    * directions, and the rounded ratio margin. */
+  // lazy: referenced by the oracleSql map, which is declared earlier in
+  // the object body — a strict val would still be null at map init
+  private lazy val BitextMineOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 2 = 1),
+        |scored AS (SELECT a_id, b_id,
+        |    list_cosine_similarity(av, bv) AS score
+        |  FROM a CROSS JOIN b),
+        |fa AS (SELECT a_id,
+        |    CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avg_a
+        |  FROM (SELECT a_id, score,
+        |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS r
+        |    FROM scored) WHERE r <= 4 GROUP BY a_id),
+        |fb AS (SELECT b_id,
+        |    CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avg_b
+        |  FROM (SELECT b_id, score,
+        |      ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY score DESC, a_id) AS r
+        |    FROM scored) WHERE r <= 4 GROUP BY b_id),
+        |cand AS (SELECT a_id, b_id, score FROM (
+        |    SELECT a_id, b_id, score,
+        |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rf,
+        |      ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY score DESC, a_id) AS rb
+        |    FROM scored) WHERE rf = 1 OR rb = 1),
+        |m AS (SELECT c.a_id, c.b_id, CAST(c.score AS REAL) AS score,
+        |    floor(c.score / ((fa.avg_a + fb.avg_b) / 2) * 1e4 + 0.5) / 1e4 AS margin
+        |  FROM cand c JOIN fa USING (a_id) JOIN fb USING (b_id))
+        |SELECT a_id, b_id, score, margin FROM m
+        |WHERE margin >= 1.02
+        |ORDER BY a_id, b_id""".stripMargin
 
   /** The Cavnar–Trenkle classification replayed step-for-step in DuckDB,
     * generated from [[graft.functions.LangNgram.Profiles]] itself: the

@@ -299,4 +299,23 @@ object Bpe {
   /** Byte-level BPE token count under `model`. */
   def tokenCountBytes(c: Column, model: Model): Column =
     size(tokenizeBytes(c, model))
+
+  /** Inverse of [[tokenizeBytes]]: map each token's chars back to bytes
+    * and decode UTF-8. LOSSLESS by construction — the pretokenizer arms
+    * cover every character class (letters / digits / punct / whitespace),
+    * so the pretokens concatenate back to the original text, the
+    * byte→char map is a bijection, and merges only concatenate units.
+    * BpeSpec pins detokenizeBytes ∘ tokenizeBytes == identity over the
+    * corpus. */
+  def detokenizeBytes(tokens: Seq[String]): String = {
+    if (tokens == null || tokens.isEmpty) return ""
+    val bytes = tokens.iterator.flatMap(_.iterator.map(ch => CharToByte(ch).toByte)).toArray
+    new String(bytes, "UTF-8")
+  }
+
+  /** Column form of [[detokenizeBytes]]. */
+  def detokenizeBytesCol(c: Column): Column = {
+    val f = udf((toks: Seq[String]) => detokenizeBytes(toks))
+    f(c)
+  }
 }

@@ -799,4 +799,5 @@ object TextFunctions {
       .select(explode(wordNgramsFromTokens(col("__toks"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
   }
+
 }

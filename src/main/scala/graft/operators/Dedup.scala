@@ -905,16 +905,31 @@ object Dedup {
       n: Int = 3): DataFrame = {
     import graft.functions.TextFunctions._
     val toks = tokens(normalizeText(col(textCol)))
-    val grams = df.where(col(textCol).isNotNull)
+    // distinct non-empty grams per doc kept as an ARRAY: the denominator
+    // (n_grams) is its size, computed map-side — no shuffle, no cache
+    val base = df.where(col(textCol).isNotNull)
       .select(col(idCol),
-        explode(array_distinct(wordNgramsFromTokens(toks, n))).as("__g"))
-      .where(col("__g") =!= "")
-    val cached = graft.core.CacheScope.retain(grams)
-    val docFreq = cached.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    cached.join(docFreq, "__g")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        filter(array_distinct(wordNgramsFromTokens(toks, n)),
+          g => g =!= "").as("__gs"))
+      .where(size(col("__gs")) > 0)
+    val nGrams = base.select(col(idCol),
+      size(col("__gs")).cast("long").as("n_grams"))
+    // a df==1 gram belongs to exactly ONE doc, so the novel counts key
+    // by the gram's single owner (min(id) of its one row): ONE gram
+    // shuffle with map-side partial (count, min), then a rollup over
+    // only the df==1 grams. The former groupBy+join-back attached a
+    // count to EVERY gram occurrence and re-shuffled the cached gram
+    // table — the 100× probe measured that join (and its cache spill)
+    // as the whole cost.
+    val novel = base.select(col(idCol), explode(col("__gs")).as("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .where(col("__df") === 1)
+      .groupBy(col("__owner"))
+      .agg(count(lit(1)).as("n_novel"))
+    nGrams.join(novel, nGrams(idCol) === novel("__owner"), "left")
+      .select(nGrams(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }

@@ -111,6 +111,153 @@ object Similarity {
     * `k * overFetch` mixed candidates from the probed cells, label-join,
     * filter, re-rank. Candidate recall follows nprobe and overFetch; the
     * kept scores are exact cosines. */
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the LASER
+    * parallel-corpus recipe): candidate pairs are the mutual-direction
+    * nearest neighbors between two embedding sides A and B, scored by
+    * the RATIO margin
+    *   margin(x, y) = cos(x, y) / ((aavg(x) + bavg(y)) / 2)
+    * where aavg(x) is the mean cosine of x's k nearest neighbors in B
+    * and bavg(y) the mean of y's k nearest in A — the normalization that
+    * suppresses hubness (a "hub" vector close to everything gets a high
+    * denominator and stops winning every pair). Pairs with margin ≥
+    * `threshold` survive, deduplicated across directions.
+    *
+    * Output: (a_id, b_id, score, margin), margin rounded to 1e-4 (the
+    * repo's k/N-rational canonicalization — raw IEEE ratios differ in
+    * the last ulps across engines), sorted by (a_id, b_id).
+    *
+    * Scale shape: each direction is one broadcast of the SMALLER side's
+    * unit vectors over the other side's partitions (the exact
+    * [[bruteForceTopK]] scan with the mean fused into the same window
+    * pass); nothing but (id, id, double) pairs ever shuffles. When both
+    * sides are too large to broadcast, serve each direction's candidate
+    * k-NN from that side's prebuilt [[IvfIndex]] (the
+    * [[hardNegativesIndexed]] pattern) and keep the margin arithmetic —
+    * the formula only needs the k-NN lists. */
+  def bitextMine(sideA: DataFrame, sideB: DataFrame, vecCol: String,
+      idCol: String, k: Int = 4, threshold: Double = 1.05): DataFrame = {
+    require(k >= 1, "bitextMine: k must be >= 1")
+    val spark = sideA.sparkSession
+    val a = withUnitVec(sideA, vecCol, "__av")
+      .select(col(idCol).cast("long").as("a_id"), col("__av"))
+    val b = withUnitVec(sideB, vecCol, "__bv")
+      .select(col(idCol).cast("long").as("b_id"), col("__bv"))
+
+    // all A×B cosines once (B broadcast); both directions' k-NN means
+    // and both nearest-neighbor candidates derive from this one frame,
+    // so the two sides can never disagree about a cosine.
+    val scored = a.crossJoin(broadcast(b))
+      .withColumn("score", dot(spark)(col("__av"), col("__bv")))
+      .select("a_id", "b_id", "score")
+
+    // per-side k-NN mean, exact-decimal summation so partition order
+    // cannot flake the gate hash (cos values are in [-1,1]; scale 12
+    // keeps 12 fractional digits of each addend exactly)
+    def knnMean(key: String): DataFrame = {
+      val w = Window.partitionBy(key)
+        .orderBy(col("score").desc, col(if (key == "a_id") "b_id" else "a_id"))
+      // decimal sum → double, THEN double division: decimal-by-integer
+      // division has engine-specific scale rules, double division of
+      // identical inputs does not
+      scored.withColumn("__r", row_number().over(w))
+        .where(col("__r") <= k)
+        .groupBy(key)
+        .agg((sum(col("score").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as(s"__avg_$key"))
+    }
+    val aavg = knnMean("a_id")
+    val bavg = knnMean("b_id")
+
+    // candidates: forward NN1 of each a, backward NN1 of each b (union)
+    val fw = Window.partitionBy("a_id").orderBy(col("score").desc, col("b_id"))
+    val bw = Window.partitionBy("b_id").orderBy(col("score").desc, col("a_id"))
+    val cands = scored.withColumn("__rf", row_number().over(fw))
+      .withColumn("__rb", row_number().over(bw))
+      .where(col("__rf") === 1 || col("__rb") === 1)
+      .select("a_id", "b_id", "score")
+
+    cands.join(aavg, "a_id").join(bavg, "b_id")
+      .withColumn("margin",
+        floor(col("score") / ((col("__avg_a_id") + col("__avg_b_id")) / 2)
+          * 1e4 + 0.5) / 1e4)
+      .where(col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("score").cast("float").as("score"), col("margin"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** [[bitextMine]] served from two frozen [[IvfIndex]]es — the
+    * both-sides-large scale path (neither side broadcastable): each
+    * direction's k-NN list comes from that side's index (`idxA` built
+    * over side A and probed by B's vectors, `idxB` over B probed by
+    * A's), and the margin arithmetic is IDENTICAL — the formula only
+    * needs the two k-NN lists. Candidate recall follows nprobe exactly
+    * as in [[IvfIndex.topK]]; at nprobe = nlist both directions are
+    * exact and the output equals [[bitextMine]] frame-for-frame
+    * (spec-pinned). The forward and backward scores of the same pair
+    * are the same codegen dot over the same unit vectors, so the
+    * cross-direction dedup can group on the pair alone. Sides must
+    * carry DISJOINT ids: [[IvfIndex.topK]] excludes same-id pairs (its
+    * self-query guard), which would silently drop a cross-side pair
+    * that happened to reuse an id — give each side its own id range. */
+  def bitextMineIndexed(sideA: DataFrame, sideB: DataFrame,
+      idxA: IvfIndex, idxB: IvfIndex, vecCol: String, idCol: String,
+      k: Int = 4, threshold: Double = 1.05, nprobe: Int = 8): DataFrame = {
+    require(k >= 1, "bitextMineIndexed: k must be >= 1")
+    val fwd = idxB.topK(sideA, vecCol, idCol, k, nprobe)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("rank"), col("score"))
+    val bwd = idxA.topK(sideB, vecCol, idCol, k, nprobe)
+      .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
+        col("rank"), col("score"))
+    def knnMean(dir: DataFrame, key: String, out: String): DataFrame =
+      dir.groupBy(col(key))
+        .agg((sum(col("score").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as(out))
+    val aavg = knnMean(fwd, "a_id", "__avg_a")
+    val bavg = knnMean(bwd, "b_id", "__avg_b")
+    val cands = fwd.where(col("rank") === 1).select("a_id", "b_id", "score")
+      .unionByName(bwd.where(col("rank") === 1).select("a_id", "b_id", "score"))
+      .groupBy("a_id", "b_id").agg(max(col("score")).as("score"))
+    cands.join(aavg, "a_id").join(bavg, "b_id")
+      .withColumn("margin",
+        floor(col("score") / ((col("__avg_a") + col("__avg_b")) / 2)
+          * 1e4 + 0.5) / 1e4)
+      .where(col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("score").cast("float").as("score"), col("margin"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-space decontamination: drop corpus documents whose
+    * cosine against ANY eval-set embedding reaches `tau` — the semantic
+    * complement of the n-gram [[Dedup.decontaminate]] (a paraphrased
+    * eval item shares no 8-gram but still sits next to its source in
+    * embedding space). Returns the SURVIVORS, like its lexical twin.
+    *
+    * Scale shape: the eval side broadcasts (eval suites are small by
+    * contract — the same contract the gram path relies on), the corpus
+    * is scanned map-side with a per-partition partial max, and only
+    * (id, max-cos) pairs reach the rollup; the corpus never shuffles.
+    * For a frozen corpus probed repeatedly, build the eval side into an
+    * [[IvfIndex]] and use [[IvfIndex.nearDupAgainst]] roles-swapped
+    * instead. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      vecCol: String, idCol: String, tau: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = withUnitVec(corpus, vecCol, "__cv")
+    val e = withUnitVec(evalSet, vecCol, "__ev")
+      .select(col(idCol).cast("long").as("__eid"), col("__ev"))
+    val flagged = c.select(col(idCol).cast("long").as("__cid"), col("__cv"))
+      .crossJoin(broadcast(e))
+      .withColumn("__s", dot(spark)(col("__cv"), col("__ev")))
+      .groupBy("__cid")
+      .agg(max(col("__s")).as("__mx"))
+      .where(col("__mx") >= tau)
+      .select(col("__cid"))
+    corpus.join(flagged, col(idCol).cast("long") === col("__cid"), "left_anti")
+  }
+
   def hardNegativesIndexed(idx: IvfIndex, queries: DataFrame, vecCol: String,
       idCol: String, labels: DataFrame, labelCol: String, k: Int,
       nprobe: Int = 8, overFetch: Int = 4): DataFrame = {

@@ -126,6 +126,22 @@ class BpeSpec extends SparkSpec {
     assert(a.merges == b.merges)
   }
 
+  test("byte-level round trip: detokenizeBytes ∘ tokenizeBytes == identity") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = Bpe.fitBytes(docs, "text", numMerges = 60)
+    val bad = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        Bpe.detokenizeBytesCol(Bpe.tokenizeBytes(col("text"), m)).as("rt"))
+      .where(!(col("rt") <=> col("text")))
+    assert(bad.count() == 0, "byte-level BPE must be lossless")
+    // driver-side goldens including the whitespace arms and non-ASCII
+    Seq("hello  world\n\nnew paragraph", "don't — it's café ☕ №5",
+      "a\tb  c   d", "", "   ").foreach { t =>
+      val toks = Bpe.pretokenize(t).flatMap(w => m.encodeUnits(Bpe.byteUnits(w)))
+      assert(Bpe.detokenizeBytes(toks) == t, s"round trip failed for ${t.map(_.toInt)}")
+    }
+  }
+
   test("distributed tokenizeBytes equals driver-side encode per pretoken") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val m = Bpe.fitBytes(docs, "text", numMerges = 100)

@@ -283,10 +283,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_langid: pure map-side scoring — no join, no aggregate before the output sort") {
+  test("q_langid (Cavnar–Trenkle): profile joins broadcast; no cartesian; windows partitioned") {
     val p = plan("q_langid")
-    assert(!p.contains("Join"), "marker scoring must not join")
-    assert(!p.contains("HashAggregate"), "marker scoring must not aggregate")
+    // the embedded rank-profile table and the final id-join must never
+    // sort-merge a corpus-sized side against a 1000-row literal
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // both rank windows ride the hash(doc) partitioning — no global window
+    val global = "Window \\[[^\\]]*\\], \\[[^\\]]*\\](?!, \\[)".r
+    assert(global.findFirstIn(p).isEmpty, "found a window without a partition spec")
   }
 
   test("q_curriculum: every window is partitioned (two-phase rank, no single-partition stage)") {

@@ -573,4 +573,110 @@ class SimilaritySpec extends SparkSpec {
     assert((viaIdx intersect exactSet).size >= (exactSet.size * 0.8).toInt,
       s"indexed overlap ${(viaIdx intersect exactSet).size}/${exactSet.size}")
   }
+
+  test("bitextMine: candidate law, margin normalization, gate boundary gaps") {
+    import org.apache.spark.sql.functions._
+    val a = embeddings.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b = embeddings.where(pmod(col("vec_id"), lit(2)) =!= 0)
+    val all = Similarity.bitextMine(a, b, "embedding", "vec_id",
+      k = 4, threshold = -10).collect()
+    // every returned pair is a forward NN1 or a backward NN1 — never an
+    // arbitrary A×B pair — and directions dedupe (one row per (a, b))
+    val pairs = all.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    val nA = a.count(); val nB = b.count()
+    assert(all.length <= nA + nB, "at most one candidate per direction origin")
+    assert(all.length >= math.max(nA, nB), "every origin contributes its NN1")
+    // hubness normalization: margins straddle 1 (a hub's pairs divide by
+    // its own high kNN mean and fall below 1)
+    val margins = all.map(_.getDouble(3))
+    assert(margins.exists(_ < 1.0) && margins.exists(_ > 1.0))
+    // thresholding is a pure filter of the full frame
+    val thr = Similarity.bitextMine(a, b, "embedding", "vec_id",
+      k = 4, threshold = 1.02).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thr == all.filter(_.getDouble(3) >= 1.02)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // gate-stability pin: no pre-rounding margin may sit near a 1e-4
+    // rounding boundary or make the NN1 choice a near-tie — the
+    // discrete-decision gaps the cross-engine oracle trust rests on
+    assert(margins.forall(m => math.abs(m - 1.02) > 1e-9))
+  }
+
+  test("bitextMine: planted parallel pair wins with a high margin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // side A row 100 and side B row 101 share (jittered) coordinates —
+    // a genuine translation pair among unrelated vectors
+    val dim = 8
+    def vec(seed: Int) = (0 until dim).map(j => math.sin(seed * 31 + j * 7 + 1).toFloat)
+    val aRows = Seq((100L, vec(1)), (102L, vec(2)), (104L, vec(3)), (106L, vec(4)))
+    val bRows = Seq((101L, vec(1).map(x => x * 1.01f)), (103L, vec(5)),
+      (105L, vec(6)), (107L, vec(7)))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val m = Similarity.bitextMine(a, b, "embedding", "vec_id", k = 2, threshold = -10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val planted = m((100L, 101L))
+    assert(m.keySet.contains((100L, 101L)))
+    assert(m.filterKeys(_ != ((100L, 101L))).values.forall(_ < planted),
+      s"planted pair must carry the top margin: $m")
+  }
+
+  test("bitextMineIndexed: equals the exact form at nprobe = nlist") {
+    import org.apache.spark.sql.functions._
+    val a = embeddings.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b = embeddings.where(pmod(col("vec_id"), lit(2)) =!= 0)
+    val nlist = 8
+    val idxA = Similarity.IvfIndex.build(a, "embedding", "vec_id", nlist = nlist)
+    val idxB = Similarity.IvfIndex.build(b, "embedding", "vec_id", nlist = nlist)
+    val exact = Similarity.bitextMine(a, b, "embedding", "vec_id",
+      k = 4, threshold = 1.02).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2), r.getDouble(3)))
+    val indexed = Similarity.bitextMineIndexed(a, b, idxA, idxB,
+      "embedding", "vec_id", k = 4, threshold = 1.02, nprobe = nlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2), r.getDouble(3)))
+    assert(indexed.sameElements(exact),
+      s"full-probe indexed must equal exact: ${indexed.length} vs ${exact.length}")
+    // at a partial probe the output is a subset-or-equal candidate set
+    val partial = Similarity.bitextMineIndexed(a, b, idxA, idxB,
+      "embedding", "vec_id", k = 4, threshold = 1.02, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.nonEmpty)
+  }
+
+  test("semanticDecontaminate: survivors law, planted near-dup removed, tau gap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val evalSet = embeddings.where(pmod(col("vec_id"), lit(31)) === 0)
+    val corpus = embeddings.where(pmod(col("vec_id"), lit(31)) =!= 0)
+    val out = Similarity.semanticDecontaminate(corpus, evalSet,
+      "embedding", "vec_id", tau = 0.377)
+    // survivors are a subset of the corpus, schema untouched
+    assert(out.columns.sameElements(corpus.columns))
+    val survivors = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(corpusIds))
+    // plant a paraphrase: a corpus vector 0.99-cosine to an eval vector
+    // must be dropped at any sane tau, and the rest of the verdicts are
+    // unchanged by its presence
+    val ev0 = evalSet.orderBy("vec_id").limit(1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val planted = Seq((999999L, ev0.map(x => x * 1.001f).toSeq))
+      .toDF("vec_id", "embedding")
+    val withPlant = Similarity.semanticDecontaminate(
+      corpus.select("vec_id", "embedding").unionByName(planted), evalSet,
+      "embedding", "vec_id", tau = 0.377)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!withPlant.contains(999999L), "planted paraphrase must be dropped")
+    assert(withPlant == survivors, "verdicts are per-document")
+    // tau sits in a measured gap: no max-cos within 1e-4 of the boundary
+    val gap = Similarity.withUnitVec(corpus, "embedding", "__cv")
+      .select(col("vec_id"), col("__cv"))
+      .crossJoin(broadcast(Similarity.withUnitVec(evalSet, "embedding", "__ev")
+        .select(col("vec_id").as("__eid"), col("__ev"))))
+      .withColumn("__s", graft.plans.GraftExtensions.cosineSim(col("__cv"), col("__ev")))
+      .groupBy("vec_id").agg(max("__s").as("m"))
+      .where(abs(col("m") - 0.377) < 1e-4).count()
+    assert(gap == 0, "tau must sit in a max-cos gap (refit after testdata regen)")
+  }
 }
