@@ -1168,6 +1168,22 @@ object SparkEntry {
         k = 4, threshold = 1.02, nprobe = nlist)
     }),
 
+    // ---- grouped embedding mean-pooling (chunk→doc reducer): per
+    //      (group, position) exact-decimal means, position-ordered
+    //      reassembly. Fully deterministic cross-engine: float inputs
+    //      widen to double exactly, decimal sums of identical doubles
+    //      are identical, so the pooled REAL vector is bit-equal in
+    //      both engines — no canonicalization needed beyond the output
+    //      float cast. ----
+    "q_embed_meanpool" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .withColumn("grp", pmod(col("vec_id"), lit(16)))
+      Similarity.meanPoolBy(e, "embedding", "grp")
+        .select(col("grp"),
+          posexplode(col("embedding").cast("array<float>")).as(Seq("dim", "value")))
+        .orderBy("grp", "dim")
+    }),
+
     // ---- embedding-space decontamination (semantic complement of the
     //      n-gram q_decontaminate): eval = vec_id % 31 == 0, corpus =
     //      rest; survivors are corpus vectors whose max cosine against
@@ -2839,6 +2855,33 @@ object SparkEntry {
             Seq("site0.co.uk", "site2.co.uk")))
         .select("doc_id", "host")
         .orderBy("doc_id")
+    }),
+
+    // ---- LARGE phrase blocklist via Aho–Corasick — the 100k-entry
+    //      scale path (the literal-array isin gate above stops making
+    //      sense past a few hundred single tokens; production bad-word
+    //      lists are 10⁵ multi-word phrases). The 10,000-phrase list is
+    //      fit from the corpus itself (top word-bigrams, deterministic
+    //      tie rule) and emitted as a side table; matching is one
+    //      driver-built automaton in the UDF closure, O(text) per doc
+    //      whatever the list size, map-side, no join. Oracle: every
+    //      (doc, phrase) hit re-derived by a space-flanked containment
+    //      join over the same normalized text and the same side table —
+    //      any automaton bug (boundary, overlap, fail-link) breaks the
+    //      hash. ----
+    "q_blocklist_10k" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = documents(s, dir)
+      val phrases = TextFunctions.corpusNgramCounts(docs, "text", n = 2)
+        .orderBy(col("n_occurrences").desc, col("gram"))
+        .limit(10000)
+        .collect().map(_.getString(0)).toSeq
+      import s.implicits._
+      writeOracleSide(phrases.toDF("phrase"), dir, "blocklist_10k")
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.blocklistHits(col("text"), phrases)).as("phrase"))
+        .orderBy("doc_id", "phrase")
     }),
 
     // ---- bigram-LM perplexity scoring (the CCNet quality-filter step):
@@ -6252,6 +6295,24 @@ object SparkEntry {
 
 
 
+    // Per-(group, position) decimal-exact means over the widened
+    // doubles, list-assembled in position order — bit-identical in both
+    // engines by construction.
+    "q_embed_meanpool" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id % 16 AS grp, s.i AS p, v[s.i] AS x
+        |  FROM e,
+        |       UNNEST(list_transform(generate_series(1, len(v)), y -> y)) AS s(i)),
+        |m AS (
+        |  SELECT grp, p,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mx
+        |  FROM ex GROUP BY grp, p)
+        |SELECT grp, p - 1 AS dim, CAST(mx AS REAL) AS value
+        |FROM m
+        |ORDER BY grp, dim""".stripMargin,
+
     // The max-cosine rollup replayed; survivors are corpus vectors
     // under the tau ceiling against every eval vector. The tau boundary
     // gap at the fixture is pinned in SimilaritySpec.
@@ -8094,6 +8155,17 @@ object SparkEntry {
     // Survivors derived independently: token hit via list_has_any over
     // the same canonical tokens, domain hit by the id arithmetic that
     // synthesized the host (m in {0,2} blocked).
+    // Every (doc, phrase) hit re-derived independently: space-flanked
+    // containment of each side-table phrase in the same normalized text.
+    "q_blocklist_10k" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT phrase FROM read_parquet('${oracleSidePath("blocklist_10k")}'))
+        |SELECT d.doc_id, p.phrase
+        |FROM docs d JOIN p ON contains(' ' || d.nt || ' ', ' ' || p.phrase || ' ')
+        |ORDER BY doc_id, phrase""".stripMargin,
+
     "q_blocklist_filter" ->
       s"""WITH t AS (
         |  SELECT doc_id,

@@ -513,6 +513,110 @@ object TextFunctions {
       array(words.map(w => lit(w.trim.toLowerCase)): _*))
   }
 
+  /** Aho–Corasick multi-pattern matcher over the normalized text — the
+    * scale path for LARGE phrase blocklists ([[noBlocklistedToken]]'s
+    * literal-array `isin` stops making sense past a few hundred single
+    * tokens; production "bad words" lists run to 10⁵ multi-word
+    * PHRASES). One automaton built driver-side (goto/fail/output,
+    * Aho & Corasick 1975), shipped in the UDF closure like the quality
+    * LM — matching is then O(text length) per document regardless of
+    * list size, map-side, no join.
+    *
+    * Semantics: token-boundary phrase matches on [[normalizeText]]'s
+    * canonical form — a phrase hits only when flanked by spaces or the
+    * text edge, so "ass" never fires inside "class" and multi-word
+    * phrases match across single spaces exactly. Returns the DISTINCT
+    * matched phrases sorted (deterministic, oracle-replayable as a
+    * per-phrase containment test over ' '||norm||' '). */
+  def blocklistHits(c: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "empty blocklist — drop the gate instead")
+    val ac = AhoCorasick.build(
+      phrases.map(p => normalizePhrase(p)).filter(_.nonEmpty).distinct)
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else ac.matches(" " + t + " ").toArray.sorted
+    }
+    f(normalizeText(c))
+  }
+
+  /** True when no blocklisted phrase appears — the gate form. */
+  def noBlocklistedPhrase(c: Column, phrases: Seq[String]): Column =
+    size(blocklistHits(c, phrases)) === 0
+
+  private def normalizePhrase(p: String): String =
+    p.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  /** Minimal Aho–Corasick automaton: flat arrays (dense-ish child maps),
+    * boundary-aware emission — patterns are stored space-flanked so a
+    * match is always token-aligned given space-flanked input. */
+  final class AhoCorasick private (
+      gotoMap: Array[java.util.HashMap[Character, Integer]],
+      fail: Array[Int],
+      out: Array[List[String]]) extends Serializable {
+    /** All distinct pattern hits in `t` (t must be space-flanked). */
+    def matches(t: String): Set[String] = {
+      var s = 0
+      val hits = scala.collection.mutable.Set.empty[String]
+      var i = 0
+      while (i < t.length) {
+        val ch = t.charAt(i)
+        var nxt = gotoMap(s).get(ch)
+        while (nxt == null && s != 0) {
+          s = fail(s); nxt = gotoMap(s).get(ch)
+        }
+        s = if (nxt == null) 0 else nxt.intValue()
+        if (out(s).nonEmpty) hits ++= out(s)
+        i += 1
+      }
+      hits.toSet
+    }
+  }
+
+  object AhoCorasick {
+    /** Build over normalized phrases; each pattern is matched
+      * space-flanked (" phrase ") for token-boundary semantics. */
+    def build(phrases: Seq[String]): AhoCorasick = {
+      val gotoMap = scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Character, Integer]())
+      val outB = scala.collection.mutable.ArrayBuffer(List.empty[String])
+      phrases.foreach { p =>
+        val pat = " " + p + " "
+        var s = 0
+        var i = 0
+        while (i < pat.length) {
+          val ch = pat.charAt(i)
+          val nxt = gotoMap(s).get(ch)
+          if (nxt == null) {
+            gotoMap += new java.util.HashMap[Character, Integer]()
+            outB += Nil
+            gotoMap(s).put(ch, gotoMap.length - 1)
+            s = gotoMap.length - 1
+          } else s = nxt.intValue()
+          i += 1
+        }
+        outB(s) = p :: outB(s)
+      }
+      val n = gotoMap.length
+      val fail = new Array[Int](n)
+      val queue = new java.util.ArrayDeque[Integer]()
+      gotoMap(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+      while (!queue.isEmpty) {
+        val r = queue.poll().intValue()
+        gotoMap(r).forEach { (ch, u) =>
+          queue.add(u)
+          var st = fail(r)
+          while (st != 0 && gotoMap(st).get(ch) == null) st = fail(st)
+          val f0 = gotoMap(st).get(ch)
+          val f = if (f0 == null || f0.intValue() == u.intValue()) 0
+            else f0.intValue()
+          fail(u) = f
+          outB(u) = outB(u) ++ outB(f)
+        }
+      }
+      new AhoCorasick(gotoMap.toArray, fail, outB.toArray)
+    }
+  }
+
   /** The Gopher quality-rule stop words (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", appendix A1.1.1 MassiveWeb filters): a page must contain

@@ -229,6 +229,33 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Grouped mean-pooling of embeddings — the chunk→document (or
+    * cluster→centroid-summary) reducer: per (group, position)
+    * exact-decimal mean, reassembled position-ordered. Exact-decimal
+    * addends make the pooled vector partition-order independent and
+    * bit-identical to a SQL replay (the float inputs widen to double
+    * exactly; identical doubles → identical decimal sums → identical
+    * means in both engines — no float-boundary risk anywhere).
+    *
+    * Ragged inputs pool per position over the rows that HAVE that
+    * position (count is per (group, pos)); null vectors drop. One
+    * shuffle on (group, pos) with map-side partial sums; the reassembly
+    * groupBy(group) reuses the hash partitioning (grouping-key subset).
+    *
+    * Output: (<groupCol>, embedding array<double> in position order). */
+  def meanPoolBy(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val ex = df.where(col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+    ex.groupBy(col("__g"), col("__p"))
+      .agg((sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double") / count(lit(1)).cast("double")).as("__m"))
+      .groupBy(col("__g"))
+      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as("embedding"))
+      .select(col("__g").as(groupCol), col("embedding"))
+  }
+
   /** Embedding-space decontamination: drop corpus documents whose
     * cosine against ANY eval-set embedding reaches `tau` — the semantic
     * complement of the n-gram [[Dedup.decontaminate]] (a paraphrased

@@ -644,6 +644,31 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.nonEmpty)
   }
 
+  test("meanPoolBy: hand-checked means, ragged pooling, partitioning invariance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Seq(1.0f, 2.0f, 3.0f)),
+      (2L, "a", Seq(3.0f, 4.0f, 5.0f)),
+      (3L, "b", Seq(10.0f, 20.0f)),         // ragged: shorter vector
+      (4L, "b", Seq(30.0f, 40.0f, 50.0f)),
+      (5L, "c", null.asInstanceOf[Seq[Float]])) // null drops; group vanishes
+      .toDF("id", "grp", "embedding")
+    val got = Similarity.meanPoolBy(df, "embedding", "grp")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 3.0, 4.0))
+    // position 2 exists only in id 4 → mean over the one row that has it
+    assert(got("b") == Seq(20.0, 30.0, 50.0))
+    assert(!got.contains("c"))
+    // partitioning invariance (exact-decimal addends)
+    val e = embeddings.withColumn("grp", pmod(col("vec_id"), lit(16)))
+    val a = Similarity.meanPoolBy(e, "embedding", "grp")
+      .orderBy("grp").collect().map(_.getSeq[Double](1))
+    val b = Similarity.meanPoolBy(e.repartition(13), "embedding", "grp")
+      .orderBy("grp").collect().map(_.getSeq[Double](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
   test("semanticDecontaminate: survivors law, planted near-dup removed, tau gap") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -278,6 +278,52 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("blocklistHits (Aho–Corasick): boundaries, overlaps, phrases, naive parity") {
+    // driver-side automaton laws first
+    val ac = AhoCorasick.build(Seq("bad word", "bad", "word up", "up"))
+    assert(ac.matches(" this bad word up here ") ==
+      Set("bad word", "bad", "word up", "up"),
+      "overlapping phrase hits must all surface (shared spaces reused)")
+    assert(ac.matches(" badge wordy ") == Set.empty,
+      "token boundaries: no substring hits")
+    assert(ac.matches(" bad ") == Set("bad"))
+    // column form: normalization + distinct + sorted
+    val docs = Seq(
+      (1L, Some("a clean sentence here")),
+      (2L, Some("the Bad! Word and more")),   // case/punct-insensitive phrase hit
+      (3L, Some("badge wordless")),            // substrings never match
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val hits = docs.select(col("doc_id"),
+      blocklistHits(col("text"), Seq("bad word", "clean")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(hits(1L) == Seq("clean"))
+    assert(hits(2L) == Seq("bad word"))
+    assert(hits(3L) == Seq.empty && hits(4L) == Seq.empty)
+    assert(docs.where(noBlocklistedPhrase(col("text"), Seq("bad word")))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // parity with the naive containment oracle on a 2k-phrase list over
+    // the corpus — the exact check q_blocklist_10k replays in SQL
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull)
+    val phrases = corpusNgramCounts(corpus, "text", 2)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(2000).collect().map(_.getString(0)).toSeq
+    val viaAc = corpus.select(col("doc_id"),
+      explode(blocklistHits(col("text"), phrases)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = corpus
+      .select(col("doc_id"),
+        concat(lit(" "), normalizeText(col("text")), lit(" ")).as("nt"))
+      .collect().flatMap { r =>
+        phrases.collect {
+          case p if r.getString(1).contains(" " + p + " ") => (r.getLong(0), p)
+        }
+      }.toSet
+    assert(viaAc == naive,
+      s"AC vs naive: ${(viaAc diff naive).take(3)} / ${(naive diff viaAc).take(3)}")
+  }
+
   test("gopherRepetitionStats: exact counts for lines, paragraphs, and gram coverage") {
     // toks = [x,y,x,y,x,y,x,y,z,w] after normalization
     val text = "x y x y\nx y x y\nz w"
