@@ -1168,6 +1168,60 @@ object SparkEntry {
         k = 4, threshold = 1.02, nprobe = nlist)
     }),
 
+    // ---- text-only similarity search end to end: hashing-trick TF
+    //      vectors (portable md5 hash, integer counts) + exact cosine
+    //      top-k. Every quantity is exact integer arithmetic until one
+    //      sqrt and one division, so scores are bit-identical to the
+    //      SQL replay — the full-precision oracle form no float-trust
+    //      argument needs. ----
+    "q_text_knn" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.hashingTfVector(col("text"), 64).as("v"))
+      val q = docs.where(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("v").as("qv"))
+      val scored = docs.select(col("doc_id").as("neighbor_id"), col("v").as("cv"))
+        .crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", aggregate(
+          zip_with(col("qv"), col("cv"), (a, b) => a * b),
+          lit(0.0), (s0, x) => s0 + x))
+        .withColumn("na", aggregate(transform(col("qv"), x => x * x),
+          lit(0.0), (s0, x) => s0 + x))
+        .withColumn("nb", aggregate(transform(col("cv"), x => x * x),
+          lit(0.0), (s0, x) => s0 + x))
+        .withColumn("score", when(col("na") * col("nb") === 0.0, lit(0.0))
+          .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("score").cast("float").as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- chunk→vector→document pipeline end to end: overlapping
+    //      context windows, hashing-TF chunk vectors, mean-pooled doc
+    //      vectors — the "document embedding from chunk embeddings"
+    //      composition, with the hashing vectors standing in for the
+    //      model call (same schema, same pooling math). Every stage is
+    //      integer- or decimal-exact, so the composed oracle replays
+    //      bit-for-bit. ----
+    "q_chunk_pool" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val chunks = graft.operators.Packing.chunkWindows(
+        documents(s, dir).where(col("text").isNotNull), "text", "doc_id",
+        maxTokens = 32, overlap = 8)
+        .select(col("doc_id"),
+          TextFunctions.hashingTfVector(col("chunk_text"), 32).as("v"))
+      Similarity.meanPoolBy(chunks, "v", "doc_id")
+        .select(col("doc_id"),
+          posexplode(col("embedding").cast("array<float>")).as(Seq("dim", "value")))
+        .orderBy("doc_id", "dim")
+    }),
+
     // ---- grouped embedding mean-pooling (chunk→doc reducer): per
     //      (group, position) exact-decimal means, position-ordered
     //      reassembly. Fully deterministic cross-engine: float inputs
@@ -6294,6 +6348,77 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
 
+
+    // The hashing-TF vectors rebuilt from the same md5 hash, then the
+    // exact cosine: dot and norms are integer sums (order-free exact),
+    // one sqrt + one division — scores bit-identical, no float trust.
+    "q_text_knn" -> {
+      s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |vec AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i -> CAST(len(list_filter(toks,
+        |      t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 64 = i)) AS DOUBLE)) AS v
+        |  FROM docs),
+        |q AS (SELECT doc_id AS query_id, v AS qv FROM vec WHERE doc_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, vec.doc_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.qv[i] * vec.v[i])) AS dot,
+        |    list_sum(list_transform(q.qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(vec.v, x -> x * x)) AS nb
+        |  FROM vec JOIN q ON vec.doc_id <> q.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN na * nb = 0 THEN 0.0
+        |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS score
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rank, CAST(score AS REAL) AS score
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // The chunk-window slices (q_chunk_windows' arithmetic), the
+    // hashing-TF vectors (q_text_knn's md5 bucketing), and the decimal
+    // means (q_embed_meanpool's rollup) composed — each fragment its
+    // standalone gate's proven form.
+    "q_chunk_pool" -> {
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nchunks
+        |  FROM t WHERE len(toks) >= 1),
+        |ch AS (
+        |  SELECT doc_id,
+        |    toks[(g.i * 24 + 1):(g.i * 24 + least(32, n - g.i * 24))] AS ctoks
+        |  FROM k, unnest(generate_series(0, nchunks - 1)) AS g(i)),
+        |vec AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32), b -> CAST(len(list_filter(ctoks,
+        |      t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 32 = b)) AS DOUBLE)) AS v
+        |  FROM ch),
+        |ex AS (
+        |  SELECT doc_id, s.i AS p, v[s.i] AS x
+        |  FROM vec,
+        |       UNNEST(list_transform(generate_series(1, len(v)), y -> y)) AS s(i)),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mx
+        |  FROM ex GROUP BY doc_id, p)
+        |SELECT doc_id, p - 1 AS dim, CAST(mx AS REAL) AS value
+        |FROM m
+        |ORDER BY doc_id, dim""".stripMargin
+    },
 
     // Per-(group, position) decimal-exact means over the widened
     // doubles, list-assembled in position order — bit-identical in both

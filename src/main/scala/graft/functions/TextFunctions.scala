@@ -543,6 +543,26 @@ object TextFunctions {
   def noBlocklistedPhrase(c: Column, phrases: Seq[String]): Column =
     size(blocklistHits(c, phrases)) === 0
 
+  /** Hashing-trick term-frequency vector (Weinberger et al., ICML 2009 —
+    * feature hashing): each token lands in bucket
+    * portableHash(token) mod dim; the vector is the dense bucket-count
+    * array. Text-only similarity WITHOUT an embedding model: feed the
+    * result to [[graft.operators.Similarity]]'s cosine machinery
+    * (bruteForceTopK, meanPoolBy, the IVF family). Pure expression (no
+    * UDF), engine-portable hash, and the values are integer counts —
+    * downstream cosines are exact integer arithmetic up to one sqrt and
+    * one division, so they are BIT-IDENTICAL in any engine replaying
+    * the same formula (no canonicalization, no tie jitter).
+    * Cost is O(dim · tokens) per row: size dim to the similarity task
+    * (64–1024), not to the vocabulary. */
+  def hashingTfVector(c: Column, dim: Int): Column = {
+    require(dim >= 1, "hashingTfVector: dim must be >= 1")
+    val idx = transform(tokens(normalizeText(c)),
+      t => pmod(portableHash(t), lit(dim)))
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(idx, x => x === i)).cast("double"))
+  }
+
   private def normalizePhrase(p: String): String =
     p.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
 

@@ -509,6 +509,27 @@ class TextFunctionsSpec extends SparkSpec {
     * heuristic regression loud instead of silently rotting them. */
   lazy val langFixture: Seq[(String, String)] = LangFixture.sentences
 
+  test("hashingTfVector: counts partition the tokens; deterministic; dims validated") {
+    val d = Seq((1L, "cat dog cat!"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vecs = d.select(col("doc_id"), hashingTfVector(col("text"), 8).as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val v1 = vecs(1L).get
+    assert(v1.length == 8 && v1.sum == 3.0, "every token lands in exactly one bucket")
+    assert(v1.count(_ > 0) <= 2, "two distinct tokens → at most two buckets")
+    assert(vecs(2L).get.sum == 0.0)
+    assert(vecs(3L).isEmpty || vecs(3L).get == null || vecs(3L).get.sum == 0.0)
+    // same text → same vector at any partitioning (pure expression)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").where(col("text").isNotNull)
+    val a = docs.select(col("doc_id"), hashingTfVector(col("text"), 32).as("v"))
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    val b = docs.repartition(13)
+      .select(col("doc_id"), hashingTfVector(col("text"), 32).as("v"))
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    intercept[IllegalArgumentException] { hashingTfVector(col("text"), 0) }
+  }
+
   test("langId accuracy on the labeled fixture: per-language floors") {
     val preds = langFixture.zipWithIndex
       .map { case ((l, t), i) => (i.toLong, l, t) }
