@@ -1209,6 +1209,20 @@ object SparkEntry {
     //      model call (same schema, same pooling math). Every stage is
     //      integer- or decimal-exact, so the composed oracle replays
     //      bit-for-bit. ----
+    // ---- the SAME composition behind the encoder seam: the operator
+    //      form with the encoder as a parameter (HashingTfEncoder = the
+    //      sandbox stub). Shares q_chunk_pool's oracle verbatim, so the
+    //      seam path is pinned bit-identical to the inline form. ----
+    "q_doc_embed" -> ((s, dir) => {
+      import graft.operators.Embedding
+      Embedding.documentEmbeddings(
+        documents(s, dir), "text", "doc_id",
+        Embedding.HashingTfEncoder(32), maxTokens = 32, overlap = 8)
+        .select(col("doc_id"),
+          posexplode(col("embedding").cast("array<float>")).as(Seq("dim", "value")))
+        .orderBy("doc_id", "dim")
+    }),
+
     "q_chunk_pool" -> ((s, dir) => {
       import graft.functions.TextFunctions
       val chunks = graft.operators.Packing.chunkWindows(
@@ -6387,38 +6401,12 @@ object SparkEntry {
     // hashing-TF vectors (q_text_knn's md5 bucketing), and the decimal
     // means (q_embed_meanpool's rollup) composed — each fragment its
     // standalone gate's proven form.
-    "q_chunk_pool" -> {
-      s"""WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |k AS (
-        |  SELECT doc_id, toks, len(toks) AS n,
-        |    CASE WHEN len(toks) <= 32 THEN 1
-        |         ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nchunks
-        |  FROM t WHERE len(toks) >= 1),
-        |ch AS (
-        |  SELECT doc_id,
-        |    toks[(g.i * 24 + 1):(g.i * 24 + least(32, n - g.i * 24))] AS ctoks
-        |  FROM k, unnest(generate_series(0, nchunks - 1)) AS g(i)),
-        |vec AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 32), b -> CAST(len(list_filter(ctoks,
-        |      t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 32 = b)) AS DOUBLE)) AS v
-        |  FROM ch),
-        |ex AS (
-        |  SELECT doc_id, s.i AS p, v[s.i] AS x
-        |  FROM vec,
-        |       UNNEST(list_transform(generate_series(1, len(v)), y -> y)) AS s(i)),
-        |m AS (
-        |  SELECT doc_id, p,
-        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) AS mx
-        |  FROM ex GROUP BY doc_id, p)
-        |SELECT doc_id, p - 1 AS dim, CAST(mx AS REAL) AS value
-        |FROM m
-        |ORDER BY doc_id, dim""".stripMargin
-    },
+    "q_chunk_pool" -> ChunkPoolOracleSql,
+
+    // same replay gates q_doc_embed: documentEmbeddings(HashingTfEncoder)
+    // IS the q_chunk_pool composition behind the encoder seam, so any
+    // seam-path divergence (row surgery, cast, pooling) breaks the hash
+    "q_doc_embed" -> ChunkPoolOracleSql,
 
     // Per-(group, position) decimal-exact means over the widened
     // doubles, list-assembled in position order — bit-identical in both
@@ -6447,7 +6435,9 @@ object SparkEntry {
         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 31 <> 0),
         |mx AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.v, ev.v)) AS m
         |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
-        |SELECT vec_id FROM mx WHERE m < 0.377
+        |-- COALESCE mirrors the Spark-side null-embedding policy: a
+        |-- corpus row with no vector cannot be assessed and SURVIVES
+        |SELECT vec_id FROM mx WHERE COALESCE(m, -2) < 0.377
         |ORDER BY vec_id""".stripMargin,
 
     "q_cosine_native" ->
@@ -8721,6 +8711,40 @@ object SparkEntry {
     * directions, and the rounded ratio margin. */
   // lazy: referenced by the oracleSql map, which is declared earlier in
   // the object body — a strict val would still be null at map init
+  /** The chunk→hashing-TF→mean-pool replay — shared by q_chunk_pool and
+    * q_doc_embed (the encoder-seam form of the same composition). */
+  private lazy val ChunkPoolOracleSql: String =
+    s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(${DedupOracle.normExpr}, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nchunks
+        |  FROM t WHERE len(toks) >= 1),
+        |ch AS (
+        |  SELECT doc_id,
+        |    toks[(g.i * 24 + 1):(g.i * 24 + least(32, n - g.i * 24))] AS ctoks
+        |  FROM k, unnest(generate_series(0, nchunks - 1)) AS g(i)),
+        |vec AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32), b -> CAST(len(list_filter(ctoks,
+        |      t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 32 = b)) AS DOUBLE)) AS v
+        |  FROM ch),
+        |ex AS (
+        |  SELECT doc_id, s.i AS p, v[s.i] AS x
+        |  FROM vec,
+        |       UNNEST(list_transform(generate_series(1, len(v)), y -> y)) AS s(i)),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mx
+        |  FROM ex GROUP BY doc_id, p)
+        |SELECT doc_id, p - 1 AS dim, CAST(mx AS REAL) AS value
+        |FROM m
+        |ORDER BY doc_id, dim""".stripMargin
+
   private lazy val BitextMineOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |a AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 2 = 0),
@@ -8745,7 +8769,8 @@ object SparkEntry {
         |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rf,
         |      ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY score DESC, a_id) AS rb
         |    FROM scored) WHERE rf = 1 OR rb = 1),
-        |m AS (SELECT c.a_id, c.b_id, CAST(c.score AS REAL) AS score,
+        |m AS (SELECT c.a_id, c.b_id,
+        |    floor(c.score * 1e4 + 0.5) / 1e4 AS score,
         |    floor(c.score / ((fa.avg_a + fb.avg_b) / 2) * 1e4 + 0.5) / 1e4 AS margin
         |  FROM cand c JOIN fa USING (a_id) JOIN fb USING (b_id))
         |SELECT a_id, b_id, score, margin FROM m

@@ -193,13 +193,21 @@ object Bpe {
     * in the Spark UDF and the generated DuckDB SQL, which is the
     * property the oracle gates need. */
   val PretokenRegex: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    // \s is spelled out as [ \t\n\f\r]: Java's \s includes U+000B
+    // (vertical tab) but DuckDB's RE2 \s does not, so a doc containing
+    // a vertical tab would pretokenize differently in the Spark UDF vs
+    // the oracle replay. With the explicit class, U+000B lands in the
+    // punct arm in BOTH engines (not \p{L}/\p{N}, not in the class).
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   private lazy val PretokenPattern =
     java.util.regex.Pattern.compile(PretokenRegex)
 
+  // U+000B deliberately absent: it is NOT whitespace to the
+  // pretokenizer (see [[PretokenRegex]]) -- both engines route it
+  // to the punct arm.
   private def isWs(s: String): Boolean = s.forall(ch =>
-    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+    ch == ' ' || ch == '\t' || ch == '\n' ||
       ch == '\f' || ch == '\r')
 
   /** GPT-2-style pretokens of one text (regex + whitespace-donation

@@ -26,11 +26,11 @@ import org.apache.spark.sql.functions._
   * compare strings as unsigned UTF-8 bytes), so the full classification
   * replays in DuckDB SQL generated from the very same profile object.
   *
-  * Scale shape: one shuffle (gram counts keyed by (doc, gram), map-side
-  * partial agg), then the per-doc rank window, the ×|langs| explode, the
-  * broadcast profile join, and the per-(doc, lang) rollup all stay on the
-  * hash(doc) partitioning Spark already has — no second shuffle. The
-  * corpus text never rides past the gram-count stage.
+  * Scale shape: ZERO shuffles — the per-doc gram count, top-K rank and
+  * per-language out-of-place distance are a pure function of one row's
+  * text against the ≤(langs×topK)-entry profile table riding in the
+  * kernel closure, so classification is one Project over the scan. The
+  * corpus text never leaves its partition.
   */
 object LangNgram {
 
@@ -170,43 +170,97 @@ object LangNgram {
   }
 
   /** Classify every row: returns (<idCol>, lang_pred), "und" for rows
-    * whose text yields no grams (null/empty/whitespace-only). */
+    * whose text yields no grams (null/empty/whitespace-only).
+    *
+    * MAP-SIDE: the per-doc gram count, the top-`topK` rank under the
+    * portable (count desc, gram asc UTF-8-byte) order, and the
+    * out-of-place distance against every ≤(langs×topK)-entry profile
+    * are a pure function of ONE row's text, so the whole classification
+    * runs as a single row-local kernel with the profiles in the closure
+    * (the [[TextFunctions.gopherRepetitionStats]] pattern) — zero
+    * shuffles, zero generated gram table. The round-12 form exploded
+    * every gram of every doc (~5× corpus bytes) and shuffled it twice
+    * for groupBy + rank windows; at corpus scale that shuffles hundreds
+    * of TB for zero algorithmic benefit. The output contract (and the
+    * step-for-step DuckDB oracle replay) is unchanged. */
   def classify(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", nMax: Int = NMax, topK: Int = TopK): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val profDf = broadcast(
-      Profiles.flatMap { case (l, gs) => gs.map { case (g, r) => (l, g, r) } }
-        .toDF("__lang", "__g", "__rprof"))
-    val langIx = map(Langs.zipWithIndex.flatMap { case (l, i) =>
-      Seq(lit(l), lit(i)) }: _*)
-
-    val base = df.select(col(idCol), col(textCol))
-    val grams = base.select(col(idCol),
-      explode(gramsExpr(col(textCol), nMax)).as("__g"))
-    val counts = grams.groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val rankW = Window.partitionBy(idCol).orderBy(desc("__c"), asc("__g"))
-    val top = counts.withColumn("__rdoc", row_number().over(rankW))
-      .where(col("__rdoc") <= topK)
-    // ×|langs| via a literal explode (map-side — no nested-loop join),
-    // left-join the broadcast profile, out-of-place distance with the
-    // max displacement (= topK) for grams the profile never saw
-    val dist = top
-      .withColumn("__lang", explode(typedlit(Langs)))
-      .join(profDf, Seq("__lang", "__g"), "left")
-      .groupBy(col(idCol), col("__lang"))
-      .agg(sum(coalesce(abs(col("__rdoc") - col("__rprof")),
-        lit(topK))).as("__d"))
-    // winner: min distance, ties to profile order
-    val pick = dist
-      .withColumn("__ix", element_at(langIx, col("__lang")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(asc("__d"), asc("__ix"))))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("__lang").as("lang_pred"))
-    base.select(col(idCol))
-      .join(pick, Seq(idCol), "left")
-      .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+    // language -> gram -> rank, in profile (tie-break) order; built
+    // once on the driver, broadcast inside the UDF closure
+    val profs: Array[(String, java.util.HashMap[String, Int])] =
+      Profiles.map { case (l, gs) =>
+        val m = new java.util.HashMap[String, Int](gs.length * 2)
+        gs.foreach { case (g, r) => m.put(g, r) }
+        (l, m)
+      }.toArray
+    val kernel = udf { (lowered: String) =>
+      if (lowered == null) "und"
+      else {
+        // gram counts of the space-padded words — the identical gram
+        // universe gramsExpr/wordGrams/the SQL replay enumerate
+        val counts = new java.util.HashMap[String, Int]()
+        val words = lowered.split(" ", -1)
+        var wi = 0
+        while (wi < words.length) {
+          val w = words(wi)
+          if (w.nonEmpty) {
+            val p = " " + w + " "
+            var n = 1
+            while (n <= nMax) {
+              var i = 0
+              val last = p.length - n
+              while (i <= last) {
+                counts.merge(p.substring(i, i + n), 1, (a, b) => a + b)
+                i += 1
+              }
+              n += 1
+            }
+          }
+          wi += 1
+        }
+        if (counts.isEmpty) "und"
+        else {
+          // top-K by (count desc, gram asc in UTF-8 byte order) — the
+          // same portable total order the SQL replay ranks with
+          val entries = new Array[java.util.Map.Entry[String, Int]](counts.size)
+          counts.entrySet().toArray(entries)
+          java.util.Arrays.sort(entries,
+            new java.util.Comparator[java.util.Map.Entry[String, Int]] {
+              def compare(a: java.util.Map.Entry[String, Int],
+                  b: java.util.Map.Entry[String, Int]): Int = {
+                val c = Integer.compare(b.getValue, a.getValue)
+                if (c != 0) c
+                else if (utf8Less(a.getKey, b.getKey)) -1
+                else if (utf8Less(b.getKey, a.getKey)) 1
+                else 0
+              }
+            })
+          val nTop = math.min(topK, entries.length)
+          // out-of-place distance per language; unseen grams pay the
+          // max displacement topK; winner = min distance, ties to
+          // profile order (strict < keeps the earlier index)
+          var bestIx = 0
+          var bestD = Long.MaxValue
+          var li = 0
+          while (li < profs.length) {
+            val pm = profs(li)._2
+            var d = 0L
+            var r = 0
+            while (r < nTop) {
+              val pr = pm.get(entries(r).getKey)
+              d += (if (pr == 0 && !pm.containsKey(entries(r).getKey)) topK.toLong
+                    else math.abs((r + 1).toLong - pr))
+              r += 1
+            }
+            if (d < bestD) { bestD = d; bestIx = li }
+            li += 1
+          }
+          profs(bestIx)._1
+        }
+      }
+    }
+    // one Project over the scan: lower() stays a builtin column op so
+    // casing is bit-identical to the round-12 form and the oracle
+    df.select(col(idCol), kernel(lower(col(textCol))).as("lang_pred"))
   }
 }

@@ -122,9 +122,10 @@ object Similarity {
     * denominator and stops winning every pair). Pairs with margin ≥
     * `threshold` survive, deduplicated across directions.
     *
-    * Output: (a_id, b_id, score, margin), margin rounded to 1e-4 (the
-    * repo's k/N-rational canonicalization — raw IEEE ratios differ in
-    * the last ulps across engines), sorted by (a_id, b_id).
+    * Output: (a_id, b_id, score, margin), BOTH rounded to 1e-4 (the
+    * repo's canonicalization — raw IEEE ratios and differently-ordered
+    * dot products differ in the last ulps across engines), sorted by
+    * (a_id, b_id).
     *
     * Scale shape: each direction is one broadcast of the SMALLER side's
     * unit vectors over the other side's partitions (the exact
@@ -181,8 +182,14 @@ object Similarity {
         floor(col("score") / ((col("__avg_a_id") + col("__avg_b_id")) / 2)
           * 1e4 + 0.5) / 1e4)
       .where(col("margin") >= threshold)
+      // score gets the same 1e-4 canonicalizer as margin: Spark computes
+      // normalize-then-dot while a SQL replay computes a raw-vector
+      // cosine — identical values, different FP op order, differing in
+      // double ulps. Rounding (with a spec-pinned midpoint gap) absorbs
+      // that; a float cast would only absorb it while no score lands
+      // within a double-ulp of a float rounding boundary.
       .select(col("a_id"), col("b_id"),
-        col("score").cast("float").as("score"), col("margin"))
+        (floor(col("score") * 1e4 + 0.5) / 1e4).as("score"), col("margin"))
       .orderBy("a_id", "b_id")
   }
 
@@ -224,8 +231,9 @@ object Similarity {
         floor(col("score") / ((col("__avg_a") + col("__avg_b")) / 2)
           * 1e4 + 0.5) / 1e4)
       .where(col("margin") >= threshold)
+      // same score canonicalizer as [[bitextMine]] — see the note there
       .select(col("a_id"), col("b_id"),
-        col("score").cast("float").as("score"), col("margin"))
+        (floor(col("score") * 1e4 + 0.5) / 1e4).as("score"), col("margin"))
       .orderBy("a_id", "b_id")
   }
 
@@ -272,7 +280,12 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       vecCol: String, idCol: String, tau: Double): DataFrame = {
     val spark = corpus.sparkSession
-    val c = withUnitVec(corpus, vecCol, "__cv")
+    // null-embedding policy, EXPLICIT: a corpus row with no vector
+    // cannot be assessed and SURVIVES (matching the lexical twin, which
+    // keeps null-text rows). Filtering nulls out of the flag scan makes
+    // the choice structural rather than an accident of null-propagation
+    // through max()/>=; the oracle mirrors it with a COALESCE.
+    val c = withUnitVec(corpus.where(col(vecCol).isNotNull), vecCol, "__cv")
     val e = withUnitVec(evalSet, vecCol, "__ev")
       .select(col(idCol).cast("long").as("__eid"), col("__ev"))
     val flagged = c.select(col(idCol).cast("long").as("__cid"), col("__cv"))

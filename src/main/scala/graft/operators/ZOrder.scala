@@ -174,15 +174,39 @@ object ZOrder {
     * frame under a z-value ordering vs a single-column ordering to
     * quantify what the layout buys. Integer-exact throughout.
     *
-    * DIAGNOSTIC, not a production operator: the global rank window is a
-    * single-partition stage (the trap the grouped-rank operators avoid)
-    * — run it on a sample or a file-stats frame, never the raw corpus. */
+    * The global rank is the repo's TWO-PHASE form (range partition by
+    * the order key, per-partition window, broadcast prefix offsets) —
+    * no single-partition stage, so the audit itself follows the
+    * no-global-window rule and can run on the full frame, not just a
+    * sample. */
   def localityReport(df: DataFrame, orderCol: String, auditX: String,
       auditY: String, nChunks: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol),
-      col(auditX), col(auditY))
-    val n = df.count()
-    val ranked = df.withColumn("__rn", row_number().over(w) - 1)
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(nPart, col(orderCol), col(auditX), col(auditY))
+      .sortWithinPartitions(col(orderCol), col(auditX), col(auditY))
+      .withColumn("__pid", spark_partition_id())
+    val cached = graft.core.CacheScope.retain(ranged)
+    // tiny: one row per partition; prefix sums become broadcast offsets
+    val counts = cached.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; pid -> off
+    }
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+          col("__pid")),
+        lit(0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+      .orderBy(col(orderCol), col(auditX), col(auditY))
+    val ranked = cached
+      .withColumn("__rn", row_number().over(w).cast("long") + offCol - 1)
       .withColumn("chunk", (col("__rn") * nChunks / lit(n)).cast("int"))
     ranked.groupBy("chunk").agg(
       count(lit(1)).as("n_rows"),

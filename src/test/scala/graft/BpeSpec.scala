@@ -99,6 +99,13 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.pretokenize("x  ") == Seq("x", "  "))
     assert(Bpe.pretokenize("") == Seq.empty)
     assert(Bpe.pretokenize(null) == Seq.empty)
+    // U+000B (vertical tab) is NOT whitespace to the pretokenizer:
+    // Java \s includes it but RE2 (the oracle engine) does not, so
+    // PretokenRegex spells the class out and U+000B lands in the punct
+    // arm in both engines, optional leading space included.
+    assert(Bpe.pretokenize("a\u000Bb") == Seq("a", "\u000B", "b"))
+    assert(Bpe.pretokenize("x \u000By") == Seq("x", " \u000B", "y"))
+    assert(Bpe.pretokenize("a \u000B") == Seq("a", " \u000B"))
     // non-ASCII text survives byte-mapping round trips
     val units = Bpe.byteUnits("café")
     assert(units.length == 5, "é is two UTF-8 bytes")
@@ -136,7 +143,7 @@ class BpeSpec extends SparkSpec {
     assert(bad.count() == 0, "byte-level BPE must be lossless")
     // driver-side goldens including the whitespace arms and non-ASCII
     Seq("hello  world\n\nnew paragraph", "don't — it's café ☕ №5",
-      "a\tb  c   d", "", "   ").foreach { t =>
+      "a\tb  c   d", "", "   ", "a \u000Bb\u000B\u000B c").foreach { t =>
       val toks = Bpe.pretokenize(t).flatMap(w => m.encodeUnits(Bpe.byteUnits(w)))
       assert(Bpe.detokenizeBytes(toks) == t, s"round trip failed for ${t.map(_.toInt)}")
     }

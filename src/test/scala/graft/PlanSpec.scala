@@ -283,15 +283,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_langid (Cavnar–Trenkle): profile joins broadcast; no cartesian; windows partitioned") {
+  test("q_langid (Cavnar–Trenkle): row-local kernel — no gram shuffle at all") {
     val p = plan("q_langid")
-    // the embedded rank-profile table and the final id-join must never
-    // sort-merge a corpus-sized side against a 1000-row literal
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // both rank windows ride the hash(doc) partitioning — no global window
-    val global = "Window \\[[^\\]]*\\], \\[[^\\]]*\\](?!, \\[)".r
-    assert(global.findFirstIn(p).isEmpty, "found a window without a partition spec")
+    // round-13 contract: classification is a pure per-row kernel against
+    // the closure profiles — no generated gram table, no aggregation,
+    // no window, no join; the ONLY exchange is the gate's output
+    // orderBy (range partitioning), never a hash shuffle
+    assert(!p.contains("Generate"), "gram explode reappeared")
+    assert(!p.contains("Window"), "rank window reappeared")
+    assert(!p.toLowerCase.contains("join"), "profile join reappeared")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-output-sort exchange in q_langid: $exchanges")
   }
 
   test("q_curriculum: every window is partitioned (two-phase rank, no single-partition stage)") {

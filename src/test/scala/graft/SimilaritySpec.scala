@@ -596,10 +596,62 @@ class SimilaritySpec extends SparkSpec {
       k = 4, threshold = 1.02).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(thr == all.filter(_.getDouble(3) >= 1.02)
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
-    // gate-stability pin: no pre-rounding margin may sit near a 1e-4
-    // rounding boundary or make the NN1 choice a near-tie — the
-    // discrete-decision gaps the cross-engine oracle trust rests on
-    assert(margins.forall(m => math.abs(m - 1.02) > 1e-9))
+    // gate-stability pin, on RAW (pre-rounding) quantities recomputed
+    // driver-side at BOTH gate scales: the cross-engine oracle trust
+    // needs (a) every raw margin and raw score to sit away from the
+    // 1e-4 rounding midpoints (so both engines' ulp-different doubles
+    // round identically), (b) every NN1 choice decided by a gap ≫
+    // double noise, and (c) the gate threshold inside a rounded-margin
+    // gap. Asserting on post-rounding margins would only prove no
+    // ROUNDED margin equals the threshold. Measured floors (round 13):
+    // margin mid-dist ≥ 2.6e-3, score mid-dist ≥ 3.4e-4 (both in
+    // boundary units), NN1 gap ≥ 3.3e-5, |margin − 1.02| ≥ 1.4e-4.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val rows = Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def unit(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+      val as = rows.filter(_._1 % 2 == 0).map { case (i, v) => (i, unit(v)) }
+      val bs = rows.filter(_._1 % 2 != 0).map { case (i, v) => (i, unit(v)) }
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      // per-origin score lists sorted (score desc, other-id asc)
+      def tops(side: Array[(Long, Array[Double])],
+          other: Array[(Long, Array[Double])]): Map[Long, Array[(Double, Long)]] =
+        side.map { case (i, v) =>
+          i -> other.map { case (j, w) => (dot(v, w), j) }
+            .sortBy { case (sc, j) => (-sc, j) }
+        }.toMap
+      val ta = tops(as, bs)
+      val tb = tops(bs, as)
+      // (b) NN1 decided by a real gap on every origin, both directions
+      (ta.values ++ tb.values).foreach { t =>
+        assert(t(0)._1 - t(1)._1 > 1e-5, s"NN1 near-tie in $dir")
+      }
+      val avgA = ta.map { case (i, t) => i -> t.take(4).map(_._1).sum / 4.0 }
+      val avgB = tb.map { case (j, t) => j -> t.take(4).map(_._1).sum / 4.0 }
+      val cands = (ta.map { case (i, t) => (i, t(0)._2) } ++
+        tb.map { case (j, t) => (t(0)._2, j) }).toSet
+      def midDist(x: Double): Double = {
+        val y = x * 1e4 + 0.5
+        math.abs(y - math.round(y))
+      }
+      cands.foreach { case (i, j) =>
+        val sc = ta(i).find(_._2 == j).get._1
+        val m = sc / ((avgA(i) + avgB(j)) / 2)
+        // (a) away from rounding midpoints, in boundary units
+        assert(midDist(m) > 1e-3, s"raw margin $m near midpoint in $dir")
+        assert(midDist(sc) > 1e-4, s"raw score $sc near midpoint in $dir")
+        // (c) rounded margin clear of the 1.02 gate threshold
+        assert(math.abs(math.floor(m * 1e4 + 0.5) / 1e4 - 1.02) > 1e-4 / 2,
+          s"margin $m hugs the gate threshold in $dir")
+      }
+    }
   }
 
   test("bitextMine: planted parallel pair wins with a high margin") {
@@ -631,10 +683,10 @@ class SimilaritySpec extends SparkSpec {
     val idxB = Similarity.IvfIndex.build(b, "embedding", "vec_id", nlist = nlist)
     val exact = Similarity.bitextMine(a, b, "embedding", "vec_id",
       k = 4, threshold = 1.02).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     val indexed = Similarity.bitextMineIndexed(a, b, idxA, idxB,
       "embedding", "vec_id", k = 4, threshold = 1.02, nprobe = nlist).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(indexed.sameElements(exact),
       s"full-probe indexed must equal exact: ${indexed.length} vs ${exact.length}")
     // at a partial probe the output is a subset-or-equal candidate set
@@ -694,6 +746,17 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(!withPlant.contains(999999L), "planted paraphrase must be dropped")
     assert(withPlant == survivors, "verdicts are per-document")
+    // null-embedding policy: a corpus row with no vector cannot be
+    // assessed and SURVIVES (explicit in the operator, COALESCE-mirrored
+    // in the oracle) — other verdicts unchanged by its presence
+    val nullRow = Seq((999998L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val withNull = Similarity.semanticDecontaminate(
+      corpus.select("vec_id", "embedding").unionByName(nullRow), evalSet,
+      "embedding", "vec_id", tau = 0.377)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(withNull.contains(999998L), "null-embedding row must survive")
+    assert(withNull - 999998L == survivors, "null row must not change verdicts")
     // tau sits in a measured gap: no max-cos within 1e-4 of the boundary
     val gap = Similarity.withUnitVec(corpus, "embedding", "__cv")
       .select(col("vec_id"), col("__cv"))

@@ -44,6 +44,12 @@ class ZOrderSpec extends SparkSpec {
       .head.getLong(0)
     val zRep = ZOrder.localityReport(grid, "z", "x", "y", nChunks = 16)
     val xRep = ZOrder.localityReport(grid, "x", "x", "y", nChunks = 16)
+    // the audit itself follows the repo's no-global-window rule: the
+    // two-phase rank leaves no window without a partition spec
+    val plan = zRep.queryExecution.executedPlan.toString
+    val globalWin = "Window \\[[^\\]]*\\], \\[[^\\]]*\\](?!, \\[)".r
+    assert(globalWin.findFirstIn(plan).isEmpty,
+      "localityReport must not use a single-partition global window")
     val (zPer, xPer) = (perim(zRep), perim(xRep))
     // z: 16 perfect 16x16 squares -> 16*(16+16) = 512
     assert(zPer == 512L, s"z chunks must be 16x16 squares, got perimeter sum $zPer")
