@@ -103,7 +103,18 @@ object Bench {
     // r3/r5/r6 all needed post-hoc forensics because a single noisy run
     // was the official record. Raw per-sweep timings ride in the JSON.
     val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query subset (unknown
+    // names fail loud). For A/B forensics — e.g. re-running a previous
+    // round's exact query set in one JVM to separate real per-query
+    // regressions from session-length cache pressure.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = want.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown: $unknown")
+        want.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val runs = scala.collection.mutable.LinkedHashMap[String, List[Double]](
       names.map(_ -> List.empty[Double]): _*)
     // a throwing query must NOT be silently timed as near-zero (a broken

@@ -198,6 +198,24 @@ object ScaleProbe {
           "id_a", "id_b", maxDriverEdges = 0L)
         println(s"  [forcedcc rounds=$rounds]")
         cc
+      case "q_bitext_indexed_scaled" =>
+        // the 100TB knob contract for indexed bitext mining: the gate
+        // pins nprobe = nlist = 8 to be EXACT (its oracle demands it),
+        // which degenerates to a full scan as n grows. At scale the
+        // knob grows with the corpus (the 4*sqrt(n) auto-nlist rule) so
+        // per-query candidate work stays ~8/nlist of a side — this
+        // entry measures that contract, the fixed-knob gate entry
+        // measures what happens when a caller does not scale the knob
+        // (quadratic by design).
+        val e = Tables.embeddings(spark, dir)
+        val a = e.where(pmod(col("vec_id"), lit(2)) === 0)
+        val b = e.where(pmod(col("vec_id"), lit(2)) =!= 0)
+        val n = e.count()
+        val nlist = math.max(8, (4.0 * math.sqrt(n / 2.0)).toInt)
+        val idxA = operators.Similarity.IvfIndex.build(a, "embedding", "vec_id", nlist = nlist)
+        val idxB = operators.Similarity.IvfIndex.build(b, "embedding", "vec_id", nlist = nlist)
+        operators.Similarity.bitextMineIndexed(a, b, idxA, idxB,
+          "embedding", "vec_id", k = 4, threshold = 1.02, nprobe = 8)
       case _ => SparkEntry.queries(n)(spark, dir)
     }
 
