@@ -95,6 +95,24 @@ object SparkEntry {
     li.groupBy(col("l_partkey")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** documents ∪ synthetic snippets for the containment gates: every
+    * doc_id % 7 == 0 doc contributes its first ⌈w/3⌉ NORMALIZED tokens
+    * as a new doc at id + 1000000 — a guaranteed tau-contained excerpt
+    * whose symmetric Jaccard (≈ 1/3) no symmetric dedup cut would
+    * catch. Token arithmetic is integer-exact and replayed verbatim by
+    * the oracle CTEs (floor((w+2)/3) = ⌈w/3⌉). */
+  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val base = documents(s, dir).where(col("text").isNotNull)
+      .select("doc_id", "text")
+    val toks = tokens(normalizeText(col("text")))
+    val snip = base.where(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), floor((size(toks) + lit(2)) / 3).cast("int"))).as("text"))
+    base.unionByName(snip)
+  }
+
   private val CountMatrixSql =
     """SELECT l_partkey,
       |  CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_a,
@@ -997,6 +1015,34 @@ object SparkEntry {
         maxEdits = 20)
         .orderBy("id_a", "id_b")),
 
+    // ---- ASYMMETRIC containment near-dup pairs: |A∩B|/|A| ≥ 0.8 over
+    //      distinct word 3-grams — the duplication mode symmetric
+    //      Jaccard is blind to. Corpus = documents ∪ synthetic snippets
+    //      (the first ⌈w/3⌉ normalized tokens of every doc_id % 7 == 0
+    //      doc, re-keyed + 1000000), derived by identical arithmetic on
+    //      both engines: each snippet is containment 1.0 in its source
+    //      while its symmetric Jaccard ≈ 1/3 sits far below any dedup
+    //      cut. Candidates come from LOSSLESS prefix filtering (rarest
+    //      document-frequency-ordered grams, PPJoin pigeonhole), every
+    //      candidate exact-verified — so the oracle is the plain
+    //      all-pairs ground truth. Integer basis-point threshold
+    //      compare + one division of exact ints: no float trust. ----
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(containmentCorpus(s, dir), "text", "doc_id",
+        n = 3, tau = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // ---- containment scrub over the same corpus: drop every doc
+    //      tau-contained in a doc with a larger gram set (ties → keep
+    //      the smaller id) — the excerpt/boilerplate collapse. The
+    //      oracle re-derives the survivor set from the all-pairs
+    //      containment graph and the same drop rule. ----
+    "q_containment_scrub" -> ((s, dir) =>
+      Dedup.containmentScrub(containmentCorpus(s, dir), "text", "doc_id",
+        n = 3, tau = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // ---- unit-level exact dedup (Dolma/Lee-et-al paragraph pass) over
     //      chunkWindows units (lines in production; the 10-token
     //      chunker is the gate's deterministic splitter). First
@@ -1135,6 +1181,38 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
+
+    // ---- corpus SELF k-NN graph (the SemDeDup/NN-descent/diversity
+    //      primitive — q_similarity_topk answers retrieval, this
+    //      answers corpus structure): every row's 5 nearest neighbors,
+    //      self excluded, rank-only output (ties by neighbor id; the
+    //      fixture's rank-boundary score gaps are pinned ≫ float noise
+    //      by SimilaritySpec). ----
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(embeddings(s, dir), "embedding", "vec_id", 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")),
+
+    // ---- the same graph served from a frozen IvfIndex at nprobe =
+    //      nlist (exact by construction, spec-pinned): oracle is the
+    //      q_knn_graph SQL verbatim, so any index-path divergence —
+    //      cell assignment, the k+1 self over-fetch, re-rank ties —
+    //      breaks the hash. The beyond-10⁵ form whose candidate work
+    //      per query is ~nprobe/nlist of the corpus. ----
+    "q_knn_graph_indexed" -> ((s, dir) =>
+      Similarity.knnGraphIndexed(embeddings(s, dir), "embedding", "vec_id", 5,
+        nlist = 8, nprobe = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")),
+
+    // ---- semantic families: connected components over the MUTUAL
+    //      4-NN edge set (reciprocity strips hub-induced one-way edges)
+    //      — the embedding-space analog of q_dedup_cluster. Oracle
+    //      replays ranks, the reciprocity intersection, and the
+    //      recursive-CTE component walk; family = min member id. ----
+    "q_semantic_families" -> ((s, dir) =>
+      Similarity.semanticFamilies(embeddings(s, dir), "embedding", "vec_id", k = 4)
+        .orderBy("vec_id")),
 
     // ---- margin-based bitext mining (Artetxe & Schwenk 2019): the
     //      multilingual parallel-pair primitive. Sides = even/odd
@@ -2279,6 +2357,44 @@ object SparkEntry {
           Sketches.kmvDifferenceCol(col("sig_a"), col("sig_b"), k).as("est_diff"),
           col("n_inter").cast("long").as("exact_inter"),
           (col("n_a") - col("n_inter")).cast("long").as("exact_diff"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- KMV ASYMMETRIC containment matrix: C(A→B) = |A∩B|/|A| per
+    //      source pair IN BOTH DIRECTIONS from the signatures alone —
+    //      the provenance question Jaccard can't see (a small source
+    //      swallowed by a big one scores high one way, low the other).
+    //      Same synthesis as q_sketch_kmv; exact counterparts ride
+    //      beside the estimates; the oracle extends the setops replay
+    //      with the guarded ratio in the same IEEE order. ----
+    "q_sketch_containment" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val k = 128
+      val toks = tokens(normalizeText(col("text")))
+      val grams = graft.core.CacheScope.retain(
+        documents(s, dir).where(col("text").isNotNull)
+          .select(col("source"), explode(wordNgramsFromTokens(toks, 3)).as("g3"))
+          .where(col("g3") =!= ""))
+      val sigs = Sketches.kmvSketch(grams, "g3", Seq("source"), k)
+      val a = sigs.select(col("source").as("src_a"), col("kmv_sig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("kmv_sig").as("sig_b"))
+      val pairs = a.crossJoin(b).where(col("src_a") < col("src_b"))
+      val dw = graft.core.CacheScope.retain(grams.distinct())
+      val cn = dw.groupBy("source").agg(count(lit(1)).as("n"))
+      val ix = dw.alias("x").join(dw.alias("y"),
+          col("x.g3") === col("y.g3") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val r4 = (c: Column, nm: String) => (floor(c * 10000 + 0.5) / 10000).as(nm)
+      pairs
+        .join(ix, Seq("src_a", "src_b"), "left").na.fill(0L, Seq("n_inter"))
+        .join(cn.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(cn.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"),
+          Sketches.kmvContainmentCol(col("sig_a"), col("sig_b"), k).as("est_cont_ab"),
+          Sketches.kmvContainmentCol(col("sig_b"), col("sig_a"), k).as("est_cont_ba"),
+          r4(col("n_inter").cast("double") / col("n_a").cast("double"), "exact_cont_ab"),
+          r4(col("n_inter").cast("double") / col("n_b").cast("double"), "exact_cont_ba"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -4751,6 +4867,33 @@ object SparkEntry {
 
     "q_dedup_simhash" -> DedupOracle.simhashSql(3),
 
+    // All-pairs asymmetric-containment ground truth over the snippet-
+    // augmented corpus: the Spark side's prefix filtering is LOSSLESS
+    // (pigeonhole on the rarest-gram prefix), so its candidate-join
+    // output must equal this exact derivation row for row. The
+    // threshold compares in integer basis points; containment is one
+    // IEEE division of exact integers.
+    "q_dedup_containment" ->
+      s"""${DedupOracle.containmentCtes}
+        |SELECT id_a, id_b, n_a, n_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+        |FROM p WHERE n_inter * 10000 >= 8000 * n_a
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Survivor set of the one-pass containment scrub: drop id_a when
+    // tau-contained in a strictly-larger gram set (ties toward the
+    // smaller id), keep everything else — including snippet ids whose
+    // only container is themselves dropped.
+    "q_containment_scrub" ->
+      s"""${DedupOracle.containmentCtes},
+        |dropped AS (
+        |  SELECT DISTINCT id_a FROM p
+        |  WHERE n_inter * 10000 >= 8000 * n_a
+        |    AND (n_b > n_a OR (n_b = n_a AND id_b < id_a)))
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT id_a FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
     // Stage-for-stage re-derivation of the end-to-end curation pass;
     // every fragment is the same proven SQL as its standalone oracle.
     "q_curation_pipeline" ->
@@ -6343,6 +6486,32 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // Full self-graph replay (every row is a query); rank-only output —
+    // the ordering decisions' score gaps are pinned ≫ float noise by
+    // SimilaritySpec, the ivf-gate trust argument.
+    "q_knn_graph" -> KnnGraphOracleSql,
+
+    // nprobe = nlist is exact by construction (spec-pinned), so the
+    // indexed graph answers to the exact oracle verbatim.
+    "q_knn_graph_indexed" -> KnnGraphOracleSql,
+
+    // Ranks → reciprocity intersection → recursive-CTE components
+    // (min-member labels): the full mutual-k-NN family walk.
+    "q_semantic_families" ->
+      s"""$KnnScoredCtes,
+        |fwd AS (SELECT query_id AS u, neighbor_id AS v FROM ranked WHERE rank <= 4),
+        |m AS (SELECT a.u, a.v FROM fwd a JOIN fwd b ON b.u = a.v AND b.v = a.u
+        |      WHERE a.u < a.v),
+        |ee AS (SELECT u, v FROM m UNION SELECT v, u FROM m),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT u, u FROM ee
+        |    UNION
+        |    SELECT ee.v, r.rep FROM r JOIN ee ON ee.u = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node)
+        |SELECT node AS vec_id, rep AS family FROM comp
+        |ORDER BY vec_id""".stripMargin,
+
     // Every A×B cosine, both k-NN means (decimal-exact addends, double
     // division), both NN1 candidate directions, and the rounded ratio
     // margin replayed end to end. The NN1 choices and the threshold
@@ -7150,6 +7319,73 @@ object SparkEntry {
         |JOIN est ea ON ea.source = p.src_a
         |JOIN ei ON ei.src_a = p.src_a AND ei.src_b = p.src_b
         |JOIN cn ca ON ca.source = p.src_a
+        |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    // The setops replay (same sig/union/intersection CTEs) extended
+    // with the guarded containment ratio in the same IEEE order as
+    // kmvContainmentCol: rounded-intersect / rounded-estimate, one
+    // division, re-floored to 1e-4; exact directional counterparts
+    // from the distinct-gram counts.
+    "q_sketch_containment" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ntoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g0 AS (
+        |  SELECT source, unnest(
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(ntoks) - 2),
+        |                i -> array_to_string(ntoks[i:i+2], ' ')) END) AS g3
+        |  FROM tk),
+        |g AS (SELECT source, g3 FROM g0 WHERE g3 <> ''),
+        |dh AS (SELECT DISTINCT source, ('0x' || substr(md5(g3), 1, 15))::BIGINT AS h FROM g),
+        |sg AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM dh),
+        |s AS (SELECT source, h, rn FROM sg WHERE rn <= 128),
+        |c AS (SELECT source, COUNT(*) AS sz, MAX(CASE WHEN rn = 128 THEN h END) AS hk
+        |      FROM s GROUP BY source),
+        |est AS (SELECT source,
+        |          floor((CASE WHEN sz >= 128 THEN 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+        |                 ELSE CAST(sz AS DOUBLE) END) * 10000 + 0.5) / 10000 AS est
+        |        FROM c),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b FROM c a JOIN c b ON a.source < b.source),
+        |u AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+        |      FROM p JOIN s ON s.source = p.src_a OR s.source = p.src_b),
+        |x AS (SELECT src_a, src_b, h,
+        |        ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u),
+        |xx AS (SELECT src_a, src_b, h, rn FROM x WHERE rn <= 128),
+        |num AS (SELECT xx.src_a, xx.src_b, COUNT(*) AS xsz,
+        |          MAX(CASE WHEN xx.rn = 128 THEN xx.h END) AS hk_x,
+        |          SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS inter
+        |        FROM xx
+        |        LEFT JOIN s sa ON sa.source = xx.src_a AND sa.h = xx.h
+        |        LEFT JOIN s sb ON sb.source = xx.src_b AND sb.h = xx.h
+        |        GROUP BY xx.src_a, xx.src_b),
+        |ei AS (SELECT src_a, src_b,
+        |         floor(CAST(inter AS DOUBLE) / CAST(xsz AS DOUBLE)
+        |           * (CASE WHEN xsz >= 128 THEN 127.0 * 1152921504606846976.0 / CAST(hk_x AS DOUBLE)
+        |              ELSE CAST(xsz AS DOUBLE) END) * 10000 + 0.5) / 10000 AS est_inter
+        |       FROM num),
+        |dw AS (SELECT DISTINCT source, g3 FROM g),
+        |cn AS (SELECT source, COUNT(*) AS n FROM dw GROUP BY source),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        |       FROM dw a JOIN dw b ON a.g3 = b.g3 AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  CASE WHEN ea.est = 0 THEN 0.0
+        |       ELSE floor(ei.est_inter / ea.est * 10000 + 0.5) / 10000 END AS est_cont_ab,
+        |  CASE WHEN eb.est = 0 THEN 0.0
+        |       ELSE floor(ei.est_inter / eb.est * 10000 + 0.5) / 10000 END AS est_cont_ba,
+        |  floor(CAST(COALESCE(ix.n_inter, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS exact_cont_ab,
+        |  floor(CAST(COALESCE(ix.n_inter, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS exact_cont_ba
+        |FROM p
+        |JOIN est ea ON ea.source = p.src_a
+        |JOIN est eb ON eb.source = p.src_b
+        |JOIN ei ON ei.src_a = p.src_a AND ei.src_b = p.src_b
+        |JOIN cn ca ON ca.source = p.src_a
+        |JOIN cn cb ON cb.source = p.src_b
         |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
 
@@ -8745,6 +8981,23 @@ object SparkEntry {
         |FROM m
         |ORDER BY doc_id, dim""".stripMargin
 
+  /** Self k-NN scored+ranked CTE chain (every row a query, self
+    * excluded, ties by neighbor id) — shared by the graph gates and
+    * the family walk so all three pin the same rank derivation. */
+  private lazy val KnnScoredCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.v, e.v) AS score
+      |  FROM e q JOIN e ON e.vec_id <> q.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)""".stripMargin
+
+  private lazy val KnnGraphOracleSql: String =
+    s"""$KnnScoredCtes
+      |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private lazy val BitextMineOracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |a AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 2 = 0),
@@ -9624,6 +9877,34 @@ object SparkEntry {
     val jaccardExpr: String =
       """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin
+
+    /** CTE chain ending in p(id_a, id_b, n_a, n_b, n_inter): the
+      * containment-gate corpus (documents ∪ the first ⌈w/3⌉ normalized
+      * tokens of every doc_id % 7 == 0 doc at id + 1000000) and its
+      * ORDERED all-pairs distinct-3-gram intersection — the ground
+      * truth the lossless prefix-filtered operators must equal. */
+    val containmentCtes: String =
+      s"""WITH n0 AS (
+         |  SELECT doc_id, $normExpr AS norm FROM documents WHERE text IS NOT NULL),
+         |t0 AS (
+         |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+         |  FROM n0),
+         |corpus AS (
+         |  SELECT doc_id, toks FROM t0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, toks[1:((len(toks) + 2) // 3)] FROM t0
+         |  WHERE doc_id % 7 = 0),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |              i -> array_to_string(toks[i:i+2], ' ')))
+         |    END AS s
+         |  FROM corpus),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(a.s) AS n_a, len(b.s) AS n_b, len(list_intersect(a.s, b.s)) AS n_inter
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)""".stripMargin
 
     /** Full pair query: all-pairs exact Jaccard ≥ threshold. */
     def pairSql(ctes: String, threshold: Double): String =

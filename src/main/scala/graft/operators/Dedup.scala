@@ -523,6 +523,97 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** ASYMMETRIC containment near-dup pairs: every ordered pair (A, B)
+    * with |grams(A) ∩ grams(B)| / |grams(A)| ≥ tau over distinct word
+    * n-grams. This is the duplication mode symmetric Jaccard is blind
+    * to — a quote, snippet, or excerpt embedded in a much larger
+    * document has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1. The
+    * pipelines that need it: quote-level decontamination inside a
+    * training corpus, "this doc is a truncation/excerpt of that one"
+    * dataset-card audits, and boilerplate-page collapse where the
+    * template is a strict subset of every instance.
+    *
+    * Candidate generation is LOSSLESS prefix filtering (the PPJoin
+    * family — Chaudhuri, Ganti & Kaushik, ICDE 2006; Xiao et al., WWW
+    * 2008): grams are globally ordered by ascending document frequency
+    * (rarest first, ties by gram text), and a pair can reach overlap
+    * t = ⌈tau·|A|⌉ only if B contains one of A's first |A| − t + 1
+    * grams in that order (pigeonhole: miss them all and at most t − 1
+    * remain). So only the (1 − tau)-sized RAREST prefix of each probe
+    * doc enters the candidate join, where its low document frequency
+    * keeps candidate lists short — the naive gram join's quadratic
+    * blowup on common grams never happens. Every candidate is then
+    * exact-verified, so the output EQUALS the all-pairs ground truth
+    * (the oracle re-derives it as such).
+    *
+    * Scale shape: one gram-table shuffle for document frequencies, one
+    * per-doc window (state bounded by the doc's own gram count) for the
+    * prefix, a candidate join driven by rare grams only, and a verify
+    * join bounded by candidates × probe-doc grams. No all-pairs product
+    * at any stage; thresholds compare in integer basis points, so the
+    * gate arithmetic is exact on both engines.
+    *
+    * Output: (id_a, id_b, n_a, n_b, n_inter, containment) where
+    * containment = n_inter / n_a (one IEEE division of exact integers —
+    * bit-identical cross-engine). Both directions emit independently
+    * when both pass (A ⊆ B and B ⊆ A both fire for near-equal docs). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tau: Double = 0.8): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"containmentPairs: tau=$tau outside (0,1]")
+    val tauBp = math.round(tau * 10000).toInt
+    val input = graft.core.CacheScope.retainInput(df)
+    val sh = input
+      .withColumn("__toks", tokens(normalizeText(col(textCol))))
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(wordNgramsFromTokens(col("__toks"), n))).as("__g"))
+      .pipe(graft.core.CacheScope.retain)
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val dfreq = sh.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // overlap target t = ceil(tauBp·sz / 10000) in integer arithmetic;
+    // the prefix keeps the sz − t + 1 rarest grams. The floor-of-double
+    // here is safe: tauBp·sz + 9999 < 2^53 is exact, and the quotient
+    // is never within 1e-4 of crossing an integer unless it IS one.
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__g"))
+    val prefix = sh.join(dfreq, "__g")
+      .withColumn("__pos", row_number().over(w))
+      .join(sizes, "__id")
+      .where(col("__pos") <=
+        col("__sz") - floor((lit(tauBp.toLong) * col("__sz") + lit(9999L)) / 10000) + 1)
+      .select(col("__id").as("id_a"), col("__g"))
+    val cand = prefix
+      .join(sh.select(col("__id").as("id_b"), col("__g")), Seq("__g"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(sh.select(col("__id").as("id_a"), col("__g")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__g")), Seq("id_b", "__g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("n_b")), Seq("id_b"))
+      .where(col("n_inter") * 10000 >= lit(tauBp.toLong) * col("n_a"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
+  /** Containment scrub: drop every doc that is tau-contained in a doc
+    * with a LARGER distinct-gram set (ties broken toward the smaller
+    * id), keep everything else. The one-pass rule: a doc is dropped
+    * when its content (≥ tau of its grams) exists in some bigger doc of
+    * the INPUT — the container itself may also drop (A ⊂ B ⊂ C drops
+    * both A and B even though A's containment in the surviving C may be
+    * below tau); pipelines that contractually need a fixed point
+    * iterate the scrub, but the one-pass form is the standard excerpt/
+    * boilerplate collapse. Output: the surviving input rows. */
+  def containmentScrub(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, tau: Double = 0.8): DataFrame = {
+    val dropped = containmentPairs(df, textCol, idCol, n, tau)
+      .where(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Exact unit-level dedup (the Dolma / Lee et al. 2022 paragraph-dedup
     * pass): given an exploded (doc, pos, unit) frame — units are lines
     * or paragraphs in production; any splitter composes, e.g.

@@ -111,6 +111,73 @@ object Similarity {
     * `k * overFetch` mixed candidates from the probed cells, label-join,
     * filter, re-rank. Candidate recall follows nprobe and overFetch; the
     * kept scores are exact cosines. */
+  /** Corpus SELF k-NN graph — every row's k nearest neighbors by cosine
+    * (the primitive under SemDeDup-style pruning, NN-descent seeds,
+    * graph-based curation, and diversity audits; q_text_knn's
+    * query-vs-corpus form answers retrieval, this answers structure).
+    * Exact path: the [[bruteForceTopK]] broadcast scan with the corpus
+    * on both sides — the whole corpus's unit vectors broadcast once
+    * (n·dim doubles; the documented ≤ ~10⁵-row exact contract, same as
+    * [[embeddingNearDupPairs]]' exact path). Beyond that, use
+    * [[knnGraphIndexed]]. Output: (query_id, neighbor_id, rank, score),
+    * self excluded, rank ties broken by neighbor id. */
+  def knnGraph(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame =
+    bruteForceTopK(corpus, corpus, vecCol, idCol, k)
+
+  /** [[knnGraph]] served from a frozen [[IvfIndex]] built over the same
+    * corpus — the beyond-10⁵ path: candidate volume per query is the
+    * probed cells only (~nprobe/nlist of the corpus; with the 4√n nlist
+    * rule, O(n^1.5) total flops instead of n²). Each query over-fetches
+    * k+1 (its own row rides the candidate cells at cosine 1) and
+    * re-ranks after dropping self, so ranks match the exact graph
+    * whenever the true k-NN live in probed cells; nprobe = nlist is
+    * exact by construction. */
+  def knnGraphIndexed(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, nlist: Int = 0, nprobe: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val idx = IvfIndex.build(corpus, vecCol, idCol, nlist = nlist, seed = seed)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    idx.topK(corpus, vecCol, idCol, k + 1, nprobe)
+      .drop("rank")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Mutual-k-NN edge set of a [[knnGraph]] output: undirected pairs
+    * (id_a < id_b) where EACH endpoint ranks the other in its own top-k
+    * — the standard symmetrization that strips hub-induced one-way
+    * edges before graph clustering (hubs are near many rows' top-k but
+    * reciprocate few). A set intersection of the two directed views:
+    * one shuffle over (id, id) pairs, nothing heavier. */
+  def mutualKnnEdges(graph: DataFrame): DataFrame = {
+    val fwd = graph.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    val rev = graph.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    fwd.intersect(rev)
+  }
+
+  /** Semantic families: connected components over the mutual-k-NN edge
+    * set — the embedding-space analog of
+    * [[graft.operators.Dedup.nearDupClusters]] (which walks the lexical
+    * LSH graph). Output: (id, family) for every row that has at least
+    * one mutual neighbor, family = the component's minimum id. Rows
+    * with no reciprocated edge are singletons and are omitted (same
+    * contract as nearDupClusters). */
+  def semanticFamilies(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame =
+    semanticFamiliesFromGraph(knnGraph(corpus, vecCol, idCol, k), idCol)
+
+  /** [[semanticFamilies]] over an already-built k-NN graph — the scale
+    * composition point: feed it [[knnGraphIndexed]]'s output (or a
+    * persisted graph) and the exact quadratic scan never runs. */
+  def semanticFamiliesFromGraph(graph: DataFrame, idCol: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      mutualKnnEdges(graph), "id_a", "id_b")
+      .select(col("id").as(idCol), col("component").as("family"))
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the LASER
     * parallel-corpus recipe): candidate pairs are the mutual-direction
     * nearest neighbors between two embedding sides A and B, scored by

@@ -332,6 +332,22 @@ object Sketches {
   def kmvDifferenceCol(a: Column, b: Column, k: Int): Column =
     floor((kmvEstimateCol(a, k) - kmvIntersectCol(a, b, k)) * 10000 + 0.5) / 10000
 
+  /** ASYMMETRIC containment estimate C(A→B) = |A ∩ B| / |A| from the
+    * signatures alone — the sketch-level counterpart of
+    * [[graft.operators.Dedup.containmentPairs]]: "what share of source
+    * A's distinct content also appears in source B" across a source
+    * pair matrix, answered from k longs per source without re-reading
+    * either corpus (the dataset-card provenance question; Jaccard
+    * cannot see a small source swallowed by a big one). Ratio of the
+    * two already-canonicalized estimators, re-rounded to 1e-4 in the
+    * same floor form; an empty A estimates 0 (not NaN) by explicit
+    * guard so the expression replays exactly in SQL. */
+  def kmvContainmentCol(a: Column, b: Column, k: Int): Column = {
+    val estA = kmvEstimateCol(a, k)
+    when(estA === 0.0, lit(0.0)).otherwise(
+      floor(kmvIntersectCol(a, b, k) / estA * 10000 + 0.5) / 10000)
+  }
+
   // ------------------------------------------------ log-histogram sketch
 
   /** Mergeable quantile sketch over NON-NEGATIVE integers — the

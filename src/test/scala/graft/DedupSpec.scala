@@ -731,4 +731,81 @@ class DedupSpec extends SparkSpec {
       "text", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(short.forall { case (_, g, nv) => g == 1 && nv == 0.0 })
   }
+
+  /** The reference brute force for the containment operators: replicate
+    * normalizeText → tokens → distinct word 3-grams in plain Scala and
+    * compute every ordered pair's |A∩B|/|A| with no filtering at all. */
+  private def bruteContainment(docs: Seq[(Long, String)],
+      tauBp: Int): Set[(Long, Long)] = {
+    def gramSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> gramSet(t) }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      if (sa & sb).size.toLong * 10000 >= tauBp.toLong * sa.size
+    } yield (ia, ib)).toSet
+  }
+
+  test("containmentPairs: catches a snippet symmetric Jaccard is blind to, asymmetrically") {
+    val big = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray " +
+      "yankee zulu one two three four five six seven eight nine ten"
+    val snippet = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq((1L, big), (2L, snippet),
+      (3L, "completely unrelated text about storage engines and page caches today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id", n = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // snippet ⊂ big fires in exactly ONE direction with containment 1.0
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((2L, 1L)), pairs.mkString(","))
+    assert(pairs.head._3 == 1.0)
+    // and the same pair's symmetric Jaccard sits far below any dedup cut
+    def grams(t: String): Set[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val (ga, gb) = (grams(snippet), grams(big))
+    val j = (ga & gb).size.toDouble / (ga | gb).size
+    assert(j < 0.4, s"jaccard $j not snippet-shaped")
+  }
+
+  test("containmentPairs: prefix filtering is lossless against brute force") {
+    // seeded small-vocab corpus: heavy gram collisions, varied lengths —
+    // the regime where a lossy candidate scheme would actually drop pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("data", "spark", "shuffle", "join", "scan", "sort",
+      "cache", "page", "row", "key")
+    val docs = (1L to 40L).map { id =>
+      val w = 3 + rnd.nextInt(25)
+      id -> Seq.fill(w)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (tau <- Seq(0.5, 0.8, 1.0)) {
+      val tauBp = math.round(tau * 10000).toInt
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", n = 3, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteContainment(docs, tauBp)
+      assert(got == want,
+        s"tau=$tau: missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  test("containmentScrub: bigger container survives, ties keep the smaller id, chains drop both") {
+    val c = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val b = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa"
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq((10L, a), (20L, b), (30L, c), (40L, c),
+      (50L, "unrelated content about compaction levels and bloom filter bits today"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.containmentScrub(docs, "text", "doc_id", n = 3, tau = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // chain a ⊂ b ⊂ c drops 10 and 20; exact dups 30/40 tie → keep 30;
+    // 50 untouched
+    assert(kept == Set(30L, 50L), kept.toSeq.sorted.mkString(","))
+  }
 }

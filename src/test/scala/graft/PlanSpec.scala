@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("containment gates: candidates ride hash joins, never an all-pairs product") {
+    // the prefix-filter scale contract: the candidate join keys on the
+    // gram (hash join); a cartesian/nested-loop anywhere means the
+    // all-pairs ground truth leaked into the OPERATOR
+    Seq("q_dedup_containment", "q_containment_scrub").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("q_stream_join: range predicate rides an equi-join, not a nested loop") {
     val p = plan("q_stream_join")
     assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin")

@@ -767,4 +767,69 @@ class SimilaritySpec extends SparkSpec {
       .where(abs(col("m") - 0.377) < 1e-4).count()
     assert(gap == 0, "tau must sit in a max-cos gap (refit after testdata regen)")
   }
+
+  test("knnGraph: indexed form at nprobe = nlist equals the exact graph") {
+    val exact = Similarity.knnGraph(embeddings, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val indexed = Similarity.knnGraphIndexed(embeddings, "embedding", "vec_id", 5,
+        nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == indexed,
+      s"only-exact=${(exact -- indexed).take(5)} only-indexed=${(indexed -- exact).take(5)}")
+    assert(exact.nonEmpty && exact.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("knnGraph: gate rank boundaries decided by real gaps at both gate scales") {
+    // the q_knn_graph/q_semantic_families oracle trust argument: Spark
+    // ranks by normalize-then-dot, DuckDB by list_cosine_similarity over
+    // raw vectors — ulp-different doubles. Every ordering decision that
+    // can affect rank ≤ 5 (and the k = 4 family edges) must be decided
+    // by a gap ≫ double noise, or by bit-identical vectors (where both
+    // engines tie and break by neighbor id identically).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val rows = Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      def unit(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+      val us = rows.map { case (i, v) => (i, unit(v)) }
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      us.foreach { case (qi, qv) =>
+        val top = us.filter(_._1 != qi)
+          .map { case (ni, nv) => (dot(qv, nv), ni, nv) }
+          .sortBy { case (sc, ni, _) => (-sc, ni) }
+          .take(7)
+        top.sliding(2).foreach { pair =>
+          val (s1, _, v1) = pair(0)
+          val (s2, _, v2) = pair(1)
+          assert(s1 - s2 > 1e-9 || java.util.Arrays.equals(v1, v2),
+            s"near-tie at query $qi in $dir: $s1 vs $s2")
+        }
+      }
+    }
+  }
+
+  test("semanticFamilies: mutual edges only, min-id labels, hubs excluded") {
+    // 0-1 reciprocate, 2 points at 1 but 1 does not reciprocate at k=1;
+    // 3-4 an isolated reciprocal pair; 5 far from everything
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.9f, 0.43f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.99f, 0.14f)),
+      (5L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val fams = Similarity.semanticFamilies(vecs, "embedding", "vec_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fams == Map(0L -> 0L, 1L -> 0L, 3L -> 3L, 4L -> 3L),
+      fams.toSeq.sortBy(_._1).mkString(","))
+  }
 }

@@ -93,6 +93,41 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3) < 0.12, s"j=$j")
   }
 
+  test("KMV containment is asymmetric, tracks truth, and is exact below capacity") {
+    // A = 0..399 (small), B = 0..199 ∪ 2000..3799 (big): true
+    // C(A→B) = 200/400 = 0.5, C(B→A) = 200/2000 = 0.1 — the directional
+    // split Jaccard (200/4200 ≈ 0.048) collapses to one number.
+    val a = spark.range(400).select(lit("a").as("g"), concat(lit("c-"), col("id")).as("v"))
+    val b = spark.range(200).union(spark.range(2000, 3800))
+      .select(lit("b").as("g"), concat(lit("c-"), col("id")).as("v"))
+    val k = 256
+    val sigs = Sketches.kmvSketch(a.union(b), "v", Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val row = Seq((sigs("a"), sigs("b"))).toDF("sa", "sb")
+      .select(
+        Sketches.kmvContainmentCol(col("sa"), col("sb"), k).as("ab"),
+        Sketches.kmvContainmentCol(col("sb"), col("sa"), k).as("ba"))
+      .head
+    assert(math.abs(row.getDouble(0) - 0.5) < 0.15, s"C(A->B)=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 0.1) < 0.06, s"C(B->A)=${row.getDouble(1)}")
+    assert(row.getDouble(0) > row.getDouble(1) * 3, "asymmetry lost")
+
+    // below capacity both sketches hold every hash: the estimate is the
+    // EXACT containment up to the two 1e-4 roundings
+    val sa = spark.range(40).select(lit("a").as("g"), concat(lit("e-"), col("id")).as("v"))
+    val sb = spark.range(20, 120).select(lit("b").as("g"), concat(lit("e-"), col("id")).as("v"))
+    val ss = Sketches.kmvSketch(sa.union(sb), "v", Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val exact = Seq((ss("a"), ss("b"))).toDF("sa", "sb")
+      .select(Sketches.kmvContainmentCol(col("sa"), col("sb"), k)).head.getDouble(0)
+    assert(exact == 0.5, s"below-capacity containment $exact != 20/40")
+
+    // empty-A guard: 0.0, not NaN
+    val z = Seq((Seq.empty[Long], ss("b"))).toDF("sa", "sb")
+      .select(Sketches.kmvContainmentCol(col("sa"), col("sb"), k)).head.getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("CMS never undercounts, is exact for isolated heavy hitters, and merges linearly") {
     // zipf-ish: value i appears (50 - i) times for i in 0..49
     val d = spark.range(50).select(col("id"),
