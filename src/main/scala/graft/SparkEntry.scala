@@ -101,16 +101,21 @@ object SparkEntry {
     * whose symmetric Jaccard (≈ 1/3) no symmetric dedup cut would
     * catch. Token arithmetic is integer-exact and replayed verbatim by
     * the oracle CTEs (floor((w+2)/3) = ⌈w/3⌉). */
-  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+  private def containmentBase(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("text").isNotNull).select("doc_id", "text")
+
+  private def containmentSnippets(base: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
-    val base = documents(s, dir).where(col("text").isNotNull)
-      .select("doc_id", "text")
     val toks = tokens(normalizeText(col("text")))
-    val snip = base.where(pmod(col("doc_id"), lit(7)) === 0)
+    base.where(pmod(col("doc_id"), lit(7)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ",
           slice(toks, lit(1), floor((size(toks) + lit(2)) / 3).cast("int"))).as("text"))
-    base.unionByName(snip)
+  }
+
+  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = containmentBase(s, dir)
+    base.unionByName(containmentSnippets(base))
   }
 
   private val CountMatrixSql =
@@ -1042,6 +1047,33 @@ object SparkEntry {
         n = 3, tau = 0.8)
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // ---- incremental containment SCREEN (probe vs corpus — the
+    //      foreachBatch ingestion form of the containment family):
+    //      probe = the synthetic snippets, corpus = documents; gram
+    //      rarity from the corpus side's frequencies (absent grams rank
+    //      rarest). Prefix filtering is lossless, so the oracle is the
+    //      exact probe×corpus ground truth. ----
+    "q_containment_screen" -> ((s, dir) => {
+      val base = containmentBase(s, dir)
+      Dedup.containedAgainst(containmentSnippets(base), base,
+        "text", "doc_id", n = 3, tau = 0.8)
+        .orderBy("probe_id", "corpus_id")
+    }),
+
+    // ---- winnowing-fingerprint near-dup pairs (the MOSS detector):
+    //      pairs whose shared winnowed fingerprints cover ≥ 90% of the
+    //      smaller side's set (integer cross-multiplied cut — exact on
+    //      both engines even for pairs landing ON the 0.9 boundary,
+    //      which the sf0.1 fixture has). Raw shared COUNTS have no gap
+    //      on a shared-phrase-pool corpus (measured: background reaches
+    //      60+ where true dups hold ~100-150); the coverage ratio is
+    //      the MOSS report statistic. Oracle re-derives the fingerprint
+    //      sets (the q_text_winnow chain) + the same integer cut. ----
+    "q_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowNearDupPairs(documents(s, dir), "text", "doc_id",
+        k = 5, w = 4, minShared = 5, minCoverage = 0.9)
+        .orderBy("id_a", "id_b")),
 
     // ---- unit-level exact dedup (Dolma/Lee-et-al paragraph pass) over
     //      chunkWindows units (lines in production; the 10-token
@@ -4893,6 +4925,66 @@ object SparkEntry {
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT id_a FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    // Exact probe×corpus containment ground truth (probe = the same
+    // derived snippets): the screen's prefix filtering is lossless, so
+    // its candidate output must equal the full cross product's
+    // surviving rows.
+    "q_containment_screen" ->
+      s"""WITH n0 AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents WHERE text IS NOT NULL),
+        |t0 AS (
+        |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+        |  FROM n0),
+        |pr AS (
+        |  SELECT doc_id + 1000000 AS probe_id, toks[1:((len(toks) + 2) // 3)] AS toks
+        |  FROM t0 WHERE doc_id % 7 = 0),
+        |shc AS (SELECT doc_id, ${DedupOracle.shCase("toks")} AS s FROM t0),
+        |shp AS (SELECT probe_id, ${DedupOracle.shCase("toks")} AS s FROM pr),
+        |p AS (
+        |  SELECT p.probe_id, c.doc_id AS corpus_id,
+        |    len(p.s) AS n_probe, len(list_intersect(p.s, c.s)) AS n_inter
+        |  FROM shp p, shc c)
+        |SELECT probe_id, corpus_id, n_probe, n_inter,
+        |  CAST(n_inter AS DOUBLE) / CAST(n_probe AS DOUBLE) AS containment
+        |FROM p WHERE n_inter * 10000 >= 8000 * n_probe
+        |ORDER BY probe_id, corpus_id""".stripMargin,
+
+    // The q_text_winnow fingerprint chain joined pairwise: all-integer
+    // shared-fingerprint counts — the MOSS detector's ground truth.
+    "q_dedup_winnow" ->
+      s"""WITH n AS (
+        |  SELECT doc_id, ${DedupOracle.normExpr} AS norm FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(norm) < 5 THEN [norm]
+        |         ELSE list_transform(generate_series(1, length(norm) - 4),
+        |              i -> substring(norm, i, 5))
+        |    END AS grams
+        |  FROM n),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams,
+        |      g -> CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)) AS hs
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+        |         ELSE list_transform(generate_series(1, len(hs) - 3),
+        |              i -> list_min(hs[i:i+3]))
+        |    END AS mins
+        |  FROM h),
+        |f AS (SELECT doc_id, list_distinct(mins) AS fps FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(a.fps) AS n_a, len(b.fps) AS n_b,
+        |    len(list_intersect(a.fps, b.fps)) AS n_shared
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, n_a, n_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS coverage
+        |FROM p
+        |WHERE n_shared >= 5 AND n_shared * 10000 >= 9000 * least(n_a, n_b)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Stage-for-stage re-derivation of the end-to-end curation pass;
     // every fragment is the same proven SQL as its standalone oracle.
@@ -9877,6 +9969,14 @@ object SparkEntry {
     val jaccardExpr: String =
       """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))""".stripMargin
+
+    /** Distinct word-3-gram set expression over a token-list column —
+      * the SQL mirror of array_distinct(wordNgramsFromTokens(toks, 3)). */
+    def shCase(toks: String): String =
+      s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+         |       ELSE list_distinct(list_transform(generate_series(1, len($toks) - 2),
+         |            i -> array_to_string($toks[i:i+2], ' ')))
+         |  END""".stripMargin
 
     /** CTE chain ending in p(id_a, id_b, n_a, n_b, n_inter): the
       * containment-gate corpus (documents ∪ the first ⌈w/3⌉ normalized

@@ -596,6 +596,157 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_a").cast("double")).as("containment"))
   }
 
+  /** [[containmentPairs]] across TWO frames — the ingestion-screen form
+    * ("is this incoming doc mostly an excerpt of something the corpus
+    * already holds?"): every (probe, corpus) pair with
+    * |grams(probe) ∩ grams(corpus)| / |grams(probe)| ≥ tau. Same
+    * lossless prefix filtering, with gram rarity taken from the CORPUS
+    * side's document frequencies (absent grams rank rarest) — rarity
+    * only matters there, and the probe batch is typically far too small
+    * to estimate it. Output: (probe_id, corpus_id, n_probe, n_inter,
+    * containment).
+    *
+    * Scale shape: the corpus gram table shuffles once for its
+    * frequencies and once as the join side; per probe doc only its
+    * prefix grams enter the candidate join, and the verify is bounded
+    * by candidates × probe grams. A micro-batch probe side broadcasts
+    * via AQE on its own, so the screen composes into foreachBatch. */
+  def containedAgainst(probe: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      tau: Double = 0.8): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"containedAgainst: tau=$tau outside (0,1]")
+    val tauBp = math.round(tau * 10000).toInt
+    def grams(df: DataFrame, out: String): DataFrame = df
+      .withColumn("__toks", tokens(normalizeText(col(textCol))))
+      .select(col(idCol).as(out),
+        explode(array_distinct(wordNgramsFromTokens(col("__toks"), n))).as("__g"))
+    val cg = grams(graft.core.CacheScope.retainInput(corpus), "corpus_id")
+      .pipe(graft.core.CacheScope.retain)
+    val pg = grams(graft.core.CacheScope.retainInput(probe), "probe_id")
+      .pipe(graft.core.CacheScope.retain)
+    val sizes = pg.groupBy("probe_id").agg(count(lit(1)).as("n_probe"))
+    val dfreq = cg.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("probe_id").orderBy(col("__df"), col("__g"))
+    val prefix = pg.join(dfreq, Seq("__g"), "left")
+      .na.fill(0L, Seq("__df")) // corpus-absent grams are the rarest
+      .withColumn("__pos", row_number().over(w))
+      .join(sizes, "probe_id")
+      .where(col("__pos") <=
+        col("n_probe") - floor((lit(tauBp.toLong) * col("n_probe") + lit(9999L)) / 10000) + 1)
+      .select(col("probe_id"), col("__g"))
+    val cand = prefix.join(cg, Seq("__g"))
+      .select("probe_id", "corpus_id").distinct()
+    val inter = cand
+      .join(pg, Seq("probe_id"))
+      .join(cg, Seq("corpus_id", "__g"))
+      .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes, Seq("probe_id"))
+      .where(col("n_inter") * 10000 >= lit(tauBp.toLong) * col("n_probe"))
+      .select(col("probe_id"), col("corpus_id"), col("n_probe"), col("n_inter"),
+        (col("n_inter").cast("double") / col("n_probe").cast("double")).as("containment"))
+  }
+
+  /** Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS detector): docs sharing ≥ `minShared`
+    * winnowed fingerprints. The winnowing guarantee makes this a
+    * SUBSTRING-share detector with a floor: any common run of
+    * ≥ w + k − 1 normalized chars contributes at least one shared
+    * fingerprint, while each doc stores only ~2/(w+1) of its gram
+    * hashes — the cheap first pass where
+    * [[graft.operators.Dedup.duplicateSpanScrub]]'s full gram sets are
+    * the heavyweight exact form. All-integer output — no float trust.
+    *
+    * Scale shape: fingerprints are a map-side kernel per doc
+    * ([[graft.functions.TextFunctions.winnowedFingerprints]]); the pair
+    * walk is one join keyed on the fingerprint (never all-pairs) and a
+    * count rollup — but that join carries Σ_fp df(fp)² rows, and on a
+    * template-heavy corpus whose boilerplate produces corpus-wide
+    * fingerprints the term is QUADRATIC (measured 93.8× at the 30×
+    * probe). This exact form is the ground-truth/gate contract; at
+    * volume use [[winnowNearDupPairsBanded]], whose LSH candidates are
+    * bounded regardless of fingerprint skew. */
+  def winnowNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 5,
+      minCoverage: Double = 0.9): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(minCoverage > 0.0 && minCoverage <= 1.0,
+      s"winnowNearDupPairs: minCoverage=$minCoverage outside (0,1]")
+    // coverage = n_shared / min(|F(A)|, |F(B)|) — the MOSS report's
+    // per-file share, decided by integer cross-multiplication (basis
+    // points) so the cut is exact on both engines; minShared floors
+    // away tiny-doc coincidences where 1-2 fingerprints are the whole
+    // set. On corpora sharing a phrase pool, raw shared COUNTS have no
+    // gap (measured: background pairs reach 60+ shared fps at sf0.01
+    // where true near-dups hold ~100-150) — the ratio separates 1.0
+    // vs ≤ 0.78 there.
+    val covBp = math.round(minCoverage * 10000).toInt
+    val fps = graft.core.CacheScope.retainInput(df)
+      .select(col(idCol).as("__id"),
+        explode(winnowedFingerprints(col(textCol), k, w)).as("__fp"))
+      .pipe(graft.core.CacheScope.retain)
+    val sizes = fps.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val shared = fps.select(col("__id").as("id_a"), col("__fp"))
+      .join(fps.select(col("__id").as("id_b"), col("__fp")), Seq("__fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .where(col("n_shared") * 10000 >= lit(covBp.toLong) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+          .as("coverage"))
+  }
+
+  /** [[winnowNearDupPairs]] with MinHash-LSH candidate generation over
+    * the fingerprint sets — the scale form. The exact form's
+    * fingerprint-keyed self-join carries Σ_fp df(fp)² rows: on a
+    * template-heavy corpus whose boilerplate runs produce corpus-wide
+    * fingerprints (the 30× probe measured 93.8× — a genuine trap, not
+    * noise) that term is quadratic. Banding the fp sets bounds
+    * candidates regardless of key skew (identical-flood buckets are the
+    * prior [[exactDedup]]'s job, as with [[minHashLshPairs]]); every
+    * candidate is verified with the EXACT integer coverage cut, so
+    * output ⊆ exact always.
+    *
+    * Recall contract: a coverage-c pair of similar sizes has Jaccard ≥
+    * c/(2−c) (0.9 → 0.818), which the default 16×8 banding recalls at
+    * ~95%+ and near-1 for the J ≈ 1 true-dup mode; a SIZE-SKEWED pair
+    * (snippet ⊂ document) can hold coverage 1.0 at arbitrarily low
+    * Jaccard and is structurally invisible to minhash bands — that
+    * asymmetric regime belongs to [[containmentPairs]]' prefix filter,
+    * which is lossless there. */
+  def winnowNearDupPairsBanded(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 5, minCoverage: Double = 0.9,
+      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(minCoverage > 0.0 && minCoverage <= 1.0,
+      s"winnowNearDupPairsBanded: minCoverage=$minCoverage outside (0,1]")
+    val covBp = math.round(minCoverage * 10000).toInt
+    val fpa = graft.core.CacheScope.retain(
+      graft.core.CacheScope.retainInput(df)
+        .select(col(idCol).as("__id"),
+          winnowedFingerprints(col(textCol), k, w).as("__hs"))
+        .where(size(col("__hs")) > 0))
+    val banded = bandExplode(fpa, bands, rowsPerBand, Seq("__id"))
+    val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b")).distinct()
+    cand
+      .join(fpa.select(col("__id").as("id_a"), col("__hs").as("__fa")), Seq("id_a"))
+      .join(fpa.select(col("__id").as("id_b"), col("__hs").as("__fb")), Seq("id_b"))
+      .withColumn("n_shared", size(array_intersect(col("__fa"), col("__fb"))).cast("long"))
+      .withColumn("n_a", size(col("__fa")).cast("long"))
+      .withColumn("n_b", size(col("__fb")).cast("long"))
+      .where(col("n_shared") >= minShared &&
+        col("n_shared") * 10000 >= lit(covBp.toLong) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+          .as("coverage"))
+  }
+
   /** Containment scrub: drop every doc that is tau-contained in a doc
     * with a LARGER distinct-gram set (ties broken toward the smaller
     * id), keep everything else. The one-pass rule: a doc is dropped

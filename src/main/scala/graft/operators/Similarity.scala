@@ -117,13 +117,21 @@ object Similarity {
     * query-vs-corpus form answers retrieval, this answers structure).
     * Exact path: the [[bruteForceTopK]] broadcast scan with the corpus
     * on both sides — the whole corpus's unit vectors broadcast once
-    * (n·dim doubles; the documented ≤ ~10⁵-row exact contract, same as
-    * [[embeddingNearDupPairs]]' exact path). Beyond that, use
-    * [[knnGraphIndexed]]. Output: (query_id, neighbor_id, rank, score),
+    * (n·dim doubles), O(n²·dim) flops by construction. `approximate =
+    * None` (the default) auto-selects by row count against
+    * [[ExactNearDupCutoff]] — the same switch pattern as
+    * [[embeddingNearDupPairs]], so no caller can accidentally drive the
+    * quadratic scan at corpus scale; past the cutoff the
+    * [[knnGraphIndexed]] form serves (its nprobe-recall contract
+    * documented there). Output: (query_id, neighbor_id, rank, score),
     * self excluded, rank ties broken by neighbor id. */
   def knnGraph(corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int): DataFrame =
-    bruteForceTopK(corpus, corpus, vecCol, idCol, k)
+      k: Int, approximate: Option[Boolean] = None,
+      exactCutoff: Long = ExactNearDupCutoff, nprobe: Int = 12): DataFrame = {
+    val useApprox = approximate.getOrElse(corpus.count() > exactCutoff)
+    if (useApprox) knnGraphIndexed(corpus, vecCol, idCol, k, nprobe = nprobe)
+    else bruteForceTopK(corpus, corpus, vecCol, idCol, k)
+  }
 
   /** [[knnGraph]] served from a frozen [[IvfIndex]] built over the same
     * corpus — the beyond-10⁵ path: candidate volume per query is the

@@ -793,6 +793,88 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containedAgainst: probe-vs-corpus screen is lossless, corpus-absent grams rank rarest") {
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (2L, "storage engines flush memtables into sorted runs and compact them nightly"),
+      (3L, "completely different text about page caches and prefetch distance tuning"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      // fully contained in corpus doc 1
+      (101L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      // grams absent from the corpus entirely (the rarest-prefix edge:
+      // df 0 on every gram) — must emit nothing, not crash
+      (102L, "zebra yak xylophone wombat vole urchin tapir"),
+      // half-contained in doc 2: below tau
+      (103L, "storage engines flush memtables into unrelated words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containedAgainst(probe, corpus, "text", "doc_id", n = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((101L, 1L)), got.mkString(","))
+    assert(got.head._3 == 1.0)
+    // brute-force parity at a lower tau where 103 fires too
+    val lo = Dedup.containedAgainst(probe, corpus, "text", "doc_id", n = 3, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def gramSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val cs = Seq(1L, 2L, 3L).zip(corpus.collect().sortBy(_.getLong(0)).map(r => gramSet(r.getString(1))))
+    val ps = Seq(101L, 102L, 103L).zip(probe.collect().sortBy(_.getLong(0)).map(r => gramSet(r.getString(1))))
+    val want = (for {
+      (pi, pg) <- ps; (ci, cg) <- cs
+      if (pg & cg).size.toLong * 10000 >= 4000L * pg.size
+    } yield (pi, ci)).toSet
+    assert(lo == want, s"missing=${want -- lo} spurious=${lo -- want}")
+  }
+
+  test("winnowNearDupPairs: substring floor fires at low coverage, ratio gate separates true dups") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, shared + " and then walks home counting fence posts along the road"),
+      (2L, "yesterday evening " + shared + " again surprising every onlooker nearby"),
+      (3L, "storage engines flush memtables into sorted runs and compact them nightly"),
+      (4L, shared + " and then walks home counting fence posts along the road"))
+      .toDF("doc_id", "text")
+    // low coverage cut: the embedded shared run is enough — the
+    // winnowing guarantee (any common run ≥ w + k − 1 chars shares a
+    // fingerprint) makes the pair visible despite different tails
+    val lo = Dedup.winnowNearDupPairs(docs, "text", "doc_id",
+      k = 5, w = 4, minShared = 5, minCoverage = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(lo.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      lo.mkString(","))
+    assert(lo.forall(_._3 >= 10), lo.mkString(","))
+    // the gate's 0.9 coverage cut keeps only the exact dup (1,4): the
+    // shared-run pairs have real unique tails on both sides
+    val hi = Dedup.winnowNearDupPairs(docs, "text", "doc_id",
+      k = 5, w = 4, minShared = 5, minCoverage = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(hi.map(p => (p._1, p._2)).toSet == Set((1L, 4L)), hi.mkString(","))
+    assert(hi.head._3 == 1.0)
+  }
+
+  test("winnowNearDupPairsBanded == exact form on both gate fixtures") {
+    // the scale form's recall argument made concrete: at the gate's 0.9
+    // coverage the surviving pairs sit at J ≈ 1 (measured: every gate
+    // survivor holds coverage 1.0), where 16×8 banding recall is
+    // 1 − (1 − J⁸)¹⁶ ≈ 1 − 1e-12 — so banded output EQUALS exact here
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val docs = Tables.documents(spark, dir)
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val exact = pairs(Dedup.winnowNearDupPairs(docs, "text", "doc_id",
+        k = 5, w = 4, minShared = 5, minCoverage = 0.9))
+      val banded = pairs(Dedup.winnowNearDupPairsBanded(docs, "text", "doc_id",
+        k = 5, w = 4, minShared = 5, minCoverage = 0.9))
+      assert(exact.nonEmpty, s"$dir: fixture must have winnow pairs")
+      assert(banded == exact,
+        s"$dir: missed=${(exact -- banded).take(5)} spurious=${(banded -- exact).take(5)}")
+    }
+  }
+
   test("containmentScrub: bigger container survives, ties keep the smaller id, chains drop both") {
     val c = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
       "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"

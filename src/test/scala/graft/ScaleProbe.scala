@@ -216,6 +216,30 @@ object ScaleProbe {
         val idxB = operators.Similarity.IvfIndex.build(b, "embedding", "vec_id", nlist = nlist)
         operators.Similarity.bitextMineIndexed(a, b, idxA, idxB,
           "embedding", "vec_id", k = 4, threshold = 1.02, nprobe = 8)
+      case "q_dedup_winnow_scaled" =>
+        // the scale form: LSH-banded fingerprint candidates + exact
+        // coverage verify — candidate volume bounded by the banding
+        // whatever the fingerprint skew (the exact gate form's fp-keyed
+        // join measured 93.8x at 30x on this template-heavy corpus)
+        operators.Dedup.winnowNearDupPairsBanded(
+          Tables.documents(spark, dir), "text", "doc_id",
+          k = 5, w = 4, minShared = 5, minCoverage = 0.9)
+      case "q_knn_graph_scaled" =>
+        // the 100TB knob contract for the self graph: the gate pins
+        // nprobe = nlist = 8 for oracle exactness (degenerates to a
+        // full scan as n grows); at scale nlist follows the 4*sqrt(n)
+        // auto rule with nprobe fixed, so per-query candidate work
+        // stays ~nprobe/nlist of the corpus
+        operators.Similarity.knnGraphIndexed(
+          Tables.embeddings(spark, dir), "embedding", "vec_id", 5,
+          nlist = 0, nprobe = 12)
+      case "q_semantic_families_scaled" =>
+        // families over the scaled-knob indexed graph — the composition
+        // the exact-quadratic gate form stands in for
+        operators.Similarity.semanticFamiliesFromGraph(
+          operators.Similarity.knnGraphIndexed(
+            Tables.embeddings(spark, dir), "embedding", "vec_id", 4,
+            nlist = 0, nprobe = 12), "vec_id")
       case _ => SparkEntry.queries(n)(spark, dir)
     }
 

@@ -139,6 +139,30 @@ class StreamingSpec extends SparkSpec {
     assert((half1 ++ half2) == whole)
   }
 
+  test("containment screen distributes over micro-batches (foreachBatch-composable)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull)
+    // probe = derived snippets (guaranteed containment hits), corpus = docs
+    val toks = graft.functions.TextFunctions.tokens(
+      graft.functions.TextFunctions.normalizeText(col("text")))
+    val probe = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          floor((size(toks) + lit(2)) / 3).cast("int"))).as("text"))
+    def screen(p: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.containedAgainst(p, docs, "text", "doc_id", n = 3, tau = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = screen(probe)
+    assert(whole.nonEmpty, "snippets must be contained in their sources")
+    // per-probe-row independence given a frozen corpus: any micro-batch
+    // split yields the same union — corpus-side document frequencies
+    // (the prefix rarity order) do not depend on the probe batch
+    val half1 = screen(probe.where(pmod(col("doc_id"), lit(2)) === 0))
+    val half2 = screen(probe.where(pmod(col("doc_id"), lit(2)) === 1))
+    assert((half1 ++ half2) == whole)
+  }
+
   test("streaming curation screen: multi-batch union equals one-shot batch screening") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
