@@ -332,6 +332,19 @@ object SparkEntry {
       graft.sources.Jsonl.read(s, f.getPath, d.schema).orderBy("doc_id")
     }),
 
+    // ---- ORC round-trip (the other columnar interchange format a
+    //      migrating user ships; Spark-native ORC writer/reader, zstd):
+    //      hash equality against the parquet-derived oracle == the
+    //      write → read cycle is lossless for every row and type. ----
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "lang", "source", "text")
+      val f = new java.io.File(
+        s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}/orc_documents.orc")
+      f.getParentFile.mkdirs()
+      d.write.mode("overwrite").option("compression", "zstd").orc(f.getPath)
+      s.read.schema(d.schema).orc(f.getPath).orderBy("doc_id")
+    }),
+
     "q_tsv_roundtrip" -> ((s, dir) => {
       val d = documents(s, dir).select("doc_id", "lang", "source", "text")
       val f = new java.io.File(
@@ -1244,6 +1257,16 @@ object SparkEntry {
     //      recursive-CTE component walk; family = min member id. ----
     "q_semantic_families" -> ((s, dir) =>
       Similarity.semanticFamilies(embeddings(s, dir), "embedding", "vec_id", k = 4)
+        .orderBy("vec_id")),
+
+    // ---- the same families over the INDEXED graph at nprobe = nlist
+    //      (exact by construction) — the scale composition the exact
+    //      quadratic form stands in for, answered to the exact oracle
+    //      VERBATIM so any index-path divergence breaks the hash. ----
+    "q_semantic_families_indexed" -> ((s, dir) =>
+      Similarity.semanticFamiliesFromGraph(
+        Similarity.knnGraphIndexed(embeddings(s, dir), "embedding", "vec_id",
+          k = 4, nlist = 8, nprobe = 8), "vec_id")
         .orderBy("vec_id")),
 
     // ---- margin-based bitext mining (Artetxe & Schwenk 2019): the
@@ -4255,6 +4278,13 @@ object SparkEntry {
         |  columns={doc_id: 'BIGINT', lang: 'VARCHAR', source: 'VARCHAR', text: 'VARCHAR'})
         |ORDER BY doc_id""".stripMargin,
 
+    // The query emits the ORC write→read cycle; the oracle reads the
+    // ORIGINAL parquet rows. Hash equality == losslessness (the
+    // q_bpe_roundtrip gate pattern; DuckDB never parses ORC).
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // The xlsx round-trip report re-aggregated from parquet (byte
     // lengths via UTF-8 encode on both sides).
     "q_excel_roundtrip" ->
@@ -6590,6 +6620,23 @@ object SparkEntry {
     // Ranks → reciprocity intersection → recursive-CTE components
     // (min-member labels): the full mutual-k-NN family walk.
     "q_semantic_families" ->
+      s"""$KnnScoredCtes,
+        |fwd AS (SELECT query_id AS u, neighbor_id AS v FROM ranked WHERE rank <= 4),
+        |m AS (SELECT a.u, a.v FROM fwd a JOIN fwd b ON b.u = a.v AND b.v = a.u
+        |      WHERE a.u < a.v),
+        |ee AS (SELECT u, v FROM m UNION SELECT v, u FROM m),
+        |comp AS (
+        |  WITH RECURSIVE r(node, rep) AS (
+        |    SELECT u, u FROM ee
+        |    UNION
+        |    SELECT ee.v, r.rep FROM r JOIN ee ON ee.u = r.node)
+        |  SELECT node, MIN(rep) AS rep FROM r GROUP BY node)
+        |SELECT node AS vec_id, rep AS family FROM comp
+        |ORDER BY vec_id""".stripMargin,
+
+    // The indexed composition at nprobe = nlist is exact by
+    // construction — the exact families oracle verbatim.
+    "q_semantic_families_indexed" ->
       s"""$KnnScoredCtes,
         |fwd AS (SELECT query_id AS u, neighbor_id AS v FROM ranked WHERE rank <= 4),
         |m AS (SELECT a.u, a.v FROM fwd a JOIN fwd b ON b.u = a.v AND b.v = a.u
