@@ -118,6 +118,98 @@ object SparkEntry {
     base.unionByName(containmentSnippets(base))
   }
 
+  /** Link-graph fixture for the PageRank gates: nodes = customers
+    * (c_custkey is dense 0..n-1, spec-checked), every non-dangling node
+    * (c % 13 != 0) links to two modular targets, and 3-in-10 of them
+    * also link to the hub node 0. Self-loops/duplicates are dropped by
+    * the operator; the oracle re-derives the identical edge set in SQL
+    * (n via scalar-subquery COUNT). */
+  private def linkGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = customer(s, dir).select(col("c_custkey").cast("long").as("c"))
+    val n = c.count()
+    val out = c.where(pmod(col("c"), lit(13)) =!= 0)
+    val e1 = out.select(col("c").as("src"), pmod(col("c") * 31 + 7, lit(n)).as("dst"))
+    val e2 = out.select(col("c").as("src"), pmod(col("c") * 17 + 3, lit(n)).as("dst"))
+    val e3 = out.where(pmod(col("c"), lit(10)) < 3)
+      .select(col("c").as("src"), lit(0L).as("dst"))
+    (c, e1.unionByName(e2).unionByName(e3))
+  }
+
+  /** Interval fixtures for the overlap-join gates: deterministic
+    * non-negative [start, end) spans on a 100k coordinate domain,
+    * integer-derived so the oracle re-creates them verbatim. Left =
+    * one span per order (l_linenumber = 1), right = one span per
+    * part. */
+  private def intervalFixtureLeft(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).where(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey").as("li_id"),
+        pmod(col("l_orderkey") * 37 + col("l_partkey"), lit(100000L)).as("ls"),
+        (pmod(col("l_orderkey") * 37 + col("l_partkey"), lit(100000L)) + 1 +
+          pmod(col("l_quantity").cast("long") * 13, lit(200L))).as("le"))
+
+  private def intervalFixtureRight(s: SparkSession, dir: String): DataFrame =
+    part(s, dir).select(
+      col("p_partkey").as("r_id"),
+      pmod(col("p_partkey") * 53, lit(100000L)).as("rs"),
+      (pmod(col("p_partkey") * 53, lit(100000L)) + 1 +
+        pmod(col("p_partkey") * 7, lit(300L))).as("re"))
+
+  /** DuckDB replay of [[graft.operators.Graph.pageRank]] over the
+    * [[linkGraph]] fixture: the 8 power iterations UNROLLED as chained
+    * CTEs (standard SQL forbids aggregation in a recursive term; the
+    * multiply-referenced CTEs are MATERIALIZED to stop re-inlining),
+    * every step in the same BIGINT floor-division arithmetic the
+    * operator uses — bit-exact, no float tolerance anywhere. */
+  private def pageRankOracleSql(seeded: Boolean): String = {
+    val scale = graft.operators.Graph.DefaultScale
+    val telWhere = if (seeded) " WHERE node % 17 = 0" else ""
+    val sb = new StringBuilder
+    sb ++= s"""WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
+      |nd AS (SELECT c_custkey::BIGINT AS node FROM customer),
+      |tel AS (SELECT node FROM nd$telWhere),
+      |tc AS (SELECT COUNT(*)::BIGINT AS t FROM tel),
+      |raw AS (
+      |  SELECT c_custkey::BIGINT AS src,
+      |         (c_custkey * 31 + 7) % (SELECT n FROM cnt) AS dst
+      |    FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION
+      |  SELECT c_custkey::BIGINT, (c_custkey * 17 + 3) % (SELECT n FROM cnt)
+      |    FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION
+      |  SELECT c_custkey::BIGINT, 0 FROM customer
+      |    WHERE c_custkey % 13 <> 0 AND c_custkey % 10 < 3),
+      |e AS MATERIALIZED (SELECT src, dst::BIGINT AS dst FROM raw WHERE src <> dst),
+      |od AS MATERIALIZED (SELECT nd.node, COALESCE(d.cdeg, 0)::BIGINT AS outdeg,
+      |         (CASE WHEN tel.node IS NULL THEN 0 ELSE 1 END)::BIGINT AS t
+      |       FROM nd
+      |       LEFT JOIN (SELECT src, COUNT(*) AS cdeg FROM e GROUP BY src) d
+      |         ON d.src = nd.node
+      |       LEFT JOIN tel ON tel.node = nd.node),
+      |r0 AS MATERIALIZED (SELECT node, outdeg, t,
+      |         (CASE WHEN t = 1 THEN $scale // (SELECT t FROM tc)
+      |               ELSE 0 END)::BIGINT AS r
+      |       FROM od),
+      |""".stripMargin
+    for (k <- 1 to 8) {
+      val p = s"r${k - 1}"
+      sb ++= s"""d$k AS (SELECT COALESCE(SUM(r), 0)::BIGINT AS dang
+        |       FROM $p WHERE outdeg = 0),
+        |c$k AS (SELECT e.dst AS node, SUM(p.r // p.outdeg)::BIGINT AS s
+        |       FROM $p p JOIN e ON e.src = p.node
+        |       WHERE p.outdeg > 0 GROUP BY e.dst),
+        |r$k AS MATERIALIZED (SELECT o.node, o.outdeg, o.t,
+        |         (((15 * $scale) // (100 * (SELECT t FROM tc))) * o.t
+        |          + (85 * (COALESCE(c.s, 0)
+        |               + ((SELECT dang FROM d$k) // (SELECT t FROM tc)) * o.t)) // 100
+        |         )::BIGINT AS r
+        |       FROM od o LEFT JOIN c$k c ON c.node = o.node)""".stripMargin
+      sb ++= (if (k < 8) ",\n" else "\n")
+    }
+    sb ++= "SELECT node, r AS rank_micro FROM r8 ORDER BY rank_micro DESC, node"
+    sb.toString
+  }
+
   private val CountMatrixSql =
     """SELECT l_partkey,
       |  CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS DOUBLE) AS rf_a,
@@ -3773,6 +3865,77 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+
+    // ---- link-graph analytics (crawl/domain quality ranking): classic
+    //      PageRank over the customer-derived link fixture — hub node 0,
+    //      modular link targets, every c % 13 == 0 node dangling. The
+    //      WHOLE recurrence is scaled-integer arithmetic (BIGINT
+    //      micro-units, floor divisions, exact integer sums), so the
+    //      oracle replays all 8 unrolled power iterations bit-for-bit
+    //      with zero float trust. ----
+    "q_pagerank" -> ((s, dir) => {
+      val (nodes, edges) = linkGraph(s, dir)
+      Graph.pageRank(nodes, edges, "c", "src", "dst", iterations = 8)
+    }),
+
+    // ---- personalized PageRank: the random surfer restarts (and
+    //      dangling mass re-enters) uniformly over the c % 17 == 0 seed
+    //      set only — the "rank relative to a trusted seed list" form
+    //      (domain allowlists, TrustRank-style). Same integer
+    //      recurrence, teleport-indicator weighted. ----
+    "q_pagerank_seeded" -> ((s, dir) => {
+      val (nodes, edges) = linkGraph(s, dir)
+      val seeds = nodes.where(pmod(col("c"), lit(17)) === 0)
+      Graph.pageRank(nodes, edges, "c", "src", "dst", iterations = 8,
+        teleport = Some(seeds))
+    }),
+
+    // ---- in/out degree profile of the same simple-graph view the
+    //      ranker walks (frontier diagnostics: dangling nodes, hubs) ----
+    "q_degree_profile" -> ((s, dir) => {
+      val (nodes, edges) = linkGraph(s, dir)
+      Graph.degreeProfile(nodes, edges, "c", "src", "dst")
+    }),
+
+    // ---- single-pass column profiling (the batch-admission "unit
+    //      tests for data" layer): every measure for every column from
+    //      ONE aggregation over ONE scan. Columns kept ASCII/integer so
+    //      min/max-as-string is engine-neutral (text min/max would pit
+    //      UTF-16 vs UTF-8 collation — documented in Profile). ----
+    "q_profile" -> ((s, dir) =>
+      Profile.columns(documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // ---- declarative constraint suite over lineitem, all verdicts
+    //      from one aggregation: null check, key uniqueness (violated
+    //      on purpose — orderkey repeats per line), domain range, enum
+    //      membership, and a regex kept inside the Java∩RE2 subset ----
+    "q_quality_checks" -> ((s, dir) =>
+      Profile.check(lineitem(s, dir), Seq(
+        Profile.NotNull("l_orderkey"),
+        Profile.Unique("l_orderkey"),
+        Profile.InRange("l_quantity", 1, 50),
+        Profile.InSet("l_returnflag", Seq("A", "N", "R")),
+        Profile.Matches("l_linestatus", "^[OF]$")))),
+
+    // ---- interval overlap join (the genomics region join) via bin
+    //      promotion: equi-join on 256-wide bins + exact refine +
+    //      first-shared-bin dedup — the shape that replaces the
+    //      BroadcastNestedLoop a raw range join would plan. Oracle is
+    //      DuckDB's native IEJoin over the same synthetic intervals. ----
+    "q_interval_join" -> ((s, dir) =>
+      Intervals.overlapJoin(
+          intervalFixtureLeft(s, dir), intervalFixtureRight(s, dir),
+          "ls", "le", "rs", "re", binSize = 256)
+        .select(col("li_id"), col("r_id"), col("overlap_len"))
+        .orderBy("li_id", "r_id")),
+
+    // ---- per-right-interval coverage counts (features-per-region),
+    //      0-covered regions included ----
+    "q_interval_cover" -> ((s, dir) =>
+      Intervals.coverageCount(
+        intervalFixtureLeft(s, dir), intervalFixtureRight(s, dir),
+        "ls", "le", "rs", "re", rKey = "r_id", binSize = 256)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8821,6 +8984,126 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // 8 unrolled integer power iterations — bit-exact replay of the
+    // scaled-BIGINT recurrence (floor divisions, exact integer sums,
+    // dangling mass through the teleport set); no float trust anywhere
+    "q_pagerank" -> pageRankOracleSql(seeded = false),
+    "q_pagerank_seeded" -> pageRankOracleSql(seeded = true),
+
+    "q_degree_profile" ->
+      """WITH cnt AS (SELECT COUNT(*)::BIGINT AS n FROM customer),
+        |nd AS (SELECT c_custkey::BIGINT AS node FROM customer),
+        |raw AS (
+        |  SELECT c_custkey::BIGINT AS src,
+        |         (c_custkey * 31 + 7) % (SELECT n FROM cnt) AS dst
+        |    FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION
+        |  SELECT c_custkey::BIGINT, (c_custkey * 17 + 3) % (SELECT n FROM cnt)
+        |    FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION
+        |  SELECT c_custkey::BIGINT, 0 FROM customer
+        |    WHERE c_custkey % 13 <> 0 AND c_custkey % 10 < 3),
+        |e AS MATERIALIZED (SELECT src, dst::BIGINT AS dst FROM raw WHERE src <> dst)
+        |SELECT nd.node,
+        |  COALESCE(od.c, 0)::BIGINT AS out_deg,
+        |  COALESCE(id.c, 0)::BIGINT AS in_deg
+        |FROM nd
+        |LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) od ON od.src = nd.node
+        |LEFT JOIN (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst) id ON id.dst = nd.node
+        |ORDER BY node""".stripMargin,
+
+    // one row per profiled column; min/max stringified — every
+    // profiled column is integer or ASCII so the casts are
+    // engine-neutral
+    "q_profile" ->
+      """WITH m AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+        |SELECT 'doc_id' AS "column", (SELECT n FROM m) AS n_rows,
+        |  (SELECT n FROM m) - COUNT(doc_id) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_s, CAST(MAX(doc_id) AS VARCHAR) AS max_s
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', (SELECT n FROM m), (SELECT n FROM m) - COUNT(lang),
+        |  COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', (SELECT n FROM m), (SELECT n FROM m) - COUNT(n_chars),
+        |  COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', (SELECT n FROM m), (SELECT n FROM m) - COUNT(source),
+        |  COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |ORDER BY "column"""".stripMargin,
+
+    // each constraint's violation count re-derived independently
+    "q_quality_checks" ->
+      """SELECT * FROM (
+        |SELECT 'l_orderkey' AS "column", 'not_null' AS "constraint",
+        |  COUNT(*) FILTER (WHERE l_orderkey IS NULL)::BIGINT AS violations,
+        |  COUNT(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey', 'unique',
+        |  (COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey))::BIGINT,
+        |  COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'in_range',
+        |  COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+        |    AND (l_quantity < 1 OR l_quantity > 50))::BIGINT,
+        |  COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+        |    AND (l_quantity < 1 OR l_quantity > 50)) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', 'in_set',
+        |  COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+        |    AND l_returnflag NOT IN ('A', 'N', 'R'))::BIGINT,
+        |  COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+        |    AND l_returnflag NOT IN ('A', 'N', 'R')) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', 'matches',
+        |  COUNT(*) FILTER (WHERE l_linestatus IS NOT NULL
+        |    AND NOT regexp_matches(l_linestatus, '^[OF]$'))::BIGINT,
+        |  COUNT(*) FILTER (WHERE l_linestatus IS NOT NULL
+        |    AND NOT regexp_matches(l_linestatus, '^[OF]$')) = 0 FROM lineitem
+        |) ORDER BY "column", "constraint"""".stripMargin,
+
+    // DuckDB's native inequality join over the same derived intervals —
+    // the engine-level range join our binned plan must agree with
+    "q_interval_join" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS li_id,
+        |    (l_orderkey * 37 + l_partkey) % 100000 AS ls,
+        |    (l_orderkey * 37 + l_partkey) % 100000 + 1
+        |      + (CAST(l_quantity AS BIGINT) * 13) % 200 AS le
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |r AS (
+        |  SELECT p_partkey AS r_id,
+        |    (p_partkey * 53) % 100000 AS rs,
+        |    (p_partkey * 53) % 100000 + 1 + (p_partkey * 7) % 300 AS re
+        |  FROM part)
+        |SELECT l.li_id, r.r_id,
+        |  LEAST(l.le, r.re) - GREATEST(l.ls, r.rs) AS overlap_len
+        |FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
+        |ORDER BY li_id, r_id""".stripMargin,
+
+    "q_interval_cover" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS li_id,
+        |    (l_orderkey * 37 + l_partkey) % 100000 AS ls,
+        |    (l_orderkey * 37 + l_partkey) % 100000 + 1
+        |      + (CAST(l_quantity AS BIGINT) * 13) % 200 AS le
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |r AS (
+        |  SELECT p_partkey AS r_id,
+        |    (p_partkey * 53) % 100000 AS rs,
+        |    (p_partkey * 53) % 100000 + 1 + (p_partkey * 7) % 300 AS re
+        |  FROM part),
+        |hits AS (
+        |  SELECT r.r_id, COUNT(*)::BIGINT AS n
+        |  FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
+        |  GROUP BY r.r_id)
+        |SELECT r.r_id AS r_id, COALESCE(hits.n, 0)::BIGINT AS n_overlaps
+        |FROM r LEFT JOIN hits ON hits.r_id = r.r_id
+        |ORDER BY 1""".stripMargin,
   )
 
   /** Batch assignment + oracle SQL for q_batch_effect, generated from the

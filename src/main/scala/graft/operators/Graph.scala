@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl/domain quality ranking — the PageRank
+  * family a web-scale curation pipeline uses to prioritize crawl
+  * frontiers and weight domains (Page et al. 1999; Common Crawl
+  * publishes exactly this artifact for its URL index).
+  *
+  * Determinism contract: the whole recurrence runs in SCALED INTEGER
+  * arithmetic (BIGINT micro-units, `scale` units = rank mass 1.0).
+  * Per-edge contributions use floor division, per-iteration damping is
+  * an integer multiply-then-floor-divide, and all sums are exact
+  * 64-bit integer sums — order-free, so a DuckDB replay of the same
+  * recurrence matches bit-for-bit with zero float trust. The price is
+  * a deterministic quantization loss of < outdeg micro-units per node
+  * per iteration (mass leaks DOWNWARD only — floor never rounds up),
+  * irrelevant at scale 1e12 and identical in both engines.
+  *
+  * Scale shape (100 TB link graph): the edge list is shuffled ONCE
+  * into a `src`-keyed layout and persisted; each iteration is then one
+  * shuffle of the (node, rank) frame to the edge partitioning plus one
+  * map-side-combined `groupBy(dst)` — the textbook Pregel cost, no
+  * growing state. The dangling-mass term is a driver-side scalar
+  * aggregate per iteration (an O(1) collect, the Pregel "global
+  * aggregator"). Lineage is cut with `localCheckpoint` every
+  * [[CheckpointEvery]] iterations (the kCenterSelect pattern) so plan
+  * depth stays bounded in the iteration count.
+  */
+object Graph {
+
+  /** Iterations between lineage checkpoints. */
+  val CheckpointEvery = 8
+
+  /** Default rank mass denomination: 1.0 == 1e12 micro-units. */
+  val DefaultScale = 1000000000000L
+
+  /** Power-iteration PageRank on an explicit node + edge list.
+    *
+    * @param nodes      one row per node (extra columns ignored)
+    * @param edges      directed edge list; self-loops and duplicate
+    *                   edges are dropped (simple-graph semantics)
+    * @param teleport   optional personalization set: the random surfer
+    *                   restarts uniformly over THIS set (and dangling
+    *                   mass re-enters through it). None = classic
+    *                   PageRank (restart over all nodes).
+    * @param iterations fixed power-iteration count (deterministic
+    *                   output — no float convergence test)
+    * @param dampNum/dampDen damping factor as an exact rational
+    *                   (default 85/100)
+    * @return (node BIGINT, rank_micro BIGINT) — rank in `scale` units,
+    *         one row per node, total mass ≤ `scale` (floor loss only)
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, nodeCol: String,
+      srcCol: String, dstCol: String, iterations: Int,
+      teleport: Option[DataFrame] = None, dampNum: Int = 85,
+      dampDen: Int = 100, scale: Long = DefaultScale): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+
+    val nd = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    // one-time edge shuffle into the src-keyed layout every iteration
+    // joins against; distinct() also dedups (simple graph)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+    val tel = teleport.map(_.select(col(nodeCol).cast("long").as("node")).distinct())
+    // static per-node frame: (node, outdeg, t) with t = 1 iff in the
+    // teleport set — joined once, reused every iteration
+    val withDeg = nd.join(outdeg, nd("node") === outdeg("src"), "left")
+      .select(nd("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val base = tel match {
+      case Some(t) =>
+        withDeg.join(t.withColumn("__t", lit(1L)), Seq("node"), "left")
+          .select(col("node"), col("outdeg"), coalesce(col("__t"), lit(0L)).as("t"))
+      case None => withDeg.withColumn("t", lit(1L))
+    }
+    val baseFrame = base.persist()
+    val tCount = baseFrame.where(col("t") === 1L).count()
+    require(tCount > 0, "pageRank: empty teleport set")
+
+    // r0: uniform over the teleport set (floor division — exact replay)
+    val r0 = scale / tCount
+    // (1-d)/t restart mass per teleport node, exact integer
+    val baseTerm = ((dampDen - dampNum).toLong * scale) / (dampDen.toLong * tCount)
+
+    var ranks = baseFrame
+      .withColumn("r", when(col("t") === 1L, lit(r0)).otherwise(lit(0L)))
+      .persist()
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      // Pregel global aggregator: total rank sitting on dangling nodes
+      val dang = ranks.where(col("outdeg") === 0L)
+        .agg(coalesce(sum(col("r")), lit(0L))).as[Long].head()
+      val share = dang / tCount
+      val contribs = ranks.where(col("outdeg") > 0L)
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+      val sums = contribs.groupBy("dst").agg(sum(col("c")).as("s"))
+      val prev = ranks
+      var next = baseFrame.join(sums, baseFrame("node") === sums("dst"), "left")
+        .select(col("node"), col("outdeg"), col("t"),
+          (lit(baseTerm) * col("t") +
+            expr(s"($dampNum * (coalesce(s, 0L) + ${share}L * t)) div $dampDen"))
+            .as("r"))
+        .persist()
+      if (iter % CheckpointEvery == 0) next = next.localCheckpoint(true)
+      ranks = next
+      prev.unpersist(false)
+    }
+    // eager final checkpoint cuts the remaining lineage, so every
+    // upstream cache can be dropped NOW — a long session running many
+    // rankings must not accumulate pinned frames
+    val finalRanks =
+      if (iterations % CheckpointEvery == 0) ranks
+      else ranks.localCheckpoint(true)
+    if (finalRanks ne ranks) ranks.unpersist(false)
+    e.unpersist(false)
+    baseFrame.unpersist(false)
+    finalRanks.select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node"))
+  }
+
+  /** In/out degree profile of an edge list (after self-loop/duplicate
+    * removal — the same simple-graph view [[pageRank]] ranks):
+    * (node, out_deg, in_deg), one row per node appearing in `nodes`.
+    * One shuffle per direction, both map-side combined. */
+  def degreeProfile(nodes: DataFrame, edges: DataFrame, nodeCol: String,
+      srcCol: String, dstCol: String): DataFrame = {
+    val nd = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val od = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val id = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    nd.join(od, Seq("node"), "left").join(id, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy("node")
+  }
+}
