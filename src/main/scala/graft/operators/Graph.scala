@@ -23,15 +23,16 @@ import org.apache.spark.sql.functions._
   * shuffle of the (node, rank) frame to the edge partitioning plus one
   * map-side-combined `groupBy(dst)` — the textbook Pregel cost, no
   * growing state. The dangling-mass term is a driver-side scalar
-  * aggregate per iteration (an O(1) collect, the Pregel "global
-  * aggregator"). Lineage is cut with `localCheckpoint` every
-  * [[CheckpointEvery]] iterations (the kCenterSelect pattern) so plan
-  * depth stays bounded in the iteration count.
+  * aggregate riding the plan as a broadcast 1-row frame (the Pregel
+  * "global aggregator" — in-plan so no iteration-varying literal
+  * defeats codegen reuse). Every iteration ends in an eager
+  * `localCheckpoint`, so the next round reads a flat LogicalRDD: plan
+  * size and Catalyst analysis cost stay CONSTANT in the iteration
+  * count (the rank frame appears twice per round — dangling aggregate
+  * + contribution join — so an un-flattened plan would double every
+  * iteration).
   */
 object Graph {
-
-  /** Iterations between lineage checkpoints. */
-  val CheckpointEvery = 8
 
   /** Default rank mass denomination: 1.0 == 1e12 micro-units. */
   val DefaultScale = 1000000000000L
@@ -93,39 +94,48 @@ object Graph {
 
     var ranks = baseFrame
       .withColumn("r", when(col("t") === 1L, lit(r0)).otherwise(lit(0L)))
-      .persist()
+      .localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
       iter += 1
-      // Pregel global aggregator: total rank sitting on dangling nodes
-      val dang = ranks.where(col("outdeg") === 0L)
-        .agg(coalesce(sum(col("r")), lit(0L))).as[Long].head()
-      val share = dang / tCount
+      // Pregel global aggregator, kept INSIDE the plan: the dangling
+      // mass rides as a broadcast 1-row frame instead of a collected
+      // scalar, so no iteration-varying literal is baked into the plan
+      // and whole-stage codegen classes are REUSED across iterations
+      // (a collected share constant-folds into fresh source each round
+      // and recompiles every stage). The price: `ranks` now appears
+      // TWICE in each iteration's Catalyst tree (share + contribs), so
+      // without flattening the plan would double every round — 2^n
+      // nodes by iteration n, and AQE's explain-string pass alone
+      // measured MINUTES at n = 8. Hence the eager localCheckpoint
+      // EVERY iteration: the next round reads a flat LogicalRDD, plan
+      // size and analysis cost stay constant in the iteration count,
+      // and the checkpoint job doubles as the per-iteration
+      // materialization barrier (building the recurrence fully lazily
+      // instead lets the nested broadcast subtrees race to recompute
+      // uncached ancestors).
+      val share = ranks.where(col("outdeg") === 0L)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
+        .select(expr(s"__dang div ${tCount}L").as("__share"))
       val contribs = ranks.where(col("outdeg") > 0L)
         .join(e, col("node") === col("src"))
         .select(col("dst"), expr("r div outdeg").as("c"))
       val sums = contribs.groupBy("dst").agg(sum(col("c")).as("s"))
-      val prev = ranks
-      var next = baseFrame.join(sums, baseFrame("node") === sums("dst"), "left")
+      ranks = baseFrame.join(sums, baseFrame("node") === sums("dst"), "left")
+        .crossJoin(broadcast(share))
         .select(col("node"), col("outdeg"), col("t"),
           (lit(baseTerm) * col("t") +
-            expr(s"($dampNum * (coalesce(s, 0L) + ${share}L * t)) div $dampDen"))
+            expr(s"($dampNum * (coalesce(s, 0L) + __share * t)) div $dampDen"))
             .as("r"))
-        .persist()
-      if (iter % CheckpointEvery == 0) next = next.localCheckpoint(true)
-      ranks = next
-      prev.unpersist(false)
+        .localCheckpoint(true)
     }
-    // eager final checkpoint cuts the remaining lineage, so every
-    // upstream cache can be dropped NOW — a long session running many
-    // rankings must not accumulate pinned frames
-    val finalRanks =
-      if (iterations % CheckpointEvery == 0) ranks
-      else ranks.localCheckpoint(true)
-    if (finalRanks ne ranks) ranks.unpersist(false)
+    // ranks is already a flat checkpointed frame — every upstream
+    // cache can be dropped NOW: a long session running many rankings
+    // must not accumulate pinned frames (checkpoint blocks themselves
+    // are released by the ContextCleaner once the frame is GC'd)
     e.unpersist(false)
     baseFrame.unpersist(false)
-    finalRanks.select(col("node"), col("r").as("rank_micro"))
+    ranks.select(col("node"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("node"))
   }
 

@@ -54,8 +54,8 @@ class GraphSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("pageRank across the checkpoint boundary still matches (iters > CheckpointEvery)") {
-    val iters = Graph.CheckpointEvery + 2
+  test("pageRank over a long iteration run still matches (per-iteration checkpoints compose)") {
+    val iters = 10
     val got = runPr(iters)
     val want = refPageRank(handNodes, handEdges, handNodes.toSet, iters)
     assert(got == want)
