@@ -3936,6 +3936,24 @@ object SparkEntry {
       Intervals.coverageCount(
         intervalFixtureLeft(s, dir), intervalFixtureRight(s, dir),
         "ls", "le", "rs", "re", rKey = "r_id", binSize = 256)),
+
+    // ---- BEDTools `merge` per group (chromosome): collapse
+    //      overlapping/touching right intervals into maximal runs via
+    //      per-group window scan — never a global sort ----
+    "q_interval_merge" -> ((s, dir) =>
+      Intervals.mergeIntervals(
+        intervalFixtureRight(s, dir).withColumn("g", pmod(col("r_id"), lit(16L))),
+        "g", "rs", "re")),
+
+    // ---- BEDTools `closest` per group: distance-0 overlaps from the
+    //      binned join + two directional union-window scans, then one
+    //      per-left argmin; ties to the smaller right id. Oracle is the
+    //      naive per-group cross join argmin. ----
+    "q_interval_closest" -> ((s, dir) =>
+      Intervals.closest(
+        intervalFixtureLeft(s, dir).withColumn("g", pmod(col("li_id"), lit(16L))),
+        intervalFixtureRight(s, dir).withColumn("g", pmod(col("r_id"), lit(16L))),
+        "g", "li_id", "ls", "le", "r_id", "rs", "re", binSize = 256)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9104,6 +9122,54 @@ object SparkEntry {
         |SELECT r.r_id AS r_id, COALESCE(hits.n, 0)::BIGINT AS n_overlaps
         |FROM r LEFT JOIN hits ON hits.r_id = r.r_id
         |ORDER BY 1""".stripMargin,
+
+    // the identical per-group run-detection window replayed: running
+    // max of predecessor ends -> new-run flag -> run id -> rollup
+    "q_interval_merge" ->
+      """WITH r AS (
+        |  SELECT p_partkey % 16 AS g,
+        |    (p_partkey * 53) % 100000 AS rs,
+        |    (p_partkey * 53) % 100000 + 1 + (p_partkey * 7) % 300 AS re
+        |  FROM part),
+        |f AS (
+        |  SELECT g, rs, re,
+        |    MAX(re) OVER (PARTITION BY g ORDER BY rs, re
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM r),
+        |runs AS (
+        |  SELECT g, rs, re,
+        |    SUM(CASE WHEN pmax IS NULL OR rs > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY rs, re
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM f)
+        |SELECT g, MIN(rs) AS start, MAX(re) AS "end", COUNT(*)::BIGINT AS n_merged
+        |FROM runs GROUP BY g, run
+        |ORDER BY g, start""".stripMargin,
+
+    // naive per-group cross join + argmin — the exact ground truth the
+    // three-way candidate plan must reproduce, tie to smaller r_id;
+    // GREATEST(ls - re, rs - le, 0) is the half-open distance in both
+    // engines (0 iff overlap)
+    "q_interval_closest" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS li_id, l_orderkey % 16 AS g,
+        |    (l_orderkey * 37 + l_partkey) % 100000 AS ls,
+        |    (l_orderkey * 37 + l_partkey) % 100000 + 1
+        |      + (CAST(l_quantity AS BIGINT) * 13) % 200 AS le
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |r AS (
+        |  SELECT p_partkey AS r_id, p_partkey % 16 AS g,
+        |    (p_partkey * 53) % 100000 AS rs,
+        |    (p_partkey * 53) % 100000 + 1 + (p_partkey * 7) % 300 AS re
+        |  FROM part),
+        |cand AS (
+        |  SELECT l.li_id, r.r_id,
+        |    GREATEST(l.ls - r.re, r.rs - l.le, 0) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY l.li_id
+        |      ORDER BY GREATEST(l.ls - r.re, r.rs - l.le, 0), r.r_id) AS rn
+        |  FROM l JOIN r ON l.g = r.g)
+        |SELECT li_id, r_id, dist AS distance FROM cand WHERE rn = 1
+        |ORDER BY li_id""".stripMargin,
   )
 
   /** Batch assignment + oracle SQL for q_batch_effect, generated from the
