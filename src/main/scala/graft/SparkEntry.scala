@@ -3954,6 +3954,19 @@ object SparkEntry {
         intervalFixtureLeft(s, dir).withColumn("g", pmod(col("li_id"), lit(16L))),
         intervalFixtureRight(s, dir).withColumn("g", pmod(col("r_id"), lit(16L))),
         "g", "li_id", "ls", "le", "r_id", "rs", "re", binSize = 256)),
+
+    // ---- the streaming admission screen's per-batch verdict surface
+    //      (QualityMonitor runs EXACTLY this Profile.check suite on
+    //      each micro-batch; batch degradation per the q_stream_*
+    //      convention — the ownership/replay machinery is spec-pinned
+    //      in QualityMonitorSpec) ----
+    "q_stream_quality" -> ((s, dir) =>
+      Profile.check(events(s, dir), Seq(
+        Profile.NotNull("user_id"),
+        Profile.InRange("value", 0, 500),
+        Profile.InSet("event_type",
+          Seq("click", "error", "purchase", "signup", "view")),
+        Profile.Matches("props", "^\\{\"k\": [0-9]+\\}$")))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9170,6 +9183,36 @@ object SparkEntry {
         |  FROM l JOIN r ON l.g = r.g)
         |SELECT li_id, r_id, dist AS distance FROM cand WHERE rn = 1
         |ORDER BY li_id""".stripMargin,
+
+    // the streaming screen's verdict suite re-derived with FILTER
+    // aggregates over events (regex inside the Java∩RE2 subset)
+    "q_stream_quality" ->
+      """SELECT * FROM (
+        |SELECT 'user_id' AS "column", 'not_null' AS "constraint",
+        |  COUNT(*) FILTER (WHERE user_id IS NULL)::BIGINT AS violations,
+        |  COUNT(*) FILTER (WHERE user_id IS NULL) = 0 AS passed
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', 'in_range',
+        |  COUNT(*) FILTER (WHERE value IS NOT NULL
+        |    AND (value < 0 OR value > 500))::BIGINT,
+        |  COUNT(*) FILTER (WHERE value IS NOT NULL
+        |    AND (value < 0 OR value > 500)) = 0 FROM events
+        |UNION ALL
+        |SELECT 'event_type', 'in_set',
+        |  COUNT(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+        |    NOT IN ('click', 'error', 'purchase', 'signup', 'view'))::BIGINT,
+        |  COUNT(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+        |    NOT IN ('click', 'error', 'purchase', 'signup', 'view')) = 0
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', 'matches',
+        |  COUNT(*) FILTER (WHERE props IS NOT NULL
+        |    AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$'))::BIGINT,
+        |  COUNT(*) FILTER (WHERE props IS NOT NULL
+        |    AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')) = 0
+        |FROM events
+        |) ORDER BY "column", "constraint"""".stripMargin,
   )
 
   /** Batch assignment + oracle SQL for q_batch_effect, generated from the
