@@ -3967,6 +3967,26 @@ object SparkEntry {
         Profile.InSet("event_type",
           Seq("click", "error", "purchase", "signup", "view")),
         Profile.Matches("props", "^\\{\"k\": [0-9]+\\}$")))),
+
+    // ---- snapshot drift: documents vs a derived "next ingest" with a
+    //      fifth of the rows dropped and a null-flood injected into
+    //      lang — the n_nulls/n_distinct/min-max shifts the report must
+    //      surface ----
+    "q_profile_drift" -> ((s, dir) => {
+      val before = documents(s, dir)
+      val after = before.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+      Profile.drift(before, after, Seq("doc_id", "lang", "n_chars"))
+    }),
+
+    // ---- per-group Tukey fences over EXACT order-statistic quartiles
+    //      (elements at ceil(n/4)/ceil(3n/4) — never interpolated, so
+    //      lo/hi combine stored doubles with +,-,*,/ only and replay
+    //      bit-exactly) ----
+    "q_outliers" -> ((s, dir) =>
+      Profile.iqrOutliers(events(s, dir), "value", Seq("event_type"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9213,6 +9233,69 @@ object SparkEntry {
         |    AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')) = 0
         |FROM events
         |) ORDER BY "column", "constraint"""".stripMargin,
+
+    // both sides profiled by the same per-column arms, joined on the
+    // column name — before = documents, after = the derived ingest
+    "q_profile_drift" -> {
+      def arms(table: String): String = Seq(
+        ("doc_id", true), ("lang", false), ("n_chars", true)).map { case (c, isInt) =>
+        val mn = if (isInt) s"CAST(MIN($c) AS VARCHAR)" else s"MIN($c)"
+        val mx = if (isInt) s"CAST(MAX($c) AS VARCHAR)" else s"MAX($c)"
+        s"""SELECT '$c' AS col, (SELECT COUNT(*) FROM $table)::BIGINT AS n_rows,
+           |    ((SELECT COUNT(*) FROM $table) - COUNT($c))::BIGINT AS n_nulls,
+           |    COUNT(DISTINCT $c) AS n_distinct, $mn AS min_s, $mx AS max_s
+           |  FROM $table""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH aft AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+         |    n_chars
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |pb AS (
+         |  ${arms("documents")}),
+         |pa AS (
+         |  ${arms("aft")})
+         |SELECT pb.col AS "column",
+         |  pb.n_rows AS n_rows_before, pb.n_nulls AS n_nulls_before,
+         |  pb.n_distinct AS n_distinct_before,
+         |  pb.min_s AS min_before, pb.max_s AS max_before,
+         |  pa.n_rows AS n_rows_after, pa.n_nulls AS n_nulls_after,
+         |  pa.n_distinct AS n_distinct_after,
+         |  pa.min_s AS min_after, pa.max_s AS max_after
+         |FROM pb JOIN pa ON pa.col = pb.col
+         |ORDER BY 1""".stripMargin
+    },
+
+    // the identical rank arithmetic: order-statistic quartiles at
+    // ceil(n/4)/ceil(3n/4), Tukey fences with the same +,-,*,/ tree —
+    // lo/hi are double expressions over stored doubles, bit-exact in
+    // both engines
+    "q_outliers" ->
+      """WITH nn AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM nn),
+        |f AS (
+        |  SELECT event_type, MAX(n)::BIGINT AS n,
+        |    MAX(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+        |    MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+        |  FROM rk GROUP BY event_type),
+        |fen AS (
+        |  SELECT event_type, n, q1, q3,
+        |    q1 - 3 * (q3 - q1) / 2 AS lo,
+        |    q3 + 3 * (q3 - q1) / 2 AS hi
+        |  FROM f),
+        |cnt AS (
+        |  SELECT nn.event_type,
+        |    COUNT(*) FILTER (WHERE nn.value < fen.lo OR nn.value > fen.hi)::BIGINT
+        |      AS n_outliers
+        |  FROM nn JOIN fen USING (event_type) GROUP BY nn.event_type)
+        |SELECT fen.event_type, fen.n, fen.q1, fen.q3, fen.lo, fen.hi,
+        |  cnt.n_outliers
+        |FROM fen JOIN cnt USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 
   /** Batch assignment + oracle SQL for q_batch_effect, generated from the

@@ -111,6 +111,63 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Snapshot drift report: [[columns]] of `before` joined against
+    * [[columns]] of `after` per column — the schema-drift / feed-health
+    * diff a pipeline checks between ingest batches or dataset versions
+    * (a null-flood shows as an n_nulls jump, an id-space change as an
+    * n_distinct/min/max shift). Two single-scan profiles + a
+    * columns-sized join. */
+  def drift(before: DataFrame, after: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      columns(df, cols).select(col("column"),
+        col("n_rows").as(s"n_rows_$sfx"), col("n_nulls").as(s"n_nulls_$sfx"),
+        col("n_distinct").as(s"n_distinct_$sfx"),
+        col("min_s").as(s"min_$sfx"), col("max_s").as(s"max_$sfx"))
+    side(before, "before").join(side(after, "after"), Seq("column"))
+      .orderBy("column")
+  }
+
+  /** Per-group Tukey outlier fences over EXACT order-statistic
+    * quartiles: q1/q3 are the elements at ranks ceil(n/4) / ceil(3n/4)
+    * of the group's sorted non-null values — never interpolated, so the
+    * fences `q1 - k*iqr` / `q3 + k*iqr` combine existing data values
+    * with +,-,*,/ only and the outlier flag replays bit-exactly
+    * cross-engine (k as the exact rational kNum/kDen, default 3/2).
+    *
+    * Shape: one per-group window rank (groups are the partition unit —
+    * never a global sort), a groups-sized fence frame, and one
+    * fence-join + rollup. Output: (group…, n, q1, q3, lo, hi,
+    * n_outliers), ordered. */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      kNum: Int = 3, kDen: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "iqrOutliers: need at least one group column")
+    require(kDen > 0 && kNum >= 0, "iqrOutliers: fence factor must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(grp: _*)
+    val nonNull = df.where(col(valueCol).isNotNull)
+    val ranked = nonNull
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val fences = ranked.groupBy(grp: _*).agg(
+        max(col("__n")).as("n"),
+        max(when(col("__rn") === expr("(__n + 3) div 4"), col(valueCol))).as("q1"),
+        max(when(col("__rn") === expr("(3 * __n + 3) div 4"), col(valueCol))).as("q3"))
+      .withColumn("lo",
+        col("q1") - lit(kNum) * (col("q3") - col("q1")) / lit(kDen))
+      .withColumn("hi",
+        col("q3") + lit(kNum) * (col("q3") - col("q1")) / lit(kDen))
+    val counted = nonNull.join(fences, groupCols)
+      .groupBy(grp: _*)
+      .agg(coalesce(sum(when(col(valueCol) < col("lo") ||
+        col(valueCol) > col("hi"), 1L).otherwise(0L)), lit(0L)).as("n_outliers"))
+    fences.join(counted, groupCols)
+      .select(grp ++ Seq(col("n"), col("q1"), col("q3"), col("lo"), col("hi"),
+        col("n_outliers")): _*)
+      .orderBy(grp: _*)
+  }
+
   /** Run a constraint suite: (column, constraint, violations, passed),
     * all verdicts from ONE aggregation. Duplicate (column, label)
     * pairs are rejected — they would be indistinguishable downstream. */

@@ -109,6 +109,17 @@ object NewGateProbe {
             graft.operators.Profile.Unique("k"),
             graft.operators.Profile.InRange("v", 0, 90),
             graft.operators.Profile.Matches("s", "^tag[0-9]+$"))).count()
+        },
+        "interval_merge" -> time(s"interval_merge($tag)") {
+          graft.operators.Intervals.mergeIntervals(
+            rd(s"iright_$tag").withColumn("g", pmod(col("r_id"), lit(64L))),
+            "g", "rs", "re").count()
+        },
+        "interval_closest" -> time(s"interval_closest($tag)") {
+          graft.operators.Intervals.closest(
+            rd(s"ileft_$tag").withColumn("g", pmod(col("li_id"), lit(64L))),
+            rd(s"iright_$tag").withColumn("g", pmod(col("r_id"), lit(64L))),
+            "g", "li_id", "ls", "le", "r_id", "rs", "re", binSize = 256).count()
         })
     }
 

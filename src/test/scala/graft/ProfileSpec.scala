@@ -76,4 +76,38 @@ class ProfileSpec extends SparkSpec {
       Profile.check(df, Seq(Profile.NotNull("id"), Profile.NotNull("id")))
     }
   }
+
+  test("drift: null flood and row drop surface per column") {
+    val after = df.where(col("id") =!= 2L)
+      .withColumn("tag", lit(null).cast("string"))
+    val got = Profile.drift(df, after, Seq("id", "tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(6), r.getLong(7), r.getLong(8))).toList
+    // (column, n_rows_b, n_nulls_b, n_distinct_b, n_rows_a, n_nulls_a, n_distinct_a)
+    assert(got == List(
+      ("id", 5L, 0L, 4L, 3L, 0L, 3L),
+      ("tag", 5L, 1L, 3L, 3L, 3L, 0L)))
+  }
+
+  test("iqrOutliers: hand-checked order-statistic quartiles and fence counts") {
+    // group a: sorted values 1..8 plus outlier 100 -> n=9,
+    // q1 = rank ceil(9/4)=3 -> 3.0, q3 = rank ceil(27/4)=7 -> 7.0,
+    // iqr=4, lo=3-6=-3, hi=7+6=13 -> one outlier (100)
+    val d = ((1 to 8).map(v => ("a", v.toDouble)) :+ ("a", 100.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0)) // constant group: iqr 0, no outliers
+    val got = Profile.iqrOutliers(d.toDF("g", "v"), "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toList
+    assert(got == List(
+      ("a", 9L, 3.0, 7.0, -3.0, 13.0, 1L),
+      ("b", 3L, 5.0, 5.0, 5.0, 5.0, 0L)))
+  }
+
+  test("iqrOutliers: nulls ignored, fences use only non-null ranks") {
+    val d = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", None)).toDF("g", "v")
+    val got = Profile.iqrOutliers(d, "v", Seq("g")).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 4L) // n excludes the null
+  }
 }
