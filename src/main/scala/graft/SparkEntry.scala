@@ -3987,6 +3987,37 @@ object SparkEntry {
     //      bit-exactly) ----
     "q_outliers" -> ((s, dir) =>
       Profile.iqrOutliers(events(s, dir), "value", Seq("event_type"))),
+
+    // ---- small-files compaction round-trip: 64 tiny files in,
+    //      ~targetBytes files out, content hash-equal to the source
+    //      table (the ORC-gate losslessness pattern; the file-count
+    //      contract is pinned in ZOrderSpec) ----
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val d = documents(s, dir).select("doc_id", "lang", "source", "text")
+      val base = s"/root/repo/data/oracle_side/${new java.io.File(dir).getName}"
+      new java.io.File(base).mkdirs()
+      val small = s"$base/compact_in.parquet"
+      val out = s"$base/compact_out.parquet"
+      d.repartition(64).write.mode("overwrite").parquet(small)
+      ZOrder.compact(s, small, out, targetBytes = 512L * 1024)
+        .orderBy("doc_id")
+    }),
+
+    // ---- CDC merge: latest version wins per key, change side wins
+    //      version ties, "D" tombstones remove the key — one union +
+    //      one key-window, no join ----
+    "q_cdc_upsert" -> ((s, dir) => {
+      val snap = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(0L).as("version"))
+      val changes = orders(s, dir).where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as("version"))
+        .withColumn("op",
+          when(pmod(col("o_orderkey"), lit(9)) === 0, "D").otherwise("U"))
+      Cdc.applyChanges(snap, changes, Seq("o_orderkey"), "version", Some("op"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -9296,6 +9327,34 @@ object SparkEntry {
         |  cnt.n_outliers
         |FROM fen JOIN cnt USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // compaction is content-preserving: the oracle is the source table
+    // verbatim — hash equality across the 64-file write + compaction
+    // rewrite is the losslessness proof
+    "q_compact_roundtrip" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same union + key-window merge: version DESC, change side
+    // wins ties, tombstones filtered after ranking
+    "q_cdc_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    0::BIGINT AS version, 'U' AS op, 0 AS src
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |    1::BIGINT AS version,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS src
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM ch),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, src DESC) AS rn
+        |  FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice, version
+        |FROM rk WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** Batch assignment + oracle SQL for q_batch_effect, generated from the

@@ -43,6 +43,47 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized output files, content-identical. The 100 TB
+    * housekeeping op — streaming sinks, fine-grained partitions and
+    * per-batch commits leave thousands of KB-sized files whose
+    * per-file open/footer/listing cost dominates every later scan
+    * (and the driver's memory). The output file count derives from
+    * the CURRENT on-disk (compressed) bytes, floor 1; a round-robin
+    * repartition balances rows without any shuffle key. Returns the
+    * compacted directory's reader; content equality is the gate's
+    * contract, file-count reduction the spec's. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "ZOrder.compact: targetBytes must be positive")
+    val bytes = parquetBytes(spark, dir)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  /** Total bytes of a directory's .parquet files (compressed,
+    * metadata-only listing). */
+  def parquetBytes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  /** Count of a directory's .parquet data files. */
+  def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Rewrite `df` into a z-ordered layout: `nFiles` range partitions of
     * the z-value, rows z-sorted within each — after a parquet write,
     * every file holds one compact z-range (disjoint across files up to

@@ -149,4 +149,25 @@ class ZOrderSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(touched <= 2, s"8x8 corner box touched $touched of 16 hilbert files")
   }
+
+  test("compact: collapses a 64-file directory, preserves content, sizes from bytes") {
+    import graft.operators.ZOrder
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("payload-"), col("id")).as("s"))
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    df.repartition(64).write.mode("overwrite").parquet(in)
+    assert(ZOrder.parquetFileCount(spark, in) == 64)
+    val bytes = ZOrder.parquetBytes(spark, in)
+    // target = half the total -> exactly 2 output files
+    val back = ZOrder.compact(spark, in, out, targetBytes = (bytes + 1) / 2)
+    assert(ZOrder.parquetFileCount(spark, out) == 2)
+    val a = df.orderBy("id").collect().map(_.toSeq).toList
+    val b = back.orderBy("id").collect().map(_.toSeq).toList
+    assert(a == b, "compaction must preserve content exactly")
+    // a huge target floors at one file
+    val out1 = java.nio.file.Files.createTempDirectory("compact_out1").toString
+    ZOrder.compact(spark, in, out1, targetBytes = Long.MaxValue / 2)
+    assert(ZOrder.parquetFileCount(spark, out1) == 1)
+  }
 }
