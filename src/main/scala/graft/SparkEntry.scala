@@ -155,6 +155,16 @@ object SparkEntry {
       (pmod(col("p_partkey") * 53, lit(100000L)) + 1 +
         pmod(col("p_partkey") * 7, lit(300L))).as("re"))
 
+  /** Scored-frame fixture for the classifier-eval gates: score =
+    * ((doc_id·37 + 11) mod 1000) / 1000.0 (one integer-to-double
+    * division — bit-identical cross-engine), label = [doc_id mod 3
+    * == 0]. */
+  private def evalScored(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      (pmod(col("doc_id") * 37 + 11, lit(1000)).cast("double") / 1000.0)
+        .as("score"),
+      when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0).as("label"))
+
   /** DuckDB replay of [[graft.operators.Graph.pageRank]] over the
     * [[linkGraph]] fixture: the 8 power iterations UNROLLED as chained
     * CTEs (standard SQL forbids aggregation in a recursive term; the
@@ -4002,6 +4012,17 @@ object SparkEntry {
       ZOrder.compact(s, small, out, targetBytes = 512L * 1024)
         .orderBy("doc_id")
     }),
+
+    // ---- classifier-eval loop: per-threshold confusion counts (all
+    //      exact integers; P/R/F1 one division each) and reliability
+    //      bins over a doc_id-derived scored frame the oracle
+    //      re-creates verbatim ----
+    "q_eval_pr" -> ((s, dir) =>
+      Eval.prCurve(evalScored(s, dir), "score", "label",
+        Seq(0.1, 0.3, 0.5, 0.7, 0.9))),
+
+    "q_eval_calibration" -> ((s, dir) =>
+      Eval.calibration(evalScored(s, dir), "score", "label", bins = 10)),
 
     // ---- CDC merge: latest version wins per key, change side wins
     //      version ties, "D" tombstones remove the key — one union +
@@ -9334,6 +9355,49 @@ object SparkEntry {
     "q_compact_roundtrip" ->
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // per-threshold confusion arms generated from the same list the
+    // query uses; P/R/F1 as one division of exact counts, NULL-guarded
+    // identically
+    "q_eval_pr" -> {
+      val arms = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { t =>
+        s"""SELECT $t::DOUBLE AS threshold,
+           |  COUNT(*) FILTER (WHERE score >= $t AND label = 1)::BIGINT AS tp,
+           |  COUNT(*) FILTER (WHERE score >= $t AND label = 0)::BIGINT AS fp,
+           |  COUNT(*) FILTER (WHERE score < $t AND label = 1)::BIGINT AS fn,
+           |  COUNT(*) FILTER (WHERE score < $t AND label = 0)::BIGINT AS tn
+           |FROM sc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sc AS (
+         |  SELECT ((doc_id * 37 + 11) % 1000) / 1000.0 AS score,
+         |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+         |  FROM documents),
+         |cm AS (
+         |$arms)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN (2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE END AS f1
+         |FROM cm ORDER BY threshold""".stripMargin
+    },
+
+    // equal-width bins via the identical floor(score*bins) tree;
+    // mean_score through the decimal-exact sum (the dsumWide shape)
+    "q_eval_calibration" ->
+      """WITH sc AS (
+        |  SELECT ((doc_id * 37 + 11) % 1000) / 1000.0 AS score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+        |        score, label FROM sc)
+        |SELECT bin, COUNT(*)::BIGINT AS n,
+        |  COUNT(*) FILTER (WHERE label = 1)::BIGINT AS n_pos,
+        |  CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+        |  CAST(COUNT(*) FILTER (WHERE label = 1) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the same union + key-window merge: version DESC, change side
     // wins ties, tombstones filtered after ranking
