@@ -4013,6 +4013,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- OLAP CUBE over the data-card dimensions: every subset level
+    //      ((lang, source), lang, source, total) in one pass, levels
+    //      distinguished by the standard grouping_id bitmask ----
+    "q_corpus_cube" -> ((s, dir) =>
+      CorpusReport.statsCube(documents(s, dir), Seq("lang", "source"),
+        "n_chars")),
+
     // ---- classifier-eval loop: per-threshold confusion counts (all
     //      exact integers; P/R/F1 one division each) and reliability
     //      bins over a doc_id-derived scored frame the oracle
@@ -9355,6 +9362,18 @@ object SparkEntry {
     "q_compact_roundtrip" ->
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // the standard-SQL cube with GROUPING(lang, source) — the same
+    // bitmask semantics (dimension aggregated-out => bit set) in both
+    // engines
+    "q_corpus_cube" ->
+      """SELECT lang, source,
+        |  GROUPING(lang, source)::BIGINT AS grouping_id,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  COALESCE(SUM(n_chars), 0)::BIGINT AS n_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY grouping_id, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     // per-threshold confusion arms generated from the same list the
     // query uses; P/R/F1 as one division of exact counts, NULL-guarded

@@ -23,6 +23,26 @@ object CorpusReport {
     * independent and replays exactly in the DuckDB oracle. The
     * single-partition window below ranks only the topN rows — bounded
     * by the knob, not the corpus. */
+  /** Multi-level corpus rollup (the OLAP CUBE over the data-card
+    * dimensions): doc counts and char sums at EVERY subset of the
+    * grouping dimensions in one pass — per (lang, source), per lang,
+    * per source, and the corpus total — distinguished by the standard
+    * SQL `grouping_id` bitmask (dimension i aggregated-out ⇒ bit set;
+    * NULL group labels are disambiguated from aggregated-out levels by
+    * that bitmask, the textbook GROUPING() use). One partial-aggregated
+    * pass; Catalyst expands the cube without rescanning. */
+  def statsCube(docs: DataFrame, dims: Seq[String], charCol: String): DataFrame = {
+    require(dims.nonEmpty, "CorpusReport.statsCube: no dimensions")
+    val d = dims.map(col)
+    docs.cube(d: _*)
+      .agg(grouping_id().cast("long").as("grouping_id"),
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col(charCol)), lit(0L)).as("n_chars"))
+      .select((dims.map(col) :+ col("grouping_id") :+ col("n_docs") :+
+        col("n_chars")): _*)
+      .orderBy(col("grouping_id") +: dims.map(c => col(c).asc_nulls_first): _*)
+  }
+
   def zipfReport(docs: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val counts = graft.core.CacheScope.retain(

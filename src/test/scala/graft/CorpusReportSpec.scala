@@ -58,4 +58,26 @@ class CorpusReportSpec extends SparkSpec {
     val again = CorpusReport.heapsReport(grow.repartition(7), "text", "doc_id").collect()(0)
     assert(again.getAs[Double]("heaps_beta") == beta)
   }
+
+  test("statsCube: every grouping level with the standard bitmask; null labels disambiguated") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some("en"), "a", 10L), (Some("en"), "b", 20L),
+      (Some("de"), "a", 5L), (None, "a", 7L) // a NULL lang VALUE
+    ).toDF("lang", "source", "n_chars")
+    val got = CorpusReport.statsCube(docs, Seq("lang", "source"), "n_chars")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    // grouping_id 0 = (lang, source) detail rows — the null lang VALUE
+    // keeps bitmask 0, distinguishing it from the aggregated-out level
+    assert(got.contains((None, Some("a"), 0L, 1L, 7L)))
+    assert(got.contains((Some("en"), Some("a"), 0L, 1L, 10L)))
+    // grouping_id 1 = source aggregated out (per-lang)
+    assert(got.contains((Some("en"), None, 1L, 2L, 30L)))
+    // grouping_id 2 = lang aggregated out (per-source) — null lang rows count
+    assert(got.contains((None, Some("a"), 2L, 3L, 22L)))
+    // grouping_id 3 = grand total
+    assert(got.contains((None, None, 3L, 4L, 42L)))
+    assert(got.length == 4 + 3 + 2 + 1) // details + langs + sources + total
+  }
 }
