@@ -63,18 +63,36 @@ object Graph {
     import spark.implicits._
 
     val nd = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+    // scale-adaptive iteration parallelism: the per-iteration frames are
+    // (node, rank) and (src, dst) longs, so ~2M rows ≈ 64 MB per task —
+    // the guide's 100 MB–1 GB shuffle-partition band. Sizing from the
+    // INPUT row counts (one narrow count job each, amortized over every
+    // iteration) instead of the session shuffle-partition conf means a
+    // 15k-node gate graph runs 1-partition iterations (32 near-empty
+    // tasks per stage × ~4 stages × iterations was pure scheduler
+    // overhead) while a 100 TB link graph still fans out to the conf
+    // ceiling the cluster operator tuned.
+    val confP = spark.sessionState.conf.numShufflePartitions
+    val approxRows = math.max(edges.count(), nodes.count())
+    val nP = math.max(1L, math.min(confP.toLong,
+      (approxRows + 2000000L - 1L) / 2000000L)).toInt
     // one-time edge shuffle into the src-keyed layout every iteration
-    // joins against; distinct() also dedups (simple graph)
+    // joins against (distinct() alone leaves hash(src, dst) partitioning
+    // — the contribution join would re-exchange the EDGE side every
+    // iteration); distinct() also dedups (simple graph)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .repartition(nP, col("src"))
       .persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
     val tel = teleport.map(_.select(col(nodeCol).cast("long").as("node")).distinct())
     // static per-node frame: (node, outdeg, t) with t = 1 iff in the
-    // teleport set — joined once, reused every iteration
+    // teleport set — joined once, reused every iteration; persisted in
+    // the node-keyed layout so the per-iteration combine join never
+    // re-exchanges it
     val withDeg = nd.join(outdeg, nd("node") === outdeg("src"), "left")
       .select(nd("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
     val base = tel match {
@@ -83,7 +101,7 @@ object Graph {
           .select(col("node"), col("outdeg"), coalesce(col("__t"), lit(0L)).as("t"))
       case None => withDeg.withColumn("t", lit(1L))
     }
-    val baseFrame = base.persist()
+    val baseFrame = base.repartition(nP, col("node")).persist()
     val tCount = baseFrame.where(col("t") === 1L).count()
     require(tCount > 0, "pageRank: empty teleport set")
 

@@ -72,6 +72,19 @@ class GraphSpec extends SparkSpec {
       s"teleporting to {0,1} must concentrate mass there ($seedMass vs $restMass)")
   }
 
+  test("pageRank is invariant to input partitioning (src-keyed layout fix)") {
+    // the operator now repartitions edges by src and the node frame by
+    // node before persisting (and sizes iteration parallelism from the
+    // input row counts, not the session conf) — results must not depend
+    // on however the caller's frames arrive partitioned
+    val want = refPageRank(handNodes, handEdges, handNodes.toSet, 5)
+    val nd = handNodes.toDF("node").repartition(7, col("node"))
+    val ed = handEdges.toDF("src", "dst").repartition(5, col("dst"))
+    val got = Graph.pageRank(nd, ed, "node", "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("hub dominance and mass conservation within floor loss") {
     val got = runPr(8)
     // node 0 receives 4 in-links on a 6-node graph: must rank first
