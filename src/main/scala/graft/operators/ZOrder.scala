@@ -114,7 +114,6 @@ object ZOrder {
     require(bits >= 1 && 2 * bits <= 62,
       s"ZOrder.hilbertValue: $bits bits per axis = ${2 * bits} index bits (max 62)")
     val lim = 1L << bits
-    val n = 1L << bits
     def guard(c: Column): Column = {
       val lc = c.cast("long")
       when(lc.isNull || lc < 0 || lc >= lim,
@@ -122,41 +121,25 @@ object ZOrder {
           lc.cast("string"))))
         .otherwise(lc)
     }
-    // ONE batched withColumns per bit level (16 Projects total), each
-    // level's expressions referencing the PREVIOUS level's named
-    // columns: per-column withColumn calls stacked ~112 Projects and
-    // cost seconds of Catalyst analysis; an aggregate() fold avoided
-    // that but runs as an interpreted higher-order function (~11 s at
-    // sf0.1 vs ~0.1 s of codegen'd task time). Named levels keep the
-    // expression tree linear AND whole-stage-codegen'd.
-    var cur = df
-      .withColumns(Map(
-        "__hx" -> guard(col(xCol)),
-        "__hy" -> guard(col(yCol)),
-        out -> lit(0L)))
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      // d accumulates and (x, y) rotate — reflect (when rx=1) then swap,
-      // only when ry=0 — all from the PRE-rotation coordinates; the
-      // single Project evaluates every RHS against the previous level
-      cur = cur.withColumns(Map(
-        out -> (col(out) + lit(s * s) * (rx * 3).bitwiseXOR(ry)),
-        "__hx" -> when(ry === 0,
-          when(rx === 1, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
-          .otherwise(col("__hx")),
-        "__hy" -> when(ry === 0,
-          when(rx === 1, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
-          .otherwise(col("__hy"))))
-    }
-    cur.drop("__hx", "__hy")
+    // Native codegen'd bit walk (GraftExtensions.HilbertXy2dExpr): one
+    // `bits`-iteration integer loop per row. The previous form unrolled
+    // the recurrence as `bits` chained Projects of nested CASE trees —
+    // linear Catalyst tree, but still seconds of analysis per query and
+    // a generated body far past JIT-friendly size on a corpus-scale
+    // scan (an aggregate() fold before THAT ran interpreted, ~11 s at
+    // sf0.1). The loop performs the identical exact 64-bit arithmetic
+    // in the identical order, so the h values — and the unrolled-CTE
+    // SQL oracle replay — are bit-for-bit unchanged (ZOrderSpec pins
+    // golden values and the adjacency property).
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.withColumn(out,
+      graft.plans.GraftExtensions.hilbertXy2d(guard(col(xCol)), guard(col(yCol)), bits))
   }
 
-  /** [[layoutZOrdered]] with the Hilbert key — the layout a box-query
-    * workload wants when the extra ~3 s of per-query index math (16
-    * unrolled levels vs one interleave) is paid once at WRITE time and
-    * amortized over every pruned read. */
+  /** [[layoutZOrdered]] with the Hilbert key — the stronger-locality
+    * layout for box-query workloads; the bit-walk index (one codegen'd
+    * loop per row) is paid once at WRITE time and amortized over every
+    * pruned read. */
   def layoutHilbertOrdered(df: DataFrame, xCol: String, yCol: String,
       bits: Int, nFiles: Int, hCol: String = "h_value"): DataFrame = {
     require(nFiles >= 1, s"ZOrder.layoutHilbertOrdered: nFiles=$nFiles")

@@ -134,6 +134,84 @@ case class DotArrExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hilbert curve index (2-D xy→d bit walk) of two non-negative long
+  * columns — the native form of the recurrence
+  * [[graft.operators.ZOrder.hilbertValue]] previously unrolled as `bits`
+  * chained Projects of nested CASE trees. That unrolled form kept the
+  * Catalyst tree linear, but 16 stacked Projects still cost seconds of
+  * analysis per query and produce a whole-stage-codegen body far past
+  * JIT-friendly size over a corpus-scale scan; this expression is one
+  * `bits`-iteration integer loop — identical arithmetic, identical
+  * integers (every step is exact 64-bit ops in the same order), so the
+  * unrolled-CTE SQL oracle replay is unaffected. */
+case class HilbertXy2dExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && 2 * bits <= 62,
+    s"hilbert_xy2d: $bits bits per axis = ${2 * bits} index bits (max 62)")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert_xy2d needs two bigint args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hilbert_xy2d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Long]
+    var y = b.asInstanceOf[Long]
+    val n1 = (1L << bits) - 1L
+    var h = 0L
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((x & s) > 0L) 1L else 0L
+      val ry = if ((y & s) > 0L) 1L else 0L
+      h += (s * s) * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        val nx = if (rx == 1L) n1 - y else y
+        val ny = if (rx == 1L) n1 - x else x
+        x = nx; y = ny
+      }
+      i -= 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry"); val nx = ctx.freshName("nx")
+      val n1 = (1L << bits) - 1L
+      s"""
+         |long $x = $a; long $y = $b; long $h = 0L;
+         |for (int $i = $bits - 1; $i >= 0; $i--) {
+         |  long $s = 1L << $i;
+         |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $h += ($s * $s) * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    long $nx = ($rx == 1L) ? (${n1}L - $y) : $y;
+         |    $y = ($rx == 1L) ? (${n1}L - $x) : $x;
+         |    $x = $nx;
+         |  }
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertXy2dExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard similarity of two SORTED distinct long arrays by merge-count —
   * the verification kernel of the MinHash dedup path, as a codegen
   * expression (the UDF form boxes both arrays per candidate pair). */
@@ -806,6 +884,22 @@ object GraftExtensions {
       UnicodeNormalizeExpr(children.head, form)
     })
 
+  private[graft] val hilbertXy2dDescriptor = (
+    FunctionIdentifier("hilbert_xy2d"),
+    new ExpressionInfo(classOf[HilbertXy2dExpr].getName, "hilbert_xy2d"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "hilbert_xy2d(x, y, bits) takes two bigint columns and a literal bit width")
+      val bits = children(2) match {
+        case lit if lit.foldable &&
+            lit.dataType == org.apache.spark.sql.types.IntegerType =>
+          lit.eval(null).asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"hilbert_xy2d bits must be an int literal, got $other")
+      }
+      HilbertXy2dExpr(children.head, children(1), bits)
+    })
+
   private[graft] val robotsAllowedDescriptor = (
     FunctionIdentifier("robots_allowed"),
     new ExpressionInfo(classOf[RobotsAllowedExpr].getName, "robots_allowed"),
@@ -830,11 +924,16 @@ object GraftExtensions {
     org.apache.spark.sql.functions.call_function("jaccard_sorted", a, b)
   def dotArr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("dot_arr", a, b)
+  def hilbertXy2d(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("hilbert_xy2d", x, y,
+      org.apache.spark.sql.functions.lit(bits))
 
   /** Register on an already-built session (local/test convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(cosineSimDescriptor, jaccardSortedDescriptor, dotArrDescriptor,
-        unicodeNormDescriptor, robotsAllowedDescriptor).foreach { d =>
+        unicodeNormDescriptor, robotsAllowedDescriptor,
+        hilbertXy2dDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }
