@@ -48,6 +48,24 @@ object CacheScope {
     ds
   }
 
+  /** [[retain]] + eager materialization. A lazily-cached frame with an
+    * EXPENSIVE lineage and several independent consumers is a trap under
+    * AQE: the consumers' leaf query stages are submitted concurrently,
+    * and racing tasks each recompute the uncached ancestor — measured
+    * 4 concurrent full evaluations of the winnowing-fingerprint scan
+    * (stage probe, r13 optimization round) where the cache was supposed
+    * to give one. Materializing here (one pass, all columns — count()
+    * over the just-cached frame builds every partition of the
+    * InMemoryRelation) costs one extra tiny job and makes every
+    * downstream consumer a cache read. Use for caches whose lineage is
+    * expensive AND fan out to 2+ independent consumers; plain [[retain]]
+    * stays right for single-consumer or cheap-lineage caches. */
+  def retainEager[T](ds: Dataset[T]): Dataset[T] = {
+    retain(ds)
+    ds.count()
+    ds
+  }
+
   /** [[retain]] for a CALLER-provided input frame: if the caller already
     * cached it, reuse that cache without adopting it — registering a
     * user-owned cache in the FIFO would let a later eviction unpersist

@@ -562,6 +562,11 @@ object Dedup {
     require(tau > 0.0 && tau <= 1.0, s"containmentPairs: tau=$tau outside (0,1]")
     val tauBp = math.round(tau * 10000).toInt
     val input = graft.core.CacheScope.retainInput(df)
+    // plain retain (NOT retainEager): measured — the word-3-gram lineage
+    // is cheap enough that one extra materialization job costs more than
+    // the AQE racing recompute it prevents (A/B at sf0.1: eager was
+    // ~1.2 s slower across the containment gates; contrast the winnow
+    // fingerprints, where eager wins)
     val sh = input
       .withColumn("__toks", tokens(normalizeText(col(textCol))))
       .select(col(idCol).as("__id"),
@@ -681,10 +686,15 @@ object Dedup {
     // where true near-dups hold ~100-150) — the ratio separates 1.0
     // vs ≤ 0.78 there.
     val covBp = math.round(minCoverage * 10000).toInt
+    // retainEager, not retain: the fingerprint lineage (normalize +
+    // k-gram hash + winnow per doc) is the expensive part, and it fans
+    // out to 4 independent consumers (sizes ×2 broadcast builds, both
+    // self-join sides) whose AQE stages otherwise race to recompute it
+    // concurrently — the stage probe measured 4 × ~9 s evaluations
     val fps = graft.core.CacheScope.retainInput(df)
       .select(col(idCol).as("__id"),
         explode(winnowedFingerprints(col(textCol), k, w)).as("__fp"))
-      .pipe(graft.core.CacheScope.retain)
+      .pipe(graft.core.CacheScope.retainEager)
     val sizes = fps.groupBy("__id").agg(count(lit(1)).as("__n"))
     val shared = fps.select(col("__id").as("id_a"), col("__fp"))
       .join(fps.select(col("__id").as("id_b"), col("__fp")), Seq("__fp"))
