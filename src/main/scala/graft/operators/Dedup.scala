@@ -318,6 +318,13 @@ object Dedup {
       benchGrams: DataFrame, textCol: String, idCol: String, n: Int,
       bloomFpp: Double = 0.0,
       prebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    // NOTE (r13 optimization round, measured): the gram explode can land
+    // on ONE task when a chained pipeline feeds an AQE-coalesced
+    // tiny-bytes join output in here, but force-spreading it first
+    // (repartition by id, size-gated) measured WORSE on the pipeline
+    // gates (q_curation_pipeline2 10.5 -> 13.5 s): the serial explode
+    // overlaps the pipeline's other stages, while the extra exchange is
+    // a hard barrier. Left as-is deliberately.
     val corpusGrams = corpus.select(col(idCol),
       explode(array_distinct(
         wordNgramsFromTokens(tokens(normalizeText(col(textCol))), n))).as("__g"))
@@ -843,6 +850,7 @@ object Dedup {
   private def retainIfBig[T](small: Boolean)(ds: org.apache.spark.sql.Dataset[T]) =
     if (small) ds else graft.core.CacheScope.retain(ds)
 
+
   def duplicateSpanScrub(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
@@ -1157,13 +1165,21 @@ object Dedup {
       n: Int = 3): DataFrame = {
     import graft.functions.TextFunctions._
     val toks = tokens(normalizeText(col(textCol)))
-    // distinct non-empty grams per doc kept as an ARRAY: the denominator
-    // (n_grams) is its size, computed map-side — no shuffle, no cache
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol),
-        filter(array_distinct(wordNgramsFromTokens(toks, n)),
-          g => g =!= "").as("__gs"))
-      .where(size(col("__gs")) > 0)
+    // distinct non-empty grams per doc as an ARRAY, cached EAGERLY before
+    // any filter touches it: a `where(size(__gs) > 0)` on the bare
+    // projection gets predicate-pushed below the spread exchange into the
+    // single-file scan stage, where the substituted condition re-derives
+    // the whole tokenize+ngram pipeline per row ON ONE TASK (measured
+    // 4.8 s of the query's 5.2 s; both the n_grams and the explode branch
+    // re-derived it again). The cache is a pushdown barrier: grams are
+    // computed once, post-spread (32-way), and every consumer — the size
+    // filter, the denominator, the explode — reads the cached arrays.
+    val gs = graft.core.CacheScope.retainEager(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol),
+          filter(array_distinct(wordNgramsFromTokens(toks, n)),
+            g => g =!= "").as("__gs")))
+    val base = gs.where(size(col("__gs")) > 0)
     val nGrams = base.select(col(idCol),
       size(col("__gs")).cast("long").as("n_grams"))
     // a df==1 gram belongs to exactly ONE doc, so the novel counts key
