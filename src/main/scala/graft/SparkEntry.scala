@@ -1047,8 +1047,9 @@ object SparkEntry {
         .withColumn("__q", qualityScore(col("text")))
         .withColumn("__lang", langId(col("text")))
         .withColumn("__nt", tokenCount(col("text")))
-        .where(col("__q") >= 0.5 && col("__lang") === "en" &&
-          col("__nt").between(10, 1000))
+        .where(graft.functions.TextFunctions.evalHere(
+          col("__q") >= 0.5 && col("__lang") === "en" &&
+            col("__nt").between(10, 1000)))
         .drop("__q", "__lang", "__nt")
       val afterExact = Dedup.exactDedup(curated, "text", "doc_id")
       val afterNear = Dedup.minHashLshDedup(afterExact, "text", "doc_id",
@@ -1075,8 +1076,9 @@ object SparkEntry {
         .withColumn("__q", qualityScore(col("text")))
         .withColumn("__lang", langId(col("text")))
         .withColumn("__nt", tokenCount(col("text")))
-        .where(col("__q") >= 0.5 && col("__lang") === "en" &&
-          col("__nt").between(10, 1000))
+        .where(graft.functions.TextFunctions.evalHere(
+          col("__q") >= 0.5 && col("__lang") === "en" &&
+            col("__nt").between(10, 1000)))
         .drop("__q", "__lang", "__nt")
       val afterExact = Dedup.exactDedup(curated, "text", "doc_id")
       val afterNear = Dedup.minHashLshDedup(afterExact, "text", "doc_id",
@@ -3484,8 +3486,9 @@ object SparkEntry {
         .withColumn("__page", page)
         .withColumn("__clean",
           graft.functions.TextFunctions.c4CleanLines(col("__page")))
-        .where(graft.functions.TextFunctions.c4PageRules(
-          col("__page"), col("__clean"), minSentences = 4))
+        .where(graft.functions.TextFunctions.evalHere(
+          graft.functions.TextFunctions.c4PageRules(
+            col("__page"), col("__clean"), minSentences = 4)))
         .select(col("doc_id"), col("__clean").as("text"))
         .orderBy("doc_id")
     }),
@@ -3509,7 +3512,8 @@ object SparkEntry {
       val st = graft.functions.TextFunctions.gopherRepetitionStats(col("__page"))
       documents(s, dir).where(col("text").isNotNull)
         .withColumn("__page", page)
-        .where(graft.functions.TextFunctions.gopherRepetitionRules(col("__page")))
+        .where(graft.functions.TextFunctions.evalHere(
+          graft.functions.TextFunctions.gopherRepetitionRules(col("__page"))))
         .select(col("doc_id"),
           st.getField("top2_chars").as("top2_chars"),
           st.getField("dup5_chars").as("dup5_chars"),
@@ -3618,10 +3622,11 @@ object SparkEntry {
       val s2 = d.where(col("text").isNotNull)
         .withColumn("__page", page)
         .withColumn("__clean", T.c4CleanLines(col("__page")))
-        .where(T.c4PageRules(col("__page"), col("__clean"), minSentences = 4))
+        .where(T.evalHere(
+          T.c4PageRules(col("__page"), col("__clean"), minSentences = 4)))
       val s4 = s2.withColumn("__text", T.dedupLinesWithin(col("__clean")))
-        .where(T.gopherRepetitionRules(col("__text"),
-          maxTopGramFrac100 = Seq(30, 28, 26)))
+        .where(T.evalHere(T.gopherRepetitionRules(col("__text"),
+          maxTopGramFrac100 = Seq(30, 28, 26))))
       val s5 = graft.operators.Sampling.mixtureSelect(
         s4.select("doc_id", "lang", "text", "__text"), "lang", "doc_id",
         MixtureWeights)

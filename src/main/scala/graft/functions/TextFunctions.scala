@@ -16,6 +16,21 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
+  /** Evaluation barrier for an EXPENSIVE boolean gate (spark_guide §4.4
+    * applied to expressions): wraps the predicate in a nondeterministic
+    * identity UDF so the optimizer neither predicate-pushes it below the
+    * spread exchange — where the single-file gate scan would evaluate
+    * the whole substituted text kernel per row ON ONE TASK (stage probe:
+    * 0.93 s of q_gopher_repetition's 1.7 s) — nor duplicates it into a
+    * second evaluation. The value is still a pure function of its input;
+    * the marker only pins WHERE it evaluates. Use on text-kernel gates
+    * written after a spread/repartition; cheap scan-prunable predicates
+    * (null checks, range cuts) must NOT go through this, or they lose
+    * parquet pushdown. */
+  def evalHere(pred: Column): Column = ndBoolIdentity(pred)
+  private lazy val ndBoolIdentity =
+    udf((b: java.lang.Boolean) => b).asNondeterministic()
+
   /** Unicode normalization (UAX #15) — `form` ∈ NFC|NFD|NFKC|NFKD. NFC is
     * the pre-hashing contract (CCNet): byte equality only means glyph
     * equality once composed/decomposed spellings of the same text agree.

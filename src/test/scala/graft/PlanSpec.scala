@@ -14,6 +14,22 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
 
+  test("heavy text gates stay ABOVE the spread exchange (evalHere barrier)") {
+    // the text-kernel page gates must evaluate post-spread (32-way), not
+    // be predicate-pushed into the single-split gate scan (r13
+    // optimization round: the pushed form ran the whole substituted
+    // kernel per row on ONE task — 0.93 s of q_gopher_repetition's
+    // 1.7 s). The pin: no Filter node re-deriving the tokenizer sits
+    // directly on the parquet scan.
+    for (q <- Seq("q_gopher_repetition", "q_c4_clean")) {
+      val p = plan(q)
+      val scanFilter =
+        "(?s)Filter [^\\n]*regexp_replace[^\\n]*\\n[^\\n]*Scan parquet".r
+      assert(scanFilter.findFirstIn(p).isEmpty,
+        s"$q: text-kernel filter was pushed into the scan stage")
+    }
+  }
+
   test("q_filter_dsl: predicates reach the parquet scan") {
     val p = plan("q_filter_dsl")
     assert(p.contains("PushedFilters: ["), p.take(2000))
