@@ -850,8 +850,8 @@ object SparkEntry {
         tokenCount(col("text")).as("n_tokens"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"))
-        .where(col("quality") >= 0.5 && col("lang_pred") === "en" &&
-          col("n_tokens").between(10, 1000))
+        .where(evalHere(col("quality") >= 0.5 && col("lang_pred") === "en" &&
+          col("n_tokens").between(10, 1000)))
         .orderBy("doc_id")
     }),
 
@@ -3183,7 +3183,7 @@ object SparkEntry {
         .withColumn("label",
           (graft.functions.TextFunctions.tokenCount(col("text")) >= 40).cast("int"))
       val m = graft.operators.QualityClassifier.fit(train, "text", "label", iters = 1)
-      docs.where(m.linearScore(col("text")) >= 0)
+      docs.where(graft.functions.TextFunctions.evalHere(m.linearScore(col("text")) >= 0))
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -3192,10 +3192,11 @@ object SparkEntry {
       val host = concat(lit("h"), d, lit(".site"),
         pmod(col("doc_id"), lit(4)).cast("string"), lit(".co.uk"))
       documents(s, dir).select(col("doc_id"), col("text"), host.as("host"))
-        .where(graft.functions.TextFunctions.noBlocklistedToken(col("text"),
+        .where(graft.functions.TextFunctions.evalHere(
+          graft.functions.TextFunctions.noBlocklistedToken(col("text"),
             Seq("agg", "scan")) &&
           graft.functions.UrlFunctions.domainNotBlocklisted(col("host"),
-            Seq("site0.co.uk", "site2.co.uk")))
+            Seq("site0.co.uk", "site2.co.uk"))))
         .select("doc_id", "host")
         .orderBy("doc_id")
     }),
@@ -3449,8 +3450,9 @@ object SparkEntry {
     "q_gopher_filter" -> ((s, dir) => {
       val stop = Seq("the", "a")
       documents(s, dir)
-        .where(graft.functions.TextFunctions.gopherRules(col("text"),
-          minWords = 30, stopWords = stop, minStopHits = 2))
+        .where(graft.functions.TextFunctions.evalHere(
+          graft.functions.TextFunctions.gopherRules(col("text"),
+            minWords = 30, stopWords = stop, minStopHits = 2)))
         .select(col("doc_id"),
           graft.functions.TextFunctions.gopherStats(col("text"), stop)
             .getField("n_words").as("n_words"))

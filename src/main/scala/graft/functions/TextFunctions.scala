@@ -934,7 +934,7 @@ object TextFunctions {
       n: Int): org.apache.spark.sql.DataFrame = {
     val toks = tokens(normalizeText(col(textCol)))
     df.select(toks.as("__toks"))
-      .where(size(col("__toks")) >= n)
+      .where(evalHere(size(col("__toks")) >= n))
       .select(explode(wordNgramsFromTokens(col("__toks"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
   }

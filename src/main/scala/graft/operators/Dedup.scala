@@ -746,7 +746,7 @@ object Dedup {
       graft.core.CacheScope.retainInput(df)
         .select(col(idCol).as("__id"),
           winnowedFingerprints(col(textCol), k, w).as("__hs"))
-        .where(size(col("__hs")) > 0))
+        .where(graft.functions.TextFunctions.evalHere(size(col("__hs")) > 0)))
     val banded = bandExplode(fpa, bands, rowsPerBand, Seq("__id"))
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
       .where(col("x.__id") < col("y.__id"))
@@ -871,7 +871,7 @@ object Dedup {
     // Cached: read once by the duplicate-gram aggregate and once by the
     // join that marks non-canonical occurrences.
     val occ = retainIfBig(small)(toks
-      .where(size(col("__toks")) >= n)
+      .where(graft.functions.TextFunctions.evalHere(size(col("__toks")) >= n))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - n),
           i => portableHash(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))))
@@ -932,7 +932,7 @@ object Dedup {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     corpus
       .withColumn("__ct", tokens(normalizeText(col(textCol))))
-      .where(size(col("__ct")) >= n)
+      .where(graft.functions.TextFunctions.evalHere(size(col("__ct")) >= n))
       .select(explode(array_distinct(
         transform(sequence(lit(0), size(col("__ct")) - n),
           i => portableHash(concat_ws(" ", slice(col("__ct"), i + 1, lit(n)))))))
@@ -962,7 +962,7 @@ object Dedup {
       .select(col(idCol), col("__toks"))
       .pipe(retainIfBig(small))
     val probeOcc = toks
-      .where(size(col("__toks")) >= n)
+      .where(graft.functions.TextFunctions.evalHere(size(col("__toks")) >= n))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - n),
           i => portableHash(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))))

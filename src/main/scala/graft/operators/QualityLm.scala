@@ -102,7 +102,7 @@ object QualityLm {
     val pairs = docs
       .select(col(idCol),
         bigramPairs(mappedTokens(col(textCol), model.vocab)).as("pairs"))
-      .where(size(col("pairs")) >= 1)
+      .where(graft.functions.TextFunctions.evalHere(size(col("pairs")) >= 1))
       .select(col(idCol), explode(col("pairs")).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val scored = pairs
@@ -180,7 +180,7 @@ object QualityLm {
     val pairs = docs
       .select(col(idCol),
         bigramPairs(mappedTokens(col(textCol), model.vocab)).as("pairs"))
-      .where(size(col("pairs")) >= 1)
+      .where(graft.functions.TextFunctions.evalHere(size(col("pairs")) >= 1))
       .select(col(idCol), explode(col("pairs")).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val d = model.discount
