@@ -160,9 +160,15 @@ object Similarity {
     * reciprocate few). A set intersection of the two directed views:
     * one shuffle over (id, id) pairs, nothing heavier. */
   def mutualKnnEdges(graph: DataFrame): DataFrame = {
-    val fwd = graph.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    // both directed views read the graph; materialize its cache first or
+    // their AQE stages race to recompute the whole k-NN pipeline twice
+    // (stage probe: an identical ~0.6-0.9 s stage pair in
+    // q_semantic_families_indexed)
+    val g = graft.core.CacheScope.retainInput(graph)
+    g.count()
+    val fwd = g.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
       .where(col("id_a") < col("id_b"))
-    val rev = graph.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
+    val rev = g.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
       .where(col("id_a") < col("id_b"))
     fwd.intersect(rev)
   }
@@ -286,12 +292,18 @@ object Similarity {
       idxA: IvfIndex, idxB: IvfIndex, vecCol: String, idCol: String,
       k: Int = 4, threshold: Double = 1.05, nprobe: Int = 8): DataFrame = {
     require(k >= 1, "bitextMineIndexed: k must be >= 1")
-    val fwd = idxB.topK(sideA, vecCol, idCol, k, nprobe)
-      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
-        col("rank"), col("score"))
-    val bwd = idxA.topK(sideB, vecCol, idCol, k, nprobe)
-      .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
-        col("rank"), col("score"))
+    // each direction's k-NN frame feeds TWO consumers (its k-NN mean and
+    // the NN1 candidate set); cached eagerly so the index probe runs once
+    // per direction instead of the consumers' AQE stages racing to
+    // recompute it (stage probe: two identical ~0.6-0.9 s stage pairs)
+    val fwd = graft.core.CacheScope.retainEager(
+      idxB.topK(sideA, vecCol, idCol, k, nprobe)
+        .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+          col("rank"), col("score")))
+    val bwd = graft.core.CacheScope.retainEager(
+      idxA.topK(sideB, vecCol, idCol, k, nprobe)
+        .select(col("neighbor_id").as("a_id"), col("query_id").as("b_id"),
+          col("rank"), col("score")))
     def knnMean(dir: DataFrame, key: String, out: String): DataFrame =
       dir.groupBy(col(key))
         .agg((sum(col("score").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
