@@ -574,8 +574,13 @@ object TextFunctions {
     require(dim >= 1, "hashingTfVector: dim must be >= 1")
     val idx = transform(tokens(normalizeText(c)),
       t => pmod(portableHash(t), lit(dim)))
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(idx, x => x === i)).cast("double"))
+    // native one-pass bucket count (was transform(sequence)·filter —
+    // O(dim·tokens) interpreted lambdas per row); counts are identical
+    // integers cast to double, so every downstream exact-cosine oracle
+    // is unaffected
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.BucketCountsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(idx), dim))
   }
 
   private def normalizePhrase(p: String): String =

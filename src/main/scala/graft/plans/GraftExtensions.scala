@@ -134,6 +134,69 @@ case class DotArrExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense bucket-count vector of a long-array column: counts[i] = how
+  * many elements equal i, for i in [0, dim) — the hashing-trick TF
+  * kernel ([[graft.functions.TextFunctions.hashingTfVector]]). The
+  * higher-order form (`transform(sequence(0, dim-1), i =>
+  * size(filter(idx, _ === i)))`) re-scans the token array once PER
+  * BUCKET — O(dim·tokens) interpreted lambda evaluations per row; this
+  * expression is one O(tokens + dim) loop. Out-of-range and null
+  * elements are simply not counted (exactly the filter-count
+  * semantics), values are integer counts cast to double — bit-identical
+  * output, so the full-precision cosine oracles are unaffected. */
+case class BucketCountsExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1, s"bucket_counts: dim must be >= 1, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_counts needs an array<bigint> arg, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "bucket_counts"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dim)
+    var j = 0
+    val n = xs.numElements()
+    while (j < n) {
+      if (!xs.isNullAt(j)) {
+        val v = xs.getLong(j)
+        if (v >= 0L && v < dim) counts(v.toInt) += 1.0
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val counts = ctx.freshName("counts")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $counts = new double[$dim];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    long $v = $a.getLong($j);
+         |    if ($v >= 0L && $v < ${dim}L) $counts[(int) $v] += 1.0;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BucketCountsExpr =
+    copy(child = newChild)
+}
+
 /** Hilbert curve index (2-D xy→d bit walk) of two non-negative long
   * columns — the native form of the recurrence
   * [[graft.operators.ZOrder.hilbertValue]] previously unrolled as `bits`

@@ -530,6 +530,28 @@ class TextFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { hashingTfVector(col("text"), 0) }
   }
 
+  test("hashingTfVector native kernel == the higher-order filter-count form") {
+    // the r13 optimization swapped the O(dim·tokens) transform/filter
+    // form for the one-pass BucketCountsExpr; this pins bit-equality of
+    // the two forms on real text (counts are exact integers — any
+    // divergence is a hard miscount, not float noise)
+    import graft.functions.TextFunctions.{normalizeText, portableHash, tokens}
+    val dim = 16
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = transform(tokens(normalizeText(col("text"))),
+      t => pmod(portableHash(t), lit(dim)))
+    val hof = transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(idx, x => x === i)).cast("double"))
+    val rows = docs.select(col("doc_id"),
+        hashingTfVector(col("text"), dim).as("native"), hof.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Option(r.getSeq[Double](1)) == Option(r.getSeq[Double](2)),
+        s"doc ${r.getLong(0)}: native != higher-order form")
+    }
+  }
+
   test("langId accuracy on the labeled fixture: per-language floors") {
     val preds = langFixture.zipWithIndex
       .map { case ((l, t), i) => (i.toLong, l, t) }
